@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.model.Tables
+
+/** Relational / OLAP operator pack (SURVEY.md §2 C-block).
+  *
+  * Oracle-parity rules (SURVEY.md §5): money/qty aggregates go through
+  * DECIMAL so the result is exact and independent of partial-agg order,
+  * then cast to DOUBLE so Spark and DuckDB emit identical schemas;
+  * timestamps leave as DATE or epoch BIGINT; every computed column is
+  * aliased identically on both sides.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D = DecimalType(12, 2)  // prices/quantities (2-dec doubles)
+  private val P = DecimalType(4, 2)   // discount/tax in [0, 1.10]
+  private def dec(c: Column): Column = c.cast(D)
+  private def pct(c: Column): Column = c.cast(P)
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** extendedprice * (1 - discount), exact decimal */
+  private def discPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(1).cast(P) - pct(disc))
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- q1_agg
+  /** Scan + filter + groupBy + multi-agg (TPC-H Q1 shape).
+    * Pushdown-friendly: the shipdate filter reaches the parquet scan;
+    * partial aggregation combines map-side before the 6-group shuffle.
+    */
+  def q1Agg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")) *
+            (lit(1).cast(P) + pct(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | count(*) AS count_order,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ----------------------------------------------------------- q3_join_topk
+  /** 3-way join + agg + order + limit (TPC-H Q3 shape).
+    * customer/orders filters push to their scans; the lineitem join keys
+    * shuffle on l_orderkey; AQE broadcast-converts the filtered customer
+    * side when small.
+    */
+  def q3JoinTopk: Q = (s, dir) => {
+    val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    """SELECT l_orderkey,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | CAST(o_orderdate AS DATE) AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------- q5_multijoin
+  /** 6-way join through the star schema (TPC-H Q5 shape).
+    * region/nation are broadcast (always tiny); the order-date filter
+    * prunes orders before the fact-side shuffle.
+    */
+  def q5Multijoin: Q = (s, dir) => {
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    val n = broadcast(t(s, dir, "nation"))
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --------------------------------------------------------------- q_window
+  /** rank + running sum over per-customer partitions. One shuffle on
+    * o_custkey serves both window functions (same partitioning).
+    */
+  def qWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("running",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("running"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk, running FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  rank() OVER w AS rnk,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  // ------------------------------------------------------- q_distinct_union
+  /** distinct / union / except set semantics. */
+  def qDistinctUnion: Q = (s, dir) => {
+    val cu = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val su = t(s, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    val af = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("int").as("nationkey"))
+    cu.union(su).distinct().except(af).orderBy("nationkey")
+  }
+
+  val qDistinctUnionSql: String =
+    """SELECT nationkey FROM (
+      | SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      | UNION
+      | SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      | EXCEPT
+      | SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+      |) ORDER BY nationkey""".stripMargin
+
+  // ----------------------------------------------------- q_conditional_agg
+  /** case-when pivot-style aggregation. */
+  def qConditionalAgg: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_totalprice") > 100000, dec(col("o_totalprice")))
+          .otherwise(lit(0).cast(D))).cast("double").as("hi_rev"))
+      .orderBy("o_orderpriority")
+
+  val qConditionalAggSql: String =
+    """SELECT o_orderpriority,
+      | count(*) AS n_orders,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      | CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS hi_rev
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ q_semi_anti
+  /** EXISTS / NOT EXISTS as left_semi / left_anti joins — no row
+    * duplication, no distinct needed, semi-join pushes to the probe side.
+    */
+  def qSemiAnti: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey"))
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------ q_scalar_subquery
+  /** Scalar-subquery threshold (parts above global average price),
+    * rewritten multiply-through so the comparison is exact decimal
+    * arithmetic on both engines: price * n > sum  ⇔  price > avg.
+    */
+  def qScalarSubquery: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+    val tot = p.agg(sum(dec(col("p_retailprice"))).as("tot"),
+                    count(lit(1)).as("n"))
+    p.crossJoin(broadcast(tot))
+      .filter(dec(col("p_retailprice")) * col("n") > col("tot"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+  }
+
+  val qScalarSubquerySql: String =
+    """WITH t AS (SELECT sum(CAST(p_retailprice AS DECIMAL(12,2))) AS tot, count(*) AS n FROM part)
+      |SELECT p_brand, count(*) AS n_parts
+      |FROM part, t
+      |WHERE CAST(p_retailprice AS DECIMAL(12,2)) * n > tot
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------------ q_topk
+  /** Global order + limit — Spark executes as TakeOrderedAndProject
+    * (per-partition top-k, then k-way merge on the driver; never a full
+    * sort of the fact table).
+    */
+  def qTopk: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  val qTopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------- q_events_window
+  /** Tumbling-window aggregation over the event stream (batch twin of the
+    * streaming op st_tumbling_agg). Window start emitted as epoch seconds
+    * — engine-neutral.
+    */
+  def qEventsWindow: Q = (s, dir) =>
+    // ts arrives as BIGINT nanos (nanosAsLong); tumble via integer div —
+    // stays in codegen, no timezone semantics involved.
+    t(s, dir, "events")
+      .groupBy((expr("ts div 3600000000000") * 3600).as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  val qEventsWindowSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  // ------------------------------------------------------ q_events_sessionize
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    * running sum = session id → per-session rollup. One shuffle on user_id
+    * serves the window and the final aggregation.
+    */
+  def qEventsSessionize: Q = (s, dir) => {
+    val gapUs = 1800000000L // 30 min in microseconds
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qEventsSessionizeSql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |), f AS (
+      | SELECT user_id, event_id, us,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      | FROM e
+      |), g AS (
+      | SELECT user_id, us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM f
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      | min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
+      |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join_topk" -> q3JoinTopk,
+    "q5_multijoin" -> q5Multijoin,
+    "q_window" -> qWindow,
+    "q_distinct_union" -> qDistinctUnion,
+    "q_conditional_agg" -> qConditionalAgg,
+    "q_semi_anti" -> qSemiAnti,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_topk" -> qTopk,
+    "q_events_window" -> qEventsWindow,
+    "q_events_sessionize" -> qEventsSessionize)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q5_multijoin" -> q5MultijoinSql,
+    "q_window" -> qWindowSql,
+    "q_distinct_union" -> qDistinctUnionSql,
+    "q_conditional_agg" -> qConditionalAggSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
+    "q_topk" -> qTopkSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_events_sessionize" -> qEventsSessionizeSql)
+}
