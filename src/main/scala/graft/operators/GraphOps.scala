@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.PropertyGraph
+
+/** Property-graph core operators (SURVEY.md §2 A-block) — the reference
+  * API surface (vbmudalige/akka-graph-db neo4j/Neo4jGraph.scala)
+  * re-expressed as declarative DataFrame plans over the deterministic
+  * TPC-H graph. Every oracle rebuilds the identical graph in DuckDB CTEs
+  * (PropertyGraph.oracleCte), so correctness is end-to-end: construction
+  * AND query.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def g(s: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph.load(s, dir)
+  private val cte = PropertyGraph.oracleCte
+
+  // ---------------------------------------------------------- g_get_node
+  /** Reference getNode (Neo4jGraph.scala:212-233): point lookup. */
+  def getNode: Q = (s, dir) => g(s, dir).getNode("customer", 42L)
+
+  val getNodeSql: String =
+    s"""$cte
+       |SELECT label, key, name, balance FROM nodes
+       |WHERE label = 'customer' AND key = 42""".stripMargin
+
+  // --------------------------------------------------------- g_get_nodes
+  /** Reference getNodes(label, data) (Neo4jGraph.scala:235-257):
+    * label + property-predicate scan. */
+  def getNodes: Q = (s, dir) =>
+    g(s, dir).getNodes("customer", col("balance") > 9000.0)
+      .orderBy("key")
+
+  val getNodesSql: String =
+    s"""$cte
+       |SELECT label, key, name, balance FROM nodes
+       |WHERE label = 'customer' AND balance > 9000.0 ORDER BY key""".stripMargin
+
+  // --------------------------------------------------------- g_get_edges
+  /** Reference getEdges(label, data) (Neo4jGraph.scala:295-332). */
+  def getEdges: Q = (s, dir) =>
+    g(s, dir).getEdges("HAS_PART", col("weight") >= 2L)
+      .orderBy("src_key", "dst_key")
+
+  val getEdgesSql: String =
+    s"""$cte
+       |SELECT elabel, src_label, src_key, dst_label, dst_key, weight
+       |FROM edges WHERE elabel = 'HAS_PART' AND weight >= 2
+       |ORDER BY src_key, dst_key""".stripMargin
+
+  // ------------------------------------------------------------ g_egress
+  /** Reference getEgressEdges (Neo4jGraph.scala:334-368): out-edges of
+    * customer 1 with endpoint props. */
+  def egress: Q = (s, dir) =>
+    g(s, dir).egress("customer", 1L).orderBy("elabel", "dst_label", "dst_key")
+
+  val egressSql: String =
+    s"""$cte
+       |SELECT e.elabel, e.dst_label, e.dst_key, n.name AS dst_name, e.weight
+       |FROM edges e JOIN nodes n ON n.label = e.dst_label AND n.key = e.dst_key
+       |WHERE e.src_label = 'customer' AND e.src_key = 1
+       |ORDER BY elabel, dst_label, dst_key""".stripMargin
+
+  // ----------------------------------------------------------- g_ingress
+  /** Reference getIngressEdges (Neo4jGraph.scala:370-404): in-edges of
+    * nation 3 (its customers + suppliers). */
+  def ingress: Q = (s, dir) =>
+    g(s, dir).ingress("nation", 3L).orderBy("elabel", "src_label", "src_key")
+
+  val ingressSql: String =
+    s"""$cte
+       |SELECT e.elabel, e.src_label, e.src_key, n.name AS src_name, e.weight
+       |FROM edges e JOIN nodes n ON n.label = e.src_label AND n.key = e.src_key
+       |WHERE e.dst_label = 'nation' AND e.dst_key = 3
+       |ORDER BY elabel, src_label, src_key""".stripMargin
+
+  // --------------------------------------------------------- g_add_node
+  /** Reference addNode (Neo4jGraph.scala:156-176) as batch upsert; the
+    * query returns the post-mutation region node set. */
+  def addNode: Q = (s, dir) => {
+    val update = s.range(1).select(
+      lit("region").as("label"), lit(100L).as("key"),
+      lit("LAPLAND").as("name"), lit(null).cast("double").as("balance"))
+    g(s, dir).upsertNodes(update).nodes
+      .filter(col("label") === "region").orderBy("key")
+  }
+
+  val addNodeSql: String =
+    s"""$cte
+       |SELECT label, key, name, balance FROM nodes WHERE label = 'region'
+       |UNION ALL SELECT 'region', 100, 'LAPLAND', CAST(NULL AS DOUBLE)
+       |ORDER BY key""".stripMargin
+
+  // ------------------------------------------------------ g_update_node
+  /** Reference updateNode property-merge (Neo4jGraph.scala:442-467):
+    * clamp negative customer balances to 0 — a column merge, not a
+    * row-at-a-time mutation. */
+  def updateNode: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val updated = graph.nodes
+      .filter(col("label") === "customer")
+      .withColumn("balance",
+        when(col("balance") < 0, 0.0).otherwise(col("balance")))
+    graph.upsertNodes(updated).nodes
+      .filter(col("label") === "customer").orderBy("key")
+  }
+
+  val updateNodeSql: String =
+    s"""$cte
+       |SELECT label, key, name,
+       | CASE WHEN balance < 0 THEN 0.0 ELSE balance END AS balance
+       |FROM nodes WHERE label = 'customer' ORDER BY key""".stripMargin
+
+  // ----------------------------------------------------- g_remove_nodes
+  /** Reference removeNodes + DETACH (Neo4jGraph.scala:406-431): drop
+    * suppliers with negative balance and their incident edges; result is
+    * the post-state edge census. */
+  def removeNodes: Q = (s, dir) =>
+    g(s, dir).removeNodes("supplier", col("balance") < 0)
+      .edges.groupBy("elabel").agg(count(lit(1)).as("n_edges"))
+      .orderBy("elabel")
+
+  val removeNodesSql: String =
+    s"""$cte, rm AS (
+       | SELECT label, key FROM nodes WHERE label = 'supplier' AND balance < 0
+       |)
+       |SELECT elabel, count(*) AS n_edges FROM edges e
+       |WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.label = e.src_label AND rm.key = e.src_key)
+       |  AND NOT EXISTS (SELECT 1 FROM rm WHERE rm.label = e.dst_label AND rm.key = e.dst_key)
+       |GROUP BY elabel ORDER BY elabel""".stripMargin
+
+  // -------------------------------------------------------- g_paths_to
+  /** Reference pathsTo (Neo4jGraph.scala:492-519): all simple paths
+    * customer:1 → supplier:1, depth ≤ 3. Oracle = unrolled joins, one
+    * block per depth, identical simple-path constraints. */
+  def pathsTo: Q = (s, dir) =>
+    g(s, dir).pathsTo("customer", 1L, "supplier", 1L, maxDepth = 3)
+      .orderBy("path")
+
+  val pathsToSql: String =
+    s"""$cte, e AS (
+       | SELECT src_label || ':' || src_key AS s, dst_label || ':' || dst_key AS d FROM edges
+       |)
+       |SELECT path, depth FROM (
+       | SELECT e1.s || '>' || e1.d AS path, 1 AS depth
+       | FROM e e1 WHERE e1.s = 'customer:1' AND e1.d = 'supplier:1'
+       | UNION ALL
+       | SELECT e1.s || '>' || e1.d || '>' || e2.d, 2
+       | FROM e e1 JOIN e e2 ON e2.s = e1.d
+       | WHERE e1.s = 'customer:1' AND e2.d = 'supplier:1'
+       |   AND e1.d <> 'customer:1' AND e1.d <> 'supplier:1'
+       | UNION ALL
+       | SELECT e1.s || '>' || e1.d || '>' || e2.d || '>' || e3.d, 3
+       | FROM e e1 JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e2.d
+       | WHERE e1.s = 'customer:1' AND e3.d = 'supplier:1'
+       |   AND e1.d <> 'customer:1' AND e1.d <> 'supplier:1'
+       |   AND e2.d <> 'customer:1' AND e2.d <> 'supplier:1'
+       |   AND e2.d <> e1.d
+       |) ORDER BY path""".stripMargin
+
+  // ----------------------------------------------------------- g_degree
+  /** In/out degree for every node (derived op per SURVEY.md §2.A). */
+  def degree: Q = (s, dir) => g(s, dir).degrees.orderBy("label", "key")
+
+  val degreeSql: String =
+    s"""$cte, od AS (
+       | SELECT src_label AS label, src_key AS key, count(*) AS out_deg
+       | FROM edges GROUP BY 1, 2
+       |), id AS (
+       | SELECT dst_label AS label, dst_key AS key, count(*) AS in_deg
+       | FROM edges GROUP BY 1, 2
+       |)
+       |SELECT n.label, n.key,
+       | COALESCE(od.out_deg, CAST(0 AS BIGINT)) AS out_deg,
+       | COALESCE(id.in_deg, CAST(0 AS BIGINT)) AS in_deg
+       |FROM nodes n
+       |LEFT JOIN od ON od.label = n.label AND od.key = n.key
+       |LEFT JOIN id ON id.label = n.label AND id.key = n.key
+       |ORDER BY n.label, n.key""".stripMargin
+
+  // --------------------------------------------------- g_neighbors_2hop
+  /** Distinct nodes reachable in ≤2 directed hops from customers with
+    * key ≤ 10 — frontier expansion with per-level dedup (the shape BFS
+    * uses at scale; dedup caps frontier growth).
+    */
+  def neighbors2hop: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val e = graph.edges.select(
+      col("src_label"), col("src_key"),
+      col("dst_label").as("label"), col("dst_key").as("key"))
+    val start = graph.nodes
+      .filter(col("label") === "customer" && col("key") <= 10)
+      .select("label", "key")
+    val h1 = e.join(start.withColumnRenamed("label", "src_label")
+        .withColumnRenamed("key", "src_key"), Seq("src_label", "src_key"))
+      .select("label", "key").distinct()
+    val h2 = e.join(h1.withColumnRenamed("label", "src_label")
+        .withColumnRenamed("key", "src_key"), Seq("src_label", "src_key"))
+      .select("label", "key").distinct()
+    h1.union(h2).distinct().orderBy("label", "key")
+  }
+
+  val neighbors2hopSql: String =
+    s"""$cte, start AS (
+       | SELECT label, key FROM nodes WHERE label = 'customer' AND key <= 10
+       |), h1 AS (
+       | SELECT DISTINCT e.dst_label AS label, e.dst_key AS key
+       | FROM edges e JOIN start s ON e.src_label = s.label AND e.src_key = s.key
+       |), h2 AS (
+       | SELECT DISTINCT e.dst_label AS label, e.dst_key AS key
+       | FROM edges e JOIN h1 ON e.src_label = h1.label AND e.src_key = h1.key
+       |)
+       |SELECT DISTINCT label, key FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+       |ORDER BY label, key""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "g_get_node" -> getNode,
+    "g_get_nodes" -> getNodes,
+    "g_get_edges" -> getEdges,
+    "g_egress" -> egress,
+    "g_ingress" -> ingress,
+    "g_add_node" -> addNode,
+    "g_update_node" -> updateNode,
+    "g_remove_nodes" -> removeNodes,
+    "g_paths_to" -> pathsTo,
+    "g_degree" -> degree,
+    "g_neighbors_2hop" -> neighbors2hop)
+
+  val oracleSql: Map[String, String] = Map(
+    "g_get_node" -> getNodeSql,
+    "g_get_nodes" -> getNodesSql,
+    "g_get_edges" -> getEdgesSql,
+    "g_egress" -> egressSql,
+    "g_ingress" -> ingressSql,
+    "g_add_node" -> addNodeSql,
+    "g_update_node" -> updateNodeSql,
+    "g_remove_nodes" -> removeNodesSql,
+    "g_paths_to" -> pathsToSql,
+    "g_degree" -> degreeSql,
+    "g_neighbors_2hop" -> neighbors2hopSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.PropertyGraph
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  lazy val g: PropertyGraph = PropertyGraph.load(spark, sf)
+
+  test("graph construction: node and edge labels are complete") {
+    val nl = g.nodes.select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(nl == Set("region", "nation", "customer", "supplier", "part", "order"))
+    val el = g.edges.select("elabel").distinct().collect().map(_.getString(0)).toSet
+    assert(el == Set("IN_REGION", "IN_NATION", "PLACED", "HAS_PART", "SUPPLIED_BY"))
+  }
+
+  test("every nation has exactly one region egress edge") {
+    val bad = g.edges.filter(col("elabel") === "IN_REGION")
+      .groupBy("src_key").count().filter(col("count") =!= 1).count()
+    assert(bad == 0)
+  }
+
+  test("point lookup returns the single node") {
+    val rows = g.getNode("customer", 42L).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("key") == 42L)
+  }
+
+  test("egress of customer 1 = its PLACED orders + nation") {
+    val rows = GraphOps.egress(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("elabel")).toSet.subsetOf(Set("PLACED", "IN_NATION")))
+  }
+
+  test("upsert then remove round-trips node count") {
+    val update = spark.range(1).select(
+      lit("region").as("label"), lit(100L).as("key"),
+      lit("X").as("name"), lit(null).cast("double").as("balance"))
+    val n0 = g.nodes.count()
+    val g2 = g.upsertNodes(update)
+    assert(g2.nodes.count() == n0 + 1)
+    val g3 = g2.removeNodes("region", col("key") === 100L)
+    assert(g3.nodes.count() == n0)
+  }
+
+  test("removeNodes detaches incident edges") {
+    val g2 = g.removeNodes("supplier", lit(true)) // drop ALL suppliers
+    assert(g2.nodes.filter(col("label") === "supplier").count() == 0)
+    assert(g2.edges.filter(col("elabel") === "SUPPLIED_BY").count() == 0)
+    assert(g2.edges.filter(col("dst_label") === "supplier" ||
+      col("src_label") === "supplier").count() == 0)
+  }
+
+  test("pathsTo finds only simple paths ending at the target") {
+    val rows = g.pathsTo("customer", 1L, "supplier", 1L, maxDepth = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[String]("path")
+      assert(p.startsWith("customer:1>") && p.endsWith(">supplier:1"))
+      val hops = p.split(">")
+      assert(hops.distinct.length == hops.length, s"non-simple path $p")
+      assert(hops.length - 1 == r.getAs[Int]("depth"))
+    }
+  }
+
+  test("degrees: every PLACED edge contributes to customer out-degree") {
+    val placed = g.edges.filter(col("elabel") === "PLACED").count()
+    val custOut = g.degrees.filter(col("label") === "customer")
+      .agg(sum("out_deg")).collect().head.getLong(0)
+    // customers also have IN_NATION egress
+    val custN = g.nodes.filter(col("label") === "customer").count()
+    assert(custOut == placed + custN)
+  }
+}
