@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.PropertyGraph
+
+/** Graph analytics (SURVEY.md §2 B-block): fixed-iteration DataFrame
+  * loops so the DuckDB oracle (programmatically unrolled CTE chain) is
+  * EXACT — no convergence race, no float drift.
+  *
+  * All rank arithmetic is fixed-point BIGINT (floor division) so Spark
+  * and DuckDB produce bit-identical integers regardless of partial-agg
+  * order — doubles summed in different orders would drift.
+  *
+  * Scale notes (SURVEY.md §6): each iteration is ONE shuffle keyed on
+  * node key with map-side partial aggregation; rank/frontier lineage is
+  * truncated per level (localCheckpoint) so plan depth stays constant.
+  * No driver-side data loops — the only actions are scalar counts.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def g(s: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph.load(s, dir)
+  private val cte = PropertyGraph.oracleCte
+
+  // -------------------------------------------------------- g_pagerank
+  /** PageRank, 5 iterations, d=0.85, fixed-point (SCALE=1e10 == rank
+    * 1.0). Per-edge contribution floor(85·r(u) / (100·outdeg(u))),
+    * r'(v) = floor(15·SCALE / (100·N)) + Σ contributions. Dangling mass
+    * is dropped (documented contract — same on both engines).
+    */
+  val prIters = 5
+  val prScale = 10000000000L // 1e10
+
+  def pagerank: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val nodes = graph.nodes.select("label", "key")
+    val n = nodes.count() // scalar action only
+    val e = graph.edges.select(
+      col("src_label"), col("src_key"),
+      col("dst_label").as("label"), col("dst_key").as("key"))
+    val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
+    val eod = e.join(od, Seq("src_label", "src_key"))
+    val base = (15L * prScale) / (100L * n)
+    var r = nodes.withColumn("r", lit(prScale / n))
+    for (_ <- 1 to prIters) {
+      val contrib = eod
+        .join(r.select(col("label").as("src_label"), col("key").as("src_key"),
+          col("r")), Seq("src_label", "src_key"))
+        .select(col("label"), col("key"),
+          expr("(85 * r) div (100 * outdeg)").as("c"))
+        .groupBy("label", "key").agg(sum("c").as("s"))
+      r = nodes.join(contrib, Seq("label", "key"), "left_outer")
+        .select(col("label"), col("key"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint(eager = false)
+    }
+    r.orderBy("label", "key")
+  }
+
+  val pagerankSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", od AS (
+             | SELECT src_label AS label, src_key AS key, count(*) AS outdeg
+             | FROM edges GROUP BY 1, 2
+             |), nn AS (SELECT count(*) AS n FROM nodes)
+             |, r0 AS (
+             | SELECT label, key, $prScale // (SELECT n FROM nn) AS r FROM nodes
+             |)""".stripMargin
+    for (i <- 1 to prIters) {
+      b ++= s""", c$i AS (
+               | SELECT e.dst_label AS label, e.dst_key AS key,
+               |  sum((85 * r${i - 1}.r) // (100 * od.outdeg)) AS s
+               | FROM edges e
+               | JOIN r${i - 1} ON r${i - 1}.label = e.src_label AND r${i - 1}.key = e.src_key
+               | JOIN od ON od.label = e.src_label AND od.key = e.src_key
+               | GROUP BY 1, 2
+               |), r$i AS (
+               | SELECT nd.label, nd.key,
+               |  CAST((${15L * prScale} // (100 * (SELECT n FROM nn))) + COALESCE(c$i.s, 0) AS BIGINT) AS r
+               | FROM nodes nd LEFT JOIN c$i ON c$i.label = nd.label AND c$i.key = nd.key
+               |)""".stripMargin
+    }
+    b ++= s"\nSELECT label, key, r FROM r$prIters ORDER BY label, key"
+    b.toString
+  }
+
+  // --------------------------------------------- g_connected_components
+  /** Connected components by min-id propagation over the undirected
+    * edge set, 10 fixed iterations. Numeric node id =
+    * labelCode·10^13 + key (no global id assignment — pure expression).
+    */
+  val ccIters = 10
+  private val labelCodes =
+    Seq("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+
+  private def nodeIdCol(label: org.apache.spark.sql.Column,
+                        key: org.apache.spark.sql.Column) = {
+    val code = labelCodes.tail.foldLeft(when(label === labelCodes.head._1,
+      lit(labelCodes.head._2))) { case (acc, (l, c)) => acc.when(label === l, lit(c)) }
+    code * lit(10000000000000L) + key
+  }
+
+  private val nodeIdSqlExpr: String =
+    "(CASE " + labelCodes.map { case (l, c) => s"WHEN label = '$l' THEN $c" }
+      .mkString(" ") + " END) * 10000000000000 + key"
+
+  def connectedComponents: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val sid = nodeIdCol(col("src_label"), col("src_key"))
+    val did = nodeIdCol(col("dst_label"), col("dst_key"))
+    val und = graph.edges.select(sid.as("a"), did.as("b"))
+      .union(graph.edges.select(did.as("a"), sid.as("b")))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      nodeIdCol(col("label"), col("key")).as("id"))
+    var comp = nodes.withColumn("comp", col("id"))
+    for (_ <- 1 to ccIters) {
+      val nbrMin = und.join(comp.select(col("id").as("a"), col("comp")), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min("comp").as("m"))
+      comp = comp.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("label"), col("key"), col("id"),
+          least(col("comp"), col("m")).as("comp"))
+        .localCheckpoint(eager = false)
+    }
+    comp.select("label", "key", "comp").orderBy("label", "key")
+  }
+
+  val connectedComponentsSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), und AS (
+             | SELECT (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key AS a,
+             |        (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key AS b
+             | FROM edges
+             | UNION ALL
+             | SELECT (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key,
+             |        (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key
+             | FROM edges
+             |), c0 AS (SELECT label, key, id, id AS comp FROM ids)""".stripMargin
+    for (i <- 1 to ccIters) {
+      b ++= s""", m$i AS (
+               | SELECT u.b AS id, min(c${i - 1}.comp) AS m
+               | FROM und u JOIN c${i - 1} ON c${i - 1}.id = u.a GROUP BY u.b
+               |), c$i AS (
+               | SELECT c.label, c.key, c.id, least(c.comp, m$i.m) AS comp
+               | FROM c${i - 1} c LEFT JOIN m$i ON m$i.id = c.id
+               |)""".stripMargin
+    }
+    b ++= s"\nSELECT label, key, comp FROM c$ccIters ORDER BY label, key"
+    b.toString
+  }
+
+  // -------------------------------------------------------- g_triangles
+  /** Triangle census of the part co-purchase projection: parts are
+    * adjacent when some order contains both (HAS_PART ⋈ HAS_PART).
+    * Ordered ids (p1 < p2 < p3) — each triangle counted once, the
+    * standard compact-forward shape whose wedge join stays bounded.
+    */
+  def triangles: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("p1"), col("p2")).distinct()
+    val tri = co.as("e1")
+      .join(co.as("e2"), col("e2.p1") === col("e1.p2"))
+      .join(co.as("e3"), col("e3.p1") === col("e1.p1") &&
+        col("e3.p2") === col("e2.p2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
+
+  val trianglesSql: String =
+    s"""$cte, hp AS (
+       | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
+       |), co AS (
+       | SELECT DISTINCT a.p AS p1, b.p AS p2
+       | FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+       |)
+       |SELECT (SELECT count(*) FROM co) AS n_edges,
+       |       (SELECT count(*) FROM co e1
+       |        JOIN co e2 ON e2.p1 = e1.p2
+       |        JOIN co e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles""".stripMargin
+
+  // -------------------------------------------------------- g_bfs_depth
+  /** Min hop distance from region:0 over the UNDIRECTED graph, 6 fixed
+    * levels. Frontier-driven: each level joins only the new frontier
+    * against the edge list, anti-joins the visited set — exact min-depth
+    * by construction, one shuffle per level.
+    */
+  val bfsIters = 6
+
+  def bfsDepth: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val und = graph.edges.select(
+        col("src_label").as("al"), col("src_key").as("ak"),
+        col("dst_label").as("bl"), col("dst_key").as("bk"))
+      .union(graph.edges.select(
+        col("dst_label").as("al"), col("dst_key").as("ak"),
+        col("src_label").as("bl"), col("src_key").as("bk")))
+    var dist = graph.nodes
+      .filter(col("label") === "region" && col("key") === 0L)
+      .select(col("label"), col("key"), lit(0).as("depth"))
+    var frontier = dist
+    for (i <- 1 to bfsIters) {
+      val next = und.join(broadcast(frontier.select(
+          col("label").as("al"), col("key").as("ak"))), Seq("al", "ak"))
+        .select(col("bl").as("label"), col("bk").as("key")).distinct()
+        .join(dist.select("label", "key"), Seq("label", "key"), "left_anti")
+        .withColumn("depth", lit(i))
+        .localCheckpoint(eager = false)
+      dist = dist.unionByName(next).localCheckpoint(eager = false)
+      frontier = next
+    }
+    dist.orderBy("label", "key")
+  }
+
+  val bfsDepthSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= """, und AS (
+            | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk FROM edges
+            | UNION ALL
+            | SELECT dst_label, dst_key, src_label, src_key FROM edges
+            |), d0 AS (
+            | SELECT label, key, 0 AS depth FROM nodes WHERE label = 'region' AND key = 0
+            |)""".stripMargin
+    for (i <- 1 to bfsIters) {
+      val seen = (0 until i).map(j => s"SELECT label, key FROM d$j").mkString(" UNION ALL ")
+      b ++= s""", d$i AS (
+               | SELECT DISTINCT u.bl AS label, u.bk AS key, $i AS depth
+               | FROM und u JOIN d${i - 1} f ON u.al = f.label AND u.ak = f.key
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.label = u.bl AND s.key = u.bk)
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT label, key, depth FROM (" +
+      (0 to bfsIters).map(i => s"SELECT * FROM d$i").mkString(" UNION ALL ") +
+      ") ORDER BY label, key"
+    b.toString
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "g_pagerank" -> pagerank,
+    "g_connected_components" -> connectedComponents,
+    "g_triangles" -> triangles,
+    "g_bfs_depth" -> bfsDepth)
+
+  val oracleSql: Map[String, String] = Map(
+    "g_pagerank" -> pagerankSql,
+    "g_connected_components" -> connectedComponentsSql,
+    "g_triangles" -> trianglesSql,
+    "g_bfs_depth" -> bfsDepthSql)
+}

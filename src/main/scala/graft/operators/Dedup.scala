@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Document deduplication family (SURVEY.md §2 D-block).
+  *
+  * Engine-parity rules (SURVEY.md §5): ALL hashing is md5 (identical hex
+  * in Spark and DuckDB); similarity thresholds are integer
+  * cross-multiplications (3·|∩| > |A|+|B| instead of J > 0.5) so no float
+  * ever decides set membership. Everything stays in whole-stage codegen:
+  * shingling via split/transform/aggregate higher-order functions, no
+  * UDFs.
+  *
+  * Scale shape: per-doc work is linear; candidate pairs come only from
+  * LSH band buckets or shared-shingle blocks — never a cross product.
+  * At 100 TB the band join shuffles on the band key; skewed buckets
+  * (boilerplate text) get capped per-bucket (see Similarity for the
+  * probe-side variant).
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // ------------------------------------------------------- d_dedup_exact
+  /** Exact dedup: md5 content hash, canonical = min doc_id per hash.
+    * One shuffle on the hash; at scale this is a straight hash-groupBy
+    * with map-side combine. */
+  def dedupExact: Q = (s, dir) => {
+    val w = Window.partitionBy(col("fp"))
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("canon_id", min("doc_id").over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT doc_id, md5(text) AS fp,
+      | min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
+      | count(*) OVER (PARTITION BY md5(text)) AS cluster_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- shingling
+  /** Distinct 3-word shingles per document — split + transform, codegen'd. */
+  private def shingleCol(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => concat_ws(" ", element_at(words, i + 1),
+        element_at(words, i + 2), element_at(words, i + 3))))
+  }
+
+  /** DuckDB twin of shingleCol (1-based list indexing). */
+  private val shingleSqlExpr: String =
+    """list_distinct(list_transform(
+      | range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))""".stripMargin
+
+  // ----------------------------------------------------- d_dedup_minhash
+  /** MinHash + LSH banding: 9 hashes (lexicographic MIN of
+    * md5(seed‖shingle)), 3 bands × 3 rows; candidate pairs share ≥1 band
+    * key, scored by exact signature agreement (n_match of 9).
+    *
+    * Plan: explode shingles → ONE groupBy(doc) computing all 9 mins
+    * (single shuffle, partial agg) → 3 band keys per doc → self-join on
+    * band key (bucket join — the only pairwise step, never O(n²)).
+    */
+  val mhSeeds = 9
+  val mhBands = 3
+
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+    sh.groupBy("doc_id")
+      .agg(min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+        (1 until mhSeeds).map(k =>
+          min(md5(concat(lit(s"$k|"), col("sh")))).as(s"mh$k")): _*)
+  }
+
+  def dedupMinhash: Q = (s, dir) => {
+    val sig = signatures(s, dir)
+    val withBands = sig.select(col("doc_id") +:
+      (0 until mhBands).map(b => md5(concat_ws("",
+        (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as(s"band$b")): _*)
+    val bandRows = withBands.select(col("doc_id"), explode(array(
+      (0 until mhBands).map(b => col(s"band$b")): _*)).as("bk"))
+    val cand = bandRows.alias("x")
+      .join(bandRows.alias("y"), col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF("doc_a" +: (0 until mhSeeds).map(k => s"a$k"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until mhSeeds).map(k => s"b$k"): _*)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until mhSeeds).map(k =>
+          when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_match"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashSql: String = {
+    val mins = (0 until mhSeeds).map(k =>
+      s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n  ")
+    val bands = (0 until mhBands).map(b =>
+      s"md5(mh${b * 3} || mh${b * 3 + 1} || mh${b * 3 + 2}) AS band$b").mkString(", ")
+    val bandSel = (0 until mhBands).map(b =>
+      s"SELECT doc_id, band$b AS bk FROM bands").mkString(" UNION ALL ")
+    val nMatch = (0 until mhSeeds).map(k =>
+      s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (
+       | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
+       |), sig AS (
+       | SELECT doc_id, $mins FROM sh GROUP BY doc_id
+       |), bands AS (
+       | SELECT doc_id, $bands FROM sig
+       |), br AS ($bandSel
+       |), cand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM br x JOIN br y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b, CAST($nMatch AS BIGINT) AS n_match
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |            JOIN sig sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------- d_ngram_jaccard
+  /** Blocked pairwise Jaccard over distinct 3-gram shingles. Candidates
+    * = pairs sharing ≥1 shingle (exactly the pairs with J > 0); the
+    * J > 1/2 test is the integer cross-multiplication 3·|∩| > |A|+|B|
+    * — no float decides membership. */
+  def ngramJaccard: Q = (s, dir) => {
+    val ds = docs(s, dir)
+      .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = ds.alias("x")
+      .join(ds.alias("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(lit(3) * col("inter") > col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH ds AS (
+       | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
+       |), sizes AS (
+       | SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+       |), pairs AS (
+       | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       | FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       | GROUP BY 1, 2
+       |)
+       |SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS uni
+       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+       |             JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE 3 * p.inter > sa.n + sb.n
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- d_dedup_simhash
+  /** 64-bit SimHash over distinct-token md5s, hamming-bucket candidate
+    * join. Bit p of a token = bit (3 - p%4) of hex nibble p/4 of
+    * md5(token) — pure integer arithmetic, identical in both engines.
+    * Candidates share one of four 16-bit chunks (finds all pairs with
+    * hamming ≤ 3 exactly; wider matches best-effort — documented LSH
+    * contract); output pairs with exact hamming ≤ 12. */
+  val shChunks = 4
+
+  def dedupSimhash: Q = (s, dir) => {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", md5(col("w")))
+    // nibble q value of the token hash, 0-based q
+    def nib(q: Int): Column =
+      expr(s"instr('0123456789abcdef', substr(h, ${q + 1}, 1)) - 1")
+    // per-doc: for each of 64 bits, count of tokens with that bit set
+    val bitSums = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tok"),
+      (for (q <- 0 until 16; b <- 0 until 3 + 1) yield
+        sum((nib(q) / math.pow(2, 3 - b).toInt).cast("int") % 2)
+          .as(s"s${q}_$b")): _*)
+    // majority per bit -> nibble value -> hex char -> 16-char simhash
+    val nibbles = (0 until 16).map { q =>
+      (0 until 4).map { b =>
+        when(col(s"s${q}_$b") * 2 > col("n_tok"),
+          lit(1 << (3 - b))).otherwise(lit(0))
+      }.reduce(_ + _).as(s"v$q")
+    }
+    val withNib = bitSums.select(col("doc_id") +: nibbles: _*)
+    val sim = withNib.select(col("doc_id"),
+      (0 until 16).map(q => col(s"v$q")): _*)
+    val chunkRows = sim.select(col("doc_id"), explode(array(
+      (0 until shChunks).map { c =>
+        struct(lit(c).as("c"), concat(
+          (0 until 4).map(j => expr(s"substr('0123456789abcdef', v${c * 4 + j} + 1, 1)")): _*).as("ck"))
+      }: _*)).as("chunk"))
+      .select(col("doc_id"), col("chunk.c"), col("chunk.ck"))
+    val cand = chunkRows.alias("x")
+      .join(chunkRows.alias("y"), col("x.c") === col("y.c") &&
+        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val va = sim.toDF("doc_a" +: (0 until 16).map(q => s"va$q"): _*)
+    val vb = sim.toDF("doc_b" +: (0 until 16).map(q => s"vb$q"): _*)
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 16).map(q =>
+          bit_count(col(s"va$q").bitwiseXOR(col(s"vb$q"))).cast("long"))
+          .reduce(_ + _).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql: String = {
+    def nib(q: Int) = s"(strpos('0123456789abcdef', substr(h, ${q + 1}, 1)) - 1)"
+    val sums = (for (q <- 0 until 16; b <- 0 until 4) yield
+      s"sum((${nib(q)} // ${math.pow(2, 3 - b).toInt}) % 2) AS s${q}_$b").mkString(",\n  ")
+    val nibbles = (0 until 16).map { q =>
+      "(" + (0 until 4).map(b =>
+        s"CASE WHEN s${q}_$b * 2 > n_tok THEN ${1 << (3 - b)} ELSE 0 END").mkString(" + ") + s") AS v$q"
+    }.mkString(",\n  ")
+    val chunkSel = (0 until shChunks).map { c =>
+      val ck = (0 until 4).map(j => s"substr('0123456789abcdef', v${c * 4 + j} + 1, 1)").mkString(" || ")
+      s"SELECT doc_id, $c AS c, $ck AS ck FROM sim"
+    }.mkString(" UNION ALL ")
+    val ham = (0 until 16).map(q => s"bit_count(xor(sa.v$q, sb.v$q))").mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents
+       |), bits AS (
+       | SELECT doc_id, count(*) AS n_tok,
+       |  $sums
+       | FROM tok GROUP BY doc_id
+       |), sim AS (
+       | SELECT doc_id,
+       |  $nibbles
+       | FROM bits
+       |), cr AS ($chunkSel
+       |), cand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM cr x JOIN cr y ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       |FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a
+       |            JOIN sim sb ON sb.doc_id = c.doc_b
+       |WHERE $ham <= 12
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------- d_dedup_embedding
+  /** Embedding near-dup pairs, cosine > 0.45, EXACT integer arithmetic:
+    * vectors quantized to round(x·1000) BIGINTs, then
+    * cos > τ ⇔ dot > 0 ∧ 10⁴·dot² > τ²·10⁴·‖a‖²·‖b‖² — no float ever
+    * crosses an engine boundary. Brute-force pairs at oracle scale; the
+    * LSH-bucketed scale path lives in Similarity.lshBuckets.
+    */
+  def dedupEmbedding: Q = (s, dir) => {
+    val q = Tables(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
+    val a = q.toDF("vec_a", "qa")
+    val b = q.toDF("vec_b", "qb")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0L), (acc, v) => acc + v)
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
+        dot(col("qa"), col("qa")).as("na"), dot(col("qb"), col("qb")).as("nb"))
+      .filter(col("dp") > 0 &&
+        lit(10000L) * col("dp") * col("dp") > lit(2025L) * col("na") * col("nb"))
+      .select(col("vec_a"), col("vec_b"), col("dp"), col("na"), col("nb"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH q AS (
+      | SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      | FROM embeddings
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      | CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dp,
+      | CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na,
+      | CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb
+      |FROM q a, q b
+      |WHERE a.vec_id < b.vec_id
+      |  AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+      |  AND 10000 * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT)
+      |      > 2025 * CAST(list_dot_product(a.qe, a.qe) AS BIGINT) * CAST(list_dot_product(b.qe, b.qe) AS BIGINT)
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "d_dedup_exact" -> dedupExact,
+    "d_dedup_minhash" -> dedupMinhash,
+    "d_ngram_jaccard" -> ngramJaccard,
+    "d_dedup_simhash" -> dedupSimhash,
+    "d_dedup_embedding" -> dedupEmbedding)
+
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" -> dedupExactSql,
+    "d_dedup_minhash" -> dedupMinhashSql,
+    "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_dedup_simhash" -> dedupSimhashSql,
+    "d_dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.PropertyGraph
+import graft.operators.Analytics
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("pagerank: ranks positive, mass bounded by SCALE") {
+    val r = Analytics.pagerank(spark, sf)
+    val stats = r.agg(min("r"), sum("r"), count(lit(1))).collect().head
+    assert(stats.getLong(0) > 0, "all ranks positive (base term)")
+    // total mass can only leak (dangling + floor), never grow
+    assert(stats.getLong(1) <= Analytics.prScale * stats.getLong(2))
+  }
+
+  test("pagerank: region nodes accumulate the most rank") {
+    val top = Analytics.pagerank(spark, sf)
+      .orderBy(col("r").desc).limit(1).collect().head
+    assert(top.getAs[String]("label") == "region")
+  }
+
+  test("connected components: single component containing region 0") {
+    val c = Analytics.connectedComponents(spark, sf)
+    val comps = c.select("comp").distinct().collect().map(_.getLong(0))
+    // min-id propagation with enough iterations: everything that reaches
+    // a region converges to that region's id (regions have the smallest ids)
+    assert(comps.forall(_ < 10000000000000L),
+      s"unconverged comp ids: ${comps.filter(_ >= 10000000000000L).take(5).mkString(",")}")
+  }
+
+  test("triangles: counts are non-negative and edges present") {
+    val row = Analytics.triangles(spark, sf).collect().head
+    assert(row.getAs[Long]("n_edges") > 0)
+    assert(row.getAs[Long]("n_triangles") >= 0)
+  }
+
+  test("bfs: region 0 at depth 0, depths increase through the schema") {
+    val d = Analytics.bfsDepth(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) -> r.getAs[Int]("depth"))
+      .toMap
+    assert(d(("region", 0L)) == 0)
+    val g = PropertyGraph.load(spark, sf)
+    val nations0 = g.edges.filter(col("elabel") === "IN_REGION" &&
+      col("dst_key") === 0L).select("src_key").collect().map(_.getLong(0))
+    nations0.foreach(k => assert(d(("nation", k)) == 1))
+  }
+}
