@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ GraphOps.queries ++ Analytics.queries
+    Relational.queries ++ GraphOps.queries ++ Analytics.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,6 +24,11 @@ object SparkEntry {
     * for connected components at sf0.01). Pure planner hint, no
     * semantic change. */
   def oracleSql: Map[String, String] =
-    (Relational.oracleSql ++ GraphOps.oracleSql ++ Analytics.oracleSql)
-      .map { case (k, v) => k -> v.replace("AS (", "AS MATERIALIZED (") }
+    (Relational.oracleSql ++ GraphOps.oracleSql ++ Analytics.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql ++ TextOps.oracleSql)
+      .map { case (k, v) =>
+        // protect SQL `WINDOW w AS (...)` clauses from the CTE rewrite
+        k -> v.replace("AS (", "AS MATERIALIZED (")
+          .replace("WINDOW w AS MATERIALIZED (", "WINDOW w AS (")
+      }
 }

@@ -199,8 +199,8 @@ object Dedup {
       }.reduce(_ + _).as(s"v$q")
     }
     val withNib = bitSums.select(col("doc_id") +: nibbles: _*)
-    val sim = withNib.select(col("doc_id"),
-      (0 until 16).map(q => col(s"v$q")): _*)
+    val sim = withNib.select(
+      col("doc_id") +: (0 until 16).map(q => col(s"v$q")): _*)
     val chunkRows = sim.select(col("doc_id"), explode(array(
       (0 until shChunks).map { c =>
         struct(lit(c).as("c"), concat(

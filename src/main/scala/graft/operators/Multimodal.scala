@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2 D-block, `m_multimodal_meta`).
+  *
+  * Media payloads are opaque `binary` columns + typed metadata structs —
+  * the only schema that scales: parquet stores the bytes page-compressed,
+  * metadata predicate-pushes, and decode runs batch-wise per partition.
+  *
+  * The decode step is a STUB (no image/audio libs in this container):
+  * `fakeDecode` derives deterministic pseudo-dimensions from the payload
+  * bytes. The Spark-side plumbing — schema, encoder, per-partition batch
+  * iteration (the Scala twin of `mapInPandas`), partition sizing — is
+  * real and tested. Swap `fakeDecode` for a JNI/ffmpeg/PIL call and
+  * nothing else changes.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed media row: payload + envelope metadata. */
+  final case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+
+  /** Decoded metadata produced by the (stubbed) decoder. */
+  final case class MediaMeta(doc_id: Long, format: String, n_bytes: Long,
+                             width: Int, height: Int, ok: Boolean)
+
+  /** STUB decoder — deterministic fake: dimensions from the first
+    * payload bytes. Replace with a real decoder; the call site
+    * (mapPartitions batch loop) is the production shape. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Boolean) = {
+    if (payload.isEmpty) (0, 0, false)
+    else {
+      val w = 64 + (payload(0) & 0x7f)
+      val h = 64 + (payload(payload.length / 2) & 0x7f)
+      (w, h, true)
+    }
+  }
+
+  /** Build a media table from `documents`: text bytes stand in for the
+    * opaque payload; format assigned deterministically. At 100 TB this
+    * is `spark.read.parquet` over (id, format, payload, metadata). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Decode metadata per partition — batch iteration, no per-row JVM↔
+    * native crossings when the real decoder arrives (the Scala twin of
+    * a Pandas `mapInPandas` UDF: one iterator per partition, streaming). */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init goes here (decoder handles, buffers)
+      it.map { r =>
+        val (w, h, ok) = fakeDecode(r.payload)
+        MediaMeta(r.doc_id, r.format, r.payload.length.toLong, w, h, ok)
+      }
+    }
+  }
+
+  /** m_multimodal_meta: rows-only check (decode isn't SQL-expressible —
+    * intentionally NO oracle entry). Aggregates decoded metadata per
+    * format. */
+  def multimodalMeta: Q = (s, dir) =>
+    decodeMeta(mediaTable(s, dir)).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+      .orderBy("format")
+
+  val queries: Map[String, Q] = Map("m_multimodal_meta" -> multimodalMeta)
+  /** Deliberately empty: rows-only driver check for the stubbed decode. */
+  val oracleSql: Map[String, String] = Map.empty
+}

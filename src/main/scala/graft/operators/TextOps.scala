@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Text analysis operators (SURVEY.md §2 D-block): language id, quality
+  * scoring, token counting, fingerprinting — all per-document linear
+  * work, pure `org.apache.spark.sql.functions` (codegen'd, no UDFs).
+  *
+  * Parity rules: counts are exact integers; every ratio is computed as
+  * round(CAST(int AS DOUBLE) / int, 4) — the division of identical
+  * integers is bit-identical IEEE in both engines, so rounding is safe.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language heuristic. Deterministic tie-break: list order. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
+
+  // ------------------------------------------------------------ t_lang_id
+  /** Stopword-hit language id: count token hits per language over the
+    * word multiset, argmax with fixed tie order. One pass, one shuffle-
+    * free projection (hits via array intersection sizes). */
+  def langId: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val hitCols = langStopwords.map { case (lang, sw) =>
+      size(filter(words, w => sw.map(x => w === lit(x)).reduce(_ || _)))
+        .cast("long").as(s"hits_$lang")
+    }
+    val withHits = docs(s, dir).select(col("doc_id") +: hitCols: _*)
+    // argmax by strict-greater chain == first-in-list tiebreak
+    val best = langStopwords.map(_._1).tail.foldLeft(
+      (lit("en"), col("hits_en"))) { case ((bl, bh), lang) =>
+      val h = col(s"hits_$lang")
+      (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    withHits.select(col("doc_id"), best._1.as("pred_lang"),
+      best._2.as("n_hits")).orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def hits(sw: Seq[String]): String =
+      "len(list_filter(string_split(text, ' '), w -> w IN (" +
+        sw.map(w => s"'$w'").mkString(", ") + ")))"
+    val hitCols = langStopwords.map { case (l, sw) => s"${hits(sw)} AS hits_$l" }
+      .mkString(",\n  ")
+    val langs = langStopwords.map(_._1)
+    val bestLang = langs.tail.foldLeft("'en'") { case (acc, l) =>
+      s"CASE WHEN hits_$l > ${greatestSoFar(langs.takeWhile(_ != l))} THEN '$l' ELSE $acc END"
+    }
+    // replicate the strict-greater fold exactly: later lang wins only if
+    // STRICTLY greater than the running max of all earlier langs
+    val bestHits = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    s"""WITH h AS (
+       | SELECT doc_id,
+       |  $hitCols
+       | FROM documents
+       |)
+       |SELECT doc_id, $bestLang AS pred_lang,
+       | CAST($bestHits AS BIGINT) AS n_hits
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  private def greatestSoFar(earlier: Seq[String]): String =
+    if (earlier.size == 1) s"hits_${earlier.head}"
+    else "greatest(" + earlier.map(l => s"hits_$l").mkString(", ") + ")"
+
+  // ------------------------------------------------------ t_quality_score
+  /** Quality heuristics: length, word count, mean word length, stopword
+    * ratio, repetition (1 - distinct/total words). Composite score =
+    * weighted sum, all ratios rounded at 4. */
+  def qualityScore: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val en = langStopwords.head._2
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      size(filter(words, w => en.map(x => w === lit(x)).reduce(_ || _)))
+        .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_words"),
+        round(col("n_chars_m").cast("double") / col("n_words"), 4).as("avg_word_len"),
+        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("rep_ratio"))
+      // round at 6, NOT 4: the summands sit on the 1e-5 decimal grid, so
+      // a 4-digit round lands exactly on .5 boundaries where Spark
+      // (BigDecimal HALF_UP on the exact binary value) and DuckDB
+      // (scaled nearbyint) disagree; at 6 digits the grid keeps every
+      // value 5e-7 away from a boundary — far beyond double error.
+      .withColumn("quality",
+        round(least(col("n_words").cast("double") / 100, lit(1.0)) * 0.4 +
+          col("stop_ratio") * 0.3 + (lit(1.0) - col("rep_ratio")) * 0.3, 6))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val en = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($en))) AS BIGINT) AS n_stop
+       | FROM documents
+       |), r AS (
+       | SELECT doc_id, n_chars_m, n_words,
+       |  round(CAST(n_chars_m AS DOUBLE) / n_words, 4) AS avg_word_len,
+       |  round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+       |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS rep_ratio
+       | FROM m
+       |)
+       |SELECT doc_id, n_chars_m, n_words, avg_word_len, stop_ratio, rep_ratio,
+       | round(least(CAST(n_words AS DOUBLE) / 100, 1.0) * 0.4 +
+       |       stop_ratio * 0.3 + (1.0 - rep_ratio) * 0.3, 6) AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- t_token_count
+  /** Whitespace tokens + BPE-ish regex tokens (letter runs / single
+    * digits / single punctuation — the GPT-2 pre-tokenizer shape). */
+  val bpePattern = "[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9 ]"
+
+  def tokenCount: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       | CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe_tokens,
+       | CAST(length(text) AS BIGINT) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- t_fingerprint
+  /** Document fingerprints: exact content hash, order-independent bag
+    * hash (sorted distinct words), and min-shingle hash (rolling-hash
+    * family — the winnowing primitive). */
+  def fingerprint: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => concat_ws(" ", element_at(words, i + 1),
+        element_at(words, i + 2), element_at(words, i + 3)))
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("content_fp"),
+      md5(concat_ws(" ", array_sort(array_distinct(words)))).as("bag_fp"),
+      array_min(transform(shingles, sh => md5(sh))).as("min_shingle_fp"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      | md5(text) AS content_fp,
+      | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+      | list_min(list_transform(
+      |   list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+      |   sh -> md5(sh))) AS min_shingle_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "t_lang_id" -> langId,
+    "t_quality_score" -> qualityScore,
+    "t_token_count" -> tokenCount,
+    "t_fingerprint" -> fingerprint)
+
+  val oracleSql: Map[String, String] = Map(
+    "t_lang_id" -> langIdSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_token_count" -> tokenCountSql,
+    "t_fingerprint" -> fingerprintSql)
+}
