@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2 E-block).
+  *
+  * Each transformation takes the (possibly streaming) events frame and
+  * returns a plan that works for BOTH `readStream` and batch input —
+  * the batch twins (`q_events_window`, `q_events_sessionize`) carry the
+  * DuckDB oracle, the specs drive the same logic through MemoryStream
+  * micro-batches with watermarks and state.
+  *
+  * `ts` arrives as BIGINT nanoseconds (parquet TIMESTAMP(NANOS) read
+  * with nanosAsLong) and is lifted to TimestampType for event-time
+  * semantics.
+  *
+  * Scale: state is keyed (event_type / event_id / user_id) and bounded
+  * by the watermark — expired state is dropped, so a 100 TB/day stream
+  * holds only the active horizon per key in the state store.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** st_tumbling_agg: 1-hour tumbling window, 1-hour watermark —
+    * streaming twin of Relational.qEventsWindow. Partial aggregation
+    * combines within each micro-batch before the state-store merge. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** st_stateful_dedup: exactly-once event ids within the watermark
+    * horizon — state per event_id, dropped once the watermark passes. */
+  def statefulDedup(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** st_sessionize: gap-based sessions (30 min inactivity) via
+    * flatMapGroupsWithState — the custom-state primitive. Keyed by
+    * user; state = (session start, last seen, count); emits a session
+    * when the gap exceeds 30 min, times out with the watermark.
+    * Batch twin: Relational.qEventsSessionize. */
+  val gapUs: Long = 30L * 60 * 1000 * 1000
+
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .as[(Long, Long, Long, String, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._3) // user_id
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              SessionOut(user, st.start, st.last, st.n)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(r => r._6).toSeq.sorted // event-time us
+            var emitted = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some(st) if us - st.last > gapUs =>
+                  emitted ::= SessionOut(user, st.start, st.last, st.n)
+                  cur = Some(SessState(us, us, 1))
+                case Some(st) =>
+                  cur = Some(st.copy(last = math.max(st.last, us), n = st.n + 1))
+                case None =>
+                  cur = Some(SessState(us, us, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last / 1000 + 60 * 60 * 1000)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+}

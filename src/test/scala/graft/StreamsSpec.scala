@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** E-block specs: drive the streaming transformations through
+  * MemoryStream micro-batches — watermark advance, state expiry, and
+  * agreement with the batch twins. */
+class StreamsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val hourUs = 3600L * 1000 * 1000
+  private def ev(id: Long, us: Long, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Event =
+    Event(id, us * 1000, user, typ, v) // Event.ts is nanos
+
+  test("st_tumbling_agg: windows close when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10), ev(2, 20), ev(3, hourUs + 5))
+      q.processAllAvailable()
+      // watermark still inside hour 0+1h horizon -> nothing final yet
+      mem.addData(ev(4, 3 * hourUs)) // advances watermark past hour 0
+      q.processAllAvailable()
+      val out = spark.table("tumbling").collect()
+      assert(out.exists(r => r.getAs[Long]("n_events") == 2), // hour 0
+        s"hour-0 window should have closed with 2 events: ${out.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("st_stateful_dedup: duplicate ids dropped within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.statefulDedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10), ev(1, 20), ev(2, 30))
+      q.processAllAvailable()
+      mem.addData(ev(1, 40), ev(3, 50))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.sorted.sameElements(Array(1L, 2L, 3L)),
+        s"expected each id once, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("st_sessionize: 30-min gap splits sessions, emitted on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // base offset off epoch 0: rows with ets <= the initial watermark
+      // (0) are dropped by the stateful-op late filter
+      val base = 86400L * 1000 * 1000
+      // session 1: two events 10 min apart; then a 40-min gap
+      mem.addData(ev(1, base), ev(2, base + 600L * 1000 * 1000))
+      q.processAllAvailable()
+      mem.addData(ev(3, base + 3000L * 1000 * 1000)) // 40 min after last
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+      assert(out.length == 1, s"one closed session expected: ${out.mkString(";")}")
+      val s0 = out.head
+      assert(s0.getAs[Long]("n_events") == 2)
+      assert(s0.getAs[Long]("session_end_us") == base + 600L * 1000 * 1000)
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val streamShaped = Streams.tumblingAgg(events)
+      .select((unix_timestamp(col("hour_start"))).as("hour_start"),
+        col("event_type"), col("n_events"))
+    val twin = SparkEntry.queries("q_events_window")(spark, sf)
+      .select(col("hour_start"), col("event_type"), col("n_events"))
+    assert(streamShaped.except(twin).count() == 0)
+    assert(twin.except(streamShaped).count() == 0)
+  }
+}
