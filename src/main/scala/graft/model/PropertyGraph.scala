@@ -77,6 +77,33 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           col("key").as("dst_key")), Seq("dst_label", "dst_key"), "left_anti"))
   }
 
+  /** Reference getEdge (Neo4jGraph.scala:259-293): edge point lookup
+    * returning the edge plus both endpoints. Edge identity is the
+    * logical composite (elabel, src, dst) — the predicate reaches the
+    * parquet scan, endpoint joins broadcast the single-row side. */
+  def getEdge(pred: Column): DataFrame =
+    edges.filter(pred)
+      .join(nodes.select(col("label").as("src_label"),
+        col("key").as("src_key"), col("name").as("src_name")),
+        Seq("src_label", "src_key"))
+      .join(nodes.select(col("label").as("dst_label"),
+        col("key").as("dst_key"), col("name").as("dst_name")),
+        Seq("dst_label", "dst_key"))
+      .select(col("elabel"), col("src_label"), col("src_key"),
+        col("src_name"), col("dst_label"), col("dst_key"), col("dst_name"),
+        col("weight"))
+
+  /** Reference removeEdge (Neo4jGraph.scala:433-440): drop matching
+    * edges, nodes untouched — a predicate anti-filter. */
+  def removeEdges(pred: Column): PropertyGraph =
+    copy(edges = edges.filter(!pred))
+
+  /** Reference updateEdge property-merge (Neo4jGraph.scala:469-490):
+    * column-merge on the matching edge set. */
+  def updateEdges(pred: Column, newWeight: Column): PropertyGraph =
+    copy(edges = edges.withColumn("weight",
+      when(pred, newWeight).otherwise(col("weight"))))
+
   /** Degree per node — two partial-aggregated shuffles, never a
     * node×edge cartesian. */
   def degrees: DataFrame = {
@@ -178,7 +205,12 @@ object PropertyGraph {
             lit("supplier").as("dst_label"), col("l_suppkey").cast("long").as("dst_key"),
             col("weight")))
 
-    PropertyGraph(nodes, edges)
+    // cache(): Spark's cache manager keys on the canonicalized plan, so
+    // every query loading the same graph in one session shares ONE
+    // materialization of the union + lineitem aggregations (nodes/edges
+    // are a few MB even at sf0.1; at 100 TB you'd persist the graph as
+    // bucketed tables instead — see SURVEY.md §6)
+    PropertyGraph(nodes.cache(), edges.cache())
   }
 
   /** DuckDB-side reconstruction of the identical graph — the shared CTE

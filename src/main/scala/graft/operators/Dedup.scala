@@ -83,7 +83,9 @@ object Dedup {
   }
 
   def dedupMinhash: Q = (s, dir) => {
-    val sig = signatures(s, dir)
+    // sig feeds three consumers (band explode + both pair sides) —
+    // cache so the shingle+9×md5 pipeline runs once
+    val sig = signatures(s, dir).cache()
     val withBands = sig.select(col("doc_id") +:
       (0 until mhBands).map(b => md5(concat_ws("",
         (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as(s"band$b")): _*)
@@ -138,7 +140,8 @@ object Dedup {
   def ngramJaccard: Q = (s, dir) => {
     val ds = docs(s, dir)
       .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .cache() // feeds both pair sides + sizes
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n")).cache()
     val pairs = ds.alias("x")
       .join(ds.alias("y"), col("x.sh") === col("y.sh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -199,8 +202,10 @@ object Dedup {
       }.reduce(_ + _).as(s"v$q")
     }
     val withNib = bitSums.select(col("doc_id") +: nibbles: _*)
+    // sim feeds the chunk explode + both pair sides — cache so the
+    // 64-bit-sum aggregation runs once
     val sim = withNib.select(
-      col("doc_id") +: (0 until 16).map(q => col(s"v$q")): _*)
+      col("doc_id") +: (0 until 16).map(q => col(s"v$q")): _*).cache()
     val chunkRows = sim.select(col("doc_id"), explode(array(
       (0 until shChunks).map { c =>
         struct(lit(c).as("c"), concat(
@@ -266,16 +271,20 @@ object Dedup {
     * LSH-bucketed scale path lives in Similarity.lshBuckets.
     */
   def dedupEmbedding: Q = (s, dir) => {
+    // codegen'd native expression — aggregate/zip_with are
+    // CodegenFallback and dominate the n²-pair hot path
+    def dot(x: Column, y: Column): Column = graft.functions.VectorExprs.dotL(x, y)
+    // norms computed ONCE per vector before the pairwise stage — inside
+    // the pair loop they'd be recomputed per pair (64 mults × n² pairs)
     val q = Tables(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
-    val a = q.toDF("vec_a", "qa")
-    val b = q.toDF("vec_b", "qb")
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0L), (acc, v) => acc + v)
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("nn", dot(col("qe"), col("qe"))).cache()
+    val a = q.toDF("vec_a", "qa", "na").repartition(col("vec_a"))
+    val b = broadcast(q.toDF("vec_b", "qb", "nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
-        dot(col("qa"), col("qa")).as("na"), dot(col("qb"), col("qb")).as("nb"))
+        col("na"), col("nb"))
       .filter(col("dp") > 0 &&
         lit(10000L) * col("dp") * col("dp") > lit(2025L) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"), col("dp"), col("na"), col("nb"))

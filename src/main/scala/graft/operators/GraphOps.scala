@@ -77,6 +77,59 @@ object GraphOps {
        |WHERE e.dst_label = 'nation' AND e.dst_key = 3
        |ORDER BY elabel, src_label, src_key""".stripMargin
 
+  // ---------------------------------------------------------- g_get_edge
+  /** Reference getEdge (Neo4jGraph.scala:259-293): point lookup of the
+    * IN_NATION edge of customer 1 (unique by construction), returned
+    * with both endpoints attached. */
+  def getEdge: Q = (s, dir) =>
+    g(s, dir).getEdge(col("elabel") === "IN_NATION" &&
+      col("src_label") === "customer" && col("src_key") === 1L)
+
+  val getEdgeSql: String =
+    s"""$cte
+       |SELECT e.elabel, e.src_label, e.src_key, ns.name AS src_name,
+       |       e.dst_label, e.dst_key, nd.name AS dst_name, e.weight
+       |FROM edges e
+       |JOIN nodes ns ON ns.label = e.src_label AND ns.key = e.src_key
+       |JOIN nodes nd ON nd.label = e.dst_label AND nd.key = e.dst_key
+       |WHERE e.elabel = 'IN_NATION' AND e.src_label = 'customer' AND e.src_key = 1""".stripMargin
+
+  // ------------------------------------------------------- g_remove_edge
+  /** Reference removeEdge (Neo4jGraph.scala:433-440): drop part 1's
+    * SUPPLIED_BY edges; result is the post-state census around part
+    * nodes with key ≤ 10. */
+  def removeEdge: Q = (s, dir) =>
+    g(s, dir).removeEdges(col("elabel") === "SUPPLIED_BY" &&
+        col("src_label") === "part" && col("src_key") === 1L)
+      .edges.filter(col("src_label") === "part" && col("src_key") <= 10L)
+      .groupBy("elabel", "src_key").agg(count(lit(1)).as("n_edges"))
+      .orderBy("elabel", "src_key")
+
+  val removeEdgeSql: String =
+    s"""$cte
+       |SELECT elabel, src_key, count(*) AS n_edges FROM edges
+       |WHERE src_label = 'part' AND src_key <= 10
+       |  AND NOT (elabel = 'SUPPLIED_BY' AND src_label = 'part' AND src_key = 1)
+       |GROUP BY elabel, src_key ORDER BY elabel, src_key""".stripMargin
+
+  // ------------------------------------------------------- g_update_edge
+  /** Reference updateEdge (Neo4jGraph.scala:469-490): property merge —
+    * bump the weight of order 1..50's HAS_PART edges by 10; result is
+    * the post-state of those edges. */
+  def updateEdge: Q = (s, dir) =>
+    g(s, dir).updateEdges(
+        col("elabel") === "HAS_PART" && col("src_key") <= 50L,
+        col("weight") + 10L)
+      .edges.filter(col("elabel") === "HAS_PART" && col("src_key") <= 50L)
+      .select("elabel", "src_key", "dst_key", "weight")
+      .orderBy("src_key", "dst_key")
+
+  val updateEdgeSql: String =
+    s"""$cte
+       |SELECT elabel, src_key, dst_key, weight + 10 AS weight FROM edges
+       |WHERE elabel = 'HAS_PART' AND src_key <= 50
+       |ORDER BY src_key, dst_key""".stripMargin
+
   // --------------------------------------------------------- g_add_node
   /** Reference addNode (Neo4jGraph.scala:156-176) as batch upsert; the
     * query returns the post-mutation region node set. */
@@ -221,6 +274,9 @@ object GraphOps {
     "g_get_node" -> getNode,
     "g_get_nodes" -> getNodes,
     "g_get_edges" -> getEdges,
+    "g_get_edge" -> getEdge,
+    "g_remove_edge" -> removeEdge,
+    "g_update_edge" -> updateEdge,
     "g_egress" -> egress,
     "g_ingress" -> ingress,
     "g_add_node" -> addNode,
@@ -234,6 +290,9 @@ object GraphOps {
     "g_get_node" -> getNodeSql,
     "g_get_nodes" -> getNodesSql,
     "g_get_edges" -> getEdgesSql,
+    "g_get_edge" -> getEdgeSql,
+    "g_remove_edge" -> removeEdgeSql,
+    "g_update_edge" -> updateEdgeSql,
     "g_egress" -> egressSql,
     "g_ingress" -> ingressSql,
     "g_add_node" -> addNodeSql,

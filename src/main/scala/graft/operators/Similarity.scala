@@ -28,7 +28,7 @@ object Similarity {
         floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
 
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (u, v) => u * v), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotL(x, y) // codegen'd native expression
 
   // ---------------------------------------------------------- s_ann_topk
   /** Top-5 neighbors for probes vec_id < 10. The probe side is tiny →
