@@ -151,7 +151,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       results = Some(results.map(_.unionByName(done)).getOrElse(done))
       frontier = step.filter(
         !(col("cur_label") === dstLabel && col("cur_key") === dstKey))
-        .localCheckpoint(eager = false)
+        .cache() // referenced by next level's join AND the result union
     }
     results.get
   }

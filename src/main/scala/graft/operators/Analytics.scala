@@ -53,10 +53,13 @@ object Analytics {
         .select(col("label"), col("key"),
           expr("(85 * r) div (100 * outdeg)").as("c"))
         .groupBy("label", "key").agg(sum("c").as("s"))
+      // NO checkpoint: ranks are referenced once per iteration, so the
+      // lineage is linear and the whole 5-iteration DAG pipelines in a
+      // single pass — a per-iteration localCheckpoint costs a disk
+      // round-trip per level (measured 21.5 s vs 1.6 s at sf0.1)
       r = nodes.join(contrib, Seq("label", "key"), "left_outer")
         .select(col("label"), col("key"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
-        .localCheckpoint(eager = false)
     }
     r.orderBy("label", "key")
   }
@@ -113,20 +116,24 @@ object Analytics {
     val graph = g(s, dir)
     val sid = nodeIdCol(col("src_label"), col("src_key"))
     val did = nodeIdCol(col("dst_label"), col("dst_key"))
-    val und = graph.edges.select(sid.as("a"), did.as("b"))
-      .union(graph.edges.select(did.as("a"), sid.as("b"))).cache()
     val nodes = graph.nodes.select(col("label"), col("key"),
       nodeIdCol(col("label"), col("key")).as("id"))
-    var comp = nodes.withColumn("comp", col("id"))
+    // self-loops fold the "keep own comp" term into the neighbor min, so
+    // each iteration references comp ONCE (join → groupBy-min) — linear
+    // lineage that pipelines in a single pass, like pagerank. A
+    // double-reference recurrence (join + merge) needs per-level
+    // materialization and pays disk/cache round-trips per iteration.
+    val und = graph.edges.select(sid.as("a"), did.as("b"))
+      .union(graph.edges.select(did.as("a"), sid.as("b")))
+      .union(nodes.select(col("id").as("a"), col("id").as("b")))
+      .cache()
+    var comp = nodes.select(col("id"), col("id").as("comp"))
     for (_ <- 1 to ccIters) {
-      val nbrMin = und.join(comp.select(col("id").as("a"), col("comp")), Seq("a"))
-        .groupBy(col("b").as("id")).agg(min("comp").as("m"))
-      comp = comp.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("label"), col("key"), col("id"),
-          least(col("comp"), col("m")).as("comp"))
-        .localCheckpoint(eager = false)
+      comp = und.join(comp.withColumnRenamed("id", "a"), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min("comp").as("comp"))
     }
-    comp.select("label", "key", "comp").orderBy("label", "key")
+    nodes.join(comp, Seq("id"))
+      .select("label", "key", "comp").orderBy("label", "key")
   }
 
   val connectedComponentsSql: String = {
@@ -215,6 +222,11 @@ object Analytics {
 
   def bfsDepth: Q = (s, dir) => {
     val graph = g(s, dir)
+    // Frontier-driven: each level joins only the NEW nodes against the
+    // edge list (total work ≈ Σ frontier sizes ≈ N) — min-propagation
+    // over the full reached set costs reached×levels and measured 7×
+    // slower at sf0.1. Frontier is broadcast (always ≤ the level's new
+    // nodes); the visited set stays distributed for the anti-join.
     val und = graph.edges.select(
         col("src_label").as("al"), col("src_key").as("ak"),
         col("dst_label").as("bl"), col("dst_key").as("bk"))
