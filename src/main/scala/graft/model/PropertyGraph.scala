@@ -94,9 +94,12 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         col("weight"))
 
   /** Reference removeEdge (Neo4jGraph.scala:433-440): drop matching
-    * edges, nodes untouched — a predicate anti-filter. */
+    * edges, nodes untouched — a predicate anti-filter. A row is removed
+    * only when the predicate is definitively TRUE: under SQL
+    * three-valued logic a NULL predicate (e.g. over a nullable prop)
+    * must KEEP the row, and a bare `filter(!pred)` would drop it. */
   def removeEdges(pred: Column): PropertyGraph =
-    copy(edges = edges.filter(!pred))
+    copy(edges = edges.filter(coalesce(!pred, lit(true))))
 
   /** Reference updateEdge property-merge (Neo4jGraph.scala:469-490):
     * column-merge on the matching edge set. */
@@ -119,50 +122,120 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
-  /** Reference pathsTo (Neo4jGraph.scala:492-519): all simple directed
-    * paths start→end, bounded depth. Frontier-driven iterative join: the
-    * frontier descends from ONE node so it stays tiny → broadcast side;
-    * the edge table is never collected. Visited-set is carried per-path
-    * in an array column (simple-path check), all distributed.
+  /** Reference pathsTo (Neo4jGraph.scala:492-519):
+    * `path =(start)-[:edgeLabels*]-(end)` — UNDIRECTED, unbounded depth,
+    * with label constraints on every node of the path
+    * (`ALL(x IN NODES(path) WHERE x:label…)`) and on every edge.
+    *
+    * Re-expression: frontier-driven iterative join over the undirected
+    * edge set (each direction of a stored edge is traversable), with the
+    * per-path visited array enforcing SIMPLE paths (no node revisit —
+    * the re-expressed contract; Cypher's default is no *edge* revisit,
+    * which on this schema admits the same path set for the query shapes
+    * the reference runs, and simple-path is the variant that terminates
+    * without a bound). Depth is unbounded in the reference sense: the
+    * loop runs until the frontier is EMPTY (guaranteed — simple paths
+    * are finite); `maxDepth` is a safety cap only.
+    *
+    * Scale shape: the frontier is broadcast only while it is provably
+    * small (size known from the per-level materialization) — past
+    * `broadcastRowCap` rows the hint is dropped and the join shuffles,
+    * because a mid-BFS frontier is O(N) and a blind broadcast hint dies
+    * at the 8 GB ceiling on a big graph. Per-level caches are released
+    * before returning; the result is materialized first so nothing is
+    * recomputed after the unpersist.
+    *
+    * @param directed   true restores the round-1 directed contract
+    *                   (g_paths_to keeps it for oracle continuity)
     */
   def pathsTo(srcLabel: String, srcKey: Long,
-              dstLabel: String, dstKey: Long, maxDepth: Int): DataFrame = {
-    val e = edges.select(
-      col("src_label"), col("src_key"), col("dst_label"), col("dst_key"),
-      concat(col("dst_label"), lit(":"), col("dst_key")).as("dst_id"))
+              dstLabel: String, dstKey: Long, maxDepth: Int,
+              nodeLabels: Seq[String] = Seq.empty,
+              edgeLabels: Seq[String] = Seq.empty,
+              directed: Boolean = false): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    if (maxDepth <= 0)
+      return Seq.empty[(String, Int)].toDF("path", "depth")
+
+    val base =
+      if (edgeLabels.isEmpty) edges
+      else edges.filter(col("elabel").isInCollection(edgeLabels))
+    val fwd = base.select(col("src_label").as("a_label"),
+      col("src_key").as("a_key"), col("dst_label").as("b_label"),
+      col("dst_key").as("b_key"))
+    val undirectedE =
+      if (directed) fwd
+      else fwd.unionByName(base.select(col("dst_label").as("a_label"),
+        col("dst_key").as("a_key"), col("src_label").as("b_label"),
+        col("src_key").as("b_key")))
+    // node-label constraint applies to EVERY node of the path (reference
+    // ALL(x IN NODES(path))): filter expansion targets; start must pass
+    val e = (if (nodeLabels.isEmpty) undirectedE
+             else undirectedE.filter(col("b_label").isInCollection(nodeLabels)))
+      .withColumn("b_id", concat(col("b_label"), lit(":"), col("b_key")))
+    val startOk = nodeLabels.isEmpty || nodeLabels.contains(srcLabel)
     val startId = s"$srcLabel:$srcKey"
-    var frontier = nodes.filter(onNode(srcLabel, srcKey))
+    var frontier = (if (startOk) nodes.filter(onNode(srcLabel, srcKey))
+                    else nodes.limit(0))
       .select(col("label").as("cur_label"), col("key").as("cur_key"),
         lit(startId).as("path"), array(lit(startId)).as("visited"),
         lit(0).as("depth"))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var results: Option[DataFrame] = None
-    for (_ <- 1 to maxDepth) {
-      val step = e.join(broadcast(frontier),
-          col("src_label") === col("cur_label") &&
-          col("src_key") === col("cur_key"))
-        .filter(!array_contains(col("visited"), col("dst_id")))
-        .select(col("dst_label").as("cur_label"),
-          col("dst_key").as("cur_key"),
-          concat(col("path"), lit(">"), col("dst_id")).as("path"),
-          array_append(col("visited"), col("dst_id")).as("visited"),
+    var depth = 0
+    var frontierRows = 1L
+    while (depth < maxDepth && frontierRows > 0) {
+      depth += 1
+      val fr = if (frontierRows <= broadcastRowCap) broadcast(frontier)
+               else frontier
+      val step = e.join(fr,
+          col("a_label") === col("cur_label") &&
+          col("a_key") === col("cur_key"))
+        .filter(!array_contains(col("visited"), col("b_id")))
+        .select(col("b_label").as("cur_label"),
+          col("b_key").as("cur_key"),
+          concat(col("path"), lit(">"), col("b_id")).as("path"),
+          array_append(col("visited"), col("b_id")).as("visited"),
           (col("depth") + 1).as("depth"))
       val done = step.filter(col("cur_label") === dstLabel &&
         col("cur_key") === dstKey).select(col("path"), col("depth"))
       results = Some(results.map(_.unionByName(done)).getOrElse(done))
       frontier = step.filter(
         !(col("cur_label") === dstLabel && col("cur_key") === dstKey))
-        .cache() // referenced by next level's join AND the result union
+        .cache() // next level's join + the result union both read it
+      cached += frontier
+      frontierRows = frontier.count() // scalar action; drives termination
     }
-    results.get
+    // materialize the result BEFORE releasing the per-level caches —
+    // its lineage reads them, and unpersisting first would recompute
+    // the whole expansion (ADVICE r1: caches leaked across calls)
+    val out = results.get.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
+
+  /** Frontier-size gate for broadcast hints in iterative traversals. */
+  private val broadcastRowCap = 500000L
 }
 
 object PropertyGraph {
+  // one snapshot per (session, dir): every operator in a session shares
+  // the SAME cached nodes/edges DataFrames instead of re-deriving
+  // plan-identical copies (correct either way via the cache manager's
+  // canonicalized-plan lookup, but re-deriving spammed an "already
+  // cached" warning per query in the bench)
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
   /** Deterministic graph from the TPC-H star schema (SURVEY.md §4) —
     * pure SQL-expressible construction so every oracle rebuilds the
     * identical graph in its CTEs.
     */
-  def load(spark: SparkSession, dir: String): PropertyGraph = {
+  def load(spark: SparkSession, dir: String): PropertyGraph =
+    loaded.getOrElseUpdate((spark, dir), build(spark, dir))
+
+  private def build(spark: SparkSession, dir: String): PropertyGraph = {
     def t(n: String) = Tables(spark, dir, n)
     def node(df: DataFrame, label: String, key: String, name: String,
              balance: Option[String]): DataFrame =

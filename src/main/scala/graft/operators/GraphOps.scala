@@ -190,7 +190,8 @@ object GraphOps {
     * customer:1 → supplier:1, depth ≤ 3. Oracle = unrolled joins, one
     * block per depth, identical simple-path constraints. */
   def pathsTo: Q = (s, dir) =>
-    g(s, dir).pathsTo("customer", 1L, "supplier", 1L, maxDepth = 3)
+    g(s, dir).pathsTo("customer", 1L, "supplier", 1L, maxDepth = 3,
+        directed = true)
       .orderBy("path")
 
   val pathsToSql: String =
@@ -213,6 +214,62 @@ object GraphOps {
        |   AND e2.d <> 'customer:1' AND e2.d <> 'supplier:1'
        |   AND e2.d <> e1.d
        |) ORDER BY path""".stripMargin
+
+  // ---------------------------------------------------- g_paths_labeled
+  /** Reference pathsTo FULL semantics (Neo4jGraph.scala:493-519):
+    * UNDIRECTED traversal (`path =(start)-[…*]-(end)` — no direction
+    * arrow) with node-label and edge-label constraints
+    * (`ALL(x IN NODES(path) WHERE x:…)`). All paths customer:1 ⇝
+    * nation:19 over {PLACED, HAS_PART, SUPPLIED_BY, IN_NATION} edges and
+    * {customer, order, part, supplier, nation} nodes, depth ≤ 4: the
+    * depth-1 hop plus every customer→order→part→supplier→nation chain —
+    * paths the round-1 directed/unlabeled operator could not express.
+    * Oracle = unrolled level blocks over the same label-filtered
+    * undirected edge set with identical simple-path constraints. */
+  val plNodeLabels = Seq("customer", "order", "part", "supplier", "nation")
+  val plEdgeLabels = Seq("PLACED", "HAS_PART", "SUPPLIED_BY", "IN_NATION")
+  val plMaxDepth = 4
+
+  def pathsLabeled: Q = (s, dir) =>
+    g(s, dir).pathsTo("customer", 1L, "nation", 19L, maxDepth = plMaxDepth,
+        nodeLabels = plNodeLabels, edgeLabels = plEdgeLabels)
+      .orderBy("path")
+
+  val pathsLabeledSql: String = {
+    val el = plEdgeLabels.map(l => s"'$l'").mkString(", ")
+    val nl = plNodeLabels.map(l => s"'$l'").mkString(", ")
+    def notNode(e: String, label: String, key: Long) =
+      s"NOT ($e.bl = '$label' AND $e.bk = $key)"
+    val levels = (1 to plMaxDepth).map { d =>
+      val tables = (1 to d).map(i => s"pef e$i").mkString(", ")
+      val chain = (2 to d).map(i =>
+        s"e$i.al = e${i - 1}.bl AND e$i.ak = e${i - 1}.bk")
+      val inter = (1 until d).flatMap { i =>
+        // intermediates are not the destination, not the start, and
+        // pairwise distinct — the Spark visited-array check, unrolled
+        Seq(notNode(s"e$i", "nation", 19L), notNode(s"e$i", "customer", 1L)) ++
+          (i + 1 until d).map(j =>
+            s"NOT (e$j.bl = e$i.bl AND e$j.bk = e$i.bk)")
+      }
+      val conds = Seq(s"e1.al = 'customer' AND e1.ak = 1",
+        s"e$d.bl = 'nation' AND e$d.bk = 19") ++ chain ++ inter
+      val path = (1 to d).map(i => s"e$i.bid").mkString(" || '>' || ")
+      s"""SELECT 'customer:1' || '>' || $path AS path, $d AS depth
+         |FROM $tables WHERE ${conds.mkString("\n  AND ")}""".stripMargin
+    }
+    s"""$cte, pe AS (
+       | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk
+       | FROM edges WHERE elabel IN ($el)
+       | UNION ALL
+       | SELECT dst_label, dst_key, src_label, src_key
+       | FROM edges WHERE elabel IN ($el)
+       |), pef AS (
+       | SELECT al, ak, bl, bk, bl || ':' || bk AS bid FROM pe WHERE bl IN ($nl)
+       |)
+       |SELECT path, depth FROM (
+       |${levels.mkString("\nUNION ALL\n")}
+       |) ORDER BY path""".stripMargin
+  }
 
   // ----------------------------------------------------------- g_degree
   /** In/out degree for every node (derived op per SURVEY.md §2.A). */
@@ -283,6 +340,7 @@ object GraphOps {
     "g_update_node" -> updateNode,
     "g_remove_nodes" -> removeNodes,
     "g_paths_to" -> pathsTo,
+    "g_paths_labeled" -> pathsLabeled,
     "g_degree" -> degree,
     "g_neighbors_2hop" -> neighbors2hop)
 
@@ -299,6 +357,7 @@ object GraphOps {
     "g_update_node" -> updateNodeSql,
     "g_remove_nodes" -> removeNodesSql,
     "g_paths_to" -> pathsToSql,
+    "g_paths_labeled" -> pathsLabeledSql,
     "g_degree" -> degreeSql,
     "g_neighbors_2hop" -> neighbors2hopSql)
 }

@@ -45,10 +45,13 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"),
         dot(col("qp"), col("qc")).as("dp"),
         dot(col("qc"), col("qc")).as("nb"))
+      // `div`, not `/`: Spark `/` on BIGINTs is DOUBLE division and the
+      // cast-back truncation only matches DuckDB's exact integer `//`
+      // below 2^53 — dp²·1000 reaches ~4×10¹⁸. `div` is exact BIGINT
+      // floor division in both engines (same fix as pagerank).
       .select(col("probe_id"), col("cand_id"),
-        when(col("dp") >= 0, (col("dp") * col("dp") * 1000) / col("nb"))
-          .otherwise(-(col("dp") * col("dp") * 1000) / col("nb"))
-          .cast("long").as("score"))
+        expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+          " ELSE -((dp * dp * 1000) div nb) END").as("score"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -112,12 +115,11 @@ object Similarity {
     val scored = probes.join(cands, "bucket")
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        when(dot(col("qp"), col("qc")) >= 0,
-          (dot(col("qp"), col("qc")) * dot(col("qp"), col("qc")) * 1000) /
-            dot(col("qc"), col("qc")))
-          .otherwise(lit(0L) - (dot(col("qp"), col("qc")) * dot(col("qp"), col("qc")) * 1000) /
-            dot(col("qc"), col("qc")))
-          .cast("long").as("score"))
+        dot(col("qp"), col("qc")).as("dp"),
+        dot(col("qc"), col("qc")).as("nb"))
+      .select(col("probe_id"), col("cand_id"),
+        expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+          " ELSE -((dp * dp * 1000) div nb) END").as("score"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))

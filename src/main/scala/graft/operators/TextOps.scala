@@ -162,7 +162,12 @@ object TextOps {
       col("doc_id"),
       md5(col("text")).as("content_fp"),
       md5(concat_ws(" ", array_sort(array_distinct(words)))).as("bag_fp"),
-      array_min(transform(shingles, sh => md5(sh))).as("min_shingle_fp"))
+      // < 3-word docs have no complete shingle → NULL in BOTH engines
+      // (unguarded, Spark's concat_ws skips the null element_at results
+      // and hashes a partial shingle while DuckDB nulls out — divergent)
+      when(size(words) >= 3,
+        array_min(transform(shingles, sh => md5(sh))))
+        .as("min_shingle_fp"))
       .orderBy("doc_id")
   }
 
@@ -170,10 +175,10 @@ object TextOps {
     """SELECT doc_id,
       | md5(text) AS content_fp,
       | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
-      | list_min(list_transform(
-      |   list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      | CASE WHEN len(string_split(text, ' ')) >= 3 THEN list_min(list_transform(
+      |   list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
-      |   sh -> md5(sh))) AS min_shingle_fp
+      |   sh -> md5(sh))) END AS min_shingle_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
