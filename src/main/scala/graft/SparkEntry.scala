@@ -25,7 +25,8 @@ object SparkEntry {
     * semantic change. */
   def oracleSql: Map[String, String] =
     (Relational.oracleSql ++ GraphOps.oracleSql ++ Analytics.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ TextOps.oracleSql)
+      Dedup.oracleSql ++ Similarity.oracleSql ++ TextOps.oracleSql ++
+      Multimodal.oracleSql)
       .map { case (k, v) =>
         // protect SQL `WINDOW w AS (...)` clauses from the CTE rewrite
         k -> v.replace("AS (", "AS MATERIALIZED (")

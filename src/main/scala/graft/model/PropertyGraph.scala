@@ -107,6 +107,25 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     copy(edges = edges.withColumn("weight",
       when(pred, newWeight).otherwise(col("weight"))))
 
+  /** Arbitrary property maps — the reference's `data: Map[String,
+    * JsValue]` (Neo4jGraph.scala:37-96). The fixed typed columns stay
+    * the storage format (prunable, pushdown-friendly — a 100 TB scan
+    * that only needs `balance` must not decode a serialized map), and
+    * `props` is the DERIVED MapType view over them; user-defined keys
+    * added by updates live only in the map. */
+  def nodeProps: DataFrame =
+    nodes.withColumn("props", PropertyGraph.derivedProps)
+
+  /** Reference updateNode merge semantics (Neo4jGraph.scala:442-467,
+    * `(data ++ changes.filterNot(_._2 == JsNull)) -- nullKeys`): partial
+    * map merged key-wise, explicit null ⇒ REMOVE the key. Pure column
+    * expression — no shuffle, whole-stage codegen. */
+  def updateNodeProps(pred: Column,
+                      changes: Map[String, Option[String]]): DataFrame =
+    nodeProps.withColumn("props",
+      when(pred, PropertyGraph.mergeProps(col("props"), changes))
+        .otherwise(col("props")))
+
   /** Degree per node — two partial-aggregated shuffles, never a
     * node×edge cartesian. */
   def degrees: DataFrame = {
@@ -171,9 +190,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         col("src_key").as("b_key")))
     // node-label constraint applies to EVERY node of the path (reference
     // ALL(x IN NODES(path))): filter expansion targets; start must pass
+    // cache the label-filtered undirected edge set: every level joins
+    // it, and without the cache each level re-derives the union+filter
+    // from the base edge table (measured 2.5 s/level at sf0.1)
     val e = (if (nodeLabels.isEmpty) undirectedE
              else undirectedE.filter(col("b_label").isInCollection(nodeLabels)))
       .withColumn("b_id", concat(col("b_label"), lit(":"), col("b_key")))
+      .cache()
     val startOk = nodeLabels.isEmpty || nodeLabels.contains(srcLabel)
     val startId = s"$srcLabel:$srcKey"
     var frontier = (if (startOk) nodes.filter(onNode(srcLabel, srcKey))
@@ -212,6 +235,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // the whole expansion (ADVICE r1: caches leaked across calls)
     val out = results.get.localCheckpoint(eager = true)
     cached.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
     out
   }
 
@@ -284,6 +308,26 @@ object PropertyGraph {
     // are a few MB even at sf0.1; at 100 TB you'd persist the graph as
     // bucketed tables instead — see SURVEY.md §6)
     PropertyGraph(nodes.cache(), edges.cache())
+  }
+
+  /** MapType view over the typed prop columns; null-valued props are
+    * ABSENT keys (reference maps have no null entries). Balance renders
+    * through DECIMAL(18,2) so Spark and DuckDB print the identical
+    * string (raw double→string formatting differs between engines). */
+  private[graft] val derivedProps: Column = map_filter(
+    map(lit("name"), col("name"),
+      lit("balance"), col("balance").cast("decimal(18,2)").cast("string")),
+    (_, v) => v.isNotNull)
+
+  /** Key-wise merge of a partial change-map: changed keys are dropped
+    * from the base map, then non-null new values are appended —
+    * null ⇒ remove-key falls out (dropped, never re-added). */
+  private[graft] def mergeProps(props: Column,
+                                changes: Map[String, Option[String]]): Column = {
+    val changedKeys = changes.keys.toSeq
+    val kept = map_filter(props, (k, _) => !k.isInCollection(changedKeys))
+    val adds = changes.toSeq.collect { case (k, Some(v)) => Seq(lit(k), lit(v)) }
+    if (adds.isEmpty) kept else map_concat(kept, map(adds.flatten: _*))
   }
 
   /** DuckDB-side reconstruction of the identical graph — the shared CTE

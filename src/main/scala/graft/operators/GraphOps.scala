@@ -167,6 +167,37 @@ object GraphOps {
        | CASE WHEN balance < 0 THEN 0.0 ELSE balance END AS balance
        |FROM nodes WHERE label = 'customer' ORDER BY key""".stripMargin
 
+  // ------------------------------------------------ g_update_node_props
+  /** Reference updateNode with ARBITRARY property maps (Neo4jGraph
+    * .scala:37-96 `data: Map[String, JsValue]`, :442-467 merge): set a
+    * user-defined key (`tier` — inexpressible in the fixed round-1
+    * schema) and remove `balance` (null ⇒ remove-key) on customers
+    * 1..5; customers 6..20 keep their untouched maps. Output is the
+    * exploded (key, value) entry set — fully hashable cross-engine. */
+  def updateNodeProps: Q = (s, dir) =>
+    g(s, dir)
+      .updateNodeProps(
+        col("label") === "customer" && col("key") <= 5L,
+        Map("tier" -> Some("gold"), "balance" -> None))
+      .filter(col("label") === "customer" && col("key") <= 20L)
+      .select(col("label"), col("key"), explode(col("props")).as(Seq("pkey", "pval")))
+      .orderBy("key", "pkey")
+
+  val updateNodePropsSql: String =
+    s"""$cte, cust AS (
+       | SELECT label, key, name, balance FROM nodes
+       | WHERE label = 'customer' AND key <= 20
+       |)
+       |SELECT label, key, pkey, pval FROM (
+       | SELECT label, key, 'name' AS pkey, name AS pval FROM cust
+       | UNION ALL
+       | SELECT label, key, 'balance',
+       |        CAST(CAST(balance AS DECIMAL(18,2)) AS VARCHAR)
+       | FROM cust WHERE key > 5 AND balance IS NOT NULL
+       | UNION ALL
+       | SELECT label, key, 'tier', 'gold' FROM cust WHERE key <= 5
+       |) ORDER BY key, pkey""".stripMargin
+
   // ----------------------------------------------------- g_remove_nodes
   /** Reference removeNodes + DETACH (Neo4jGraph.scala:406-431): drop
     * suppliers with negative balance and their incident edges; result is
@@ -338,6 +369,7 @@ object GraphOps {
     "g_ingress" -> ingress,
     "g_add_node" -> addNode,
     "g_update_node" -> updateNode,
+    "g_update_node_props" -> updateNodeProps,
     "g_remove_nodes" -> removeNodes,
     "g_paths_to" -> pathsTo,
     "g_paths_labeled" -> pathsLabeled,
@@ -355,6 +387,7 @@ object GraphOps {
     "g_ingress" -> ingressSql,
     "g_add_node" -> addNodeSql,
     "g_update_node" -> updateNodeSql,
+    "g_update_node_props" -> updateNodePropsSql,
     "g_remove_nodes" -> removeNodesSql,
     "g_paths_to" -> pathsToSql,
     "g_paths_labeled" -> pathsLabeledSql,

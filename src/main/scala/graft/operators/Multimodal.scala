@@ -66,9 +66,15 @@ object Multimodal {
     }
   }
 
-  /** m_multimodal_meta: rows-only check (decode isn't SQL-expressible —
-    * intentionally NO oracle entry). Aggregates decoded metadata per
-    * format. */
+  /** m_multimodal_meta: aggregates decoded metadata per format. Fully
+    * oracle-checked: the payload is the UTF-8 text bytes and the corpus
+    * is pure ASCII (byte == char, verified at every SF), so the stub
+    * decoder's byte arithmetic — n_bytes = length, w = 64 + (byte[0] &
+    * 0x7f), h = 64 + (byte[len/2] & 0x7f) — is exactly expressible in
+    * SQL over `documents`. The oracle therefore verifies the whole
+    * mapPartitions plumbing (schema, format assignment, batch decode
+    * loop) end-to-end; only a REAL media decoder would drop back to a
+    * rows-only check. */
   def multimodalMeta: Q = (s, dir) =>
     decodeMeta(mediaTable(s, dir)).toDF()
       .groupBy("format")
@@ -79,7 +85,24 @@ object Multimodal {
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
       .orderBy("format")
 
+  val multimodalMetaSql: String =
+    """WITH media AS (
+      | SELECT doc_id,
+      |  ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+      |  text
+      | FROM documents
+      |)
+      |SELECT format,
+      | count(*) AS n_media,
+      | CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      | CAST(sum(CASE WHEN length(text) = 0 THEN 0
+      |   ELSE 64 + ascii(substr(text, 1, 1)) % 128 END) AS BIGINT) AS sum_width,
+      | CAST(sum(CASE WHEN length(text) = 0 THEN 0
+      |   ELSE 64 + ascii(substr(text, length(text) // 2 + 1, 1)) % 128 END) AS BIGINT) AS sum_height,
+      | CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
+      |FROM media GROUP BY format ORDER BY format""".stripMargin
+
   val queries: Map[String, Q] = Map("m_multimodal_meta" -> multimodalMeta)
-  /** Deliberately empty: rows-only driver check for the stubbed decode. */
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] =
+    Map("m_multimodal_meta" -> multimodalMetaSql)
 }

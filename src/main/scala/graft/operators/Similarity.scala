@@ -14,7 +14,7 @@ import graft.model.Tables
   * DuckDB rank identically (float cosine would drift and flip
   * row_number at ties).
   *
-  * Scale path: `lshBuckets` — deterministic random-hyperplane signatures
+  * Scale path: `lshBands` — banded random-hyperplane signatures
   * (±1 planes derived from md5 parity, exact integer dots). At 100 TB a
   * probe joins only its bucket; here it's spec-tested and benchmarked,
   * the oracle-checked query stays brute-force (exact semantics).
@@ -82,38 +82,85 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
 
   // ------------------------------------------------------- LSH scale path
-  /** Random-hyperplane LSH signatures: plane p component i is ±1 by the
-    * parity of the first hex nibble of md5("p|i") — deterministic, no
-    * RNG, exact integer dot signs. `nPlanes` sign bits → bucket id.
-    * At scale: build once, bucket-join probes — turns ANN from O(n·m)
-    * into O(n·m/2^nPlanes) per table. */
-  def lshBuckets(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val q = quantized(s, dir)
-    // plane matrix as a literal array of arrays: tiny, broadcast by value
-    val planes: Seq[Seq[Long]] = (0 until nPlanes).map { p =>
+  /** Banded random-hyperplane LSH (the AND-OR construction): `lshBands`
+    * bands of `lshRowsPerBand` sign bits each. A pair is a candidate
+    * when ALL bits of ANY band agree — band width trades precision for
+    * recall (4 bits ⇒ ~0.65⁴ ≈ 18% per band at cos 0.45, OR'd over 4
+    * bands ≈ 54% recall), and candidates stay bucket-local so the
+    * pairwise stage is O(Σ bucket²), never O(n²). A single monolithic
+    * 8-bit bucket measured 5/141 recall at sf0.1 — banding is what
+    * makes hyperplane LSH usable, exactly as minhash banding does. */
+  val lshNumBands = 4
+  val lshRowsPerBand = 4
+
+  /** Deterministic ±1 plane matrix: plane p component i is ±1 by the
+    * parity of the first byte of md5("p|i") — no RNG, so the Spark plan
+    * and the generated oracle SQL embed the IDENTICAL literals. */
+  private[graft] lazy val planeMatrix: Seq[Seq[Long]] =
+    (0 until lshNumBands * lshRowsPerBand).map { p =>
       (0 until 64).map { i =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$p|$i".getBytes("UTF-8"))
         if ((hex(0) & 1) == 0) 1L else -1L
       }
     }
-    val planeCols = planes.map(pl => array(pl.map(lit): _*))
-    val sigBits = planeCols.zipWithIndex.map { case (pl, idx) =>
-      when(dot(col("qe"), pl) >= 0, lit(1L << idx)).otherwise(lit(0L))
+
+  /** Per-vector band rows `(vec_id, qe, band, sig)` — one row per band,
+    * sig = the band's sign-bit integer. Candidates join on (band, sig). */
+  def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    // plane matrix as literal arrays: tiny, broadcast by value
+    val bandStructs = (0 until lshNumBands).map { b =>
+      val sig = (0 until lshRowsPerBand).map { j =>
+        val pl = array(planeMatrix(b * lshRowsPerBand + j).map(lit): _*)
+        when(dot(col("qe"), pl) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
     }
-    q.withColumn("bucket", sigBits.reduce(_ + _))
+    q.select(col("vec_id"), col("qe"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("qe"), col("bs.band"), col("bs.sig"))
   }
 
-  /** Bucketed ANN: probes join ONLY their bucket. Candidate recall is
-    * the LSH contract; ranking within bucket uses the same exact integer
-    * score as annTopk. */
-  def annTopkLsh(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val b = lshBuckets(s, dir, nPlanes)
-    val probes = broadcast(b.filter(col("vec_id") < 10)
-      .toDF("probe_id", "qp", "bucket"))
-    val cands = b.toDF("cand_id", "qc", "bucket")
-    val scored = probes.join(cands, "bucket")
+  /** DuckDB twin of `lshBands` — CTEs `q(vec_id, qe)` and
+    * `bk(vec_id, band, sig)` from the same literal plane matrix (exact
+    * integer signs: quantized dots ≤ 64·10⁶, far inside the
+    * double-exact range DuckDB computes list_dot_product in). */
+  private def lshBandsSqlCte: String = {
+    val bandSelects = (0 until lshNumBands).map { b =>
+      val bits = (0 until lshRowsPerBand).map { j =>
+        val arr = planeMatrix(b * lshRowsPerBand + j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(qe, $arr) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n   + ")
+      s"SELECT vec_id, $b AS band, CAST($bits AS BIGINT) AS sig FROM q"
+    }.mkString("\n UNION ALL\n ")
+    s"""q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), bk AS (
+       | $bandSelects
+       |)""".stripMargin
+  }
+
+  /** s_ann_topk_lsh — the 100 TB path, oracle-checked: a probe meets
+    * only candidates sharing one of its band buckets (candidate recall
+    * is the LSH contract, replicated exactly by the oracle's band CTE);
+    * ranking within the candidate set uses the same exact integer score
+    * as annTopk. Probes with fewer than k candidates return fewer rows
+    * — in both engines. */
+  def annTopkLsh: Q = (s, dir) => {
+    val bands = lshBands(s, dir)
+    val pb = broadcast(bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("band"), col("sig")))
+    val cb = bands.select(col("vec_id").as("cand_id"), col("band"), col("sig"))
+    val cand = pb.join(cb, Seq("band", "sig"))
       .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val qq = quantized(s, dir)
+    val scored = cand
+      .join(broadcast(qq.toDF("probe_id", "qp")), "probe_id")
+      .join(qq.toDF("cand_id", "qc"), "cand_id")
       .select(col("probe_id"), col("cand_id"),
         dot(col("qp"), col("qc")).as("dp"),
         dot(col("qc"), col("qc")).as("nb"))
@@ -125,9 +172,80 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= annK)
       .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
+      .orderBy("probe_id", "rn")
   }
 
+  val annTopkLshSql: String =
+    s"""WITH $lshBandsSqlCte, cand AS (
+       | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       | FROM bk p JOIN bk c ON c.band = p.band AND c.sig = p.sig
+       |  AND c.vec_id <> p.vec_id
+       | WHERE p.vec_id < 10
+       |), scored AS (
+       | SELECT cd.probe_id, cd.cand_id,
+       |  CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
+       |   THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |   ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
+       |  END AS score
+       | FROM cand cd JOIN q p ON p.vec_id = cd.probe_id
+       |              JOIN q c ON c.vec_id = cd.cand_id
+       |)
+       |SELECT probe_id, rn, cand_id, score FROM (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM scored
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+
+  /** d_dedup_embedding_lsh — banded near-dup pairs (cosine > 0.45 via
+    * the exact 81/400 integer test), candidates only within band
+    * buckets: the O(Σ bucket²) shape that replaces the brute-force
+    * checked variant at 100 TB. Recall vs brute force is the LSH
+    * contract (pairs agreeing on no band are missed — by both engines,
+    * identically). */
+  def dedupEmbeddingLsh: Q = (s, dir) => {
+    val bands = lshBands(s, dir)
+    val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+    val c = bands.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
+    val cand = a.join(c, Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val qn = quantized(s, dir).withColumn("nn", dot(col("qe"), col("qe")))
+    cand
+      .join(qn.toDF("vec_a", "qa", "na"), "vec_a")
+      .join(qn.toDF("vec_b", "qb", "nb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
+        col("na"), col("nb"))
+      .filter(col("dp") > 0 &&
+        lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nb"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingLshSql: String =
+    s"""WITH $lshBandsSqlCte, cand AS (
+       | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       | FROM bk a JOIN bk b ON b.band = a.band AND b.sig = a.sig
+       |  AND a.vec_id < b.vec_id
+       |)
+       |SELECT cd.vec_a, cd.vec_b,
+       | CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dp,
+       | CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na,
+       | CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb
+       |FROM cand cd JOIN q a ON a.vec_id = cd.vec_a
+       |             JOIN q b ON b.vec_id = cd.vec_b
+       |WHERE CAST(list_dot_product(a.qe, b.qe) AS BIGINT) > 0
+       |  AND 400 * CAST(list_dot_product(a.qe, b.qe) AS BIGINT) * CAST(list_dot_product(a.qe, b.qe) AS BIGINT)
+       |      > 81 * CAST(list_dot_product(a.qe, a.qe) AS BIGINT) * CAST(list_dot_product(b.qe, b.qe) AS BIGINT)
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // ------------------------------------------------------------ registry
-  val queries: Map[String, Q] = Map("s_ann_topk" -> annTopk)
-  val oracleSql: Map[String, String] = Map("s_ann_topk" -> annTopkSql)
+  val queries: Map[String, Q] = Map(
+    "s_ann_topk" -> annTopk,
+    "s_ann_topk_lsh" -> annTopkLsh,
+    "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
+  val oracleSql: Map[String, String] = Map(
+    "s_ann_topk" -> annTopkSql,
+    "s_ann_topk_lsh" -> annTopkLshSql,
+    "d_dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }
