@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.PropertyGraph
+import graft.operators.{Dedup, GraphOps, Similarity}
+
+/** Round-2 features: full pathsTo semantics, property maps, banded LSH. */
+class Round2Spec extends AnyFunSuite {
+  import TestSession._
+
+  lazy val g: PropertyGraph = PropertyGraph.load(spark, sf)
+
+  test("pathsTo undirected+labeled: every path obeys both label filters") {
+    val rows = GraphOps.pathsLabeled(spark, sf).collect()
+    assert(rows.nonEmpty, "at least the direct customer:1>nation:19 hop")
+    val allowed = GraphOps.plNodeLabels.toSet
+    rows.foreach { r =>
+      val hops = r.getAs[String]("path").split(">")
+      assert(hops.head == "customer:1" && hops.last == "nation:19")
+      assert(hops.distinct.length == hops.length, "non-simple path")
+      hops.foreach(h => assert(allowed.contains(h.split(":")(0)),
+        s"node label outside filter in ${r.getAs[String]("path")}"))
+    }
+    // undirectedness does real work: PLACED is customer→order, so the
+    // order hop in any depth-4 path was entered AGAINST edge direction
+    // by the reversed (order→customer is not stored) — and IN_NATION is
+    // traversed forward; a directed traversal finds only the depth-1 hop
+    assert(rows.exists(_.getAs[Int]("depth") == 4),
+      "expected customer>order>part>supplier>nation paths")
+  }
+
+  test("pathsTo with maxDepth <= 0 returns empty, not an exception") {
+    assert(g.pathsTo("customer", 1L, "supplier", 1L, maxDepth = 0).isEmpty)
+  }
+
+  test("pathsTo label filter excluding the start yields no paths") {
+    val rows = g.pathsTo("customer", 1L, "nation", 19L, maxDepth = 2,
+      nodeLabels = Seq("nation", "region"))
+    assert(rows.isEmpty)
+  }
+
+  test("removeEdges keeps rows whose predicate evaluates to NULL") {
+    // weight IS NOT NULL everywhere, so null-ify via a nullable column:
+    // a predicate over balance (absent on edges) is simulated by
+    // comparing against a null literal — pred is NULL on every row
+    val pred = col("weight") > lit(null).cast("long")
+    val before = g.edges.count()
+    assert(g.removeEdges(pred).edges.count() == before,
+      "NULL predicate must keep rows (three-valued logic)")
+  }
+
+  test("property maps: merge adds user key, null removes, others intact") {
+    val df = g.updateNodeProps(
+      col("label") === "customer" && col("key") === 1L,
+      Map("tier" -> Some("gold"), "balance" -> None))
+      .filter(col("label") === "customer" && col("key") <= 2L)
+    val m1 = df.filter(col("key") === 1L)
+      .select(col("props")).collect().head.getMap[String, String](0)
+    assert(m1.get("tier").contains("gold"), "user-defined key added")
+    assert(!m1.contains("balance"), "null change removes the key")
+    assert(m1.contains("name"), "untouched key survives the merge")
+    val m2 = df.filter(col("key") === 2L)
+      .select(col("props")).collect().head.getMap[String, String](0)
+    assert(m2.contains("balance") && !m2.contains("tier"),
+      "non-matching rows keep their original map")
+  }
+
+  test("banded-LSH embedding dedup: subset of brute force, same values") {
+    val brute = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val lsh = Similarity.dedupEmbeddingLsh(spark, sf).collect()
+    assert(lsh.nonEmpty, "banding must recall some near-dup pairs")
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(k), s"LSH pair $k not in brute-force truth")
+      assert(brute(k) == ((r.getLong(2), r.getLong(3), r.getLong(4))),
+        s"dp/na/nb mismatch for $k")
+    }
+  }
+
+  test("banded-LSH ANN: scores agree with brute force on shared pairs") {
+    val brute = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val lsh = Similarity.annTopkLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      // a pair surfaced by LSH that also ranks top-k in brute force
+      // must carry the identical exact integer score
+      brute.get(k).foreach(s => assert(s == r.getLong(3),
+        s"score mismatch for $k"))
+    }
+  }
+
+  test("minhash band-bucket cap: no band bucket exceeds the cap") {
+    // indirect: candidate count is bounded by cap^2/2 per bucket; the
+    // direct invariant is that results are reproducible and the planted
+    // near-dups (high n_match) survive the cap
+    val rows = Dedup.dedupMinhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_match") == 9L),
+      "exact-dup pairs must agree on all 9 minhashes")
+  }
+}
