@@ -77,6 +77,41 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           col("key").as("dst_key")), Seq("dst_label", "dst_key"), "left_anti"))
   }
 
+  /** Stable edge identity — the reference's `edge.id` (Neo4jGraph
+    * .scala:259-293 addresses edges by id). Derived deterministically
+    * from the logical composite, so it needs no global id-assignment
+    * shuffle and is reproducible in any engine:
+    * `eid = md5(elabel|src_label|src_key|dst_label|dst_key)`. */
+  def edgesWithId: DataFrame =
+    edges.withColumn("eid", md5(concat_ws("|",
+      col("elabel"), col("src_label"), col("src_key"),
+      col("dst_label"), col("dst_key"))))
+
+  /** Reference getEdge(id) (Neo4jGraph.scala:259-293): id-addressed
+    * edge point lookup, endpoints attached. */
+  def getEdgeById(eid: String): DataFrame =
+    edgesWithId.filter(col("eid") === eid)
+      .join(nodes.select(col("label").as("src_label"),
+        col("key").as("src_key"), col("name").as("src_name")),
+        Seq("src_label", "src_key"))
+      .join(nodes.select(col("label").as("dst_label"),
+        col("key").as("dst_key"), col("name").as("dst_name")),
+        Seq("dst_label", "dst_key"))
+      .select(col("eid"), col("elabel"), col("src_label"), col("src_key"),
+        col("src_name"), col("dst_label"), col("dst_key"), col("dst_name"),
+        col("weight"))
+
+  /** Edge property maps + merge — the edge twin of `updateNodeProps`
+    * (reference updateEdge, Neo4jGraph.scala:469-490). */
+  def updateEdgeProps(pred: Column,
+                      changes: Map[String, Option[String]]): DataFrame =
+    edges.withColumn("props", map_filter(
+        map(lit("weight"), col("weight").cast("string")),
+        (_, v) => v.isNotNull))
+      .withColumn("props",
+        when(pred, PropertyGraph.mergeProps(col("props"), changes))
+          .otherwise(col("props")))
+
   /** Reference getEdge (Neo4jGraph.scala:259-293): edge point lookup
     * returning the edge plus both endpoints. Edge identity is the
     * logical composite (elabel, src, dst) — the predicate reaches the
@@ -171,23 +206,26 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
               dstLabel: String, dstKey: Long, maxDepth: Int,
               nodeLabels: Seq[String] = Seq.empty,
               edgeLabels: Seq[String] = Seq.empty,
-              directed: Boolean = false): DataFrame = {
+              directed: Boolean = false,
+              withEdgeLabels: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    if (maxDepth <= 0)
-      return Seq.empty[(String, Int)].toDF("path", "depth")
+    if (maxDepth <= 0) {
+      val empty = Seq.empty[(String, Int, String)].toDF("path", "depth", "elabels")
+      return if (withEdgeLabels) empty else empty.drop("elabels")
+    }
 
     val base =
       if (edgeLabels.isEmpty) edges
       else edges.filter(col("elabel").isInCollection(edgeLabels))
     val fwd = base.select(col("src_label").as("a_label"),
       col("src_key").as("a_key"), col("dst_label").as("b_label"),
-      col("dst_key").as("b_key"))
+      col("dst_key").as("b_key"), col("elabel"))
     val undirectedE =
       if (directed) fwd
       else fwd.unionByName(base.select(col("dst_label").as("a_label"),
         col("dst_key").as("a_key"), col("src_label").as("b_label"),
-        col("src_key").as("b_key")))
+        col("src_key").as("b_key"), col("elabel")))
     // node-label constraint applies to EVERY node of the path (reference
     // ALL(x IN NODES(path))): filter expansion targets; start must pass
     // cache the label-filtered undirected edge set: every level joins
@@ -203,7 +241,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
                     else nodes.limit(0))
       .select(col("label").as("cur_label"), col("key").as("cur_key"),
         lit(startId).as("path"), array(lit(startId)).as("visited"),
-        lit(0).as("depth"))
+        lit(0).as("depth"), lit("").as("elabels"))
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var results: Option[DataFrame] = None
     var depth = 0
@@ -220,9 +258,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           col("b_key").as("cur_key"),
           concat(col("path"), lit(">"), col("b_id")).as("path"),
           array_append(col("visited"), col("b_id")).as("visited"),
-          (col("depth") + 1).as("depth"))
+          (col("depth") + 1).as("depth"),
+          // ordered edge-label sequence — the reference Path returns
+          // the edge list, not just node ids (Neo4jGraph.scala:85-95)
+          when(col("depth") === 0, col("elabel"))
+            .otherwise(concat(col("elabels"), lit(">"), col("elabel")))
+            .as("elabels"))
       val done = step.filter(col("cur_label") === dstLabel &&
-        col("cur_key") === dstKey).select(col("path"), col("depth"))
+        col("cur_key") === dstKey)
+        .select(col("path"), col("depth"), col("elabels"))
       results = Some(results.map(_.unionByName(done)).getOrElse(done))
       frontier = step.filter(
         !(col("cur_label") === dstLabel && col("cur_key") === dstKey))
@@ -233,11 +277,21 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // materialize the result BEFORE releasing the per-level caches —
     // its lineage reads them, and unpersisting first would recompute
     // the whole expansion (ADVICE r1: caches leaked across calls)
-    val out = results.get.localCheckpoint(eager = true)
+    val out0 = if (withEdgeLabels) results.get else results.get.drop("elabels")
+    val out = out0.localCheckpoint(eager = true)
     cached.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     out
   }
+
+  /** Structured Path view — the reference's `Path` (start node +
+    * ordered edge list, Neo4jGraph.scala:85-95) as a typed column:
+    * `hops` = array of (elabel, node) structs zipped from the path and
+    * edge-label sequences. */
+  def pathHops(paths: DataFrame): DataFrame =
+    paths.withColumn("hops",
+      arrays_zip(slice(split(col("elabels"), ">"), 1, 1000000).as("elabel"),
+        slice(split(col("path"), ">"), 2, 1000000).as("node")))
 
   /** Frontier-size gate for broadcast hints in iterative traversals. */
   private val broadcastRowCap = 500000L

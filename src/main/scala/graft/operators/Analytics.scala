@@ -101,8 +101,8 @@ object Analytics {
     Seq("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
       "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
 
-  private def nodeIdCol(label: org.apache.spark.sql.Column,
-                        key: org.apache.spark.sql.Column) = {
+  private[operators] def nodeIdCol(label: org.apache.spark.sql.Column,
+                                   key: org.apache.spark.sql.Column) = {
     val code = labelCodes.tail.foldLeft(when(label === labelCodes.head._1,
       lit(labelCodes.head._2))) { case (acc, (l, c)) => acc.when(label === l, lit(c)) }
     code * lit(10000000000000L) + key

@@ -94,6 +94,61 @@ object GraphOps {
        |JOIN nodes nd ON nd.label = e.dst_label AND nd.key = e.dst_key
        |WHERE e.elabel = 'IN_NATION' AND e.src_label = 'customer' AND e.src_key = 1""".stripMargin
 
+  // ----------------------------------------------------- g_get_edge_by_id
+  /** Reference getEdge(id) (Neo4jGraph.scala:259-293): edges addressed
+    * by STABLE id, not just the composite predicate — `eid` is the md5
+    * of the logical composite, derived (no global id-assignment
+    * shuffle) and engine-reproducible. Looks up the SF-invariant
+    * IN_REGION edge nation:19 → region:4 by its id. */
+  def getEdgeById: Q = (s, dir) =>
+    g(s, dir).getEdgeById(md5Hex("IN_REGION|nation|19|region|4"))
+
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  val getEdgeByIdSql: String =
+    s"""$cte, ei AS (
+       | SELECT md5(elabel || '|' || src_label || '|' || src_key || '|' ||
+       |            dst_label || '|' || dst_key) AS eid, *
+       | FROM edges
+       |)
+       |SELECT e.eid, e.elabel, e.src_label, e.src_key, ns.name AS src_name,
+       |       e.dst_label, e.dst_key, nd.name AS dst_name, e.weight
+       |FROM ei e
+       |JOIN nodes ns ON ns.label = e.src_label AND ns.key = e.src_key
+       |JOIN nodes nd ON nd.label = e.dst_label AND nd.key = e.dst_key
+       |WHERE e.eid = md5('IN_REGION|nation|19|region|4')""".stripMargin
+
+  // ------------------------------------------------ g_update_edge_props
+  /** Reference updateEdge with arbitrary property maps (Neo4jGraph
+    * .scala:469-490) — the edge twin of g_update_node_props: set a
+    * user-defined `priority` key and remove `weight` on order 1..10's
+    * HAS_PART edges; orders 11..20 keep their untouched maps. */
+  def updateEdgeProps: Q = (s, dir) =>
+    g(s, dir)
+      .updateEdgeProps(
+        col("elabel") === "HAS_PART" && col("src_key") <= 10L,
+        Map("priority" -> Some("rush"), "weight" -> None))
+      .filter(col("elabel") === "HAS_PART" && col("src_key") <= 20L)
+      .select(col("elabel"), col("src_key"), col("dst_key"),
+        explode(col("props")).as(Seq("pkey", "pval")))
+      .orderBy("src_key", "dst_key", "pkey")
+
+  val updateEdgePropsSql: String =
+    s"""$cte, he AS (
+       | SELECT elabel, src_key, dst_key, weight FROM edges
+       | WHERE elabel = 'HAS_PART' AND src_key <= 20
+       |)
+       |SELECT elabel, src_key, dst_key, pkey, pval FROM (
+       | SELECT elabel, src_key, dst_key, 'weight' AS pkey,
+       |        CAST(weight AS VARCHAR) AS pval
+       | FROM he WHERE src_key > 10
+       | UNION ALL
+       | SELECT elabel, src_key, dst_key, 'priority', 'rush'
+       | FROM he WHERE src_key <= 10
+       |) ORDER BY src_key, dst_key, pkey""".stripMargin
+
   // ------------------------------------------------------- g_remove_edge
   /** Reference removeEdge (Neo4jGraph.scala:433-440): drop part 1's
     * SUPPLIED_BY edges; result is the post-state census around part
@@ -263,7 +318,8 @@ object GraphOps {
 
   def pathsLabeled: Q = (s, dir) =>
     g(s, dir).pathsTo("customer", 1L, "nation", 19L, maxDepth = plMaxDepth,
-        nodeLabels = plNodeLabels, edgeLabels = plEdgeLabels)
+        nodeLabels = plNodeLabels, edgeLabels = plEdgeLabels,
+        withEdgeLabels = true)
       .orderBy("path")
 
   val pathsLabeledSql: String = {
@@ -285,19 +341,23 @@ object GraphOps {
       val conds = Seq(s"e1.al = 'customer' AND e1.ak = 1",
         s"e$d.bl = 'nation' AND e$d.bk = 19") ++ chain ++ inter
       val path = (1 to d).map(i => s"e$i.bid").mkString(" || '>' || ")
-      s"""SELECT 'customer:1' || '>' || $path AS path, $d AS depth
+      val elbs = (1 to d).map(i => s"e$i.elabel").mkString(" || '>' || ")
+      s"""SELECT 'customer:1' || '>' || $path AS path, $d AS depth,
+         | $elbs AS elabels
          |FROM $tables WHERE ${conds.mkString("\n  AND ")}""".stripMargin
     }
     s"""$cte, pe AS (
-       | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk
+       | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk,
+       |        elabel
        | FROM edges WHERE elabel IN ($el)
        | UNION ALL
-       | SELECT dst_label, dst_key, src_label, src_key
+       | SELECT dst_label, dst_key, src_label, src_key, elabel
        | FROM edges WHERE elabel IN ($el)
        |), pef AS (
-       | SELECT al, ak, bl, bk, bl || ':' || bk AS bid FROM pe WHERE bl IN ($nl)
+       | SELECT al, ak, bl, bk, bl || ':' || bk AS bid, elabel
+       | FROM pe WHERE bl IN ($nl)
        |)
-       |SELECT path, depth FROM (
+       |SELECT path, depth, elabels FROM (
        |${levels.mkString("\nUNION ALL\n")}
        |) ORDER BY path""".stripMargin
   }
@@ -363,8 +423,10 @@ object GraphOps {
     "g_get_nodes" -> getNodes,
     "g_get_edges" -> getEdges,
     "g_get_edge" -> getEdge,
+    "g_get_edge_by_id" -> getEdgeById,
     "g_remove_edge" -> removeEdge,
     "g_update_edge" -> updateEdge,
+    "g_update_edge_props" -> updateEdgeProps,
     "g_egress" -> egress,
     "g_ingress" -> ingress,
     "g_add_node" -> addNode,
@@ -381,8 +443,10 @@ object GraphOps {
     "g_get_nodes" -> getNodesSql,
     "g_get_edges" -> getEdgesSql,
     "g_get_edge" -> getEdgeSql,
+    "g_get_edge_by_id" -> getEdgeByIdSql,
     "g_remove_edge" -> removeEdgeSql,
     "g_update_edge" -> updateEdgeSql,
+    "g_update_edge_props" -> updateEdgePropsSql,
     "g_egress" -> egressSql,
     "g_ingress" -> ingressSql,
     "g_add_node" -> addNodeSql,

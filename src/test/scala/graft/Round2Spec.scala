@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.PropertyGraph
-import graft.operators.{Dedup, GraphOps, Similarity}
+import graft.operators.{Analytics, Dedup, GraphOps, GraphXAnalytics, Similarity}
 
 /** Round-2 features: full pathsTo semantics, property maps, banded LSH. */
 class Round2Spec extends AnyFunSuite {
@@ -92,6 +92,40 @@ class Round2Spec extends AnyFunSuite {
       brute.get(k).foreach(s => assert(s == r.getLong(3),
         s"score mismatch for $k"))
     }
+  }
+
+  test("GraphX Pregel CC matches the DataFrame fixed point exactly") {
+    val df = Analytics.connectedComponents(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gx = GraphXAnalytics.connectedComponentsGraphX(spark, sf).collect()
+    assert(gx.nonEmpty && gx.length == df.size)
+    gx.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(df(k) == r.getLong(2), s"component mismatch at $k")
+    }
+  }
+
+  test("structured path: hops zip edge labels with visited nodes") {
+    val paths = g.pathsTo("customer", 1L, "nation", 19L,
+      maxDepth = GraphOps.plMaxDepth, nodeLabels = GraphOps.plNodeLabels,
+      edgeLabels = GraphOps.plEdgeLabels, withEdgeLabels = true)
+    val rows = g.pathHops(paths).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hops = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("hops"))
+      assert(hops.length == r.getAs[Int]("depth"), "one hop per level")
+      val last = hops.last
+      assert(last.getAs[String]("node") == "nation:19")
+      assert(GraphOps.plEdgeLabels.contains(last.getAs[String]("elabel")))
+    }
+  }
+
+  test("edge identity: id-addressed lookup returns the composite edge") {
+    val rows = GraphOps.getEdgeById(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("elabel") == "IN_REGION")
+    assert(r.getAs[Long]("src_key") == 19L && r.getAs[Long]("dst_key") == 4L)
   }
 
   test("minhash band-bucket cap: no band bucket exceeds the cap") {
