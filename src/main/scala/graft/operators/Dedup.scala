@@ -46,20 +46,33 @@ object Dedup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------- shingling
-  /** Distinct 3-word shingles per document — split + transform, codegen'd.
-    * Documents with < 3 words emit NO shingles (guarded identically in
-    * both engines: Spark's concat_ws would silently skip the null
-    * element_at results while DuckDB's || nulls out — so neither side is
-    * allowed to produce a partial shingle). */
-  private def shingleCol(text: Column): Column = {
-    val words = split(text, " ")
+  /** Distinct 3-word shingles per document. Documents with < 3 words
+    * emit NO shingles (guarded identically in both engines: Spark's
+    * concat_ws would silently skip the null element_at results while
+    * DuckDB's || nulls out — so neither side is allowed to produce a
+    * partial shingle).
+    *
+    * Takes the WORDS ARRAY as a bound attribute, not the text: higher-
+    * order-function lambdas are interpreted (CodegenFallback, no common-
+    * subexpression elimination), so an inline `split(text)` would be
+    * re-executed by every element_at of every shingle — O(words²) per
+    * document, and the actual hot loop of round 1's 64 s minhash. The
+    * caller materializes `split(text, ' ')` ONCE in a child projection
+    * via `withShingles`. */
+  private def shingleCol(words: Column): Column =
     when(size(words) >= 3,
       array_distinct(transform(
         sequence(lit(0), size(words) - 3),
         i => concat_ws(" ", element_at(words, i + 1),
           element_at(words, i + 2), element_at(words, i + 3)))))
       .otherwise(expr("cast(array() as array<string>)"))
-  }
+
+  /** (doc_id, sh) rows: words materialized once per row, then exploded
+    * shingles. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(shingleCol(col("words"))).as("sh"))
 
   /** DuckDB twin of shingleCol (1-based list indexing; range(1,1) is
     * empty, so < 3-word docs emit no shingles — same guard as Spark). */
@@ -99,9 +112,7 @@ object Dedup {
       expr(s"substr(h, 1, ${3 * k})"))
 
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
-      .withColumn("h", md5(col("sh")))
+    val sh = docShingles(s, dir).withColumn("h", md5(col("sh")))
     sh.groupBy("doc_id")
       .agg(min(rotCol(0)).as("mh0"),
         (1 until mhSeeds).map(k => min(rotCol(k)).as(s"mh$k")): _*)
@@ -180,9 +191,10 @@ object Dedup {
     * membership. */
   val jacDfCap = 50
 
-  def ngramJaccard: Q = (s, dir) => {
-    val ds = docs(s, dir)
-      .select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+  /** The J > 1/2 pair set with sizes — shared by `d_ngram_jaccard` and
+    * the cluster-canonicalization op. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val ds = docShingles(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df") <= jacDfCap)
       .drop("df")
@@ -199,11 +211,14 @@ object Dedup {
       .filter(lit(3) * col("inter") > col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
-      .orderBy("doc_a", "doc_b")
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH ds0 AS (
+  def ngramJaccard: Q = (s, dir) =>
+    jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, uni)`. */
+  private val jaccardPairsSqlCte: String =
+    s"""ds0 AS (
        | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
        |), ds AS (
        | SELECT doc_id, sh FROM (
@@ -215,12 +230,66 @@ object Dedup {
        | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
        | FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
        | GROUP BY 1, 2
-       |)
-       |SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS uni
-       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
-       |             JOIN sizes sb ON sb.doc_id = p.doc_b
-       |WHERE 3 * p.inter > sa.n + sb.n
+       |), jp AS (
+       | SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS uni
+       | FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+       |              JOIN sizes sb ON sb.doc_id = p.doc_b
+       | WHERE 3 * p.inter > sa.n + sb.n
+       |)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $jaccardPairsSqlCte
+       |SELECT doc_a, doc_b, inter, uni FROM jp
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- d_dedup_cluster
+  /** Cluster canonicalization — the op that ENDS a dedup pipeline: the
+    * near-dup pair graph (J > 1/2 blocks) is contracted to components
+    * by `clusterIters` rounds of min-id propagation and every doc maps
+    * to its cluster's minimum doc_id (canonical survivor). Near-dup
+    * clusters are tiny cliques/chains, so a small fixed round count is
+    * exact for any realistic cluster diameter and keeps the DuckDB
+    * oracle an unrolled chain. Docs in no pair are their own canon. */
+  val clusterIters = 3
+
+  def dedupCluster: Q = (s, dir) => {
+    val jp = jaccardPairs(s, dir).select("doc_a", "doc_b")
+    val und = jp.union(jp.select(col("doc_b"), col("doc_a")))
+      .toDF("id", "nb").cache()
+    var comp = docs(s, dir).select(col("doc_id").as("id"),
+      col("doc_id").as("canon_id"))
+    for (_ <- 1 to clusterIters) {
+      val m = und.join(broadcast(comp.withColumnRenamed("id", "nb")
+          .withColumnRenamed("canon_id", "c")), Seq("nb"))
+        .groupBy("id").agg(min("c").as("m"))
+      comp = comp.join(broadcast(m), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("canon_id"), coalesce(col("m"), col("canon_id")))
+            .as("canon_id"))
+    }
+    comp.select(col("id").as("doc_id"), col("canon_id")).orderBy("doc_id")
+  }
+
+  val dedupClusterSql: String = {
+    val b = new StringBuilder(
+      s"""WITH $jaccardPairsSqlCte, und AS (
+         | SELECT doc_a AS id, doc_b AS nb FROM jp
+         | UNION ALL SELECT doc_b, doc_a FROM jp
+         |), c0 AS (
+         | SELECT doc_id AS id, doc_id AS canon_id FROM documents
+         |)""".stripMargin)
+    for (i <- 1 to clusterIters) {
+      b ++= s""", m$i AS (
+               | SELECT u.id, min(c${i - 1}.canon_id) AS m
+               | FROM und u JOIN c${i - 1} ON c${i - 1}.id = u.nb GROUP BY u.id
+               |), c$i AS (
+               | SELECT c.id, least(c.canon_id, COALESCE(m$i.m, c.canon_id)) AS canon_id
+               | FROM c${i - 1} c LEFT JOIN m$i ON m$i.id = c.id
+               |)""".stripMargin
+    }
+    b ++= s"\nSELECT id AS doc_id, canon_id FROM c$clusterIters ORDER BY doc_id"
+    b.toString
+  }
 
   // ----------------------------------------------------- d_dedup_simhash
   /** 64-bit SimHash over distinct-token md5s, hamming-bucket candidate
@@ -366,6 +435,7 @@ object Dedup {
     "d_dedup_exact" -> dedupExact,
     "d_dedup_minhash" -> dedupMinhash,
     "d_ngram_jaccard" -> ngramJaccard,
+    "d_dedup_cluster" -> dedupCluster,
     "d_dedup_simhash" -> dedupSimhash,
     "d_dedup_embedding" -> dedupEmbedding)
 
@@ -373,6 +443,7 @@ object Dedup {
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_dedup_cluster" -> dedupClusterSql,
     "d_dedup_simhash" -> dedupSimhashSql,
     "d_dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -239,13 +239,96 @@ object Similarity {
        |      > 81 * CAST(list_dot_product(a.qe, a.qe) AS BIGINT) * CAST(list_dot_product(b.qe, b.qe) AS BIGINT)
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // -------------------------------------------------------- IVF scale path
+  /** s_ann_ivf — inverted-file ANN, the OTHER standard scale path next
+    * to LSH: every vector is assigned to its nearest of `ivfK` coarse
+    * centroids (exact integer argmax, ties to the lowest centroid id)
+    * and a probe searches ONLY its own cell (nprobe = 1). The centroid
+    * "training" is a deterministic stand-in — the first `ivfK` vectors
+    * — because a k-means iteration is float-unstable across engines; in
+    * production the centroids arrive from an offline training job and
+    * the assignment/probe machinery here is unchanged. Assignment is
+    * O(n·K) linear scan (the IVF assign step), probing is
+    * O(n·m/K) expected. */
+  val ivfK = 8
+
+  private val scoreExpr =
+    "CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+      " ELSE -((dp * dp * 1000) div nb) END"
+
+  def annIvf: Q = (s, dir) => {
+    val q = quantized(s, dir)
+    val cents = broadcast(q.filter(col("vec_id") < ivfK).toDF("cid", "qc"))
+    val asg0 = q.crossJoin(cents)
+      .select(col("vec_id"), col("qe"), col("cid"),
+        dot(col("qe"), col("qc")).as("dp"),
+        dot(col("qc"), col("qc")).as("nb"))
+      .select(col("vec_id"), col("qe"), col("cid"), expr(scoreExpr).as("cs"))
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cid"))
+    val asg = asg0.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1).select("vec_id", "qe", "cid")
+    val probes = broadcast(asg.filter(col("vec_id") < 10)
+      .toDF("probe_id", "qp", "cid"))
+    val scored = probes.join(asg.toDF("cand_id", "qc", "cid"), "cid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"),
+        dot(col("qc"), col("qc")).as("nb"))
+      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val annIvfSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), cents AS (
+       | SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < $ivfK
+       |), asg0 AS (
+       | SELECT v.vec_id, v.qe, c.cid,
+       |  CAST(list_dot_product(v.qe, c.qc) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qc, c.qc) AS BIGINT) AS nb
+       | FROM q v, cents c
+       |), asg1 AS (
+       | SELECT vec_id, qe, cid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY $score DESC, cid) AS rn
+       | FROM asg0
+       |), asg AS (
+       | SELECT vec_id, qe, cid FROM asg1 WHERE rn = 1
+       |), sc0 AS (
+       | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |  CAST(list_dot_product(p.qe, c.qe) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qe, c.qe) AS BIGINT) AS nb
+       | FROM asg p JOIN asg c ON c.cid = p.cid AND c.vec_id <> p.vec_id
+       | WHERE p.vec_id < 10
+       |), scored AS (
+       | SELECT probe_id, cand_id, $score AS score FROM sc0
+       |)
+       |SELECT probe_id, rn, cand_id, score FROM (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM scored
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_ann_topk" -> annTopk,
     "s_ann_topk_lsh" -> annTopkLsh,
+    "s_ann_ivf" -> annIvf,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_ann_topk" -> annTopkSql,
     "s_ann_topk_lsh" -> annTopkLshSql,
+    "s_ann_ivf" -> annIvfSql,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

@@ -127,6 +127,53 @@ object TextOps {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- t_corpus_filter
+  /** Corpus filter — the keep/drop verdict every training-data pipeline
+    * ends its text stage with, composed from the quality signals. All
+    * rules are INTEGER comparisons (cross-multiplied ratios), so no
+    * float ever decides a verdict; `reason` is the first failing rule
+    * in fixed order. Linear, shuffle-free, one projection. */
+  def corpusFilter: Q = (s, dir) => {
+    val en = langStopwords.head._2
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+        size(filter(col("words"), w => en.map(x => w === lit(x)).reduce(_ || _)))
+          .cast("long").as("n_stop"))
+      .withColumn("reason",
+        when(col("n_words") < 20, "too_short")
+          .when(col("n_words") > 1000, "too_long")
+          .when(lit(5) * col("n_distinct") < lit(2) * col("n_words"), "repetitive")
+          .when(lit(50) * col("n_stop") < col("n_words"), "low_stopword")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val corpusFilterSql: String = {
+    val en = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($en))) AS BIGINT) AS n_stop
+       | FROM documents
+       |), v AS (
+       | SELECT doc_id, n_words, n_distinct, n_stop,
+       |  CASE WHEN n_words < 20 THEN 'too_short'
+       |       WHEN n_words > 1000 THEN 'too_long'
+       |       WHEN 5 * n_distinct < 2 * n_words THEN 'repetitive'
+       |       WHEN 50 * n_stop < n_words THEN 'low_stopword'
+       |       ELSE 'ok' END AS reason
+       | FROM m
+       |)
+       |SELECT doc_id, n_words, n_distinct, n_stop, reason,
+       | (reason = 'ok') AS keep
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- t_token_count
   /** Whitespace tokens + BPE-ish regex tokens (letter runs / single
     * digits / single punctuation — the GPT-2 pre-tokenizer shape). */
@@ -153,21 +200,26 @@ object TextOps {
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
     * family — the winnowing primitive). */
   def fingerprint: Q = (s, dir) => {
-    val words = split(col("text"), " ")
+    // words materialized ONCE in a child projection: higher-order
+    // lambdas are interpreted (no CSE), so an inline split would be
+    // re-executed per element_at — O(words²) per document
+    val words = col("words")
     val shingles = transform(
       sequence(lit(0), greatest(size(words) - 3, lit(0))),
       i => concat_ws(" ", element_at(words, i + 1),
         element_at(words, i + 2), element_at(words, i + 3)))
-    docs(s, dir).select(
-      col("doc_id"),
-      md5(col("text")).as("content_fp"),
-      md5(concat_ws(" ", array_sort(array_distinct(words)))).as("bag_fp"),
-      // < 3-word docs have no complete shingle → NULL in BOTH engines
-      // (unguarded, Spark's concat_ws skips the null element_at results
-      // and hashes a partial shingle while DuckDB nulls out — divergent)
-      when(size(words) >= 3,
-        array_min(transform(shingles, sh => md5(sh))))
-        .as("min_shingle_fp"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(words)))).as("bag_fp"),
+        // < 3-word docs have no complete shingle → NULL in BOTH engines
+        // (unguarded, Spark's concat_ws skips the null element_at results
+        // and hashes a partial shingle while DuckDB nulls out — divergent)
+        when(size(words) >= 3,
+          array_min(transform(shingles, sh => md5(sh))))
+          .as("min_shingle_fp"))
       .orderBy("doc_id")
   }
 
@@ -186,11 +238,13 @@ object TextOps {
     "t_lang_id" -> langId,
     "t_quality_score" -> qualityScore,
     "t_token_count" -> tokenCount,
+    "t_corpus_filter" -> corpusFilter,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
     "t_lang_id" -> langIdSql,
     "t_quality_score" -> qualityScoreSql,
     "t_token_count" -> tokenCountSql,
+    "t_corpus_filter" -> corpusFilterSql,
     "t_fingerprint" -> fingerprintSql)
 }
