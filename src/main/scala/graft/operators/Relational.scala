@@ -288,6 +288,48 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // --------------------------------------------------------- q_events_funnel
+  /** Click→purchase funnel: every (click, purchase) pair of the same
+    * user with the purchase inside the hour after the click — the batch
+    * twin of the streaming stream-stream interval join st_stream_join.
+    * Shuffles once on user_id; the time-range predicate runs map-side
+    * inside the join. At stream scale the same predicate bounds the
+    * join state to the watermark horizon. */
+  def qEventsFunnel: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") > col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(3600000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("delay_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val qEventsFunnelSql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), c AS (
+      | SELECT user_id, event_id AS click_id, us AS click_us
+      | FROM ev WHERE event_type = 'click'
+      |), p AS (
+      | SELECT user_id, event_id AS purchase_id, us AS purchase_us
+      | FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |       p.purchase_us - c.click_us AS delay_us
+      |FROM c JOIN p ON p.user_id = c.user_id
+      | AND p.purchase_us > c.click_us
+      | AND p.purchase_us <= c.click_us + 3600000000
+      |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin
+
   // ------------------------------------------------------ q_events_sessionize
   /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
     * running sum = session id → per-session rollup. One shuffle on user_id
@@ -337,6 +379,7 @@ object Relational {
     "q_scalar_subquery" -> qScalarSubquery,
     "q_topk" -> qTopk,
     "q_events_window" -> qEventsWindow,
+    "q_events_funnel" -> qEventsFunnel,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -350,5 +393,6 @@ object Relational {
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_topk" -> qTopkSql,
     "q_events_window" -> qEventsWindowSql,
+    "q_events_funnel" -> qEventsFunnelSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }

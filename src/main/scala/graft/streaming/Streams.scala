@@ -49,6 +49,30 @@ object Streams {
       .withWatermark("ets", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** st_stream_join: stream-stream interval join — click→purchase
+    * funnel pairs within the hour, per user (batch twin:
+    * Relational.qEventsFunnel carries the DuckDB oracle). Both sides
+    * watermarked; the time-range condition lets Spark expire join state
+    * past the horizon, which is what bounds state on an unbounded
+    * stream. */
+  def streamJoin(events: DataFrame): DataFrame = {
+    val ev = withEventTime(events)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ets").as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ets") > col("c_ets") &&
+        col("p_ets") <= col("c_ets") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ets")) - unix_micros(col("c_ets"))).as("delay_us"))
+  }
+
   /** st_sessionize: gap-based sessions (30 min inactivity) via
     * flatMapGroupsWithState — the custom-state primitive. Keyed by
     * user; state = (session start, last seen, count); emits a session

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, GraphOps, Relational, Similarity}
+
+/** Physical-plan audits: the properties the 100 TB story depends on,
+  * asserted against the ACTUAL executed plan (not hoped for). A plan
+  * that silently loses predicate pushdown, column pruning, or its
+  * broadcast join still returns correct rows at sf0.001 — these specs
+  * are what fails instead of a production cluster. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan AFTER execution — AQE only finalizes (and codegens) stages at
+    * runtime, so pre-execution toString carries no codegen markers. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // count() would build a DIFFERENT plan; collect runs this one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("point lookups push both predicates into the cached-graph scan") {
+    // the graph snapshot is cached; the lookup must push its predicates
+    // into the InMemoryTableScan (batch pruning), not filter afterwards
+    val p = plan(GraphOps.getNode(spark, sf))
+    assert(p.contains("InMemoryTableScan"), s"graph not cached:\n$p")
+    assert(p.contains("= customer)") && p.contains("= 42)"),
+      s"predicates did not reach the in-memory scan:\n$p")
+  }
+
+  test("q1_agg scans only the columns it aggregates") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    // lineitem has 16 columns; the read schema must carry only the 7 used
+    assert(p.contains("l_shipdate"), "filter column present")
+    assert(!p.contains("l_comment") && !p.contains("l_receiptdate"),
+      s"unused lineitem columns leaked into the scan:\n$p")
+  }
+
+  test("q1_agg shipdate filter reaches the scan as a pushed filter") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate range did not push down:\n$p")
+  }
+
+  test("q5_multijoin broadcasts its dimension sides") {
+    val p = plan(Relational.q5Multijoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("hot aggregation paths stay inside whole-stage codegen") {
+    // executedPlan.toString marks codegen stages with "*(n)"
+    assert(finalPlan(Relational.q1Agg(spark, sf)).contains("*(1)"))
+    assert(finalPlan(Dedup.dedupExact(spark, sf)).contains("*(1)"))
+  }
+
+  test("minhash/jaccard candidate joins are equi-joins, not cartesian") {
+    val mh = plan(Dedup.dedupMinhash(spark, sf))
+    assert(!mh.contains("CartesianProduct"),
+      s"minhash pair stage degenerated to a cartesian product:\n$mh")
+    val jc = plan(Dedup.ngramJaccard(spark, sf))
+    assert(!jc.contains("CartesianProduct"),
+      s"jaccard pair stage degenerated to a cartesian product:\n$jc")
+  }
+
+  test("banded-LSH dedup joins on band buckets, never cross product") {
+    val p = plan(Similarity.dedupEmbeddingLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"LSH lost its bucket join:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the probe side (no shuffle of cands)") {
+    val p = plan(Similarity.annTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+  }
+}

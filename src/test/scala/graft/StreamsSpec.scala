@@ -79,6 +79,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_stream_join: purchase pairs with click inside the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamJoin(mem.toDF())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      val base = 86400L * 1000 * 1000
+      mem.addData(
+        ev(1, base, typ = "click"),
+        ev(2, base + 600L * 1000 * 1000, typ = "purchase"), // +10 min: pairs
+        ev(3, base + 2 * hourUs, typ = "purchase"))         // +2 h: too late
+      q.processAllAvailable()
+      val out = spark.table("funnel").collect()
+      assert(out.length == 1, s"one pair expected: ${out.mkString(";")}")
+      assert(out.head.getAs[Long]("click_id") == 1L &&
+        out.head.getAs[Long]("purchase_id") == 2L &&
+        out.head.getAs[Long]("delay_us") == 600L * 1000 * 1000)
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: streamJoin on static frame matches q_events_funnel") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val streamShaped = Streams.streamJoin(events)
+      .select("user_id", "click_id", "purchase_id", "delay_us")
+    val twin = SparkEntry.queries("q_events_funnel")(spark, sf)
+      .select("user_id", "click_id", "purchase_id", "delay_us")
+    assert(streamShaped.except(twin).count() == 0)
+    assert(twin.except(streamShaped).count() == 0)
+  }
+
   test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val streamShaped = Streams.tumblingAgg(events)
