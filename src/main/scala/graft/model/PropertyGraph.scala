@@ -384,6 +384,33 @@ object PropertyGraph {
     if (adds.isEmpty) kept else map_concat(kept, map(adds.flatten: _*))
   }
 
+  /** Persist the snapshot as BUCKETED tables — the production storage
+    * layout SURVEY.md §6 promises: nodes bucketed (and sorted) by
+    * `key`, edges by `src_key`, same bucket count. Every traversal join
+    * keys on (label, key) vs (src_label, src_key); hash-partitioning on
+    * the bucketed key column satisfies that clustering, so the join
+    * needs NO Exchange and (with sortBy) no Sort — at 100 TB this is
+    * the difference between a metadata operation and reshuffling the
+    * edge table every query (BucketedGraphSpec proves the plan shape).
+    */
+  def saveBucketed(g: PropertyGraph, name: String, path: String,
+                   buckets: Int = 32): Unit = {
+    // bucket columns must equal the traversal join keys EXACTLY (the
+    // composite identity) — Spark only elides the join exchange when
+    // each side's bucket spec matches its join-key sequence
+    g.nodes.write.mode("overwrite")
+      .option("path", s"$path/${name}_nodes")
+      .bucketBy(buckets, "label", "key").sortBy("label", "key")
+      .saveAsTable(s"${name}_nodes")
+    g.edges.write.mode("overwrite")
+      .option("path", s"$path/${name}_edges")
+      .bucketBy(buckets, "src_label", "src_key").sortBy("src_label", "src_key")
+      .saveAsTable(s"${name}_edges")
+  }
+
+  def loadBucketed(spark: SparkSession, name: String): PropertyGraph =
+    PropertyGraph(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"))
+
   /** DuckDB-side reconstruction of the identical graph — the shared CTE
     * prefix every graph oracle starts with. */
   val oracleCte: String =
