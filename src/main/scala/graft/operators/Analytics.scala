@@ -317,16 +317,89 @@ object Analytics {
     b.toString
   }
 
+  // ---------------------------------------------------- g_sssp_weighted
+  /** Single-source shortest paths with EDGE WEIGHTS (Bellman-Ford,
+    * `ssspIters` fixed rounds) from region:0 over the undirected
+    * weighted edge set — min hop-cost where each edge costs its integer
+    * weight (lineitem multiplicity for HAS_PART/SUPPLIED_BY, 1
+    * elsewhere). Exact BIGINT arithmetic; after k rounds the distances
+    * are exactly the cheapest ≤k-edge paths, which is the contract the
+    * unrolled oracle replicates. Each round: one union + one
+    * partial-aggregated groupBy-min, eagerly materialized (node-count
+    * rows) to cap plan depth — the CC machinery with a cost column. */
+  val ssspIters = 6
+
+  def ssspWeighted: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val sid = nodeIdCol(col("src_label"), col("src_key"))
+    val did = nodeIdCol(col("dst_label"), col("dst_key"))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      nodeIdCol(col("label"), col("key")).as("id"))
+    val und = graph.edges.select(sid.as("a"), did.as("b"), col("weight").as("w"))
+      .union(graph.edges.select(did.as("a"), sid.as("b"), col("weight").as("w")))
+      .cache()
+    var dist = nodes
+      .filter(col("label") === "region" && col("key") === 0L)
+      .select(col("id"), lit(0L).as("d"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to ssspIters) {
+      val relaxed = und.join(broadcast(dist.withColumnRenamed("id", "a")), Seq("a"))
+        .select(col("b").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("d").as("d"))
+        .localCheckpoint(eager = true)
+    }
+    nodes.join(dist, Seq("id"))
+      .select("label", "key", "d").orderBy("label", "key")
+  }
+
+  val ssspWeightedSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undw AS (
+             | SELECT (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key AS a,
+             |        (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key AS b,
+             |        weight AS w
+             | FROM edges
+             | UNION ALL
+             | SELECT (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key,
+             |        (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key,
+             |        weight
+             | FROM edges
+             |), s0 AS (
+             | SELECT id, CAST(0 AS BIGINT) AS d FROM ids
+             | WHERE label = 'region' AND key = 0
+             |)""".stripMargin
+    for (i <- 1 to ssspIters) {
+      b ++= s""", s$i AS (
+               | SELECT id, min(d) AS d FROM (
+               |  SELECT id, d FROM s${i - 1}
+               |  UNION ALL
+               |  SELECT u.b AS id, s${i - 1}.d + u.w AS d
+               |  FROM undw u JOIN s${i - 1} ON u.a = s${i - 1}.id
+               | ) GROUP BY id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key, s$ssspIters.d
+             |FROM ids JOIN s$ssspIters ON s$ssspIters.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> pagerank,
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
-    "g_bfs_depth" -> bfsDepth)
+    "g_bfs_depth" -> bfsDepth,
+    "g_sssp_weighted" -> ssspWeighted)
 
   val oracleSql: Map[String, String] = Map(
     "g_pagerank" -> pagerankSql,
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,
-    "g_bfs_depth" -> bfsDepthSql)
+    "g_bfs_depth" -> bfsDepthSql,
+    "g_sssp_weighted" -> ssspWeightedSql)
 }

@@ -288,6 +288,40 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q_rollup
+  /** ROLLUP aggregation (GROUPING SETS family): revenue by (nation,
+    * order-year) with per-nation subtotals and a grand total — the OLAP
+    * cube primitive. Rollup null markers are coalesced to stable
+    * sentinels so both engines hash identically; decimal-exact sums.
+    * One shuffle; Spark expands grouping sets map-side. */
+  def qRollup: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        dec(col("o_totalprice")).as("price"))
+      .rollup(col("n_name"), col("yr"))
+      .agg(sum(col("price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation", "yr")
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(n_name, 'ALL') AS nation,
+      | COALESCE(year(o_orderdate), -1) AS yr,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, year(o_orderdate))
+      |ORDER BY nation, yr""".stripMargin
+
   // --------------------------------------------------------- q_events_funnel
   /** Click→purchase funnel: every (click, purchase) pair of the same
     * user with the purchase inside the hour after the click — the batch
@@ -378,6 +412,7 @@ object Relational {
     "q_semi_anti" -> qSemiAnti,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_topk" -> qTopk,
+    "q_rollup" -> qRollup,
     "q_events_window" -> qEventsWindow,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_sessionize" -> qEventsSessionize)
@@ -392,6 +427,7 @@ object Relational {
     "q_semi_anti" -> qSemiAntiSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_topk" -> qTopkSql,
+    "q_rollup" -> qRollupSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_sessionize" -> qEventsSessionizeSql)

@@ -195,6 +195,42 @@ object TextOps {
        | CAST(length(text) AS BIGINT) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- t_ngram_stats
+  /** Corpus-level n-gram statistics: the top-100 word bigrams by global
+    * frequency — the vocabulary/tokenizer-training primitive. Explode
+    * bigrams (words materialized once — see shingle CSE note in Dedup),
+    * one partial-aggregated groupBy, exact top-k with a deterministic
+    * (count DESC, bigram ASC) tie-break. At 100 TB this is the
+    * canonical map-side-combine wordcount: shuffle volume is the
+    * DISTINCT bigram set per partition, not the corpus. */
+  val ngramTopK = 100
+
+  def ngramStats: Q = (s, dir) => {
+    val words = col("words")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    docs(s, dir)
+      .select(split(col("text"), " ").as("words"))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(ngramTopK)
+  }
+
+  val ngramStatsSql: String =
+    s"""WITH w AS (
+       | SELECT string_split(text, ' ') AS words FROM documents
+       |), bg AS (
+       | SELECT unnest(list_transform(
+       |   range(1, greatest(len(words) - 1, 0) + 1),
+       |   i -> words[i] || ' ' || words[i+1])) AS bigram
+       | FROM w
+       |)
+       |SELECT bigram, count(*) AS n FROM bg
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $ngramTopK""".stripMargin
+
   // -------------------------------------------------------- t_fingerprint
   /** Document fingerprints: exact content hash, order-independent bag
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
@@ -239,6 +275,7 @@ object TextOps {
     "t_quality_score" -> qualityScore,
     "t_token_count" -> tokenCount,
     "t_corpus_filter" -> corpusFilter,
+    "t_ngram_stats" -> ngramStats,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
@@ -246,5 +283,6 @@ object TextOps {
     "t_quality_score" -> qualityScoreSql,
     "t_token_count" -> tokenCountSql,
     "t_corpus_filter" -> corpusFilterSql,
+    "t_ngram_stats" -> ngramStatsSql,
     "t_fingerprint" -> fingerprintSql)
 }
