@@ -13,6 +13,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.local(cpus, "graft-bench")
+    // JIT/executor warmup (pure compute, touches no test data): without
+    // it the first timed query absorbs several seconds of session
+    // bring-up that belongs to no query
+    spark.range(1000000).selectExpr("sum(id % 7)").collect()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>

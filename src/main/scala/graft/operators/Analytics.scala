@@ -112,15 +112,34 @@ object Analytics {
     "(CASE " + labelCodes.map { case (l, c) => s"WHEN label = '$l' THEN $c" }
       .mkString(" ") + " END) * 10000000000000 + key"
 
+  // ---------------------------------------------- shared numeric graph
+  /** One cached numeric-id view per (session, dir), shared by every
+    * iterative algorithm: `nodes(label, key, id)` and the undirected
+    * weighted edge list `und(a, b, w)`. Propagation loops run on single
+    * BIGINT keys (hashing/shuffling one long beats a (string, long)
+    * composite every round) and the edge materialization is paid once
+    * per session instead of once per operator. */
+  private val numericCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    numericCache.getOrElseUpdate((s, dir), {
+      val graph = g(s, dir)
+      val sid = nodeIdCol(col("src_label"), col("src_key"))
+      val did = nodeIdCol(col("dst_label"), col("dst_key"))
+      val nodes = graph.nodes.select(col("label"), col("key"),
+        nodeIdCol(col("label"), col("key")).as("id")).cache()
+      val und = graph.edges
+        .select(sid.as("a"), did.as("b"), col("weight").as("w"))
+        .union(graph.edges
+          .select(did.as("a"), sid.as("b"), col("weight").as("w")))
+        .cache()
+      (nodes, und)
+    })
+
   def connectedComponents: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val sid = nodeIdCol(col("src_label"), col("src_key"))
-    val did = nodeIdCol(col("dst_label"), col("dst_key"))
-    val nodes = graph.nodes.select(col("label"), col("key"),
-      nodeIdCol(col("label"), col("key")).as("id"))
-    val und = graph.edges.select(sid.as("a"), did.as("b"))
-      .union(graph.edges.select(did.as("a"), sid.as("b")))
-      .cache()
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
     // SEMI-NAIVE delta propagation. Round-identical to the oracle's
     // naive unrolling: min-propagation is monotone, so a neighbor whose
     // comp did not change last round contributes exactly the value it
@@ -257,40 +276,31 @@ object Analytics {
   val bfsIters = 6
 
   def bfsDepth: Q = (s, dir) => {
-    val graph = g(s, dir)
-    // Frontier-driven: each level joins only the NEW nodes against the
-    // edge list (total work ≈ Σ frontier sizes ≈ N) — min-propagation
-    // over the full reached set costs reached×levels and measured 7×
-    // slower at sf0.1. Frontier is broadcast (always ≤ the level's new
-    // nodes); the visited set stays distributed for the anti-join.
-    val und = graph.edges.select(
-        col("src_label").as("al"), col("src_key").as("ak"),
-        col("dst_label").as("bl"), col("dst_key").as("bk"))
-      .union(graph.edges.select(
-        col("dst_label").as("al"), col("dst_key").as("ak"),
-        col("src_label").as("bl"), col("src_key").as("bk"))).cache()
-    var dist = graph.nodes
+    // Frontier-driven in NUMERIC-ID space: each level joins only the
+    // NEW nodes against the shared edge cache (total work ≈ Σ frontier
+    // sizes ≈ N); per-level distinct + visited anti-join hash a single
+    // BIGINT instead of a (string, long) composite. NO broadcast hint:
+    // a mid-BFS frontier is O(N) and a blind hint dies at the broadcast
+    // ceiling at 100× — AQE sees actual frontier sizes at runtime and
+    // converts small ones on its own (eagerly counting each level to
+    // gate a manual hint measured 2.7× slower than trusting AQE).
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    var dist = nodes
       .filter(col("label") === "region" && col("key") === 0L)
-      .select(col("label"), col("key"), lit(0).as("depth"))
-    var frontier = dist
+      .select(col("id"), lit(0).as("depth"))
+    var frontier = dist.select("id")
     for (i <- 1 to bfsIters) {
-      // NO broadcast hint: a mid-BFS frontier is O(N), and a blind hint
-      // dies at the broadcast ceiling at 100×. AQE sees the actual
-      // frontier size at runtime from the shuffle stats and converts
-      // small frontiers to broadcast joins on its own — the size gate
-      // the hint can't express. (Eagerly counting each level to gate a
-      // manual hint measured 2.7× slower than trusting AQE here: the
-      // per-level materialization jobs cost more than they saved.)
-      val next = und.join(frontier.select(
-          col("label").as("al"), col("key").as("ak")), Seq("al", "ak"))
-        .select(col("bl").as("label"), col("bk").as("key")).distinct()
-        .join(dist.select("label", "key"), Seq("label", "key"), "left_anti")
+      val next = und.join(frontier.withColumnRenamed("id", "a"), Seq("a"))
+        .select(col("b").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
         .withColumn("depth", lit(i))
         .localCheckpoint(eager = false)
       dist = dist.unionByName(next).localCheckpoint(eager = false)
-      frontier = next
+      frontier = next.select("id")
     }
-    dist.orderBy("label", "key")
+    nodes.join(dist, Seq("id"))
+      .select("label", "key", "depth").orderBy("label", "key")
   }
 
   val bfsDepthSql: String = {
@@ -330,14 +340,7 @@ object Analytics {
   val ssspIters = 6
 
   def ssspWeighted: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val sid = nodeIdCol(col("src_label"), col("src_key"))
-    val did = nodeIdCol(col("dst_label"), col("dst_key"))
-    val nodes = graph.nodes.select(col("label"), col("key"),
-      nodeIdCol(col("label"), col("key")).as("id"))
-    val und = graph.edges.select(sid.as("a"), did.as("b"), col("weight").as("w"))
-      .union(graph.edges.select(did.as("a"), sid.as("b"), col("weight").as("w")))
-      .cache()
+    val (nodes, und) = numericGraph(s, dir)
     var dist = nodes
       .filter(col("label") === "region" && col("key") === 0L)
       .select(col("id"), lit(0L).as("d"))
