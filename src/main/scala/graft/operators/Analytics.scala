@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.model.PropertyGraph
 
 /** Graph analytics (SURVEY.md §2 B-block): fixed-iteration DataFrame
@@ -391,18 +392,86 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------ g_label_propagation
+  /** Label-propagation community detection, `lpaIters` fixed
+    * synchronous rounds: every node adopts the MODE of its neighbors'
+    * labels (ties → smallest label; isolated nodes keep their own).
+    * Fully deterministic — synchronous rounds + total tie order — so
+    * the unrolled oracle is exact. Each round is one join + one
+    * count-aggregate + one windowed argmax, all keyed on the numeric
+    * node id; the same shared edge cache as CC/SSSP/BFS. */
+  val lpaIters = 2
+
+  def labelPropagation: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    var lbl = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to lpaIters) {
+      val counts = und.join(broadcast(lbl.withColumnRenamed("id", "a")), Seq("a"))
+        .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("n").desc, col("lbl"))
+      val mode = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("lbl").as("m"))
+      lbl = lbl.join(broadcast(mode), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("m"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    nodes.join(lbl, Seq("id"))
+      .select("label", "key", "lbl").orderBy("label", "key")
+  }
+
+  val labelPropagationSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), und AS (
+             | SELECT (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key AS a,
+             |        (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key AS b
+             | FROM edges
+             | UNION ALL
+             | SELECT (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key,
+             |        (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key
+             | FROM edges
+             |), l0 AS (SELECT id, id AS lbl FROM ids)""".stripMargin
+    for (i <- 1 to lpaIters) {
+      b ++= s""", cnt$i AS (
+               | SELECT u.b AS id, l${i - 1}.lbl, count(*) AS n
+               | FROM und u JOIN l${i - 1} ON l${i - 1}.id = u.a
+               | GROUP BY u.b, l${i - 1}.lbl
+               |), md$i AS (
+               | SELECT id, lbl AS m FROM (
+               |  SELECT id, lbl, row_number() OVER (
+               |    PARTITION BY id ORDER BY n DESC, lbl) AS rn
+               |  FROM cnt$i
+               | ) WHERE rn = 1
+               |), l$i AS (
+               | SELECT l.id, COALESCE(md$i.m, l.lbl) AS lbl
+               | FROM l${i - 1} l LEFT JOIN md$i ON md$i.id = l.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key, l$lpaIters.lbl
+             |FROM ids JOIN l$lpaIters ON l$lpaIters.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> pagerank,
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
     "g_bfs_depth" -> bfsDepth,
-    "g_sssp_weighted" -> ssspWeighted)
+    "g_sssp_weighted" -> ssspWeighted,
+    "g_label_propagation" -> labelPropagation)
 
   val oracleSql: Map[String, String] = Map(
     "g_pagerank" -> pagerankSql,
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,
     "g_bfs_depth" -> bfsDepthSql,
-    "g_sssp_weighted" -> ssspWeightedSql)
+    "g_sssp_weighted" -> ssspWeightedSql,
+    "g_label_propagation" -> labelPropagationSql)
 }
