@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graftfns.DotProductL
+
+/** SparkSessionExtensions entry point — how a cluster user plugs graft
+  * into ANY session (`--conf spark.sql.extensions=graft.GraftExtensions`)
+  * without touching application code.
+  *
+  * Registers the library's native Catalyst expressions as SQL functions
+  * so `spark.sql("SELECT dot_l(a, b) ...")` reaches the codegen'd
+  * implementation. This is deliberately the ONLY extension point in
+  * use: graft's design principle (SURVEY.md §3) is declarative plans
+  * that Catalyst already optimizes — custom `Expression`s where
+  * built-ins are interpreted fallbacks (the vector hot path), and no
+  * custom Strategy/LogicalPlan because no operator here has semantics
+  * the built-in operators cannot express.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_l(arrayOfLong, arrayOfLong)")
+        DotProductL(children.head, children(1))
+      }))
+  }
+}

@@ -128,6 +128,12 @@ class Round2Spec extends AnyFunSuite {
     assert(r.getAs[Long]("src_key") == 19L && r.getAs[Long]("dst_key") == 4L)
   }
 
+  test("session extensions: dot_l reaches the native expression from SQL") {
+    val r = spark.sql(
+      "SELECT dot_l(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect()
+    assert(r.head.getLong(0) == 32L)
+  }
+
   test("minhash band-bucket cap: no band bucket exceeds the cap") {
     // indirect: candidate count is bounded by cap^2/2 per bucket; the
     // direct invariant is that results are reproducible and the planted
