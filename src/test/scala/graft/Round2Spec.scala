@@ -128,6 +128,46 @@ class Round2Spec extends AnyFunSuite {
     assert(r.getAs[Long]("src_key") == 19L && r.getAs[Long]("dst_key") == 4L)
   }
 
+  test("sssp: source at 0, costs dominate hop depths, same reachable set") {
+    val sssp = Analytics.ssspWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bfs = Analytics.bfsDepth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sssp(("region", 0L)) == 0L)
+    // 6 Bellman-Ford rounds relax exactly the <=6-edge paths, so the
+    // reachable set equals 6-level BFS; with weights >= 1 the cheapest
+    // cost is at least the hop count
+    assert(sssp.keySet == bfs.keySet)
+    sssp.foreach { case (k, d) => assert(d >= bfs(k), s"$k: $d < ${bfs(k)}") }
+  }
+
+  test("dedup cluster: canon is minimal and direct pairs share a canon") {
+    val canon = Dedup.dedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.forall { case (id, c) => c <= id })
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("rollup: per-nation subtotals and grand total are consistent") {
+    val rows = operators.Relational.qRollup(spark, sf).collect()
+    val detail = rows.filter(r => r.getString(0) != "ALL" && r.getInt(1) != -1)
+    val natSub = rows.filter(r => r.getString(0) != "ALL" && r.getInt(1) == -1)
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getInt(1) == -1)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") ==
+      detail.map(_.getAs[Long]("n_orders")).sum)
+    natSub.foreach { s =>
+      val nat = s.getString(0)
+      assert(s.getAs[Long]("n_orders") ==
+        detail.filter(_.getString(0) == nat).map(_.getAs[Long]("n_orders")).sum)
+    }
+  }
+
   test("session extensions: dot_l reaches the native expression from SQL") {
     val r = spark.sql(
       "SELECT dot_l(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect()
