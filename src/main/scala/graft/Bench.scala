@@ -13,10 +13,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.local(cpus, "graft-bench")
-    // JIT/executor warmup (pure compute, touches no test data): without
-    // it the first timed query absorbs several seconds of session
-    // bring-up that belongs to no query
+    // JIT/executor warmup: without it the first timed query absorbs
+    // several seconds of session bring-up (codegen + parquet-reader JIT)
+    // that belongs to no query. The parquet touch reads the 5-row
+    // region table — it warms the reader code path, not the data.
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").collect()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>

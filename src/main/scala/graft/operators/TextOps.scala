@@ -195,6 +195,59 @@ object TextOps {
        | CAST(length(text) AS BIGINT) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- t_stratified_sample
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * training pipeline: documents are stratified by length band and
+    * each band keeps a different fraction (short 50%, medium 20%, long
+    * 10%), selected by a HASH of the doc id rather than an RNG so the
+    * sample is reproducible, engine-exact, and stable under re-runs /
+    * re-partitioning. The hash is the first 4 md5 nibbles of the id
+    * string → uniform 0..65535, mod 100 against the band's rate.
+    * Linear, shuffle-free. */
+  def stratifiedSample: Q = (s, dir) => {
+    val h4 = (0 until 4).map { k =>
+      (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${k + 1}, 1)) - 1")) *
+        lit(1 << (4 * (3 - k)))
+    }.reduce(_ + _)
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("stratum",
+        when(col("n_words") < 40, "short")
+          .when(col("n_words") < 70, "medium")
+          .otherwise("long"))
+      .withColumn("pct", (h4 % 100).cast("long"))
+      .filter(
+        (col("stratum") === "short" && col("pct") < 50) ||
+        (col("stratum") === "medium" && col("pct") < 20) ||
+        (col("stratum") === "long" && col("pct") < 10))
+      .select("doc_id", "stratum", "n_words", "pct")
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    val h4 = (0 until 4).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(($h4) % 100 AS BIGINT) AS pct
+       | FROM documents
+       |), st AS (
+       | SELECT doc_id, n_words, pct,
+       |  CASE WHEN n_words < 40 THEN 'short'
+       |       WHEN n_words < 70 THEN 'medium'
+       |       ELSE 'long' END AS stratum
+       | FROM m
+       |)
+       |SELECT doc_id, stratum, n_words, pct FROM st
+       |WHERE (stratum = 'short' AND pct < 50)
+       |   OR (stratum = 'medium' AND pct < 20)
+       |   OR (stratum = 'long' AND pct < 10)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- t_ngram_stats
   /** Corpus-level n-gram statistics: the top-100 word bigrams by global
     * frequency — the vocabulary/tokenizer-training primitive. Explode
@@ -276,6 +329,7 @@ object TextOps {
     "t_token_count" -> tokenCount,
     "t_corpus_filter" -> corpusFilter,
     "t_ngram_stats" -> ngramStats,
+    "t_stratified_sample" -> stratifiedSample,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
@@ -284,5 +338,6 @@ object TextOps {
     "t_token_count" -> tokenCountSql,
     "t_corpus_filter" -> corpusFilterSql,
     "t_ngram_stats" -> ngramStatsSql,
+    "t_stratified_sample" -> stratifiedSampleSql,
     "t_fingerprint" -> fingerprintSql)
 }
