@@ -410,10 +410,14 @@ object Analytics {
     for (_ <- 1 to lpaIters) {
       val counts = und.join(broadcast(lbl.withColumnRenamed("id", "a")), Seq("a"))
         .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("id")
-        .orderBy(col("n").desc, col("lbl"))
-      val mode = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("id"), col("lbl").as("m"))
+      // argmax as a partial-aggregable max over (n, -lbl) structs: the
+      // struct order gives highest count, then smallest label — the
+      // same deterministic mode a windowed row_number would pick, minus
+      // the full sort of the (id, lbl) count table (round 1 has one
+      // count row per EDGE, so the window sort was the hot stage)
+      val mode = counts.groupBy("id")
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("mx"))
+        .select(col("id"), (-col("mx.neg")).as("m"))
       lbl = lbl.join(broadcast(mode), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("m"), col("lbl")).as("lbl"))
         .localCheckpoint(eager = true)
