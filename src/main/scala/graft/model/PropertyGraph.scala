@@ -228,13 +228,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         col("src_key").as("b_key"), col("elabel")))
     // node-label constraint applies to EVERY node of the path (reference
     // ALL(x IN NODES(path))): filter expansion targets; start must pass
-    // cache the label-filtered undirected edge set: every level joins
-    // it, and without the cache each level re-derives the union+filter
-    // from the base edge table (measured 2.5 s/level at sf0.1)
-    val e = (if (nodeLabels.isEmpty) undirectedE
-             else undirectedE.filter(col("b_label").isInCollection(nodeLabels)))
-      .withColumn("b_id", concat(col("b_label"), lit(":"), col("b_key")))
-      .cache()
+    // NO per-call cache on the expanded edge set: the base edge table is
+    // already session-cached, so each level's union+filter is a cheap
+    // in-memory scan — materializing a second copy per pathsTo call
+    // cost more than the 3-4 rescans it saved (and leaked memory
+    // pressure across calls). The b_id string is built AFTER the join,
+    // on matched rows only — not on the full edge set every level.
+    val e = if (nodeLabels.isEmpty) undirectedE
+            else undirectedE.filter(col("b_label").isInCollection(nodeLabels))
     val startOk = nodeLabels.isEmpty || nodeLabels.contains(srcLabel)
     val startId = s"$srcLabel:$srcKey"
     var frontier = (if (startOk) nodes.filter(onNode(srcLabel, srcKey))
@@ -250,9 +251,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       depth += 1
       val fr = if (frontierRows <= broadcastRowCap) broadcast(frontier)
                else frontier
+      // cache the LEVEL (not just the surviving frontier): both the
+      // done-paths branch and the next level's frontier read it, and
+      // the final result materialization would otherwise re-execute
+      // every level's expansion join a second time
       val step = e.join(fr,
           col("a_label") === col("cur_label") &&
           col("a_key") === col("cur_key"))
+        .withColumn("b_id", concat(col("b_label"), lit(":"), col("b_key")))
         .filter(!array_contains(col("visited"), col("b_id")))
         .select(col("b_label").as("cur_label"),
           col("b_key").as("cur_key"),
@@ -264,14 +270,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           when(col("depth") === 0, col("elabel"))
             .otherwise(concat(col("elabels"), lit(">"), col("elabel")))
             .as("elabels"))
+        .cache()
+      cached += step
       val done = step.filter(col("cur_label") === dstLabel &&
         col("cur_key") === dstKey)
         .select(col("path"), col("depth"), col("elabels"))
       results = Some(results.map(_.unionByName(done)).getOrElse(done))
       frontier = step.filter(
         !(col("cur_label") === dstLabel && col("cur_key") === dstKey))
-        .cache() // next level's join + the result union both read it
-      cached += frontier
       frontierRows = frontier.count() // scalar action; drives termination
     }
     // materialize the result BEFORE releasing the per-level caches —
@@ -280,7 +286,6 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     val out0 = if (withEdgeLabels) results.get else results.get.drop("elabels")
     val out = out0.localCheckpoint(eager = true)
     cached.foreach(_.unpersist(blocking = false))
-    e.unpersist(blocking = false)
     out
   }
 
