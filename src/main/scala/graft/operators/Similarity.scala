@@ -14,10 +14,12 @@ import graft.model.Tables
   * DuckDB rank identically (float cosine would drift and flip
   * row_number at ties).
   *
-  * Scale path: `lshBands` — banded random-hyperplane signatures
-  * (±1 planes derived from md5 parity, exact integer dots). At 100 TB a
-  * probe joins only its bucket; here it's spec-tested and benchmarked,
-  * the oracle-checked query stays brute-force (exact semantics).
+  * Scale paths — BOTH oracle-checked, not spec-only: `s_ann_topk_lsh`
+  * (banded random-hyperplane signatures, ±1 planes derived from md5
+  * parity, exact integer dots) and `s_ann_ivf` (coarse-centroid
+  * inverted file, nprobe = 1). A probe meets only its bucket/cell;
+  * `s_ann_topk` remains the exact brute-force baseline they are
+  * recall-compared against in Round2Spec.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame

@@ -34,6 +34,31 @@ class Round2Spec extends AnyFunSuite {
     assert(g.pathsTo("customer", 1L, "supplier", 1L, maxDepth = 0).isEmpty)
   }
 
+  test("pathsTo src == dst yields no paths (simple-path contract)") {
+    // the visited set contains the start, so no path can re-enter it:
+    // cycles are excluded by the re-expressed simple-path semantics
+    // (documented divergence from Cypher's edge-trail cycles)
+    assert(g.pathsTo("customer", 1L, "customer", 1L, maxDepth = 4).isEmpty)
+  }
+
+  test("updateNodeProps with an empty change-map is the identity") {
+    val a = g.nodeProps.filter(col("label") === "customer" && col("key") <= 5L)
+      .select("key", "props").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    val b = g.updateNodeProps(col("label") === "customer", Map.empty)
+      .filter(col("label") === "customer" && col("key") <= 5L)
+      .select("key", "props").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    assert(a == b)
+  }
+
+  test("dedup cluster canon assignment is idempotent") {
+    val canon = Dedup.dedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every canonical id maps to itself — re-canonicalizing changes nothing
+    canon.values.foreach(c => assert(canon(c) == c, s"canon $c not a root"))
+  }
+
   test("pathsTo label filter excluding the start yields no paths") {
     val rows = g.pathsTo("customer", 1L, "nation", 19L, maxDepth = 2,
       nodeLabels = Seq("nation", "region"))
