@@ -347,6 +347,9 @@ object Analytics {
       .select(col("id"), lit(0L).as("d"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to ssspIters) {
+      // broadcast is node-count-bounded like CC's comp side: correct at
+      // benchmark scale, replaced by pre-partitioned (bucketed) und +
+      // dist at 100× where the vector outgrows the broadcast ceiling
       val relaxed = und.join(broadcast(dist.withColumnRenamed("id", "a")), Seq("a"))
         .select(col("b").as("id"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed)
@@ -408,6 +411,8 @@ object Analytics {
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to lpaIters) {
+      // node-count broadcast — same ceiling caveat as CC/SSSP: at 100×
+      // the label vector is pre-partitioned with und instead of shipped
       val counts = und.join(broadcast(lbl.withColumnRenamed("id", "a")), Seq("a"))
         .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
       // argmax as a partial-aggregable max over (n, -lbl) structs: the

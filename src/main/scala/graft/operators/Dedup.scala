@@ -259,9 +259,14 @@ object Dedup {
     var comp = docs(s, dir).select(col("doc_id").as("id"),
       col("doc_id").as("canon_id"))
     for (_ <- 1 to clusterIters) {
-      val m = und.join(broadcast(comp.withColumnRenamed("id", "nb")
-          .withColumnRenamed("canon_id", "c")), Seq("nb"))
-        .groupBy("id").agg(min("c").as("m"))
+      // broadcast the PAIR GRAPH, never the corpus: und and the per-
+      // round min frame are bounded by the near-dup pair set (tiny by
+      // definition at any scale), while comp is corpus-sized — at
+      // 100 TB a broadcast(comp) dies at the ceiling, so the corpus
+      // side always streams
+      val u = und.toDF("uid", "nb")
+      val m = comp.join(broadcast(u), col("id") === col("nb"))
+        .groupBy(col("uid").as("id")).agg(min("canon_id").as("m"))
       comp = comp.join(broadcast(m), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("canon_id"), coalesce(col("m"), col("canon_id")))
