@@ -295,7 +295,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * edge-label sequences. */
   def pathHops(paths: DataFrame): DataFrame =
     paths.withColumn("hops",
-      arrays_zip(slice(split(col("elabels"), ">"), 1, 1000000).as("elabel"),
+      arrays_zip(split(col("elabels"), ">").as("elabel"),
+        // the path sequence includes the start node — hop i pairs edge
+        // label i with the node ARRIVED AT, so skip element 1
         slice(split(col("path"), ">"), 2, 1000000).as("node")))
 
   /** Frontier-size gate for broadcast hints in iterative traversals. */
@@ -315,8 +317,13 @@ object PropertyGraph {
     * pure SQL-expressible construction so every oracle rebuilds the
     * identical graph in its CTEs.
     */
-  def load(spark: SparkSession, dir: String): PropertyGraph =
+  def load(spark: SparkSession, dir: String): PropertyGraph = {
+    // evict memo entries of stopped sessions — the map is JVM-global,
+    // and a driver cycling sessions (notebook, test matrix) would
+    // otherwise pin one dead snapshot per (session, dir) forever
+    loaded.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     loaded.getOrElseUpdate((spark, dir), build(spark, dir))
+  }
 
   private def build(spark: SparkSession, dir: String): PropertyGraph = {
     def t(n: String) = Tables(spark, dir, n)

@@ -123,7 +123,11 @@ object Analytics {
   private val numericCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // evict entries of stopped sessions — the memo is JVM-global, and a
+    // driver that cycles sessions would otherwise pin one dead edge
+    // cache per (session, dir) forever
+    numericCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     numericCache.getOrElseUpdate((s, dir), {
       val graph = g(s, dir)
       val sid = nodeIdCol(col("src_label"), col("src_key"))
@@ -137,6 +141,7 @@ object Analytics {
         .cache()
       (nodes, und)
     })
+  }
 
   def connectedComponents: Q = (s, dir) => {
     val (nodes, undW) = numericGraph(s, dir)
@@ -335,26 +340,44 @@ object Analytics {
     * weight (lineitem multiplicity for HAS_PART/SUPPLIED_BY, 1
     * elsewhere). Exact BIGINT arithmetic; after k rounds the distances
     * are exactly the cheapest ≤k-edge paths, which is the contract the
-    * unrolled oracle replicates. Each round: one union + one
-    * partial-aggregated groupBy-min, eagerly materialized (node-count
-    * rows) to cap plan depth — the CC machinery with a cost column. */
+    * unrolled oracle replicates. Each round: one delta-edge join + one
+    * partial-aggregated groupBy-min + one full-outer merge, eagerly
+    * materialized (node-count rows) to cap plan depth — the CC
+    * semi-naive machinery with a cost column. */
   val ssspIters = 6
 
   def ssspWeighted: Q = (s, dir) => {
     val (nodes, und) = numericGraph(s, dir)
+    // SEMI-NAIVE delta relaxation, same argument as CC: min-plus is
+    // monotone, so a node whose distance did not change last round
+    // contributed exactly the relaxations it already contributed the
+    // round it last changed — re-relaxing it is a no-op. Each round
+    // joins only the CHANGED rows (the frontier of improved distances)
+    // against the edge list; the naive shape re-relaxed ALL settled
+    // nodes every round (6 full edge joins). Round-identical to the
+    // unrolled oracle; delta empty ⇒ all remaining rounds are no-ops.
     var dist = nodes
       .filter(col("label") === "region" && col("key") === 0L)
       .select(col("id"), lit(0L).as("d"))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to ssspIters) {
-      // broadcast is node-count-bounded like CC's comp side: correct at
-      // benchmark scale, replaced by pre-partitioned (bucketed) und +
-      // dist at 100× where the vector outgrows the broadcast ceiling
-      val relaxed = und.join(broadcast(dist.withColumnRenamed("id", "a")), Seq("a"))
-        .select(col("b").as("id"), (col("d") + col("w")).as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy("id").agg(min("d").as("d"))
+    var delta = dist
+    var round = 0
+    while (round < ssspIters && !delta.isEmpty) {
+      round += 1
+      // delta is frontier-bounded (≤ node count, shrinking past the
+      // graph's weighted diameter) — broadcast at bench scale; at 100×
+      // pre-partition und + dist on the id (bucketed tables) instead
+      val cand = und.join(broadcast(delta.withColumnRenamed("id", "a")), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min(col("d") + col("w")).as("m"))
+      // full-outer merge: relaxations can REACH new nodes (no dist row
+      // yet), unlike CC where comp starts with every node
+      val merged = dist.join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("d"), col("m")), coalesce(col("m"), col("d"))).as("nd"),
+          coalesce(col("m") < col("d"), col("d").isNull).as("chg"))
         .localCheckpoint(eager = true)
+      delta = merged.filter(col("chg")).select(col("id"), col("nd").as("d"))
+      dist = merged.select(col("id"), col("nd").as("d"))
     }
     nodes.join(dist, Seq("id"))
       .select("label", "key", "d").orderBy("label", "key")

@@ -26,6 +26,18 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Materialize `result` (truncating its lineage), then release the
+    * per-call caches feeding it — without this every invocation pinned
+    * its exploded-shingle/signature intermediates in executor memory for
+    * the session lifetime (the ADVICE-r1 pathsTo leak pattern). The
+    * checkpoint must happen BEFORE the unpersist: the result's lineage
+    * reads the caches, and releasing first would recompute uncached. */
+  private def release(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   // ------------------------------------------------------- d_dedup_exact
   /** Exact dedup: md5 content hash, canonical = min doc_id per hash.
     * One shuffle on the hash; at scale this is a straight hash-groupBy
@@ -137,12 +149,12 @@ object Dedup {
       .distinct()
     val sa = sig.toDF("doc_a" +: (0 until mhSeeds).map(k => s"a$k"): _*)
     val sb = sig.toDF("doc_b" +: (0 until mhSeeds).map(k => s"b$k"): _*)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val scored = cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (0 until mhSeeds).map(k =>
           when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
           .reduce(_ + _).as("n_match"))
-      .orderBy("doc_a", "doc_b")
+    release(scored, sig).orderBy("doc_a", "doc_b")
   }
 
   val dedupMinhashSql: String = {
@@ -205,12 +217,13 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val jp = pairs
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .filter(lit(3) * col("inter") > col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
+    release(jp, ds, sizes)
   }
 
   def ngramJaccard: Q = (s, dir) =>
@@ -272,7 +285,8 @@ object Dedup {
           least(col("canon_id"), coalesce(col("m"), col("canon_id")))
             .as("canon_id"))
     }
-    comp.select(col("id").as("doc_id"), col("canon_id")).orderBy("doc_id")
+    release(comp.select(col("id").as("doc_id"), col("canon_id")), und)
+      .orderBy("doc_id")
   }
 
   val dedupClusterSql: String = {
@@ -343,13 +357,13 @@ object Dedup {
       .distinct()
     val va = sim.toDF("doc_a" +: (0 until 16).map(q => s"va$q"): _*)
     val vb = sim.toDF("doc_b" +: (0 until 16).map(q => s"vb$q"): _*)
-    cand.join(va, "doc_a").join(vb, "doc_b")
+    val scored = cand.join(va, "doc_a").join(vb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (0 until 16).map(q =>
           bit_count(col(s"va$q").bitwiseXOR(col(s"vb$q"))).cast("long"))
           .reduce(_ + _).as("hamming"))
       .filter(col("hamming") <= 12)
-      .orderBy("doc_a", "doc_b")
+    release(scored, sim).orderBy("doc_a", "doc_b")
   }
 
   val dedupSimhashSql: String = {
@@ -409,13 +423,13 @@ object Dedup {
       .withColumn("nn", dot(col("qe"), col("qe"))).cache()
     val a = q.toDF("vec_a", "qa", "na").repartition(col("vec_a"))
     val b = broadcast(q.toDF("vec_b", "qb", "nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val pairs = a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
         col("na"), col("nb"))
       .filter(col("dp") > 0 &&
         lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"), col("dp"), col("na"), col("nb"))
-      .orderBy("vec_a", "vec_b")
+    release(pairs, q).orderBy("vec_a", "vec_b")
   }
 
   val dedupEmbeddingSql: String =

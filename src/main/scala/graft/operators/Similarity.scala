@@ -160,8 +160,12 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id").distinct()
     val qq = quantized(s, dir)
+    // broadcast ONLY the probe vectors (vec_id < 10) — hinting the full
+    // quantized table here would ship the whole corpus for a 10-row
+    // lookup and die at the 8 GB broadcast ceiling at scale.
     val scored = cand
-      .join(broadcast(qq.toDF("probe_id", "qp")), "probe_id")
+      .join(broadcast(qq.filter(col("vec_id") < 10).toDF("probe_id", "qp")),
+        "probe_id")
       .join(qq.toDF("cand_id", "qc"), "cand_id")
       .select(col("probe_id"), col("cand_id"),
         dot(col("qp"), col("qc")).as("dp"),

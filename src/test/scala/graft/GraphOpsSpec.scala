@@ -54,7 +54,10 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   test("pathsTo finds only simple paths ending at the target") {
-    val rows = g.pathsTo("customer", 1L, "supplier", 1L, maxDepth = 3).collect()
+    // directed = true: this spec exercises the round-1 directed contract
+    // (the default is undirected, matching the reference's `-[*]-`)
+    val rows = g.pathsTo("customer", 1L, "supplier", 1L, maxDepth = 3,
+      directed = true).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val p = r.getAs[String]("path")
