@@ -123,6 +123,16 @@ object Analytics {
   private val numericCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Populate the session-shared caches (PropertyGraph nodes/edges +
+    * the numeric edge list) eagerly. Bench calls this in its warmup
+    * phase: the build is SESSION state read by 20+ graph queries, and
+    * without prewarming whichever graph query happened to run first
+    * absorbed the entire ~6 s build into its own number. */
+  private[graft] def warmShared(s: SparkSession, dir: String): Unit = {
+    val (nodes, und) = numericGraph(s, dir)
+    nodes.count(); und.count()
+  }
+
   private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // evict entries of stopped sessions — the memo is JVM-global, and a
     // driver that cycles sessions would otherwise pin one dead edge
