@@ -130,7 +130,10 @@ object Dedup {
         (1 until mhSeeds).map(k => min(rotCol(k)).as(s"mh$k")): _*)
   }
 
-  def dedupMinhash: Q = (s, dir) => {
+  /** Pre-release pair stage + its cache — PlanAuditSpec audits THIS
+    * plan (the public op returns a checkpointed frame whose plan is an
+    * opaque RDD scan). Caller must unpersist the returned cache. */
+  private[graft] def dedupMinhashRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // sig feeds three consumers (band explode + both pair sides) —
     // cache so the shingle+md5 pipeline runs once
     val sig = signatures(s, dir).cache()
@@ -154,6 +157,11 @@ object Dedup {
         (0 until mhSeeds).map(k =>
           when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
           .reduce(_ + _).as("n_match"))
+    (scored, sig)
+  }
+
+  def dedupMinhash: Q = (s, dir) => {
+    val (scored, sig) = dedupMinhashRaw(s, dir)
     release(scored, sig).orderBy("doc_a", "doc_b")
   }
 
@@ -203,9 +211,9 @@ object Dedup {
     * membership. */
   val jacDfCap = 50
 
-  /** The J > 1/2 pair set with sizes — shared by `d_ngram_jaccard` and
-    * the cluster-canonicalization op. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Pre-release jaccard pair stage + its caches — PlanAuditSpec audits
+    * this plan; callers must unpersist the returned caches. */
+  private[graft] def jaccardPairsRaw(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val ds = docShingles(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df") <= jacDfCap)
@@ -223,7 +231,14 @@ object Dedup {
       .filter(lit(3) * col("inter") > col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
-    release(jp, ds, sizes)
+    (jp, Seq(ds, sizes))
+  }
+
+  /** The J > 1/2 pair set with sizes — shared by `d_ngram_jaccard` and
+    * the cluster-canonicalization op; materialized, caches released. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val (jp, caches) = jaccardPairsRaw(s, dir)
+    release(jp, caches: _*)
   }
 
   def ngramJaccard: Q = (s, dir) =>

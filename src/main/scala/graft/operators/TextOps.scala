@@ -284,6 +284,101 @@ object TextOps {
        |SELECT bigram, count(*) AS n FROM bg
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $ngramTopK""".stripMargin
 
+  // ---------------------------------------------------- t_pack_sequences
+  /** Training-sequence packing — the concat-then-chunk step that turns a
+    * filtered corpus into fixed-length training sequences: documents are
+    * concatenated in deterministic (shard, doc_id) order and chunked
+    * into `packSeqLen`-token blocks; each doc records the block it
+    * starts in, its offset inside that block, and how many blocks it
+    * spans. Packing is PER SHARD (doc_id mod `packShards`): a single
+    * global running sum would serialize the whole corpus through one
+    * partition, while per-shard windows keep every shard independent —
+    * exactly how production pipelines pack per input file. All integer
+    * arithmetic (`div`/`%`), window = one partitioned cumulative sum. */
+  val packSeqLen = 2048L
+  val packShards = 8L
+
+  def packSequences: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), (col("doc_id") % packShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $packSeqLen").as("seq_id"),
+        (col("cum_before") % packSeqLen).as("offset"),
+        expr(s"((cum_before % $packSeqLen) + n_tokens + ${packSeqLen - 1}) div $packSeqLen")
+          .as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, doc_id % $packShards AS shard,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       | FROM documents
+       |), c AS (
+       | SELECT doc_id, shard, n_tokens,
+       |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       | FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       | cum_before // $packSeqLen AS seq_id,
+       | cum_before % $packSeqLen AS offset,
+       | ((cum_before % $packSeqLen) + n_tokens + ${packSeqLen - 1}) // $packSeqLen AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- t_rep_ngram
+  /** Duplicate-bigram repetition score — the Gopher-style "fraction of
+    * duplicate n-grams" quality rule: per document, total vs distinct
+    * word-bigram occurrences; a doc is `repetitive` when strictly more
+    * than 5 % of its bigram occurrences are duplicates, decided by the
+    * integer cross-multiplication 20·dup > total (no float decides the
+    * verdict — threshold chosen to split the corpus: dup ratios here
+    * range 0–13 %). < 2-word docs have zero bigrams (guarded identically in
+    * both engines) and are never repetitive. Per-row HOF compute over a
+    * once-materialized words array — linear, shuffle-free. */
+  def repNgram: Q = (s, dir) => {
+    val words = col("words")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bg"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bg"),
+        (col("n_bigrams") - col("n_distinct_bg")).as("n_dup"),
+        (lit(20L) * (col("n_bigrams") - col("n_distinct_bg")) > col("n_bigrams"))
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val repNgramSql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), bg AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(words) >= 2 THEN list_transform(
+      |    range(1, len(words) - 1 + 1), i -> words[i] || ' ' || words[i+1])
+      |   ELSE [] END AS bigrams
+      | FROM w
+      |), m AS (
+      | SELECT doc_id,
+      |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bg
+      | FROM bg
+      |)
+      |SELECT doc_id, n_bigrams, n_distinct_bg,
+      | n_bigrams - n_distinct_bg AS n_dup,
+      | (20 * (n_bigrams - n_distinct_bg) > n_bigrams) AS repetitive
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- t_fingerprint
   /** Document fingerprints: exact content hash, order-independent bag
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
@@ -330,6 +425,8 @@ object TextOps {
     "t_corpus_filter" -> corpusFilter,
     "t_ngram_stats" -> ngramStats,
     "t_stratified_sample" -> stratifiedSample,
+    "t_pack_sequences" -> packSequences,
+    "t_rep_ngram" -> repNgram,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
@@ -339,5 +436,7 @@ object TextOps {
     "t_corpus_filter" -> corpusFilterSql,
     "t_ngram_stats" -> ngramStatsSql,
     "t_stratified_sample" -> stratifiedSampleSql,
+    "t_pack_sequences" -> packSequencesSql,
+    "t_rep_ngram" -> repNgramSql,
     "t_fingerprint" -> fingerprintSql)
 }

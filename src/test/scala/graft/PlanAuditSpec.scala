@@ -56,10 +56,16 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("minhash/jaccard candidate joins are equi-joins, not cartesian") {
-    val mh = plan(Dedup.dedupMinhash(spark, sf))
+    // audit the RAW pair-stage plans: the public ops return eagerly
+    // checkpointed frames whose plans are opaque RDD scans
+    val (mhDf, sig) = Dedup.dedupMinhashRaw(spark, sf)
+    val mh = plan(mhDf)
+    sig.unpersist(blocking = false)
     assert(!mh.contains("CartesianProduct"),
       s"minhash pair stage degenerated to a cartesian product:\n$mh")
-    val jc = plan(Dedup.ngramJaccard(spark, sf))
+    val (jcDf, caches) = Dedup.jaccardPairsRaw(spark, sf)
+    val jc = plan(jcDf)
+    caches.foreach(_.unpersist(blocking = false))
     assert(!jc.contains("CartesianProduct"),
       s"jaccard pair stage degenerated to a cartesian product:\n$jc")
   }
@@ -73,5 +79,37 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Similarity.annTopk(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe side not broadcast:\n$p")
+  }
+
+  test("LSH ANN broadcast HINTS only cover probe-filtered sides") {
+    // every FORCED broadcast (our hint) must sit above a vec_id probe
+    // filter — a hint on the unfiltered embeddings table would ship the
+    // whole corpus and die at the 8 GB ceiling at scale. Statistics-
+    // based broadcasts the optimizer adds at tiny sf are fine: those
+    // disappear on their own when the table outgrows the threshold.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, BROADCAST}
+    val op = Similarity.annTopkLsh(spark, sf).queryExecution.optimizedPlan
+    var hinted = 0
+    op.foreach {
+      case j: Join =>
+        def check(side: LogicalPlan,
+                  h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]): Unit =
+          if (h.exists(_.strategy.contains(BROADCAST))) {
+            hinted += 1
+            assert(side.toString.contains("< 10"),
+              s"hinted broadcast side is not probe-filtered:\n$side")
+          }
+        check(j.left, j.hint.leftHint); check(j.right, j.hint.rightHint)
+      case _ =>
+    }
+    assert(hinted >= 1, "expected at least one hinted broadcast")
+  }
+
+  test("pack_sequences window is per-shard, never a global single partition") {
+    val p = plan(graft.operators.TextOps.packSequences(spark, sf))
+    // the cumulative sum must hash-partition by shard; an unpartitioned
+    // ordered window would serialize the corpus through one partition
+    assert(p.contains("hashpartitioning(shard"),
+      s"window not partitioned by shard:\n$p")
   }
 }

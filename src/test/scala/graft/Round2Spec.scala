@@ -199,6 +199,35 @@ class Round2Spec extends AnyFunSuite {
     assert(r.head.getLong(0) == 32L)
   }
 
+  test("pack_sequences: per-shard chunking is gapless and consistent") {
+    val rows = operators.TextOps.packSequences(spark, sf).collect()
+    assert(rows.length == 500)
+    val seqLen = operators.TextOps.packSeqLen
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        // seq_id/offset are exactly the running token count chunked
+        assert(r.getAs[Long]("seq_id") == cum / seqLen)
+        assert(r.getAs[Long]("offset") == cum % seqLen)
+        val span = (cum % seqLen + r.getAs[Long]("n_tokens") + seqLen - 1) / seqLen
+        assert(r.getAs[Long]("n_seqs") == span)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("rep_ngram: repetitive iff strictly over 5% duplicate bigrams") {
+    val rows = operators.TextOps.repNgram(spark, sf).collect()
+    assert(rows.exists(_.getAs[Boolean]("repetitive")),
+      "threshold should flag part of the corpus")
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_bigrams")
+      val dup = r.getAs[Long]("n_dup")
+      assert(dup == total - r.getAs[Long]("n_distinct_bg"))
+      assert(r.getAs[Boolean]("repetitive") == (20L * dup > total))
+    }
+  }
+
   test("minhash band-bucket cap: no band bucket exceeds the cap") {
     // indirect: candidate count is bounded by cap^2/2 per bucket; the
     // direct invariant is that results are reproducible and the planted
