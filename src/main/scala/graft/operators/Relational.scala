@@ -347,6 +347,53 @@ object Relational {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  // ---------------------------------------------------------- q_events_asof
+  /** As-of join — each purchase matched to the MOST RECENT strictly-
+    * earlier click of the same user. Spark has no ASOF operator; the
+    * scalable re-expression is union-tag + `last(ignore nulls)` over a
+    * per-user window: ONE shuffle on user_id, no join, no per-probe
+    * scan — state per user is a single running value, which is why this
+    * shape (unlike a windowed self-join) survives 100 TB. Strictness is
+    * encoded in the sort: purchases order BEFORE clicks at the same
+    * timestamp (kind 0 < 1), so a same-instant click is never visible
+    * in the purchase's preceding frame; (us, kind, event_id) is a total
+    * order, so the frame is deterministic. The oracle is DuckDB's
+    * NATIVE ASOF JOIN — an independent implementation of the same
+    * semantics, not a mirrored expression. Only the matched click's
+    * timestamp is output (not its id), so equal-timestamp clicks cannot
+    * introduce tie nondeterminism in either engine. */
+  def qEventsAsof: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("kind", when(col("event_type") === "purchase", 0).otherwise(1))
+      .withColumn("click_us", when(col("event_type") === "click", col("us")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"), col("last_click_us").as("click_us"),
+        (col("us") - col("last_click_us")).as("delay_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val qEventsAsofSql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), c AS (
+      | SELECT user_id, us AS click_us FROM ev WHERE event_type = 'click'
+      |), p AS (
+      | SELECT user_id, event_id AS purchase_id, us AS purchase_us
+      | FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_us,
+      |       p.purchase_us - c.click_us AS delay_us
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.purchase_us > c.click_us
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+
   val qEventsFunnelSql: String =
     """WITH ev AS (
       | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
@@ -415,6 +462,7 @@ object Relational {
     "q_rollup" -> qRollup,
     "q_events_window" -> qEventsWindow,
     "q_events_funnel" -> qEventsFunnel,
+    "q_events_asof" -> qEventsAsof,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -430,5 +478,6 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_funnel" -> qEventsFunnelSql,
+    "q_events_asof" -> qEventsAsofSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }

@@ -228,6 +228,26 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("asof join: strict, and matched click is the latest in between") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val asof = operators.Relational.qEventsAsof(spark, sf).collect()
+    assert(asof.nonEmpty)
+    val clicks = graft.model.Tables(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("us")).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)) }
+    asof.foreach { r =>
+      val (u, pUs, cUs) = (r.getAs[Long]("user_id"),
+        r.getAs[Long]("purchase_us"), r.getAs[Long]("click_us"))
+      assert(cUs < pUs, "strictly earlier")
+      assert(r.getAs[Long]("delay_us") == pUs - cUs)
+      // defining as-of property: no click of the same user strictly
+      // between the matched click and the purchase
+      assert(!clicks(u).exists(c => c > cUs && c < pUs),
+        s"user $u: a later click exists between $cUs and $pUs")
+    }
+  }
+
   test("minhash band-bucket cap: no band bucket exceeds the cap") {
     // indirect: candidate count is bounded by cap^2/2 per bucket; the
     // direct invariant is that results are reproducible and the planted
