@@ -82,6 +82,55 @@ object Streams {
 
   final case class SessState(start: Long, last: Long, n: Long)
 
+  /** st_stream_asof: streaming as-of join — each purchase matched to
+    * the most recent strictly-earlier click of the same user (batch
+    * twin: Relational.qEventsAsof, whose oracle is DuckDB's native
+    * ASOF JOIN). State per user is a SINGLE long (the latest click
+    * timestamp) — the O(1)-state streaming shape of the as-of
+    * semantics — dropped by event-time timeout once the user goes idle
+    * past the watermark horizon. Within a micro-batch events sort by
+    * (us, kind, event_id) with purchases before clicks at equal
+    * timestamps, replicating the batch twin's strictness contract;
+    * across batches the contract is watermark-ordered arrival (a click
+    * arriving after a later purchase was already emitted is not
+    * retro-matched — the standard streaming as-of tradeoff). */
+  final case class AsofOut(user_id: Long, purchase_id: Long,
+                           purchase_us: Long, click_us: Long, delay_us: Long)
+
+  final case class AsofState(lastClick: Long)
+
+  def streamAsof(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .as[(Long, Long, Long, String, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._3) // user_id
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = rows
+              .map(r => (r._6, if (r._4 == "purchase") 0 else 1, r._1)).toSeq
+              .sortBy { case (us, kind, eid) => (us, kind, eid) }
+            var last = state.getOption.map(_.lastClick)
+            val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
+            evs.foreach { case (us, kind, eid) =>
+              if (kind == 1) last = Some(last.fold(us)(math.max(_, us)))
+              else last.foreach(c => out += AsofOut(user, eid, us, c, us - c))
+            }
+            last.foreach { c =>
+              state.update(AsofState(c))
+              state.setTimeoutTimestamp(c / 1000 + 60 * 60 * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.toDF()

@@ -101,6 +101,54 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_stream_asof: purchases match the latest prior click, O(1) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      val base = 86400L * 1000 * 1000
+      val min10 = 600L * 1000 * 1000
+      // batch 1: click, purchase (matches), newer click
+      mem.addData(
+        ev(1, base, typ = "click"),
+        ev(2, base + min10, typ = "purchase"),
+        ev(3, base + 2 * min10, typ = "click"))
+      q.processAllAvailable()
+      // batch 2: purchase must match click 3 (latest), not click 1;
+      // the state carried across batches is just that one timestamp
+      mem.addData(ev(4, base + 3 * min10, typ = "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("asof").collect()
+        .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("click_us")).toMap
+      assert(out == Map(2L -> base, 4L -> (base + 2 * min10)),
+        s"unexpected matches: $out")
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: streamAsof over one batch matches q_events_asof") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof_twin")
+      .outputMode("append").start()
+    try {
+      val events = spark.read.parquet(s"$sf/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect()
+      mem.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_twin")
+        .select("user_id", "purchase_id", "purchase_us", "click_us", "delay_us")
+      val twin = SparkEntry.queries("q_events_asof")(spark, sf)
+      assert(streamed.except(twin).count() == 0)
+      assert(twin.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("batch twin equivalence: streamJoin on static frame matches q_events_funnel") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val streamShaped = Streams.streamJoin(events)
