@@ -62,7 +62,9 @@ object Analytics {
         .select(col("label"), col("key"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
     }
-    r.orderBy("label", "key")
+    // materialize the node-count result, then release the per-call edge
+    // cache — it would otherwise stay pinned for the session lifetime
+    Caches.release(r, eod).orderBy("label", "key")
   }
 
   val pagerankSql: String = {
@@ -268,7 +270,9 @@ object Analytics {
       .join(adj.toDF("v", "nv"), "v")
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
-    co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    // 1-row result; release the co-purchase + orientation caches
+    Caches.release(co.agg(count(lit(1)).as("n_edges")).crossJoin(tri),
+      co, oriented)
   }
 
   val trianglesSql: String =

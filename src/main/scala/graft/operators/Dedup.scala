@@ -26,17 +26,8 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Materialize `result` (truncating its lineage), then release the
-    * per-call caches feeding it — without this every invocation pinned
-    * its exploded-shingle/signature intermediates in executor memory for
-    * the session lifetime (the ADVICE-r1 pathsTo leak pattern). The
-    * checkpoint must happen BEFORE the unpersist: the result's lineage
-    * reads the caches, and releasing first would recompute uncached. */
-  private def release(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    caches.foreach(_.unpersist(blocking = false))
-    out
-  }
+  private def release(result: DataFrame, caches: DataFrame*): DataFrame =
+    Caches.release(result, caches: _*)
 
   // ------------------------------------------------------- d_dedup_exact
   /** Exact dedup: md5 content hash, canonical = min doc_id per hash.

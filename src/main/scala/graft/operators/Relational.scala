@@ -275,7 +275,11 @@ object Relational {
     */
   def qEventsWindow: Q = (s, dir) =>
     // ts arrives as BIGINT nanos (nanosAsLong); tumble via integer div —
-    // stays in codegen, no timezone semantics involved.
+    // stays in codegen, no timezone semantics involved. CONTRACT: ts >= 0
+    // (post-epoch). `div` truncates toward zero while the oracle's
+    // date_trunc floors, so a pre-1970 timestamp would bucket
+    // differently — the same asymmetry applies to every `ts div 1000` ↔
+    // epoch_us pairing in the events ops.
     t(s, dir, "events")
       .groupBy((expr("ts div 3600000000000") * 3600).as("hour_start"),
                col("event_type"))

@@ -107,8 +107,11 @@ object Similarity {
       }
     }
 
-  /** Per-vector band rows `(vec_id, qe, band, sig)` — one row per band,
-    * sig = the band's sign-bit integer. Candidates join on (band, sig). */
+  /** Per-vector band rows `(vec_id, band, sig)` — one row per band,
+    * sig = the band's sign-bit integer. Candidates join on (band, sig);
+    * the vector itself is deliberately NOT carried (3 longs per row,
+    * not 64 — the consumers re-attach vectors to the few candidates,
+    * never to every band row). */
   def lshBands(s: SparkSession, dir: String): DataFrame = {
     val q = quantized(s, dir)
     // plane matrix as literal arrays: tiny, broadcast by value
@@ -119,9 +122,9 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    q.select(col("vec_id"), col("qe"),
+    q.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vec_id"), col("qe"), col("bs.band"), col("bs.sig"))
+      .select(col("vec_id"), col("bs.band"), col("bs.sig"))
   }
 
   /** DuckDB twin of `lshBands` — CTEs `q(vec_id, qe)` and
@@ -151,8 +154,14 @@ object Similarity {
     * ranking within the candidate set uses the same exact integer score
     * as annTopk. Probes with fewer than k candidates return fewer rows
     * — in both engines. */
-  def annTopkLsh: Q = (s, dir) => {
-    val bands = lshBands(s, dir)
+  /** Pre-release plan + its cache — PlanAuditSpec audits THIS (the
+    * public op returns a checkpointed frame whose plan is an opaque RDD
+    * scan). Caller must unpersist the returned cache. */
+  private[graft] def annTopkLshRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // bands feeds BOTH join sides — cache (3 longs per row) so the
+    // 16 plane dot products per vector run once, released after the
+    // result materializes
+    val bands = lshBands(s, dir).cache()
     val pb = broadcast(bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("band"), col("sig")))
     val cb = bands.select(col("vec_id").as("cand_id"), col("band"), col("sig"))
@@ -175,10 +184,15 @@ object Similarity {
           " ELSE -((dp * dp * 1000) div nb) END").as("score"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
+    val topk = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= annK)
       .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
-      .orderBy("probe_id", "rn")
+    (topk, bands)
+  }
+
+  def annTopkLsh: Q = (s, dir) => {
+    val (topk, bands) = annTopkLshRaw(s, dir)
+    Caches.release(topk, bands).orderBy("probe_id", "rn")
   }
 
   val annTopkLshSql: String =
@@ -211,21 +225,21 @@ object Similarity {
     * contract (pairs agreeing on no band are missed — by both engines,
     * identically). */
   def dedupEmbeddingLsh: Q = (s, dir) => {
-    val bands = lshBands(s, dir)
+    val bands = lshBands(s, dir).cache() // feeds both pair sides
     val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
     val c = bands.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
     val cand = a.join(c, Seq("band", "sig"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     val qn = quantized(s, dir).withColumn("nn", dot(col("qe"), col("qe")))
-    cand
+    val pairs = cand
       .join(qn.toDF("vec_a", "qa", "na"), "vec_a")
       .join(qn.toDF("vec_b", "qb", "nb"), "vec_b")
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
         col("na"), col("nb"))
       .filter(col("dp") > 0 &&
         lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nb"))
-      .orderBy("vec_a", "vec_b")
+    Caches.release(pairs, bands).orderBy("vec_a", "vec_b")
   }
 
   val dedupEmbeddingLshSql: String =
@@ -272,8 +286,12 @@ object Similarity {
       .select(col("vec_id"), col("qe"), col("cid"), expr(scoreExpr).as("cs"))
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(col("cs").desc, col("cid"))
+    // asg feeds the probe side AND the candidate side — cache so the
+    // n×K assignment (cross join + window argmax) runs once per query,
+    // released after the result materializes. In production the
+    // assignment is a materialized offline artifact anyway.
     val asg = asg0.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1).select("vec_id", "qe", "cid")
+      .filter(col("rn") === 1).select("vec_id", "qe", "cid").cache()
     val probes = broadcast(asg.filter(col("vec_id") < 10)
       .toDF("probe_id", "qp", "cid"))
     val scored = probes.join(asg.toDF("cand_id", "qc", "cid"), "cid")
@@ -284,10 +302,10 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
+    val topk = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= annK)
       .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
-      .orderBy("probe_id", "rn")
+    Caches.release(topk, asg).orderBy("probe_id", "rn")
   }
 
   val annIvfSql: String = {

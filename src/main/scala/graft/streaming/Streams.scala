@@ -38,7 +38,12 @@ object Streams {
     withEventTime(events)
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      // DECIMAL sum, as the batch twin does: raw double summation is
+      // merge-order-dependent (micro-batch / state-store order), so the
+      // streamed total could differ in low bits run to run and from the
+      // twin's exact value
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -124,7 +129,12 @@ object Streams {
             }
             last.foreach { c =>
               state.update(AsofState(c))
-              state.setTimeoutTimestamp(c / 1000 + 60 * 60 * 1000)
+              // timeout keys off THIS batch's max event time (>= the
+              // current watermark by the late filter) — keying off the
+              // stale lastClick would throw 'timeout earlier than
+              // watermark' the first time a purchase arrives > horizon
+              // after the user's last click, killing the query
+              state.setTimeoutTimestamp(evs.map(_._1).max / 1000 + 60 * 60 * 1000)
             }
             out.iterator
           }

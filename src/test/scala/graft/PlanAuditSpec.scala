@@ -88,7 +88,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // based broadcasts the optimizer adds at tiny sf are fine: those
     // disappear on their own when the table outgrows the threshold.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, BROADCAST}
-    val op = Similarity.annTopkLsh(spark, sf).queryExecution.optimizedPlan
+    // raw pre-release plan: the public op returns a checkpointed frame
+    val (raw, bandsCache) = Similarity.annTopkLshRaw(spark, sf)
+    val op = raw.queryExecution.optimizedPlan
+    bandsCache.unpersist(blocking = false)
     var hinted = 0
     op.foreach {
       case j: Join =>

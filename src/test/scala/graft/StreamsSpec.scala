@@ -161,11 +161,14 @@ class StreamsSpec extends AnyFunSuite {
 
   test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
     val events = spark.read.parquet(s"$sf/events.parquet")
+    // total_value included: both sides sum DECIMAL, so the comparison is
+    // exact — raw double sums would be merge-order-dependent
     val streamShaped = Streams.tumblingAgg(events)
       .select((unix_timestamp(col("hour_start"))).as("hour_start"),
-        col("event_type"), col("n_events"))
+        col("event_type"), col("n_events"), col("total_value"))
     val twin = SparkEntry.queries("q_events_window")(spark, sf)
-      .select(col("hour_start"), col("event_type"), col("n_events"))
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("total_value"))
     assert(streamShaped.except(twin).count() == 0)
     assert(twin.except(streamShaped).count() == 0)
   }
