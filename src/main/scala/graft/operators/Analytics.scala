@@ -48,23 +48,33 @@ object Analytics {
     val base = (15L * prScale) / (100L * n)
     var r = nodes.withColumn("r", lit(prScale / n))
     for (_ <- 1 to prIters) {
+      // EXPLICIT broadcast of the node-count rank/contribution sides —
+      // deterministic iteration plan instead of relying on AQE's
+      // runtime conversion (same ceiling caveat as CC/SSSP/LPA: at
+      // 100× pre-partition instead).
       val contrib = eod
-        .join(r.select(col("label").as("src_label"), col("key").as("src_key"),
-          col("r")), Seq("src_label", "src_key"))
+        .join(broadcast(r.select(col("label").as("src_label"),
+          col("key").as("src_key"), col("r"))), Seq("src_label", "src_key"))
         .select(col("label"), col("key"),
           expr("(85 * r) div (100 * outdeg)").as("c"))
         .groupBy("label", "key").agg(sum("c").as("s"))
-      // NO checkpoint: ranks are referenced once per iteration, so the
-      // lineage is linear and the whole 5-iteration DAG pipelines in a
-      // single pass — a per-iteration localCheckpoint costs a disk
-      // round-trip per level (measured 21.5 s vs 1.6 s at sf0.1)
-      r = nodes.join(contrib, Seq("label", "key"), "left_outer")
+      // NO per-iteration checkpoint: ranks are referenced once per
+      // iteration, so the lineage is linear and the whole 5-iteration
+      // DAG pipelines in a single pass — a per-iteration localCheckpoint
+      // costs a disk round-trip per level (measured 21.5 s vs 1.6 s)
+      r = nodes.join(broadcast(contrib), Seq("label", "key"), "left_outer")
         .select(col("label"), col("key"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
     }
-    // materialize the node-count result, then release the per-call edge
-    // cache — it would otherwise stay pinned for the session lifetime
-    Caches.release(r, eod).orderBy("label", "key")
+    // NO release() here, deliberately: (1) the eod cache is BOUNDED
+    // session-wide — the cache manager keys on the canonicalized plan,
+    // so every pagerank call reuses this one entry (unlike pathsTo,
+    // whose per-call parameters make distinct plans that would
+    // accumulate); (2) eagerly checkpointing the 5-iteration
+    // nested-broadcast lineage re-executes the broadcast subtrees as
+    // separate driver jobs — measured 0.9 s lazy vs 12.7 s checkpointed
+    // at sf0.1.
+    r.orderBy("label", "key")
   }
 
   val pagerankSql: String = {
@@ -270,9 +280,11 @@ object Analytics {
       .join(adj.toDF("v", "nv"), "v")
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
-    // 1-row result; release the co-purchase + orientation caches
-    Caches.release(co.agg(count(lit(1)).as("n_edges")).crossJoin(tri),
-      co, oriented)
+    // NO release(): the co/oriented caches are bounded session-wide
+    // (canonicalized-plan reuse — every call hits the same entries),
+    // and eagerly checkpointing this plan re-executes its broadcast
+    // subtrees as separate driver jobs (see the pagerank note).
+    co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
   val trianglesSql: String =

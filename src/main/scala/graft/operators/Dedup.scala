@@ -26,8 +26,13 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  private def release(result: DataFrame, caches: DataFrame*): DataFrame =
-    Caches.release(result, caches: _*)
+  // Cache policy: every cache() in this file is on a PARAMETER-FREE
+  // plan, so the cache manager's canonicalized-plan lookup bounds it to
+  // ONE session-wide entry reused by every call — and shared ACROSS the
+  // ops (d_dedup_cluster reuses d_ngram_jaccard's shingle caches:
+  // measured 1.3 s warm vs 4.5 s when an eager checkpoint+release pass
+  // destroyed the sharing). Parameterized per-call plans (pathsTo) are
+  // the ones that must release — see PropertyGraph.pathsTo.
 
   // ------------------------------------------------------- d_dedup_exact
   /** Exact dedup: md5 content hash, canonical = min doc_id per hash.
@@ -121,9 +126,8 @@ object Dedup {
         (1 until mhSeeds).map(k => min(rotCol(k)).as(s"mh$k")): _*)
   }
 
-  /** Pre-release pair stage + its cache — PlanAuditSpec audits THIS
-    * plan (the public op returns a checkpointed frame whose plan is an
-    * opaque RDD scan). Caller must unpersist the returned cache. */
+  /** Pair stage + its cache handle (PlanAuditSpec audits the plan and
+    * releases the cache between audits). */
   private[graft] def dedupMinhashRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // sig feeds three consumers (band explode + both pair sides) —
     // cache so the shingle+md5 pipeline runs once
@@ -151,10 +155,8 @@ object Dedup {
     (scored, sig)
   }
 
-  def dedupMinhash: Q = (s, dir) => {
-    val (scored, sig) = dedupMinhashRaw(s, dir)
-    release(scored, sig).orderBy("doc_a", "doc_b")
-  }
+  def dedupMinhash: Q = (s, dir) =>
+    dedupMinhashRaw(s, dir)._1.orderBy("doc_a", "doc_b")
 
   val dedupMinhashSql: String = {
     def rot(k: Int) =
@@ -202,8 +204,7 @@ object Dedup {
     * membership. */
   val jacDfCap = 50
 
-  /** Pre-release jaccard pair stage + its caches — PlanAuditSpec audits
-    * this plan; callers must unpersist the returned caches. */
+  /** Jaccard pair stage + its cache handles (PlanAuditSpec). */
   private[graft] def jaccardPairsRaw(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val ds = docShingles(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
@@ -226,11 +227,10 @@ object Dedup {
   }
 
   /** The J > 1/2 pair set with sizes — shared by `d_ngram_jaccard` and
-    * the cluster-canonicalization op; materialized, caches released. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val (jp, caches) = jaccardPairsRaw(s, dir)
-    release(jp, caches: _*)
-  }
+    * the cluster-canonicalization op (whose second call reuses the
+    * session-bounded shingle caches). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsRaw(s, dir)._1
 
   def ngramJaccard: Q = (s, dir) =>
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
@@ -291,8 +291,7 @@ object Dedup {
           least(col("canon_id"), coalesce(col("m"), col("canon_id")))
             .as("canon_id"))
     }
-    release(comp.select(col("id").as("doc_id"), col("canon_id")), und)
-      .orderBy("doc_id")
+    comp.select(col("id").as("doc_id"), col("canon_id")).orderBy("doc_id")
   }
 
   val dedupClusterSql: String = {
@@ -363,13 +362,13 @@ object Dedup {
       .distinct()
     val va = sim.toDF("doc_a" +: (0 until 16).map(q => s"va$q"): _*)
     val vb = sim.toDF("doc_b" +: (0 until 16).map(q => s"vb$q"): _*)
-    val scored = cand.join(va, "doc_a").join(vb, "doc_b")
+    cand.join(va, "doc_a").join(vb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (0 until 16).map(q =>
           bit_count(col(s"va$q").bitwiseXOR(col(s"vb$q"))).cast("long"))
           .reduce(_ + _).as("hamming"))
       .filter(col("hamming") <= 12)
-    release(scored, sim).orderBy("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
   }
 
   val dedupSimhashSql: String = {
@@ -429,13 +428,13 @@ object Dedup {
       .withColumn("nn", dot(col("qe"), col("qe"))).cache()
     val a = q.toDF("vec_a", "qa", "na").repartition(col("vec_a"))
     val b = broadcast(q.toDF("vec_b", "qb", "nb"))
-    val pairs = a.join(b, col("vec_a") < col("vec_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
         col("na"), col("nb"))
       .filter(col("dp") > 0 &&
         lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"), col("dp"), col("na"), col("nb"))
-    release(pairs, q).orderBy("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
   }
 
   val dedupEmbeddingSql: String =

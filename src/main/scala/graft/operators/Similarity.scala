@@ -154,13 +154,11 @@ object Similarity {
     * ranking within the candidate set uses the same exact integer score
     * as annTopk. Probes with fewer than k candidates return fewer rows
     * — in both engines. */
-  /** Pre-release plan + its cache — PlanAuditSpec audits THIS (the
-    * public op returns a checkpointed frame whose plan is an opaque RDD
-    * scan). Caller must unpersist the returned cache. */
+  /** Plan + the bands cache handle (PlanAuditSpec audits the plan). */
   private[graft] def annTopkLshRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // bands feeds BOTH join sides — cache (3 longs per row) so the
-    // 16 plane dot products per vector run once, released after the
-    // result materializes
+    // 16 plane dot products per vector run once; parameter-free plan →
+    // one session-bounded entry shared with dedupEmbeddingLsh
     val bands = lshBands(s, dir).cache()
     val pb = broadcast(bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("band"), col("sig")))
@@ -191,8 +189,11 @@ object Similarity {
   }
 
   def annTopkLsh: Q = (s, dir) => {
-    val (topk, bands) = annTopkLshRaw(s, dir)
-    Caches.release(topk, bands).orderBy("probe_id", "rn")
+    // bands cache stays resident, deliberately: the plan is parameter-
+    // free, so the cache manager's canonicalized-plan lookup bounds it
+    // to ONE session-wide entry reused by every call (eager checkpoint+
+    // release measured slower — see the pagerank note in Analytics)
+    annTopkLshRaw(s, dir)._1.orderBy("probe_id", "rn")
   }
 
   val annTopkLshSql: String =
@@ -232,14 +233,14 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     val qn = quantized(s, dir).withColumn("nn", dot(col("qe"), col("qe")))
-    val pairs = cand
+    cand
       .join(qn.toDF("vec_a", "qa", "na"), "vec_a")
       .join(qn.toDF("vec_b", "qb", "nb"), "vec_b")
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
         col("na"), col("nb"))
       .filter(col("dp") > 0 &&
         lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nb"))
-    Caches.release(pairs, bands).orderBy("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b") // bands cache: session-bounded, see annTopkLsh
   }
 
   val dedupEmbeddingLshSql: String =
@@ -287,9 +288,9 @@ object Similarity {
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(col("cs").desc, col("cid"))
     // asg feeds the probe side AND the candidate side — cache so the
-    // n×K assignment (cross join + window argmax) runs once per query,
-    // released after the result materializes. In production the
-    // assignment is a materialized offline artifact anyway.
+    // n×K assignment (cross join + window argmax) runs once, reused
+    // across calls (parameter-free plan → one session-bounded entry).
+    // In production the assignment is a materialized offline artifact.
     val asg = asg0.withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1).select("vec_id", "qe", "cid").cache()
     val probes = broadcast(asg.filter(col("vec_id") < 10)
@@ -302,10 +303,10 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("cand_id"))
-    val topk = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= annK)
       .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
-    Caches.release(topk, asg).orderBy("probe_id", "rn")
+      .orderBy("probe_id", "rn") // asg cache: session-bounded, see annTopkLsh
   }
 
   val annIvfSql: String = {

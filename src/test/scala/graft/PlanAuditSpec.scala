@@ -56,8 +56,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("minhash/jaccard candidate joins are equi-joins, not cartesian") {
-    // audit the RAW pair-stage plans: the public ops return eagerly
-    // checkpointed frames whose plans are opaque RDD scans
     val (mhDf, sig) = Dedup.dedupMinhashRaw(spark, sf)
     val mh = plan(mhDf)
     sig.unpersist(blocking = false)
@@ -88,10 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // based broadcasts the optimizer adds at tiny sf are fine: those
     // disappear on their own when the table outgrows the threshold.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, BROADCAST}
-    // raw pre-release plan: the public op returns a checkpointed frame
-    val (raw, bandsCache) = Similarity.annTopkLshRaw(spark, sf)
+    val (raw, _) = Similarity.annTopkLshRaw(spark, sf)
     val op = raw.queryExecution.optimizedPlan
-    bandsCache.unpersist(blocking = false)
     var hinted = 0
     op.foreach {
       case j: Join =>
