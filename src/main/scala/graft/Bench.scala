@@ -45,5 +45,10 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    // a failed query must fail the RUN, not just annotate the JSON —
+    // otherwise a broken slow query lowers "value" and a consumer that
+    // only reads the total records the regression as a speedup. The
+    // JSON line is printed first so partial results are still captured.
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

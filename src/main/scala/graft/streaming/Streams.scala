@@ -134,7 +134,9 @@ object Streams {
               // stale lastClick would throw 'timeout earlier than
               // watermark' the first time a purchase arrives > horizon
               // after the user's last click, killing the query
-              state.setTimeoutTimestamp(evs.map(_._1).max / 1000 + 60 * 60 * 1000)
+              // evs is sorted ascending by (us, ...) — last._1 IS the
+              // batch's max event time
+              state.setTimeoutTimestamp(evs.last._1 / 1000 + 60 * 60 * 1000)
             }
             out.iterator
           }

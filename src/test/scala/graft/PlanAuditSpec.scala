@@ -86,8 +86,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // based broadcasts the optimizer adds at tiny sf are fine: those
     // disappear on their own when the table outgrows the threshold.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, BROADCAST}
-    val (raw, _) = Similarity.annTopkLshRaw(spark, sf)
+    val (raw, bands) = Similarity.annTopkLshRaw(spark, sf)
     val op = raw.queryExecution.optimizedPlan
+    bands.unpersist(blocking = false) // uniform cache state across audits
     var hinted = 0
     op.foreach {
       case j: Join =>
