@@ -379,6 +379,80 @@ object TextOps {
       | (20 * (n_bigrams - n_distinct_bg) > n_bigrams) AS repetitive
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ t_distinct_kmv
+  /** KMV (bottom-k minimum values) distinct-count sketch over the
+    * corpus's 3-gram shingles, with its exact ground truth beside it.
+    * THE deterministic sketch: unlike HLL/approx_percentile (whose
+    * registers differ across engines), KMV over md5-derived 40-bit
+    * integer hashes is a pure function of the data — both engines
+    * compute the identical k-th minimum and the identical estimate
+    * (k-1)·2⁴⁰ div h_k, so the sketch itself is oracle-checkable.
+    * Scale shape: the bottom-k runs as TakeOrderedAndProject —
+    * per-partition k-mins merged at the driver (32·k values), which IS
+    * the distributed sketch-merge; the exact countDistinct next to it
+    * is the full-shuffle path the sketch replaces at 100 TB. <3-word
+    * docs contribute no shingles (standard guard, both engines). */
+  val kmvK = 256
+  val kmvScale = 1L << 40
+
+  def distinctKmv: Q = (s, dir) => {
+    val words = col("words")
+    val shingles = when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    val ex = docs(s, dir)
+      .select(split(col("text"), " ").as("words"))
+      .select(explode(shingles).as("sh"))
+    // 40-bit integer hash from the first 10 md5 nibbles — exact BIGINT
+    // in both engines (no hex-parse builtin shared by both)
+    val h40 = (0 until 10).map { i =>
+      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
+        lit(math.pow(16, 9 - i).toLong)
+    }.reduce(_ + _)
+    val bk = ex.select(md5(col("sh")).as("h32"))
+      .select(h40.as("h")).distinct()
+      .orderBy("h").limit(kmvK)
+    val sketch = bk.agg(count(lit(1)).cast("long").as("k_used"),
+      max("h").as("hk"))
+    ex.agg(countDistinct(col("sh")).as("n_exact")).crossJoin(sketch)
+      .select(col("n_exact"), col("k_used"), col("hk"),
+        // fewer than k distinct hashes ⇒ the sketch saw everything:
+        // return the exact count (standard KMV small-set contract)
+        expr(s"CASE WHEN k_used < $kmvK THEN k_used" +
+          s" WHEN hk > 0 THEN ((k_used - 1) * $kmvScale) div hk" +
+          " ELSE k_used END").as("est_distinct"))
+  }
+
+  val distinctKmvSql: String = {
+    val nib = (0 until 10).map { i =>
+      s"(strpos('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1) * ${math.pow(16, 9 - i).toLong}"
+    }.mkString("\n   + ")
+    s"""WITH ex AS (
+       | SELECT unnest($shingleKmvSqlExpr) AS sh FROM documents
+       |), hh AS (
+       | SELECT DISTINCT CAST($nib AS BIGINT) AS h
+       | FROM (SELECT md5(sh) AS h32 FROM ex)
+       |), bk AS (
+       | SELECT h FROM hh ORDER BY h LIMIT $kmvK
+       |), agg AS (
+       | SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk FROM bk
+       |)
+       |SELECT (SELECT CAST(count(DISTINCT sh) AS BIGINT) FROM ex) AS n_exact,
+       | k_used, hk,
+       | CASE WHEN k_used < $kmvK THEN k_used
+       |  WHEN hk > 0 THEN ((k_used - 1) * $kmvScale) // hk
+       |  ELSE k_used END AS est_distinct
+       |FROM agg""".stripMargin
+  }
+
+  /** DuckDB shingle expression (same <3-word guard as Dedup's). */
+  private def shingleKmvSqlExpr: String =
+    """list_transform(
+      | range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])""".stripMargin
+
   // -------------------------------------------------------- t_fingerprint
   /** Document fingerprints: exact content hash, order-independent bag
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
@@ -427,6 +501,7 @@ object TextOps {
     "t_stratified_sample" -> stratifiedSample,
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
+    "t_distinct_kmv" -> distinctKmv,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
@@ -438,5 +513,6 @@ object TextOps {
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_rep_ngram" -> repNgramSql,
+    "t_distinct_kmv" -> distinctKmvSql,
     "t_fingerprint" -> fingerprintSql)
 }

@@ -248,6 +248,19 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("kmv sketch: estimate within 25% of the exact distinct count") {
+    val r = operators.TextOps.distinctKmv(spark, sf).collect().head
+    val (exact, kUsed, est) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("k_used"), r.getAs[Long]("est_distinct"))
+    if (kUsed < operators.TextOps.kmvK) assert(est == kUsed, "small-set: exact")
+    else {
+      // k=256 ⇒ typical relative error 1/√k ≈ 6%; 25% is a loose bound
+      // that still catches a broken estimator (off by 2× or more)
+      assert(math.abs(est - exact).toDouble / exact < 0.25,
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
   test("minhash band-bucket cap: no band bucket exceeds the cap") {
     // indirect: candidate count is bounded by cap^2/2 per bucket; the
     // direct invariant is that results are reproducible and the planted
