@@ -102,7 +102,52 @@ object Multimodal {
       | CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
       |FROM media GROUP BY format ORDER BY format""".stripMargin
 
-  val queries: Map[String, Q] = Map("m_multimodal_meta" -> multimodalMeta)
-  val oracleSql: Map[String, String] =
-    Map("m_multimodal_meta" -> multimodalMetaSql)
+  // ------------------------------------------------------ m_frame_sample
+  /** Frame sampling — the video-pipeline primitive: the payload is
+    * chunked into fixed `frameBytes` frames and every `frameStep`-th
+    * frame is selected (uniform temporal sampling). The per-partition
+    * batch loop does REAL byte slicing on the payload (swap the slicer
+    * for an ffmpeg keyframe call and nothing else changes); emitted
+    * metadata is the frame census + an md5 of the first sampled frame.
+    * Oracle-exact like m_multimodal_meta: ASCII corpus ⇒ byte slices ==
+    * substr, so frame counts and the frame hash are SQL-expressible. */
+  val frameBytes = 256
+  val frameStep = 4
+
+  final case class FrameMeta(doc_id: Long, format: String, n_frames: Long,
+                             n_sampled: Long, first_frame_md5: String)
+
+  def frameSample(media: Dataset[MediaRow]): Dataset[FrameMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init (decoder/digest handles) — allocated once
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        val nSampled = (nFrames + frameStep - 1) / frameStep
+        val first = r.payload.slice(0, math.min(frameBytes, r.payload.length))
+        md.reset()
+        val hex = md.digest(first).map("%02x".format(_)).mkString
+        FrameMeta(r.doc_id, r.format, nFrames.toLong, nSampled.toLong, hex)
+      }
+    }
+  }
+
+  def frameSampleQ: Q = (s, dir) =>
+    frameSample(mediaTable(s, dir)).toDF().orderBy("doc_id")
+
+  val frameSampleSql: String =
+    s"""SELECT doc_id,
+       | ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+       | (length(text) + ${frameBytes - 1}) // $frameBytes AS n_frames,
+       | ((length(text) + ${frameBytes - 1}) // $frameBytes + ${frameStep - 1}) // $frameStep AS n_sampled,
+       | md5(substr(text, 1, $frameBytes)) AS first_frame_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "m_multimodal_meta" -> multimodalMeta,
+    "m_frame_sample" -> frameSampleQ)
+  val oracleSql: Map[String, String] = Map(
+    "m_multimodal_meta" -> multimodalMetaSql,
+    "m_frame_sample" -> frameSampleSql)
 }

@@ -261,6 +261,16 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling: counts follow the 256-byte/step-4 contract") {
+    val rows = operators.Multimodal.frameSampleQ(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nf, ns) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_sampled"))
+      assert(ns == (nf + 3) / 4, s"sampled $ns of $nf frames")
+      assert(r.getAs[String]("first_frame_md5").length == 32)
+    }
+  }
+
   test("minhash band-bucket cap: no band bucket exceeds the cap") {
     // indirect: candidate count is bounded by cap^2/2 per bucket; the
     // direct invariant is that results are reproducible and the planted
