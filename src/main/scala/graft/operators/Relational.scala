@@ -168,6 +168,36 @@ object Relational {
       | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
 
+  // -------------------------------------------------------- q_window_nav
+  /** Navigation window functions — lead/lag/ntile over each customer's
+    * orders: completes the window family next to q_window's
+    * rank/running-sum. All outputs are BIGINT (neighbor order keys,
+    * quartile buckets) with nulls at partition edges — engine-exact by
+    * construction; the total order (o_orderkey) makes every frame
+    * deterministic. Same single shuffle on the partition key. */
+  def qWindowNav: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("n_orders", count(lit(1))
+        .over(Window.partitionBy(col("o_custkey"))))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_order"),
+        col("next_order"), col("quartile"), col("n_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowNavSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | lag(o_orderkey, 1) OVER w AS prev_order,
+      | lead(o_orderkey, 1) OVER w AS next_order,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------- q_distinct_union
   /** distinct / union / except set semantics. */
   def qDistinctUnion: Q = (s, dir) => {
@@ -465,6 +495,7 @@ object Relational {
     "q_topk" -> qTopk,
     "q_rollup" -> qRollup,
     "q_events_window" -> qEventsWindow,
+    "q_window_nav" -> qWindowNav,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_asof" -> qEventsAsof,
     "q_events_sessionize" -> qEventsSessionize)
@@ -481,6 +512,7 @@ object Relational {
     "q_topk" -> qTopkSql,
     "q_rollup" -> qRollupSql,
     "q_events_window" -> qEventsWindowSql,
+    "q_window_nav" -> qWindowNavSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
