@@ -105,6 +105,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hinted >= 1, "expected at least one hinted broadcast")
   }
 
+  test("asof join plans with NO join operator — single window shuffle") {
+    // the whole point of the union-tag + last(ignore nulls) shape: the
+    // as-of match is a window over one shuffle on user_id, not a join
+    val p = plan(Relational.qEventsAsof(spark, sf))
+    assert(!p.contains("Join"), s"asof degenerated to a join:\n$p")
+    assert(p.contains("Window"), s"expected a window plan:\n$p")
+  }
+
   test("pack_sequences window is per-shard, never a global single partition") {
     val p = plan(graft.operators.TextOps.packSequences(spark, sf))
     // the cumulative sum must hash-partition by shard; an unpartitioned
