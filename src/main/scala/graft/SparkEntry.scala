@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ GraphOps.queries ++ Analytics.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,7 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (Relational.oracleSql ++ GraphOps.oracleSql ++ Analytics.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ TextOps.oracleSql ++
-      Multimodal.oracleSql)
+      Multimodal.oracleSql ++ graft.sources.Formats.oracleSql)
       .map { case (k, v) =>
         // protect SQL `WINDOW w AS (...)` clauses from the CTE rewrite
         k -> v.replace("AS (", "AS MATERIALIZED (")

@@ -520,8 +520,52 @@ object Analytics {
     b.toString
   }
 
+  // ---------------------------------------------------- g_link_predict
+  /** Link prediction over the order→part bipartite graph: for every
+    * part pair sharing ≥1 order, common-neighbor count (orders holding
+    * both) and the Resource-Allocation index Σ_z 1/deg(z) over common
+    * orders z — RA instead of Adamic-Adar because 1/deg is exact in
+    * scaled-integer arithmetic (10⁶ div deg) while 1/log(deg) is not;
+    * no float crosses the engine boundary. Top-20 by (cn, ra) with a
+    * (p1,p2) tiebreak — fully deterministic.
+    *
+    * Scale shape: pair generation is the within-order self-join —
+    * O(k²) per order with k bounded by order size (≤7 lines in TPC-H;
+    * a df-cap on pathological mega-orders would bound it for arbitrary
+    * data, same pattern as the jaccard shingle cap). One shuffle on o
+    * for the join + deg attach, one on (p1,p2) for the aggregation,
+    * then TakeOrderedAndProject — no global sort. */
+  def linkPredict: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val deg = hp.groupBy("o").agg(count(lit(1)).as("od"))
+    hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .join(deg, Seq("o"))
+      .groupBy(col("p").as("p1"), col("p2"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div od")).as("ra"))
+      .orderBy(col("cn").desc, col("ra").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val linkPredictSql: String =
+    s"""$cte, hp AS (
+       | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
+       |), deg AS (
+       | SELECT o, count(*) AS od FROM hp GROUP BY o
+       |)
+       |SELECT a.p AS p1, b.p AS p2, count(*) AS cn,
+       |       sum(1000000 // d.od) AS ra
+       |FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+       |JOIN deg d ON d.o = a.o
+       |GROUP BY a.p, b.p
+       |ORDER BY cn DESC, ra DESC, p1, p2 LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_link_predict" -> linkPredict,
     "g_pagerank" -> pagerank,
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
@@ -530,6 +574,7 @@ object Analytics {
     "g_label_propagation" -> labelPropagation)
 
   val oracleSql: Map[String, String] = Map(
+    "g_link_predict" -> linkPredictSql,
     "g_pagerank" -> pagerankSql,
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,

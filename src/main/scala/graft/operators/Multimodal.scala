@@ -144,10 +144,79 @@ object Multimodal {
        | md5(substr(text, 1, $frameBytes)) AS first_frame_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- m_embed_batch
+  /** Batched embedding inference — the GPU-inference plumbing shape: a
+    * model call costs per-BATCH, not per-row, so the partition iterator
+    * is chunked into `embedBatchSize`-row batches and the (stub) encoder
+    * is invoked once per batch (`it.grouped(n).flatMap`), streaming —
+    * never materializing the partition. Swap `encodeBatch` for an ONNX/
+    * TensorRT session call and nothing else changes.
+    *
+    * The stub is deterministic PER DOC (md5-nibble arithmetic on the
+    * text), so results are invariant to partitioning and batch
+    * composition — which is also the property a real pipeline needs
+    * (inference must not depend on how rows were batched). Oracle-exact:
+    * the nibble arithmetic is SQL-expressible. */
+  val embedBatchSize = 32
+  val embedDim = 4
+
+  final case class DocEmbed(doc_id: Long, dim: Int, c0: Long, checksum: Long)
+
+  /** STUB batch encoder: one call per batch (the real-model boundary).
+    * Component j of a doc = (sum of the first 4 nibbles of
+    * md5("j:" + text)) - 30, an integer in [-30, 30]. */
+  def encodeBatch(texts: Seq[String]): Seq[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.map { t =>
+      Array.tabulate(embedDim) { j =>
+        md.reset()
+        val hex = md.digest(s"$j:$t".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        hex.take(4).map(c => "0123456789abcdef".indexOf(c).toLong).sum - 30
+      }
+    }
+  }
+
+  /** The shared typed transform: works for BATCH and STREAMING input
+    * alike (stateless mapPartitions — Streams.scala drives it through
+    * MemoryStream micro-batches as `st_embed_batch`). */
+  def embedRows(rows: Dataset[(Long, String)]): Dataset[DocEmbed] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition init (model session handle) goes here
+      it.grouped(embedBatchSize).flatMap { batch =>
+        val vecs = encodeBatch(batch.map(_._2))
+        batch.zip(vecs).map { case ((id, _), v) =>
+          DocEmbed(id, embedDim, v(0), v.sum)
+        }
+      }
+    }
+  }
+
+  def embedBatchQ: Q = (s, dir) => {
+    import s.implicits._
+    embedRows(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)])
+      .toDF().orderBy("doc_id")
+  }
+
+  val embedBatchSql: String = {
+    def comp(j: Int): String =
+      "(" + (1 to 4).map(q =>
+        s"(strpos('0123456789abcdef', substr(md5('$j:' || text), $q, 1)) - 1)")
+        .mkString(" + ") + " - 30)"
+    s"""SELECT doc_id, CAST($embedDim AS INTEGER) AS dim,
+       | CAST(${comp(0)} AS BIGINT) AS c0,
+       | CAST(${(0 until embedDim).map(comp).mkString(" + ")} AS BIGINT) AS checksum
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "m_multimodal_meta" -> multimodalMeta,
-    "m_frame_sample" -> frameSampleQ)
+    "m_frame_sample" -> frameSampleQ,
+    "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
     "m_multimodal_meta" -> multimodalMetaSql,
-    "m_frame_sample" -> frameSampleSql)
+    "m_frame_sample" -> frameSampleSql,
+    "m_embed_batch" -> embedBatchSql)
 }

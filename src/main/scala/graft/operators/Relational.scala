@@ -482,6 +482,77 @@ object Relational {
       | min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------------ q_cube
+  /** CUBE aggregation (all 4 grouping sets of segment × priority) —
+    * complements `q_rollup`'s hierarchy with the full lattice. Spark
+    * expands the sets map-side before ONE shuffle (Expand operator);
+    * null markers coalesced to stable sentinels as in q_rollup. */
+  def qCube: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        dec(col("o_totalprice")).as("price"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(col("price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("revenue"), col("n_orders"))
+      .orderBy("segment", "priority")
+  }
+
+  val qCubeSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY segment, priority""".stripMargin
+
+  // ------------------------------------------------------------ q_percentile
+  /** Exact p50/p90/p99 of order totalprice per order-priority, by
+    * SELECTION (value at rank ceil(p·n/100)) — no interpolation, so the
+    * result is a member of the multiset and engine-exact. Rank targets
+    * are pure integer arithmetic: ceil(n·p/100) = (n·p+99) div 100.
+    * One shuffle on priority serves both the ranking window and the
+    * final aggregation. The price at rank k is well-defined even with
+    * duplicate prices (same multiset, any tie order).
+    *
+    * 100 TB note: this is the exact variant (full per-group sort). At
+    * cluster scale swap in approx_percentile for one-pass sketching —
+    * kept exact here because the oracle must hash-match. */
+  def qPercentile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("pri")).orderBy(col("price"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), dec(col("o_totalprice")).as("price"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+      .groupBy(col("pri"))
+      .agg(
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("price")))
+          .cast("double").as("p50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("price")))
+          .cast("double").as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("price")))
+          .cast("double").as("p99"))
+      .orderBy("pri")
+  }
+
+  val qPercentileSql: String =
+    """WITH r AS (
+      | SELECT o_orderpriority AS pri, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS rn,
+      |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+      | FROM orders
+      |)
+      |SELECT pri,
+      | CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN price END) AS DOUBLE) AS p50,
+      | CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN price END) AS DOUBLE) AS p90,
+      | CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN price END) AS DOUBLE) AS p99
+      |FROM r GROUP BY pri ORDER BY pri""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -498,6 +569,8 @@ object Relational {
     "q_window_nav" -> qWindowNav,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_asof" -> qEventsAsof,
+    "q_cube" -> qCube,
+    "q_percentile" -> qPercentile,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -515,5 +588,7 @@ object Relational {
     "q_window_nav" -> qWindowNavSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_asof" -> qEventsAsofSql,
+    "q_cube" -> qCubeSql,
+    "q_percentile" -> qPercentileSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
 
 /** Text analysis operators (SURVEY.md §2 D-block): language id, quality
@@ -284,6 +285,92 @@ object TextOps {
        |SELECT bigram, count(*) AS n FROM bg
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $ngramTopK""".stripMargin
 
+  // -------------------------------------------------------- t_pii_redact
+  /** PII-pattern redaction — the pipeline's scrubbing gate, run over
+    * `events.props` (the corpus' only free-text-with-digits column):
+    * digit runs are replaced with '#' and the op reports, per event
+    * type, how many rows changed, the distinct redacted forms, and the
+    * total pattern hits. The regex is deliberately in the Java∩RE2
+    * common subset (a plain character class — no lookaround, no
+    * backrefs) so Spark (java.util.regex) and DuckDB (RE2) agree by
+    * construction; production patterns (emails, phones) stay in that
+    * subset too. Linear per row, one 5-group shuffle. */
+  val piiPattern = "[0-9]+"
+
+  def piiRedact: Q = (s, dir) => {
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("props"),
+        regexp_replace(col("props"), piiPattern, "#").as("red"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("red") =!= col("props"), 1L).otherwise(0L)).as("n_changed"),
+        countDistinct(col("red")).as("n_forms"),
+        sum(regexp_count(col("props"), lit(piiPattern)).cast("long")).as("n_hits"))
+      .orderBy("event_type")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH r AS (
+       | SELECT event_type, props,
+       |  regexp_replace(props, '$piiPattern', '#', 'g') AS red
+       | FROM events
+       |)
+       |SELECT event_type, count(*) AS n_events,
+       | CAST(sum(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       | count(DISTINCT red) AS n_forms,
+       | CAST(sum(len(regexp_extract_all(props, '$piiPattern'))) AS BIGINT) AS n_hits
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ t_tfidf
+  /** TF-IDF top-3 terms per document — the retrieval/feature primitive.
+    * idf is the SCALED-INTEGER proxy (N·1000) div df: monotone in the
+    * true ln(N/df) (both strictly decrease in df), so rankings are
+    * identical and the score is exact integer arithmetic in both
+    * engines — ln would put a float on the engine boundary.
+    *
+    * Scale shape: term-frequency groupBy is the map-side-combine
+    * wordcount (shuffle = distinct (doc,term) pairs); the df side
+    * aggregates (term → df) and re-joins on term — vocabulary-sized,
+    * so AQE broadcast-converts it when small and hash-joins otherwise
+    * (no hint: vocab size is data-dependent); the top-3 window
+    * shuffles once on doc_id. Ties broken (score DESC, term ASC) —
+    * fully deterministic. */
+  def tfidf: Q = (s, dir) => {
+    val td = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = td.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    td.join(df, "term")
+      .crossJoin(broadcast(n)) // 1-row scalar
+      .withColumn("score", col("tf") * expr("(n_docs * 1000) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfSql: String =
+    """WITH td AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      | SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term
+      |), df AS (
+      | SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (
+      | SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      | SELECT tf.doc_id, tf.term, tf.tf * ((n.n_docs * 1000) // df.df) AS score
+      | FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |)
+      |SELECT doc_id, CAST(row_number() OVER w AS INT) AS rank, term, score
+      |FROM scored
+      |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
+      |QUALIFY row_number() OVER w <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   // ---------------------------------------------------- t_pack_sequences
   /** Training-sequence packing — the concat-then-chunk step that turns a
     * filtered corpus into fixed-length training sequences: documents are
@@ -498,6 +585,8 @@ object TextOps {
     "t_token_count" -> tokenCount,
     "t_corpus_filter" -> corpusFilter,
     "t_ngram_stats" -> ngramStats,
+    "t_tfidf" -> tfidf,
+    "t_pii_redact" -> piiRedact,
     "t_stratified_sample" -> stratifiedSample,
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
@@ -510,6 +599,8 @@ object TextOps {
     "t_token_count" -> tokenCountSql,
     "t_corpus_filter" -> corpusFilterSql,
     "t_ngram_stats" -> ngramStatsSql,
+    "t_tfidf" -> tfidfSql,
+    "t_pii_redact" -> piiRedactSql,
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_rep_ngram" -> repNgramSql,

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Source/sink format coverage (SURVEY.md §2 F-block): the engine's
+  * interchange boundary. Parquet is the production storage format
+  * (columnar, pushdown, stats); JSON and CSV are the interchange
+  * formats a pipeline ingests from and exports to. Each op here is a
+  * full sink→source round-trip: write the `documents` table out in the
+  * target format (distributed part files — the writer IS the sink),
+  * read it back with an EXPLICIT schema (no inference pass over the
+  * data at scale), and aggregate per-source integrity stats. The
+  * DuckDB oracle computes the same stats from the original parquet, so
+  * a green row proves byte-exact value round-tripping, not just "wrote
+  * some files".
+  *
+  * Scale notes: writes are partition-parallel (no driver funnel);
+  * reads with explicit schema skip the whole-file inference scan CSV/
+  * JSON would otherwise pay; the aggregate is one hash shuffle on
+  * `source` (5 groups). Re-reading text through count(DISTINCT md5)
+  * keeps the integrity check order-independent.
+  */
+object Formats {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Deterministic per-(sf,format) scratch dir under java.io.tmpdir. */
+  private def scratch(dir: String, fmt: String): String = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$tag/$fmt"
+  }
+
+  /** Per-source integrity stats — identical aggregate on both engines. */
+  private def integrity(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      .orderBy("source")
+
+  private val integritySql: String =
+    """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      | sum(length(text)) AS sum_len,
+      | count(DISTINCT md5(text)) AS n_uniq
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ src_json_roundtrip
+  /** documents → JSON-lines sink → JSON source → integrity aggregate. */
+  def jsonRoundtrip: Q = (s, dir) => {
+    val path = scratch(dir, "json")
+    Tables(s, dir, "documents").write.mode("overwrite").json(path)
+    integrity(s.read.schema(docSchema).json(path))
+  }
+
+  // ------------------------------------------------------- src_csv_roundtrip
+  /** documents → CSV sink → CSV source → integrity aggregate. Quoting
+    * set explicitly on both sides so embedded delimiters/quotes in text
+    * survive (the synthetic corpus is plain words, but the options are
+    * the production-correct ones, not defaults-that-happen-to-work). */
+  def csvRoundtrip: Q = (s, dir) => {
+    val path = scratch(dir, "csv")
+    val opts = Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").options(opts).csv(path)
+    integrity(s.read.schema(docSchema).options(opts).csv(path))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src_json_roundtrip" -> jsonRoundtrip,
+    "src_csv_roundtrip" -> csvRoundtrip)
+
+  val oracleSql: Map[String, String] = Map(
+    "src_json_roundtrip" -> integritySql,
+    "src_csv_roundtrip" -> integritySql)
+}

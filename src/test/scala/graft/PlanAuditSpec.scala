@@ -113,6 +113,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected a window plan:\n$p")
   }
 
+  test("rank-filtered windows execute with WindowGroupLimit pushdown") {
+    // per-key top-k is written as window(row_number) + filter(rank <= k):
+    // Spark's WindowGroupLimit rule must turn that into bounded per-group
+    // scans (partial limits BEFORE the shuffle) — the Spark-first answer
+    // to a custom top-k operator. If this assert fails, every rank sorts
+    // its whole group at 100 TB.
+    val p = plan(graft.operators.TextOps.tfidf(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into WindowGroupLimit:\n$p")
+  }
+
   test("pack_sequences window is per-shard, never a global single partition") {
     val p = plan(graft.operators.TextOps.packSequences(spark, sf))
     // the cumulative sum must hash-partition by shard; an unpartitioned

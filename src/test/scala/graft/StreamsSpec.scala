@@ -159,6 +159,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(twin.except(streamShaped).count() == 0)
   }
 
+  test("st_embed_batch: streamed micro-batches match the batch embedding op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Multimodal.embedRows(mem.toDS())
+      .writeStream.format("memory").queryName("embed_stream")
+      .outputMode("append").start()
+    try {
+      val docRows = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      // two micro-batches — batch composition differs from the batch op
+      val (b1, b2) = docRows.splitAt(docRows.length / 2)
+      mem.addData(b1.toIndexedSeq); mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("embed_stream")
+      val twin = SparkEntry.queries("m_embed_batch")(spark, sf)
+      assert(streamed.except(twin).count() == 0)
+      assert(twin.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     // total_value included: both sides sum DECIMAL, so the comparison is
