@@ -129,6 +129,16 @@ object Analytics {
     "(CASE " + labelCodes.map { case (l, c) => s"WHEN label = '$l' THEN $c" }
       .mkString(" ") + " END) * 10000000000000 + key"
 
+  private def nodeIdSqlOf(prefix: String): String =
+    "(CASE " + labelCodes.map { case (l, c) => s"WHEN ${prefix}_label = '$l' THEN $c" }
+      .mkString(" ") + s" END) * 10000000000000 + ${prefix}_key"
+
+  /** Unweighted undirected edge-pair CTE body (both directions). */
+  private def undSqlPair: String =
+    s"""${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+       | UNION ALL
+       | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")} FROM edges""".stripMargin
+
   // ---------------------------------------------- shared numeric graph
   /** One cached numeric-id view per (session, dir), shared by every
     * iterative algorithm: `nodes(label, key, id)` and the undirected
@@ -520,6 +530,62 @@ object Analytics {
     b.toString
   }
 
+  // --------------------------------------------------------- g_kcore
+  /** k-core peeling (k=3), `kcoreIters` SYNCHRONOUS rounds: each round
+    * recomputes undirected degree within the surviving subgraph and
+    * drops nodes below k. Fixed round count (not run-to-convergence) so
+    * the oracle is an exact unrolled CTE — same contract as CC/SSSP.
+    * Output = survivors with the degree that qualified them in the
+    * final round.
+    *
+    * Scale shape: the survivor set only shrinks, so each round's two
+    * semi-joins against the edge list broadcast the (node-sized,
+    * shrinking) alive frame; eager per-round materialization caps plan
+    * depth. At 100× node scale, same story as CC: pre-partition edges
+    * and alive on the node key and let the joins reuse it. */
+  val kcoreK = 3
+  val kcoreIters = 4
+
+  def kcore: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    var alive = nodes.select(col("id")).localCheckpoint(eager = true)
+    var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced round 1
+    for (_ <- 1 to kcoreIters) {
+      deg = und
+        .join(broadcast(alive.withColumnRenamed("id", "a")), Seq("a"))
+        .join(broadcast(alive.withColumnRenamed("id", "b")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kcoreK)
+        .localCheckpoint(eager = true)
+      alive = deg.select("id")
+    }
+    nodes.join(deg, Seq("id"))
+      .select("label", "key", "deg").orderBy("label", "key")
+  }
+
+  val kcoreSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undk AS (
+             | SELECT $undSqlPair
+             |), a0 AS (SELECT id FROM ids)""".stripMargin
+    for (i <- 1 to kcoreIters) {
+      b ++= s""", d$i AS (
+               | SELECT u.a AS id, count(*) AS deg
+               | FROM undk u JOIN a${i - 1} x ON x.id = u.a
+               |             JOIN a${i - 1} y ON y.id = u.b
+               | GROUP BY u.a HAVING count(*) >= $kcoreK
+               |), a$i AS (SELECT id FROM d$i)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key, d$kcoreIters.deg
+             |FROM ids JOIN d$kcoreIters ON d$kcoreIters.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ---------------------------------------------------- g_link_predict
   /** Link prediction over the order→part bipartite graph: for every
     * part pair sharing ≥1 order, common-neighbor count (orders holding
@@ -566,6 +632,7 @@ object Analytics {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g_link_predict" -> linkPredict,
+    "g_kcore" -> kcore,
     "g_pagerank" -> pagerank,
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
@@ -575,6 +642,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "g_link_predict" -> linkPredictSql,
+    "g_kcore" -> kcoreSql,
     "g_pagerank" -> pagerankSql,
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,

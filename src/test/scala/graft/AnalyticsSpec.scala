@@ -47,4 +47,13 @@ class AnalyticsSpec extends AnyFunSuite {
       col("dst_key") === 0L).select("src_key").collect().map(_.getLong(0))
     nations0.foreach(k => assert(d(("nation", k)) == 1))
   }
+
+  test("kcore: every survivor qualified with degree >= k") {
+    val rows = SparkEntry.queries("g_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty, "3-core unexpectedly empty")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("deg") >= graft.operators.Analytics.kcoreK.toLong,
+        s"survivor below k: $r")
+    }
+  }
 }
