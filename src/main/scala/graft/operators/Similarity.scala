@@ -219,6 +219,71 @@ object Similarity {
        | FROM scored
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
 
+  // ----------------------------------------------------------- s_knn_join
+  /** Set-to-set kNN JOIN — the embedding-pipeline workhorse (label a
+    * corpus against a reference set): every label-1 vector finds its
+    * top-3 among the label-0 set. Unlike `s_ann_topk*` there is NO
+    * small probe side: BOTH sides are corpus-scale, so candidate
+    * generation is a SHUFFLE hash join of the two band tables on
+    * (band, sig) — no broadcast hint anywhere; buckets co-locate the
+    * work and AQE is free to pick the join strategy per size. This is
+    * the shape that survives a 10⁹×10⁹ knn join where every
+    * probe-driven variant dies. Scoring and ranking are the same exact
+    * integer arithmetic as annTopk. */
+  val knnK = 3
+
+  def knnJoin: Q = (s, dir) => {
+    val bands = lshBands(s, dir).cache() // shared session entry
+    val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val pb = bands.join(lbl.filter(col("label") === 1), "vec_id")
+      .select(col("vec_id").as("probe_id"), col("band"), col("sig"))
+    val cb = bands.join(lbl.filter(col("label") === 0), "vec_id")
+      .select(col("vec_id").as("cand_id"), col("band"), col("sig"))
+    val cand = pb.join(cb, Seq("band", "sig"))
+      .select("probe_id", "cand_id").distinct()
+    val qq = quantized(s, dir)
+    val scored = cand
+      .join(qq.toDF("probe_id", "qp"), "probe_id")
+      .join(qq.toDF("cand_id", "qc"), "cand_id")
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"),
+        dot(col("qc"), col("qc")).as("nb"))
+      .select(col("probe_id"), col("cand_id"),
+        expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+          " ELSE -((dp * dp * 1000) div nb) END").as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= knnK)
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val knnJoinSql: String =
+    s"""WITH $lshBandsSqlCte, lbl AS (
+       | SELECT vec_id, label FROM embeddings
+       |), cand AS (
+       | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       | FROM bk p JOIN lbl lp ON lp.vec_id = p.vec_id AND lp.label = 1
+       |           JOIN bk c ON c.band = p.band AND c.sig = p.sig
+       |           JOIN lbl lc ON lc.vec_id = c.vec_id AND lc.label = 0
+       |), scored AS (
+       | SELECT cd.probe_id, cd.cand_id,
+       |  CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
+       |   THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |   ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
+       |  END AS score
+       | FROM cand cd JOIN q p ON p.vec_id = cd.probe_id
+       |              JOIN q c ON c.vec_id = cd.cand_id
+       |)
+       |SELECT probe_id, rn, cand_id, score FROM (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM scored
+       |) WHERE rn <= $knnK ORDER BY probe_id, rn""".stripMargin
+
   /** d_dedup_embedding_lsh — banded near-dup pairs (cosine > 0.45 via
     * the exact 81/400 integer test), candidates only within band
     * buckets: the O(Σ bucket²) shape that replaces the brute-force
@@ -350,10 +415,12 @@ object Similarity {
     "s_ann_topk" -> annTopk,
     "s_ann_topk_lsh" -> annTopkLsh,
     "s_ann_ivf" -> annIvf,
+    "s_knn_join" -> knnJoin,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_ann_topk" -> annTopkSql,
     "s_ann_topk_lsh" -> annTopkLshSql,
     "s_ann_ivf" -> annIvfSql,
+    "s_knn_join" -> knnJoinSql,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

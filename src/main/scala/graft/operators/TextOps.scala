@@ -371,6 +371,74 @@ object TextOps {
       |QUALIFY row_number() OVER w <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------- t_heavy_hitters
+  /** Count-min-sketch heavy hitters: a depth-3 × width-64 CMS built
+    * over the corpus word stream, then the exact top-20 words compared
+    * against their sketch estimates (`n_est >= n_exact` always — CMS
+    * only overestimates). Like `t_distinct_kmv`, the hash family is
+    * deterministic md5-nibble arithmetic, so the SKETCH ITSELF is
+    * oracle-exact — the DuckDB twin rebuilds the identical 192 cells.
+    *
+    * Scale shape: the sketch is built from the PRE-AGGREGATED term
+    * counts (cells(r,b) = Σ n over tokens hashing to b — identical to
+    * streaming every occurrence, but the md5s run once per DISTINCT
+    * token); the cell table is 192 rows (fixed, independent of corpus
+    * size — the whole point of a sketch) and broadcast into the
+    * estimate joins. One real shuffle (the wordcount). */
+  val hhDepth = 3
+  val hhWidth = 64
+  val hhTopK = 20
+
+  private def hhBucketExpr(r: Int): String =
+    s"((instr('0123456789abcdef', substr(md5('$r:' || token), 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substr(md5('$r:' || token), 2, 1)) - 1)) % $hhWidth"
+
+  def heavyHitters: Q = (s, dir) => {
+    val tc = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val tb = tc.select(Seq(col("token"), col("n")) ++
+      (0 until hhDepth).map(r => expr(hhBucketExpr(r)).as(s"b$r")): _*)
+      .cache() // feeds the 3 cell builds + the top-k side
+    val top = tb.orderBy(col("n").desc, col("token")).limit(hhTopK)
+    var est = top
+    for (r <- 0 until hhDepth) {
+      val cr = tb.groupBy(col(s"b$r")).agg(sum("n").as(s"c$r"))
+      est = est.join(broadcast(cr), Seq(s"b$r"))
+    }
+    est.select(col("token"), col("n").as("n_exact"),
+        (0 until hhDepth).map(r => col(s"c$r")).reduce(least(_, _)).as("n_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val heavyHittersSql: String = {
+    def bucket(r: Int): String =
+      s"((strpos('0123456789abcdef', substr(md5('$r:' || token), 1, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substr(md5('$r:' || token), 2, 1)) - 1)) % $hhWidth"
+    val bcols = (0 until hhDepth).map(r => s"${bucket(r)} AS b$r").mkString(",\n  ")
+    val cellJoins = (0 until hhDepth).map(r =>
+      s"JOIN cells$r ON cells$r.b$r = top.b$r").mkString("\n ")
+    val cellCtes = (0 until hhDepth).map(r =>
+      s"cells$r AS (SELECT b$r, CAST(sum(n) AS BIGINT) AS c$r FROM tb GROUP BY b$r)")
+      .mkString(", ")
+    s"""WITH tok AS (
+       | SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |), tc AS (
+       | SELECT token, count(*) AS n FROM tok GROUP BY token
+       |), tb AS (
+       | SELECT token, n,
+       |  $bcols
+       | FROM tc
+       |), $cellCtes,
+       |top AS (
+       | SELECT * FROM tb ORDER BY n DESC, token LIMIT $hhTopK
+       |)
+       |SELECT top.token, top.n AS n_exact,
+       | least(${(0 until hhDepth).map(r => s"c$r").mkString(", ")}) AS n_est
+       |FROM top $cellJoins
+       |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
   // ---------------------------------------------------- t_pack_sequences
   /** Training-sequence packing — the concat-then-chunk step that turns a
     * filtered corpus into fixed-length training sequences: documents are
@@ -587,6 +655,7 @@ object TextOps {
     "t_ngram_stats" -> ngramStats,
     "t_tfidf" -> tfidf,
     "t_pii_redact" -> piiRedact,
+    "t_heavy_hitters" -> heavyHitters,
     "t_stratified_sample" -> stratifiedSample,
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
@@ -601,6 +670,7 @@ object TextOps {
     "t_ngram_stats" -> ngramStatsSql,
     "t_tfidf" -> tfidfSql,
     "t_pii_redact" -> piiRedactSql,
+    "t_heavy_hitters" -> heavyHittersSql,
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_rep_ngram" -> repNgramSql,

@@ -75,11 +75,24 @@ object Formats {
     integrity(s.read.schema(docSchema).options(opts).csv(path))
   }
 
+  // ------------------------------------------------------- src_orc_roundtrip
+  /** documents → ORC sink → ORC source → integrity aggregate. ORC is
+    * the second columnar format Spark ships natively (stripe stats,
+    * predicate pushdown) — the round-trip proves the engine can sit on
+    * an ORC lake as readily as parquet. */
+  def orcRoundtrip: Q = (s, dir) => {
+    val path = scratch(dir, "orc")
+    Tables(s, dir, "documents").write.mode("overwrite").orc(path)
+    integrity(s.read.schema(docSchema).orc(path))
+  }
+
   val queries: Map[String, Q] = Map(
     "src_json_roundtrip" -> jsonRoundtrip,
-    "src_csv_roundtrip" -> csvRoundtrip)
+    "src_csv_roundtrip" -> csvRoundtrip,
+    "src_orc_roundtrip" -> orcRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
     "src_json_roundtrip" -> integritySql,
-    "src_csv_roundtrip" -> integritySql)
+    "src_csv_roundtrip" -> integritySql,
+    "src_orc_roundtrip" -> integritySql)
 }

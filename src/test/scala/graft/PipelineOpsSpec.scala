@@ -93,6 +93,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       docs.select("text").distinct().count())
   }
 
+  test("t_heavy_hitters: CMS estimate never undercounts, exact for giants") {
+    val rows = TextOps.heavyHitters(spark, sf).collect()
+    assert(rows.length == TextOps.hhTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS undercounted: $r") // structurally impossible if cells are right
+    }
+  }
+
+  test("s_knn_join: probes are label 1, neighbors label 0, ranks bounded") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Similarity.knnJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lbl = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(lbl(r.getLong(0)) == 1 && lbl(r.getLong(2)) == 0,
+        s"label contract violated: $r")
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= graft.operators.Similarity.knnK)
+    }
+  }
+
   test("m_multimodal_meta: all docs decoded, positive dimensions") {
     val rows = Multimodal.multimodalMeta(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_media")).sum ==
