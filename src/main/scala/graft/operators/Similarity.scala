@@ -29,6 +29,15 @@ object Similarity {
       transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
 
+  /** Candidate-side view with the self-norm PRECOMPUTED per vector:
+    * the score divides by ‖cand‖², and computing it inside the
+    * pair join repeats the 64-mult dot product once per PAIR instead
+    * of once per VECTOR — ~half the per-pair flops at corpus scale. */
+  private def quantizedWithNorm(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    q.withColumn("nb", graft.functions.VectorExprs.dotL(col("qe"), col("qe")))
+  }
+
   private def dot(x: Column, y: Column): Column =
     graft.functions.VectorExprs.dotL(x, y) // codegen'd native expression
 
@@ -40,13 +49,13 @@ object Similarity {
   val annK = 5
 
   def annTopk: Q = (s, dir) => {
-    val q = quantized(s, dir)
-    val probes = broadcast(q.filter(col("vec_id") < 10).toDF("probe_id", "qp"))
-    val scored = probes.crossJoin(q.toDF("cand_id", "qc"))
+    val probes = broadcast(quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp"))
+    val scored = probes
+      .crossJoin(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        dot(col("qp"), col("qc")).as("dp"),
-        dot(col("qc"), col("qc")).as("nb"))
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
       // `div`, not `/`: Spark `/` on BIGINTs is DOUBLE division and the
       // cast-back truncation only matches DuckDB's exact integer `//`
       // below 2^53 — dp²·1000 reaches ~4×10¹⁸. `div` is exact BIGINT
@@ -166,17 +175,15 @@ object Similarity {
     val cand = pb.join(cb, Seq("band", "sig"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id").distinct()
-    val qq = quantized(s, dir)
     // broadcast ONLY the probe vectors (vec_id < 10) — hinting the full
     // quantized table here would ship the whole corpus for a 10-row
     // lookup and die at the 8 GB broadcast ceiling at scale.
     val scored = cand
-      .join(broadcast(qq.filter(col("vec_id") < 10).toDF("probe_id", "qp")),
-        "probe_id")
-      .join(qq.toDF("cand_id", "qc"), "cand_id")
+      .join(broadcast(quantized(s, dir)
+        .filter(col("vec_id") < 10).toDF("probe_id", "qp")), "probe_id")
+      .join(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"), "cand_id")
       .select(col("probe_id"), col("cand_id"),
-        dot(col("qp"), col("qc")).as("dp"),
-        dot(col("qc"), col("qc")).as("nb"))
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
       .select(col("probe_id"), col("cand_id"),
         expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
           " ELSE -((dp * dp * 1000) div nb) END").as("score"))
@@ -241,13 +248,11 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("band"), col("sig"))
     val cand = pb.join(cb, Seq("band", "sig"))
       .select("probe_id", "cand_id").distinct()
-    val qq = quantized(s, dir)
     val scored = cand
-      .join(qq.toDF("probe_id", "qp"), "probe_id")
-      .join(qq.toDF("cand_id", "qc"), "cand_id")
+      .join(quantized(s, dir).toDF("probe_id", "qp"), "probe_id")
+      .join(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"), "cand_id")
       .select(col("probe_id"), col("cand_id"),
-        dot(col("qp"), col("qc")).as("dp"),
-        dot(col("qc"), col("qc")).as("nb"))
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
       .select(col("probe_id"), col("cand_id"),
         expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
           " ELSE -((dp * dp * 1000) div nb) END").as("score"))
@@ -343,13 +348,17 @@ object Similarity {
       " ELSE -((dp * dp * 1000) div nb) END"
 
   def annIvf: Q = (s, dir) => {
-    val q = quantized(s, dir)
-    val cents = broadcast(q.filter(col("vec_id") < ivfK).toDF("cid", "qc"))
+    // self-norms precomputed per VECTOR (see quantizedWithNorm): the
+    // assignment reuses the centroid's norm across all n×K pairs and
+    // the probe stage reuses the candidate's across its cell pairs
+    val q = quantizedWithNorm(s, dir)
+    val cents = broadcast(q.filter(col("vec_id") < ivfK)
+      .toDF("cid", "qc", "cnb"))
     val asg0 = q.crossJoin(cents)
-      .select(col("vec_id"), col("qe"), col("cid"),
-        dot(col("qe"), col("qc")).as("dp"),
-        dot(col("qc"), col("qc")).as("nb"))
-      .select(col("vec_id"), col("qe"), col("cid"), expr(scoreExpr).as("cs"))
+      .select(col("vec_id"), col("qe"), col("nb").as("vnb"), col("cid"),
+        dot(col("qe"), col("qc")).as("dp"), col("cnb").as("nb"))
+      .select(col("vec_id"), col("qe"), col("vnb"), col("cid"),
+        expr(scoreExpr).as("cs"))
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(col("cs").desc, col("cid"))
     // asg feeds the probe side AND the candidate side — cache so the
@@ -357,14 +366,13 @@ object Similarity {
     // across calls (parameter-free plan → one session-bounded entry).
     // In production the assignment is a materialized offline artifact.
     val asg = asg0.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1).select("vec_id", "qe", "cid").cache()
+      .filter(col("rn") === 1).select("vec_id", "qe", "vnb", "cid").cache()
     val probes = broadcast(asg.filter(col("vec_id") < 10)
-      .toDF("probe_id", "qp", "cid"))
-    val scored = probes.join(asg.toDF("cand_id", "qc", "cid"), "cid")
+      .select(col("vec_id").as("probe_id"), col("qe").as("qp"), col("cid")))
+    val scored = probes.join(asg.toDF("cand_id", "qc", "nb", "cid"), "cid")
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        dot(col("qp"), col("qc")).as("dp"),
-        dot(col("qc"), col("qc")).as("nb"))
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
       .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("cand_id"))
