@@ -108,6 +108,76 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------------------- g_ppr
+  /** PERSONALIZED PageRank from seed customer:1 (a node with a real
+    * forward cone — orders, parts, its nation) — the seed-expansion /
+    * recommendation primitive: restart mass returns to the SEED instead
+    * of spreading uniformly, so rank concentrates in the seed's
+    * neighborhood. Same fixed-point BIGINT contract as g_pagerank
+    * (5 iters, d = 0.85, prScale fixed-point).
+    *
+    * Scale: unlike global pagerank the rank vector is SPARSE (only
+    * nodes reached from the seed are nonzero) — each iteration
+    * broadcasts only the NONZERO ranks, the PPR analogue of the
+    * semi-naive delta in CC. Dropping zero rows changes nothing
+    * (they contribute 0); the oracle keeps the dense formulation. */
+  def pprPersonalized: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val nodes = graph.nodes.select("label", "key")
+    val seed = col("label") === "customer" && col("key") === 1L
+    val e = graph.edges.select(
+      col("src_label"), col("src_key"),
+      col("dst_label").as("label"), col("dst_key").as("key"))
+    val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
+    val eod = e.join(od, Seq("src_label", "src_key")).cache() // shared w/ pagerank
+    val seedBase = (15L * prScale) / 100L
+    var r = nodes.withColumn("r", when(seed, lit(prScale)).otherwise(lit(0L)))
+    for (_ <- 1 to prIters) {
+      val contrib = eod
+        .join(broadcast(r.filter(col("r") > 0) // sparse: reached set only
+          .select(col("label").as("src_label"),
+            col("key").as("src_key"), col("r"))), Seq("src_label", "src_key"))
+        .select(col("label"), col("key"),
+          expr("(85 * r) div (100 * outdeg)").as("c"))
+        .groupBy("label", "key").agg(sum("c").as("s"))
+      r = nodes.join(broadcast(contrib), Seq("label", "key"), "left_outer")
+        .select(col("label"), col("key"),
+          (when(seed, lit(seedBase)).otherwise(lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("r"))
+    }
+    r.orderBy("label", "key") // eod cache session-bounded, see pagerank
+  }
+
+  val pprPersonalizedSql: String = {
+    def seedSql(p: String) = s"$p.label = 'customer' AND $p.key = 1"
+    val b = new StringBuilder(cte)
+    b ++= s""", od AS (
+             | SELECT src_label AS label, src_key AS key, count(*) AS outdeg
+             | FROM edges GROUP BY 1, 2
+             |), p0 AS (
+             | SELECT label, key,
+             |  CAST(CASE WHEN ${seedSql("nodes")} THEN $prScale ELSE 0 END AS BIGINT) AS r
+             | FROM nodes
+             |)""".stripMargin
+    for (i <- 1 to prIters) {
+      b ++= s""", pc$i AS (
+               | SELECT e.dst_label AS label, e.dst_key AS key,
+               |  sum((85 * p${i - 1}.r) // (100 * od.outdeg)) AS s
+               | FROM edges e
+               | JOIN p${i - 1} ON p${i - 1}.label = e.src_label AND p${i - 1}.key = e.src_key
+               | JOIN od ON od.label = e.src_label AND od.key = e.src_key
+               | GROUP BY 1, 2
+               |), p$i AS (
+               | SELECT nd.label, nd.key,
+               |  CAST((CASE WHEN ${seedSql("nd")} THEN ${(15L * prScale) / 100L} ELSE 0 END)
+               |   + COALESCE(pc$i.s, 0) AS BIGINT) AS r
+               | FROM nodes nd LEFT JOIN pc$i ON pc$i.label = nd.label AND pc$i.key = nd.key
+               |)""".stripMargin
+    }
+    b ++= s"\nSELECT label, key, r FROM p$prIters ORDER BY label, key"
+    b.toString
+  }
+
   // --------------------------------------------- g_connected_components
   /** Connected components by min-id propagation over the undirected
     * edge set, 10 fixed iterations. Numeric node id =
@@ -633,6 +703,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "g_link_predict" -> linkPredict,
     "g_kcore" -> kcore,
+    "g_ppr" -> pprPersonalized,
     "g_pagerank" -> pagerank,
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
@@ -643,6 +714,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "g_link_predict" -> linkPredictSql,
     "g_kcore" -> kcoreSql,
+    "g_ppr" -> pprPersonalizedSql,
     "g_pagerank" -> pagerankSql,
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,

@@ -48,6 +48,21 @@ class AnalyticsSpec extends AnyFunSuite {
     nations0.foreach(k => assert(d(("nation", k)) == 1))
   }
 
+  test("ppr: seed holds the max rank, mass spreads, unreachable stay zero") {
+    val rows = SparkEntry.queries("g_ppr")(spark, sf).collect()
+    val byNode = rows.map(r =>
+      (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val seedRank = byNode(("customer", 1L))
+    // the seed keeps its restart mass every iteration; sinks (regions)
+    // can accumulate more, so "max" is not the invariant — the floor is
+    assert(seedRank >= 15L * graft.operators.Analytics.prScale / 100L,
+      s"seed lost its restart mass: $seedRank")
+    assert(rows.count(_.getLong(2) > 0L) > 1,
+      "mass must spread beyond the seed (degenerate seed?)")
+    // nodes outside the seed's forward cone (other customers) stay 0
+    assert(rows.count(_.getLong(2) == 0L) > 0, "expected unreachable zeros")
+  }
+
   test("kcore: every survivor qualified with degree >= k") {
     val rows = SparkEntry.queries("g_kcore")(spark, sf).collect()
     assert(rows.nonEmpty, "3-core unexpectedly empty")

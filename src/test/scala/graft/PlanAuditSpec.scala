@@ -105,6 +105,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hinted >= 1, "expected at least one hinted broadcast")
   }
 
+  test("knn join carries NO broadcast hints — bucket shuffle by design") {
+    // both knn sides are corpus-scale: a forced broadcast anywhere in
+    // this plan would ship a corpus and die at the 8 GB ceiling. AQE
+    // may still convert at tiny sf from runtime stats — that self-
+    // corrects at scale; a HINT would not.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    val op = Similarity.knnJoin(spark, sf).queryExecution.optimizedPlan
+    op.foreach {
+      case j: Join =>
+        assert(!j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+               !j.hint.rightHint.exists(_.strategy.contains(BROADCAST)),
+          s"knn join has a forced broadcast:\n$j")
+      case _ =>
+    }
+  }
+
   test("asof join plans with NO join operator — single window shuffle") {
     // the whole point of the union-tag + last(ignore nulls) shape: the
     // as-of match is a window over one shuffle on user_id, not a join
