@@ -64,6 +64,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       nodes.join(updates.select("label", "key"), Seq("label", "key"),
         "left_anti")))
 
+  private val edgeIdCols =
+    Seq("elabel", "src_label", "src_key", "dst_label", "dst_key")
+
+  /** Reference addEdge (Neo4jGraph.scala:178-210) as batch upsert: new
+    * rows win on the composite edge identity via anti-join — the edge
+    * twin of `upsertNodes`, one shuffle on the composite key. */
+  def upsertEdges(updates: DataFrame): PropertyGraph =
+    copy(edges = updates.unionByName(
+      edges.join(updates.select(edgeIdCols.map(col): _*), edgeIdCols,
+        "left_anti")))
+
   /** Reference removeNodes DETACH semantics (Neo4jGraph.scala:406-431):
     * drop matching nodes AND incident edges via anti-join cascade. */
   def removeNodes(label: String, pred: Column): PropertyGraph = {

@@ -202,6 +202,32 @@ object GraphOps {
        |UNION ALL SELECT 'region', 100, 'LAPLAND', CAST(NULL AS DOUBLE)
        |ORDER BY key""".stripMargin
 
+  // --------------------------------------------------------- g_add_edge
+  /** Reference addEdge (Neo4jGraph.scala:178-210) as batch upsert; the
+    * query adds a REFERRED edge fan (customer:1 → customers 2..4) and
+    * returns the post-mutation slice (new label + the untouched
+    * IN_REGION set, proving non-matching edges survive). */
+  def addEdge: Q = (s, dir) => {
+    val updates = s.range(3).select(
+      lit("REFERRED").as("elabel"),
+      lit("customer").as("src_label"), lit(1L).as("src_key"),
+      lit("customer").as("dst_label"), (col("id") + 2L).as("dst_key"),
+      lit(1L).as("weight"))
+    g(s, dir).upsertEdges(updates).edges
+      .filter(col("elabel").isin("REFERRED", "IN_REGION"))
+      .orderBy("elabel", "src_key", "dst_key")
+  }
+
+  val addEdgeSql: String =
+    s"""$cte
+       |SELECT * FROM (
+       | SELECT elabel, src_label, src_key, dst_label, dst_key, weight
+       | FROM edges WHERE elabel IN ('REFERRED', 'IN_REGION')
+       | UNION ALL SELECT 'REFERRED', 'customer', 1, 'customer', 2, 1
+       | UNION ALL SELECT 'REFERRED', 'customer', 1, 'customer', 3, 1
+       | UNION ALL SELECT 'REFERRED', 'customer', 1, 'customer', 4, 1
+       |) ORDER BY elabel, src_key, dst_key""".stripMargin
+
   // ------------------------------------------------------ g_update_node
   /** Reference updateNode property-merge (Neo4jGraph.scala:442-467):
     * clamp negative customer balances to 0 — a column merge, not a
@@ -430,6 +456,7 @@ object GraphOps {
     "g_egress" -> egress,
     "g_ingress" -> ingress,
     "g_add_node" -> addNode,
+    "g_add_edge" -> addEdge,
     "g_update_node" -> updateNode,
     "g_update_node_props" -> updateNodeProps,
     "g_remove_nodes" -> removeNodes,
@@ -450,6 +477,7 @@ object GraphOps {
     "g_egress" -> egressSql,
     "g_ingress" -> ingressSql,
     "g_add_node" -> addNodeSql,
+    "g_add_edge" -> addEdgeSql,
     "g_update_node" -> updateNodeSql,
     "g_update_node_props" -> updateNodePropsSql,
     "g_remove_nodes" -> removeNodesSql,
