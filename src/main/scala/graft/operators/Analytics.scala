@@ -38,26 +38,36 @@ object Analytics {
   val prIters = 5
   val prScale = 10000000000L // 1e10
 
-  def pagerank: Q = (s, dir) => {
+  /** Shared PageRank-family iteration (pagerank + ppr differ only in
+    * the initial vector and the per-node restart term):
+    * r'(v) = base(v) + Σ_u→v floor(85·r(u) / (100·outdeg(u))).
+    * `sparse` broadcasts only NONZERO ranks each round — identical
+    * results (zero ranks contribute 0), smaller broadcast; PPR turns it
+    * on because its vector stays concentrated near the seed. */
+  private def prFamily(s: SparkSession, dir: String,
+                       init: org.apache.spark.sql.Column,
+                       base: org.apache.spark.sql.Column,
+                       sparse: Boolean): DataFrame = {
     val graph = g(s, dir)
     val nodes = graph.nodes.select("label", "key")
-    val n = nodes.count() // scalar action only
     val e = graph.edges.select(
       col("src_label"), col("src_key"),
       col("dst_label").as("label"), col("dst_key").as("key"))
     val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
     // loop-invariant: cache so each iteration joins a materialized edge
-    // list instead of re-reading parquet + re-aggregating degrees
+    // list instead of re-reading parquet + re-aggregating degrees; ONE
+    // session-bounded entry shared by pagerank AND ppr (same
+    // canonicalized plan by construction — they call this same code)
     val eod = e.join(od, Seq("src_label", "src_key")).cache()
-    val base = (15L * prScale) / (100L * n)
-    var r = nodes.withColumn("r", lit(prScale / n))
+    var r = nodes.withColumn("r", init)
     for (_ <- 1 to prIters) {
       // EXPLICIT broadcast of the node-count rank/contribution sides —
       // deterministic iteration plan instead of relying on AQE's
       // runtime conversion (same ceiling caveat as CC/SSSP/LPA: at
       // 100× pre-partition instead).
+      val src = if (sparse) r.filter(col("r") > 0) else r
       val contrib = eod
-        .join(broadcast(r.select(col("label").as("src_label"),
+        .join(broadcast(src.select(col("label").as("src_label"),
           col("key").as("src_key"), col("r"))), Seq("src_label", "src_key"))
         .select(col("label"), col("key"),
           expr("(85 * r) div (100 * outdeg)").as("c"))
@@ -68,27 +78,29 @@ object Analytics {
       // costs a disk round-trip per level (measured 21.5 s vs 1.6 s)
       r = nodes.join(broadcast(contrib), Seq("label", "key"), "left_outer")
         .select(col("label"), col("key"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+          (base + coalesce(col("s"), lit(0L))).as("r"))
     }
     // NO release() here, deliberately: (1) the eod cache is BOUNDED
     // session-wide — the cache manager keys on the canonicalized plan,
-    // so every pagerank call reuses this one entry (unlike pathsTo,
-    // whose per-call parameters make distinct plans that would
-    // accumulate); (2) eagerly checkpointing the 5-iteration
-    // nested-broadcast lineage re-executes the broadcast subtrees as
-    // separate driver jobs — measured 0.9 s lazy vs 12.7 s checkpointed
-    // at sf0.1.
+    // so every call reuses this one entry (unlike pathsTo, whose
+    // per-call parameters make distinct plans that would accumulate);
+    // (2) eagerly checkpointing the 5-iteration nested-broadcast
+    // lineage re-executes the broadcast subtrees as separate driver
+    // jobs — measured 0.9 s lazy vs 12.7 s checkpointed at sf0.1.
     r.orderBy("label", "key")
   }
 
-  val pagerankSql: String = {
+  /** Shared oracle generator for the family — `r0Expr` (unqualified,
+    * over nodes) seeds the vector, `baseExpr(p)` is the restart term
+    * with node alias `p`. */
+  private def prFamilySql(r0Expr: String, baseExpr: String => String): String = {
     val b = new StringBuilder(cte)
     b ++= s""", od AS (
              | SELECT src_label AS label, src_key AS key, count(*) AS outdeg
              | FROM edges GROUP BY 1, 2
              |), nn AS (SELECT count(*) AS n FROM nodes)
              |, r0 AS (
-             | SELECT label, key, $prScale // (SELECT n FROM nn) AS r FROM nodes
+             | SELECT label, key, $r0Expr AS r FROM nodes
              |)""".stripMargin
     for (i <- 1 to prIters) {
       b ++= s""", c$i AS (
@@ -100,7 +112,7 @@ object Analytics {
                | GROUP BY 1, 2
                |), r$i AS (
                | SELECT nd.label, nd.key,
-               |  CAST((${15L * prScale} // (100 * (SELECT n FROM nn))) + COALESCE(c$i.s, 0) AS BIGINT) AS r
+               |  CAST(${baseExpr("nd")} + COALESCE(c$i.s, 0) AS BIGINT) AS r
                | FROM nodes nd LEFT JOIN c$i ON c$i.label = nd.label AND c$i.key = nd.key
                |)""".stripMargin
     }
@@ -108,13 +120,25 @@ object Analytics {
     b.toString
   }
 
+  def pagerank: Q = (s, dir) => {
+    val n = g(s, dir).nodes.count() // scalar action only
+    prFamily(s, dir,
+      init = lit(prScale / n),
+      base = lit((15L * prScale) / (100L * n)),
+      sparse = false)
+  }
+
+  val pagerankSql: String = prFamilySql(
+    r0Expr = s"$prScale // (SELECT n FROM nn)",
+    baseExpr = _ => s"(${15L * prScale} // (100 * (SELECT n FROM nn)))")
+
   // ------------------------------------------------------------- g_ppr
   /** PERSONALIZED PageRank from seed customer:1 (a node with a real
     * forward cone — orders, parts, its nation) — the seed-expansion /
     * recommendation primitive: restart mass returns to the SEED instead
     * of spreading uniformly, so rank concentrates in the seed's
     * neighborhood. Same fixed-point BIGINT contract as g_pagerank
-    * (5 iters, d = 0.85, prScale fixed-point).
+    * (5 iters, d = 0.85, prScale fixed-point), same shared loop.
     *
     * Scale: unlike global pagerank the rank vector is SPARSE (only
     * nodes reached from the seed are nonzero) — each iteration
@@ -122,60 +146,19 @@ object Analytics {
     * semi-naive delta in CC. Dropping zero rows changes nothing
     * (they contribute 0); the oracle keeps the dense formulation. */
   def pprPersonalized: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val nodes = graph.nodes.select("label", "key")
     val seed = col("label") === "customer" && col("key") === 1L
-    val e = graph.edges.select(
-      col("src_label"), col("src_key"),
-      col("dst_label").as("label"), col("dst_key").as("key"))
-    val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
-    val eod = e.join(od, Seq("src_label", "src_key")).cache() // shared w/ pagerank
-    val seedBase = (15L * prScale) / 100L
-    var r = nodes.withColumn("r", when(seed, lit(prScale)).otherwise(lit(0L)))
-    for (_ <- 1 to prIters) {
-      val contrib = eod
-        .join(broadcast(r.filter(col("r") > 0) // sparse: reached set only
-          .select(col("label").as("src_label"),
-            col("key").as("src_key"), col("r"))), Seq("src_label", "src_key"))
-        .select(col("label"), col("key"),
-          expr("(85 * r) div (100 * outdeg)").as("c"))
-        .groupBy("label", "key").agg(sum("c").as("s"))
-      r = nodes.join(broadcast(contrib), Seq("label", "key"), "left_outer")
-        .select(col("label"), col("key"),
-          (when(seed, lit(seedBase)).otherwise(lit(0L)) +
-            coalesce(col("s"), lit(0L))).as("r"))
-    }
-    r.orderBy("label", "key") // eod cache session-bounded, see pagerank
+    prFamily(s, dir,
+      init = when(seed, lit(prScale)).otherwise(lit(0L)),
+      base = when(seed, lit((15L * prScale) / 100L)).otherwise(lit(0L)),
+      sparse = true)
   }
 
   val pprPersonalizedSql: String = {
     def seedSql(p: String) = s"$p.label = 'customer' AND $p.key = 1"
-    val b = new StringBuilder(cte)
-    b ++= s""", od AS (
-             | SELECT src_label AS label, src_key AS key, count(*) AS outdeg
-             | FROM edges GROUP BY 1, 2
-             |), p0 AS (
-             | SELECT label, key,
-             |  CAST(CASE WHEN ${seedSql("nodes")} THEN $prScale ELSE 0 END AS BIGINT) AS r
-             | FROM nodes
-             |)""".stripMargin
-    for (i <- 1 to prIters) {
-      b ++= s""", pc$i AS (
-               | SELECT e.dst_label AS label, e.dst_key AS key,
-               |  sum((85 * p${i - 1}.r) // (100 * od.outdeg)) AS s
-               | FROM edges e
-               | JOIN p${i - 1} ON p${i - 1}.label = e.src_label AND p${i - 1}.key = e.src_key
-               | JOIN od ON od.label = e.src_label AND od.key = e.src_key
-               | GROUP BY 1, 2
-               |), p$i AS (
-               | SELECT nd.label, nd.key,
-               |  CAST((CASE WHEN ${seedSql("nd")} THEN ${(15L * prScale) / 100L} ELSE 0 END)
-               |   + COALESCE(pc$i.s, 0) AS BIGINT) AS r
-               | FROM nodes nd LEFT JOIN pc$i ON pc$i.label = nd.label AND pc$i.key = nd.key
-               |)""".stripMargin
-    }
-    b ++= s"\nSELECT label, key, r FROM p$prIters ORDER BY label, key"
-    b.toString
+    prFamilySql(
+      r0Expr = s"CAST(CASE WHEN ${seedSql("nodes")} THEN $prScale ELSE 0 END AS BIGINT)",
+      baseExpr = p =>
+        s"(CASE WHEN ${seedSql(p)} THEN ${(15L * prScale) / 100L} ELSE 0 END)")
   }
 
   // --------------------------------------------- g_connected_components
@@ -693,7 +676,7 @@ object Analytics {
        | SELECT o, count(*) AS od FROM hp GROUP BY o
        |)
        |SELECT a.p AS p1, b.p AS p2, count(*) AS cn,
-       |       sum(1000000 // d.od) AS ra
+       |       CAST(sum(1000000 // d.od) AS BIGINT) AS ra
        |FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
        |JOIN deg d ON d.o = a.o
        |GROUP BY a.p, b.p

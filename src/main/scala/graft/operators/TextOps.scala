@@ -323,10 +323,12 @@ object TextOps {
 
   // ------------------------------------------------------------ t_tfidf
   /** TF-IDF top-3 terms per document — the retrieval/feature primitive.
-    * idf is the SCALED-INTEGER proxy (N·1000) div df: monotone in the
-    * true ln(N/df) (both strictly decrease in df), so rankings are
-    * identical and the score is exact integer arithmetic in both
-    * engines — ln would put a float on the engine boundary.
+    * idf is the SCALED-INTEGER proxy (N·1000) div df — like ln(N/df) it
+    * strictly decreases in df, but tf·proxy is NOT order-identical to
+    * tf·ln(N/df) (the proxy decays polynomially, ln logarithmically, so
+    * tf can outvote df differently); it is a deliberate integer
+    * surrogate family, chosen because BOTH engines compute the same
+    * exact arithmetic — ln would put a float on the engine boundary.
     *
     * Scale shape: term-frequency groupBy is the map-side-combine
     * wordcount (shuffle = distinct (doc,term) pairs); the df side

@@ -33,10 +33,15 @@ object Formats {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Deterministic per-(sf,format) scratch dir under java.io.tmpdir. */
-  private def scratch(dir: String, fmt: String): String = {
+  /** Per-(session, sf, format) scratch dir under java.io.tmpdir. The
+    * Spark applicationId component isolates concurrent processes on the
+    * same machine (two Verify/Bench runs on one sf dir would otherwise
+    * race overwrite-vs-read on a shared path) and disambiguates
+    * dir.hashCode collisions. */
+  private def scratch(s: SparkSession, dir: String, fmt: String): String = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$tag/$fmt"
+    val app = s.sparkContext.applicationId
+    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$app/$tag/$fmt"
   }
 
   /** Per-source integrity stats — identical aggregate on both engines. */
@@ -49,30 +54,36 @@ object Formats {
       .orderBy("source")
 
   private val integritySql: String =
-    """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-      | sum(length(text)) AS sum_len,
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len,
       | count(DISTINCT md5(text)) AS n_uniq
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------ src_json_roundtrip
   /** documents → JSON-lines sink → JSON source → integrity aggregate. */
   def jsonRoundtrip: Q = (s, dir) => {
-    val path = scratch(dir, "json")
+    val path = scratch(s, dir, "json")
     Tables(s, dir, "documents").write.mode("overwrite").json(path)
     integrity(s.read.schema(docSchema).json(path))
   }
 
   // ------------------------------------------------------- src_csv_roundtrip
   /** documents → CSV sink → CSV source → integrity aggregate. Quoting
-    * set explicitly on both sides so embedded delimiters/quotes in text
-    * survive (the synthetic corpus is plain words, but the options are
-    * the production-correct ones, not defaults-that-happen-to-work). */
+    * set explicitly on both sides so embedded delimiters/quotes survive,
+    * and the READ side sets multiLine so quoted embedded newlines parse
+    * as one record instead of splitting into malformed rows (the
+    * synthetic corpus has none, but the contract must not depend on
+    * that). multiLine makes a CSV file non-splittable — at 100 TB
+    * prefer many moderate files (this sink writes one per partition)
+    * or a format with escaped newlines. */
   def csvRoundtrip: Q = (s, dir) => {
-    val path = scratch(dir, "csv")
+    val path = scratch(s, dir, "csv")
     val opts = Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
     Tables(s, dir, "documents")
       .write.mode("overwrite").options(opts).csv(path)
-    integrity(s.read.schema(docSchema).options(opts).csv(path))
+    integrity(s.read.schema(docSchema).options(opts)
+      .option("multiLine", "true").csv(path))
   }
 
   // ------------------------------------------------------- src_orc_roundtrip
@@ -81,7 +92,7 @@ object Formats {
     * predicate pushdown) — the round-trip proves the engine can sit on
     * an ORC lake as readily as parquet. */
   def orcRoundtrip: Q = (s, dir) => {
-    val path = scratch(dir, "orc")
+    val path = scratch(s, dir, "orc")
     Tables(s, dir, "documents").write.mode("overwrite").orc(path)
     integrity(s.read.schema(docSchema).orc(path))
   }

@@ -68,6 +68,18 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertEdges: new rows win on the composite identity, others survive") {
+    import org.apache.spark.sql.functions.lit
+    val before = g.edges.count()
+    // overwrite an existing edge's weight via the upsert path
+    val target = g.edges.filter(col("elabel") === "IN_REGION").limit(1)
+      .withColumn("weight", lit(999L))
+    val after = g.upsertEdges(target)
+    assert(after.edges.count() == before, "upsert of existing edge added a row")
+    val hit = after.edges.filter(col("weight") === 999L).collect()
+    assert(hit.length == 1, "updated edge not found exactly once")
+  }
+
   test("degrees: every PLACED edge contributes to customer out-degree") {
     val placed = g.edges.filter(col("elabel") === "PLACED").count()
     val custOut = g.degrees.filter(col("label") === "customer")

@@ -49,7 +49,11 @@ class RelationalSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q_cube")(spark, sf).collect()
     val segs = rows.map(_.getString(0)).distinct.count(_ != "ALL")
     val pris = rows.map(_.getString(1)).distinct.count(_ != "ALL")
-    assert(rows.length == (segs + 1) * (pris + 1), "cube lattice incomplete")
+    // leaves exist only for OBSERVED (segment, priority) pairs — assert
+    // the margins + grand total around them, not a dense cross product
+    val nLeaves =
+      rows.count(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(rows.length == nLeaves + segs + pris + 1, "cube lattice incomplete")
     val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
     val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
     assert(math.abs(leaves.map(_.getDouble(2)).sum - grand.getDouble(2)) < 1e-6)
