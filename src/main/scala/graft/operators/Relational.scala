@@ -553,6 +553,45 @@ object Relational {
       | CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN price END) AS DOUBLE) AS p99
       |FROM r GROUP BY pri ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------- q_incr_agg
+  /** Incremental aggregate maintenance (the materialized-view pattern):
+    * a "yesterday" aggregate (orders before the cutoff) is MERGED with
+    * the day's delta partials instead of recomputing over the full
+    * history — sum/count partials merge by re-summing, which is the
+    * algebraic property every incremental pipeline leans on. The
+    * oracle is deliberately the FULL recompute: a green row proves
+    * merge(base, delta) == recompute(all), i.e. the maintenance path
+    * is lossless. DECIMAL partials so the merge is order-exact.
+    * At 100 TB the base side is a stored artifact read back as
+    * partials — only the delta scans new data. */
+  def qIncrAgg: Q = (s, dir) => {
+    val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    def partial(pred: Column): DataFrame =
+      o.filter(pred)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_p"),
+          count(lit(1)).as("n_p"))
+    partial(col("o_orderdate") < cut)        // "materialized" base
+      .unionByName(partial(col("o_orderdate") >= cut)) // today's delta
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("rev_p")).cast("double").as("revenue"),
+        sum(col("n_p")).as("n_orders"))
+      .orderBy("nation")
+  }
+
+  val qIncrAggSql: String =
+    """SELECT n_name AS nation,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -571,6 +610,7 @@ object Relational {
     "q_events_asof" -> qEventsAsof,
     "q_cube" -> qCube,
     "q_percentile" -> qPercentile,
+    "q_incr_agg" -> qIncrAgg,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -590,5 +630,6 @@ object Relational {
     "q_events_asof" -> qEventsAsofSql,
     "q_cube" -> qCubeSql,
     "q_percentile" -> qPercentileSql,
+    "q_incr_agg" -> qIncrAggSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }
