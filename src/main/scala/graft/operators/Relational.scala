@@ -322,6 +322,46 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // --------------------------------------------------------- q_events_sliding
+  /** SLIDING-window aggregation (1-hour window, 15-min slide) — the
+    * windowing mode tumbling can't express: each event lands in
+    * EXACTLY window/slide = 4 overlapping windows. Batch twin of
+    * `st_sliding_agg`; the expansion is an explode over the 4 window
+    * offsets (map-side, no join), then one shuffle on (win_start,
+    * type) — identical to what Spark's streaming `window(slide)`
+    * operator generates. Same ts >= 0 contract as q_events_window. */
+  val slideSec = 900L   // 15 min
+  val winSec = 3600L    // 1 hour
+
+  def qEventsSliding: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        expr("ts div 1000000000").as("sec"))
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(0L), lit(winSec / slideSec - 1))).as("k"),
+        col("sec"))
+      .select(col("event_type"), col("value"),
+        ((expr(s"sec div $slideSec") - col("k")) * slideSec).as("win_start"))
+      .filter(col("win_start") >= 0) // epoch-aligned contract
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("win_start", "event_type")
+
+  val qEventsSlidingSql: String =
+    s"""WITH e AS (
+       | SELECT event_type, value, epoch_us(ts) // 1000000 AS sec
+       | FROM events
+       |), x AS (
+       | SELECT event_type, value,
+       |  ((sec // $slideSec) - k) * $slideSec AS win_start
+       | FROM e CROSS JOIN (SELECT unnest(range(0, ${winSec / slideSec})) AS k)
+       |)
+       |SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+       | count(*) AS n_events,
+       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       |FROM x WHERE win_start >= 0
+       |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q_rollup
   /** ROLLUP aggregation (GROUPING SETS family): revenue by (nation,
     * order-year) with per-nation subtotals and a grand total — the OLAP
@@ -611,6 +651,7 @@ object Relational {
     "q_cube" -> qCube,
     "q_percentile" -> qPercentile,
     "q_incr_agg" -> qIncrAgg,
+    "q_events_sliding" -> qEventsSliding,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -631,5 +672,6 @@ object Relational {
     "q_cube" -> qCubeSql,
     "q_percentile" -> qPercentileSql,
     "q_incr_agg" -> qIncrAggSql,
+    "q_events_sliding" -> qEventsSlidingSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }

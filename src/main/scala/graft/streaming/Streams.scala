@@ -47,6 +47,19 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** st_sliding_agg: 1-hour window sliding every 15 min — each event
+    * contributes to 4 overlapping windows; state is bounded by the
+    * watermark exactly as tumbling, ×4 window rows. Batch twin:
+    * Relational.qEventsSliding carries the DuckDB oracle. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** st_stateful_dedup: exactly-once event ids within the watermark
     * horizon — state per event_id, dropped once the watermark passes. */
   def statefulDedup(events: DataFrame): DataFrame =

@@ -180,6 +180,16 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch twin equivalence: slidingAgg on static frame matches q_events_sliding") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val streamShaped = Streams.slidingAgg(events)
+      .select(unix_timestamp(col("win_start")).as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val twin = SparkEntry.queries("q_events_sliding")(spark, sf)
+    assert(streamShaped.except(twin).count() == 0)
+    assert(twin.except(streamShaped).count() == 0)
+  }
+
   test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     // total_value included: both sides sum DECIMAL, so the comparison is
