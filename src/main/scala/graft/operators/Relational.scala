@@ -322,6 +322,42 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------- q_window_range
+  /** RANGE-frame window (vs the ROWS frames in q_window): per customer,
+    * each order sees the count and revenue of that customer's orders in
+    * the TRAILING 90 DAYS — the frame is bounded by a VALUE offset on
+    * the ordering column (epoch days), not a row count, so ties and
+    * gaps behave by time, which row frames can't express. One shuffle
+    * on custkey serves the whole window. */
+  def qWindowRange: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-90L, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT)").as("day"),
+        dec(col("o_totalprice")).as("price"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        count(lit(1)).over(w).as("n_90d"),
+        sum(col("price")).over(w).cast("double").as("rev_90d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val qWindowRangeSql: String =
+    """WITH o AS (
+      | SELECT o_custkey, o_orderkey,
+      |  epoch_us(o_orderdate) // 86400000000 AS day,
+      |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      | FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, day,
+      | count(*) OVER w AS n_90d,
+      | CAST(sum(price) OVER w AS DOUBLE) AS rev_90d
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   // --------------------------------------------------------- q_events_sliding
   /** SLIDING-window aggregation (1-hour window, 15-min slide) — the
     * windowing mode tumbling can't express: each event lands in
@@ -652,6 +688,7 @@ object Relational {
     "q_percentile" -> qPercentile,
     "q_incr_agg" -> qIncrAgg,
     "q_events_sliding" -> qEventsSliding,
+    "q_window_range" -> qWindowRange,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -673,5 +710,6 @@ object Relational {
     "q_percentile" -> qPercentileSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_events_sliding" -> qEventsSlidingSql,
+    "q_window_range" -> qWindowRangeSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }
