@@ -211,12 +211,57 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ m_resize
+  /** Downsample/resize plumbing — the remaining quarter of the
+    * decode / feature-extract / resize / frame-sample quartet: the
+    * payload is stride-2 downsampled (every 2nd byte) in the
+    * per-partition batch loop — REAL byte surgery on the payload (swap
+    * the strided copy for a libvips/ffmpeg scale call and nothing else
+    * changes); emitted metadata is the size pair + an md5 of the
+    * RESIZED payload, so the oracle verifies the transformed bytes,
+    * not just their count. ASCII corpus ⇒ byte striding ==
+    * char striding, SQL-expressible. */
+  val resizeStride = 2
+
+  final case class ResizeMeta(doc_id: Long, format: String, orig_bytes: Long,
+                              resized_bytes: Long, resized_md5: String)
+
+  def resize(media: Dataset[MediaRow]): Dataset[ResizeMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val out = Array.tabulate((r.payload.length + resizeStride - 1) /
+          resizeStride)(i => r.payload(i * resizeStride))
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        ResizeMeta(r.doc_id, r.format, r.payload.length.toLong,
+          out.length.toLong, hex)
+      }
+    }
+  }
+
+  def resizeQ: Q = (s, dir) =>
+    resize(mediaTable(s, dir)).toDF().orderBy("doc_id")
+
+  val resizeSql: String =
+    s"""SELECT doc_id,
+       | ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+       | CAST(length(text) AS BIGINT) AS orig_bytes,
+       | CAST((length(text) + ${resizeStride - 1}) // $resizeStride AS BIGINT) AS resized_bytes,
+       | md5(array_to_string(list_transform(
+       |   range(1, (length(text) + ${resizeStride - 1}) // $resizeStride + 1),
+       |   i -> substr(text, (i - 1) * $resizeStride + 1, 1)), '')) AS resized_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m_multimodal_meta" -> multimodalMeta,
     "m_frame_sample" -> frameSampleQ,
+    "m_resize" -> resizeQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
     "m_multimodal_meta" -> multimodalMetaSql,
     "m_frame_sample" -> frameSampleSql,
+    "m_resize" -> resizeSql,
     "m_embed_batch" -> embedBatchSql)
 }
