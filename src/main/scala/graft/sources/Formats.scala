@@ -37,11 +37,26 @@ object Formats {
     * Spark applicationId component isolates concurrent processes on the
     * same machine (two Verify/Bench runs on one sf dir would otherwise
     * race overwrite-vs-read on a shared path) and disambiguates
-    * dir.hashCode collisions. */
+    * dir.hashCode collisions. The app-scoped root is deleted on JVM
+    * shutdown — unique-per-run paths would otherwise leak three
+    * serialized corpus copies per invocation and fill /tmp. */
+  private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   private def scratch(s: SparkSession, dir: String, fmt: String): String = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val app = s.sparkContext.applicationId
-    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$app/$tag/$fmt"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sources/" +
+      s.sparkContext.applicationId
+    if (cleanupHooked.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+    }
+    s"$root/$tag/$fmt"
   }
 
   /** Per-source integrity stats — identical aggregate on both engines. */

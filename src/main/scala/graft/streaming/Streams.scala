@@ -57,6 +57,10 @@ object Streams {
       .groupBy(window(col("ets"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      // epoch-aligned contract, matching the batch twin: events in the
+      // first win-slide after the epoch land in negative-start windows,
+      // which qEventsSliding (and its oracle) exclude
+      .filter(unix_timestamp(col("window.start")) >= 0)
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
