@@ -322,6 +322,39 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // -------------------------------------------------------------- q_pivot
+  /** Relational PIVOT via Spark's dedicated API with EXPLICIT values —
+    * one pass, no values-discovery scan (at 100 TB an implicit pivot
+    * pays a full distinct aggregation first), map-side conditional
+    * aggregation, one shuffle on the 5 segment groups. Pivot columns
+    * renamed to stable identifiers shared with the oracle's CASE
+    * formulation. */
+  private val pivotPris =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def qPivot: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val piv = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .pivot("o_orderpriority", pivotPris)
+      .agg(count(lit(1)))
+    piv.select(col("segment") +:
+        pivotPris.zipWithIndex.map { case (v, i) =>
+          col(s"`$v`").as(s"p${i + 1}") }: _*)
+      .orderBy("segment")
+  }
+
+  val qPivotSql: String = {
+    val cols = pivotPris.zipWithIndex.map { case (v, i) =>
+      s"CAST(count(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS BIGINT) AS p${i + 1}"
+    }.mkString(",\n ")
+    s"""SELECT c_mktsegment AS segment,
+       | $cols
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
+  }
+
   // ---------------------------------------------------------- q_window_range
   /** RANGE-frame window (vs the ROWS frames in q_window): per customer,
     * each order sees the count and revenue of that customer's orders in
@@ -689,6 +722,7 @@ object Relational {
     "q_incr_agg" -> qIncrAgg,
     "q_events_sliding" -> qEventsSliding,
     "q_window_range" -> qWindowRange,
+    "q_pivot" -> qPivot,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -711,5 +745,6 @@ object Relational {
     "q_incr_agg" -> qIncrAggSql,
     "q_events_sliding" -> qEventsSlidingSql,
     "q_window_range" -> qWindowRangeSql,
+    "q_pivot" -> qPivotSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }
