@@ -29,6 +29,19 @@ object Analytics {
     PropertyGraph.load(s, dir)
   private val cte = PropertyGraph.oracleCte
 
+  /** Size gate for the forced broadcast hints in iterative loops: below
+    * the cap the hint pins the (known-small) side deterministically;
+    * above it the hint is DROPPED — a forced broadcast past the 8 GB
+    * ceiling fails the query outright, it does not degrade — and the
+    * join falls back to shuffle, where AQE can still convert at runtime
+    * from observed sizes. Every caller passes a row count that is
+    * already materialized for loop termination (delta/alive counts) or
+    * a cached-node count, so the gate adds no extra jobs. Mirrors
+    * PropertyGraph.pathsTo's frontier gate. */
+  private val bcastRowCap = 500000L
+  private def gated(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= bcastRowCap) broadcast(df) else df
+
   // -------------------------------------------------------- g_pagerank
   /** PageRank, 5 iterations, d=0.85, fixed-point (SCALE=1e10 == rank
     * 1.0). Per-edge contribution floor(85·r(u) / (100·outdeg(u))),
@@ -59,16 +72,17 @@ object Analytics {
     // session-bounded entry shared by pagerank AND ppr (same
     // canonicalized plan by construction — they call this same code)
     val eod = e.join(od, Seq("src_label", "src_key")).cache()
+    // rank/contribution sides are node-bounded: gate their hints on the
+    // cached node count (one cheap job) — below the cap the explicit
+    // hint gives a deterministic iteration plan; above it the hint is
+    // dropped and AQE decides from runtime sizes
+    val n = nodes.count()
     var r = nodes.withColumn("r", init)
     for (_ <- 1 to prIters) {
-      // EXPLICIT broadcast of the node-count rank/contribution sides —
-      // deterministic iteration plan instead of relying on AQE's
-      // runtime conversion (same ceiling caveat as CC/SSSP/LPA: at
-      // 100× pre-partition instead).
       val src = if (sparse) r.filter(col("r") > 0) else r
       val contrib = eod
-        .join(broadcast(src.select(col("label").as("src_label"),
-          col("key").as("src_key"), col("r"))), Seq("src_label", "src_key"))
+        .join(gated(src.select(col("label").as("src_label"),
+          col("key").as("src_key"), col("r")), n), Seq("src_label", "src_key"))
         .select(col("label"), col("key"),
           expr("(85 * r) div (100 * outdeg)").as("c"))
         .groupBy("label", "key").agg(sum("c").as("s"))
@@ -76,7 +90,7 @@ object Analytics {
       // iteration, so the lineage is linear and the whole 5-iteration
       // DAG pipelines in a single pass — a per-iteration localCheckpoint
       // costs a disk round-trip per level (measured 21.5 s vs 1.6 s)
-      r = nodes.join(broadcast(contrib), Seq("label", "key"), "left_outer")
+      r = nodes.join(gated(contrib, n), Seq("label", "key"), "left_outer")
         .select(col("label"), col("key"),
           (base + coalesce(col("s"), lit(0L))).as("r"))
     }
@@ -255,19 +269,25 @@ object Analytics {
     var comp = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint(eager = true)
     var delta = comp
+    // the termination probe doubles as the broadcast gate input: count
+    // on a checkpointed frame costs what isEmpty cost before
+    var deltaRows = nodes.count()
+    val nTotal = deltaRows
     var round = 0
-    while (round < ccIters && !delta.isEmpty) {
+    while (round < ccIters && deltaRows > 0) {
       round += 1
-      val cand = und.join(broadcast(delta.withColumnRenamed("id", "a")), Seq("a"))
+      val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
         .groupBy(col("b").as("id")).agg(min("comp").as("m"))
       // ONE eager materialization per round; delta/comp are cheap
-      // column-prunes over the materialized frame (no extra jobs)
-      val merged = comp.join(broadcast(cand), Seq("id"), "left_outer")
+      // column-prunes over the materialized frame (no extra jobs).
+      // cand is node-bounded (one row per touched id) → gate on nTotal.
+      val merged = comp.join(gated(cand, nTotal), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
           (col("m") < col("comp")).as("chg"))
         .localCheckpoint(eager = true)
       delta = merged.filter(col("chg")).select("id", "comp")
+      deltaRows = delta.count()
       comp = merged.select("id", "comp")
     }
     nodes.join(comp, Seq("id"))
@@ -454,13 +474,15 @@ object Analytics {
       .select(col("id"), lit(0L).as("d"))
       .localCheckpoint(eager = true)
     var delta = dist
+    var deltaRows = delta.count()
     var round = 0
-    while (round < ssspIters && !delta.isEmpty) {
+    while (round < ssspIters && deltaRows > 0) {
       round += 1
       // delta is frontier-bounded (≤ node count, shrinking past the
-      // graph's weighted diameter) — broadcast at bench scale; at 100×
-      // pre-partition und + dist on the id (bucketed tables) instead
-      val cand = und.join(broadcast(delta.withColumnRenamed("id", "a")), Seq("a"))
+      // graph's weighted diameter) — the hint is gated on the count
+      // already materialized for termination; past the cap the join
+      // shuffles (at 100× pre-partition und + dist on the id instead)
+      val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
         .groupBy(col("b").as("id")).agg(min(col("d") + col("w")).as("m"))
       // full-outer merge: relaxations can REACH new nodes (no dist row
       // yet), unlike CC where comp starts with every node
@@ -470,6 +492,7 @@ object Analytics {
           coalesce(col("m") < col("d"), col("d").isNull).as("chg"))
         .localCheckpoint(eager = true)
       delta = merged.filter(col("chg")).select(col("id"), col("nd").as("d"))
+      deltaRows = delta.count()
       dist = merged.select(col("id"), col("nd").as("d"))
     }
     nodes.join(dist, Seq("id"))
@@ -526,10 +549,12 @@ object Analytics {
     val und = undW.select("a", "b")
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(eager = true)
+    // label vector and per-round mode are node-bounded — gate on the
+    // cached node count; past the cap the joins shuffle (at 100× the
+    // label vector is pre-partitioned with und instead of shipped)
+    val n = nodes.count()
     for (_ <- 1 to lpaIters) {
-      // node-count broadcast — same ceiling caveat as CC/SSSP: at 100×
-      // the label vector is pre-partitioned with und instead of shipped
-      val counts = und.join(broadcast(lbl.withColumnRenamed("id", "a")), Seq("a"))
+      val counts = und.join(gated(lbl.withColumnRenamed("id", "a"), n), Seq("a"))
         .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
       // argmax as a partial-aggregable max over (n, -lbl) structs: the
       // struct order gives highest count, then smallest label — the
@@ -539,7 +564,7 @@ object Analytics {
       val mode = counts.groupBy("id")
         .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("mx"))
         .select(col("id"), (-col("mx.neg")).as("m"))
-      lbl = lbl.join(broadcast(mode), Seq("id"), "left_outer")
+      lbl = lbl.join(gated(mode, n), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("m"), col("lbl")).as("lbl"))
         .localCheckpoint(eager = true)
     }
@@ -603,15 +628,18 @@ object Analytics {
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
     var alive = nodes.select(col("id")).localCheckpoint(eager = true)
+    // survivor set only shrinks; its count doubles as the hint gate
+    var aliveRows = alive.count()
     var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced round 1
     for (_ <- 1 to kcoreIters) {
       deg = und
-        .join(broadcast(alive.withColumnRenamed("id", "a")), Seq("a"))
-        .join(broadcast(alive.withColumnRenamed("id", "b")), Seq("b"))
+        .join(gated(alive.withColumnRenamed("id", "a"), aliveRows), Seq("a"))
+        .join(gated(alive.withColumnRenamed("id", "b"), aliveRows), Seq("b"))
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kcoreK)
         .localCheckpoint(eager = true)
       alive = deg.select("id")
+      aliveRows = alive.count()
     }
     nodes.join(deg, Seq("id"))
       .select("label", "key", "deg").orderBy("label", "key")

@@ -339,9 +339,13 @@ object Relational {
       .groupBy(col("c_mktsegment").as("segment"))
       .pivot("o_orderpriority", pivotPris)
       .agg(count(lit(1)))
+    // Spark's two-phase pivot (PivotFirst) yields NULL for a
+    // (segment, priority) combo with no rows; the contract (and the
+    // oracle's count(CASE …)) is 0-for-absent — coalesce so the two
+    // engines agree regardless of which combos the data populates.
     piv.select(col("segment") +:
         pivotPris.zipWithIndex.map { case (v, i) =>
-          col(s"`$v`").as(s"p${i + 1}") }: _*)
+          coalesce(col(s"`$v`"), lit(0L)).as(s"p${i + 1}") }: _*)
       .orderBy("segment")
   }
 

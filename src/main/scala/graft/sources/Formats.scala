@@ -94,7 +94,13 @@ object Formats {
     * or a format with escaped newlines. */
   def csvRoundtrip: Q = (s, dir) => {
     val path = scratch(s, dir, "csv")
-    val opts = Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
+    // Explicit nullValue/emptyValue on BOTH sides: with the defaults,
+    // Spark writes null and "" indistinguishably and reads empty fields
+    // back as null, so a corpus containing empty text would silently
+    // change sum_len/n_uniq vs the parquet oracle. Distinct sentinels
+    // make empty-vs-null survive the CSV boundary by construction.
+    val opts = Map("header" -> "true", "quote" -> "\"", "escape" -> "\"",
+      "nullValue" -> "\\N", "emptyValue" -> "\"\"")
     Tables(s, dir, "documents")
       .write.mode("overwrite").options(opts).csv(path)
     integrity(s.read.schema(docSchema).options(opts)

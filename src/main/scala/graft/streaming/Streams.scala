@@ -107,19 +107,35 @@ object Streams {
   /** st_stream_asof: streaming as-of join — each purchase matched to
     * the most recent strictly-earlier click of the same user (batch
     * twin: Relational.qEventsAsof, whose oracle is DuckDB's native
-    * ASOF JOIN). State per user is a SINGLE long (the latest click
-    * timestamp) — the O(1)-state streaming shape of the as-of
-    * semantics — dropped by event-time timeout once the user goes idle
-    * past the watermark horizon. Within a micro-batch events sort by
-    * (us, kind, event_id) with purchases before clicks at equal
-    * timestamps, replicating the batch twin's strictness contract;
-    * across batches the contract is watermark-ordered arrival (a click
-    * arriving after a later purchase was already emitted is not
-    * retro-matched — the standard streaming as-of tradeoff). */
+    * ASOF JOIN).
+    *
+    * WATERMARK-CORRECT: events are buffered in state until the
+    * watermark passes their event time, then finalized in one pass
+    * sorted by (us, kind, event_id) with purchases before clicks at
+    * equal timestamps — so a click delayed across a micro-batch
+    * boundary (but inside the watermark) is still retro-matched to the
+    * right purchase, and streamed output equals the batch twin for
+    * every arrival order the watermark admits. (The round-2 version
+    * emitted purchases eagerly with O(1) state and silently assumed
+    * per-user ordered arrival across batches — the divergence the
+    * round-2 advisor flagged.)
+    *
+    * State per user = latest FINALIZED click + the ≤1-watermark-horizon
+    * buffer of unfinalized events — bounded by the watermark exactly
+    * like a stream-stream join's state store, and dropped by event-time
+    * timeout once the user goes idle past the horizon (a later purchase
+    * then starts fresh: clicks older than an idle gap are forgotten —
+    * that retention bound, not arrival order, is the documented
+    * batch/stream divergence). */
   final case class AsofOut(user_id: Long, purchase_id: Long,
                            purchase_us: Long, click_us: Long, delay_us: Long)
 
-  final case class AsofState(lastClick: Long)
+  /** lastClick == Long.MinValue ⇔ no finalized click yet; buf holds
+    * (us, kind 0=purchase/1=click, event_id) not yet past the
+    * watermark. */
+  final case class AsofState(lastClick: Long, buf: Seq[(Long, Int, Long)])
+
+  private val asofHorizonMs: Long = 60 * 60 * 1000
 
   def streamAsof(events: Dataset[Event]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
@@ -133,30 +149,38 @@ object Streams {
       .flatMapGroupsWithState[AsofState, AsofOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[AsofState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val evs = rows
-              .map(r => (r._6, if (r._4 == "purchase") 0 else 1, r._1)).toSeq
-              .sortBy { case (us, kind, eid) => (us, kind, eid) }
-            var last = state.getOption.map(_.lastClick)
-            val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
-            evs.foreach { case (us, kind, eid) =>
-              if (kind == 1) last = Some(last.fold(us)(math.max(_, us)))
-              else last.foreach(c => out += AsofOut(user, eid, us, c, us - c))
-            }
-            last.foreach { c =>
-              state.update(AsofState(c))
-              // timeout keys off THIS batch's max event time (>= the
-              // current watermark by the late filter) — keying off the
-              // stale lastClick would throw 'timeout earlier than
-              // watermark' the first time a purchase arrives > horizon
-              // after the user's last click, killing the query
-              // evs is sorted ascending by (us, ...) — last._1 IS the
-              // batch's max event time
-              state.setTimeoutTimestamp(evs.last._1 / 1000 + 60 * 60 * 1000)
-            }
-            out.iterator
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val prev = state.getOption.getOrElse(AsofState(Long.MinValue, Seq.empty))
+          val incoming = rows
+            .map(r => (r._6, if (r._4 == "purchase") 0 else 1, r._1))
+          // finalize everything at or below the watermark in global
+          // (us, kind, eid) order — kind orders purchases before clicks
+          // at equal timestamps, the twin's strictly-earlier contract
+          val (fin, keep) = (prev.buf ++ incoming)
+            .sortBy { case (us, kind, eid) => (us, kind, eid) }
+            .partition(_._1 <= wmUs)
+          var last = prev.lastClick
+          val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
+          fin.foreach { case (us, kind, eid) =>
+            if (kind == 1) last = math.max(last, us)
+            else if (last != Long.MinValue)
+              out += AsofOut(user, eid, us, last, us - last)
           }
+          if (keep.isEmpty && last == Long.MinValue) state.remove()
+          else if (keep.isEmpty && state.hasTimedOut && rows.isEmpty) {
+            // idle past the horizon with nothing buffered: forget the user
+            state.remove()
+          } else {
+            state.update(AsofState(last, keep))
+            // wake when the watermark can finalize the earliest buffered
+            // event, else at the idle horizon; must exceed the current
+            // watermark or the state store rejects the timestamp
+            val wakeMs =
+              if (keep.nonEmpty) keep.head._1 / 1000 + 1
+              else wmUs / 1000 + asofHorizonMs
+            state.setTimeoutTimestamp(math.max(wakeMs, wmUs / 1000 + 1))
+          }
+          out.iterator
       }
   }
 

@@ -101,7 +101,7 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("st_stream_asof: purchases match the latest prior click, O(1) state") {
+  test("st_stream_asof: purchases match the latest prior click") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -117,14 +117,45 @@ class StreamsSpec extends AnyFunSuite {
         ev(2, base + min10, typ = "purchase"),
         ev(3, base + 2 * min10, typ = "click"))
       q.processAllAvailable()
-      // batch 2: purchase must match click 3 (latest), not click 1;
-      // the state carried across batches is just that one timestamp
+      // batch 2: purchase must match click 3 (latest), not click 1
       mem.addData(ev(4, base + 3 * min10, typ = "purchase"))
+      q.processAllAvailable()
+      // watermark-correct semantics: events finalize only once the
+      // watermark passes them — push it past everything with a
+      // sentinel click from an unrelated user (clicks emit nothing)
+      mem.addData(ev(99, base + 10 * hourUs, user = 999L, typ = "click"))
       q.processAllAvailable()
       val out = spark.table("asof").collect()
         .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("click_us")).toMap
       assert(out == Map(2L -> base, 4L -> (base + 2 * min10)),
         s"unexpected matches: $out")
+    } finally q.stop()
+  }
+
+  test("st_stream_asof: in-watermark late click IS retro-matched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+    try {
+      val base = 86400L * 1000 * 1000
+      val min10 = 600L * 1000 * 1000
+      // batch 1: a purchase arrives first
+      mem.addData(ev(2, base + 2 * min10, typ = "purchase"))
+      q.processAllAvailable()
+      // batch 2: a click with an EARLIER event time arrives late but
+      // well inside the 1 h watermark — the round-2 eager-emit version
+      // missed this match (the divergence the advisor flagged)
+      mem.addData(ev(1, base + min10, typ = "click"))
+      q.processAllAvailable()
+      mem.addData(ev(99, base + 10 * hourUs, user = 999L, typ = "click"))
+      q.processAllAvailable()
+      val out = spark.table("asof_late").collect()
+        .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("click_us")).toMap
+      assert(out == Map(2L -> (base + min10)),
+        s"late click not retro-matched: $out")
     } finally q.stop()
   }
 
@@ -140,6 +171,11 @@ class StreamsSpec extends AnyFunSuite {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Event].collect()
       mem.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      // flush: a sentinel click (unrelated user, emits nothing) far
+      // past the max event time finalizes every buffered event
+      val maxUs = events.map(_.ts / 1000).max
+      mem.addData(ev(-1, maxUs + 10 * hourUs, user = -999L, typ = "click"))
       q.processAllAvailable()
       val streamed = spark.table("asof_twin")
         .select("user_id", "purchase_id", "purchase_us", "click_us", "delay_us")
