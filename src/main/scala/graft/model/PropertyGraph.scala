@@ -218,7 +218,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
               nodeLabels: Seq[String] = Seq.empty,
               edgeLabels: Seq[String] = Seq.empty,
               directed: Boolean = false,
-              withEdgeLabels: Boolean = false): DataFrame = {
+              withEdgeLabels: Boolean = false,
+              pruneActivationRows: Long = defaultPruneActivationRows)
+      : DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     if (maxDepth <= 0) {
@@ -258,15 +260,50 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     var results: Option[DataFrame] = None
     var depth = 0
     var frontierRows = 1L
+    // ---- ADAPTIVE backward-distance pruning (bidirectional search) --
+    // dist(v) = min hops v ⇝ dst over the SAME traversable edge set,
+    // from a node-bounded backward BFS (distinct nodes, never paths).
+    // A path about to step onto node b at depth d+1 can only complete
+    // if dist(b) ≤ maxDepth − (d+1): the suffix of any completed path
+    // is a walk to dst and dist lower-bounds every walk (simple-path
+    // constraints only lengthen suffixes), so the prune never drops a
+    // completable path. Undirected enumeration explodes on hubs — one
+    // high-degree node pulls its whole label-matching neighborhood
+    // into the next frontier even when none of it can reach dst in the
+    // remaining budget — and the prune collapses exactly that; at the
+    // final level only dst itself survives the inner join.
+    //
+    // ADAPTIVE because the backward BFS is not free (maxDepth−1
+    // distinct-frontier rounds over the edge set): measured at sf0.1
+    // it DOUBLES the two path queries when applied unconditionally
+    // (8.2 s → 19.4 s) while the frontiers it would prune stay ≤ ~10⁴
+    // rows. So it activates only when a materialized frontier exceeds
+    // `pruneActivationRows` — small searches never pay, and a search
+    // heading into combinatorial blowup (the 100 TB failure mode) pays
+    // maxDepth−1 node-bounded rounds to cut path-count-sized work.
+    var pruneDist: Option[DataFrame] = None
     while (depth < maxDepth && frontierRows > 0) {
+      if (pruneDist.isEmpty && frontierRows > pruneActivationRows) {
+        val (d, rows) = distancesToDst(e, dstLabel, dstKey, nodeLabels,
+          srcLabel, lookout = maxDepth - depth)
+        pruneDist = Some(
+          if (rows <= broadcastRowCap) broadcast(d) else d)
+      }
       depth += 1
       val fr = if (frontierRows <= broadcastRowCap) broadcast(frontier)
                else frontier
+      // once pruning is active, expansion targets must still be able
+      // to reach dst in the budget left after stepping onto them
+      val eStep = pruneDist match {
+        case Some(d) => e.join(d, Seq("b_label", "b_key"))
+          .filter(col("b_dist") <= maxDepth - depth)
+        case None => e
+      }
       // cache the LEVEL (not just the surviving frontier): both the
       // done-paths branch and the next level's frontier read it, and
       // the final result materialization would otherwise re-execute
       // every level's expansion join a second time
-      val step = e.join(fr,
+      val step = eStep.join(fr,
           col("a_label") === col("cur_label") &&
           col("a_key") === col("cur_key"))
         .withColumn("b_id", concat(col("b_label"), lit(":"), col("b_key")))
@@ -300,6 +337,55 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     out
   }
 
+  /** Backward BFS: minimum hop count from every node to (dstLabel,
+    * dstKey) over the traversable edge set `e` (rows a_*→b_*), looking
+    * at most `lookout - 1` levels out, where `lookout` is the forward
+    * search's remaining depth budget (larger distances can never pass
+    * the forward prune, whose loosest remaining budget for an expansion
+    * target is lookout − 1). Returns (label, key, dist) keyed as b_*
+    * for a direct join against `e`'s target side, plus the total row
+    * count so the caller can gate its broadcast hint. The BFS carries
+    * DISTINCT nodes — node-bounded, never path-enumerating — with
+    * per-level eager materialization and size-gated broadcast, the same
+    * shape as the forward loop. Backward candidates keep only labels a
+    * forward path could stand on (nodeLabels plus the start label):
+    * anything else can't appear mid-path, so including it would only
+    * weaken the prune. */
+  private def distancesToDst(e: DataFrame, dstLabel: String, dstKey: Long,
+                             nodeLabels: Seq[String], srcLabel: String,
+                             lookout: Int): (DataFrame, Long) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var dist = Seq((dstLabel, dstKey, 0))
+      .toDF("b_label", "b_key", "b_dist")
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var frontierRows = 1L
+    var total = 1L
+    var d = 0
+    while (d < lookout - 1 && frontierRows > 0) {
+      d += 1
+      val fr = if (frontierRows <= broadcastRowCap) broadcast(frontier)
+               else frontier
+      val cand0 = e.join(fr.select("b_label", "b_key"), Seq("b_label", "b_key"))
+        .select(col("a_label").as("b_label"), col("a_key").as("b_key"))
+        .distinct()
+      val cand = if (nodeLabels.isEmpty) cand0
+                 else cand0.filter(
+                   col("b_label").isInCollection(nodeLabels :+ srcLabel))
+      val next = cand.join(
+          if (total <= broadcastRowCap) broadcast(dist) else dist,
+          Seq("b_label", "b_key"), "left_anti")
+        .withColumn("b_dist", lit(d))
+        .localCheckpoint(eager = true)
+      frontierRows = next.count()
+      total += frontierRows
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    (dist, total)
+  }
+
   /** Structured Path view — the reference's `Path` (start node +
     * ordered edge list, Neo4jGraph.scala:85-95) as a typed column:
     * `hops` = array of (elabel, node) structs zipped from the path and
@@ -313,6 +399,11 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   /** Frontier-size gate for broadcast hints in iterative traversals. */
   private val broadcastRowCap = 500000L
+
+  /** Frontier size past which pathsTo computes backward distances and
+    * prunes (see the loop comment). Package-visible so specs can force
+    * activation on small data and assert result equality. */
+  private[graft] val defaultPruneActivationRows = 50000L
 }
 
 object PropertyGraph {

@@ -68,6 +68,23 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pathsTo backward-distance prune returns the identical path set") {
+    // force pruning on from the very first level (threshold 0) and
+    // compare against the default (never activates at this SF): the
+    // prune must be invisible in the result — it only cuts expansions
+    // that cannot reach the destination in the remaining budget
+    val labels = graft.operators.GraphOps.plNodeLabels
+    val elabels = graft.operators.GraphOps.plEdgeLabels
+    val pruned = g.pathsTo("customer", 1L, "nation", 19L, maxDepth = 4,
+      nodeLabels = labels, edgeLabels = elabels, withEdgeLabels = true,
+      pruneActivationRows = 0L)
+    val plain = g.pathsTo("customer", 1L, "nation", 19L, maxDepth = 4,
+      nodeLabels = labels, edgeLabels = elabels, withEdgeLabels = true)
+    assert(pruned.count() > 0)
+    assert(pruned.except(plain).count() == 0)
+    assert(plain.except(pruned).count() == 0)
+  }
+
   test("upsertEdges: new rows win on the composite identity, others survive") {
     import org.apache.spark.sql.functions.lit
     val before = g.edges.count()
