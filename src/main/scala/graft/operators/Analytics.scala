@@ -710,8 +710,146 @@ object Analytics {
        |GROUP BY a.p, b.p
        |ORDER BY cn DESC, ra DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- g_hits
+  /** HITS hubs & authorities (Kleinberg), `hitsIters` synchronous
+    * rounds over the DIRECTED edge set, UNNORMALIZED fixed-point
+    * integers (the contract both engines compute exactly):
+    * a_i(v) = Σ_{u→v} h_{i−1}(u), h_i(v) = Σ_{v→w} a_i(w), h_0 = SCALE.
+    * Skipping the per-round normalization keeps every value an exact
+    * BIGINT (a float norm would drift across partial-agg orders);
+    * magnitudes grow ≤ maxdeg² per round — maxdeg ~10³ at 100 TB and 2
+    * rounds stay ≪ 2⁶³ with SCALE 10³. Relative order — what HITS is
+    * for — is unchanged by normalization.
+    *
+    * Scale shape: each half-round is ONE equi-join (edges ⋈ node
+    * vector) + ONE partial-aggregable sum — two shuffles bounded by
+    * the edge count, no iteration-deepening lineage (the vector is
+    * node-bounded and size-gate-broadcast like the CC/LPA loops). */
+  val hitsIters = 2
+  val hitsScale = 1000L
+
+  def hits: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val nodes = graph.nodes.select(col("label"), col("key"))
+    val e = graph.edges.select(
+      col("src_label"), col("src_key"), col("dst_label"), col("dst_key"))
+    val n = nodes.count()
+    var h = nodes.withColumn("h", lit(hitsScale))
+    var a = nodes.withColumn("a", lit(0L)) // replaced round 1
+    for (_ <- 1 to hitsIters) {
+      val aAgg = e.join(gated(h.select(col("label").as("src_label"),
+          col("key").as("src_key"), col("h")), n), Seq("src_label", "src_key"))
+        .groupBy(col("dst_label").as("label"), col("dst_key").as("key"))
+        .agg(sum("h").as("s"))
+      a = nodes.join(gated(aAgg, n), Seq("label", "key"), "left_outer")
+        .select(col("label"), col("key"), coalesce(col("s"), lit(0L)).as("a"))
+      val hAgg = e.join(gated(a.select(col("label").as("dst_label"),
+          col("key").as("dst_key"), col("a")), n), Seq("dst_label", "dst_key"))
+        .groupBy(col("src_label").as("label"), col("src_key").as("key"))
+        .agg(sum("a").as("s"))
+      h = nodes.join(gated(hAgg, n), Seq("label", "key"), "left_outer")
+        .select(col("label"), col("key"), coalesce(col("s"), lit(0L)).as("h"))
+    }
+    a.join(h, Seq("label", "key"))
+      .select("label", "key", "a", "h").orderBy("label", "key")
+  }
+
+  val hitsSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", h0 AS (SELECT label, key, CAST($hitsScale AS BIGINT) AS h FROM nodes)"""
+    for (i <- 1 to hitsIters) {
+      b ++= s""", a$i AS (
+               | SELECT nd.label, nd.key, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
+               | FROM nodes nd LEFT JOIN (
+               |  SELECT e.dst_label AS label, e.dst_key AS key, sum(p.h) AS v
+               |  FROM edges e JOIN h${i - 1} p
+               |    ON p.label = e.src_label AND p.key = e.src_key
+               |  GROUP BY 1, 2) s ON s.label = nd.label AND s.key = nd.key
+               |), h$i AS (
+               | SELECT nd.label, nd.key, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
+               | FROM nodes nd LEFT JOIN (
+               |  SELECT e.src_label AS label, e.src_key AS key, sum(p.a) AS v
+               |  FROM edges e JOIN a$i p
+               |    ON p.label = e.dst_label AND p.key = e.dst_key
+               |  GROUP BY 1, 2) s ON s.label = nd.label AND s.key = nd.key
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT a$hitsIters.label, a$hitsIters.key, a$hitsIters.a, h$hitsIters.h
+             |FROM a$hitsIters JOIN h$hitsIters
+             |  ON h$hitsIters.label = a$hitsIters.label AND h$hitsIters.key = a$hitsIters.key
+             |ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
+  // -------------------------------------------------------- g_closeness
+  /** Bounded-hop harmonic closeness for the 25 nation nodes: score(s) =
+    * Σ_{v: 1 ≤ d(s,v) ≤ 2} (2 div d) over undirected hop distance — the
+    * integer-weighted harmonic sum (d=1 → 2, d=2 → 1), exact in both
+    * engines (true 1/d is float). Bounded-hop is the 100 TB contract:
+    * full closeness is all-pairs; k-bounded multi-source BFS carries
+    * (seed, node) DISTINCT pairs — ≤ seeds × N rows, one distinct
+    * shuffle per level, seeds traversed TOGETHER in one frame rather
+    * than 25 sequential BFS loops. */
+  val closenessHops = 2
+
+  def closeness: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val seeds = nodes.filter(col("label") === "nation")
+      .select(col("id").as("seed"), col("id").as("node"), lit(0).as("d"))
+      .localCheckpoint(eager = true)
+    var vis = seeds
+    var frontier = seeds
+    for (i <- 1 to closenessHops) {
+      val next = und.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("seed"), col("b").as("node")).distinct()
+        .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .withColumn("d", lit(i))
+        .localCheckpoint(eager = false)
+      vis = vis.unionByName(next).localCheckpoint(eager = false)
+      frontier = next
+    }
+    val score = vis.filter(col("d") > 0)
+      .groupBy(col("seed").as("id"))
+      .agg(sum(expr(s"$closenessHops div d")).as("score"))
+    nodes.join(score, Seq("id"))
+      .select("label", "key", "score").orderBy("label", "key")
+  }
+
+  val closenessSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")} FROM edges
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), v0 AS (
+             | SELECT id AS seed, id AS node, 0 AS d FROM ids WHERE label = 'nation'
+             |)""".stripMargin
+    for (i <- 1 to closenessHops) {
+      val seen = (0 until i).map(j => s"SELECT seed, node FROM v$j")
+        .mkString(" UNION ALL ")
+      b ++= s""", v$i AS (
+               | SELECT DISTINCT f.seed, u.b AS node, $i AS d
+               | FROM und u JOIN v${i - 1} f ON u.a = f.node
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.seed = f.seed AND s.node = u.b)
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, CAST(sum($closenessHops // v.d) AS BIGINT) AS score
+             |FROM (${(1 to closenessHops).map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")}) v
+             |JOIN ids i ON i.id = v.seed
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_hits" -> hits,
+    "g_closeness" -> closeness,
     "g_link_predict" -> linkPredict,
     "g_kcore" -> kcore,
     "g_ppr" -> pprPersonalized,
@@ -723,6 +861,8 @@ object Analytics {
     "g_label_propagation" -> labelPropagation)
 
   val oracleSql: Map[String, String] = Map(
+    "g_hits" -> hitsSql,
+    "g_closeness" -> closenessSql,
     "g_link_predict" -> linkPredictSql,
     "g_kcore" -> kcoreSql,
     "g_ppr" -> pprPersonalizedSql,

@@ -705,8 +705,136 @@ object Relational {
       | JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY nation""".stripMargin
 
+  // ------------------------------------------------------------ q_range_join
+  /** Global RANGE (interval) join: for each purchase, the count of
+    * clicks from ANY user in the trailing 5-minute window
+    * [purchase−5min, purchase). Unlike the per-user funnel/as-of ops
+    * there is no equi-key — a naive plan is a cartesian with an
+    * inequality filter. The scale shape: BUCKETIZE time at the window
+    * width (5 min), probe each purchase against buckets {b−1, b} (a
+    * window equal to the bucket width spans at most two buckets), then
+    * refine with the exact range predicate — turning the interval join
+    * into an equi-join on the bucket id, partition-parallel on time.
+    * Zero-click purchases are kept (left join of the pre-aggregated
+    * counts), so the contract is total over purchases. */
+  val rjWindowUs = 300000000L // 5 min
+
+  def qRangeJoin: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("us").as("p_us"),
+        expr(s"us div $rjWindowUs").as("b"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("us").as("c_us"), expr(s"us div $rjWindowUs").as("cb"))
+    // probe side explodes to its two candidate buckets; the click side
+    // stays un-replicated (it is the big side at scale)
+    val probes = p.withColumn("cb", explode(array(col("b") - 1, col("b"))))
+    val counts = probes.join(c, Seq("cb"))
+      .filter(col("c_us") >= col("p_us") - rjWindowUs && col("c_us") < col("p_us"))
+      .groupBy("purchase_id").agg(count(lit(1)).as("n_near"))
+    p.join(counts, Seq("purchase_id"), "left_outer")
+      .select(col("purchase_id"), col("p_us").as("purchase_us"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("purchase_id")
+  }
+
+  val qRangeJoinSql: String =
+    s"""WITH p AS (
+       | SELECT event_id AS purchase_id, epoch_us(ts) AS us
+       | FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       | SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+       |)
+       |SELECT p.purchase_id, p.us AS purchase_us, count(c.us) AS n_near
+       |FROM p LEFT JOIN c ON c.us >= p.us - $rjWindowUs AND c.us < p.us
+       |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin
+
+  // ------------------------------------------------------------- q_merge_scd
+  /** Warehouse MERGE (upsert) as a batch set operation — the Spark-
+    * native equivalent of MERGE INTO: a deterministic delta (derived
+    * from orders itself so the oracle is pure SQL) carries UPDATEs
+    * (every 97th order re-priced and re-statused) and INSERTs (every
+    * 101st order mirrored to a fresh negative key). Merged state =
+    * delta ∪ (base ⟕anti delta) — delta wins on key collision, one
+    * shuffle on the key. The output aggregates the merged snapshot per
+    * status (DECIMAL-exact), proving the maintenance path lossless the
+    * same way q_incr_agg does for aggregates. */
+  def qMergeScd: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val upd = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"), lit("X").as("st"),
+        (dec(col("o_totalprice")) + lit(10).cast(DecimalType(12, 2))).as("tp"))
+    val ins = o.filter(col("o_orderkey") % 101 === 0)
+      .select((-col("o_orderkey")).as("k"), lit("N").as("st"),
+        dec(col("o_totalprice")).as("tp"))
+    val delta = upd.unionByName(ins)
+    val base = o.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), dec(col("o_totalprice")).as("tp"))
+    val merged = delta.unionByName(
+      base.join(delta.select("k"), Seq("k"), "left_anti"))
+    merged.groupBy(col("st").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum("tp").cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qMergeScdSql: String =
+    """WITH delta AS (
+      | SELECT o_orderkey AS k, 'X' AS st,
+      |        CAST(o_totalprice AS DECIMAL(12,2)) + CAST(10 AS DECIMAL(12,2)) AS tp
+      | FROM orders WHERE o_orderkey % 97 = 0
+      | UNION ALL
+      | SELECT -o_orderkey, 'N', CAST(o_totalprice AS DECIMAL(12,2))
+      | FROM orders WHERE o_orderkey % 101 = 0
+      |), merged AS (
+      | SELECT k, st, tp FROM delta
+      | UNION ALL
+      | SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+      | FROM orders WHERE o_orderkey NOT IN (SELECT k FROM delta)
+      |)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |       CAST(sum(tp) AS DOUBLE) AS total
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- q_skew_salted_join
+  /** Skew-mitigated join: lineitem ⋈ orders on l_orderkey with an
+    * EXPLICIT salt — the manual pattern for when one key is hot enough
+    * that a single reducer partition spills (AQE's skew split only
+    * kicks in past per-partition thresholds and cannot split a single
+    * in-flight hash-join build). The big probe side salts with a
+    * deterministic per-row component (l_linenumber pmod S — never a
+    * random(), which would break retry/replay determinism); the build
+    * side replicates each row S ways via explode(sequence(…)). Join on
+    * (key, salt) spreads each hot key over S partitions; the aggregate
+    * result is provably identical to the unsalted join, which is
+    * exactly what the oracle runs. */
+  val saltBuckets = 8
+
+  def qSkewSaltedJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_returnflag"), col("l_extendedprice"),
+      pmod(col("l_linenumber"), lit(saltBuckets)).as("salt"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        li("salt") === o("salt"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
+  val qSkewSaltedJoinSql: String =
+    """SELECT o_orderpriority, l_returnflag, count(*) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_range_join" -> qRangeJoin,
+    "q_merge_scd" -> qMergeScd,
+    "q_skew_salted_join" -> qSkewSaltedJoin,
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopk,
     "q5_multijoin" -> q5Multijoin,
@@ -730,6 +858,9 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_join" -> qRangeJoinSql,
+    "q_merge_scd" -> qMergeScdSql,
+    "q_skew_salted_join" -> qSkewSaltedJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_multijoin" -> q5MultijoinSql,
