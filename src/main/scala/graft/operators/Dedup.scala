@@ -235,8 +235,10 @@ object Dedup {
   def ngramJaccard: Q = (s, dir) =>
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
-  /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, uni)`. */
-  private val jaccardPairsSqlCte: String =
+  /** Shared CTE prefix ending in `pairs(doc_a, doc_b, inter)` +
+    * `sizes(doc_id, n)` — the blocked pair stage reused by jaccard AND
+    * containment. */
+  private val shinglePairsSqlCte: String =
     s"""ds0 AS (
        | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
        |), ds AS (
@@ -249,12 +251,63 @@ object Dedup {
        | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
        | FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
        | GROUP BY 1, 2
-       |), jp AS (
+       |)""".stripMargin
+
+  /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, uni)`. */
+  private val jaccardPairsSqlCte: String =
+    s"""$shinglePairsSqlCte, jp AS (
        | SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS uni
        | FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
        |              JOIN sizes sb ON sb.doc_id = p.doc_b
        | WHERE 3 * p.inter > sa.n + sb.n
        |)""".stripMargin
+
+  // ------------------------------------------------------- d_containment
+  /** ASYMMETRIC containment near-dup detection: C(A→B) = |A∩B| / |A|
+    * over the df-capped distinct shingle sets. Jaccard misses the
+    * quote/excerpt case — a short doc wholly contained in a long one
+    * has J = |A|/|B| ≈ 0 but containment ≈ 1 — and containment is the
+    * standard complement (Broder's "superset/subset" resemblance).
+    * Pairs are blocked on shared shingles exactly like jaccard (the
+    * C > 0 pairs are a subset of the J > 0 pairs), threshold is the
+    * integer cross-multiplication 4·inter ≥ 3·n (≥ 75% of the smaller
+    * side's shingles shared — no float decides membership), and the
+    * per-pair direction labels which side is (near-)contained. Same
+    * plans as the jaccard stage → the session cache manager shares the
+    * shingle/size frames between the two ops. */
+  def containment: Q = (s, dir) => {
+    val ds = docShingles(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= jacDfCap)
+      .drop("df")
+      .cache() // same canonicalized plan as jaccard's → shared entry
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n")).cache()
+    val aIn = lit(4) * col("inter") >= lit(3) * col("na")
+    val bIn = lit(4) * col("inter") >= lit(3) * col("nb")
+    ds.alias("x")
+      .join(ds.alias("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(aIn || bIn)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        when(aIn && bIn, "both").when(aIn, "a_in_b").otherwise("b_in_a")
+          .as("direction"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentSql: String =
+    s"""WITH $shinglePairsSqlCte
+       |SELECT p.doc_a, p.doc_b, p.inter, sa.n AS na, sb.n AS nb,
+       | CASE WHEN 4 * p.inter >= 3 * sa.n AND 4 * p.inter >= 3 * sb.n THEN 'both'
+       |      WHEN 4 * p.inter >= 3 * sa.n THEN 'a_in_b'
+       |      ELSE 'b_in_a' END AS direction
+       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+       |             JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE 4 * p.inter >= 3 * sa.n OR 4 * p.inter >= 3 * sb.n
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val ngramJaccardSql: String =
     s"""WITH $jaccardPairsSqlCte
@@ -456,6 +509,7 @@ object Dedup {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "d_containment" -> containment,
     "d_dedup_exact" -> dedupExact,
     "d_dedup_minhash" -> dedupMinhash,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -464,6 +518,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_containment" -> containmentSql,
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

@@ -649,7 +649,98 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ------------------------------------------------------ t_bloom_filter
+  /** Bloom-filter membership sketch — the shuffle-free set-membership
+    * primitive (does this shingle appear in that other corpus?) that
+    * replaces a full distinct-join at 100 TB. m = 2²⁰ bits, k = 3
+    * hashes; hash j of a shingle is the 20-bit integer from md5 nibbles
+    * 5j+1..5j+5, so the WHOLE sketch is deterministic md5 arithmetic
+    * and oracle-exact, like the KMV/CMS sketches (an engine-native
+    * bloom_filter_agg's bit layout would not replay in DuckDB). The
+    * filter is represented as the distinct set of occupied bit
+    * positions (≤ m rows — semantically the bit array, and the form
+    * both engines can compute); build = 'en' shingles, probe = 'de'
+    * shingles; a probe is `maybe` iff all k of its positions are
+    * occupied, reported beside ground truth (`actual`, an exact semi-
+    * join) — maybe ≥ actual by construction, the gap is the measured
+    * false-positive rate. Scale shape: the position set broadcasts
+    * (≤ m rows regardless of build size); the probe side is one
+    * map-side hash join — no shuffle of either corpus. */
+  val bloomBits = 1 << 20
+  val bloomK = 3
+
+  private def shingleSet(s: SparkSession, dir: String, langV: String): DataFrame = {
+    val words = col("words")
+    val shingles = when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    docs(s, dir).filter(col("lang") === langV)
+      .select(split(col("text"), " ").as("words"))
+      .select(explode(shingles).as("sh")).distinct()
+  }
+
+  private def bloomPos(j: Int): Column =
+    (0 until 5).map { i =>
+      expr(s"instr('0123456789abcdef', substr(h32, ${5 * j + i + 1}, 1)) - 1") *
+        lit(1L << (4 * (4 - i)))
+    }.reduce(_ + _)
+
+  def bloomFilter: Q = (s, dir) => {
+    val build = shingleSet(s, dir, "en")
+    val probe = shingleSet(s, dir, "de")
+    val posArr = array((0 until bloomK).map(bloomPos): _*)
+    val bloom = build.select(md5(col("sh")).as("h32"))
+      .select(explode(posArr).as("pos")).distinct()
+    val probePos = probe.withColumn("h32", md5(col("sh")))
+      .select(col("sh"), explode(posArr).as("pos"))
+    // bloom ≤ m = 2²⁰ rows ALWAYS (the occupied-position set saturates
+    // at the bit-array size) — broadcast regardless of corpus size
+    val hits = probePos.join(broadcast(bloom), Seq("pos"))
+      .groupBy("sh").agg(count(lit(1)).as("nhit"))
+    val actual = build.withColumn("actual", lit(1L))
+    probe.join(hits, Seq("sh"), "left_outer")
+      .join(actual, Seq("sh"), "left_outer")
+      .select(col("sh"),
+        when(col("nhit") === bloomK, 1L).otherwise(0L).as("maybe"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+      .orderBy("sh")
+  }
+
+  val bloomFilterSql: String = {
+    def pos(j: Int) = (0 until 5).map { i =>
+      s"(strpos('0123456789abcdef', substr(h32, ${5 * j + i + 1}, 1)) - 1) * ${1L << (4 * (4 - i))}"
+    }.mkString("(", " + ", ")")
+    val posList = (0 until bloomK).map(pos).mkString("[", ", ", "]")
+    s"""WITH build AS (
+       | SELECT DISTINCT unnest($shingleKmvSqlExpr) AS sh
+       | FROM documents WHERE lang = 'en'
+       |), probe AS (
+       | SELECT DISTINCT unnest($shingleKmvSqlExpr) AS sh
+       | FROM documents WHERE lang = 'de'
+       |), bloom AS (
+       | SELECT DISTINCT unnest($posList) AS pos
+       | FROM (SELECT md5(sh) AS h32 FROM build)
+       |), ppos AS (
+       | SELECT sh, unnest($posList) AS pos
+       | FROM (SELECT sh, md5(sh) AS h32 FROM probe)
+       |), hits AS (
+       | SELECT p.sh, count(*) AS nhit
+       | FROM ppos p JOIN bloom b ON b.pos = p.pos
+       | GROUP BY p.sh
+       |)
+       |SELECT p.sh,
+       | CAST(CASE WHEN h.nhit = $bloomK THEN 1 ELSE 0 END AS BIGINT) AS maybe,
+       | CAST(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS actual
+       |FROM probe p
+       |LEFT JOIN hits h ON h.sh = p.sh
+       |LEFT JOIN build b ON b.sh = p.sh
+       |ORDER BY p.sh""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_bloom_filter" -> bloomFilter,
     "t_lang_id" -> langId,
     "t_quality_score" -> qualityScore,
     "t_token_count" -> tokenCount,
@@ -665,6 +756,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_bloom_filter" -> bloomFilterSql,
     "t_lang_id" -> langIdSql,
     "t_quality_score" -> qualityScoreSql,
     "t_token_count" -> tokenCountSql,

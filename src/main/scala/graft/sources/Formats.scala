@@ -118,13 +118,63 @@ object Formats {
     integrity(s.read.schema(docSchema).orc(path))
   }
 
+  // --------------------------------------------------- src_partition_prune
+  /** Hive-style PARTITIONED layout + partition-pruned read — the
+    * storage idiom that makes 100 TB lakes queryable: documents written
+    * `partitionBy("lang")` (one directory per lang value), then read
+    * back filtered to two langs. The filter is satisfied by DIRECTORY
+    * listing, not data IO — Spark turns it into PartitionFilters on the
+    * scan (asserted by PlanAuditSpec) and never opens the other langs'
+    * files. The partition column round-trips through the directory
+    * NAME, not file bytes; the integrity aggregate regrouped by lang
+    * proves the values survived the path encoding. Scale note:
+    * partition by LOW-cardinality columns only (lang: ~10²) — a
+    * high-cardinality partitionBy (doc_id) makes one directory per
+    * value and kills the listing. */
+  def partitionPrune: Q = (s, dir) => {
+    val path = scratch(s, dir, "part")
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    // explicit schema minus the partition column (it comes from paths)
+    val back = s.read.schema(StructType(docSchema.filterNot(_.name == "lang")))
+      .parquet(path)
+      .filter(col("lang").isin("en", "de"))
+    back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      .orderBy("lang")
+  }
+
+  val partitionPruneSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      | count(DISTINCT md5(text)) AS n_uniq
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The pruned scan, exposed for PlanAuditSpec: the lang filter must
+    * appear as PartitionFilters on the FileScan, not a data Filter. */
+  private[graft] def prunedScan(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "part")
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    s.read.schema(StructType(docSchema.filterNot(_.name == "lang")))
+      .parquet(path)
+      .filter(col("lang").isin("en", "de"))
+  }
+
   val queries: Map[String, Q] = Map(
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
-    "src_orc_roundtrip" -> orcRoundtrip)
+    "src_orc_roundtrip" -> orcRoundtrip,
+    "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
     "src_json_roundtrip" -> integritySql,
     "src_csv_roundtrip" -> integritySql,
-    "src_orc_roundtrip" -> integritySql)
+    "src_orc_roundtrip" -> integritySql,
+    "src_partition_prune" -> partitionPruneSql)
 }

@@ -147,4 +147,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"),
       s"window not partitioned by shard:\n$p")
   }
+
+  test("partitioned read satisfies the lang filter from directory pruning") {
+    val p = plan(graft.sources.Formats.prunedScan(spark, sf))
+    // the lang IN (...) predicate must land in PartitionFilters on the
+    // file scan (directory pruning — no data IO for other langs), not
+    // ride along as a post-scan data Filter
+    assert(p.contains("PartitionFilters: [lang"),
+      s"lang filter did not become a partition filter:\n$p")
+  }
 }
