@@ -44,4 +44,45 @@ object GraphXAnalytics {
     nodes.join(comp, Seq("id"))
       .select("label", "key", "comp").orderBy("label", "key")
   }
+
+  /** PageRank on GraphX with the SAME fixed-point integer contract as
+    * `Analytics.pagerank` (5 rounds, d = 0.85, BIGINT floor division,
+    * dangling mass dropped) — not GraphX's built-in `staticPageRank`,
+    * whose double arithmetic and normalization can't be compared
+    * bit-for-bit. Each round is one `aggregateMessages` (contributions
+    * ship along out-edges, merged by +) + one `outerJoinVertices`
+    * (absorb into base) — vertex state stays partition-resident across
+    * rounds, the Pregel property that pays off on deep iteration
+    * counts. Equivalence-tested against the oracle-checked DataFrame
+    * operator (identical integers). */
+  def pagerankGraphX(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graph = PropertyGraph.load(s, dir)
+    val sid = Analytics.nodeIdCol(col("src_label"), col("src_key"))
+    val did = Analytics.nodeIdCol(col("dst_label"), col("dst_key"))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      Analytics.nodeIdCol(col("label"), col("key")).as("id"))
+    val n = nodes.count()
+    val init = Analytics.prScale / n
+    val base = (15L * Analytics.prScale) / (100L * n)
+    val vertices = nodes.select("id").rdd.map(r => (r.getLong(0), 0L))
+    val gxEdges = graph.edges.select(sid.as("a"), did.as("b")).rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+    // vertex attr = (rank, outdeg); outdeg fixed once via outDegrees
+    var g = GXGraph(vertices, gxEdges)
+      .outerJoinVertices(GXGraph(vertices, gxEdges).outDegrees) {
+        (_, _, od) => (init, od.getOrElse(0).toLong)
+      }
+    for (_ <- 1 to Analytics.prIters) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst((85L * ctx.srcAttr._1) / (100L * ctx.srcAttr._2)),
+        _ + _)
+      g = g.outerJoinVertices(msgs) {
+        (_, attr, m) => (base + m.getOrElse(0L), attr._2)
+      }
+    }
+    val ranks = g.vertices.map { case (id, (r, _)) => (id, r) }.toDF("id", "r")
+    nodes.join(ranks, Seq("id"))
+      .select("label", "key", "r").orderBy("label", "key")
+  }
 }

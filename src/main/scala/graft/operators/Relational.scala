@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 import graft.model.Tables
 
 /** Relational / OLAP operator pack (SURVEY.md §2 C-block).
@@ -830,8 +830,40 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------- q_json_extract
+  /** Semi-structured column boundary: events.props is a JSON string;
+    * parse it ONCE per row with `from_json` + an EXPLICIT schema into a
+    * typed struct and aggregate the extracted field. The explicit
+    * schema matters twice at 100 TB: schema inference is a full extra
+    * scan, and per-field `get_json_object` calls re-parse the document
+    * for every field extracted — one from_json amortizes the parse
+    * across all extractions. Malformed JSON yields NULL (both engines'
+    * lenient contract), surfaced in the n_null column. */
+  def qJsonExtract: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("j", from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))))
+      .withColumn("k", col("j.k"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum("k").as("sum_k"),
+        countDistinct(col("k")).as("n_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_json_extract" -> qJsonExtract,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -858,6 +890,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_json_extract" -> qJsonExtractSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
     "q_skew_salted_join" -> qSkewSaltedJoinSql,

@@ -739,7 +739,85 @@ object TextOps {
        |ORDER BY p.sh""".stripMargin
   }
 
+  // -------------------------------------------------------- t_winnowing
+  /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): hash every 3-gram IN POSITION ORDER (no distinct
+    * — winnowing needs the full sequence), slide a window of `winW`
+    * hashes, select the minimum of each full window; the fingerprint
+    * set is the distinct selected hashes. Guarantees: any shared run of
+    * ≥ winW+2 words between two documents shares ≥ 1 fingerprint, and
+    * density is ~2/(winW+1) — the local-selection sketch that exact
+    * min-shingle (t_fingerprint) and full shingle sets (d_ngram_jaccard)
+    * bracket. Hash = the same deterministic 40-bit md5-nibble integer
+    * as t_distinct_kmv, so both engines select identical fingerprints;
+    * set-valued output makes tie positions unobservable. Per-doc output
+    * is the compact census (n_fp, min/max) — the full set is ~2n/winW
+    * rows and this op checks selection, not storage. Scale: ONE window
+    * shuffle on doc_id (each doc's sequence is per-partition local),
+    * map-side distinct. Docs with < winW shingles have no full window
+    * and emit nothing (both engines). */
+  val winW = 4
+
+  private def h40Col: Column = (0 until 10).map { i =>
+    expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
+      lit(math.pow(16, 9 - i).toLong)
+  }.reduce(_ + _)
+
+  def winnowing: Q = (s, dir) => {
+    val words = col("words")
+    val shingles = when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    val hp = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h32"))
+      .select(col("doc_id"), col("pos"), h40Col.as("h"))
+    val nsh = hp.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, winW - 1)
+    val fps = hp.withColumn("fp", min("h").over(w))
+      .join(nsh, "doc_id")
+      .filter(col("pos") <= col("n_sh") - winW) // full windows only (0-based)
+      .select("doc_id", "n_sh", "fp").distinct()
+    fps.groupBy("doc_id", "n_sh")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+        max("fp").as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  val winnowingSql: String = {
+    val nib = (0 until 10).map { i =>
+      s"(strpos('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1) * ${math.pow(16, 9 - i).toLong}"
+    }.mkString("\n   + ")
+    s"""WITH ex AS (
+       | SELECT doc_id, unnest(list_transform(range(1, len(shs)+1),
+       |   i -> struct_pack(pos := i, sh := shs[i]))) AS u
+       | FROM (SELECT doc_id, $shingleKmvSqlExpr AS shs FROM documents)
+       |), hp AS (
+       | SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST($nib AS BIGINT) AS h
+       | FROM (SELECT doc_id, u, md5(u.sh) AS h32 FROM ex)
+       |), nsh AS (
+       | SELECT doc_id, count(*) AS n_sh FROM hp GROUP BY doc_id
+       |), fps AS (
+       | SELECT DISTINCT w.doc_id, nsh.n_sh, w.fp
+       | FROM (
+       |  SELECT doc_id, pos,
+       |   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS fp
+       |  FROM hp
+       | ) w JOIN nsh ON nsh.doc_id = w.doc_id
+       | WHERE w.pos <= nsh.n_sh - ${winW - 1}
+       |)
+       |SELECT doc_id, n_sh, count(*) AS n_fp, min(fp) AS min_fp,
+       |       max(fp) AS max_fp
+       |FROM fps GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_winnowing" -> winnowing,
     "t_bloom_filter" -> bloomFilter,
     "t_lang_id" -> langId,
     "t_quality_score" -> qualityScore,
@@ -756,6 +834,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_winnowing" -> winnowingSql,
     "t_bloom_filter" -> bloomFilterSql,
     "t_lang_id" -> langIdSql,
     "t_quality_score" -> qualityScoreSql,
