@@ -40,13 +40,27 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // millisecond precision keeps the (one) JSON line short enough to
-    // survive tail-truncating log captures at 80+ queries
-    def fmt(v: Double): String = f"$v%.3f"
+    // survive tail-truncating log captures at 80+ queries.
+    // Locale.ROOT: f"" formats with the JVM default locale — a comma-
+    // decimal locale (de_DE) would emit 1,234 and corrupt the JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // "value" (the total) goes LAST on the line: BENCH_r03 was captured
+    // tail-truncated and the total + 4 query timings were lost because
+    // they led the line. The full JSON is also written to bench_out.json
+    // so a truncating log capture never loses it again.
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}"""
+    println(json)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     // a failed query must fail the RUN, not just annotate the JSON —
     // otherwise a broken slow query lowers "value" and a consumer that

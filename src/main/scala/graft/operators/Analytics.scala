@@ -712,41 +712,57 @@ object Analytics {
 
   // ------------------------------------------------------------- g_hits
   /** HITS hubs & authorities (Kleinberg), `hitsIters` synchronous
-    * rounds over the DIRECTED edge set, UNNORMALIZED fixed-point
-    * integers (the contract both engines compute exactly):
-    * a_i(v) = Σ_{u→v} h_{i−1}(u), h_i(v) = Σ_{v→w} a_i(w), h_0 = SCALE.
-    * Skipping the per-round normalization keeps every value an exact
-    * BIGINT (a float norm would drift across partial-agg orders);
-    * magnitudes grow ≤ maxdeg² per round — maxdeg ~10³ at 100 TB and 2
-    * rounds stay ≪ 2⁶³ with SCALE 10³. Relative order — what HITS is
-    * for — is unchanged by normalization.
+    * rounds over the DIRECTED edge set, with INTEGER MAX-NORMALIZATION
+    * each half-round (the contract both engines compute exactly):
+    * s(v) = Σ_{u→v} h_{i−1}(u); a_i(v) = s(v) div max(1, max_v s(v)
+    * div SCALE) — the round's peak value is renormalized to ≈ SCALE,
+    * and likewise for h. Classic HITS L2-normalizes each half-round;
+    * a float norm would drift across partial-aggregation orders, so
+    * the fixed-point analogue divides by an INTEGER max-derived factor
+    * instead — relative order (what HITS is for) is preserved up to
+    * the documented div truncation, identically in both engines.
+    *
+    * Overflow contract (the round-3 version was wrong here): values
+    * entering a half-round are ≤ SCALE = 10⁶, so a raw BIGINT sum is
+    * bounded by maxdeg·10⁶ — safe for maxdeg up to ~9·10¹², which
+    * covers a TPC-H-at-100-TB nation hub (indegree ~10⁸–10⁹) with 4
+    * orders of headroom, where the unnormalized round-3 contract
+    * (growth ~SCALE·maxdeg⁴) silently wrapped at maxdeg ≳ 10⁴.
+    * AnalyticsSpec drives a synthetic 10⁶-degree hub through this op
+    * and asserts no wrap.
     *
     * Scale shape: each half-round is ONE equi-join (edges ⋈ node
     * vector) + ONE partial-aggregable sum — two shuffles bounded by
-    * the edge count, no iteration-deepening lineage (the vector is
-    * node-bounded and size-gate-broadcast like the CC/LPA loops). */
+    * the edge count, plus a scalar max over the node-bounded aggregate
+    * (tiny). The per-half-round aggregate is localCheckpoint-ed: it
+    * feeds both the max and the renormalized values, and eager
+    * materialization also caps the iteration lineage. */
   val hitsIters = 2
-  val hitsScale = 1000L
+  val hitsScale = 1000000L
 
-  def hits: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val nodes = graph.nodes.select(col("label"), col("key"))
-    val e = graph.edges.select(
-      col("src_label"), col("src_key"), col("dst_label"), col("dst_key"))
-    val n = nodes.count()
+  /** Core loop over explicit (nodes, edges) frames — `hits` binds it to
+    * the TPC-H graph; AnalyticsSpec drives a synthetic hub graph
+    * through it (overflow would otherwise hide behind the small SF). */
+  private[graft] def hitsOn(nodes: DataFrame, e: DataFrame, n: Long): DataFrame = {
     var h = nodes.withColumn("h", lit(hitsScale))
     var a = nodes.withColumn("a", lit(0L)) // replaced round 1
+    def norm(raw: DataFrame): DataFrame = {
+      val r = raw.localCheckpoint(eager = true)
+      r.crossJoin(broadcast(r.agg(max("s").as("mx"))))
+        .select(col("label"), col("key"),
+          expr(s"s div greatest(1, mx div $hitsScale)").as("s"))
+    }
     for (_ <- 1 to hitsIters) {
-      val aAgg = e.join(gated(h.select(col("label").as("src_label"),
+      val aAgg = norm(e.join(gated(h.select(col("label").as("src_label"),
           col("key").as("src_key"), col("h")), n), Seq("src_label", "src_key"))
         .groupBy(col("dst_label").as("label"), col("dst_key").as("key"))
-        .agg(sum("h").as("s"))
+        .agg(sum("h").as("s")))
       a = nodes.join(gated(aAgg, n), Seq("label", "key"), "left_outer")
         .select(col("label"), col("key"), coalesce(col("s"), lit(0L)).as("a"))
-      val hAgg = e.join(gated(a.select(col("label").as("dst_label"),
+      val hAgg = norm(e.join(gated(a.select(col("label").as("dst_label"),
           col("key").as("dst_key"), col("a")), n), Seq("dst_label", "dst_key"))
         .groupBy(col("src_label").as("label"), col("src_key").as("key"))
-        .agg(sum("a").as("s"))
+        .agg(sum("a").as("s")))
       h = nodes.join(gated(hAgg, n), Seq("label", "key"), "left_outer")
         .select(col("label"), col("key"), coalesce(col("s"), lit(0L)).as("h"))
     }
@@ -754,24 +770,43 @@ object Analytics {
       .select("label", "key", "a", "h").orderBy("label", "key")
   }
 
+  def hits: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val nodes = graph.nodes.select(col("label"), col("key"))
+    val e = graph.edges.select(
+      col("src_label"), col("src_key"), col("dst_label"), col("dst_key"))
+    hitsOn(nodes, e, nodes.count())
+  }
+
   val hitsSql: String = {
+    // DuckDB `//` mirrors Spark's `div` exactly here: every value is
+    // nonnegative, so floor == truncate; DuckDB's HUGEINT sum gives the
+    // oracle even more headroom than the BIGINT contract requires
     val b = new StringBuilder(cte)
     b ++= s""", h0 AS (SELECT label, key, CAST($hitsScale AS BIGINT) AS h FROM nodes)"""
     for (i <- 1 to hitsIters) {
-      b ++= s""", a$i AS (
-               | SELECT nd.label, nd.key, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
-               | FROM nodes nd LEFT JOIN (
-               |  SELECT e.dst_label AS label, e.dst_key AS key, sum(p.h) AS v
+      b ++= s""", a${i}r AS (
+               |  SELECT e.dst_label AS label, e.dst_key AS key, sum(p.h) AS s
                |  FROM edges e JOIN h${i - 1} p
                |    ON p.label = e.src_label AND p.key = e.src_key
-               |  GROUP BY 1, 2) s ON s.label = nd.label AND s.key = nd.key
-               |), h$i AS (
-               | SELECT nd.label, nd.key, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
-               | FROM nodes nd LEFT JOIN (
-               |  SELECT e.src_label AS label, e.src_key AS key, sum(p.a) AS v
+               |  GROUP BY 1, 2
+               |), a$i AS (
+               | SELECT nd.label, nd.key, CAST(COALESCE(
+               |   r.s // greatest(1, (SELECT max(s) FROM a${i}r) // $hitsScale),
+               |   0) AS BIGINT) AS a
+               | FROM nodes nd LEFT JOIN a${i}r r
+               |   ON r.label = nd.label AND r.key = nd.key
+               |), h${i}r AS (
+               |  SELECT e.src_label AS label, e.src_key AS key, sum(p.a) AS s
                |  FROM edges e JOIN a$i p
                |    ON p.label = e.dst_label AND p.key = e.dst_key
-               |  GROUP BY 1, 2) s ON s.label = nd.label AND s.key = nd.key
+               |  GROUP BY 1, 2
+               |), h$i AS (
+               | SELECT nd.label, nd.key, CAST(COALESCE(
+               |   r.s // greatest(1, (SELECT max(s) FROM h${i}r) // $hitsScale),
+               |   0) AS BIGINT) AS h
+               | FROM nodes nd LEFT JOIN h${i}r r
+               |   ON r.label = nd.label AND r.key = nd.key
                |)""".stripMargin
     }
     b ++= s"""

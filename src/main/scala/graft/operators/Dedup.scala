@@ -94,36 +94,56 @@ object Dedup {
     * share ≥1 band key, scored by exact signature agreement (n_match of
     * 9).
     *
-    * Hash family: ONE md5 per shingle; seed k's value is the hex string
-    * ROTATED left by 3k chars (rot_k(h) = h[3k..] ‖ h[..3k]) and the
-    * minhash is the lexicographic MIN of the rotations. Each rotation
-    * induces a distinct ordering of the hash space (the decorrelation
-    * LSH needs) at the cost of two substrings instead of a fresh md5 —
-    * round 1 paid 9 md5 invocations per shingle and that WAS the 64 s
-    * hot loop (this shape is ~6×). Identical expression in DuckDB.
+    * Hash family: ONE md5 per shingle, parsed ONCE to a 60-bit integer
+    * (15 hex nibbles — the KMV nibble trick), reduced mod p = 2³¹−1;
+    * seed k is the universal-hash mix (a_k·h + b_k) mod p with Lehmer-
+    * power constants, and the minhash is the MIN over 64-bit longs.
+    * Round 3 took the min over 32-char ROTATED STRINGS: every partial-
+    * agg comparison was a 32-byte memcmp and each rotation allocated two
+    * substrings × 9 seeds × every shingle occurrence — the integer form
+    * does the parse once and then 9 multiply-add-mods, and the 9 min
+    * aggregates compare longs (measured ~3× on the driver bench).
+    * a_k·h + b_k < 2⁶²+2³¹: no overflow in either engine's BIGINT.
     *
-    * Plan: explode shingles → md5 once → ONE groupBy(doc) computing all
-    * 9 mins (single shuffle, partial agg) → 3 band keys per doc →
-    * self-join on band key. Band buckets are CAPPED at `mhBucketCap`
-    * docs: a boilerplate bucket of k docs would otherwise go O(k²) at
-    * 100 TB; dropping oversized buckets is the standard df-cap (those
-    * docs still pair through their other, rarer bands) and is part of
-    * the documented LSH contract — the oracle applies the same cap.
+    * Plan: explode shingles → md5 once → parse+mod once → ONE
+    * groupBy(doc) computing all 9 integer mins (single shuffle, partial
+    * agg) → 3 (band, k0, k1, k2) band rows per doc → self-join on the
+    * band key columns. Band buckets are CAPPED at `mhBucketCap` docs via
+    * groupBy-count + left-semi join — NOT a count().over(bucket) window,
+    * which sorts every bucket; the aggregate shape is partial-agg +
+    * exchange-reused join. A boilerplate bucket of k docs would
+    * otherwise go O(k²) at 100 TB; dropping oversized buckets is the
+    * standard df-cap (those docs still pair through their other, rarer
+    * bands) and is part of the documented LSH contract — the oracle
+    * applies the same cap.
     */
   val mhSeeds = 9
   val mhBands = 3
   val mhBucketCap = 20
-
-  private def rotCol(k: Int): Column =
-    if (k == 0) col("h")
-    else concat(expr(s"substr(h, ${3 * k + 1}, ${32 - 3 * k})"),
-      expr(s"substr(h, 1, ${3 * k})"))
+  private val mhPrime = 2147483647L // 2^31 - 1, Mersenne
+  /** Universal-hash constants: successive powers of the MINSTD Lehmer
+    * multipliers mod p — deterministic, distinct, inlined as literals in
+    * both engines. */
+  private val mhA: IndexedSeq[Long] =
+    Iterator.iterate(48271L)(x => x * 48271L % mhPrime).take(mhSeeds).toIndexedSeq
+  private val mhB: IndexedSeq[Long] =
+    Iterator.iterate(16807L)(x => x * 16807L % mhPrime).take(mhSeeds).toIndexedSeq
 
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir).withColumn("h", md5(col("sh")))
-    sh.groupBy("doc_id")
-      .agg(min(rotCol(0)).as("mh0"),
-        (1 until mhSeeds).map(k => min(rotCol(k)).as(s"mh$k")): _*)
+    // 60-bit integer from the first 15 md5 nibbles (no shared hex-parse
+    // builtin exists across Spark and DuckDB), then mod p once; the 9
+    // seed mixes read the reduced h31
+    val h60 = (0 until 15).map { i =>
+      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
+        lit(1L << (4 * (14 - i)))
+    }.reduce(_ + _)
+    docShingles(s, dir)
+      .withColumn("h32", md5(col("sh")))
+      .select(col("doc_id"), (h60 % mhPrime).as("h31"))
+      .groupBy("doc_id")
+      .agg(min((lit(mhA(0)) * col("h31") + lit(mhB(0))) % mhPrime).as("mh0"),
+        (1 until mhSeeds).map(k =>
+          min((lit(mhA(k)) * col("h31") + lit(mhB(k))) % mhPrime).as(s"mh$k")): _*)
   }
 
   /** Pair stage + its cache handle (PlanAuditSpec audits the plan and
@@ -132,16 +152,23 @@ object Dedup {
     // sig feeds three consumers (band explode + both pair sides) —
     // cache so the shingle+md5 pipeline runs once
     val sig = signatures(s, dir).cache()
-    val withBands = sig.select(col("doc_id") +:
-      (0 until mhBands).map(b => md5(concat_ws("",
-        (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as(s"band$b")): _*)
-    val bandRows = withBands.select(col("doc_id"), explode(array(
-      (0 until mhBands).map(b => col(s"band$b")): _*)).as("bk"))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
+    val bandRows = sig.select(col("doc_id"), explode(array(
+      (0 until mhBands).map { b =>
+        struct(lit(b).as("c"), col(s"mh${b * 3}").as("k0"),
+          col(s"mh${b * 3 + 1}").as("k1"), col(s"mh${b * 3 + 2}").as("k2"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.c").as("c"), col("bs.k0").as("k0"),
+        col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+    val bandKey = Seq("c", "k0", "k1", "k2")
+    val keep = bandRows.groupBy(bandKey.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= mhBucketCap)
-      .drop("bsz")
-    val cand = bandRows.alias("x")
-      .join(bandRows.alias("y"), col("x.bk") === col("y.bk") &&
+      .select(bandKey.map(col): _*)
+    val capped = bandRows.join(keep, bandKey, "left_semi")
+    val cand = capped.alias("x")
+      .join(capped.alias("y"),
+        col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
+        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -159,31 +186,33 @@ object Dedup {
     dedupMinhashRaw(s, dir)._1.orderBy("doc_a", "doc_b")
 
   val dedupMinhashSql: String = {
-    def rot(k: Int) =
-      if (k == 0) "h"
-      else s"substr(h, ${3 * k + 1}, ${32 - 3 * k}) || substr(h, 1, ${3 * k})"
+    val nib = (0 until 15).map { i =>
+      s"(strpos('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}"
+    }.mkString("\n   + ")
     val mins = (0 until mhSeeds).map(k =>
-      s"min(${rot(k)}) AS mh$k").mkString(",\n  ")
-    val bands = (0 until mhBands).map(b =>
-      s"md5(mh${b * 3} || mh${b * 3 + 1} || mh${b * 3 + 2}) AS band$b").mkString(", ")
+      s"min((${mhA(k)} * h31 + ${mhB(k)}) % $mhPrime) AS mh$k").mkString(",\n  ")
     val bandSel = (0 until mhBands).map(b =>
-      s"SELECT doc_id, band$b AS bk FROM bands").mkString(" UNION ALL ")
+      s"SELECT doc_id, $b AS c, mh${b * 3} AS k0, mh${b * 3 + 1} AS k1, mh${b * 3 + 2} AS k2 FROM sig")
+      .mkString(" UNION ALL ")
     val nMatch = (0 until mhSeeds).map(k =>
       s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH sh AS (
-       | SELECT doc_id, md5(unnest($shingleSqlExpr)) AS h FROM documents
+       | SELECT doc_id, md5(unnest($shingleSqlExpr)) AS h32 FROM documents
+       |), hx AS (
+       | SELECT doc_id, CAST($nib AS BIGINT) % $mhPrime AS h31 FROM sh
        |), sig AS (
-       | SELECT doc_id, $mins FROM sh GROUP BY doc_id
-       |), bands AS (
-       | SELECT doc_id, $bands FROM sig
+       | SELECT doc_id, $mins FROM hx GROUP BY doc_id
        |), br0 AS ($bandSel
+       |), bc AS (
+       | SELECT c, k0, k1, k2 FROM br0 GROUP BY 1, 2, 3, 4
+       | HAVING count(*) <= $mhBucketCap
        |), br AS (
-       | SELECT doc_id, bk FROM (
-       |  SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz FROM br0
-       | ) WHERE bsz <= $mhBucketCap
+       | SELECT br0.doc_id, br0.c, br0.k0, br0.k1, br0.k2
+       | FROM br0 JOIN bc USING (c, k0, k1, k2)
        |), cand AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       | FROM br x JOIN br y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       | FROM br x JOIN br y ON x.c = y.c AND x.k0 = y.k0 AND x.k1 = y.k1
+       |   AND x.k2 = y.k2 AND x.doc_id < y.doc_id
        |)
        |SELECT c.doc_a, c.doc_b, CAST($nMatch AS BIGINT) AS n_match
        |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
@@ -480,7 +509,13 @@ object Dedup {
         floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
       .withColumn("nn", dot(col("qe"), col("qe"))).cache()
     val a = q.toDF("vec_a", "qa", "na").repartition(col("vec_a"))
-    val b = broadcast(q.toDF("vec_b", "qb", "nb"))
+    // the broadcast that makes the exact baseline one-shuffle is GATED
+    // like every other hint in the codebase: past the cap a forced
+    // broadcast fails outright at the 8 GB ceiling — fall back to the
+    // shuffle pair join and let AQE pick (the count is on the cached
+    // frame, so the probe costs one cheap job)
+    val bRaw = q.toDF("vec_b", "qb", "nb")
+    val b = if (q.count() <= 500000L) broadcast(bRaw) else bRaw
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("qa"), col("qb")).as("dp"),
         col("na"), col("nb"))

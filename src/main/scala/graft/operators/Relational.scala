@@ -853,12 +853,18 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** TRY_CAST, not CAST: a hard CAST aborts the WHOLE oracle query on
+    * the first non-numeric k, while Spark's from_json yields NULL —
+    * TRY_CAST's NULL-on-failure mirrors the lenient contract. (Residual
+    * documented gap: a quoted-numeric `k:"5"` would TRY_CAST to 5 in
+    * DuckDB but null out under from_json's LongType schema; the events
+    * generator emits only integer-or-absent k.) */
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      | CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      | count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-      | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      | CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      | max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------- registry

@@ -49,8 +49,13 @@ object Similarity {
   val annK = 5
 
   def annTopk: Q = (s, dir) => {
-    val probes = broadcast(quantized(s, dir)
-      .filter(col("vec_id") < 10).toDF("probe_id", "qp"))
+    // gated like every forced hint in the codebase: the probe predicate
+    // bounds this side by construction, but if a caller widens it past
+    // the cap the forced broadcast must NOT ride to the 8 GB ceiling —
+    // drop the hint and let AQE decide from observed sizes
+    val pRaw = quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp")
+    val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
     val scored = probes
       .crossJoin(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"))
       .filter(col("probe_id") =!= col("cand_id"))

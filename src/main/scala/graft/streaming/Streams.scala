@@ -167,8 +167,16 @@ object Streams {
               out += AsofOut(user, eid, us, last, us - last)
           }
           if (keep.isEmpty && last == Long.MinValue) state.remove()
-          else if (keep.isEmpty && state.hasTimedOut && rows.isEmpty) {
-            // idle past the horizon with nothing buffered: forget the user
+          else if (keep.isEmpty && state.hasTimedOut && rows.isEmpty
+                   && fin.isEmpty) {
+            // idle past the horizon with nothing buffered AND nothing
+            // finalized on this wake: forget the user. A finalize-wake
+            // (armed at keep.head to flush buffered events once the
+            // watermark passes them) also arrives with rows.isEmpty and
+            // drains the buffer — but it just advanced lastClick, so the
+            // click must survive for the full idle horizon or an
+            // in-horizon purchase arriving next would miss its match
+            // that the batch twin makes.
             state.remove()
           } else {
             state.update(AsofState(last, keep))

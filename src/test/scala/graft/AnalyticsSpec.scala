@@ -71,4 +71,31 @@ class AnalyticsSpec extends AnyFunSuite {
         s"survivor below k: $r")
     }
   }
+
+  test("hits: synthetic 1e6-degree hub does not wrap BIGINT") {
+    // star graph: 10^6 spokes each pointing at one hub. The round-3
+    // unnormalized contract grew ~SCALE·deg⁴ and wrapped negative at
+    // deg ≳ 10⁴; the max-normalized fixed-point keeps every value in
+    // [0, SCALE] regardless of degree.
+    import spark.implicits._
+    val deg = 1000000L
+    val spokes = spark.range(1, deg + 1)
+      .select(lit("spoke").as("label"), col("id").as("key"))
+    val nodes = spokes.unionByName(
+      Seq(("hub", 0L)).toDF("label", "key"))
+    val edges = spark.range(1, deg + 1).select(
+      lit("spoke").as("src_label"), col("id").as("src_key"),
+      lit("hub").as("dst_label"), lit(0L).as("dst_key"))
+    val out = Analytics.hitsOn(nodes, edges, deg + 1).cache()
+    val mins = out.agg(min("a"), min("h")).collect().head
+    assert(mins.getLong(0) >= 0 && mins.getLong(1) >= 0,
+      s"negative HITS value — BIGINT wrapped: $mins")
+    val hub = out.filter(col("label") === "hub").collect().head
+    val spoke = out.filter(col("label") === "spoke").limit(1).collect().head
+    out.unpersist()
+    // hub is the unique authority at full scale; spokes are the hubs
+    assert(hub.getAs[Long]("a") == Analytics.hitsScale, s"hub authority: $hub")
+    assert(hub.getAs[Long]("h") == 0L)
+    assert(spoke.getAs[Long]("a") == 0L && spoke.getAs[Long]("h") > 0L)
+  }
 }

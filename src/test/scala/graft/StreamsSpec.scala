@@ -159,6 +159,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_stream_asof: click survives a finalize-wake — purchase inside the horizon still matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof_wake")
+      .outputMode("append").start()
+    try {
+      val base = 86400L * 1000 * 1000
+      val min10 = 600L * 1000 * 1000
+      // batch 1: user 1 clicks
+      mem.addData(ev(1, base, typ = "click"))
+      q.processAllAvailable()
+      // batch 2: sentinel user advances the watermark to base+10min —
+      // the finalize-wake for user 1 fires with empty rows, drains the
+      // buffer (lastClick := base). The pre-fix code removed state here.
+      mem.addData(ev(99, base + hourUs + min10, user = 999L, typ = "click"))
+      q.processAllAvailable()
+      // batch 3: purchase 30 min after the click — inside the 1 h
+      // horizon and above the watermark, so the batch twin matches it
+      mem.addData(ev(2, base + 3 * min10, typ = "purchase"))
+      q.processAllAvailable()
+      // flush: advance the watermark past the purchase to finalize it
+      mem.addData(ev(98, base + 3 * hourUs, user = 999L, typ = "click"))
+      q.processAllAvailable()
+      val out = spark.table("asof_wake").collect()
+        .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("click_us")).toMap
+      assert(out == Map(2L -> base),
+        s"click forgotten by finalize-wake, purchase unmatched: $out")
+    } finally q.stop()
+  }
+
   test("batch twin equivalence: streamAsof over one batch matches q_events_asof") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
