@@ -36,6 +36,16 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def getEdges(elabel: String, pred: Column): DataFrame =
     edges.filter(col("elabel") === elabel && pred)
 
+  /** Reference getNodes(label = None, data) (Neo4jGraph.scala:235-257):
+    * the label argument is an Option and a None scans EVERY label with
+    * only the property predicate — the predicate still reaches the
+    * parquet scan; at 100 TB a label-less scan reads all label
+    * partitions, which is exactly what the reference semantics ask. */
+  def getNodesAny(pred: Column): DataFrame = nodes.filter(pred)
+
+  /** Reference getEdges(label = None, data) (Neo4jGraph.scala:295-332). */
+  def getEdgesAny(pred: Column): DataFrame = edges.filter(pred)
+
   /** Reference getEgressEdges (Neo4jGraph.scala:334-368): out-edges of a
     * node, endpoint data attached. Single-node filter → tiny left side →
     * the node join broadcasts. */
@@ -256,7 +266,6 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       .select(col("label").as("cur_label"), col("key").as("cur_key"),
         lit(startId).as("path"), array(lit(startId)).as("visited"),
         lit(0).as("depth"), lit("").as("elabels"))
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var results: Option[DataFrame] = None
     var depth = 0
     var frontierRows = 1L
@@ -284,8 +293,8 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     var pruneDist: Option[DataFrame] = None
     while (depth < maxDepth && frontierRows > 0) {
       if (pruneDist.isEmpty && frontierRows > pruneActivationRows) {
-        val (d, rows) = distancesToDst(e, dstLabel, dstKey, nodeLabels,
-          srcLabel, lookout = maxDepth - depth)
+        val (d, rows) = distancesToDstMemo(e, dstLabel, dstKey, nodeLabels,
+          edgeLabels, directed, srcLabel, lookout = maxDepth - depth)
         pruneDist = Some(
           if (rows <= broadcastRowCap) broadcast(d) else d)
       }
@@ -299,10 +308,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           .filter(col("b_dist") <= maxDepth - depth)
         case None => e
       }
-      // cache the LEVEL (not just the surviving frontier): both the
-      // done-paths branch and the next level's frontier read it, and
-      // the final result materialization would otherwise re-execute
-      // every level's expansion join a second time
+      // materialize the LEVEL eagerly (both the done-paths branch and
+      // the next level's frontier read it) via localCheckpoint, NOT
+      // cache(): a cached level keeps the whole deepening lineage in
+      // its logical plan, and by level 4 Catalyst re-analyzes and the
+      // cache manager re-canonicalizes a plan containing every prior
+      // level on each action — measured as most of the first-call
+      // latency at sf0.1. Checkpointing truncates each level to a leaf,
+      // so per-level analysis/codegen stays constant-depth and nothing
+      // is recomputed by the final result materialization.
       val step = eStep.join(fr,
           col("a_label") === col("cur_label") &&
           col("a_key") === col("cur_key"))
@@ -318,23 +332,46 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           when(col("depth") === 0, col("elabel"))
             .otherwise(concat(col("elabels"), lit(">"), col("elabel")))
             .as("elabels"))
-        .cache()
-      cached += step
+        .localCheckpoint(eager = true)
       val done = step.filter(col("cur_label") === dstLabel &&
         col("cur_key") === dstKey)
         .select(col("path"), col("depth"), col("elabels"))
       results = Some(results.map(_.unionByName(done)).getOrElse(done))
       frontier = step.filter(
         !(col("cur_label") === dstLabel && col("cur_key") === dstKey))
-      frontierRows = frontier.count() // scalar action; drives termination
+      frontierRows = frontier.count() // cheap scan of checkpointed blocks
     }
-    // materialize the result BEFORE releasing the per-level caches —
-    // its lineage reads them, and unpersisting first would recompute
-    // the whole expansion (ADVICE r1: caches leaked across calls)
-    val out0 = if (withEdgeLabels) results.get else results.get.drop("elabels")
-    val out = out0.localCheckpoint(eager = true)
-    cached.foreach(_.unpersist(blocking = false))
-    out
+    if (withEdgeLabels) results.get else results.get.drop("elabels")
+  }
+
+  /** Session-lifetime memo for backward-distance frames, keyed by the
+    * full parameter tuple that determines the traversable edge set and
+    * the sink. The stored frame is checkpointed (node-bounded) and its
+    * distances are TRUE min-hop values merely truncated at `lookout`,
+    * so an entry computed with a larger lookout serves any smaller one
+    * (the prune's own `b_dist <= budget` filter discards the extra
+    * rows); a request with a larger lookout recomputes and replaces.
+    * The memo makes repeated path searches against the same destination
+    * — the spec matrix, interactive sessions — pay the maxDepth−1
+    * backward rounds once. PropertyGraph.load memoizes snapshots per
+    * (session, dir), so `this`-scoped state IS session-keyed. */
+  private val distMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Seq[String], Seq[String], Boolean, String),
+           (DataFrame, Long, Int)]
+
+  private def distancesToDstMemo(e: DataFrame, dstLabel: String, dstKey: Long,
+                                 nodeLabels: Seq[String], edgeLabels: Seq[String],
+                                 directed: Boolean, srcLabel: String,
+                                 lookout: Int): (DataFrame, Long) = {
+    val k = (dstLabel, dstKey, nodeLabels, edgeLabels, directed, srcLabel)
+    distMemo.get(k) match {
+      case Some((d, rows, had)) if had >= lookout => (d, rows)
+      case _ =>
+        val (d, rows) = distancesToDst(e, dstLabel, dstKey, nodeLabels,
+          srcLabel, lookout)
+        distMemo.put(k, (d, rows, lookout))
+        (d, rows)
+    }
   }
 
   /** Backward BFS: minimum hop count from every node to (dstLabel,

@@ -51,6 +51,97 @@ object GraphOps {
        |FROM edges WHERE elabel = 'HAS_PART' AND weight >= 2
        |ORDER BY src_key, dst_key""".stripMargin
 
+  // ----------------------------------------------------- g_get_nodes_any
+  /** Reference getNodes(label = None, data) (Neo4jGraph.scala:235-257):
+    * the label parameter is an Option — a None scans EVERY label with
+    * the property predicate alone. Balance near the acctbal ceiling
+    * catches customers AND suppliers (and any order whose total lands
+    * in the band) — a genuinely cross-label result the labeled scan
+    * cannot express. */
+  def getNodesAny: Q = (s, dir) =>
+    g(s, dir).getNodesAny(col("balance") >= 9990.0 && col("balance") <= 10000.0)
+      .orderBy("label", "key")
+
+  val getNodesAnySql: String =
+    s"""$cte
+       |SELECT label, key, name, balance FROM nodes
+       |WHERE balance >= 9990.0 AND balance <= 10000.0
+       |ORDER BY label, key""".stripMargin
+
+  // ----------------------------------------------------- g_get_edges_any
+  /** Reference getEdges(label = None, data) (Neo4jGraph.scala:295-332):
+    * label-less edge scan — every multi-lineitem relationship
+    * regardless of edge label (HAS_PART and SUPPLIED_BY both carry
+    * aggregated weights). */
+  def getEdgesAny: Q = (s, dir) =>
+    g(s, dir).getEdgesAny(col("weight") >= 2L)
+      .orderBy("elabel", "src_key", "dst_key")
+
+  val getEdgesAnySql: String =
+    s"""$cte
+       |SELECT elabel, src_label, src_key, dst_label, dst_key, weight
+       |FROM edges WHERE weight >= 2
+       |ORDER BY elabel, src_key, dst_key""".stripMargin
+
+  // ------------------------------------------------------- g_typed_props
+  /** Reference property values are TYPED (`data: Map[String, JsValue]`,
+    * jsValueToAny at Neo4jGraph.scala:98-119 admits numbers, booleans,
+    * strings, nested values) — not the String→String view the map ops
+    * use. Storage format: a JSON document per node (the serialization a
+    * JsValue map round-trips through); access: ONE `from_json` with an
+    * EXPLICIT typed schema (string + double + boolean + int in one
+    * document), then typed operations on the extracted values — integer
+    * arithmetic on `tier`, boolean logic on `vip` — plus the reference
+    * merge semantics on typed keys (customers 1-10: `vip := NOT vip`,
+    * a typed-boolean update, and `tier` REMOVED — null ⇒ remove,
+    * surfacing as a NULL BIGINT). The oracle builds the same document with
+    * json_object and extracts with json_extract/TRY_CAST, so the typed
+    * round-trip is verified end-to-end in both engines. */
+  def typedProps: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val c = g(s, dir).nodes
+      .filter(col("label") === "customer" && col("key") <= 20L)
+    val doc = c.select(col("label"), col("key"),
+      to_json(struct(col("name"), col("balance"),
+        (col("balance") > 5000.0).as("vip"),
+        (col("key") % 5).cast("int").as("tier"))).as("pjson"))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("balance", DoubleType),
+      StructField("vip", BooleanType), StructField("tier", IntegerType)))
+    doc.withColumn("p", from_json(col("pjson"), schema))
+      .select(col("label"), col("key"),
+        col("p.name").as("name"),
+        // DECIMAL(18,2) string render — the engine-parity contract for
+        // money values (PropertyGraph.derivedProps)
+        col("p.balance").cast("decimal(18,2)").cast("string").as("balance"),
+        when(col("key") <= 10L, !col("p.vip"))
+          .otherwise(col("p.vip")).as("vip"),
+        when(col("key") <= 10L, lit(null).cast("long"))
+          .otherwise(col("p.tier").cast("long")).as("tier"))
+      .orderBy("key")
+  }
+
+  val typedPropsSql: String =
+    s"""$cte, c AS (
+       | SELECT label, key, name, balance FROM nodes
+       | WHERE label = 'customer' AND key <= 20
+       |), doc AS (
+       | SELECT label, key,
+       |  json_object('name', name, 'balance', balance,
+       |              'vip', balance > 5000.0,
+       |              'tier', CAST(key % 5 AS INT)) AS pjson
+       | FROM c
+       |)
+       |SELECT label, key,
+       | json_extract_string(pjson, '$$.name') AS name,
+       | CAST(CAST(TRY_CAST(json_extract_string(pjson, '$$.balance') AS DOUBLE) AS DECIMAL(18,2)) AS VARCHAR) AS balance,
+       | CASE WHEN key <= 10
+       |      THEN NOT TRY_CAST(json_extract_string(pjson, '$$.vip') AS BOOLEAN)
+       |      ELSE TRY_CAST(json_extract_string(pjson, '$$.vip') AS BOOLEAN) END AS vip,
+       | CASE WHEN key <= 10 THEN NULL
+       |      ELSE TRY_CAST(json_extract_string(pjson, '$$.tier') AS BIGINT) END AS tier
+       |FROM doc ORDER BY key""".stripMargin
+
   // ------------------------------------------------------------ g_egress
   /** Reference getEgressEdges (Neo4jGraph.scala:334-368): out-edges of
     * customer 1 with endpoint props. */
@@ -447,7 +538,10 @@ object GraphOps {
   val queries: Map[String, Q] = Map(
     "g_get_node" -> getNode,
     "g_get_nodes" -> getNodes,
+    "g_get_nodes_any" -> getNodesAny,
     "g_get_edges" -> getEdges,
+    "g_get_edges_any" -> getEdgesAny,
+    "g_typed_props" -> typedProps,
     "g_get_edge" -> getEdge,
     "g_get_edge_by_id" -> getEdgeById,
     "g_remove_edge" -> removeEdge,
@@ -468,7 +562,10 @@ object GraphOps {
   val oracleSql: Map[String, String] = Map(
     "g_get_node" -> getNodeSql,
     "g_get_nodes" -> getNodesSql,
+    "g_get_nodes_any" -> getNodesAnySql,
     "g_get_edges" -> getEdgesSql,
+    "g_get_edges_any" -> getEdgesAnySql,
+    "g_typed_props" -> typedPropsSql,
     "g_get_edge" -> getEdgeSql,
     "g_get_edge_by_id" -> getEdgeByIdSql,
     "g_remove_edge" -> removeEdgeSql,

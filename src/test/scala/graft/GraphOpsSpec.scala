@@ -105,4 +105,38 @@ class GraphOpsSpec extends AnyFunSuite {
     val custN = g.nodes.filter(col("label") === "customer").count()
     assert(custOut == placed + custN)
   }
+
+  test("label-less scans cover every label the predicate matches") {
+    // getNodesAny == union of per-label getNodes over all labels
+    // (balance > 0 matches customers, suppliers and orders at any SF)
+    val pred = col("balance") > 0.0
+    val any = g.getNodesAny(pred)
+    val labels = g.nodes.select("label").distinct().collect().map(_.getString(0))
+    val perLabel = labels.map(l => g.getNodes(l, pred).count()).sum
+    assert(any.count() == perLabel && any.count() > 0)
+    assert(any.select("label").distinct().count() > 1,
+      "predicate should match across multiple labels")
+    val anyE = g.getEdgesAny(col("weight") >= 2L)
+    assert(anyE.select("elabel").distinct().count() > 1)
+  }
+
+  test("typed props: boolean/int round-trip through the JSON document") {
+    val out = graft.operators.GraphOps.typedProps(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getAs[Long]("key")
+      val bal = r.getAs[String]("balance").toDouble
+      val vipBase = bal > 5000.0
+      // merge semantics: keys 1-10 flip vip (typed boolean op) and lose
+      // tier (null => remove); 11-20 keep the extracted typed values
+      if (key <= 10) {
+        assert(r.getAs[Boolean]("vip") == !vipBase, s"vip not flipped: $r")
+        assert(r.isNullAt(r.fieldIndex("tier")), s"tier not removed: $r")
+      } else {
+        assert(r.getAs[Boolean]("vip") == vipBase, s"vip changed: $r")
+        assert(r.getAs[Long]("tier") == key % 5, s"tier mismatch: $r")
+      }
+    }
+  }
 }
