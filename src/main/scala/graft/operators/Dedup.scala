@@ -488,6 +488,67 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------------------------------- d_decontaminate
+  /** Benchmark DECONTAMINATION — the cross-set overlap check every LLM
+    * training pipeline runs before training (flag training documents
+    * that leak evaluation data; GPT-3/Pile-style n-gram overlap). The
+    * "eval set" is the deterministic 1%-ish slice doc_id % 97 == 0 (in
+    * production it arrives as its own table; the machinery is
+    * unchanged). A train×eval pair is reported when they share ≥
+    * `decontMinShared` distinct df-capped shingles, and flagged
+    * CONTAMINATED when ≥ 75% of the eval doc's shingles appear in the
+    * training doc (integer cross-multiplication 4·inter ≥ 3·n_eval —
+    * asymmetric containment OF THE EVAL SIDE, the direction that
+    * matters: a tiny eval prompt inside a big training doc is a leak
+    * even though Jaccard ≈ 0). Scale shape: candidates come from the
+    * shingle equi-join (df-capped — boilerplate shingles pair
+    * everything with everything and detect nothing), never a
+    * train×eval product; at 100 TB the eval side is tiny and its
+    * shingle set broadcasts. */
+  val decontMinShared = 3
+
+  def decontaminate: Q = (s, dir) => {
+    val sh = docShingles(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= jacDfCap)
+      .drop("df")
+      .cache() // same canonicalized plan as jaccard's → shared entry
+    val isEval = col("doc_id") % 97 === 0
+    val train = sh.filter(!isEval).toDF("train_doc", "sh")
+    val eval_ = sh.filter(isEval).toDF("eval_doc", "sh")
+    val nEval = eval_.groupBy("eval_doc").agg(count(lit(1)).as("n_eval"))
+    train.join(eval_, "sh")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= decontMinShared)
+      .join(nEval, "eval_doc")
+      .select(col("train_doc"), col("eval_doc"), col("inter"), col("n_eval"),
+        (lit(4) * col("inter") >= lit(3) * col("n_eval")).as("contaminated"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ds0 AS (
+       | SELECT doc_id, unnest($shingleSqlExpr) AS sh FROM documents
+       |), ds AS (
+       | SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ds0
+       | ) WHERE df <= $jacDfCap
+       |), ne AS (
+       | SELECT doc_id AS eval_doc, count(*) AS n_eval
+       | FROM ds WHERE doc_id % 97 = 0 GROUP BY 1
+       |), ov AS (
+       | SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS inter
+       | FROM ds t JOIN ds e ON t.sh = e.sh
+       | WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+       | GROUP BY 1, 2
+       |)
+       |SELECT o.train_doc, o.eval_doc AS eval_doc, o.inter, ne.n_eval,
+       |       4 * o.inter >= 3 * ne.n_eval AS contaminated
+       |FROM ov o JOIN ne ON ne.eval_doc = o.eval_doc
+       |WHERE o.inter >= $decontMinShared
+       |ORDER BY o.train_doc, o.eval_doc""".stripMargin
+
   // -------------------------------------------------- d_dedup_embedding
   /** Embedding near-dup pairs, cosine > 0.45, EXACT integer arithmetic:
     * vectors quantized to round(x·1000) BIGINTs, then
@@ -545,6 +606,7 @@ object Dedup {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "d_containment" -> containment,
+    "d_decontaminate" -> decontaminate,
     "d_dedup_exact" -> dedupExact,
     "d_dedup_minhash" -> dedupMinhash,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -554,6 +616,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "d_containment" -> containmentSql,
+    "d_decontaminate" -> decontaminateSql,
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

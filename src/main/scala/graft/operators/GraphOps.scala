@@ -59,13 +59,13 @@ object GraphOps {
     * in the band) — a genuinely cross-label result the labeled scan
     * cannot express. */
   def getNodesAny: Q = (s, dir) =>
-    g(s, dir).getNodesAny(col("balance") >= 9990.0 && col("balance") <= 10000.0)
+    g(s, dir).getNodesAny(col("balance") > 0.0 && col("balance") < 500.0)
       .orderBy("label", "key")
 
   val getNodesAnySql: String =
     s"""$cte
        |SELECT label, key, name, balance FROM nodes
-       |WHERE balance >= 9990.0 AND balance <= 10000.0
+       |WHERE balance > 0.0 AND balance < 500.0
        |ORDER BY label, key""".stripMargin
 
   // ----------------------------------------------------- g_get_edges_any
@@ -141,6 +141,53 @@ object GraphOps {
        | CASE WHEN key <= 10 THEN NULL
        |      ELSE TRY_CAST(json_extract_string(pjson, '$$.tier') AS BIGINT) END AS tier
        |FROM doc ORDER BY key""".stripMargin
+
+  // ------------------------------------------------------- g_multi_edges
+  /** MULTI-EDGES — the reference's edges have INDEPENDENT identities
+    * (addEdge, Neo4jGraph.scala:178-210 CREATEs a fresh relationship on
+    * every call), so two edges with the same (label, src, dst) coexist;
+    * the aggregated edge snapshot collapses them into one weighted row.
+    * The multi-edge view keeps each INSTANCE: lineitem-level HAS_PART
+    * edges discriminated by l_linenumber, each with its own stable id
+    * `eid = md5(composite ‖ discriminator)` — identity derives from the
+    * (composite, discriminator) pair exactly as the aggregated edges
+    * derive from the composite, so no global id assignment at any
+    * scale. Output: the parallel-edge groups (same composite, ≥ 2
+    * instances) for orders ≤ 500, with n_edges and the count of
+    * DISTINCT instance ids proving each instance is independently
+    * addressable (n_ids == n_edges). */
+  def multiEdges: Q = (s, dir) => {
+    val li = graft.model.Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 500L)
+    li.select(lit("HAS_PART").as("elabel"),
+        col("l_orderkey").cast("long").as("src_key"),
+        col("l_partkey").cast("long").as("dst_key"),
+        col("l_linenumber").cast("long").as("disc"),
+        md5(concat_ws("|", lit("HAS_PART"), lit("order"), col("l_orderkey"),
+          lit("part"), col("l_partkey"), col("l_linenumber"))).as("eid"))
+      .groupBy("elabel", "src_key", "dst_key")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("eid")).as("n_ids"),
+        min("disc").as("min_disc"), max("disc").as("max_disc"))
+      .filter(col("n_edges") >= 2)
+      .orderBy("src_key", "dst_key")
+  }
+
+  val multiEdgesSql: String =
+    """WITH inst AS (
+      | SELECT 'HAS_PART' AS elabel,
+      |        CAST(l_orderkey AS BIGINT) AS src_key,
+      |        CAST(l_partkey AS BIGINT) AS dst_key,
+      |        CAST(l_linenumber AS BIGINT) AS disc,
+      |        md5('HAS_PART' || '|' || 'order' || '|' || l_orderkey || '|' ||
+      |            'part' || '|' || l_partkey || '|' || l_linenumber) AS eid
+      | FROM lineitem WHERE l_orderkey <= 500
+      |)
+      |SELECT elabel, src_key, dst_key, count(*) AS n_edges,
+      |       count(DISTINCT eid) AS n_ids,
+      |       min(disc) AS min_disc, max(disc) AS max_disc
+      |FROM inst GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |ORDER BY src_key, dst_key""".stripMargin
 
   // ------------------------------------------------------------ g_egress
   /** Reference getEgressEdges (Neo4jGraph.scala:334-368): out-edges of
@@ -542,6 +589,7 @@ object GraphOps {
     "g_get_edges" -> getEdges,
     "g_get_edges_any" -> getEdgesAny,
     "g_typed_props" -> typedProps,
+    "g_multi_edges" -> multiEdges,
     "g_get_edge" -> getEdge,
     "g_get_edge_by_id" -> getEdgeById,
     "g_remove_edge" -> removeEdge,
@@ -566,6 +614,7 @@ object GraphOps {
     "g_get_edges" -> getEdgesSql,
     "g_get_edges_any" -> getEdgesAnySql,
     "g_typed_props" -> typedPropsSql,
+    "g_multi_edges" -> multiEdgesSql,
     "g_get_edge" -> getEdgeSql,
     "g_get_edge_by_id" -> getEdgeByIdSql,
     "g_remove_edge" -> removeEdgeSql,

@@ -830,6 +830,53 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- q_bag_ops
+  /** BAG (multiset) set operations — INTERSECT ALL / EXCEPT ALL, the
+    * multiplicity-preserving semantics q_distinct_union's set variants
+    * do not exercise: the returned-items bag vs the accepted-items bag
+    * of part keys, where a part appearing 3× returned and 1× accepted
+    * keeps min(3,1)=1 intersection rows and 3−1=2 difference rows.
+    * Spark plans both as aggregate + generate (replicate_rows) — one
+    * shuffle each, no join; the output re-aggregates per key so the
+    * result is a deterministic set. Keys are sampled (% 50) to keep the
+    * oracle row count bounded; the plan shape is key-count-invariant. */
+  def qBagOps: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") % 50 === 0)
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    val inter = r.intersectAll(a).groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_inter"))
+    val diff = r.exceptAll(a).groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_minus"))
+    inter.join(diff, Seq("l_partkey"), "full_outer")
+      .select(col("l_partkey").cast("long").as("part_key"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_minus"), lit(0L)).as("n_minus"))
+      .orderBy("part_key")
+  }
+
+  val qBagOpsSql: String =
+    """WITH li AS (
+      | SELECT l_partkey, l_returnflag FROM lineitem WHERE l_partkey % 50 = 0
+      |), i AS (
+      | SELECT l_partkey, count(*) AS n_inter FROM (
+      |  SELECT l_partkey FROM li WHERE l_returnflag = 'R'
+      |  INTERSECT ALL
+      |  SELECT l_partkey FROM li WHERE l_returnflag = 'A'
+      | ) GROUP BY 1
+      |), d AS (
+      | SELECT l_partkey, count(*) AS n_minus FROM (
+      |  SELECT l_partkey FROM li WHERE l_returnflag = 'R'
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM li WHERE l_returnflag = 'A'
+      | ) GROUP BY 1
+      |)
+      |SELECT CAST(COALESCE(i.l_partkey, d.l_partkey) AS BIGINT) AS part_key,
+      |       COALESCE(i.n_inter, 0) AS n_inter,
+      |       COALESCE(d.n_minus, 0) AS n_minus
+      |FROM i FULL OUTER JOIN d ON d.l_partkey = i.l_partkey
+      |ORDER BY part_key""".stripMargin
+
   // ----------------------------------------------------------- q_json_extract
   /** Semi-structured column boundary: events.props is a JSON string;
     * parse it ONCE per row with `from_json` + an EXPLICIT schema into a
@@ -870,6 +917,7 @@ object Relational {
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> qJsonExtract,
+    "q_bag_ops" -> qBagOps,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -897,6 +945,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtractSql,
+    "q_bag_ops" -> qBagOpsSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
     "q_skew_salted_join" -> qSkewSaltedJoinSql,

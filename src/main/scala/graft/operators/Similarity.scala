@@ -423,17 +423,122 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
   }
 
+  // -------------------------------------------------------------- s_ann_pq
+  /** Product-quantization ANN (Jégou et al., the compressed-index scale
+    * path that completes the family: brute → LSH → IVF → PQ). The
+    * 64-dim vector splits into `pqM` = 4 subspaces of 16 dims; each
+    * sub-vector is assigned to its nearest of `pqK` = 8 per-subspace
+    * centroids by EXACT integer squared-L2 (‖s‖² + ‖c‖² − 2·s·c over
+    * the quantized BIGINT grid — no float decides a code), ties to the
+    * lowest centroid id. A vector's code is its 4 centroid ids — the
+    * compressed index is n×4 small ints, 1/16th of the vectors, which
+    * is the POINT of PQ at 10⁹ vectors. Scoring is ADC (asymmetric
+    * distance): the probe stays uncompressed and its distance to a
+    * candidate is Σ_m ‖probe_m − centroid[code_m]‖² — here the
+    * per-subspace centroid join IS the distance-table lookup a
+    * production PQ precomputes per probe. Centroid "training" is the
+    * deterministic stand-in (sub-slices of the first pqK vectors),
+    * exactly like s_ann_ivf: k-means is float-unstable across engines
+    * and arrives from an offline job in production; the
+    * assign/compress/ADC machinery is what's exercised. Top-5 per
+    * probe by ADC distance ASC (a DISTANCE, not the cosine score —
+    * smaller is nearer), ties to the lowest cand_id. */
+  val pqM = 4
+  val pqSub = 16
+  val pqK = 8
+
+  def annPq: Q = (s, dir) => {
+    val q = quantized(s, dir)
+    // (vec_id, m, svec): the M sub-vectors of every vector
+    val sub = q.select(col("vec_id"), explode(array(
+      (0 until pqM).map { m =>
+        struct(lit(m).as("m"),
+          slice(col("qe"), m * pqSub + 1, pqSub).as("svec"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.svec").as("svec"))
+    // per-subspace codebook: sub-slices of the first pqK vectors
+    val cb = broadcast(sub.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("cid"), col("svec").as("cvec")))
+    def l2(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
+    // assignment (the compress step): nearest centroid per (vector,
+    // subspace) — n×M×K integer L2s, map-side vs the broadcast codebook
+    val wA = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("cid"))
+    val codes = sub.join(cb, "m")
+      .select(col("vec_id"), col("m"), col("cid"),
+        l2(col("svec"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val probes = broadcast(sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("m"), col("svec")))
+    // ADC: per (probe, cand, subspace) look the centroid up by code,
+    // sum the per-subspace distances — probe-local, no shuffle of the
+    // candidate codes beyond the groupBy
+    val adc = probes
+      .join(codes.toDF("cand_id", "m", "code"), Seq("m"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .join(cb.toDF("m", "code", "cvec"), Seq("m", "code"))
+      .select(col("probe_id"), col("cand_id"),
+        l2(col("svec"), col("cvec")).as("pd"))
+      .groupBy("probe_id", "cand_id").agg(sum("pd").as("adist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("cand_id"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("adist"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val annPqSql: String = {
+    def l2(a: String, b: String) =
+      s"(CAST(list_dot_product($a, $a) AS BIGINT) + CAST(list_dot_product($b, $b) AS BIGINT)" +
+        s" - 2 * CAST(list_dot_product($a, $b) AS BIGINT))"
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), sub AS (
+       | SELECT vec_id, m.m AS m, qe[m.m * $pqSub + 1 : m.m * $pqSub + $pqSub] AS svec
+       | FROM q, (SELECT unnest(range($pqM)) AS m) m
+       |), cb AS (
+       | SELECT m, vec_id AS cid, svec AS cvec FROM sub WHERE vec_id < $pqK
+       |), asg AS (
+       | SELECT vec_id, m, cid AS code FROM (
+       |  SELECT s.vec_id, s.m, c.cid, row_number() OVER (
+       |    PARTITION BY s.vec_id, s.m
+       |    ORDER BY ${l2("s.svec", "c.cvec")} ASC, c.cid) AS rn
+       |  FROM sub s JOIN cb c ON c.m = s.m
+       | ) WHERE rn = 1
+       |), adc AS (
+       | SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+       |  sum(${l2("p.svec", "c.cvec")}) AS adist
+       | FROM sub p
+       | JOIN asg a ON a.m = p.m AND a.vec_id <> p.vec_id
+       | JOIN cb c ON c.m = a.m AND c.cid = a.code
+       | WHERE p.vec_id < 10
+       | GROUP BY 1, 2
+       |)
+       |SELECT probe_id, rn, cand_id, CAST(adist AS BIGINT) AS adist FROM (
+       | SELECT probe_id, cand_id, adist, row_number() OVER (
+       |   PARTITION BY probe_id ORDER BY adist ASC, cand_id) AS rn
+       | FROM adc
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_ann_topk" -> annTopk,
     "s_ann_topk_lsh" -> annTopkLsh,
     "s_ann_ivf" -> annIvf,
+    "s_ann_pq" -> annPq,
     "s_knn_join" -> knnJoin,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_ann_topk" -> annTopkSql,
     "s_ann_topk_lsh" -> annTopkLshSql,
     "s_ann_ivf" -> annIvfSql,
+    "s_ann_pq" -> annPqSql,
     "s_knn_join" -> knnJoinSql,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

@@ -826,7 +826,58 @@ object TextOps {
        |FROM fps GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- t_source_stats
+  /** Training-data MIX REPORT — the per-(source, lang) composition
+    * table every dataset card ships (docs, token mass, share of the
+    * corpus, quality-gate pass rate). All integer-exact: shares are
+    * parts-per-million by integer `div` against the corpus totals
+    * (scalar subqueries both engines compute identically); the quality
+    * gate reuses the corpus-filter rules' integer shape (words ≥ 5 and
+    * mean word length ≤ 12 via cross-multiplication). At 100 TB this is
+    * one partial-aggregated shuffle on (source, lang) plus a broadcast
+    * scalar — the report that decides sampling weights for the next
+    * training mix. */
+  def sourceStats: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("passes",
+        (col("n_words") >= 5L &&
+          col("n_chars") <= lit(12L) * col("n_words")).cast("long"))
+    val per = d.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        sum("passes").as("n_pass"))
+    val tot = per.agg(sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000000) div tot_docs").as("doc_share_ppm"),
+        expr("(n_tokens * 1000000) div tot_tokens").as("token_share_ppm"),
+        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  val sourceStatsSql: String =
+    """WITH d AS (
+      | SELECT source, lang, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      | FROM documents
+      |), p AS (
+      | SELECT source, lang, count(*) AS n_docs,
+      |  sum(n_words) AS n_tokens,
+      |  sum(CASE WHEN n_words >= 5 AND n_chars <= 12 * n_words
+      |       THEN 1 ELSE 0 END) AS n_pass
+      | FROM d GROUP BY 1, 2
+      |)
+      |SELECT source, lang, n_docs,
+      | CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST((n_docs * 1000000) // (SELECT sum(n_docs) FROM p) AS BIGINT) AS doc_share_ppm,
+      | CAST((n_tokens * 1000000) // (SELECT sum(n_tokens) FROM p) AS BIGINT) AS token_share_ppm,
+      | CAST((n_pass * 1000000) // n_docs AS BIGINT) AS pass_ppm
+      |FROM p ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_source_stats" -> sourceStats,
     "t_winnowing" -> winnowing,
     "t_bloom_filter" -> bloomFilter,
     "t_lang_id" -> langId,
@@ -844,6 +895,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_source_stats" -> sourceStatsSql,
     "t_winnowing" -> winnowingSql,
     "t_bloom_filter" -> bloomFilterSql,
     "t_lang_id" -> langIdSql,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, GraphOps, Relational, Similarity, TextOps}
+
+/** Round-4 features: PQ ANN, decontamination, bag ops, multi-edges,
+  * source mix report — semantic invariants the oracle hash can't state
+  * directly. */
+class Round4Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("s_ann_pq: top-k per probe, ADC distances nonnegative and ranked") {
+    val out = Similarity.annPq(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      assert(rows.length <= Similarity.annK, s"probe $p has > k rows")
+      val byRn = rows.sortBy(_.getAs[Int]("rn"))
+      val dists = byRn.map(_.getAs[Long]("adist"))
+      assert(dists.forall(_ >= 0), s"negative ADC distance for probe $p")
+      assert(dists.sameElements(dists.sorted),
+        s"rank order disagrees with distance order for probe $p")
+    }
+  }
+
+  test("d_decontaminate: directionality and threshold hold for every pair") {
+    val rows = Dedup.decontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_doc") % 97 != 0, s"train side leaked eval: $r")
+      assert(r.getAs[Long]("eval_doc") % 97 == 0, s"eval side not eval: $r")
+      assert(r.getAs[Long]("inter") >= Dedup.decontMinShared)
+      val flagged = r.getAs[Boolean]("contaminated")
+      assert(flagged == (4 * r.getAs[Long]("inter") >= 3 * r.getAs[Long]("n_eval")))
+    }
+  }
+
+  test("q_bag_ops: bag identity |R∩A| + |R\\A| = |R| per key") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_partkey") % 50 === 0)
+    val rCounts = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey").cast("long").as("part_key"))
+      .agg(count(lit(1)).as("n_r")).collect()
+      .map(r => r.getAs[Long]("part_key") -> r.getAs[Long]("n_r")).toMap
+    val out = Relational.qBagOps(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = r.getAs[Long]("part_key")
+      assert(r.getAs[Long]("n_inter") + r.getAs[Long]("n_minus") == rCounts.getOrElse(k, 0L),
+        s"bag identity broken at part $k: $r")
+    }
+  }
+
+  test("g_multi_edges: every instance is independently addressable") {
+    val rows = GraphOps.multiEdges(spark, sf).collect()
+    assert(rows.nonEmpty, "no parallel edges found — discriminator broken?")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_edges") >= 2)
+      assert(r.getAs[Long]("n_ids") == r.getAs[Long]("n_edges"),
+        s"instance ids collapsed: $r")
+    }
+  }
+
+  test("t_source_stats: shares sum to 1e6 within truncation slack") {
+    val rows = TextOps.sourceStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val docShare = rows.map(_.getAs[Long]("doc_share_ppm")).sum
+    val tokShare = rows.map(_.getAs[Long]("token_share_ppm")).sum
+    assert(docShare <= 1000000L && docShare > 1000000L - n,
+      s"doc shares sum $docShare implausible for $n groups")
+    assert(tokShare <= 1000000L && tokShare > 1000000L - n,
+      s"token shares sum $tokShare implausible for $n groups")
+    rows.foreach(r => assert(r.getAs[Long]("pass_ppm") <= 1000000L))
+  }
+}
