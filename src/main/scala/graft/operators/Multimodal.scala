@@ -254,14 +254,81 @@ object Multimodal {
        |   i -> substr(text, (i - 1) * $resizeStride + 1, 1)), '')) AS resized_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- m_chunk
+  /** OVERLAPPING-WINDOW chunking — the audio-ASR / long-context
+    * primitive (Whisper-style 30 s windows with overlap; long-doc
+    * chunk-and-embed): each payload explodes into `chunkBytes` windows
+    * every `chunkHop` bytes (25% overlap so no boundary token is lost
+    * to a cut), the ONE-ROW→MANY-CHUNKS flatMap shape downstream
+    * inference consumes. The batch loop does REAL byte slicing +
+    * per-chunk md5 (swap for a resampler/tokenizer call and nothing
+    * else changes); the ragged LAST chunk proves boundary handling.
+    * Docs < 100 keep the oracle bounded; the plan is corpus-invariant.
+    * ASCII corpus ⇒ slices == substr, oracle-exact. */
+  val chunkBytes = 200
+  val chunkHop = 150
+
+  final case class ChunkRow(doc_id: Long, chunk_idx: Int, start: Long,
+                            n_bytes: Long, chunk_md5: String)
+
+  def chunk(media: Dataset[MediaRow]): Dataset[ChunkRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val len = r.payload.length
+        if (len == 0) Iterator.empty
+        else {
+          val n = if (len <= chunkBytes) 1
+                  else (len - chunkBytes + chunkHop - 1) / chunkHop + 1
+          (0 until n).iterator.map { i =>
+            val st = i * chunkHop
+            val nb = math.min(chunkBytes, len - st)
+            md.reset()
+            val hex = md.digest(r.payload.slice(st, st + nb))
+              .map("%02x".format(_)).mkString
+            ChunkRow(r.doc_id, i, st.toLong, nb.toLong, hex)
+          }
+        }
+      }
+    }
+  }
+
+  def chunkQ: Q = (s, dir) => {
+    import s.implicits._
+    chunk(mediaTable(s, dir).filter(col("doc_id") < 100L).as[MediaRow])
+      .toDF().orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, text, length(text) AS len FROM documents
+       | WHERE doc_id < 100 AND length(text) > 0
+       |), n AS (
+       | SELECT doc_id, text, len,
+       |  CASE WHEN len <= $chunkBytes THEN 1
+       |       ELSE (len - $chunkBytes + ${chunkHop - 1}) // $chunkHop + 1
+       |  END AS n_chunks
+       | FROM d
+       |)
+       |SELECT doc_id, CAST(i.i AS INTEGER) AS chunk_idx,
+       | CAST(i.i * $chunkHop AS BIGINT) AS start,
+       | CAST(least($chunkBytes, len - i.i * $chunkHop) AS BIGINT) AS n_bytes,
+       | md5(substr(text, CAST(i.i * $chunkHop + 1 AS INTEGER),
+       |     CAST(least($chunkBytes, len - i.i * $chunkHop) AS INTEGER))) AS chunk_md5
+       |FROM n, LATERAL (SELECT unnest(range(n_chunks)) AS i) i
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m_multimodal_meta" -> multimodalMeta,
     "m_frame_sample" -> frameSampleQ,
     "m_resize" -> resizeQ,
+    "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
     "m_multimodal_meta" -> multimodalMetaSql,
     "m_frame_sample" -> frameSampleSql,
     "m_resize" -> resizeSql,
+    "m_chunk" -> chunkSql,
     "m_embed_batch" -> embedBatchSql)
 }

@@ -830,6 +830,72 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ q_quantile_sampled
+  /** SAMPLED quantiles beside their exact ground truth — the 100 TB
+    * quantile path: a full per-group sort (q_percentile) is the exact
+    * variant; at cluster scale you estimate from a sample. The sample
+    * is a DETERMINISTIC HASH SAMPLE — keep rows whose 40-bit
+    * md5(o_orderkey) integer falls under floor(2⁴⁰/32) (a ~3.1%
+    * Bernoulli sample that is a pure function of the key: reproducible
+    * under re-partitioning, re-runs, and in the DuckDB oracle, unlike
+    * rand()) — so the sketch itself is oracle-exact, the same trick
+    * that makes the KMV/CMS sketches checkable. Output: exact and
+    * sampled p50/p90 (selection rank, integer cents) side by side —
+    * the error IS the measured quantity. At 100 TB the sample fits one
+    * node and the exact side is the full-shuffle path the sample
+    * replaces. */
+  val qsDiv = 32
+  val qsThresh: Long = (1L << 40) / qsDiv
+
+  def qQuantileSampled: Q = (s, dir) => {
+    val h40 = (0 until 10).map { i =>
+      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
+        lit(1L << (4 * (9 - i)))
+    }.reduce(_ + _)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        md5(col("o_orderkey").cast("string")).as("h32"))
+      .withColumn("h", h40)
+    def sel(df: DataFrame, tag: String): DataFrame = {
+      val w = Window.orderBy(col("cents"), col("o_orderkey"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over())
+        .agg(max("n").as(s"n_$tag"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents")))
+            .as(s"p50_$tag"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("cents")))
+            .as(s"p90_$tag"))
+    }
+    sel(o, "exact").crossJoin(sel(o.filter(col("h") < qsThresh), "sample"))
+  }
+
+  val qQuantileSampledSql: String = {
+    val nib = (0 until 10).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (9 - i))}"
+    }.mkString(" + ")
+    def sel(src: String, tag: String) =
+      s"""SELECT max(n) AS n_$tag,
+         | max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_$tag,
+         | max(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END) AS p90_$tag
+         |FROM (
+         | SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+         |        count(*) OVER () AS n
+         | FROM $src
+         |)""".stripMargin
+    s"""WITH o AS (
+       | SELECT o_orderkey,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |  CAST($nib AS BIGINT) AS h
+       | FROM orders
+       |), ex AS (
+       |${sel("o", "exact")}
+       |), sm AS (
+       |${sel("(SELECT * FROM o WHERE h < " + qsThresh + ")", "sample")}
+       |)
+       |SELECT * FROM ex, sm""".stripMargin
+  }
+
   // -------------------------------------------------------------- q_bag_ops
   /** BAG (multiset) set operations — INTERSECT ALL / EXCEPT ALL, the
     * multiplicity-preserving semantics q_distinct_union's set variants
@@ -918,6 +984,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_bag_ops" -> qBagOps,
+    "q_quantile_sampled" -> qQuantileSampled,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -946,6 +1013,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtractSql,
     "q_bag_ops" -> qBagOpsSql,
+    "q_quantile_sampled" -> qQuantileSampledSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
     "q_skew_salted_join" -> qSkewSaltedJoinSql,

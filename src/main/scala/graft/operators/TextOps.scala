@@ -876,7 +876,54 @@ object TextOps {
       | CAST((n_pass * 1000000) // n_docs AS BIGINT) AS pass_ppm
       |FROM p ORDER BY source, lang""".stripMargin
 
+  // ------------------------------------------------------- t_ccnet_bucket
+  /** CCNet-style QUALITY BUCKETING — the head/middle/tail split CCNet
+    * (and every quality-stratified mix since) applies per language
+    * before sampling. The quality proxy is an INTEGER: distinct-word
+    * ratio in ppm, (n_distinct·10⁶) div n_words — monotone in the
+    * repetition score, engine-exact (CCNet's LM perplexity is a float
+    * model score; an offline scorer would slot into the same column).
+    * Docs rank per (lang) partition by (proxy DESC, doc_id) — a TOTAL
+    * order, so ntile(3) is deterministic and identical in both engines
+    * (equal buckets, remainder to the first) — and the bucket label
+    * head/middle/tail drives downstream sampling weights. One shuffle
+    * on lang; at 100 TB lang partitions are big but the window is a
+    * single sort per partition — the same shape as any per-key rank. */
+  def ccnetBucket: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"))
+      .filter(col("n_words") > 0)
+      .withColumn("proxy_ppm", expr("(n_distinct * 1000000) div n_words"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("proxy_ppm").desc, col("doc_id"))
+    d.withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("proxy_ppm"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("tercile")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketSql: String =
+    """WITH m AS (
+      | SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      | FROM documents
+      |), p AS (
+      | SELECT doc_id, lang, (n_distinct * 1000000) // n_words AS proxy_ppm
+      | FROM m WHERE n_words > 0
+      |)
+      |SELECT doc_id, lang, proxy_ppm,
+      | ['head', 'middle', 'tail'][ntile(3) OVER (
+      |   PARTITION BY lang ORDER BY proxy_ppm DESC, doc_id)] AS bucket
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_ccnet_bucket" -> ccnetBucket,
     "t_source_stats" -> sourceStats,
     "t_winnowing" -> winnowing,
     "t_bloom_filter" -> bloomFilter,
@@ -895,6 +942,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_ccnet_bucket" -> ccnetBucketSql,
     "t_source_stats" -> sourceStatsSql,
     "t_winnowing" -> winnowingSql,
     "t_bloom_filter" -> bloomFilterSql,

@@ -60,6 +60,47 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("m_chunk: chunks tile each payload with the documented overlap") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal
+      .mediaTable(spark, sf).filter(col("doc_id") < 100L)
+      .as[graft.operators.Multimodal.MediaRow]
+    val lens = media.collect().map(r => r.doc_id -> r.payload.length).toMap
+    val rows = graft.operators.Multimodal.chunk(media).collect()
+      .groupBy(_.doc_id)
+    assert(rows.nonEmpty)
+    val W = graft.operators.Multimodal.chunkBytes
+    val H = graft.operators.Multimodal.chunkHop
+    rows.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.chunk_idx)
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.chunk_idx == i && c.start == i.toLong * H)
+        assert(c.n_bytes == math.min(W, lens(id) - c.start), s"ragged chunk wrong: $c")
+      }
+      // full coverage: last chunk reaches the payload end
+      val last = sorted.last
+      assert(last.start + last.n_bytes == lens(id), s"doc $id not covered")
+    }
+  }
+
+  test("t_ccnet_bucket: per-lang terciles are balanced within 1") {
+    val rows = TextOps.ccnetBucket(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length)
+      val vals = sizes.values.toSeq
+      assert(vals.max - vals.min <= 1, s"$lang buckets unbalanced: $sizes")
+    }
+  }
+
+  test("q_quantile_sampled: sample is a subset estimate inside the exact range") {
+    val r = Relational.qQuantileSampled(spark, sf).collect().head
+    assert(r.getAs[Long]("n_sample") > 0)
+    assert(r.getAs[Long]("n_sample") < r.getAs[Long]("n_exact"))
+    assert(r.getAs[Long]("p50_exact") <= r.getAs[Long]("p90_exact"))
+    assert(r.getAs[Long]("p50_sample") <= r.getAs[Long]("p90_sample"))
+  }
+
   test("t_source_stats: shares sum to 1e6 within truncation slack") {
     val rows = TextOps.sourceStats(spark, sf).collect()
     assert(rows.nonEmpty)
