@@ -156,4 +156,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [lang"),
       s"lang filter did not become a partition filter:\n$p")
   }
+
+  test("PQ assignment and ADC are equi-joins with top-k pushdown, no cartesian") {
+    val p = plan(Similarity.annPq(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ plan fell back to a cross product:\n$p")
+    // both the per-(vector, subspace) argmin and the final top-k must
+    // execute as WindowGroupLimit (partial top-k before the shuffle) —
+    // at 10^9 vectors the difference between sorting candidates and
+    // keeping k per partition
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filters did not push down as WindowGroupLimit:\n$p")
+  }
+
+  test("decontamination joins shingles equi, eval side broadcast") {
+    val p = plan(Dedup.decontaminate(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination plan has a cross product:\n$p")
+    // the train x eval candidate stage must be an equi-join on the
+    // shingle; the (tiny) eval side is the build/broadcast side
+    assert(p.contains("BroadcastHashJoin [sh"), s"shingle join not broadcast-equi:\n$p")
+  }
+
+  test("bag ops plan as aggregates, not joins") {
+    // INTERSECT ALL / EXCEPT ALL execute as aggregate + replicate_rows
+    // (one shuffle each); a join-based plan would be a regression
+    val p = plan(Relational.qBagOps(spark, sf))
+    assert(p.contains("replicaterows") || p.contains("ReplicateRows") ||
+      p.contains("HashAggregate"), s"bag ops lost the aggregate shape:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bag ops cartesian:\n$p")
+  }
 }

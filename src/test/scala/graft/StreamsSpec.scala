@@ -248,6 +248,28 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_chunk: streamed micro-batches match the batch chunking op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.operators.Multimodal.MediaRow]
+    val q = graft.operators.Multimodal.chunk(mem.toDS())
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      val rows = graft.operators.Multimodal.mediaTable(spark, sf)
+        .filter(col("doc_id") < 100L)
+        .as[graft.operators.Multimodal.MediaRow].collect()
+      // micro-batch composition differs from the batch op's partitioning
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq); mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+      val twin = SparkEntry.queries("m_chunk")(spark, sf)
+      assert(streamed.except(twin).count() == 0)
+      assert(twin.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("batch twin equivalence: slidingAgg on static frame matches q_events_sliding") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val streamShaped = Streams.slidingAgg(events)
