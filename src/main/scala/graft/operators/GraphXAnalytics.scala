@@ -85,4 +85,43 @@ object GraphXAnalytics {
     nodes.join(ranks, Seq("id"))
       .select("label", "key", "r").orderBy("label", "key")
   }
+
+  /** Weighted SSSP on GraphX Pregel with the SAME fixed contract as
+    * `Analytics.ssspWeighted` (region:0 source, undirected weighted
+    * edges, `ssspIters` relaxation rounds, exact BIGINT costs): after
+    * k supersteps the vertex holds the cheapest ≤k-edge path cost —
+    * superstep k relaxes one more edge layer, exactly like one
+    * Bellman-Ford wave of the DataFrame loop. The improvement guard in
+    * sendMsg (only propose srcAttr + w when it beats dstAttr) is the
+    * Pregel form of the semi-naive delta: settled vertices generate no
+    * traffic. Unreached vertices stay at the INF sentinel and are
+    * filtered, matching the DataFrame op's reached-only output.
+    * Equivalence-tested in Round4Spec (identical integers per node). */
+  def ssspGraphX(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graph = PropertyGraph.load(s, dir)
+    val sid = Analytics.nodeIdCol(col("src_label"), col("src_key"))
+    val did = Analytics.nodeIdCol(col("dst_label"), col("dst_key"))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      Analytics.nodeIdCol(col("label"), col("key")).as("id"))
+    val srcId = nodes.filter(col("label") === "region" && col("key") === 0L)
+      .select("id").head().getLong(0)
+    val und = graph.edges.select(sid.as("a"), did.as("b"), col("weight").as("w"))
+      .unionByName(graph.edges.select(did.as("a"), sid.as("b"),
+        col("weight").as("w")))
+    val gxEdges = und.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inf = Long.MaxValue
+    val vertices = nodes.select("id").rdd
+      .map(r => (r.getLong(0), if (r.getLong(0) == srcId) 0L else inf))
+    val res = org.apache.spark.graphx.Pregel(
+      GXGraph(vertices, gxEdges), inf, maxIterations = Analytics.ssspIters)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr != inf && t.srcAttr + t.attr < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + t.attr))
+           else Iterator.empty,
+      math.min)
+    val dist = res.vertices.filter(_._2 != inf).toDF("id", "d")
+    nodes.join(dist, Seq("id"))
+      .select("label", "key", "d").orderBy("label", "key")
+  }
 }

@@ -101,6 +101,18 @@ class Round4Spec extends AnyFunSuite {
     assert(r.getAs[Long]("p50_sample") <= r.getAs[Long]("p90_sample"))
   }
 
+  test("GraphX SSSP matches the DataFrame fixed point exactly") {
+    val df = graft.operators.Analytics.ssspWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gx = graft.operators.GraphXAnalytics.ssspGraphX(spark, sf).collect()
+    assert(gx.nonEmpty && gx.length == df.size,
+      s"reached sets differ: gx=${gx.length} df=${df.size}")
+    gx.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(df(k) == r.getLong(2), s"distance mismatch at $k")
+    }
+  }
+
   test("t_source_stats: shares sum to 1e6 within truncation slack") {
     val rows = TextOps.sourceStats(spark, sf).collect()
     assert(rows.nonEmpty)
