@@ -526,6 +526,51 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
   }
 
+  // ----------------------------------------------------------- s_ann_recall
+  /** ANN RECALL REPORT — "measure, don't guess" as an operator: every
+    * ANN deployment ships with a recall harness that scores the
+    * approximate indexes against the exact baseline on a probe set,
+    * and this is that harness as a query. Per probe: |exact top-k ∩
+    * PQ top-k| and |exact top-k ∩ banded-LSH top-k| (left-semi joins
+    * on (probe, cand) — set intersections, integer-exact). The judge
+    * of an index change is this table moving, not intuition. Composes
+    * three already-oracle-checked pipelines; at scale the probe set is
+    * the sampled eval slice and each pipeline is its production shape. */
+  def annRecall: Q = (s, dir) => {
+    val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
+    val pq = annPq(s, dir).select(col("probe_id"), col("cand_id"))
+    val lsh = annTopkLsh(s, dir).select(col("probe_id"), col("cand_id"))
+    val hitPq = ex.join(pq, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits_pq"))
+    val hitLsh = ex.join(lsh, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits_lsh"))
+    ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hitPq, Seq("probe_id"), "left_outer")
+      .join(hitLsh, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("hits_pq"), lit(0L)).as("hits_pq"),
+        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"))
+      .orderBy("probe_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH ex0 AS (
+       |$annTopkSql
+       |), pq0 AS (
+       |$annPqSql
+       |), lsh0 AS (
+       |$annTopkLshSql
+       |)
+       |SELECT e.probe_id, count(*) AS n_exact,
+       | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM pq0 p
+       |   WHERE p.probe_id = e.probe_id AND p.cand_id = e.cand_id)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq,
+       | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh0 l
+       |   WHERE l.probe_id = e.probe_id AND l.cand_id = e.cand_id)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_lsh
+       |FROM ex0 e GROUP BY e.probe_id
+       |ORDER BY probe_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_ann_topk" -> annTopk,
@@ -533,6 +578,7 @@ object Similarity {
     "s_ann_ivf" -> annIvf,
     "s_ann_pq" -> annPq,
     "s_knn_join" -> knnJoin,
+    "s_ann_recall" -> annRecall,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_ann_topk" -> annTopkSql,
@@ -540,5 +586,6 @@ object Similarity {
     "s_ann_ivf" -> annIvfSql,
     "s_ann_pq" -> annPqSql,
     "s_knn_join" -> knnJoinSql,
+    "s_ann_recall" -> annRecallSql,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

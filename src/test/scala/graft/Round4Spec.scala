@@ -101,6 +101,20 @@ class Round4Spec extends AnyFunSuite {
     assert(r.getAs[Long]("p50_sample") <= r.getAs[Long]("p90_sample"))
   }
 
+  test("s_ann_recall: hits never exceed k, LSH/PQ recall is positive overall") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") <= Similarity.annK)
+      assert(r.getAs[Long]("hits_pq") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("hits_lsh") <= r.getAs[Long]("n_exact"))
+    }
+    // the indexes must find SOMETHING across the probe set — zero total
+    // recall means a broken index, not an unlucky probe
+    assert(rows.map(_.getAs[Long]("hits_pq")).sum > 0, "PQ total recall 0")
+    assert(rows.map(_.getAs[Long]("hits_lsh")).sum > 0, "LSH total recall 0")
+  }
+
   test("GraphX SSSP matches the DataFrame fixed point exactly") {
     val df = graft.operators.Analytics.ssspWeighted(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
