@@ -559,12 +559,18 @@ object GraphOps {
     val start = graph.nodes
       .filter(col("label") === "customer" && col("key") <= 10)
       .select("label", "key")
+    // h1 feeds BOTH the level-2 expansion and the result union —
+    // checkpoint so the first expansion join runs once (it is frontier-
+    // bounded, tiny). h2 carries NO per-level distinct: the final
+    // union-distinct performs the same map-side partial dedup in its
+    // one shuffle, so a pre-distinct on h2 would only add a shuffle.
     val h1 = e.join(start.withColumnRenamed("label", "src_label")
         .withColumnRenamed("key", "src_key"), Seq("src_label", "src_key"))
       .select("label", "key").distinct()
+      .localCheckpoint(eager = true)
     val h2 = e.join(h1.withColumnRenamed("label", "src_label")
         .withColumnRenamed("key", "src_key"), Seq("src_label", "src_key"))
-      .select("label", "key").distinct()
+      .select("label", "key")
     h1.union(h2).distinct().orderBy("label", "key")
   }
 
