@@ -549,6 +549,58 @@ object Dedup {
        |WHERE o.inter >= $decontMinShared
        |ORDER BY o.train_doc, o.eval_doc""".stripMargin
 
+  // ------------------------------------------------------ d_pipeline_e2e
+  /** END-TO-END training-data gate — the operators COMPOSED, the way a
+    * pipeline actually runs them: per document, the quality verdict
+    * (t_corpus_filter's integer rules), the exact-duplicate verdict
+    * (d_dedup_exact's canon ≠ self), the contamination verdict
+    * (d_decontaminate's flagged train docs), the eval-set membership,
+    * and the final keep = quality ∧ ¬dup ∧ ¬contaminated ∧ ¬eval — the
+    * manifest a training run reads. One output row per document, so
+    * the oracle (the three pipelines' SQL composed as nested CTEs)
+    * checks the COMPOSITION, not just each stage. Scale shape: three
+    * doc-keyed joins of already-shaped stages — each stage is its own
+    * documented 100 TB plan, and the composition adds only doc-id
+    * equi-joins (co-partitioned on the id at scale). */
+  def pipelineE2e: Q = (s, dir) => {
+    val q = TextOps.corpusFilter(s, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val dup = dedupExact(s, dir)
+      .select(col("doc_id"), (col("canon_id") =!= col("doc_id")).as("is_dup"))
+    val cont = decontaminate(s, dir).filter(col("contaminated"))
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("is_contaminated", lit(true))
+    q.join(dup, "doc_id")
+      .join(cont, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality_ok"), col("is_dup"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
+        (col("doc_id") % 97 === 0).as("is_eval"))
+      .withColumn("final_keep",
+        col("quality_ok") && !col("is_dup") && !col("is_contaminated") &&
+          !col("is_eval"))
+      .orderBy("doc_id")
+  }
+
+  def pipelineE2eSql(corpusFilterSql: String): String =
+    s"""WITH qf AS (
+       |${corpusFilterSql}
+       |), de AS (
+       |${dedupExactSql}
+       |), ct AS (
+       |${decontaminateSql}
+       |)
+       |SELECT qf.doc_id, qf.keep AS quality_ok,
+       | de.canon_id <> de.doc_id AS is_dup,
+       | EXISTS (SELECT 1 FROM ct WHERE ct.contaminated
+       |         AND ct.train_doc = qf.doc_id) AS is_contaminated,
+       | qf.doc_id % 97 = 0 AS is_eval,
+       | qf.keep AND de.canon_id = de.doc_id
+       |   AND NOT EXISTS (SELECT 1 FROM ct WHERE ct.contaminated
+       |                   AND ct.train_doc = qf.doc_id)
+       |   AND qf.doc_id % 97 <> 0 AS final_keep
+       |FROM qf JOIN de ON de.doc_id = qf.doc_id
+       |ORDER BY qf.doc_id""".stripMargin
+
   // -------------------------------------------------- d_dedup_embedding
   /** Embedding near-dup pairs, cosine > 0.45, EXACT integer arithmetic:
     * vectors quantized to round(x·1000) BIGINTs, then
@@ -607,6 +659,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d_containment" -> containment,
     "d_decontaminate" -> decontaminate,
+    "d_pipeline_e2e" -> pipelineE2e,
     "d_dedup_exact" -> dedupExact,
     "d_dedup_minhash" -> dedupMinhash,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -617,6 +670,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "d_containment" -> containmentSql,
     "d_decontaminate" -> decontaminateSql,
+    "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

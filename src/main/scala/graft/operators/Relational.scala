@@ -896,6 +896,41 @@ object Relational {
        |SELECT * FROM ex, sm""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_histogram
+  /** Equi-width HISTOGRAM — the profiling primitive behind every query
+    * optimizer statistic and data-quality dashboard: order totalprice
+    * bucketed into fixed 25k-wide bins by integer division (cents div
+    * width — no float ever picks a bucket), per-bucket count + DECIMAL
+    * sum + bounds. One partial-aggregated shuffle on the bucket id; at
+    * 100 TB this is the same single-pass shape as any groupBy — the
+    * reason histograms are the cheap statistic. Empty buckets are
+    * absent (sparse representation — a 10⁶-bucket range with 10 hit
+    * buckets materializes 10 rows). */
+  val histWidthCents = 2500000L // 25k in cents
+
+  def qHistogram: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select((dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr(s"cents div $histWidthCents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (min("cents").cast("double") / 100).as("min_price"),
+        (max("cents").cast("double") / 100).as("max_price"),
+        (sum("cents") / 100).cast("double").as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  val qHistogramSql: String =
+    s"""WITH c AS (
+       | SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       | FROM orders
+       |)
+       |SELECT cents // $histWidthCents AS bucket, count(*) AS n,
+       | CAST(min(cents) AS DOUBLE) / 100 AS min_price,
+       | CAST(max(cents) AS DOUBLE) / 100 AS max_price,
+       | CAST(sum(cents) / 100 AS DOUBLE) AS sum_price
+       |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // -------------------------------------------------------------- q_bag_ops
   /** BAG (multiset) set operations — INTERSECT ALL / EXCEPT ALL, the
     * multiplicity-preserving semantics q_distinct_union's set variants
@@ -984,6 +1019,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_bag_ops" -> qBagOps,
+    "q_histogram" -> qHistogram,
     "q_quantile_sampled" -> qQuantileSampled,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
@@ -1013,6 +1049,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtractSql,
     "q_bag_ops" -> qBagOpsSql,
+    "q_histogram" -> qHistogramSql,
     "q_quantile_sampled" -> qQuantileSampledSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,

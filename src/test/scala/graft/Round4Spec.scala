@@ -101,6 +101,20 @@ class Round4Spec extends AnyFunSuite {
     assert(r.getAs[Long]("p50_sample") <= r.getAs[Long]("p90_sample"))
   }
 
+  test("d_pipeline_e2e: final keep is exactly the conjunction of its stages") {
+    val rows = Dedup.pipelineE2e(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val expect = r.getAs[Boolean]("quality_ok") && !r.getAs[Boolean]("is_dup") &&
+        !r.getAs[Boolean]("is_contaminated") && !r.getAs[Boolean]("is_eval")
+      assert(r.getAs[Boolean]("final_keep") == expect, s"gate broken: $r")
+      assert(r.getAs[Boolean]("is_eval") == (r.getAs[Long]("doc_id") % 97 == 0))
+      if (r.getAs[Boolean]("final_keep")) kept += 1
+    }
+    assert(kept > 0, "pipeline kept nothing — a stage is over-filtering")
+  }
+
   test("s_ann_recall: hits never exceed k, LSH/PQ recall is positive overall") {
     val rows = Similarity.annRecall(spark, sf).collect()
     assert(rows.nonEmpty)
