@@ -843,7 +843,17 @@ object Relational {
     * sampled p50/p90 (selection rank, integer cents) side by side —
     * the error IS the measured quantity. At 100 TB the sample fits one
     * node and the exact side is the full-shuffle path the sample
-    * replaces. */
+    * replaces.
+    *
+    * Scale honesty: BOTH rank selections here run a global-order window
+    * (one sort partition). For the SAMPLE side that is the design — the
+    * divisor is chosen so the sample fits a single task at the target
+    * scale (at 100 TB you raise qsDiv until it does; the estimate
+    * quality degrades as √sample, measured by this very op). The EXACT
+    * side is the verification harness that makes the sample's error a
+    * checked number — it is NOT a production path at 100 TB (a global
+    * exact quantile needs the two-pass histogram-refine shape); ship
+    * the sample column, keep the exact column for harness runs. */
   val qsDiv = 32
   val qsThresh: Long = (1L << 40) / qsDiv
 

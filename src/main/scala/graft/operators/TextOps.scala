@@ -886,9 +886,17 @@ object TextOps {
     * Docs rank per (lang) partition by (proxy DESC, doc_id) — a TOTAL
     * order, so ntile(3) is deterministic and identical in both engines
     * (equal buckets, remainder to the first) — and the bucket label
-    * head/middle/tail drives downstream sampling weights. One shuffle
-    * on lang; at 100 TB lang partitions are big but the window is a
-    * single sort per partition — the same shape as any per-key rank. */
+    * head/middle/tail drives downstream sampling weights.
+    *
+    * Scale honesty: exact per-lang ntile sorts each LANGUAGE through
+    * one partition — with ~5 languages over 100 TB that partition is
+    * ~20 TB and this exact shape does not survive. The production
+    * variant computes the two tercile CUTOFF values per lang from a
+    * deterministic hash sample (the q_quantile_sampled machinery),
+    * broadcasts the ~2×|langs| cutoffs, and assigns buckets in a
+    * map-side comparison — no global sort anywhere. The exact ntile is
+    * kept here because it is the oracle-checkable contract; the cutoff
+    * path replays it within sampling error. */
   def ccnetBucket: Q = (s, dir) => {
     val d = docs(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -922,8 +930,93 @@ object TextOps {
       |   PARTITION BY lang ORDER BY proxy_ppm DESC, doc_id)] AS bucket
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- t_ccnet_bucket_scaled
+  /** The SCALE PATH for quality bucketing — sampled cutoffs + map-side
+    * assignment, no global (or per-lang-global) sort anywhere: tercile
+    * cutoff VALUES per language are rank-selected from a deterministic
+    * 25% hash sample (md5(doc_id), the q_quantile_sampled trick — a
+    * pure function of the key, so the oracle replays it exactly), the
+    * ≤ 2×|langs| cutoffs broadcast, and every document gets its bucket
+    * from two integer comparisons in the map stage. The only sort is
+    * over the SAMPLE (sized to fit one task at any corpus scale).
+    * Bucket sizes are approximate where the exact ntile's are balanced
+    * — that substitution, cutoffs-for-ranks, is precisely what running
+    * CCNet bucketing at 100 TB means, and here it is oracle-checked
+    * rather than hand-waved (languages absent from the sample default
+    * to head, documented and replayed by the oracle). */
+  val ccnetSampleDiv = 4
+  val ccnetSampleThresh: Long = (1L << 40) / ccnetSampleDiv
+
+  def ccnetBucketScaled: Q = (s, dir) => {
+    val h40 = (0 until 10).map { i =>
+      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
+        lit(1L << (4 * (9 - i)))
+    }.reduce(_ + _)
+    val m = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"))
+      .filter(col("n_words") > 0)
+      .withColumn("proxy_ppm", expr("(n_distinct * 1000000) div n_words"))
+      .select("doc_id", "lang", "proxy_ppm")
+    val samp = m
+      .withColumn("h32", md5(col("doc_id").cast("string")))
+      .withColumn("h", h40)
+      .filter(col("h") < ccnetSampleThresh)
+    val wS = Window.partitionBy("lang")
+      .orderBy(col("proxy_ppm").desc, col("doc_id"))
+    val cut = samp
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(max(when(col("rn") === expr("(n + 2) div 3"), col("proxy_ppm"))).as("c1"),
+        max(when(col("rn") === expr("(2 * n + 2) div 3"), col("proxy_ppm"))).as("c2"))
+    m.join(broadcast(cut), Seq("lang"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("proxy_ppm"),
+        when(col("c1").isNull, "head")
+          .when(col("proxy_ppm") >= col("c1"), "head")
+          .when(col("proxy_ppm") >= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketScaledSql: String = {
+    val nib = (0 until 10).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (9 - i))}"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       | SELECT doc_id, lang,
+       |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+       |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS proxy_ppm
+       | FROM documents WHERE len(string_split(text, ' ')) > 0
+       |), sm AS (
+       | SELECT doc_id, lang, proxy_ppm FROM m
+       | WHERE CAST($nib AS BIGINT) < $ccnetSampleThresh
+       |), r AS (
+       | SELECT lang, proxy_ppm,
+       |  row_number() OVER (PARTITION BY lang ORDER BY proxy_ppm DESC, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       | FROM sm
+       |), cut AS (
+       | SELECT lang,
+       |  max(CASE WHEN rn = (n + 2) // 3 THEN proxy_ppm END) AS c1,
+       |  max(CASE WHEN rn = (2 * n + 2) // 3 THEN proxy_ppm END) AS c2
+       | FROM r GROUP BY lang
+       |)
+       |SELECT m.doc_id, m.lang, m.proxy_ppm,
+       | CASE WHEN cut.c1 IS NULL THEN 'head'
+       |      WHEN m.proxy_ppm >= cut.c1 THEN 'head'
+       |      WHEN m.proxy_ppm >= cut.c2 THEN 'middle'
+       |      ELSE 'tail' END AS bucket
+       |FROM m LEFT JOIN cut ON cut.lang = m.lang
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "t_ccnet_bucket" -> ccnetBucket,
+    "t_ccnet_bucket_scaled" -> ccnetBucketScaled,
     "t_source_stats" -> sourceStats,
     "t_winnowing" -> winnowing,
     "t_bloom_filter" -> bloomFilter,
@@ -943,6 +1036,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "t_ccnet_bucket" -> ccnetBucketSql,
+    "t_ccnet_bucket_scaled" -> ccnetBucketScaledSql,
     "t_source_stats" -> sourceStatsSql,
     "t_winnowing" -> winnowingSql,
     "t_bloom_filter" -> bloomFilterSql,

@@ -101,6 +101,19 @@ class Round4Spec extends AnyFunSuite {
     assert(r.getAs[Long]("p50_sample") <= r.getAs[Long]("p90_sample"))
   }
 
+  test("t_ccnet_bucket_scaled: bucket assignment is monotone in the proxy per lang") {
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val rows = TextOps.ccnetBucketScaled(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      // cutoff assignment: a higher proxy can never land in a WORSE
+      // bucket than a lower one — the invariant ntile shares
+      val sorted = rs.sortBy(r => (-r.getAs[Long]("proxy_ppm"), r.getAs[Long]("doc_id")))
+      val ranks = sorted.map(r => order(r.getAs[String]("bucket")))
+      assert(ranks.sameElements(ranks.sorted), s"$lang buckets not monotone")
+    }
+  }
+
   test("d_pipeline_e2e: final keep is exactly the conjunction of its stages") {
     val rows = Dedup.pipelineE2e(spark, sf).collect()
     assert(rows.nonEmpty)
