@@ -544,7 +544,9 @@ object Analytics {
     * node id; the same shared edge cache as CC/SSSP/BFS. */
   val lpaIters = 2
 
-  def labelPropagation: Q = (s, dir) => {
+  /** Final LPA label frame `(id, lbl)` — shared by g_label_propagation
+    * and g_modularity (which measures the quality of THESE communities). */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
@@ -568,11 +570,18 @@ object Analytics {
         .select(col("id"), coalesce(col("m"), col("lbl")).as("lbl"))
         .localCheckpoint(eager = true)
     }
-    nodes.join(lbl, Seq("id"))
+    lbl
+  }
+
+  def labelPropagation: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    nodes.join(lpaLabels(s, dir), Seq("id"))
       .select("label", "key", "lbl").orderBy("label", "key")
   }
 
-  val labelPropagationSql: String = {
+  /** Shared CTE chain ending in l$lpaIters(id, lbl) — reused by
+    * g_label_propagation and g_modularity. */
+  private def lpaSqlChain: String = {
     val b = new StringBuilder(cte)
     b ++= s""", ids AS (
              | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
@@ -601,10 +610,91 @@ object Analytics {
                | FROM l${i - 1} l LEFT JOIN md$i ON md$i.id = l.id
                |)""".stripMargin
     }
-    b ++= s"""
-             |SELECT ids.label, ids.key, l$lpaIters.lbl
-             |FROM ids JOIN l$lpaIters ON l$lpaIters.id = ids.id
-             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
+  val labelPropagationSql: String =
+    s"""$lpaSqlChain
+       |SELECT ids.label, ids.key, l$lpaIters.lbl
+       |FROM ids JOIN l$lpaIters ON l$lpaIters.id = ids.id
+       |ORDER BY label, key""".stripMargin
+
+  // ------------------------------------------------------- g_modularity
+  /** Newman MODULARITY of the LPA communities — the measurement that
+    * closes the community-detection loop (detect, then SCORE the
+    * partition; a mix/partition change is judged by this number moving,
+    * the same philosophy as s_ann_recall). Over the undirected edge-row
+    * view U (= 2m rows): Q = (1/U²)·Σ_c (U·e2_c − d_c²), where e2_c =
+    * intra-community edge rows and d_c = degree mass of community c —
+    * algebraically identical to Σ(e_c/m − (d_c/2m)²), but every term is
+    * an exact BIGINT. Per-community rows carry (n_nodes, e2_c, d_c,
+    * contrib = U·e2_c − d_c²); `q_ppm` is the global score in ppm with
+    * the SIGN-SYMMETRIC integer division both engines compute
+    * identically (plain div/floor-div diverge on negatives; modularity
+    * CAN be negative). Overflow: |contrib| ≤ U² — BIGINT-safe while
+    * U < 3·10⁹ edge rows; past that, lift the two sums to DECIMAL(38,0)
+    * (documented upgrade, same expressions). Scale shape: two
+    * edge-keyed joins against the node-bounded label vector + two
+    * partial-aggregated groupBys — the same round shape as one LPA
+    * iteration. */
+  def modularity: Q = (s, dir) => {
+    val (_, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = numericGraph(s, dir)._1.count()
+    val lbl = lpaLabels(s, dir)
+    val withA = und.join(gated(lbl.toDF("a", "ca"), n), Seq("a"))
+    val dC = withA.groupBy(col("ca").as("comm")).agg(count(lit(1)).as("d_sum"))
+    val e2C = withA.join(gated(lbl.toDF("b", "cb"), n), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e2_in"))
+    val nNodes = lbl.groupBy(col("lbl").as("comm")).agg(count(lit(1)).as("n_nodes"))
+    val u = und.count()
+    val per = nNodes
+      .join(dC, Seq("comm"), "left_outer")
+      .join(e2C, Seq("comm"), "left_outer")
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("e2_in"), lit(0L)).as("e2_in"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"))
+      .withColumn("contrib",
+        lit(u) * col("e2_in") - col("d_sum") * col("d_sum"))
+    val q = per.agg(sum("contrib").as("num"))
+      .select(expr(s"CASE WHEN num >= 0 THEN (num * 1000000) div ${u * u}" +
+        s" ELSE -(((-num) * 1000000) div ${u * u}) END").as("q_ppm"))
+    per.crossJoin(broadcast(q)).orderBy("comm")
+  }
+
+  val modularitySql: String = {
+    val b = new StringBuilder(lpaSqlChain)
+    b ++= s""", wa AS (
+             | SELECT u.a, u.b, l.lbl AS ca FROM und u
+             | JOIN l$lpaIters l ON l.id = u.a
+             |), dc AS (
+             | SELECT ca AS comm, count(*) AS d_sum FROM wa GROUP BY 1
+             |), e2 AS (
+             | SELECT wa.ca AS comm, count(*) AS e2_in
+             | FROM wa JOIN l$lpaIters lb ON lb.id = wa.b
+             | WHERE lb.lbl = wa.ca GROUP BY 1
+             |), nn AS (
+             | SELECT lbl AS comm, count(*) AS n_nodes FROM l$lpaIters GROUP BY 1
+             |), uu AS (SELECT count(*) AS u FROM und
+             |), per AS (
+             | SELECT nn.comm, nn.n_nodes,
+             |  COALESCE(e2.e2_in, 0) AS e2_in,
+             |  COALESCE(dc.d_sum, 0) AS d_sum,
+             |  (SELECT u FROM uu) * COALESCE(e2.e2_in, 0)
+             |    - COALESCE(dc.d_sum, 0) * COALESCE(dc.d_sum, 0) AS contrib
+             | FROM nn LEFT JOIN dc ON dc.comm = nn.comm
+             |         LEFT JOIN e2 ON e2.comm = nn.comm
+             |), qn AS (
+             | SELECT CAST(sum(contrib) AS BIGINT) AS num,
+             |        (SELECT u FROM uu) * (SELECT u FROM uu) AS den
+             | FROM per
+             |)
+             |SELECT per.comm, per.n_nodes, per.e2_in, per.d_sum,
+             | CAST(per.contrib AS BIGINT) AS contrib,
+             | CAST(CASE WHEN qn.num >= 0 THEN (qn.num * 1000000) // qn.den
+             |      ELSE -(((-qn.num) * 1000000) // qn.den) END AS BIGINT) AS q_ppm
+             |FROM per, qn ORDER BY per.comm""".stripMargin
     b.toString
   }
 
@@ -893,7 +983,8 @@ object Analytics {
     "g_triangles" -> triangles,
     "g_bfs_depth" -> bfsDepth,
     "g_sssp_weighted" -> ssspWeighted,
-    "g_label_propagation" -> labelPropagation)
+    "g_label_propagation" -> labelPropagation,
+    "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
     "g_hits" -> hitsSql,
@@ -906,5 +997,6 @@ object Analytics {
     "g_triangles" -> trianglesSql,
     "g_bfs_depth" -> bfsDepthSql,
     "g_sssp_weighted" -> ssspWeightedSql,
-    "g_label_propagation" -> labelPropagationSql)
+    "g_label_propagation" -> labelPropagationSql,
+    "g_modularity" -> modularitySql)
 }

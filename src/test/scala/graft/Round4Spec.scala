@@ -142,6 +142,23 @@ class Round4Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("hits_lsh")).sum > 0, "LSH total recall 0")
   }
 
+  test("g_modularity: degree masses sum to U, q_ppm consistent with contribs") {
+    val rows = graft.operators.Analytics.modularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dSum = rows.map(_.getAs[Long]("d_sum")).sum
+    val e2Sum = rows.map(_.getAs[Long]("e2_in")).sum
+    // every undirected edge row contributes one degree endpoint; intra
+    // rows are a subset of all rows
+    assert(e2Sum <= dSum, s"intra rows $e2Sum exceed edge rows $dSum")
+    val num = rows.map(_.getAs[Long]("contrib")).sum
+    val q = rows.head.getAs[Long]("q_ppm")
+    assert(rows.forall(_.getAs[Long]("q_ppm") == q), "q_ppm not constant")
+    assert(q >= -1000000L && q <= 1000000L, s"q_ppm out of range: $q")
+    val expect = if (num >= 0) num * 1000000L / (dSum * dSum)
+                 else -((-num) * 1000000L / (dSum * dSum))
+    assert(q == expect, s"q_ppm $q != recomputed $expect")
+  }
+
   test("GraphX SSSP matches the DataFrame fixed point exactly") {
     val df = graft.operators.Analytics.ssspWeighted(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
