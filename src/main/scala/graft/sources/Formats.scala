@@ -118,6 +118,35 @@ object Formats {
     integrity(s.read.schema(docSchema).orc(path))
   }
 
+  // ------------------------------------------------------ src_text_roundtrip
+  /** documents → LINE-ORIENTED text sink → text source → integrity
+    * aggregate. Raw line dumps are the lingua franca of text-corpus
+    * interchange (one record per line, no schema machinery); the
+    * structured columns ride in a delimited envelope
+    * `doc_id|lang|source|n_chars|text` with text LAST so it may contain
+    * any non-newline bytes after the fourth delimiter — parsed back by
+    * 4 split-limit ops, no regex. The integrity aggregate must match
+    * the parquet-derived oracle, proving the envelope round-trips every
+    * value. Scale: text files split on line boundaries, so the read is
+    * as partition-parallel as the write; the envelope parse is pure
+    * codegen'd string ops. (A text payload containing newlines needs
+    * the JSON/CSV-multiLine boundary instead — documented contract.) */
+  def textRoundtrip: Q = (s, dir) => {
+    val path = scratch(s, dir, "text")
+    Tables(s, dir, "documents")
+      .select(concat_ws("|", col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text")).as("value"))
+      .write.mode("overwrite").text(path)
+    val back = s.read.text(path)
+      .select(split(col("value"), "\\|", 5).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("lang"),
+        element_at(col("p"), 3).as("source"),
+        element_at(col("p"), 4).cast("long").as("n_chars"),
+        element_at(col("p"), 5).as("text"))
+    integrity(back)
+  }
+
   // --------------------------------------------------- src_partition_prune
   /** Hive-style PARTITIONED layout + partition-pruned read — the
     * storage idiom that makes 100 TB lakes queryable: documents written
@@ -170,11 +199,13 @@ object Formats {
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
+    "src_text_roundtrip" -> textRoundtrip,
     "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
     "src_json_roundtrip" -> integritySql,
     "src_csv_roundtrip" -> integritySql,
     "src_orc_roundtrip" -> integritySql,
+    "src_text_roundtrip" -> integritySql,
     "src_partition_prune" -> partitionPruneSql)
 }
