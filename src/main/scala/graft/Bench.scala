@@ -49,11 +49,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    // "value" (the total) goes LAST on the line: BENCH_r03 was captured
-    // tail-truncated and the total + 4 query timings were lost because
-    // they led the line. The full JSON is also written to bench_out.json
-    // so a truncating log capture never loses it again.
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}"""
+    // The driver captures only the LAST 2000 chars of stdout; at 100+
+    // queries the full per-query line is ~2700 chars, so its head was
+    // cut and the driver's parse returned null two rounds running
+    // (BENCH_r03/r04). Print the full line first (for humans and
+    // bench_out.json), then end stdout with a SHORT complete JSON line
+    // — total + errors + the slowest queries that fit a 1500-char
+    // budget — so the tail capture always contains one parseable line.
     println(json)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -61,6 +64,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    val tailBudget = 1500
+    val slowFirst = results.toSeq.sortBy { case (_, v) => -v }
+    val fixed = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"queries_full":"bench_out.json","queries":{},"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}"""
+    var room = tailBudget - fixed.length
+    val kept = slowFirst.takeWhile { case (k, v) =>
+      val len = k.length + fmt(v).length + 4 // quotes + colon + comma
+      if (room - len >= 0) { room -= len; true } else false
+    }
+    val shortQs = kept.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"queries_full":"bench_out.json","queries":$shortQs,"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}""")
     spark.stop()
     // a failed query must fail the RUN, not just annotate the JSON —
     // otherwise a broken slow query lowers "value" and a consumer that

@@ -269,6 +269,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     var results: Option[DataFrame] = None
     var depth = 0
     var frontierRows = 1L
+    // per-call level checkpoints, freed after the final result
+    // materializes (see return below) — without this every pathsTo call
+    // pinned its levels' blocks for the session lifetime
+    val levels = scala.collection.mutable.Buffer.empty[DataFrame]
     // ---- ADAPTIVE backward-distance pruning (bidirectional search) --
     // dist(v) = min hops v ⇝ dst over the SAME traversable edge set,
     // from a node-bounded backward BFS (distinct nodes, never paths).
@@ -333,6 +337,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
             .otherwise(concat(col("elabels"), lit(">"), col("elabel")))
             .as("elabels"))
         .localCheckpoint(eager = true)
+      levels += step
       val done = step.filter(col("cur_label") === dstLabel &&
         col("cur_key") === dstKey)
         .select(col("path"), col("depth"), col("elabels"))
@@ -341,36 +346,61 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         !(col("cur_label") === dstLabel && col("cur_key") === dstKey))
       frontierRows = frontier.count() // cheap scan of checkpointed blocks
     }
-    if (withEdgeLabels) results.get else results.get.drop("elabels")
+    // materialize the (path-count-sized, small) result as its OWN
+    // checkpoint, then free every intermediate level's blocks — the
+    // round-1 release discipline the r4 advisor flagged as lost:
+    // returning filters over the level checkpoints pinned every level
+    // in the block manager until session end.
+    val res = (if (withEdgeLabels) results.get
+               else results.get.drop("elabels")).localCheckpoint(eager = true)
+    levels.foreach(PropertyGraph.freeLocalCheckpoint)
+    res
   }
 
-  /** Session-lifetime memo for backward-distance frames, keyed by the
-    * full parameter tuple that determines the traversable edge set and
-    * the sink. The stored frame is checkpointed (node-bounded) and its
-    * distances are TRUE min-hop values merely truncated at `lookout`,
-    * so an entry computed with a larger lookout serves any smaller one
-    * (the prune's own `b_dist <= budget` filter discards the extra
-    * rows); a request with a larger lookout recomputes and replaces.
-    * The memo makes repeated path searches against the same destination
-    * — the spec matrix, interactive sessions — pay the maxDepth−1
-    * backward rounds once. PropertyGraph.load memoizes snapshots per
-    * (session, dir), so `this`-scoped state IS session-keyed. */
-  private val distMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Seq[String], Seq[String], Boolean, String),
-           (DataFrame, Long, Int)]
+  /** BOUNDED (LRU, `distMemoCap` entries) memo for backward-distance
+    * frames, keyed by the full parameter tuple that determines the
+    * traversable edge set and the sink. The stored frame is ONE
+    * checkpointed node-bounded leaf and its distances are TRUE min-hop
+    * values merely truncated at `lookout`, so an entry computed with a
+    * larger lookout serves any smaller one (the prune's own
+    * `b_dist <= budget` filter discards the extra rows); a request with
+    * a larger lookout recomputes and replaces, freeing the old frame's
+    * blocks. Eviction (least-recently-used past the cap) unpersists the
+    * evicted frame's blocks — the r4 advisor's fix for the memo growing
+    * without bound over a session's distinct query matrix.
+    * PropertyGraph.load memoizes snapshots per (session, dir), so
+    * `this`-scoped state IS session-keyed. localCheckpoint blocks are
+    * unrecoverable on executor loss; a lost block simply re-runs the
+    * backward BFS on the next call (the memo entry dies with the job
+    * that would have read it). */
+  private val distMemoCap = 32
+  private type DistKey = (String, Long, Seq[String], Seq[String], Boolean, String)
+  private val distMemo =
+    new java.util.LinkedHashMap[DistKey, (DataFrame, Long, Int)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DistKey, (DataFrame, Long, Int)]): Boolean =
+        if (size > distMemoCap) {
+          PropertyGraph.freeLocalCheckpoint(e.getValue._1); true
+        } else false
+    }
 
   private def distancesToDstMemo(e: DataFrame, dstLabel: String, dstKey: Long,
                                  nodeLabels: Seq[String], edgeLabels: Seq[String],
                                  directed: Boolean, srcLabel: String,
                                  lookout: Int): (DataFrame, Long) = {
     val k = (dstLabel, dstKey, nodeLabels, edgeLabels, directed, srcLabel)
-    distMemo.get(k) match {
-      case Some((d, rows, had)) if had >= lookout => (d, rows)
-      case _ =>
-        val (d, rows) = distancesToDst(e, dstLabel, dstKey, nodeLabels,
-          srcLabel, lookout)
-        distMemo.put(k, (d, rows, lookout))
-        (d, rows)
+    distMemo.synchronized {
+      Option(distMemo.get(k)) match {
+        case Some((d, rows, had)) if had >= lookout => (d, rows)
+        case stale =>
+          val (d, rows) = distancesToDst(e, dstLabel, dstKey, nodeLabels,
+            srcLabel, lookout)
+          stale.foreach { case (old, _, _) =>
+            PropertyGraph.freeLocalCheckpoint(old)
+          }
+          distMemo.put(k, (d, rows, lookout))
+          (d, rows)
+      }
     }
   }
 
@@ -396,6 +426,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     var dist = Seq((dstLabel, dstKey, 0))
       .toDF("b_label", "b_key", "b_dist")
       .localCheckpoint(eager = true)
+    val levels = scala.collection.mutable.Buffer(dist)
     var frontier = dist
     var frontierRows = 1L
     var total = 1L
@@ -415,12 +446,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           Seq("b_label", "b_key"), "left_anti")
         .withColumn("b_dist", lit(d))
         .localCheckpoint(eager = true)
+      levels += next
       frontierRows = next.count()
       total += frontierRows
       dist = dist.unionByName(next)
       frontier = next
     }
-    (dist, total)
+    // collapse the per-level union into ONE checkpointed leaf (what the
+    // memo stores and eviction frees), then release the level blocks
+    val res = dist.localCheckpoint(eager = true)
+    levels.foreach(PropertyGraph.freeLocalCheckpoint)
+    (res, total)
   }
 
   /** Structured Path view — the reference's `Path` (start node +
@@ -451,6 +487,21 @@ object PropertyGraph {
   // cached" warning per query in the bench)
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
+  /** Release the block-manager storage behind a localCheckpoint-ed
+    * frame. A checkpointed Dataset's analyzed plan is a LogicalRDD
+    * holding the persisted RDD; unpersisting it frees the blocks. No-op
+    * for any other plan shape (never throws — callers use it in cleanup
+    * paths). The freed frame must not be executed again: local
+    * checkpoints are non-recomputable by design. */
+  private[model] def freeLocalCheckpoint(df: DataFrame): Unit =
+    try {
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
 
   /** Deterministic graph from the TPC-H star schema (SURVEY.md §4) —
     * pure SQL-expressible construction so every oracle rebuilds the

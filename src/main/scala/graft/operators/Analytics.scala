@@ -545,8 +545,20 @@ object Analytics {
   val lpaIters = 2
 
   /** Final LPA label frame `(id, lbl)` — shared by g_label_propagation
-    * and g_modularity (which measures the quality of THESE communities). */
+    * and g_modularity (which measures the quality of THESE communities).
+    * Memoized per (session, dir) like numericGraph: the frame is a
+    * node-bounded localCheckpoint, and without the memo g_modularity
+    * re-ran the full 2-round propagation (~5 s at sf0.1) that
+    * g_label_propagation had already computed in the same session. */
+  private val lpaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    lpaCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    lpaCache.getOrElseUpdate((s, dir), lpaLabelsBuild(s, dir))
+  }
+
+  private def lpaLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
@@ -628,15 +640,19 @@ object Analytics {
     * intra-community edge rows and d_c = degree mass of community c —
     * algebraically identical to Σ(e_c/m − (d_c/2m)²), but every term is
     * an exact BIGINT. Per-community rows carry (n_nodes, e2_c, d_c,
-    * contrib = U·e2_c − d_c²); `q_ppm` is the global score in ppm with
-    * the SIGN-SYMMETRIC integer division both engines compute
-    * identically (plain div/floor-div diverge on negatives; modularity
-    * CAN be negative). Overflow: |contrib| ≤ U² — BIGINT-safe while
-    * U < 3·10⁹ edge rows; past that, lift the two sums to DECIMAL(38,0)
-    * (documented upgrade, same expressions). Scale shape: two
-    * edge-keyed joins against the node-bounded label vector + two
-    * partial-aggregated groupBys — the same round shape as one LPA
-    * iteration. */
+    * contrib = U·e2_c − d_c²); `q_ppm` is the global score in ppm,
+    * computed WITHOUT forming Σcontrib·10⁶ (which wraps BIGINT once
+    * U > ~3·10⁶): q_ppm = (Σe2_c·10⁶) div U − (Σ d_c·((d_c·10⁶) div U))
+    * div U. Every divided operand is non-negative (so Spark `div` and
+    * DuckDB `//` agree with no sign CASE needed) and bounded by U·10⁶ —
+    * BIGINT-safe while U < 9·10¹²; the floor inside the d² term costs
+    * < 1 ppm total (Σ per-community error ≤ Σd_c/U = 1), identically in
+    * both engines. The binding overflow bound is now the per-community
+    * contrib column, |contrib| ≤ U² ⇒ U < 3·10⁹; past that, lift
+    * contrib to DECIMAL(38,0) (documented upgrade, same expression).
+    * Scale shape: two edge-keyed joins against the node-bounded label
+    * vector + two partial-aggregated groupBys — the same round shape as
+    * one LPA iteration. */
   def modularity: Q = (s, dir) => {
     val (_, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
@@ -657,9 +673,10 @@ object Analytics {
         coalesce(col("d_sum"), lit(0L)).as("d_sum"))
       .withColumn("contrib",
         lit(u) * col("e2_in") - col("d_sum") * col("d_sum"))
-    val q = per.agg(sum("contrib").as("num"))
-      .select(expr(s"CASE WHEN num >= 0 THEN (num * 1000000) div ${u * u}" +
-        s" ELSE -(((-num) * 1000000) div ${u * u}) END").as("q_ppm"))
+    val q = per.agg(
+        sum(col("e2_in")).as("e2s"),
+        sum(expr(s"d_sum * ((d_sum * 1000000) div $u)")).as("dmix"))
+      .select(expr(s"(e2s * 1000000) div $u - dmix div $u").as("q_ppm"))
     per.crossJoin(broadcast(q)).orderBy("comm")
   }
 
@@ -686,14 +703,14 @@ object Analytics {
              | FROM nn LEFT JOIN dc ON dc.comm = nn.comm
              |         LEFT JOIN e2 ON e2.comm = nn.comm
              |), qn AS (
-             | SELECT CAST(sum(contrib) AS BIGINT) AS num,
-             |        (SELECT u FROM uu) * (SELECT u FROM uu) AS den
+             | SELECT (sum(e2_in) * 1000000) // (SELECT u FROM uu)
+             |      - sum(d_sum * ((d_sum * 1000000) // (SELECT u FROM uu)))
+             |        // (SELECT u FROM uu) AS q_ppm
              | FROM per
              |)
              |SELECT per.comm, per.n_nodes, per.e2_in, per.d_sum,
              | CAST(per.contrib AS BIGINT) AS contrib,
-             | CAST(CASE WHEN qn.num >= 0 THEN (qn.num * 1000000) // qn.den
-             |      ELSE -(((-qn.num) * 1000000) // qn.den) END AS BIGINT) AS q_ppm
+             | CAST(qn.q_ppm AS BIGINT) AS q_ppm
              |FROM per, qn ORDER BY per.comm""".stripMargin
     b.toString
   }

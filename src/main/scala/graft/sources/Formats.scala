@@ -130,20 +130,45 @@ object Formats {
     * value. Scale: text files split on line boundaries, so the read is
     * as partition-parallel as the write; the envelope parse is pure
     * codegen'd string ops. (A text payload containing newlines needs
-    * the JSON/CSV-multiLine boundary instead — documented contract.) */
+    * the JSON/CSV-multiLine boundary instead — documented contract.)
+    *
+    * Envelope CONTRACT (enforced, not assumed): `concat_ws` silently
+    * SKIPS null inputs — a null lang would shift every later field one
+    * slot left and silently corrupt the parsed row — so each non-text
+    * field is null-encoded as the `\N` sentinel (the CSV nullValue
+    * convention) and decoded back on read; and a `|` inside one of the
+    * four HEADER fields (everything before text) would split the line
+    * at the wrong place, so those raise a per-row error at WRITE time
+    * rather than corrupt data at read time. text itself may contain
+    * `|` freely (it sits after the fourth delimiter, split-limit 5);
+    * a text value exactly equal to the `\N` sentinel decodes to null —
+    * the standard sentinel collision, same as any CSV nullValue. */
   def textRoundtrip: Q = (s, dir) => {
     val path = scratch(s, dir, "text")
+    val NUL = "\\N"
+    // header fields: null → sentinel, embedded delimiter → write error
+    def hdr(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
+      when(c.isNull, lit(NUL))
+        .when(c.contains("|"), raise_error(
+          concat(lit(s"src_text_roundtrip: '$name' contains the envelope delimiter: "), c)))
+        .otherwise(c)
+    // decode: sentinel → null (explicit, so the long casts never see it)
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = when(c === NUL, lit(null)).otherwise(c)
     Tables(s, dir, "documents")
-      .select(concat_ws("|", col("doc_id"), col("lang"), col("source"),
-        col("n_chars"), col("text")).as("value"))
+      .select(concat_ws("|",
+        hdr(col("doc_id").cast("string"), "doc_id"),
+        hdr(col("lang"), "lang"),
+        hdr(col("source"), "source"),
+        hdr(col("n_chars").cast("string"), "n_chars"),
+        coalesce(col("text"), lit(NUL))).as("value"))
       .write.mode("overwrite").text(path)
     val back = s.read.text(path)
       .select(split(col("value"), "\\|", 5).as("p"))
-      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
-        element_at(col("p"), 2).as("lang"),
-        element_at(col("p"), 3).as("source"),
-        element_at(col("p"), 4).cast("long").as("n_chars"),
-        element_at(col("p"), 5).as("text"))
+      .select(dec(element_at(col("p"), 1)).cast("long").as("doc_id"),
+        dec(element_at(col("p"), 2)).as("lang"),
+        dec(element_at(col("p"), 3)).as("source"),
+        dec(element_at(col("p"), 4)).cast("long").as("n_chars"),
+        dec(element_at(col("p"), 5)).as("text"))
     integrity(back)
   }
 
