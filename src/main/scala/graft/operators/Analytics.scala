@@ -42,6 +42,9 @@ object Analytics {
   private def gated(df: DataFrame, rows: Long): DataFrame =
     if (rows <= bcastRowCap) broadcast(df) else df
 
+  /** Exact-moments accumulator type (see g_assortativity / q_corr). */
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   // -------------------------------------------------------- g_pagerank
   /** PageRank, 5 iterations, d=0.85, fixed-point (SCALE=1e10 == rank
     * 1.0). Per-edge contribution floor(85·r(u) / (100·outdeg(u))),
@@ -405,14 +408,22 @@ object Analytics {
     // gate a manual hint measured 2.7× slower than trusting AQE).
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
+    // frontier and visited set are both NODE-bounded, so one cached
+    // node count gates every hint below — no per-level eager counting
+    // (the round-2 finding that blind per-level count-then-hint was
+    // 2.7× slower applied to counting each frontier, not to this).
+    // Below the cap both joins build broadcast maps and the only
+    // shuffle per level is the frontier distinct; above it (100×) the
+    // hints drop and AQE plans from runtime sizes as before.
+    val n = nodes.count()
     var dist = nodes
       .filter(col("label") === "region" && col("key") === 0L)
       .select(col("id"), lit(0).as("depth"))
     var frontier = dist.select("id")
     for (i <- 1 to bfsIters) {
-      val next = und.join(frontier.withColumnRenamed("id", "a"), Seq("a"))
+      val next = und.join(gated(frontier.withColumnRenamed("id", "a"), n), Seq("a"))
         .select(col("b").as("id")).distinct()
-        .join(dist.select("id"), Seq("id"), "left_anti")
+        .join(gated(dist.select("id"), n), Seq("id"), "left_anti")
         .withColumn("depth", lit(i))
         .localCheckpoint(eager = false)
       dist = dist.unionByName(next).localCheckpoint(eager = false)
@@ -988,8 +999,111 @@ object Analytics {
     b.toString
   }
 
+  // ----------------------------------------------------- g_assortativity
+  /** Degree assortativity — the Pearson correlation of (deg(a), deg(b))
+    * across the 2m undirected edge rows: do hubs attach to hubs
+    * (positive) or to leaves (negative)? Same exact-moments discipline
+    * as q_corr: degrees are BIGINT, the five moments accumulate in
+    * DECIMAL(38,0) (n·Σxy overflows BIGINT already at sf0.1 scale-up),
+    * and one final DOUBLE expression (round 6) crosses the engine
+    * boundary. Scale shape: one degree aggregation + two node-keyed
+    * joins to attach deg(a)/deg(b), then a 1-row map-side-combined
+    * aggregate — no window, no all-pairs anything. */
+  def assortativity: Q = (s, dir) => {
+    val (_, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val n = numericGraph(s, dir)._1.count()
+    val m = und
+      .join(gated(deg.select(col("id").as("a"), col("deg").as("xd")), n), Seq("a"))
+      .join(gated(deg.select(col("id").as("b"), col("deg").as("yd")), n), Seq("b"))
+      .select(col("xd").cast(DecimalType38).as("x"),
+        col("yd").cast(DecimalType38).as("y"))
+      .agg(count(lit(1)).cast(DecimalType38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("n").cast("long").as("n_edge_rows"),
+      round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""$cte, und AS (
+       | SELECT $undSqlPair
+       |), deg AS (
+       | SELECT a AS id, count(*) AS deg FROM und GROUP BY a
+       |), v AS (
+       | SELECT CAST(da.deg AS DECIMAL(38,0)) AS x,
+       |        CAST(db.deg AS DECIMAL(38,0)) AS y
+       | FROM und u
+       | JOIN deg da ON da.id = u.a
+       | JOIN deg db ON db.id = u.b
+       |), m AS (
+       | SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+       |  sum(x) AS sx, sum(y) AS sy,
+       |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       | FROM v
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_edge_rows,
+       | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------- g_jaccard_neighbors
+  /** Neighbor-set Jaccard similarity for part pairs sharing ≥1 order —
+    * the normalized cousin of g_link_predict's raw common-neighbor
+    * count: jac = |N(p1) ∩ N(p2)| / |N(p1) ∪ N(p2)| in exact ppm
+    * (cn·10⁶ div (deg1 + deg2 − cn); all operands non-negative, so
+    * Spark div and DuckDB // agree). Candidate pairs come from the
+    * within-order self-join — never all pairs — so work is Σ k² over
+    * order sizes, the same bounded shape as link_predict; top-20 with
+    * full (jac, cn, p1, p2) tiebreak is TakeOrderedAndProject, no
+    * global sort. */
+  def jaccardNeighbors: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val pd = hp.groupBy("p").agg(count(lit(1)).as("pd"))
+    hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("p1"), col("p2"))
+      .agg(count(lit(1)).as("cn"))
+      .join(pd.select(col("p").as("p1"), col("pd").as("d1")), Seq("p1"))
+      .join(pd.select(col("p").as("p2"), col("pd").as("d2")), Seq("p2"))
+      .select(col("p1"), col("p2"), col("cn"),
+        expr("(cn * 1000000) div (d1 + d2 - cn)").as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("cn").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val jaccardNeighborsSql: String =
+    s"""$cte, hp AS (
+       | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
+       |), pd AS (
+       | SELECT p, count(*) AS pd FROM hp GROUP BY p
+       |), pairs AS (
+       | SELECT a.p AS p1, b.p AS p2, count(*) AS cn
+       | FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+       | GROUP BY a.p, b.p
+       |)
+       |SELECT p1, p2, cn,
+       | CAST((cn * 1000000) // (d1.pd + d2.pd - cn) AS BIGINT) AS jac_ppm
+       |FROM pairs
+       |JOIN pd d1 ON d1.p = p1
+       |JOIN pd d2 ON d2.p = p2
+       |ORDER BY jac_ppm DESC, cn DESC, p1, p2
+       |LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_assortativity" -> assortativity,
+    "g_jaccard_neighbors" -> jaccardNeighbors,
     "g_hits" -> hits,
     "g_closeness" -> closeness,
     "g_link_predict" -> linkPredict,
@@ -1004,6 +1118,8 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_assortativity" -> assortativitySql,
+    "g_jaccard_neighbors" -> jaccardNeighborsSql,
     "g_hits" -> hitsSql,
     "g_closeness" -> closenessSql,
     "g_link_predict" -> linkPredictSql,

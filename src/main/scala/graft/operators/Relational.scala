@@ -1025,8 +1025,227 @@ object Relational {
       | max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------- q_grouping_sets
+  /** Explicit GROUPING SETS — the member of the ROLLUP/CUBE family the
+    * other two can't express: revenue aggregated by (nation) and by
+    * (order-year) in ONE pass, with NEITHER the combined (nation, year)
+    * grain nor the grand total. Spark expands the sets map-side (one
+    * shuffle, same as rollup); at 100 TB this halves the cost of
+    * maintaining two independent summary tables. Null markers coalesce
+    * to stable sentinels ('ALL' / -1) so both engines hash identically
+    * (order years are 1992-1998, so -1 cannot collide). */
+  def qGroupingSets: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        dec(col("o_totalprice")).as("price"))
+      .groupingSets(Seq(Seq(col("n_name")), Seq(col("yr"))),
+        col("n_name"), col("yr"))
+      .agg(sum(col("price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation", "yr")
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(n_name, 'ALL') AS nation,
+      | COALESCE(year(o_orderdate), -1) AS yr,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)))
+      |ORDER BY nation, yr""".stripMargin
+
+  // ---------------------------------------------------------- q_string_agg
+  /** Ordered string aggregation (LISTAGG): per nation, the
+    * '|'-joined, LEXICALLY SORTED supplier roster. Determinism is the
+    * whole game for a distributed listagg — collect_list order is
+    * partial-agg order (nondeterministic), so the list is array_sort-ed
+    * before joining, which both engines express identically
+    * (string_agg ... ORDER BY in DuckDB). Scale: group count bounds
+    * memory (25 nations), each list bounded by suppliers-per-nation —
+    * listagg over an UNBOUNDED group would need chunked re-aggregation
+    * instead. */
+  def qStringAgg: Q = (s, dir) => {
+    val sup = t(s, dir, "supplier")
+    val n = broadcast(t(s, dir, "nation"))
+    sup.join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), "|")
+          .as("roster"))
+      .orderBy("nation")
+  }
+
+  val qStringAggSql: String =
+    """SELECT n_name AS nation, count(*) AS n_suppliers,
+      | string_agg(s_name, '|' ORDER BY s_name) AS roster
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
+  // --------------------------------------------------------------- q_ntile
+  /** NTILE bucketing: customers split into acctbal quartiles WITHIN
+    * each market segment. The ORDER BY carries the tie-break key
+    * (c_custkey) so the quartile assignment is total-ordered and both
+    * engines agree row-for-row — ntile over a partial order is
+    * nondeterministic at any scale. One shuffle on segment; the window
+    * sort is per-segment, not global. */
+  def qNtile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("segment", "c_custkey")
+  }
+
+  val qNtileSql: String =
+    """SELECT c_mktsegment AS segment, c_custkey,
+      | ntile(4) OVER (PARTITION BY c_mktsegment
+      |   ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer ORDER BY segment, c_custkey""".stripMargin
+
+  // -------------------------------------------------------- q_gaps_islands
+  /** Gaps-and-islands: per customer, maximal runs of CONSECUTIVE order
+    * days, via the classic day − row_number() island key (constant
+    * within a run, strictly decreasing across gaps). Same-day orders
+    * collapse first (distinct) so row_number steps exactly 1 per day.
+    * The window partitions by customer — per-key sorts, no global
+    * order — so the shape survives any scale; output is one row per
+    * customer with the island count and longest run. */
+  def qGapsIslands: Q = (s, dir) => {
+    val days = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT)").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+    days.select(col("o_custkey"),
+        (col("day") - row_number().over(w)).as("island"), col("day"))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_islands"), max(col("run_len")).as("longest_run"))
+      .orderBy("o_custkey")
+  }
+
+  val qGapsIslandsSql: String =
+    """WITH days AS (
+      | SELECT DISTINCT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+      | FROM orders
+      |), runs AS (
+      | SELECT o_custkey,
+      |  day - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS island
+      | FROM days
+      |), islands AS (
+      | SELECT o_custkey, island, count(*) AS run_len
+      | FROM runs GROUP BY 1, 2
+      |)
+      |SELECT o_custkey, count(*) AS n_islands,
+      | CAST(max(run_len) AS BIGINT) AS longest_run
+      |FROM islands GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------------- q_corr
+  /** Pearson correlation of quantity vs extended price over lineitem —
+    * computed from EXACT integer moments, not the engines' float corr()
+    * (whose partial-agg summation order drifts between engines and
+    * between runs). Both columns lift to cents/hundredths as BIGINT,
+    * the five moments accumulate in DECIMAL(38,0) (Σy² ≈ 6·10¹⁹ at
+    * sf0.1 already exceeds BIGINT; DECIMAL(38,0) holds to ~10³⁸ —
+    * corpus-scale-safe), and only the final ratio drops to DOUBLE,
+    * rounded to 6 places — one deterministic float expression per
+    * engine instead of a float aggregation. Map-side partial
+    * aggregation; one 1-row shuffle. */
+  def qCorr: Q = (s, dir) => {
+    val m = t(s, dir, "lineitem")
+      .select(
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").as("x"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").as("y"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("n").cast("long").as("n_rows"),
+      round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("corr_qty_price"))
+  }
+
+  val qCorrSql: String =
+    """WITH v AS (
+      | SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS x,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS y
+      | FROM lineitem
+      |), m AS (
+      | SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  sum(x) AS sx, sum(y) AS sy,
+      |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      | FROM v
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+      |FROM m""".stripMargin
+
+  // ----------------------------------------------------- q_intersect_except
+  /** Set operators INTERSECT / EXCEPT (distinct semantics) on the
+    * customer-key sets ordering in 1995 vs 1996 — retained / churned /
+    * acquired cohorts in one statement family. Spark's
+    * intersect/except are INTERSECT DISTINCT / EXCEPT DISTINCT,
+    * matching the SQL defaults; each compiles to one hash-
+    * aggregate + join pair, shuffled on the key, AQE-broadcastable
+    * when a year's cohort is small. Output is the cohort sizes. */
+  def qIntersectExcept: Q = (s, dir) => {
+    def cohort(yr: Int) = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val a = cohort(1995)
+    val b = cohort(1996)
+    val tagged = Seq(
+      ("both_years", a.intersect(b)),
+      ("only_1995", a.except(b)),
+      ("only_1996", b.except(a)))
+    tagged.map { case (tag, df) =>
+        df.agg(count(lit(1)).as("n_customers")).select(lit(tag).as("cohort"),
+          col("n_customers"))
+      }.reduce(_.unionByName(_))
+      .orderBy("cohort")
+  }
+
+  val qIntersectExceptSql: String =
+    """WITH a AS (
+      | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |), b AS (
+      | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |)
+      |SELECT 'both_years' AS cohort,
+      | (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_customers
+      |UNION ALL
+      |SELECT 'only_1995',
+      | (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+      |UNION ALL
+      |SELECT 'only_1996',
+      | (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+      |ORDER BY cohort""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> qGroupingSets,
+    "q_string_agg" -> qStringAgg,
+    "q_ntile" -> qNtile,
+    "q_gaps_islands" -> qGapsIslands,
+    "q_corr" -> qCorr,
+    "q_intersect_except" -> qIntersectExcept,
     "q_json_extract" -> qJsonExtract,
     "q_bag_ops" -> qBagOps,
     "q_histogram" -> qHistogram,
@@ -1057,6 +1276,12 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_ntile" -> qNtileSql,
+    "q_gaps_islands" -> qGapsIslandsSql,
+    "q_corr" -> qCorrSql,
+    "q_intersect_except" -> qIntersectExceptSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_bag_ops" -> qBagOpsSql,
     "q_histogram" -> qHistogramSql,

@@ -1014,7 +1014,174 @@ object TextOps {
        |ORDER BY m.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- t_df_prune
+  /** Vocabulary pruning by DOCUMENT FREQUENCY — the step that sizes an
+    * LM tokenizer/feature vocabulary: terms appearing in exactly one
+    * document ('hapax', noise/typos) and terms in ≥ 80% of documents
+    * ('ubiquitous', carry no signal) get pruned; the rest is the usable
+    * vocabulary. Per-document term sets come from array_distinct BEFORE
+    * the explode — the exploded row count is Σ distinct-terms-per-doc,
+    * not Σ words, and the df aggregation is the map-side-combined
+    * wordcount shape. The corpus size joins in as a broadcast 1-row
+    * aggregate (never a driver-side collect). Output is one row per
+    * bucket with term/mass counts plus the lexical extremes as content
+    * witnesses. */
+  def dfPrune: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val nd = d.agg(count(lit(1)).as("nd"))
+    d.select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("df"),
+        when(col("df") === 1, "hapax")
+          .when(col("df") * 5 >= col("nd") * 4, "ubiquitous")
+          .otherwise("keep").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("total_df"),
+        min(col("term")).as("first_term"), max(col("term")).as("last_term"))
+      .orderBy("bucket")
+  }
+
+  val dfPruneSql: String =
+    """WITH dw AS (
+      | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      | FROM documents
+      |), df AS (
+      | SELECT term, count(*) AS df FROM dw GROUP BY term
+      |), nd AS (SELECT count(*) AS nd FROM documents
+      |), b AS (
+      | SELECT term, df,
+      |  CASE WHEN df = 1 THEN 'hapax'
+      |       WHEN df * 5 >= (SELECT nd FROM nd) * 4 THEN 'ubiquitous'
+      |       ELSE 'keep' END AS bucket
+      | FROM df
+      |)
+      |SELECT bucket, count(*) AS n_terms,
+      | CAST(sum(df) AS BIGINT) AS total_df,
+      | min(term) AS first_term, max(term) AS last_term
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------ t_mad_outliers
+  /** Robust per-source length outlier detection: median and MAD (median
+    * absolute deviation) of n_chars per source — both as EXACT rank
+    * selections ((n+1) div 2, the lower median, a member of the
+    * multiset) — then docs with |x − med| > 3·MAD counted as outliers.
+    * Median/MAD instead of mean/stddev because a corpus with a few
+    * giant documents drags a mean-based gate toward the garbage it
+    * should catch; all arithmetic stays BIGINT. Two per-source window
+    * rank passes (shuffle on source each); per-source output rows.
+    * At 100 TB swap the exact rank for approx_percentile per source —
+    * kept exact so the oracle hash-matches. */
+  def madOutliers: Q = (s, dir) => {
+    val bySrc = Window.partitionBy(col("source"))
+    val base = docs(s, dir).select(col("source"), col("n_chars"))
+    val med = base
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("n_chars"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .groupBy("source")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("med"))
+    val dev = base.join(med, Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("dev"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .groupBy("source")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    dev.join(mad, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("source")
+  }
+
+  val madOutliersSql: String =
+    """WITH base AS (
+      | SELECT source, n_chars FROM documents
+      |), r1 AS (
+      | SELECT source, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS n
+      | FROM base
+      |), med AS (
+      | SELECT source,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med
+      | FROM r1 GROUP BY source
+      |), dev AS (
+      | SELECT base.source, base.n_chars, med.med,
+      |  abs(base.n_chars - med.med) AS dev
+      | FROM base JOIN med ON med.source = base.source
+      |), r2 AS (
+      | SELECT source, dev,
+      |  row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS n
+      | FROM dev
+      |), mad AS (
+      | SELECT source,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+      | FROM r2 GROUP BY source
+      |)
+      |SELECT dev.source, count(*) AS n_docs,
+      | CAST(max(dev.med) AS BIGINT) AS med,
+      | CAST(max(mad.mad) AS BIGINT) AS mad,
+      | CAST(sum(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_outliers
+      |FROM dev JOIN mad ON mad.source = dev.source
+      |GROUP BY dev.source ORDER BY dev.source""".stripMargin
+
+  // ------------------------------------------------------- t_bigram_cond
+  /** Conditional bigram statistics — the language-model building block:
+    * for the corpus' top bigrams, P(w2 | w1) as exact ppm
+    * (c(w1 w2)·10⁶ div c(w1 ·), where the denominator is the count of
+    * bigrams STARTING with w1, so the distribution over w2 sums to ~1).
+    * Two map-side-combined aggregations (bigram counts, then first-word
+    * mass) + a vocabulary-keyed join the optimizer can broadcast;
+    * top-20 with full tiebreak is TakeOrderedAndProject. Integer-exact
+    * ppm — no float probability crosses the engine boundary. */
+  def bigramCond: Q = (s, dir) => {
+    val words = col("words")
+    val pairs = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => struct(element_at(words, i + 1).as("w1"),
+          element_at(words, i + 2).as("w2"))))
+      .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    val bg = docs(s, dir)
+      .select(split(col("text"), " ").as("words"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val w1mass = bg.groupBy("w1").agg(sum(col("cb")).as("cw"))
+    bg.join(w1mass, Seq("w1"))
+      .select(col("w1"), col("w2"), col("cb"),
+        expr("(cb * 1000000) div cw").as("cond_ppm"))
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val bigramCondSql: String =
+    """WITH w AS (
+      | SELECT string_split(text, ' ') AS words FROM documents
+      |), bgx AS (
+      | SELECT unnest(list_transform(
+      |   range(1, greatest(len(words) - 1, 0) + 1),
+      |   i -> {'w1': words[i], 'w2': words[i+1]})) AS p
+      | FROM w
+      |), bg AS (
+      | SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb
+      | FROM bgx GROUP BY 1, 2
+      |), m AS (
+      | SELECT w1, sum(cb) AS cw FROM bg GROUP BY w1
+      |)
+      |SELECT bg.w1, bg.w2, bg.cb,
+      | CAST((bg.cb * 1000000) // m.cw AS BIGINT) AS cond_ppm
+      |FROM bg JOIN m ON m.w1 = bg.w1
+      |ORDER BY bg.cb DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_df_prune" -> dfPrune,
+    "t_mad_outliers" -> madOutliers,
+    "t_bigram_cond" -> bigramCond,
     "t_ccnet_bucket" -> ccnetBucket,
     "t_ccnet_bucket_scaled" -> ccnetBucketScaled,
     "t_source_stats" -> sourceStats,
@@ -1035,6 +1202,9 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_df_prune" -> dfPruneSql,
+    "t_mad_outliers" -> madOutliersSql,
+    "t_bigram_cond" -> bigramCondSql,
     "t_ccnet_bucket" -> ccnetBucketSql,
     "t_ccnet_bucket_scaled" -> ccnetBucketScaledSql,
     "t_source_stats" -> sourceStatsSql,

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Relational, TextOps}
+
+/** Round-5 features: grouping sets / listagg / ntile / gaps-islands /
+  * exact-moment correlation / set ops, degree assortativity, neighbor
+  * Jaccard, DF vocabulary pruning, MAD outliers, conditional bigrams —
+  * semantic invariants the oracle hash can't state directly, plus the
+  * plan properties the 100 TB story depends on. */
+class Round5Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("q_corr: exact-moment correlation agrees with Spark's float corr") {
+    // the integer-moment algebra must reproduce the textbook estimator;
+    // Spark's corr() is the float reference (±1e-4 tolerates its
+    // partial-agg drift — the drift is WHY the operator exists)
+    val exact = Relational.qCorr(spark, sf).collect()(0)
+      .getAs[Double]("corr_qty_price")
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()(0).getAs[Double]("c")
+    assert(math.abs(exact - ref) < 1e-4, s"exact=$exact float=$ref")
+    assert(exact >= -1.0 && exact <= 1.0)
+  }
+
+  test("g_assortativity: in [-1,1] and moments match a direct recompute") {
+    val row = Analytics.assortativity(spark, sf).collect()(0)
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, s"assortativity out of range: $r")
+    // edge-row count = 2 * stored edges (both directions)
+    val edges = graft.model.PropertyGraph.load(spark, sf).edges.count()
+    assert(row.getAs[Long]("n_edge_rows") == 2 * edges)
+  }
+
+  test("g_jaccard_neighbors: ppm bounded, one pair verified brute-force") {
+    val rows = Analytics.jaccardNeighbors(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jac = r.getAs[Long]("jac_ppm")
+      assert(jac >= 0 && jac <= 1000000, s"jaccard ppm out of range: $r")
+    }
+    // brute-force the top pair's neighbor sets straight off the edges
+    val top = rows.head
+    val (p1, p2) = (top.getAs[Long]("p1"), top.getAs[Long]("p2"))
+    val hp = graft.model.PropertyGraph.load(spark, sf).edges
+      .filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val n1 = hp.filter(col("p") === p1).select("o").collect().map(_.getLong(0)).toSet
+    val n2 = hp.filter(col("p") === p2).select("o").collect().map(_.getLong(0)).toSet
+    val expected = n1.intersect(n2).size.toLong * 1000000L / n1.union(n2).size
+    assert(top.getAs[Long]("jac_ppm") == expected,
+      s"top pair ($p1,$p2): got ${top.getAs[Long]("jac_ppm")}, brute force $expected")
+  }
+
+  test("q_gaps_islands: island arithmetic reconciles with distinct days") {
+    val out = Relational.qGapsIslands(spark, sf)
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT)").as("day"))
+      .distinct().groupBy("o_custkey").agg(count(lit(1)).as("n_days"))
+    val joined = out.join(perCust, Seq("o_custkey")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ni, run, nd) = (r.getAs[Long]("n_islands"),
+        r.getAs[Long]("longest_run"), r.getAs[Long]("n_days"))
+      assert(ni >= 1 && run >= 1, s"degenerate islands: $r")
+      assert(run <= nd, s"longest run exceeds day count: $r")
+      assert(ni <= nd, s"more islands than days: $r")
+    }
+  }
+
+  test("q_ntile: quartiles partition each segment near-evenly") {
+    val rows = Relational.qNtile(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (seg, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("quartile")).view.mapValues(_.length)
+      assert(sizes.keys.toSet == Set(1, 2, 3, 4), s"$seg missing a quartile")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$seg quartiles uneven: $sizes")
+    }
+  }
+
+  test("q_grouping_sets: exactly the two declared grains, via one Expand") {
+    val rows = Relational.qGroupingSets(spark, sf).collect()
+    val (byNation, byYear) = rows.partition(_.getAs[Int]("yr") == -1)
+    assert(byNation.forall(_.getAs[String]("nation") != "ALL"))
+    assert(byYear.forall(_.getAs[String]("nation") == "ALL"))
+    assert(byNation.nonEmpty && byYear.nonEmpty)
+    // both grains sum to the same order count — one pass, no grand total
+    assert(byNation.map(_.getAs[Long]("n_orders")).sum ==
+      byYear.map(_.getAs[Long]("n_orders")).sum)
+    val plan = Relational.qGroupingSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets did not expand map-side:\n$plan")
+  }
+
+  test("q_string_agg: rosters are sorted and sized consistently") {
+    Relational.qStringAgg(spark, sf).collect().foreach { r =>
+      val names = r.getAs[String]("roster").split('|')
+      assert(names.length == r.getAs[Long]("n_suppliers"), s"size mismatch: $r")
+      assert(names.sameElements(names.sorted), s"roster not sorted: $r")
+    }
+  }
+
+  test("t_df_prune: buckets partition the vocabulary, df mass conserved") {
+    val rows = TextOps.dfPrune(spark, sf).collect()
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .agg(countDistinct(col("t")).as("v"), count(lit(1)).as("mass")).collect()(0)
+    assert(rows.map(_.getAs[Long]("n_terms")).sum == vocab.getAs[Long]("v"))
+    assert(rows.map(_.getAs[Long]("total_df")).sum == vocab.getAs[Long]("mass"))
+  }
+
+  test("t_mad_outliers: med/mad verified against an in-memory recompute") {
+    val rows = TextOps.madOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    def lowerMedian(xs: Array[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    rows.foreach { r =>
+      val xs = bySrc(r.getAs[String]("source")).map(_._2)
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      assert(r.getAs[Long]("med") == med, s"median mismatch: $r")
+      assert(r.getAs[Long]("mad") == mad, s"MAD mismatch: $r")
+      assert(r.getAs[Long]("n_outliers") ==
+        xs.count(x => math.abs(x - med) > 3 * mad), s"outlier count: $r")
+    }
+  }
+
+  test("t_bigram_cond: conditional mass never exceeds 1e6 ppm") {
+    val rows = TextOps.bigramCond(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("cond_ppm")
+      assert(ppm >= 0 && ppm <= 1000000, s"cond_ppm out of range: $r")
+      assert(r.getAs[Long]("cb") >= 1)
+    }
+  }
+
+  test("g_bfs_depth: level joins broadcast below the gate (hint survives)") {
+    val plan = Analytics.bfsDepth(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gated frontier broadcast missing at small scale:\n$plan")
+  }
+}
