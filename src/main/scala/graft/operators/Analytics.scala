@@ -573,7 +573,6 @@ object Analytics {
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(eager = true)
     // label vector and per-round mode are node-bounded — gate on the
     // cached node count; past the cap the joins shuffle (at 100× the
     // label vector is pre-partitioned with und instead of shipped)
@@ -589,11 +588,19 @@ object Analytics {
       val mode = counts.groupBy("id")
         .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("mx"))
         .select(col("id"), (-col("mx.neg")).as("m"))
+      // LAZY per-round checkpoint: lbl is read TWICE next round (the
+      // broadcast side of counts and the merge join's left side), so
+      // skipping the checkpoint re-executes the prior round's DAG per
+      // reference (measured 9.3 s); an EAGER one costs a blocking job
+      // per round. Lazy materializes on first use and the second
+      // reference reads the stored blocks — no re-execution, no extra
+      // job. The memoized final frame is eager so sharers (modularity)
+      // never trigger a build mid-query.
       lbl = lbl.join(gated(mode, n), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("m"), col("lbl")).as("lbl"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
-    lbl
+    lbl.localCheckpoint(eager = true)
   }
 
   def labelPropagation: Q = (s, dir) => {
@@ -865,7 +872,11 @@ object Analytics {
     var h = nodes.withColumn("h", lit(hitsScale))
     var a = nodes.withColumn("a", lit(0L)) // replaced round 1
     def norm(raw: DataFrame): DataFrame = {
-      val r = raw.localCheckpoint(eager = true)
+      // LAZY checkpoint: r feeds both the scalar max and the rescaled
+      // values — lazy materializes on the max's broadcast build and the
+      // value side reads the stored blocks, without the blocking job an
+      // eager checkpoint adds per half-round (4 of them per query)
+      val r = raw.localCheckpoint(eager = false)
       r.crossJoin(broadcast(r.agg(max("s").as("mx"))))
         .select(col("label"), col("key"),
           expr(s"s div greatest(1, mx div $hitsScale)").as("s"))

@@ -1238,8 +1238,109 @@ object Relational {
       | (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
       |ORDER BY cohort""".stripMargin
 
+  // ---------------------------------------------------- q_running_distinct
+  /** Running COUNT(DISTINCT) over a window — which Spark (and standard
+    * SQL) cannot express directly — via the first-occurrence-marker
+    * decomposition: mark the first (customer, priority) appearance in
+    * time order with row_number() == 1, then a cumulative SUM of
+    * markers per customer IS the number of distinct priorities seen so
+    * far. Both windows shuffle on the customer key only (the marker
+    * window adds the priority to the PARTITION key, not a new shuffle
+    * boundary — Catalyst plans them off one exchange family); total
+    * order comes from the (day, orderkey) tiebreak, so both engines
+    * agree row-for-row. */
+  def qRunningDistinct: Q = (s, dir) => {
+    val byFirst = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val cum = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT)").as("day"),
+        col("o_orderpriority"))
+      .withColumn("first_seen",
+        when(row_number().over(byFirst) === 1, 1L).otherwise(0L))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(col("first_seen")).over(cum).as("n_pri_seen"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val qRunningDistinctSql: String =
+    """WITH o AS (
+      | SELECT o_custkey, o_orderkey,
+      |  epoch_us(o_orderdate) // 86400000000 AS day,
+      |  o_orderpriority
+      | FROM orders
+      |), m AS (
+      | SELECT o_custkey, o_orderkey, day,
+      |  CASE WHEN row_number() OVER (
+      |    PARTITION BY o_custkey, o_orderpriority
+      |    ORDER BY day, o_orderkey) = 1 THEN 1 ELSE 0 END AS first_seen
+      | FROM o
+      |)
+      |SELECT o_custkey, o_orderkey, day,
+      | sum(first_seen) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pri_seen
+      |FROM m ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ q_bloom_prejoin
+  /** Bloom-filter SEMI-JOIN REDUCTION — the shuffle-avoidance pattern
+    * for a fact⋈dim join whose dim side is too big to broadcast but
+    * whose BLOOM isn't: build a 2²⁰-bit k=3 bloom over the (filtered)
+    * dim keys, pre-filter the fact side through three broadcast
+    * left-semi probes (map-side, no fact shuffle), and only the
+    * surviving rows enter the real join. The bloom is the same
+    * deterministic md5-nibble scheme as t_bloom_filter (the occupied-
+    * position set, ≤ m rows no matter how large the dim), so the
+    * whole reduction replays in any engine. False positives cost
+    * nothing but wasted probe rows — the REAL join still applies the
+    * exact key equality — which is why the ORACLE is the plain join
+    * with no bloom at all: a green row proves the reduction is
+    * semantics-free. At this SF the dim is broadcastable anyway; the
+    * op exists for the regime where it is not (RowLevelRuntimeFilter
+    * is Spark's automatic cousin; this is the explicit, engine-
+    * portable form). */
+  private val bloomJoinBits = 20 // 2²⁰ positions per hash
+  private val bloomJoinK = 3
+
+  private def bloomJoinPos(j: Int): Column =
+    (0 until 5).map { i =>
+      expr(s"instr('0123456789abcdef', substr(h32, ${5 * j + i + 1}, 1)) - 1") *
+        lit(1L << (4 * (4 - i)))
+    }.reduce(_ + _)
+
+  def qBloomPrejoin: Q = (s, dir) => {
+    val dim = t(s, dir, "part").filter(col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val bloom = dim
+      .select(md5(col("p_partkey").cast("string")).as("h32"))
+      .select(explode(array((0 until bloomJoinK).map(bloomJoinPos): _*)).as("pos"))
+      .distinct()
+    var fact = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("h32", md5(col("l_partkey").cast("string")))
+    for (j <- 0 until bloomJoinK)
+      fact = fact.join(broadcast(bloom), bloomJoinPos(j) === col("pos"), "left_semi")
+    fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("p_partkey")
+  }
+
+  val qBloomPrejoinSql: String =
+    """SELECT p_partkey, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 5
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_running_distinct" -> qRunningDistinct,
+    "q_bloom_prejoin" -> qBloomPrejoin,
     "q_grouping_sets" -> qGroupingSets,
     "q_string_agg" -> qStringAgg,
     "q_ntile" -> qNtile,
@@ -1276,6 +1377,8 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_running_distinct" -> qRunningDistinctSql,
+    "q_bloom_prejoin" -> qBloomPrejoinSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_string_agg" -> qStringAggSql,
     "q_ntile" -> qNtileSql,

@@ -220,7 +220,27 @@ object Formats {
       .filter(col("lang").isin("en", "de"))
   }
 
+  // ------------------------------------------------------ src_gzip_roundtrip
+  /** documents → GZIP-compressed JSON-lines sink → source → integrity
+    * aggregate. Compressed interchange is the default shape of a
+    * web-scale corpus drop (CommonCrawl et al. ship .gz); Spark's
+    * codec layer handles it transparently on both sides. The 100 TB
+    * caveat this op encodes: gzip is NOT SPLITTABLE — each .gz file is
+    * one read task regardless of size, so write MANY moderate files
+    * (here: one per shuffle partition; at scale, repartition to a
+    * file-count target of ~128-512 MB compressed each) or use a
+    * splittable codec (zstd parquet/orc) for anything one task
+    * shouldn't own. Read parallelism = file count, proven by the
+    * round-trip reading what the partition-parallel write laid down. */
+  def gzipRoundtrip: Q = (s, dir) => {
+    val path = scratch(s, dir, "gz")
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").option("compression", "gzip").json(path)
+    integrity(s.read.schema(docSchema).json(path))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_gzip_roundtrip" -> gzipRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
@@ -228,6 +248,7 @@ object Formats {
     "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
+    "src_gzip_roundtrip" -> integritySql,
     "src_json_roundtrip" -> integritySql,
     "src_csv_roundtrip" -> integritySql,
     "src_orc_roundtrip" -> integritySql,

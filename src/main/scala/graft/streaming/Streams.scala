@@ -192,6 +192,57 @@ object Streams {
       }
   }
 
+  /** st_heavy_hitters: per tumbling 1-hour window, the top-`hhK` users
+    * by event count — the streaming frequent-items primitive (batch
+    * twin family: t_heavy_hitters). State is keyed by the WINDOW (not
+    * the user): a per-window count map that merges every micro-batch,
+    * emitted as a ranked top-k exactly once when the watermark passes
+    * the window end — so late events inside the watermark still count
+    * before emission, and emission order is deterministic
+    * ((-n, user_id) tiebreak). State bound: windows-in-horizon ×
+    * users-per-window; at corpus scale swap the exact map for the CMS +
+    * heap SpaceSaving sketch (the documented upgrade — the exact map is
+    * what the spec can assert equal to the batch groupBy). */
+  val hhK = 3
+  private val hourUs = 3600L * 1000 * 1000
+
+  final case class HHOut(win_start_us: Long, user_id: Long, n: Long, rank: Int)
+  final case class HHState(counts: Map[Long, Long])
+
+  def heavyHittersStream(events: Dataset[Event]): Dataset[HHOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .as[(Long, Long, Long, String, Double, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._6 / hourUs) * hourUs) // window-start us
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (win, rows, state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: finalize and emit ranked
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+            state.remove()
+            counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(hhK)
+              .zipWithIndex
+              .map { case ((u, n), i) => HHOut(win, u, n, i + 1) }
+              .iterator
+          } else {
+            val prev = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+            val merged = rows.foldLeft(prev) { (m, r) =>
+              m.updated(r._3, m.getOrElse(r._3, 0L) + 1L)
+            }
+            state.update(HHState(merged))
+            // fire when the watermark passes the window END (must stay
+            // above the current watermark or the state store rejects it)
+            state.setTimeoutTimestamp(
+              math.max((win + hourUs) / 1000, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.toDF()

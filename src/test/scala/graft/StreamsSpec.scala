@@ -227,6 +227,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(twin.except(streamShaped).count() == 0)
   }
 
+  test("st_heavy_hitters: ranked top-k per window, late events counted, exactly-once emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.heavyHittersStream(mem.toDS())
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").start()
+    try {
+      // hour 0: user 1 ×2, user 2 ×1, user 3 ×1; hour 1: one event
+      mem.addData(ev(1, 10, user = 1), ev(2, 20, user = 1),
+        ev(3, 30, user = 2), ev(4, 40, user = 3), ev(5, hourUs + 5, user = 9))
+      q.processAllAvailable()
+      assert(spark.table("hh").isEmpty, "nothing may emit before the window closes")
+      // LATE hour-0 event (inside the 1h watermark) must still count...
+      mem.addData(ev(6, 50, user = 2))
+      q.processAllAvailable()
+      // ...then far-future event pushes the watermark past hour-0's end
+      mem.addData(ev(7, 4 * hourUs, user = 9))
+      q.processAllAvailable()
+      val out = spark.table("hh")
+        .filter(col("win_start_us") === 0L).collect()
+        .sortBy(_.getAs[Int]("rank"))
+      assert(out.length == Streams.hhK, s"expected top-${Streams.hhK}: ${out.mkString(";")}")
+      // users 1 and 2 tie at n=2 — rank breaks by user id; user 3 has 1
+      assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Int]("rank")))
+        .sameElements(Array((1L, 2L, 1), (2L, 2L, 2), (3L, 1L, 3))), out.mkString(";"))
+      // exactly-once: closing more windows must not re-emit hour 0
+      mem.addData(ev(8, 8 * hourUs, user = 9))
+      q.processAllAvailable()
+      assert(spark.table("hh").filter(col("win_start_us") === 0L).count() == Streams.hhK)
+    } finally q.stop()
+  }
+
   test("st_embed_batch: streamed micro-batches match the batch embedding op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
