@@ -130,13 +130,12 @@ object Dedup {
     Iterator.iterate(16807L)(x => x * 16807L % mhPrime).take(mhSeeds).toIndexedSeq
 
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    // 60-bit integer from the first 15 md5 nibbles (no shared hex-parse
-    // builtin exists across Spark and DuckDB), then mod p once; the 9
-    // seed mixes read the reduced h31
-    val h60 = (0 until 15).map { i =>
-      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
-        lit(1L << (4 * (14 - i)))
-    }.reduce(_ + _)
+    // 60-bit integer from the first 15 md5 nibbles via the codegen'd
+    // hexSlice expression (one byte pass — the composed instr(substr)
+    // chain allocated 15 UTF8Strings per shingle; oracle keeps the
+    // strpos arithmetic, value-identical), then mod p once; the 9 seed
+    // mixes read the reduced h31
+    val h60 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 15)
     docShingles(s, dir)
       .withColumn("h32", md5(col("sh")))
       .select(col("doc_id"), (h60 % mhPrime).as("h31"))
@@ -185,7 +184,10 @@ object Dedup {
   def dedupMinhash: Q = (s, dir) =>
     dedupMinhashRaw(s, dir)._1.orderBy("doc_a", "doc_b")
 
-  val dedupMinhashSql: String = {
+  /** The minhash pipeline as a reusable CTE chain ending in
+    * `mhscored(doc_a, doc_b, n_match)` — shared by d_dedup_minhash and
+    * the d_dedup_eval harness. */
+  private val minhashCtesSql: String = {
     val nib = (0 until 15).map { i =>
       s"(strpos('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}"
     }.mkString("\n   + ")
@@ -196,7 +198,7 @@ object Dedup {
       .mkString(" UNION ALL ")
     val nMatch = (0 until mhSeeds).map(k =>
       s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh AS (
+    s"""sh AS (
        | SELECT doc_id, md5(unnest($shingleSqlExpr)) AS h32 FROM documents
        |), hx AS (
        | SELECT doc_id, CAST($nib AS BIGINT) % $mhPrime AS h31 FROM sh
@@ -213,12 +215,17 @@ object Dedup {
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM br x JOIN br y ON x.c = y.c AND x.k0 = y.k0 AND x.k1 = y.k1
        |   AND x.k2 = y.k2 AND x.doc_id < y.doc_id
-       |)
-       |SELECT c.doc_a, c.doc_b, CAST($nMatch AS BIGINT) AS n_match
-       |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
-       |            JOIN sig sb ON sb.doc_id = c.doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), mhscored AS (
+       | SELECT c.doc_a, c.doc_b, CAST($nMatch AS BIGINT) AS n_match
+       | FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |             JOIN sig sb ON sb.doc_id = c.doc_b
+       |)""".stripMargin
   }
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT doc_a, doc_b, n_match FROM mhscored
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------- d_ngram_jaccard
   /** Blocked pairwise Jaccard over distinct 3-gram shingles, with the
@@ -410,9 +417,9 @@ object Dedup {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", md5(col("w")))
-    // nibble q value of the token hash, 0-based q
+    // nibble q value of the token hash, 0-based q (codegen'd hexSlice)
     def nib(q: Int): Column =
-      expr(s"instr('0123456789abcdef', substr(h, ${q + 1}, 1)) - 1")
+      graft.functions.VectorExprs.hexSlice(col("h"), q + 1, 1)
     // per-doc: for each of 64 bits, count of tokens with that bit set
     val bitSums = tok.groupBy("doc_id").agg(
       count(lit(1)).as("n_tok"),
@@ -656,7 +663,57 @@ object Dedup {
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // -------------------------------------------------------- d_dedup_eval
+  /** Dedup EVAL harness — the table that adjudicates sketch-parameter
+    * changes, the dedup analogue of s_ann_recall: minhash-predicted
+    * near-dup pairs (n_match ≥ `mhEvalMatch` of 9 ≈ estimated J ≥ ⅔)
+    * scored against the exact ground truth (blocked Jaccard, J > ½) as
+    * integer precision/recall ppm. Band count, bucket cap, or seed
+    * family changes are judged by these two numbers moving — not by
+    * eyeballing pair lists. Composes two independently oracle-checked
+    * pipelines; the oracle composes their SQL CTE chains, so the
+    * COMPOSITION itself is verified. One extra left-semi join + three
+    * 1-row aggregates over the existing stages. */
+  val mhEvalMatch = 6
+
+  def dedupEval: Q = (s, dir) => {
+    val pred = dedupMinhashRaw(s, dir)._1
+      .filter(col("n_match") >= mhEvalMatch)
+      .select("doc_a", "doc_b")
+    val truth = jaccardPairs(s, dir).select("doc_a", "doc_b")
+    val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .select(col("n_pred"), col("n_truth"), col("n_tp"),
+        expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 1000000) div n_pred END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 1000000) div n_truth END")
+          .as("recall_ppm"))
+  }
+
+  val dedupEvalSql: String =
+    s"""WITH $minhashCtesSql,
+       |$jaccardPairsSqlCte,
+       |pred AS (
+       | SELECT doc_a, doc_b FROM mhscored WHERE n_match >= $mhEvalMatch
+       |), tp AS (
+       | SELECT p.doc_a, p.doc_b FROM pred p
+       | JOIN jp t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+       |), cts AS (
+       | SELECT (SELECT count(*) FROM pred) AS n_pred,
+       |        (SELECT count(*) FROM jp) AS n_truth,
+       |        (SELECT count(*) FROM tp) AS n_tp
+       |)
+       |SELECT n_pred, n_truth, n_tp,
+       | CAST(CASE WHEN n_pred = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_pred END AS BIGINT) AS precision_ppm,
+       | CAST(CASE WHEN n_truth = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
+       |FROM cts""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d_dedup_eval" -> dedupEval,
     "d_containment" -> containment,
     "d_decontaminate" -> decontaminate,
     "d_pipeline_e2e" -> pipelineE2e,
@@ -668,6 +725,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_dedup_eval" -> dedupEvalSql,
     "d_containment" -> containmentSql,
     "d_decontaminate" -> decontaminateSql,
     "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),

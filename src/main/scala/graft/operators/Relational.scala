@@ -1305,10 +1305,7 @@ object Relational {
   private val bloomJoinK = 3
 
   private def bloomJoinPos(j: Int): Column =
-    (0 until 5).map { i =>
-      expr(s"instr('0123456789abcdef', substr(h32, ${5 * j + i + 1}, 1)) - 1") *
-        lit(1L << (4 * (4 - i)))
-    }.reduce(_ + _)
+    graft.functions.VectorExprs.hexSlice(col("h32"), 5 * j + 1, 5)
 
   def qBloomPrejoin: Q = (s, dir) => {
     val dim = t(s, dir, "part").filter(col("p_size") <= 5)

@@ -206,10 +206,8 @@ object TextOps {
     * string → uniform 0..65535, mod 100 against the band's rate.
     * Linear, shuffle-free. */
   def stratifiedSample: Q = (s, dir) => {
-    val h4 = (0 until 4).map { k =>
-      (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${k + 1}, 1)) - 1")) *
-        lit(1 << (4 * (3 - k)))
-    }.reduce(_ + _)
+    val h4 = graft.functions.VectorExprs.hexSlice(
+      md5(col("doc_id").cast("string")), 1, 4)
     docs(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"))
@@ -391,16 +389,16 @@ object TextOps {
   val hhWidth = 64
   val hhTopK = 20
 
-  private def hhBucketExpr(r: Int): String =
-    s"((instr('0123456789abcdef', substr(md5('$r:' || token), 1, 1)) - 1) * 16 + " +
-      s"(instr('0123456789abcdef', substr(md5('$r:' || token), 2, 1)) - 1)) % $hhWidth"
+  private def hhBucketCol(r: Int): Column =
+    graft.functions.VectorExprs.hexSlice(
+      md5(concat(lit(s"$r:"), col("token"))), 1, 2) % hhWidth
 
   def heavyHitters: Q = (s, dir) => {
     val tc = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
     val tb = tc.select(Seq(col("token"), col("n")) ++
-      (0 until hhDepth).map(r => expr(hhBucketExpr(r)).as(s"b$r")): _*)
+      (0 until hhDepth).map(r => hhBucketCol(r).as(s"b$r")): _*)
       .cache() // feeds the 3 cell builds + the top-k side
     val top = tb.orderBy(col("n").desc, col("token")).limit(hhTopK)
     var est = top
@@ -573,11 +571,8 @@ object TextOps {
     // it's here as the sketch's ground truth.)
     val dd = ex.distinct().cache()
     // 40-bit integer hash from the first 10 md5 nibbles — exact BIGINT
-    // in both engines (no hex-parse builtin shared by both)
-    val h40 = (0 until 10).map { i =>
-      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
-        lit(math.pow(16, 9 - i).toLong)
-    }.reduce(_ + _)
+    // in both engines (codegen'd hexSlice; oracle keeps strpos form)
+    val h40 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 10)
     val bk = dd.select(md5(col("sh")).as("h32"))
       .select(h40.as("h")).distinct()
       .orderBy("h").limit(kmvK)
@@ -692,10 +687,7 @@ object TextOps {
   }
 
   private def bloomPos(j: Int): Column =
-    (0 until 5).map { i =>
-      expr(s"instr('0123456789abcdef', substr(h32, ${5 * j + i + 1}, 1)) - 1") *
-        lit(1L << (4 * (4 - i)))
-    }.reduce(_ + _)
+    graft.functions.VectorExprs.hexSlice(col("h32"), 5 * j + 1, 5)
 
   def bloomFilter: Q = (s, dir) => {
     val build = shingleSet(s, dir, "en")
@@ -768,10 +760,8 @@ object TextOps {
     * and emit nothing (both engines). */
   val winW = 4
 
-  private def h40Col: Column = (0 until 10).map { i =>
-    expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
-      lit(math.pow(16, 9 - i).toLong)
-  }.reduce(_ + _)
+  private def h40Col: Column =
+    graft.functions.VectorExprs.hexSlice(col("h32"), 1, 10)
 
   def winnowing: Q = (s, dir) => {
     val words = col("words")
@@ -948,10 +938,7 @@ object TextOps {
   val ccnetSampleThresh: Long = (1L << 40) / ccnetSampleDiv
 
   def ccnetBucketScaled: Q = (s, dir) => {
-    val h40 = (0 until 10).map { i =>
-      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
-        lit(1L << (4 * (9 - i)))
-    }.reduce(_ + _)
+    val h40 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 10)
     val m = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         split(col("text"), " ").as("words"))

@@ -239,7 +239,45 @@ object Formats {
     integrity(s.read.schema(docSchema).json(path))
   }
 
+  // --------------------------------------------------- src_schema_evolution
+  /** SCHEMA EVOLUTION across parquet file generations — the lake
+    * reality every long-lived 100 TB dataset hits: generation v=1 was
+    * written BEFORE the `lang` column existed, v=2 after. A
+    * `mergeSchema` read unions the file schemas and fills the missing
+    * column with null for old files; the aggregate groups on
+    * coalesce(lang, '<pre_schema>') so the oracle (which reconstructs
+    * the generation split from the same doc_id parity) proves exactly
+    * which rows surfaced as schema-filled nulls. Scale note:
+    * mergeSchema footer-merges EVERY file at planning time — fine per
+    * directory generation, wrong as a default on a million-file lake
+    * (pin an explicit schema there; this op is the migration-read
+    * path). */
+  def schemaEvolution: Q = (s, dir) => {
+    val path = scratch(s, dir, "evo")
+    val d = Tables(s, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "source", "n_chars") // v1: no lang yet
+      .write.mode("overwrite").parquet(s"$path/v=1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$path/v=2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v=1", s"$path/v=2")
+      .groupBy(coalesce(col("lang"), lit("<pre_schema>")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      .orderBy("lang")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre_schema>' ELSE lang END AS lang,
+      | count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | count(DISTINCT md5(text)) AS n_uniq
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_schema_evolution" -> schemaEvolution,
     "src_gzip_roundtrip" -> gzipRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -248,6 +286,7 @@ object Formats {
     "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
+    "src_schema_evolution" -> schemaEvolutionSql,
     "src_gzip_roundtrip" -> integritySql,
     "src_json_roundtrip" -> integritySql,
     "src_csv_roundtrip" -> integritySql,

@@ -142,6 +142,42 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("hexSlice: exact parity with the composed instr/substr form, codegen'd") {
+    import org.apache.spark.sql.functions.{expr, lit, md5}
+    import spark.implicits._
+    // parity over real md5 strings at every (start, len) the engine uses
+    val h = spark.range(500).select(md5($"id".cast("string")).as("h32"))
+    for ((start, len) <- Seq((1, 15), (1, 10), (6, 5), (11, 5), (1, 4), (1, 2), (3, 1))) {
+      val composed = (0 until len).map { i =>
+        expr(s"instr('0123456789abcdef', substr(h32, ${start + i}, 1)) - 1") *
+          lit(1L << (4 * (len - 1 - i)))
+      }.reduce(_ + _)
+      val diff = h.select(
+        graft.functions.VectorExprs.hexSlice($"h32", start, len).as("a"),
+        composed.cast("long").as("b")).filter($"a" =!= $"b").count()
+      assert(diff == 0, s"hexSlice($start, $len) diverges from composed form")
+    }
+    // contract edges: out-of-range position contributes 0, non-hex −1
+    val edge = Seq("zz", "a").toDF("h32").select(
+      graft.functions.VectorExprs.hexSlice($"h32", 1, 3).as("v")).collect()
+    assert(edge(0).getLong(0) == ((-1L * 16 - 1) * 16 + 0)) // z,z,out
+    assert(edge(1).getLong(0) == 10L * 256)                 // a,out,out
+    // stays inside whole-stage codegen (no CodegenFallback)
+    val p = h.select(graft.functions.VectorExprs.hexSlice($"h32", 1, 15).as("v"))
+    p.collect()
+    assert(p.queryExecution.executedPlan.toString.contains("*(1)"),
+      "hexSlice fell out of whole-stage codegen")
+  }
+
+  test("d_dedup_eval: confusion-count identities hold") {
+    val r = graft.operators.Dedup.dedupEval(spark, sf).collect()(0)
+    val (p, t, tp) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_tp"))
+    assert(tp <= p && tp <= t, s"tp exceeds a side: $r")
+    assert(r.getAs[Long]("precision_ppm") <= 1000000)
+    assert(r.getAs[Long]("recall_ppm") <= 1000000)
+  }
+
   test("g_bfs_depth: level joins broadcast below the gate (hint survives)") {
     val plan = Analytics.bfsDepth(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
