@@ -753,18 +753,22 @@ object Analytics {
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
     var alive = nodes.select(col("id")).localCheckpoint(eager = true)
-    // survivor set only shrinks; its count doubles as the hint gate
-    var aliveRows = alive.count()
+    // the survivor set only SHRINKS and the loop has no early exit, so
+    // the cached node count gates every round's hints — the per-round
+    // count jobs existed only for gating and are gone; LAZY per-round
+    // checkpoints (alive is read twice per round — the two semi-join
+    // broadcast builds) materialize on first use without the blocking
+    // job an eager one added per round
+    val n = nodes.count()
     var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced round 1
     for (_ <- 1 to kcoreIters) {
       deg = und
-        .join(gated(alive.withColumnRenamed("id", "a"), aliveRows), Seq("a"))
-        .join(gated(alive.withColumnRenamed("id", "b"), aliveRows), Seq("b"))
+        .join(gated(alive.withColumnRenamed("id", "a"), n), Seq("a"))
+        .join(gated(alive.withColumnRenamed("id", "b"), n), Seq("b"))
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kcoreK)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       alive = deg.select("id")
-      aliveRows = alive.count()
     }
     nodes.join(deg, Seq("id"))
       .select("label", "key", "deg").orderBy("label", "key")
@@ -957,28 +961,92 @@ object Analytics {
     * than 25 sequential BFS loops. */
   val closenessHops = 2
 
+  /** Multi-source bounded BFS frame `vis(seed, node, d)` for the 25
+    * nation seeds — built once per (session, dir) and shared by
+    * g_closeness and g_eccentricity (memo pattern of lpaLabels: the
+    * second consumer reads the checkpointed frame instead of re-running
+    * the k distinct-frontier rounds). */
+  private val nationBfsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def nationBfs(s: SparkSession, dir: String): DataFrame = {
+    nationBfsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    nationBfsCache.getOrElseUpdate((s, dir), {
+      val (nodes, undW) = numericGraph(s, dir)
+      val und = undW.select("a", "b")
+      val seeds = nodes.filter(col("label") === "nation")
+        .select(col("id").as("seed"), col("id").as("node"), lit(0).as("d"))
+        .localCheckpoint(eager = true)
+      var vis = seeds
+      var frontier = seeds
+      for (i <- 1 to closenessHops) {
+        val next = und.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+          .select(col("seed"), col("b").as("node")).distinct()
+          .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
+          .withColumn("d", lit(i))
+          .localCheckpoint(eager = false)
+        vis = vis.unionByName(next).localCheckpoint(eager = false)
+        frontier = next
+      }
+      vis.localCheckpoint(eager = true)
+    })
+  }
+
   def closeness: Q = (s, dir) => {
-    val (nodes, undW) = numericGraph(s, dir)
-    val und = undW.select("a", "b")
-    val seeds = nodes.filter(col("label") === "nation")
-      .select(col("id").as("seed"), col("id").as("node"), lit(0).as("d"))
-      .localCheckpoint(eager = true)
-    var vis = seeds
-    var frontier = seeds
-    for (i <- 1 to closenessHops) {
-      val next = und.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
-        .select(col("seed"), col("b").as("node")).distinct()
-        .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
-        .withColumn("d", lit(i))
-        .localCheckpoint(eager = false)
-      vis = vis.unionByName(next).localCheckpoint(eager = false)
-      frontier = next
-    }
-    val score = vis.filter(col("d") > 0)
+    val (nodes, _) = numericGraph(s, dir)
+    val score = nationBfs(s, dir).filter(col("d") > 0)
       .groupBy(col("seed").as("id"))
       .agg(sum(expr(s"$closenessHops div d")).as("score"))
     nodes.join(score, Seq("id"))
       .select("label", "key", "score").orderBy("label", "key")
+  }
+
+  // ---------------------------------------------------- g_eccentricity
+  /** Bounded-hop ECCENTRICITY of the nation seeds: the max BFS distance
+    * reached within `closenessHops` hops, plus how many nodes the seed
+    * reaches in that budget — the reachability-profile companion to
+    * closeness (same shared multi-source BFS frame, one extra
+    * aggregation — the marginal cost of the second metric is one
+    * groupBy over the memoized vis frame). True eccentricity is
+    * all-pairs; the k-bounded variant is the standard big-graph
+    * proxy. */
+  def eccentricity: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val ecc = nationBfs(s, dir)
+      .groupBy(col("seed").as("id"))
+      .agg(max(col("d")).as("ecc_k"), count(lit(1)).as("n_reached"))
+    nodes.join(ecc, Seq("id"))
+      .select("label", "key", "ecc_k", "n_reached").orderBy("label", "key")
+  }
+
+  val eccentricitySql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")} FROM edges
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), v0 AS (
+             | SELECT id AS seed, id AS node, 0 AS d FROM ids WHERE label = 'nation'
+             |)""".stripMargin
+    for (i <- 1 to closenessHops) {
+      val seen = (0 until i).map(j => s"SELECT seed, node FROM v$j")
+        .mkString(" UNION ALL ")
+      b ++= s""", v$i AS (
+               | SELECT DISTINCT f.seed, u.b AS node, $i AS d
+               | FROM und u JOIN v${i - 1} f ON u.a = f.node
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.seed = f.seed AND s.node = u.b)
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, CAST(max(v.d) AS INTEGER) AS ecc_k,
+             | count(*) AS n_reached
+             |FROM (${(0 to closenessHops).map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")}) v
+             |JOIN ids i ON i.id = v.seed
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    b.toString
   }
 
   val closenessSql: String = {
@@ -1113,6 +1181,7 @@ object Analytics {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_eccentricity" -> eccentricity,
     "g_assortativity" -> assortativity,
     "g_jaccard_neighbors" -> jaccardNeighbors,
     "g_hits" -> hits,
@@ -1129,6 +1198,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_eccentricity" -> eccentricitySql,
     "g_assortativity" -> assortativitySql,
     "g_jaccard_neighbors" -> jaccardNeighborsSql,
     "g_hits" -> hitsSql,

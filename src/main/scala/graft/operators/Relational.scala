@@ -1334,8 +1334,70 @@ object Relational {
       |WHERE p_size <= 5
       |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q_profile
+  /** Data-PROFILING primitive — the per-column statistics table
+    * (nulls, cardinality, range) that drives optimizer stats, quality
+    * monitors, and schema docs. One branch per profiled column, each a
+    * single column-pruned scan + 1-row aggregate (the columnar-storage
+    * shape: profiling N columns costs N thin scans, not N × full-row
+    * reads — at 100 TB that is the difference between touching 4
+    * columns and touching 16). Numeric ranges go through DECIMAL to
+    * DOUBLE (order-exact), string ranges stay strings; the two range
+    * families live in separate columns so the schema is stable. */
+  def qProfile: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    def num(c: String, lift: Column => Column): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(lift(col(c))).cast("double").as("min_num"),
+        max(lift(col(c))).cast("double").as("max_num"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+    def str(c: String): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+    num("o_custkey", identity)
+      .unionByName(num("o_totalprice", dec))
+      .unionByName(str("o_orderstatus"))
+      .unionByName(str("o_orderpriority"))
+      .orderBy("column")
+  }
+
+  val qProfileSql: String = {
+    def num(c: String, lift: String => String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min(${lift(c)}) AS DOUBLE) AS min_num,
+         | CAST(max(${lift(c)}) AS DOUBLE) AS max_num,
+         | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', count(*),
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         | count(DISTINCT $c),
+         | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         | min($c), max($c)
+         |FROM orders""".stripMargin
+    Seq(num("o_custkey", identity),
+      num("o_totalprice", c => s"CAST($c AS DECIMAL(12,2))"),
+      str("o_orderstatus"), str("o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_profile" -> qProfile,
     "q_running_distinct" -> qRunningDistinct,
     "q_bloom_prejoin" -> qBloomPrejoin,
     "q_grouping_sets" -> qGroupingSets,
@@ -1374,6 +1436,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
     "q_running_distinct" -> qRunningDistinctSql,
     "q_bloom_prejoin" -> qBloomPrejoinSql,
     "q_grouping_sets" -> qGroupingSetsSql,

@@ -1165,7 +1165,42 @@ object TextOps {
       |FROM bg JOIN m ON m.w1 = bg.w1
       |ORDER BY bg.cb DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------ t_langid_eval
+  /** Language-ID EVAL harness — the confusion matrix of t_lang_id's
+    * predictions against the corpus' ground-truth lang column, with
+    * per-true-language share in exact ppm. The classifier op reports
+    * predictions; this op reports whether they're RIGHT, per class —
+    * the number a threshold/stopword-list change is judged by (same
+    * adjudication philosophy as s_ann_recall and d_dedup_eval). One
+    * doc-keyed join + two aggregations. */
+  def langidEval: Q = (s, dir) => {
+    val pred = langId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val truth = docs(s, dir).select(col("doc_id"), col("lang").as("true_lang"))
+    val cm = truth.join(pred, Seq("doc_id"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("true_lang").agg(sum(col("n")).as("tot"))
+    cm.join(tot, Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("(n * 1000000) div tot").as("share_ppm"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val langidEvalSql: String =
+    s"""WITH pred AS ($langIdSql
+       |), cm AS (
+       | SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+       | FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+       | GROUP BY 1, 2
+       |), tot AS (
+       | SELECT true_lang, sum(n) AS tot FROM cm GROUP BY 1
+       |)
+       |SELECT cm.true_lang AS true_lang, cm.pred_lang, cm.n,
+       | CAST((cm.n * 1000000) // tot.tot AS BIGINT) AS share_ppm
+       |FROM cm JOIN tot ON tot.true_lang = cm.true_lang
+       |ORDER BY cm.true_lang, pred_lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_langid_eval" -> langidEval,
     "t_df_prune" -> dfPrune,
     "t_mad_outliers" -> madOutliers,
     "t_bigram_cond" -> bigramCond,
@@ -1189,6 +1224,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_langid_eval" -> langidEvalSql,
     "t_df_prune" -> dfPruneSql,
     "t_mad_outliers" -> madOutliersSql,
     "t_bigram_cond" -> bigramCondSql,
