@@ -712,7 +712,105 @@ object Dedup {
        |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
        |FROM cts""".stripMargin
 
+  // -------------------------------------------------- d_entity_resolution
+  /** ENTITY RESOLUTION — fuzzy-matching dirty records back to canonical
+    * entities, the metadata-dedup step (author/source/site names) that
+    * exact dedup can't do. Shape: character-3-gram BLOCKING with a
+    * document-frequency cap (the same df-cap discipline as the shingle
+    * ops — a gram shared by every record makes an all-pairs block;
+    * selective grams make small ones), then exact Levenshtein scoring
+    * ONLY within blocks, then a deterministic argmin per dirty record
+    * ((distance, name) struct — ties break lexically). Never all-pairs:
+    * work is Σ block², bounded by the cap. The dirty side is a
+    * DETERMINISTIC in-query corruption (one character substituted) so
+    * both engines build the identical test set and the op doubles as
+    * its own eval: `correct` says whether the argmin recovered the true
+    * entity. Levenshtein is computed by both engines' native DP —
+    * integer, no parity risk. */
+  val erGramCap = 20
+
+  def entityResolution: Q = (s, dir) => {
+    val sup = docs(s, dir).sparkSession.read
+      .parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    // corrupt ONE character (4th from the end) — lev(dirty, true) == 1
+    val dirty = sup.select(col("id"),
+      expr("concat(substr(name, 1, length(name) - 4), 'X'," +
+        " substr(name, length(name) - 2, 3))").as("dirty"),
+      col("name").as("true_name"))
+    // guard: Spark's sequence(1, 0) is DESCENDING (not empty like
+    // DuckDB's range) — a < 3-char value must emit no grams in both
+    def grams(src: String): String =
+      s"CASE WHEN length($src) >= 3 THEN " +
+        s"transform(sequence(1, length($src) - 2), i -> substr($src, i, 3)) " +
+        "ELSE cast(array() as array<string>) END"
+    val cleanGrams = sup
+      .select(col("id").as("cid"), col("name"),
+        explode(expr(grams("name"))).as("g")).distinct()
+    // df-cap over CLEAN records: grams in > cap entities block nothing
+    val keep = cleanGrams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= erGramCap).select("g")
+    val cg = cleanGrams.join(broadcast(keep), Seq("g"))
+    val dg = dirty
+      .select(col("id"), col("dirty"),
+        explode(expr(grams("dirty"))).as("g")).distinct()
+    val cand = dg.join(cg, Seq("g"))
+      .select(col("id"), col("dirty"), col("cid"), col("name")).distinct()
+    val scored = cand.select(col("id"), col("dirty"), col("name"),
+      levenshtein(col("dirty"), col("name")).as("lev"))
+    val best = scored.groupBy("id", "dirty")
+      .agg(min(struct(col("lev"), col("name"))).as("mx"))
+      .select(col("id"), col("dirty"),
+        col("mx.name").as("matched"), col("mx.lev").as("lev"))
+    best.join(dirty.select(col("id"), col("true_name")), Seq("id"))
+      .select(col("id"), col("dirty"), col("matched"), col("lev").cast("long").as("lev"),
+        (col("matched") === col("true_name")).as("correct"))
+      .orderBy("id")
+  }
+
+  val entityResolutionSql: String =
+    s"""WITH sup AS (
+       | SELECT s_suppkey AS id, s_name AS name FROM supplier
+       |), dirty AS (
+       | SELECT id,
+       |  substr(name, 1, length(name) - 4) || 'X' ||
+       |    substr(name, length(name) - 2, 3) AS dirty,
+       |  name AS true_name
+       | FROM sup
+       |), cleang AS (
+       | SELECT DISTINCT id AS cid, name,
+       |  unnest(list_transform(range(1, greatest(length(name) - 2, 0) + 1),
+       |    i -> substr(name, CAST(i AS INTEGER), 3))) AS g
+       | FROM sup
+       |), keep AS (
+       | SELECT g FROM cleang GROUP BY g HAVING count(*) <= $erGramCap
+       |), cg AS (
+       | SELECT cleang.* FROM cleang JOIN keep USING (g)
+       |), dg AS (
+       | SELECT DISTINCT id, dirty,
+       |  unnest(list_transform(range(1, greatest(length(dirty) - 2, 0) + 1),
+       |    i -> substr(dirty, CAST(i AS INTEGER), 3))) AS g
+       | FROM dirty
+       |), cand AS (
+       | SELECT DISTINCT dg.id, dg.dirty, cg.cid, cg.name
+       | FROM dg JOIN cg USING (g)
+       |), scored AS (
+       | SELECT id, dirty, name, levenshtein(dirty, name) AS lev
+       | FROM cand
+       |), best AS (
+       | SELECT id, dirty, name AS matched, lev FROM (
+       |  SELECT id, dirty, name, lev,
+       |   row_number() OVER (PARTITION BY id ORDER BY lev, name) AS rn
+       |  FROM scored
+       | ) WHERE rn = 1
+       |)
+       |SELECT b.id, b.dirty, b.matched, CAST(b.lev AS BIGINT) AS lev,
+       | b.matched = d.true_name AS correct
+       |FROM best b JOIN dirty d ON d.id = b.id
+       |ORDER BY b.id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d_entity_resolution" -> entityResolution,
     "d_dedup_eval" -> dedupEval,
     "d_containment" -> containment,
     "d_decontaminate" -> decontaminate,
@@ -725,6 +823,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_entity_resolution" -> entityResolutionSql,
     "d_dedup_eval" -> dedupEvalSql,
     "d_containment" -> containmentSql,
     "d_decontaminate" -> decontaminateSql,

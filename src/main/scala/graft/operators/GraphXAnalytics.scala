@@ -124,4 +124,42 @@ object GraphXAnalytics {
     nodes.join(dist, Seq("id"))
       .select("label", "key", "d").orderBy("label", "key")
   }
+
+  /** LPA on GraphX with the SAME deterministic 2-round synchronous
+    * contract as `Analytics.labelPropagation` (highest neighbor-label
+    * count, smallest label on ties, no-message vertices keep their
+    * label). Each round is one `aggregateMessages` carrying per-label
+    * count maps (merged additively — the multiset a Pregel message
+    * combiner can ship that a bare label can't) + one
+    * `outerJoinVertices` argmax. Fourth equivalence-tested alternative
+    * path; the oracle-checked operator remains the DataFrame one. */
+  def lpaGraphX(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graph = PropertyGraph.load(s, dir)
+    val sid = Analytics.nodeIdCol(col("src_label"), col("src_key"))
+    val did = Analytics.nodeIdCol(col("dst_label"), col("dst_key"))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      Analytics.nodeIdCol(col("label"), col("key")).as("id"))
+    val und = graph.edges.select(sid.as("a"), did.as("b"))
+      .unionByName(graph.edges.select(did.as("a"), sid.as("b")))
+    val gxEdges = und.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+    var g = GXGraph(
+      nodes.select("id").rdd.map(r => (r.getLong(0), r.getLong(0))), gxEdges)
+    for (_ <- 1 to Analytics.lpaIters) {
+      val msgs = g.aggregateMessages[Map[Long, Long]](
+        ctx => ctx.sendToDst(Map(ctx.srcAttr -> 1L)),
+        (m1, m2) => (m1.keySet ++ m2.keySet).iterator
+          .map(k => k -> (m1.getOrElse(k, 0L) + m2.getOrElse(k, 0L))).toMap)
+      g = g.outerJoinVertices(msgs) { (_, lbl, opt) =>
+        opt.map { m =>
+          // mode with the DataFrame tie rule: max by (count, -label)
+          val (_, negL) = m.iterator.map { case (l, n) => (n, -l) }.max
+          -negL
+        }.getOrElse(lbl)
+      }
+    }
+    val out = g.vertices.toDF("id", "lbl")
+    nodes.join(out, Seq("id"))
+      .select("label", "key", "lbl").orderBy("label", "key")
+  }
 }

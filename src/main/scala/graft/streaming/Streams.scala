@@ -192,6 +192,25 @@ object Streams {
       }
   }
 
+  /** st_session_native: gap-based sessions via Spark's NATIVE
+    * session_window aggregation — the declarative twin of the
+    * flatMapGroupsWithState sessionizer (st_sessionize). Same 30-min
+    * gap contract; state management, merging of overlapping session
+    * fragments across micro-batches, and watermark-driven emission are
+    * the ENGINE's (session merge in the state store) instead of
+    * hand-written. Prefer this form when the per-session output is an
+    * aggregate; the custom-state form remains for payloads a groupBy
+    * can't express. Spec proves static-frame equality with the
+    * oracle-checked q_events_sessionize. */
+  def sessionizeNative(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+
   /** st_heavy_hitters: per tumbling 1-hour window, the top-`hhK` users
     * by event count — the streaming frequent-items primitive (batch
     * twin family: t_heavy_hitters). State is keyed by the WINDOW (not

@@ -178,6 +178,15 @@ class Round5Spec extends AnyFunSuite {
     assert(r.getAs[Long]("recall_ppm") <= 1000000)
   }
 
+  test("GraphX LPA matches the DataFrame labels exactly") {
+    val df = Analytics.labelPropagation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gx = graft.operators.GraphXAnalytics.lpaGraphX(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gx.size == df.size)
+    assert(gx == df, "per-node community labels diverge between the two engines")
+  }
+
   test("g_bfs_depth: level joins broadcast below the gate (hint survives)") {
     val plan = Analytics.bfsDepth(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),

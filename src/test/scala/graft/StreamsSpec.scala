@@ -313,6 +313,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(twin.except(streamShaped).count() == 0)
   }
 
+  test("batch twin equivalence: sessionizeNative matches q_events_sessionize") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val streamShaped = Streams.sessionizeNative(events)
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+    val twin = SparkEntry.queries("q_events_sessionize")(spark, sf)
+      .select(col("user_id"), col("start_us").as("session_start_us"),
+        col("n_events"))
+    assert(streamShaped.except(twin).count() == 0,
+      "native session_window produced sessions the lag/cumsum twin lacks")
+    assert(twin.except(streamShaped).count() == 0,
+      "lag/cumsum twin produced sessions native session_window lacks")
+  }
+
+  test("st_session_native: sessions merge across micro-batches, close at watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionizeNative(mem.toDF())
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    try {
+      val m15 = 15L * 60 * 1000 * 1000
+      // two fragments 15 min apart arrive in DIFFERENT micro-batches —
+      // the state store must merge them into one session
+      mem.addData(ev(1, 0, user = 7), ev(2, 1, user = 7))
+      q.processAllAvailable()
+      mem.addData(ev(3, m15, user = 7))
+      q.processAllAvailable()
+      mem.addData(ev(4, 10 * hourUs, user = 7)) // watermark closes it
+      q.processAllAvailable()
+      val out = spark.table("sess_native")
+        .filter(col("session_start_us") === 0L).collect()
+      assert(out.length == 1, s"fragments did not merge: ${out.mkString(";")}")
+      assert(out(0).getAs[Long]("n_events") == 3, out(0).toString)
+    } finally q.stop()
+  }
+
   test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     // total_value included: both sides sum DECIMAL, so the comparison is
