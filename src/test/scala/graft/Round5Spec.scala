@@ -178,6 +178,29 @@ class Round5Spec extends AnyFunSuite {
     assert(r.getAs[Long]("recall_ppm") <= 1000000)
   }
 
+  test("q_bloom_prejoin: semi-join reduction filters the fact side and changes nothing") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    // result identical to the plain join (the oracle states this too —
+    // here we also assert the REDUCTION: the bloom probes drop most of
+    // the fact before the real join ever sees it)
+    val out = Relational.qBloomPrejoin(spark, sf)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_size") <= 5).select("p_partkey")
+    val plainRows = li.join(part, col("l_partkey") === col("p_partkey")).count()
+    val factRows = li.count()
+    assert(out.agg(fcount(lit(1))).collect()(0).getLong(0) ==
+      part.join(li, col("p_partkey") === col("l_partkey"), "left_semi").count(),
+      "one output row per matched part")
+    // the join feeds ≤ fact rows and ≥ true matches; with a 2²⁰-bit
+    // k=3 bloom over this key count, false positives are ~0, so the
+    // surviving side should be well under half the fact table
+    assert(plainRows * 2 < factRows,
+      s"test premise: the dim filter must be selective ($plainRows vs $factRows)")
+    assert(out.collect().map(_.getAs[Long]("n_items")).sum == plainRows,
+      "bloom pre-filter changed the join result")
+  }
+
   test("GraphX LPA matches the DataFrame labels exactly") {
     val df = Analytics.labelPropagation(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
