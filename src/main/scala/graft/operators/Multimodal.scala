@@ -319,13 +319,81 @@ object Multimodal {
        |FROM n, LATERAL (SELECT unnest(range(n_chunks)) AS i) i
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // -------------------------------------------------- m_modality_dispatch
+  /** MODALITY DISPATCH by MAGIC BYTES — mixed-modality tables are
+    * routed by sniffing the payload's leading bytes (the production
+    * reality: the format column is absent or wrong; content decides).
+    * Each payload gets its real container magic prepended (PNG
+    * \x89PNG / JPEG \xFF\xD8\xFF / RIFF), detection compares binary
+    * prefixes (hex literals — no string decode of non-UTF8 bytes),
+    * and rows route into per-modality branches (image → stub dimension
+    * arithmetic, audio → frame-count arithmetic) that union back into
+    * one report. `n_match` counts detected == assigned — a green row
+    * proves the sniffing recovers every container. Linear scan, one
+    * 3-group shuffle; the branch union is how a real mixed pipeline
+    * fans out per-modality decoders. */
+  def modalityDispatch: Q = (s, dir) => {
+    val pngMagic = Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    val jpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val riffMagic = "RIFF".getBytes("UTF-8")
+    val m = mediaTable(s, dir).toDF()
+      .withColumn("p2", concat(
+        when(col("format") === "png", lit(pngMagic))
+          .when(col("format") === "jpeg", lit(jpegMagic))
+          .otherwise(lit(riffMagic)),
+        col("payload")))
+    val detected = m.withColumn("detected",
+      when(expr("substring(p2, 1, 4) = X'89504E47'"), "png")
+        .when(expr("substring(p2, 1, 4) = X'FFD8FFE0'"), "jpeg")
+        .when(expr("substring(p2, 1, 4) = X'52494646'"), "wav")
+        .otherwise("unknown"))
+    val image = detected.filter(col("detected").isin("png", "jpeg"))
+      .select(col("detected"), col("format"),
+        (length(col("p2")) - 4).cast("long").as("body_bytes"),
+        // stub decoder arithmetic on the first BODY byte (width proxy)
+        (lit(64) + expr("ascii(substring(decode(payload, 'UTF-8'), 1, 1)) % 128"))
+          .cast("long").as("stat"))
+    val audio = detected.filter(col("detected") === "wav")
+      .select(col("detected"), col("format"),
+        (length(col("p2")) - 4).cast("long").as("body_bytes"),
+        // frame count at chunkBytes per frame, ceil — the ASR shape
+        expr(s"CAST((length(p2) - 4 + $chunkBytes - 1) div $chunkBytes AS BIGINT)")
+          .as("stat"))
+    image.unionByName(audio)
+      .groupBy(col("detected").as("modality"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("detected") === col("format"), 1L).otherwise(0L)).as("n_match"),
+        sum(col("body_bytes")).as("body_bytes"),
+        sum(col("stat")).as("stat_sum"))
+      .orderBy("modality")
+  }
+
+  /** Oracle reconstructs the same dispatch from `documents`: format
+    * assignment is doc_id-parity, magic adds 4 bytes, ASCII body ⇒
+    * byte arithmetic == char arithmetic. */
+  val modalityDispatchSql: String =
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+       |  length(text) AS body, text
+       | FROM documents
+       |)
+       |SELECT fmt AS modality, count(*) AS n_files, count(*) AS n_match,
+       | CAST(sum(body) AS BIGINT) AS body_bytes,
+       | CAST(sum(CASE WHEN fmt IN ('png', 'jpeg')
+       |   THEN 64 + (ascii(substr(text, 1, 1)) % 128)
+       |   ELSE (body + $chunkBytes - 1) // $chunkBytes END) AS BIGINT) AS stat_sum
+       |FROM m GROUP BY fmt ORDER BY modality""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m_modality_dispatch" -> modalityDispatch,
     "m_multimodal_meta" -> multimodalMeta,
     "m_frame_sample" -> frameSampleQ,
     "m_resize" -> resizeQ,
     "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
+    "m_modality_dispatch" -> modalityDispatchSql,
     "m_multimodal_meta" -> multimodalMetaSql,
     "m_frame_sample" -> frameSampleSql,
     "m_resize" -> resizeSql,

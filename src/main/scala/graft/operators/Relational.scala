@@ -359,6 +359,84 @@ object Relational {
        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
   }
 
+  // -------------------------------------------------------------- q_cdc_diff
+  /** SNAPSHOT DIFF (change-data-capture): given yesterday's and today's
+    * table states, classify every key as inserted / deleted / changed /
+    * unchanged and report counts + the net value delta — the primitive
+    * behind incremental replication, audit trails, and "what moved"
+    * dashboards. One full-outer join on the key (shuffle both sides on
+    * it; bucketed snapshots make it exchange-free), DECIMAL-exact value
+    * comparison and delta. The two snapshots are deterministic in-query
+    * slices of orders (key-parity membership, a price bump on today's
+    * side) so both engines diff the identical pair. */
+  def qCdcDiff: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), dec(col("o_totalprice")).as("price"))
+    val yest = o.filter(col("key") % 7 =!= 0)
+      .select(col("key"), col("price").as("p_old"))
+    val today = o.filter(col("key") % 5 =!= 0)
+      .select(col("key"),
+        when(col("key") % 3 === 0, col("price") + lit(1).cast(D))
+          .otherwise(col("price")).as("p_new"))
+    yest.join(today, Seq("key"), "full_outer")
+      .select(
+        when(col("p_old").isNull, "inserted")
+          .when(col("p_new").isNull, "deleted")
+          .when(col("p_new") =!= col("p_old"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("p_new"), lit(0).cast(D)) -
+          coalesce(col("p_old"), lit(0).cast(D))).as("delta"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("delta")).cast("double").as("net_delta"))
+      .orderBy("status")
+  }
+
+  val qCdcDiffSql: String =
+    """WITH o AS (
+      | SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      | FROM orders
+      |), yest AS (
+      | SELECT key, price AS p_old FROM o WHERE key % 7 <> 0
+      |), today AS (
+      | SELECT key,
+      |  CASE WHEN key % 3 = 0 THEN price + CAST(1 AS DECIMAL(12,2))
+      |       ELSE price END AS p_new
+      | FROM o WHERE key % 5 <> 0
+      |), d AS (
+      | SELECT CASE WHEN p_old IS NULL THEN 'inserted'
+      |             WHEN p_new IS NULL THEN 'deleted'
+      |             WHEN p_new <> p_old THEN 'changed'
+      |             ELSE 'unchanged' END AS status,
+      |  COALESCE(p_new, 0) - COALESCE(p_old, 0) AS delta
+      | FROM yest FULL OUTER JOIN today USING (key)
+      |)
+      |SELECT status, count(*) AS n_keys,
+      | CAST(sum(delta) AS DOUBLE) AS net_delta
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  // -------------------------------------------------------------- q_unpivot
+  /** UNPIVOT — wide-to-long, the inverse of q_pivot, via both engines'
+    * NATIVE unpivot (Spark `Dataset.unpivot` / DuckDB `UNPIVOT`), not a
+    * hand-rolled stack: the round-trip pivot∘unpivot over the same
+    * 5-priority layout proves the two reshapes compose losslessly
+    * (zero-filled combos survive as explicit 0 rows). Unpivot is a
+    * map-side explode — no shuffle beyond the pivot's own; at 100 TB
+    * the long form is the JOIN-able form, which is why the inverse
+    * matters. */
+  def qUnpivot: Q = (s, dir) =>
+    qPivot(s, dir)
+      .unpivot(Array(col("segment")),
+        pivotPris.indices.map(i => col(s"p${i + 1}")).toArray,
+        "pri_tag", "n_orders")
+      .orderBy("segment", "pri_tag")
+
+  val qUnpivotSql: String =
+    s"""WITH piv AS ($qPivotSql)
+       |UNPIVOT piv ON ${pivotPris.indices.map(i => s"p${i + 1}").mkString(", ")}
+       |INTO NAME pri_tag VALUE n_orders
+       |ORDER BY segment, pri_tag""".stripMargin
+
   // ---------------------------------------------------------- q_window_range
   /** RANGE-frame window (vs the ROWS frames in q_window): per customer,
     * each order sees the count and revenue of that customer's orders in
@@ -1397,6 +1475,8 @@ object Relational {
 
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_cdc_diff" -> qCdcDiff,
+    "q_unpivot" -> qUnpivot,
     "q_profile" -> qProfile,
     "q_running_distinct" -> qRunningDistinct,
     "q_bloom_prejoin" -> qBloomPrejoin,
@@ -1436,6 +1516,8 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_cdc_diff" -> qCdcDiffSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_profile" -> qProfileSql,
     "q_running_distinct" -> qRunningDistinctSql,
     "q_bloom_prejoin" -> qBloomPrejoinSql,

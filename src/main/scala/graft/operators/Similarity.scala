@@ -97,6 +97,63 @@ object Similarity {
        | FROM scored
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
 
+  // ------------------------------------------------------ s_ann_filtered
+  /** FILTERED vector search — top-k under a metadata predicate
+    * (label = 0 here; "only English docs", "only this tenant" in
+    * production), the retrieval shape RAG systems actually run. This is
+    * the exact within-predicate baseline: candidates filter BEFORE
+    * scoring (predicate pushdown does the work), so the ranking is the
+    * ground truth any filtered-index strategy is recall-measured
+    * against. Scale paths, in preference order: partition the corpus by
+    * the filter column (the predicate becomes partition pruning, then
+    * any per-partition index applies); or over-fetch from an unfiltered
+    * LSH/IVF index and post-filter — both compose from the
+    * already-checked s_ann_topk_lsh / s_ann_ivf machinery. */
+  def annFiltered: Q = (s, dir) => {
+    val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val pRaw = quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp")
+    val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
+    val cands = quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
+      .join(lbl.filter(col("label") === 0)
+        .select(col("vec_id").as("cand_id")), Seq("cand_id"))
+    val scored = probes.crossJoin(cands)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"),
+        expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+          " ELSE -((dp * dp * 1000) div nb) END").as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val annFilteredSql: String =
+    s"""WITH q AS (
+       | SELECT vec_id, label, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), scored AS (
+       | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |  CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
+       |   THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |   ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
+       |  END AS score
+       | FROM q p, q c
+       | WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 0
+       |)
+       |SELECT probe_id, rn, cand_id, score FROM (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM scored
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------- LSH scale path
   /** Banded random-hyperplane LSH (the AND-OR construction): `lshBands`
     * bands of `lshRowsPerBand` sign bits each. A pair is a candidate
@@ -573,6 +630,7 @@ object Similarity {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "s_ann_filtered" -> annFiltered,
     "s_ann_topk" -> annTopk,
     "s_ann_topk_lsh" -> annTopkLsh,
     "s_ann_ivf" -> annIvf,
@@ -581,6 +639,7 @@ object Similarity {
     "s_ann_recall" -> annRecall,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "s_ann_filtered" -> annFilteredSql,
     "s_ann_topk" -> annTopkSql,
     "s_ann_topk_lsh" -> annTopkLshSql,
     "s_ann_ivf" -> annIvfSql,
