@@ -66,7 +66,15 @@ object Bench {
     }
     val tailBudget = 1500
     val slowFirst = results.toSeq.sortBy { case (_, v) => -v }
-    val fixed = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"queries_full":"bench_out.json","queries":{},"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}"""
+    // errors are CAPPED in the short line (first 10 + the count): a
+    // mass-failure run would otherwise blow the fixed prefix past the
+    // tail budget and lose parseability exactly when the error report
+    // matters most; the full list is on the full line + bench_out.json
+    val shortErrs =
+      (failed.take(10) ++
+        (if (failed.size > 10) Seq(s"\"+${failed.size - 10} more\"") else Nil))
+        .mkString("[", ",", "]")
+    val fixed = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"n_failed":${failed.size},"queries_full":"bench_out.json","queries":{},"errors":$shortErrs,"value":${fmt(total)}}"""
     var room = tailBudget - fixed.length
     val kept = slowFirst.takeWhile { case (k, v) =>
       val len = k.length + fmt(v).length + 4 // quotes + colon + comma
@@ -74,7 +82,7 @@ object Bench {
     }
     val shortQs = kept.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"queries_full":"bench_out.json","queries":$shortQs,"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"n_failed":${failed.size},"queries_full":"bench_out.json","queries":$shortQs,"errors":$shortErrs,"value":${fmt(total)}}""")
     spark.stop()
     // a failed query must fail the RUN, not just annotate the JSON —
     // otherwise a broken slow query lowers "value" and a consumer that

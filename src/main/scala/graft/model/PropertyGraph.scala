@@ -295,12 +295,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // heading into combinatorial blowup (the 100 TB failure mode) pays
     // maxDepth−1 node-bounded rounds to cut path-count-sized work.
     var pruneDist: Option[DataFrame] = None
+    var distRef: Option[DistEntry] = None
+    try {
     while (depth < maxDepth && frontierRows > 0) {
       if (pruneDist.isEmpty && frontierRows > pruneActivationRows) {
-        val (d, rows) = distancesToDstMemo(e, dstLabel, dstKey, nodeLabels,
+        val en = acquireDistances(e, dstLabel, dstKey, nodeLabels,
           edgeLabels, directed, srcLabel, lookout = maxDepth - depth)
+        distRef = Some(en)
         pruneDist = Some(
-          if (rows <= broadcastRowCap) broadcast(d) else d)
+          if (en.rows <= broadcastRowCap) broadcast(en.df) else en.df)
       }
       depth += 1
       val fr = if (frontierRows <= broadcastRowCap) broadcast(frontier)
@@ -350,11 +353,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // checkpoint, then free every intermediate level's blocks — the
     // round-1 release discipline the r4 advisor flagged as lost:
     // returning filters over the level checkpoints pinned every level
-    // in the block manager until session end.
-    val res = (if (withEdgeLabels) results.get
-               else results.get.drop("elabels")).localCheckpoint(eager = true)
-    levels.foreach(PropertyGraph.freeLocalCheckpoint)
-    res
+    // in the block manager until session end. The free runs in the
+    // finally so an exception mid-search (OOM, cancelled job) releases
+    // the levels too — Bench deliberately keeps the session alive past
+    // per-query failures, so an error-path leak would pin every level
+    // for the rest of the run.
+    (if (withEdgeLabels) results.get
+     else results.get.drop("elabels")).localCheckpoint(eager = true)
+    } finally {
+      levels.foreach(PropertyGraph.freeLocalCheckpoint)
+      distRef.foreach(releaseDistances)
+    }
   }
 
   /** BOUNDED (LRU, `distMemoCap` entries) memo for backward-distance
@@ -375,34 +384,63 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * that would have read it). */
   private val distMemoCap = 32
   private type DistKey = (String, Long, Seq[String], Seq[String], Boolean, String)
+
+  /** Memo entry with a REFERENCE COUNT: an in-flight pathsTo holds the
+    * frame across its whole forward loop (outside the memo lock), so
+    * LRU eviction or a lookout upgrade must not unpersist blocks a
+    * concurrent search is still reading — localCheckpoints are
+    * non-recomputable, the job would die. Eviction/replacement calls
+    * `retire`, which frees immediately only when unreferenced and
+    * otherwise marks the entry dead; the LAST releaser frees it. */
+  private final class DistEntry(val df: DataFrame, val rows: Long,
+                                val lookout: Int) {
+    var refs: Int = 0
+    var dead: Boolean = false
+  }
+
+  /** Caller must hold the distMemo lock. */
+  private def retire(en: DistEntry): Unit =
+    if (en.refs == 0) PropertyGraph.freeLocalCheckpoint(en.df)
+    else en.dead = true
+
   private val distMemo =
-    new java.util.LinkedHashMap[DistKey, (DataFrame, Long, Int)](16, 0.75f, true) {
+    new java.util.LinkedHashMap[DistKey, DistEntry](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[DistKey, (DataFrame, Long, Int)]): Boolean =
-        if (size > distMemoCap) {
-          PropertyGraph.freeLocalCheckpoint(e.getValue._1); true
-        } else false
+          e: java.util.Map.Entry[DistKey, DistEntry]): Boolean =
+        if (size > distMemoCap) { retire(e.getValue); true } else false
     }
 
-  private def distancesToDstMemo(e: DataFrame, dstLabel: String, dstKey: Long,
-                                 nodeLabels: Seq[String], edgeLabels: Seq[String],
-                                 directed: Boolean, srcLabel: String,
-                                 lookout: Int): (DataFrame, Long) = {
+  /** Fetch-or-build with the ref count already incremented; pair every
+    * call with `releaseDistances` (pathsTo does, in its finally). The
+    * build runs inside the lock — coarse, but a backward BFS is rare
+    * (prune activation only) and correctness of concurrent eviction
+    * beats overlap here. */
+  private def acquireDistances(e: DataFrame, dstLabel: String, dstKey: Long,
+                               nodeLabels: Seq[String], edgeLabels: Seq[String],
+                               directed: Boolean, srcLabel: String,
+                               lookout: Int): DistEntry = {
     val k = (dstLabel, dstKey, nodeLabels, edgeLabels, directed, srcLabel)
     distMemo.synchronized {
       Option(distMemo.get(k)) match {
-        case Some((d, rows, had)) if had >= lookout => (d, rows)
+        case Some(en) if en.lookout >= lookout =>
+          en.refs += 1; en
         case stale =>
           val (d, rows) = distancesToDst(e, dstLabel, dstKey, nodeLabels,
             srcLabel, lookout)
-          stale.foreach { case (old, _, _) =>
-            PropertyGraph.freeLocalCheckpoint(old)
-          }
-          distMemo.put(k, (d, rows, lookout))
-          (d, rows)
+          stale.foreach(retire)
+          val en = new DistEntry(d, rows, lookout)
+          en.refs = 1
+          distMemo.put(k, en)
+          en
       }
     }
   }
+
+  private def releaseDistances(en: DistEntry): Unit =
+    distMemo.synchronized {
+      en.refs -= 1
+      if (en.dead && en.refs == 0) PropertyGraph.freeLocalCheckpoint(en.df)
+    }
 
   /** Backward BFS: minimum hop count from every node to (dstLabel,
     * dstKey) over the traversable edge set `e` (rows a_*→b_*), looking
@@ -431,6 +469,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     var frontierRows = 1L
     var total = 1L
     var d = 0
+    try {
     while (d < lookout - 1 && frontierRows > 0) {
       d += 1
       val fr = if (frontierRows <= broadcastRowCap) broadcast(frontier)
@@ -453,10 +492,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       frontier = next
     }
     // collapse the per-level union into ONE checkpointed leaf (what the
-    // memo stores and eviction frees), then release the level blocks
-    val res = dist.localCheckpoint(eager = true)
-    levels.foreach(PropertyGraph.freeLocalCheckpoint)
-    (res, total)
+    // memo stores and eviction frees); the level blocks release in the
+    // finally so an exception mid-BFS frees them too
+    (dist.localCheckpoint(eager = true), total)
+    } finally levels.foreach(PropertyGraph.freeLocalCheckpoint)
   }
 
   /** Structured Path view — the reference's `Path` (start node +

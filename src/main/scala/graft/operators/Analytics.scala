@@ -1089,10 +1089,10 @@ object Analytics {
     * joins to attach deg(a)/deg(b), then a 1-row map-side-combined
     * aggregate — no window, no all-pairs anything. */
   def assortativity: Q = (s, dir) => {
-    val (_, undW) = numericGraph(s, dir)
+    val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
     val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-    val n = numericGraph(s, dir)._1.count()
+    val n = nodes.count()
     val m = und
       .join(gated(deg.select(col("id").as("a"), col("deg").as("xd")), n), Seq("a"))
       .join(gated(deg.select(col("id").as("b"), col("deg").as("yd")), n), Seq("b"))

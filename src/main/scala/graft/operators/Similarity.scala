@@ -48,23 +48,28 @@ object Similarity {
     * probe. */
   val annK = 5
 
-  def annTopk: Q = (s, dir) => {
-    // gated like every forced hint in the codebase: the probe predicate
-    // bounds this side by construction, but if a caller widens it past
-    // the cap the forced broadcast must NOT ride to the 8 GB ceiling —
-    // drop the hint and let AQE decide from observed sizes
+  /** Shared brute-force stage for s_ann_topk and s_ann_filtered: gated
+    * probe broadcast × candidate frame `(cand_id, qc, nb)`, the
+    * integer score, deterministic row_number top-k. ONE definition so
+    * the exact-parity score expression can never diverge between the
+    * unfiltered and filtered baselines.
+    *
+    * Probe gate: the predicate bounds this side by construction, but if
+    * a caller widens it past the cap the forced broadcast must NOT ride
+    * to the 8 GB ceiling — drop the hint and let AQE decide.
+    * `div`, not `/`: Spark `/` on BIGINTs is DOUBLE division and the
+    * cast-back truncation only matches DuckDB's exact integer `//`
+    * below 2^53 — dp²·1000 reaches ~4×10¹⁸. `div` is exact BIGINT
+    * floor division in both engines (same fix as pagerank). */
+  private def bruteTopk(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
     val pRaw = quantized(s, dir)
       .filter(col("vec_id") < 10).toDF("probe_id", "qp")
     val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
     val scored = probes
-      .crossJoin(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"))
+      .crossJoin(cands)
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         dot(col("qp"), col("qc")).as("dp"), col("nb"))
-      // `div`, not `/`: Spark `/` on BIGINTs is DOUBLE division and the
-      // cast-back truncation only matches DuckDB's exact integer `//`
-      // below 2^53 — dp²·1000 reaches ~4×10¹⁸. `div` is exact BIGINT
-      // floor division in both engines (same fix as pagerank).
       .select(col("probe_id"), col("cand_id"),
         expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
           " ELSE -((dp * dp * 1000) div nb) END").as("score"))
@@ -76,9 +81,11 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
-  val annTopkSql: String =
+  /** DuckDB twin of bruteTopk; `candWhere` injects the candidate
+    * predicate ('' for the unfiltered baseline). */
+  private def bruteTopkSql(candWhere: String): String =
     s"""WITH q AS (
-       | SELECT vec_id, list_transform(embedding,
+       | SELECT vec_id, label, list_transform(embedding,
        |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
        | FROM embeddings
        |), scored AS (
@@ -89,13 +96,18 @@ object Similarity {
        |   ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
        |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
        |  END AS score
-       | FROM q p, q c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+       | FROM q p, q c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id$candWhere
        |)
        |SELECT probe_id, rn, cand_id, score FROM (
        | SELECT probe_id, cand_id, score,
        |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
        | FROM scored
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+
+  def annTopk: Q = (s, dir) =>
+    bruteTopk(s, dir, quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"))
+
+  val annTopkSql: String = bruteTopkSql("")
 
   // ------------------------------------------------------ s_ann_filtered
   /** FILTERED vector search — top-k under a metadata predicate
@@ -111,48 +123,13 @@ object Similarity {
     * already-checked s_ann_topk_lsh / s_ann_ivf machinery. */
   def annFiltered: Q = (s, dir) => {
     val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
-    val pRaw = quantized(s, dir)
-      .filter(col("vec_id") < 10).toDF("probe_id", "qp")
-    val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
-    val cands = quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
-      .join(lbl.filter(col("label") === 0)
-        .select(col("vec_id").as("cand_id")), Seq("cand_id"))
-    val scored = probes.crossJoin(cands)
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"),
-        dot(col("qp"), col("qc")).as("dp"), col("nb"))
-      .select(col("probe_id"), col("cand_id"),
-        expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
-          " ELSE -((dp * dp * 1000) div nb) END").as("score"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= annK)
-      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
-      .orderBy("probe_id", "rn")
+    bruteTopk(s, dir,
+      quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
+        .join(lbl.filter(col("label") === 0)
+          .select(col("vec_id").as("cand_id")), Seq("cand_id")))
   }
 
-  val annFilteredSql: String =
-    s"""WITH q AS (
-       | SELECT vec_id, label, list_transform(embedding,
-       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
-       | FROM embeddings
-       |), scored AS (
-       | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-       |  CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
-       |   THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
-       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
-       |   ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
-       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
-       |  END AS score
-       | FROM q p, q c
-       | WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 0
-       |)
-       |SELECT probe_id, rn, cand_id, score FROM (
-       | SELECT probe_id, cand_id, score,
-       |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
-       | FROM scored
-       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+  val annFilteredSql: String = bruteTopkSql(" AND c.label = 0")
 
   // ------------------------------------------------------- LSH scale path
   /** Banded random-hyperplane LSH (the AND-OR construction): `lshBands`

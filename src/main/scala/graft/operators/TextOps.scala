@@ -1067,8 +1067,12 @@ object TextOps {
       .withColumn("n", count(lit(1)).over(bySrc))
       .groupBy("source")
       .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("med"))
+    // dev feeds BOTH the MAD rank pass and the final aggregate — cache
+    // per the file's policy (parameter-free plan ⇒ one bounded
+    // session-wide entry) so the scan + median pipeline runs once
     val dev = base.join(med, Seq("source"))
       .withColumn("dev", abs(col("n_chars") - col("med")))
+      .cache()
     val mad = dev
       .withColumn("rn", row_number().over(bySrc.orderBy(col("dev"))))
       .withColumn("n", count(lit(1)).over(bySrc))

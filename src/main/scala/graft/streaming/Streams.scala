@@ -201,11 +201,22 @@ object Streams {
     * hand-written. Prefer this form when the per-session output is an
     * aggregate; the custom-state form remains for payloads a groupBy
     * can't express. Spec proves static-frame equality with the
-    * oracle-checked q_events_sessionize. */
+    * oracle-checked q_events_sessionize INCLUDING the exact-gap
+    * boundary.
+    *
+    * Gap boundary: both twins use STRICT-greater (`us − last > gap`
+    * splits), i.e. an event exactly `gap` after the previous one stays
+    * in the SAME session — but session_window's window is
+    * [start, last + gap), which EXCLUDES that event. The extra
+    * microsecond below (timestamps are µs-resolution) makes the window
+    * half-open bound land one tick past the twins' inclusive boundary,
+    * aligning the three implementations exactly. */
+  private val sessionGap = s"${gapUs + 1} microseconds"
+
   def sessionizeNative(events: DataFrame): DataFrame =
     withEventTime(events)
       .withWatermark("ets", "1 hour")
-      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .groupBy(col("user_id"), session_window(col("ets"), sessionGap))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),

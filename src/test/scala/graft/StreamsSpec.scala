@@ -341,12 +341,18 @@ class StreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(ev(3, m15, user = 7))
       q.processAllAvailable()
-      mem.addData(ev(4, 10 * hourUs, user = 7)) // watermark closes it
+      // EXACT-gap boundary: both twins keep an event exactly gapUs
+      // after the previous one in the SAME session (strict-greater
+      // split) — the +1µs session_window gap must match that
+      mem.addData(ev(4, m15 + Streams.gapUs, user = 7))
+      q.processAllAvailable()
+      mem.addData(ev(5, 10 * hourUs, user = 7)) // watermark closes it
       q.processAllAvailable()
       val out = spark.table("sess_native")
         .filter(col("session_start_us") === 0L).collect()
-      assert(out.length == 1, s"fragments did not merge: ${out.mkString(";")}")
-      assert(out(0).getAs[Long]("n_events") == 3, out(0).toString)
+      assert(out.length == 1,
+        s"fragments did not merge (exact-gap event split?): ${out.mkString(";")}")
+      assert(out(0).getAs[Long]("n_events") == 4, out(0).toString)
     } finally q.stop()
   }
 
