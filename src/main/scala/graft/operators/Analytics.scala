@@ -1179,8 +1179,83 @@ object Analytics {
        |ORDER BY jac_ppm DESC, cn DESC, p1, p2
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- g_random_walk
+  /** Deterministic RANDOM WALKS — the corpus generator for graph
+    * embeddings (DeepWalk/node2vec pretraining data): `walkSteps` steps
+    * from each nation seed over the undirected graph. The "random"
+    * choice is the deterministic-sampling discipline every sampled op
+    * here uses: step i from node v picks neighbor rank
+    * (hexSlice(md5(v:i), 8 nibbles) mod deg(v)) + 1 over the id-ordered
+    * neighbor list — reproducible under re-partitioning, re-runs, and
+    * in the oracle (an RNG walk would never hash-match). Each step is
+    * one equi-join on the current node against the ranked adjacency
+    * view (rank filter rides the join); walks never touch the driver.
+    * At 100× the adjacency view is the thing to pre-bucket; walk count
+    * scales with seeds, not graph size. */
+  val walkSteps = 4
+
+  def randomWalk: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b").distinct()
+    val byA = Window.partitionBy("a")
+    val adj = und
+      .withColumn("rk", row_number().over(byA.orderBy("b")))
+      .withColumn("deg", count(lit(1)).over(byA))
+      .localCheckpoint(eager = false) // read by every step
+    var walk = nodes.filter(col("label") === "nation")
+      .select(col("id").as("start"), col("id").as("cur"),
+        col("id").cast("string").as("path"))
+    for (i <- 1 to walkSteps) {
+      val pick = (graft.functions.VectorExprs.hexSlice(
+        md5(concat(col("cur").cast("string"), lit(s":$i"))), 1, 8)
+        % col("deg")) + 1
+      walk = walk.join(adj, col("a") === col("cur") && col("rk") === pick)
+        .select(col("start"), col("b").as("cur"),
+          concat(col("path"), lit(">"), col("b")).as("path"))
+    }
+    nodes.join(walk, col("id") === col("start"))
+      .select(col("label"), col("key"), col("path"),
+        col("cur").as("end_id"))
+      .orderBy("label", "key")
+  }
+
+  val randomWalkSql: String = {
+    def hash8(cur: String, i: Int): String =
+      (0 until 8).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST($cur AS VARCHAR) || ':$i'), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
+      }.mkString("(", " + ", ")")
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), und AS (
+             | SELECT DISTINCT $undSqlPair
+             |), adj AS (
+             | SELECT a, b,
+             |  row_number() OVER (PARTITION BY a ORDER BY b) AS rk,
+             |  count(*) OVER (PARTITION BY a) AS deg
+             | FROM und
+             |), w0 AS (
+             | SELECT id AS start, id AS cur, CAST(id AS VARCHAR) AS path
+             | FROM ids WHERE label = 'nation'
+             |)""".stripMargin
+    for (i <- 1 to walkSteps) {
+      b ++= s""", w$i AS (
+               | SELECT w.start, adj.b AS cur,
+               |  w.path || '>' || CAST(adj.b AS VARCHAR) AS path
+               | FROM w${i - 1} w JOIN adj ON adj.a = w.cur
+               |  AND adj.rk = (${hash8("w.cur", i)} % adj.deg) + 1
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, w.path, CAST(w.cur AS BIGINT) AS end_id
+             |FROM w$walkSteps w JOIN ids i ON i.id = w.start
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_random_walk" -> randomWalk,
     "g_eccentricity" -> eccentricity,
     "g_assortativity" -> assortativity,
     "g_jaccard_neighbors" -> jaccardNeighbors,
@@ -1198,6 +1273,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_random_walk" -> randomWalkSql,
     "g_eccentricity" -> eccentricitySql,
     "g_assortativity" -> assortativitySql,
     "g_jaccard_neighbors" -> jaccardNeighborsSql,

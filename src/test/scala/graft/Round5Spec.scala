@@ -210,6 +210,74 @@ class Round5Spec extends AnyFunSuite {
     assert(gx == df, "per-node community labels diverge between the two engines")
   }
 
+  test("q_cdc_diff: statuses reconcile with the membership arithmetic") {
+    val out = Relational.qCdcDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_keys")).toMap
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    def n(p: Long => Boolean) = keys.count(p).toLong
+    assert(out("inserted") == n(k => k % 7 == 0 && k % 5 != 0))
+    assert(out("deleted") == n(k => k % 7 != 0 && k % 5 == 0))
+    assert(out("changed") == n(k => k % 7 != 0 && k % 5 != 0 && k % 3 == 0))
+    assert(out.values.sum == n(k => k % 7 != 0 || k % 5 != 0))
+  }
+
+  test("m_modality_dispatch: sniffing recovers every container, bytes reconcile") {
+    val rows = graft.operators.Multimodal.modalityDispatch(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("modality")).sorted
+      .sameElements(Array("jpeg", "png", "wav")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_match") == r.getAs[Long]("n_files"),
+        s"magic-byte detection missed a container: $r")
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum(length(col("text")))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("body_bytes")).sum == total,
+      "magic prefix leaked into the body byte count")
+  }
+
+  test("d_entity_resolution: every dirty record resolves to its true entity at distance 1") {
+    val rows = graft.operators.Dedup.entityResolution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("correct"), s"wrong entity: $r")
+      assert(r.getAs[Long]("lev") == 1, s"one-char corruption must be distance 1: $r")
+    }
+  }
+
+  test("g_random_walk: every hop is a real edge, walks are reproducible") {
+    val out1 = Analytics.randomWalk(spark, sf).collect()
+    val out2 = Analytics.randomWalk(spark, sf).collect()
+    assert(out1.map(_.toString).sorted.sameElements(out2.map(_.toString).sorted),
+      "walks are not reproducible across runs")
+    // validate each consecutive pair against the undirected edge set
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val code = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    val edges = g.edges.select("src_label", "src_key", "dst_label", "dst_key")
+      .collect().flatMap { r =>
+        val a = code(r.getString(0)) * 10000000000000L + r.getLong(1)
+        val b = code(r.getString(2)) * 10000000000000L + r.getLong(3)
+        Seq((a, b), (b, a))
+      }.toSet
+    out1.foreach { r =>
+      val hops = r.getAs[String]("path").split('>').map(_.toLong)
+      assert(hops.length == Analytics.walkSteps + 1, s"wrong walk length: $r")
+      hops.sliding(2).foreach { case Array(u, v) =>
+        assert(edges.contains((u, v)), s"walk used a non-edge $u->$v: $r")
+      }
+      assert(hops.last == r.getAs[Long]("end_id"))
+    }
+  }
+
+  test("q_unpivot: long form re-aggregates to the pivot exactly") {
+    val long = Relational.qUnpivot(spark, sf).collect()
+    assert(long.length == 25, "5 segments x 5 priorities, zero-filled")
+    val total = long.map(_.getAs[Long]("n_orders")).sum
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(total == orders, "unpivoted counts must cover every order")
+  }
+
   test("g_bfs_depth: level joins broadcast below the gate (hint survives)") {
     val plan = Analytics.bfsDepth(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
