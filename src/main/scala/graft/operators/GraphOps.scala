@@ -574,6 +574,77 @@ object GraphOps {
     h1.union(h2).distinct().orderBy("label", "key")
   }
 
+  // ---------------------------------------------------- g_ego_subgraph
+  /** 2-hop EGO SUBGRAPH around customer:1 — the serving primitive every
+    * graph UI / feature extractor calls ("show me this entity's
+    * neighborhood"): the UNDIRECTED ≤2-hop node set, then the INDUCED
+    * edge set (both endpoints inside — g_neighbors_2hop returns only
+    * the nodes; the subgraph needs the edges BETWEEN them too, which a
+    * traversal alone doesn't produce). Shape: two frontier expansions
+    * build the (small, checkpointed) ego set, then two left-semi joins
+    * induce the edges — the ego set broadcasts, the edge table is never
+    * shuffled. Output is the edge list; node count rides along via the
+    * path that produced it. */
+  def egoSubgraph: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val und = graph.edges.select(
+        col("src_label").as("al"), col("src_key").as("ak"),
+        col("dst_label").as("bl"), col("dst_key").as("bk"))
+      .unionByName(graph.edges.select(
+        col("dst_label").as("al"), col("dst_key").as("ak"),
+        col("src_label").as("bl"), col("src_key").as("bk")))
+    val start = graph.nodes
+      .filter(col("label") === "customer" && col("key") === 1L)
+      .select(col("label"), col("key"))
+    def expand(f: DataFrame): DataFrame =
+      und.join(f.withColumnRenamed("label", "al").withColumnRenamed("key", "ak"),
+          Seq("al", "ak"))
+        .select(col("bl").as("label"), col("bk").as("key")).distinct()
+    val h1 = expand(start).localCheckpoint(eager = true)
+    val ego = start.unionByName(h1).unionByName(expand(h1))
+      .distinct().localCheckpoint(eager = true)
+    // gate like every forced hint here: a 2-hop ego of a hub node can
+    // be huge at 100× — past the cap the hints drop and the semi-joins
+    // shuffle (the count is a cheap scan of the checkpointed set)
+    val egoRows = ego.count()
+    def gated(df: DataFrame): DataFrame =
+      if (egoRows <= 500000L) broadcast(df) else df
+    graph.edges
+      .join(gated(ego.toDF("src_label", "src_key")),
+        Seq("src_label", "src_key"), "left_semi")
+      .join(gated(ego.toDF("dst_label", "dst_key")),
+        Seq("dst_label", "dst_key"), "left_semi")
+      .select("elabel", "src_label", "src_key", "dst_label", "dst_key")
+      .orderBy("elabel", "src_label", "src_key", "dst_label", "dst_key")
+  }
+
+  val egoSubgraphSql: String =
+    s"""$cte, und AS (
+       | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk
+       | FROM edges
+       | UNION ALL
+       | SELECT dst_label, dst_key, src_label, src_key FROM edges
+       |), start AS (
+       | SELECT label, key FROM nodes WHERE label = 'customer' AND key = 1
+       |), h1 AS (
+       | SELECT DISTINCT u.bl AS label, u.bk AS key
+       | FROM und u JOIN start s ON u.al = s.label AND u.ak = s.key
+       |), ego AS (
+       | SELECT DISTINCT label, key FROM (
+       |  SELECT * FROM start UNION ALL SELECT * FROM h1
+       |  UNION ALL
+       |  SELECT DISTINCT u.bl, u.bk FROM und u
+       |  JOIN h1 ON u.al = h1.label AND u.ak = h1.key
+       | )
+       |)
+       |SELECT e.elabel, e.src_label, e.src_key, e.dst_label, e.dst_key
+       |FROM edges e
+       |WHERE EXISTS (SELECT 1 FROM ego a
+       |        WHERE a.label = e.src_label AND a.key = e.src_key)
+       |  AND EXISTS (SELECT 1 FROM ego b
+       |        WHERE b.label = e.dst_label AND b.key = e.dst_key)
+       |ORDER BY elabel, src_label, src_key, dst_label, dst_key""".stripMargin
+
   val neighbors2hopSql: String =
     s"""$cte, start AS (
        | SELECT label, key FROM nodes WHERE label = 'customer' AND key <= 10
@@ -611,6 +682,7 @@ object GraphOps {
     "g_paths_to" -> pathsTo,
     "g_paths_labeled" -> pathsLabeled,
     "g_degree" -> degree,
+    "g_ego_subgraph" -> egoSubgraph,
     "g_neighbors_2hop" -> neighbors2hop)
 
   val oracleSql: Map[String, String] = Map(
@@ -636,5 +708,6 @@ object GraphOps {
     "g_paths_to" -> pathsToSql,
     "g_paths_labeled" -> pathsLabeledSql,
     "g_degree" -> degreeSql,
+    "g_ego_subgraph" -> egoSubgraphSql,
     "g_neighbors_2hop" -> neighbors2hopSql)
 }

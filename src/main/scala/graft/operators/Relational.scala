@@ -359,6 +359,57 @@ object Relational {
        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
   }
 
+  // -------------------------------------------------------------- q_dq_checks
+  /** DATA-QUALITY GATE — the assertion table a pipeline runs before
+    * promoting a batch: one row per rule with the violation count, so
+    * "is this batch shippable" is `max(n_violations) == 0` (plus
+    * which rule broke and by how much when it isn't). Rules cover the
+    * four failure families: NULL keys, out-of-RANGE values, ORPHAN
+    * foreign keys (referential integrity as a left-anti join — the
+    * only shape that checks FK at 100 TB), and DUPLICATE primary keys
+    * (groupBy-count, map-side combined). Each rule is one scan or one
+    * anti-join; no rule touches the driver. */
+  def qDqChecks: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    def rule(name: String, viol: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    rule("lineitem.l_orderkey NOT NULL",
+        li.filter(col("l_orderkey").isNull))
+      .unionByName(rule("lineitem.l_quantity IN [1,50]",
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+      .unionByName(rule("lineitem.l_discount IN [0,0.1]",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 0.1)))
+      .unionByName(rule("lineitem.l_orderkey REFERENCES orders",
+        li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_anti")))
+      .unionByName(rule("orders.o_orderkey UNIQUE",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)))
+      .orderBy("rule")
+  }
+
+  val qDqChecksSql: String =
+    """SELECT 'lineitem.l_orderkey NOT NULL' AS rule,
+      | (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_violations
+      |UNION ALL
+      |SELECT 'lineitem.l_quantity IN [1,50]',
+      | (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |UNION ALL
+      |SELECT 'lineitem.l_discount IN [0,0.1]',
+      | (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey REFERENCES orders',
+      | (SELECT count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL
+      |SELECT 'orders.o_orderkey UNIQUE',
+      | (SELECT count(*) FROM (
+      |   SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+      |ORDER BY rule""".stripMargin
+
   // -------------------------------------------------------------- q_cdc_diff
   /** SNAPSHOT DIFF (change-data-capture): given yesterday's and today's
     * table states, classify every key as inserted / deleted / changed /
@@ -1476,6 +1527,7 @@ object Relational {
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_cdc_diff" -> qCdcDiff,
+    "q_dq_checks" -> qDqChecks,
     "q_unpivot" -> qUnpivot,
     "q_profile" -> qProfile,
     "q_running_distinct" -> qRunningDistinct,
@@ -1517,6 +1569,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_cdc_diff" -> qCdcDiffSql,
+    "q_dq_checks" -> qDqChecksSql,
     "q_unpivot" -> qUnpivotSql,
     "q_profile" -> qProfileSql,
     "q_running_distinct" -> qRunningDistinctSql,
