@@ -1078,6 +1078,132 @@ object Analytics {
     b.toString
   }
 
+  // ----------------------------------------------------- g_betweenness
+  /** Bounded-radius BETWEENNESS (Brandes dependency accumulation, ppm-
+    * quantized) from the 25 nation seeds: forward level-synchronous BFS
+    * carries (seed, node, d, σ) where σ is the shortest-path COUNT
+    * (sum of predecessor σ at first reach), then the backward pass
+    * accumulates Brandes' pair dependency level by level —
+    * δ(v) = Σ_{w∈succ(v)} σ(v)·(1e6 + δ(w)) div σ(w) — in integer
+    * MILLIONTHS with a floor per edge term, so both engines compute
+    * bit-identical integers (true-double Brandes drifts in the last
+    * bits under reordered addition and can never hash-match across
+    * engines; quantization error is ≤ #succ·1e-6 per level). Sampled
+    * seeds (Brandes–Pich) + bounded radius (k-betweenness) are the
+    * standard big-graph estimators — exact betweenness is all-pairs and
+    * does not exist at 100 TB. Overflow headroom: terms are
+    * σ_v·(1e6+δ_w) with δ ≤ 1e6·(reachable pairs); BIGINT-safe while
+    * σ·pairs < 9·10⁶ · 10⁶ — orders of magnitude above this graph at
+    * any tested SF. Each level is one join + one partial-aggregated
+    * groupBy on (seed, node); the frontier frames are checkpointed so
+    * no lineage re-executes across the forward/backward passes. */
+  val betweennessHops = 3
+
+  def betweenness: Q = (s, dir) => {
+    val B = betweennessHops
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b").distinct()
+    val seeds = nodes.filter(col("label") === "nation")
+      .select(col("id").as("seed"), col("id").as("node"),
+        lit(0).as("d"), lit(1L).as("sigma"))
+      .localCheckpoint(eager = true)
+    var levels = Vector(seeds)
+    var vis = seeds.select("seed", "node")
+    for (i <- 1 to B) {
+      val next = levels.last.withColumnRenamed("node", "a")
+        .join(und, Seq("a"))
+        .groupBy(col("seed"), col("b").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(vis, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(i).as("d"), col("sigma"))
+        .localCheckpoint(eager = true)
+      levels :+= next
+      vis = vis.unionByName(next.select("seed", "node"))
+        .localCheckpoint(eager = false)
+    }
+    // backward pass: deepest level has δ = 0 (pure targets); a node
+    // absent from the next level's delta frame has no successors ⇒ 0
+    var deltas = Map.empty[Int, DataFrame]
+    for (i <- (B - 1) to 1 by -1) {
+      val nxt = deltas.get(i + 1) match {
+        case Some(df) => levels(i + 1)
+          .join(df, Seq("seed", "node"), "left_outer")
+          .select(col("seed"), col("node").as("b"),
+            col("sigma").as("sigma_w"),
+            coalesce(col("delta"), lit(0L)).as("delta_w"))
+        case None => levels(i + 1)
+          .select(col("seed"), col("node").as("b"),
+            col("sigma").as("sigma_w"), lit(0L).as("delta_w"))
+      }
+      val cur = levels(i)
+        .select(col("seed"), col("node").as("a"), col("sigma").as("sigma_v"))
+      deltas += i -> cur.join(und, Seq("a"))
+        .join(nxt, Seq("seed", "b"))
+        .select(col("seed"), col("a").as("node"),
+          expr("sigma_v * (1000000 + delta_w) div sigma_w").as("term"))
+        .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
+        .localCheckpoint(eager = true)
+    }
+    val bc = (1 to B - 1).map(deltas(_)).reduce(_.unionByName(_))
+      .groupBy("node").agg(sum(col("delta")).as("bc_ppm"))
+      .filter(col("bc_ppm") > 0)
+    nodes.join(bc, col("id") === col("node"))
+      .select(col("label"), col("key"), col("bc_ppm"))
+      .orderBy("label", "key")
+  }
+
+  val betweennessSql: String = {
+    val B = betweennessHops
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT DISTINCT $undSqlPair
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), f0 AS (
+             | SELECT id AS seed, id AS node, 0 AS d, CAST(1 AS BIGINT) AS sigma
+             | FROM ids WHERE label = 'nation'
+             |)""".stripMargin
+    for (i <- 1 to B) {
+      val seen = (0 until i).map(j => s"SELECT seed, node FROM f$j")
+        .mkString(" UNION ALL ")
+      b ++= s""", f$i AS (
+               | SELECT p.seed, u.b AS node, $i AS d,
+               |  CAST(sum(p.sigma) AS BIGINT) AS sigma
+               | FROM f${i - 1} p JOIN und u ON u.a = p.node
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.seed = p.seed AND s.node = u.b)
+               | GROUP BY p.seed, u.b
+               |)""".stripMargin
+    }
+    b ++= s""", d$B AS (
+             | SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta FROM f$B
+             |)""".stripMargin
+    for (i <- (B - 1) to 1 by -1) {
+      b ++= s""", b$i AS (
+               | SELECT c.seed, c.node,
+               |  CAST(sum(c.sigma * (1000000 + n.delta) // n.sigma) AS BIGINT) AS delta
+               | FROM f$i c JOIN und u ON u.a = c.node
+               | JOIN d${i + 1} n ON n.seed = c.seed AND n.node = u.b
+               | GROUP BY c.seed, c.node
+               |)""".stripMargin
+      if (i > 1)
+        b ++= s""", d$i AS (
+                 | SELECT f.seed, f.node, f.sigma, coalesce(b.delta, 0) AS delta
+                 | FROM f$i f LEFT JOIN b$i b
+                 |  ON b.seed = f.seed AND b.node = f.node
+                 |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, bc.bc_ppm FROM (
+             | SELECT node, CAST(sum(delta) AS BIGINT) AS bc_ppm
+             | FROM (${(1 to B - 1).map(i => s"SELECT seed, node, delta FROM b$i")
+                        .mkString(" UNION ALL ")}) d
+             | GROUP BY node HAVING sum(delta) > 0
+             |) bc JOIN ids i ON i.id = bc.node
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ----------------------------------------------------- g_assortativity
   /** Degree assortativity — the Pearson correlation of (deg(a), deg(b))
     * across the 2m undirected edge rows: do hubs attach to hubs
@@ -1256,6 +1382,7 @@ object Analytics {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g_random_walk" -> randomWalk,
+    "g_betweenness" -> betweenness,
     "g_eccentricity" -> eccentricity,
     "g_assortativity" -> assortativity,
     "g_jaccard_neighbors" -> jaccardNeighbors,
@@ -1274,6 +1401,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "g_random_walk" -> randomWalkSql,
+    "g_betweenness" -> betweennessSql,
     "g_eccentricity" -> eccentricitySql,
     "g_assortativity" -> assortativitySql,
     "g_jaccard_neighbors" -> jaccardNeighborsSql,

@@ -724,6 +724,97 @@ object Relational {
       | min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // -------------------------------------------------------------- q_retention
+  /** COHORT RETENTION — the product-analytics matrix: users grouped by
+    * first-active week (cohort), then for each later week the count and
+    * ppm share of the cohort still active. Weeks are pure integer
+    * epoch-µs arithmetic (`us div 86400000000 div 7`) — no calendar
+    * truncation, so both engines agree on boundaries by construction.
+    * Shape: one distinct on (user, week), one groupBy for cohorts, one
+    * groupBy for the matrix — all shuffles on user_id or cohort_week;
+    * cohort sizes are a tiny frame joined at the end (broadcast). At
+    * 100 TB the distinct is the cost and it partial-aggregates map-side;
+    * nothing is per-user driver state. */
+  def qRetention: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000) div 7").as("week"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000000 div cohort_size").as("retained_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (
+      | SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) // 7 AS week
+      | FROM events
+      |), coh AS (
+      | SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+      |), sz AS (
+      | SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY cohort_week
+      |), ret AS (
+      | SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+      |  count(*) AS n_users
+      | FROM ev e JOIN coh c ON e.user_id = c.user_id
+      | GROUP BY c.cohort_week, e.week - c.cohort_week
+      |)
+      |SELECT r.cohort_week, r.week_offset, r.n_users, s.cohort_size,
+      | r.n_users * 1000000 // s.cohort_size AS retained_ppm
+      |FROM ret r JOIN sz s ON r.cohort_week = s.cohort_week
+      |ORDER BY r.cohort_week, r.week_offset""".stripMargin
+
+  // ------------------------------------------------------------ q_seq_pattern
+  /** EVENT-SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE re-expressed): each
+    * user's event history becomes one ordered letter string (c/v/e/s/p
+    * by type), then a regex counts occurrences — here conversions
+    * `c[ves]*p` (click…purchase with no intervening click/purchase) and
+    * direct `cp`. The character class EXCLUDES both anchors, so every
+    * match is unambiguous — Java regex (Spark) and RE2 (DuckDB) agree
+    * without relying on backtracking semantics. Order inside the string
+    * is total ((us, event_id) sort key via array_sort of structs), so
+    * the string is deterministic under any partitioning. One shuffle on
+    * user_id; per-user state is one string — at 100 TB per-user
+    * histories are bounded, the fleet of users shards freely. */
+  def qSeqPattern: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"),
+        substring(col("event_type"), 1, 1).as("letter"))
+    ev.groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("letter")))),
+          x => x.getField("letter")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        expr("regexp_count(seq, 'c[ves]*p')").cast("long")
+          .as("n_conversions"),
+        expr("regexp_count(seq, 'cp')").cast("long").as("n_direct"))
+      .orderBy("user_id")
+  }
+
+  val qSeqPatternSql: String =
+    """WITH s AS (
+      | SELECT user_id,
+      |  string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
+      | FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+      | CAST(len(regexp_extract_all(seq, 'c[ves]*p')) AS BIGINT) AS n_conversions,
+      | CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS n_direct
+      |FROM s ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ q_cube
   /** CUBE aggregation (all 4 grouping sets of segment × priority) —
     * complements `q_rollup`'s hierarchy with the full lattice. Spark
@@ -1528,6 +1619,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_cdc_diff" -> qCdcDiff,
     "q_dq_checks" -> qDqChecks,
+    "q_retention" -> qRetention,
+    "q_seq_pattern" -> qSeqPattern,
     "q_unpivot" -> qUnpivot,
     "q_profile" -> qProfile,
     "q_running_distinct" -> qRunningDistinct,
@@ -1570,6 +1663,8 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_cdc_diff" -> qCdcDiffSql,
     "q_dq_checks" -> qDqChecksSql,
+    "q_retention" -> qRetentionSql,
+    "q_seq_pattern" -> qSeqPatternSql,
     "q_unpivot" -> qUnpivotSql,
     "q_profile" -> qProfileSql,
     "q_running_distinct" -> qRunningDistinctSql,

@@ -1203,7 +1203,110 @@ object TextOps {
        |FROM cm JOIN tot ON tot.true_lang = cm.true_lang
        |ORDER BY cm.true_lang, pred_lang""".stripMargin
 
+  // --------------------------------------------------------- t_readability
+  /** READABILITY SCORING (Flesch reading-ease, integer-quantized): word
+    * count (whitespace split), sentence count ([.!?] terminators),
+    * syllable proxy (maximal [aeiouy]+ vowel groups — the standard
+    * libs-free approximation), then the Flesch linear form computed in
+    * MILLI-points with integer division only:
+    * `206835 - 1015*words div sentences - 84600*syllables div words`.
+    * Quantization (≤1 milli-point per div) is identical in both engines
+    * — a double Flesch would drift in the last bits across engines and
+    * break hash parity. Char classes only in the regexes, so Java regex
+    * and RE2 agree. Per-doc linear work, no shuffle before the sort. */
+  def readability: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      greatest(expr("size(regexp_extract_all(text, '[.!?]', 0))"), lit(1))
+        .cast("long").as("n_sentences"),
+      greatest(expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"),
+        lit(1)).cast("long").as("n_syllables"))
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        expr("206835 - (1015 * n_words) div n_sentences" +
+          " - (84600 * n_syllables) div n_words").as("flesch_milli"))
+      .withColumn("bucket",
+        when(col("flesch_milli") >= 60000, "easy")
+          .when(col("flesch_milli") >= 30000, "medium")
+          .otherwise("hard"))
+      .orderBy("doc_id")
+  }
+
+  val readabilitySql: String =
+    """WITH m AS (
+      | SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS n_sentences,
+      |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+      | FROM documents
+      |), f AS (
+      | SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  206835 - (1015 * n_words) // n_sentences
+      |         - (84600 * n_syllables) // n_words AS flesch_milli
+      | FROM m
+      |)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch_milli,
+      | CASE WHEN flesch_milli >= 60000 THEN 'easy'
+      |      WHEN flesch_milli >= 30000 THEN 'medium'
+      |      ELSE 'hard' END AS bucket
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- t_mixture_resample
+  /** SOURCE-MIX RESAMPLING — the "data mixing" step of a training-data
+    * pipeline: balance the corpus to a uniform per-source target by
+    * keeping the same number of docs from every source (the minimum
+    * source count), chosen deterministically as the lowest-md5 docs per
+    * source (reproducible under re-partitioning and in the oracle — a
+    * `sample()` would never hash-match). Per-source membership is
+    * pinned by sum/min/max of kept doc_ids, so the compare fails if the
+    * SELECTION differs, not just the counts. The rank is one window
+    * shuffle on source; counts and the cap are tiny broadcast frames.
+    * At 100 TB the window sorts per-source partitions — salting the
+    * window key is the fix if one source dominates. */
+  def mixtureResample: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("avail"))
+    val cap = counts.agg(min(col("avail")).as("cap"))
+    d.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_doc_id"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("source"), col("avail"), col("n_kept"),
+        expr("n_kept * 1000000 div avail").as("kept_ppm"),
+        col("sum_doc_id"), col("min_doc_id"), col("max_doc_id"))
+      .orderBy("source")
+  }
+
+  val mixtureResampleSql: String =
+    """WITH r AS (
+      | SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      | FROM documents
+      |), c AS (
+      | SELECT source, count(*) AS avail FROM documents GROUP BY source
+      |), cap AS (
+      | SELECT min(avail) AS cap FROM c
+      |), kept AS (
+      | SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      | FROM r, cap WHERE rk <= cap
+      | GROUP BY source
+      |)
+      |SELECT k.source, c.avail, k.n_kept,
+      | k.n_kept * 1000000 // c.avail AS kept_ppm,
+      | k.sum_doc_id, k.min_doc_id, k.max_doc_id
+      |FROM kept k JOIN c ON c.source = k.source
+      |ORDER BY k.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_readability" -> readability,
+    "t_mixture_resample" -> mixtureResample,
     "t_langid_eval" -> langidEval,
     "t_df_prune" -> dfPrune,
     "t_mad_outliers" -> madOutliers,
@@ -1228,6 +1331,8 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_readability" -> readabilitySql,
+    "t_mixture_resample" -> mixtureResampleSql,
     "t_langid_eval" -> langidEvalSql,
     "t_df_prune" -> dfPruneSql,
     "t_mad_outliers" -> madOutliersSql,

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Relational, TextOps}
+
+/** Round-5 batch 2: cohort retention, event-sequence matching,
+  * readability, mixture resampling, bounded-radius betweenness —
+  * semantic invariants plus an independent in-memory Brandes recompute
+  * (the oracle proves cross-engine parity; this proves the ALGORITHM). */
+class Round5bSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q_retention: offset-0 rows cover the whole cohort, ppm bounded") {
+    val rows = Relational.qRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Long]("retained_ppm") <= 1000000L)
+    }
+    // by construction every cohort member is active in their first week
+    rows.filter(_.getAs[Long]("week_offset") == 0).foreach { r =>
+      assert(r.getAs[Long]("n_users") == r.getAs[Long]("cohort_size"), r.toString)
+    }
+    // cohort sizes sum to the distinct-user universe
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    val cohortTotal = rows.filter(_.getAs[Long]("week_offset") == 0)
+      .map(_.getAs[Long]("cohort_size")).sum
+    assert(cohortTotal == users, s"cohorts $cohortTotal vs users $users")
+  }
+
+  test("q_seq_pattern: direct conversions never exceed pattern matches") {
+    val rows = Relational.qSeqPattern(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (conv, direct) = (r.getAs[Long]("n_conversions"), r.getAs[Long]("n_direct"))
+      assert(conv >= 0 && direct >= 0 && direct <= conv, r.toString)
+      assert(conv <= r.getAs[Long]("n_events") / 2, r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum > 0)
+  }
+
+  test("t_readability: buckets consistent, one doc recomputed brute-force") {
+    val rows = TextOps.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("flesch_milli")
+      val want = if (f >= 60000) "easy" else if (f >= 30000) "medium" else "hard"
+      assert(r.getAs[String]("bucket") == want, r.toString)
+    }
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val text = doc.getAs[String]("text")
+    val words = text.split(" ").length.toLong
+    val sents = math.max("[.!?]".r.findAllIn(text).length, 1).toLong
+    val syll = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).length, 1).toLong
+    val flesch = 206835L - (1015L * words) / sents - (84600L * syll) / words
+    val got = rows.find(_.getAs[Long]("doc_id") == doc.getAs[Long]("doc_id")).get
+    assert(got.getAs[Long]("n_words") == words)
+    assert(got.getAs[Long]("flesch_milli") == flesch,
+      s"brute force $flesch vs ${got.getAs[Long]("flesch_milli")}")
+  }
+
+  test("t_mixture_resample: balanced to the minimum source count") {
+    val rows = TextOps.mixtureResample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.map(_.getAs[Long]("n_kept")).toSet
+    assert(kept.size == 1, s"unbalanced kept counts: $kept")
+    val minAvail = rows.map(_.getAs[Long]("avail")).min
+    assert(kept.head == minAvail)
+    // the pinning columns must describe a plausible member set
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_doc_id") <= r.getAs[Long]("max_doc_id"))
+      assert(r.getAs[Long]("kept_ppm") <= 1000000L)
+    }
+    assert(rows.exists(_.getAs[Long]("kept_ppm") == 1000000L),
+      "the minimum source must keep everything")
+  }
+
+  test("g_betweenness: matches an independent in-memory Brandes recompute") {
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val codes = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def id(l: String, k: Long) = codes(l) * 10000000000000L + k
+    val pairs = g.edges.select("src_label", "src_key", "dst_label", "dst_key")
+      .collect().flatMap { r =>
+        val (a, b) = (id(r.getString(0), r.getLong(1)), id(r.getString(2), r.getLong(3)))
+        Seq((a, b), (b, a))
+      }.toSet
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = g.nodes.filter(col("label") === "nation")
+      .select("key").collect().map(r => id("nation", r.getLong(0)))
+    val B = Analytics.betweennessHops
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    for (s0 <- seeds) {
+      // forward: level-synchronous sigma
+      var levels = Vector(Map(s0 -> 1L))
+      var seen = Set(s0)
+      for (_ <- 1 to B) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        for ((v, sg) <- levels.last; w <- adj.getOrElse(v, Set.empty)
+             if !seen.contains(w))
+          nxt(w) = nxt.getOrElse(w, 0L) + sg
+        seen ++= nxt.keySet
+        levels :+= nxt.toMap
+      }
+      // backward: ppm-quantized dependency accumulation
+      var delta = levels(B).map { case (k, _) => k -> 0L }
+      for (i <- (B - 1) to 1 by -1) {
+        val cur = scala.collection.mutable.Map.empty[Long, Long]
+        for ((v, sv) <- levels(i); w <- adj.getOrElse(v, Set.empty)
+             if levels(i + 1).contains(w))
+          cur(v) = cur.getOrElse(v, 0L) +
+            sv * (1000000L + delta.getOrElse(w, 0L)) / levels(i + 1)(w)
+        delta = cur.toMap
+        for ((v, d) <- cur) acc(v) = acc.getOrElse(v, 0L) + d
+      }
+    }
+    val want = acc.filter(_._2 > 0)
+    val got = Analytics.betweenness(spark, sf).collect()
+      .map(r => id(r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("bc_ppm")).toMap
+    assert(got.size == want.size, s"${got.size} rows vs brute ${want.size}")
+    want.foreach { case (k, v) =>
+      assert(got.getOrElse(k, -1L) == v, s"node $k: got ${got.get(k)}, want $v")
+    }
+  }
+}
