@@ -227,6 +227,22 @@ object Analytics {
   private[graft] def warmShared(s: SparkSession, dir: String): Unit = {
     val (nodes, und) = numericGraph(s, dir)
     nodes.count(); und.count()
+    simpleUnd(s, dir)
+  }
+
+  /** Distinct undirected (a, b) pair view — session-shared by
+    * g_random_walk and g_betweenness and warmed with the graph caches:
+    * the 2m-row distinct shuffle is paid once per session, not once per
+    * operator. Eager localCheckpoint: multiple consumers, and the
+    * distinct would otherwise re-execute per reference. */
+  private val simpleUndCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def simpleUnd(s: SparkSession, dir: String): DataFrame = {
+    simpleUndCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    simpleUndCache.getOrElseUpdate((s, dir),
+      numericGraph(s, dir)._2.select("a", "b").distinct()
+        .localCheckpoint(eager = true))
   }
 
   private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -1096,30 +1112,50 @@ object Analytics {
     * σ·pairs < 9·10⁶ · 10⁶ — orders of magnitude above this graph at
     * any tested SF. Each level is one join + one partial-aggregated
     * groupBy on (seed, node); the frontier frames are checkpointed so
-    * no lineage re-executes across the forward/backward passes. */
+    * no lineage re-executes across the forward/backward passes.
+    * The pivot set is the first `betweennessPivots` nations — the
+    * Brandes–Pich sample-size/accuracy knob: per-pivot cost is constant,
+    * so estimator work scales with pivots, not graph size. */
   val betweennessHops = 3
+  val betweennessPivots = 10
 
   def betweenness: Q = (s, dir) => {
     val B = betweennessHops
-    val (nodes, undW) = numericGraph(s, dir)
-    val und = undW.select("a", "b").distinct()
-    val seeds = nodes.filter(col("label") === "nation")
+    val (nodes, _) = numericGraph(s, dir)
+    val und = simpleUnd(s, dir)
+    val seeds = nodes
+      .filter(col("label") === "nation" && col("key") < betweennessPivots)
       .select(col("id").as("seed"), col("id").as("node"),
         lit(0).as("d"), lit(1L).as("sigma"))
       .localCheckpoint(eager = true)
+    // broadcast gate (codebase convention: hint only on a COUNTED small
+    // frame, never blind): the (seed, node, σ) frames are 3 longs/row,
+    // so a million rows is ~24 MB — comfortably broadcastable, and
+    // broadcasting them turns every expansion join map-side with ONE
+    // partial-aggregated shuffle (the groupBy output), instead of
+    // shuffling the 2m-row edge list per level. Past the caps the hints
+    // drop and the joins shuffle — the correct shape at 100× frontier
+    // size. Counts are cheap scans of eager-checkpointed frames.
+    def gated(df: DataFrame, rows: Long, cap: Long = 1000000L): DataFrame =
+      if (rows <= cap) broadcast(df) else df
     var levels = Vector(seeds)
+    var counts = Vector(seeds.count())
     var vis = seeds.select("seed", "node")
+    var visRows = counts.last
     for (i <- 1 to B) {
-      val next = levels.last.withColumnRenamed("node", "a")
+      val f = levels.last.withColumnRenamed("node", "a")
+      val next = gated(f, counts.last)
         .join(und, Seq("a"))
         .groupBy(col("seed"), col("b").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(vis, Seq("seed", "node"), "left_anti")
+        .join(gated(vis, visRows, 2000000L), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(i).as("d"), col("sigma"))
         .localCheckpoint(eager = true)
       levels :+= next
+      counts :+= next.count()
       vis = vis.unionByName(next.select("seed", "node"))
         .localCheckpoint(eager = false)
+      visRows += counts.last
     }
     // backward pass: deepest level has δ = 0 (pure targets); a node
     // absent from the next level's delta frame has no successors ⇒ 0
@@ -1137,8 +1173,8 @@ object Analytics {
       }
       val cur = levels(i)
         .select(col("seed"), col("node").as("a"), col("sigma").as("sigma_v"))
-      deltas += i -> cur.join(und, Seq("a"))
-        .join(nxt, Seq("seed", "b"))
+      deltas += i -> gated(cur, counts(i)).join(und, Seq("a"))
+        .join(gated(nxt, counts(i + 1), 2000000L), Seq("seed", "b"))
         .select(col("seed"), col("a").as("node"),
           expr("sigma_v * (1000000 + delta_w) div sigma_w").as("term"))
         .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
@@ -1161,7 +1197,7 @@ object Analytics {
              | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
              |), f0 AS (
              | SELECT id AS seed, id AS node, 0 AS d, CAST(1 AS BIGINT) AS sigma
-             | FROM ids WHERE label = 'nation'
+             | FROM ids WHERE label = 'nation' AND key < $betweennessPivots
              |)""".stripMargin
     for (i <- 1 to B) {
       val seen = (0 until i).map(j => s"SELECT seed, node FROM f$j")
@@ -1203,6 +1239,44 @@ object Analytics {
              |ORDER BY label, key""".stripMargin
     b.toString
   }
+
+  // -------------------------------------------------- g_butterfly_count
+  /** BUTTERFLY (bipartite 4-cycle) census of the order–part graph —
+    * the clustering-coefficient analogue for bipartite graphs
+    * (triangles cannot exist across a bipartition; butterflies are the
+    * smallest cohesion motif). Wedge-side choice is THE scale decision
+    * (Sanei-Mehri et al.'s vertex-priority counting): wedges are
+    * enumerated from the LOW-degree side — part pairs per order
+    * (orders hold ~4 parts ⇒ ~6 wedges each) instead of order pairs
+    * per part (parts sit in ~30 orders ⇒ ~450 wedges each, 75× the
+    * rows). Butterflies = Σ C(c,2) over co-occurrence counts c of each
+    * part pair — exact BIGINT; one self-join shuffled on order, one
+    * groupBy on the (p1, p2) pair. */
+  def butterflyCount: Q = (s, dir) => {
+    val g0 = g(s, dir)
+    val hp = g0.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p")).distinct()
+    val wedges = hp.join(hp.withColumnRenamed("p", "p2"), Seq("o"))
+      .filter(col("p") < col("p2"))
+    wedges.groupBy(col("p"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_part_pairs"),
+        sum(col("c")).as("n_wedges"),
+        sum(expr("c * (c - 1) div 2")).as("n_butterflies"))
+  }
+
+  val butterflyCountSql: String =
+    s"""$cte, hp AS (
+       | SELECT DISTINCT src_key AS o, dst_key AS p FROM edges
+       | WHERE elabel = 'HAS_PART'
+       |), w AS (
+       | SELECT a.p AS p, b.p AS p2, count(*) AS c
+       | FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+       | GROUP BY a.p, b.p
+       |)
+       |SELECT count(*) AS n_part_pairs, CAST(sum(c) AS BIGINT) AS n_wedges,
+       | CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+       |FROM w""".stripMargin
 
   // ----------------------------------------------------- g_assortativity
   /** Degree assortativity — the Pearson correlation of (deg(a), deg(b))
@@ -1321,8 +1395,8 @@ object Analytics {
   val walkSteps = 4
 
   def randomWalk: Q = (s, dir) => {
-    val (nodes, undW) = numericGraph(s, dir)
-    val und = undW.select("a", "b").distinct()
+    val (nodes, _) = numericGraph(s, dir)
+    val und = simpleUnd(s, dir)
     val byA = Window.partitionBy("a")
     val adj = und
       .withColumn("rk", row_number().over(byA.orderBy("b")))
@@ -1383,6 +1457,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "g_random_walk" -> randomWalk,
     "g_betweenness" -> betweenness,
+    "g_butterfly_count" -> butterflyCount,
     "g_eccentricity" -> eccentricity,
     "g_assortativity" -> assortativity,
     "g_jaccard_neighbors" -> jaccardNeighbors,
@@ -1402,6 +1477,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "g_random_walk" -> randomWalkSql,
     "g_betweenness" -> betweennessSql,
+    "g_butterfly_count" -> butterflyCountSql,
     "g_eccentricity" -> eccentricitySql,
     "g_assortativity" -> assortativitySql,
     "g_jaccard_neighbors" -> jaccardNeighborsSql,

@@ -410,6 +410,35 @@ object Relational {
       |   SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
       |ORDER BY rule""".stripMargin
 
+  // --------------------------------------------------------- q_multi_distinct
+  /** MULTIPLE COUNT(DISTINCT) in one aggregation — per order status:
+    * distinct customers, distinct priorities, plus plain count/sum.
+    * Spark plans this with ONE Expand (rows replicated per distinct
+    * column, null-padded) feeding a two-phase aggregate — one shuffle
+    * total, where the naive re-expression (N self-joined single-
+    * distinct aggs) pays N scans and N shuffles. The replication
+    * factor is #distinct-specs + 1, the knob to watch at 100 TB: with
+    * many distinct columns, partial_count over the expanded rows still
+    * combines map-side, so the shuffle carries near-distinct rows, not
+    * the expansion. */
+  def qMultiDistinct: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("status")
+  }
+
+  val qMultiDistinctSql: String =
+    """SELECT o_orderstatus AS status,
+      | count(DISTINCT o_custkey) AS n_customers,
+      | count(DISTINCT o_orderpriority) AS n_priorities,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   // -------------------------------------------------------------- q_cdc_diff
   /** SNAPSHOT DIFF (change-data-capture): given yesterday's and today's
     * table states, classify every key as inserted / deleted / changed /
@@ -1618,6 +1647,7 @@ object Relational {
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_cdc_diff" -> qCdcDiff,
+    "q_multi_distinct" -> qMultiDistinct,
     "q_dq_checks" -> qDqChecks,
     "q_retention" -> qRetention,
     "q_seq_pattern" -> qSeqPattern,
@@ -1662,6 +1692,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_cdc_diff" -> qCdcDiffSql,
+    "q_multi_distinct" -> qMultiDistinctSql,
     "q_dq_checks" -> qDqChecksSql,
     "q_retention" -> qRetentionSql,
     "q_seq_pattern" -> qSeqPatternSql,

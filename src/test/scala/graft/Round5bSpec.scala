@@ -79,6 +79,33 @@ class Round5bSpec extends AnyFunSuite {
       "the minimum source must keep everything")
   }
 
+  test("g_butterfly_count: matches an in-memory motif recompute") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (ps <- byOrder; i <- ps.indices; j <- (i + 1) until ps.length)
+      pairCounts((ps(i), ps(j))) = pairCounts.getOrElse((ps(i), ps(j)), 0L) + 1
+    val row = Analytics.butterflyCount(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_part_pairs") == pairCounts.size)
+    assert(row.getAs[Long]("n_wedges") == pairCounts.values.sum)
+    assert(row.getAs[Long]("n_butterflies") ==
+      pairCounts.values.map(c => c * (c - 1) / 2).sum)
+  }
+
+  test("q_multi_distinct: distinct counts reconcile with direct recompute") {
+    val rows = Relational.qMultiDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    rows.foreach { r =>
+      val direct = o.filter(col("o_orderstatus") === r.getAs[String]("status"))
+        .select("o_custkey").distinct().count()
+      assert(r.getAs[Long]("n_customers") == direct, r.toString)
+      assert(r.getAs[Long]("n_priorities") <= 5)
+    }
+  }
+
   test("g_betweenness: matches an independent in-memory Brandes recompute") {
     val g = graft.model.PropertyGraph.load(spark, sf)
     val codes = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
@@ -90,7 +117,8 @@ class Round5bSpec extends AnyFunSuite {
         Seq((a, b), (b, a))
       }.toSet
     val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val seeds = g.nodes.filter(col("label") === "nation")
+    val seeds = g.nodes.filter(col("label") === "nation" &&
+        col("key") < Analytics.betweennessPivots)
       .select("key").collect().map(r => id("nation", r.getLong(0)))
     val B = Analytics.betweennessHops
     val acc = scala.collection.mutable.Map.empty[Long, Long]
