@@ -677,10 +677,15 @@ object Dedup {
   val mhEvalMatch = 6
 
   def dedupEval: Q = (s, dir) => {
+    // both pair sets are read twice (their count agg + the semi-join);
+    // the candidate joins behind them are NOT covered by the upstream
+    // sig/shingle caches, so without a checkpoint each runs twice
     val pred = dedupMinhashRaw(s, dir)._1
       .filter(col("n_match") >= mhEvalMatch)
       .select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
     val truth = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
     val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
     pred.agg(count(lit(1)).as("n_pred"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

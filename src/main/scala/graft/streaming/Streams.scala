@@ -312,4 +312,22 @@ object Streams {
           }
       }
   }
+
+  /** st_exactly_once_sink: IDEMPOTENT foreachBatch parquet sink — the
+    * exactly-once delivery pattern for sinks without transactional
+    * support. Structured Streaming guarantees foreachBatch sees each
+    * (batchId, data) pair deterministically on replay after failure;
+    * the sink makes the WRITE idempotent by keying the output directory
+    * on batchId and overwriting — a replayed batch rewrites its own
+    * partition instead of appending duplicates, so
+    * at-least-once delivery × idempotent write = exactly-once result.
+    * Readers see `batch_id=N` as a partition column via directory
+    * discovery. The per-batch aggregate keeps the written files small
+    * (pre-aggregated per user), and partition-dir overwrite is atomic
+    * enough for parquet readers that list before read — a lakehouse
+    * table format is the upgrade once available. */
+  def exactlyOnceSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 }

@@ -186,4 +186,36 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("HashAggregate"), s"bag ops lost the aggregate shape:\n$p")
     assert(!p.contains("CartesianProduct"), s"bag ops cartesian:\n$p")
   }
+
+  test("multi-distinct plans ONE Expand, not N self-joined aggregates") {
+    val p = plan(Relational.qMultiDistinct(spark, sf))
+    assert(p.contains("Expand"), s"multi-distinct lost the Expand plan:\n$p")
+    // one scan of orders — the naive rewrite reads the table per distinct
+    val scans = "Scan parquet|FileScan|InMemoryTableScan".r
+      .findAllIn(p).length
+    assert(scans <= 1, s"multi-distinct scans the table $scans times:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"multi-distinct planned a join:\n$p")
+  }
+
+  test("butterfly census wedge join is equi on the order key, no cartesian") {
+    val p = finalPlan(graft.operators.Analytics.butterflyCount(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"butterfly wedge join degenerated:\n$p")
+  }
+
+  test("retention joins its tiny cohort-size frame broadcast") {
+    val p = finalPlan(Relational.qRetention(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"retention cohort-size join not broadcast:\n$p")
+  }
+
+  test("betweenness expansion joins ride the counted broadcast gate") {
+    // at spec scale every frontier is under the gate caps, so the
+    // forward/backward expansions must all plan as broadcast joins
+    val p = finalPlan(graft.operators.Analytics.betweenness(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"betweenness expansions lost their broadcast gates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"betweenness cartesian:\n$p")
+  }
 }

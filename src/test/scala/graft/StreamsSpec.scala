@@ -369,4 +369,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamShaped.except(twin).count() == 0)
     assert(twin.except(streamShaped).count() == 0)
   }
+
+  test("st_exactly_once_sink: batch replay leaves the table unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("eos").toString
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream
+      .foreachBatch(Streams.exactlyOnceSink(dir) _)
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(1, 10, user = 1), ev(2, 20, user = 2))
+      q.processAllAvailable()
+      mem.addData(ev(3, 30, user = 1))
+      q.processAllAvailable()
+      def snapshot() = spark.read.parquet(dir)
+        .groupBy("user_id")
+        .agg(sum("n_events").as("n"), sum("sum_value").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      val before = snapshot()
+      assert(before.map(_._2).sum == 3, s"expected 3 events, got $before")
+      // simulate an at-least-once REPLAY of batch 1: the idempotent
+      // sink must overwrite its own partition, not append duplicates
+      Streams.exactlyOnceSink(dir)(
+        Seq(ev(3, 30, user = 1)).toDF(), 1L)
+      assert(snapshot() == before,
+        s"replay changed the table: $before -> ${snapshot()}")
+    } finally q.stop()
+  }
 }
