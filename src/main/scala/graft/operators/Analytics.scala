@@ -63,13 +63,27 @@ object Analytics {
   private def prFamily(s: SparkSession, dir: String,
                        init: org.apache.spark.sql.Column,
                        base: org.apache.spark.sql.Column,
-                       sparse: Boolean): DataFrame = {
+                       sparse: Boolean,
+                       weighted: Boolean = false): DataFrame = {
     val graph = g(s, dir)
     val nodes = graph.nodes.select("label", "key")
+    // weighted: rank splits over outgoing edges proportionally to the
+    // BIGINT edge weight (floor per edge) instead of uniformly — same
+    // fixed-point contract, denominators become the weighted outdegree.
+    // The unweighted path keeps its original count/outdeg plan so the
+    // session-shared eod cache entry (and oracle) are unchanged.
     val e = graph.edges.select(
-      col("src_label"), col("src_key"),
-      col("dst_label").as("label"), col("dst_key").as("key"))
-    val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
+      (Seq(col("src_label"), col("src_key"),
+        col("dst_label").as("label"), col("dst_key").as("key")) ++
+        (if (weighted) Seq(col("weight").as("w")) else Nil)): _*)
+    val od =
+      if (weighted)
+        e.groupBy("src_label", "src_key").agg(sum(col("w")).as("outdeg"))
+      else
+        e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
+    val contribExpr =
+      if (weighted) "(85 * r * w) div (100 * outdeg)"
+      else "(85 * r) div (100 * outdeg)"
     // loop-invariant: cache so each iteration joins a materialized edge
     // list instead of re-reading parquet + re-aggregating degrees; ONE
     // session-bounded entry shared by pagerank AND ppr (same
@@ -86,8 +100,7 @@ object Analytics {
       val contrib = eod
         .join(gated(src.select(col("label").as("src_label"),
           col("key").as("src_key"), col("r")), n), Seq("src_label", "src_key"))
-        .select(col("label"), col("key"),
-          expr("(85 * r) div (100 * outdeg)").as("c"))
+        .select(col("label"), col("key"), expr(contribExpr).as("c"))
         .groupBy("label", "key").agg(sum("c").as("s"))
       // NO per-iteration checkpoint: ranks are referenced once per
       // iteration, so the lineage is linear and the whole 5-iteration
@@ -110,10 +123,16 @@ object Analytics {
   /** Shared oracle generator for the family — `r0Expr` (unqualified,
     * over nodes) seeds the vector, `baseExpr(p)` is the restart term
     * with node alias `p`. */
-  private def prFamilySql(r0Expr: String, baseExpr: String => String): String = {
+  private def prFamilySql(r0Expr: String, baseExpr: String => String,
+                          weighted: Boolean = false): String = {
+    val odExpr = if (weighted) "CAST(sum(weight) AS BIGINT)" else "count(*)"
+    def cExpr(i: Int): String =
+      if (weighted)
+        s"sum((85 * r${i - 1}.r * e.weight) // (100 * od.outdeg))"
+      else s"sum((85 * r${i - 1}.r) // (100 * od.outdeg))"
     val b = new StringBuilder(cte)
     b ++= s""", od AS (
-             | SELECT src_label AS label, src_key AS key, count(*) AS outdeg
+             | SELECT src_label AS label, src_key AS key, $odExpr AS outdeg
              | FROM edges GROUP BY 1, 2
              |), nn AS (SELECT count(*) AS n FROM nodes)
              |, r0 AS (
@@ -122,7 +141,7 @@ object Analytics {
     for (i <- 1 to prIters) {
       b ++= s""", c$i AS (
                | SELECT e.dst_label AS label, e.dst_key AS key,
-               |  sum((85 * r${i - 1}.r) // (100 * od.outdeg)) AS s
+               |  ${cExpr(i)} AS s
                | FROM edges e
                | JOIN r${i - 1} ON r${i - 1}.label = e.src_label AND r${i - 1}.key = e.src_key
                | JOIN od ON od.label = e.src_label AND od.key = e.src_key
@@ -148,6 +167,29 @@ object Analytics {
   val pagerankSql: String = prFamilySql(
     r0Expr = s"$prScale // (SELECT n FROM nn)",
     baseExpr = _ => s"(${15L * prScale} // (100 * (SELECT n FROM nn)))")
+
+  // ------------------------------------------- g_pagerank_weighted
+  /** WEIGHTED PageRank — rank splits over outgoing edges proportionally
+    * to the BIGINT edge weight (HAS_PART/SUPPLIED_BY carry lineitem
+    * multiplicities; hierarchy edges weigh 1), so a part ordered 5× in
+    * an order receives 5× that order's share. Same fixed-point
+    * contract, loop, and gated hints as g_pagerank via the shared
+    * prFamily; denominators become the weighted outdegree. Overflow
+    * headroom: 85·r·w needs r·w < 10¹⁷ — r is bounded by prScale·N/N
+    * ≈ 10¹⁰ and weights are small multiplicities, checked far below
+    * that at any tested SF. */
+  def pagerankWeighted: Q = (s, dir) => {
+    val n = g(s, dir).nodes.count()
+    prFamily(s, dir,
+      init = lit(prScale / n),
+      base = lit((15L * prScale) / (100L * n)),
+      sparse = false, weighted = true)
+  }
+
+  val pagerankWeightedSql: String = prFamilySql(
+    r0Expr = s"$prScale // (SELECT n FROM nn)",
+    baseExpr = _ => s"(${15L * prScale} // (100 * (SELECT n FROM nn)))",
+    weighted = true)
 
   // ------------------------------------------------------------- g_ppr
   /** PERSONALIZED PageRank from seed customer:1 (a node with a real
@@ -1458,6 +1500,7 @@ object Analytics {
     "g_random_walk" -> randomWalk,
     "g_betweenness" -> betweenness,
     "g_butterfly_count" -> butterflyCount,
+    "g_pagerank_weighted" -> pagerankWeighted,
     "g_eccentricity" -> eccentricity,
     "g_assortativity" -> assortativity,
     "g_jaccard_neighbors" -> jaccardNeighbors,
@@ -1478,6 +1521,7 @@ object Analytics {
     "g_random_walk" -> randomWalkSql,
     "g_betweenness" -> betweennessSql,
     "g_butterfly_count" -> butterflyCountSql,
+    "g_pagerank_weighted" -> pagerankWeightedSql,
     "g_eccentricity" -> eccentricitySql,
     "g_assortativity" -> assortativitySql,
     "g_jaccard_neighbors" -> jaccardNeighborsSql,

@@ -106,6 +106,25 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("g_pagerank_weighted: mass bounded, weights actually shift rank") {
+    val w = Analytics.pagerankWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("r")).toMap
+    val u = Analytics.pagerank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("r")).toMap
+    assert(w.keySet == u.keySet)
+    // floors only ever DROP mass: total stays under the fixed-point unit
+    assert(w.values.sum <= Analytics.prScale)
+    assert(w.values.forall(_ >= 0))
+    // multiplicity-weighted edges must shift rank somewhere (HAS_PART
+    // weights exceed 1 in the corpus); identical vectors would mean the
+    // weighted path silently fell back to uniform splitting
+    assert(w.exists { case (k, v) => u(k) != v },
+      "weighted pagerank identical to unweighted on weighted data")
+    // hierarchy-only nodes (region gets mass via weight-1 edges from
+    // nations whose outdegree is also all weight-1) still score > 0
+    assert(w.collect { case (("region", _), v) => v }.forall(_ > 0))
+  }
+
   test("g_betweenness: matches an independent in-memory Brandes recompute") {
     val g = graft.model.PropertyGraph.load(spark, sf)
     val codes = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
