@@ -27,5 +27,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_l(arrayOfLong, arrayOfLong)")
         DotProductL(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_slice"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graftfns.HexSliceToLong]
+        .getName, "hex_slice"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // start/len are plan-time Int parameters of the expression (the
+        // codegen loop is unrolled against them), so the SQL form
+        // requires foldable integer literals — same contract as
+        // substr's position arguments in practice
+        require(children.length == 3,
+          "hex_slice(hexString, startLiteral, lenLiteral)")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hex_slice: $what must be an integer literal, got $other")
+        }
+        org.apache.spark.sql.graftfns.HexSliceToLong(children.head,
+          intLit(children(1), "start"), intLit(children(2), "len"))
+      }))
   }
 }

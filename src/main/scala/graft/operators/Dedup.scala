@@ -147,10 +147,9 @@ object Dedup {
 
   /** Pair stage + its cache handle (PlanAuditSpec audits the plan and
     * releases the cache between audits). */
-  private[graft] def dedupMinhashRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // sig feeds three consumers (band explode + both pair sides) —
-    // cache so the shingle+md5 pipeline runs once
-    val sig = signatures(s, dir).cache()
+  /** Band rows after the bucket cap — the LSH candidate-generation
+    * stage shared by full minhash dedup and the incremental variant. */
+  private def cappedBandRows(sig: DataFrame): DataFrame = {
     val bandRows = sig.select(col("doc_id"), explode(array(
       (0 until mhBands).map { b =>
         struct(lit(b).as("c"), col(s"mh${b * 3}").as("k0"),
@@ -163,7 +162,14 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= mhBucketCap)
       .select(bandKey.map(col): _*)
-    val capped = bandRows.join(keep, bandKey, "left_semi")
+    bandRows.join(keep, bandKey, "left_semi")
+  }
+
+  private[graft] def dedupMinhashRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // sig feeds three consumers (band explode + both pair sides) —
+    // cache so the shingle+md5 pipeline runs once
+    val sig = signatures(s, dir).cache()
+    val capped = cappedBandRows(sig)
     val cand = capped.alias("x")
       .join(capped.alias("y"),
         col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
@@ -181,13 +187,70 @@ object Dedup {
     (scored, sig)
   }
 
+  // ------------------------------------------------ d_dedup_incremental
+  /** INCREMENTAL minhash dedup — the append-only production shape: only
+    * the NEW batch is checked, against the corpus AND against itself,
+    * so per-batch cost is ∝ new-batch bands × bucket size instead of
+    * corpus² (re-deduping 100 TB per arriving batch is the thing this
+    * exists to avoid; corpus-vs-corpus pairs were settled when THOSE
+    * batches arrived). The batch split is `doc_id % 5 = 0` — a
+    * deterministic stand-in for the append boundary that stays
+    * SF-invariant (an id threshold would shift meaning across scale
+    * factors). One side of the bucket join is the new-batch band rows
+    * only; both-new pairs are generated twice and collapse in the
+    * least/greatest distinct. `pair_kind` labels new-new vs new-old —
+    * the report a pipeline uses to route "drop the new doc" vs "drop
+    * which copy" decisions. */
+  def dedupIncremental: Q = (s, dir) => {
+    val sig = signatures(s, dir).cache()
+    // read twice (new side + corpus side) — eager per the multi-
+    // reference checkpoint discipline
+    val br = cappedBandRows(sig).localCheckpoint(eager = true)
+    val newBr = br.filter(col("doc_id") % 5 === 0)
+    val cand = newBr.alias("x").join(br.alias("y"),
+        col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
+        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val sa = sig.toDF("doc_a" +: (0 until mhSeeds).map(k => s"a$k"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until mhSeeds).map(k => s"b$k"): _*)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until mhSeeds).map(k =>
+          when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_match"),
+        when(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0, "new-new")
+          .otherwise("new-old").as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minhashBandCtesSql, nb AS (
+       | SELECT * FROM br WHERE doc_id % 5 = 0
+       |), cand AS (
+       | SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |        greatest(x.doc_id, y.doc_id) AS doc_b
+       | FROM nb x JOIN br y ON x.c = y.c AND x.k0 = y.k0 AND x.k1 = y.k1
+       |   AND x.k2 = y.k2 AND x.doc_id <> y.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b, CAST($mhMatchSql AS BIGINT) AS n_match,
+       | CASE WHEN c.doc_a % 5 = 0 AND c.doc_b % 5 = 0 THEN 'new-new'
+       |      ELSE 'new-old' END AS pair_kind
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |            JOIN sig sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def dedupMinhash: Q = (s, dir) =>
     dedupMinhashRaw(s, dir)._1.orderBy("doc_a", "doc_b")
 
   /** The minhash pipeline as a reusable CTE chain ending in
     * `mhscored(doc_a, doc_b, n_match)` — shared by d_dedup_minhash and
     * the d_dedup_eval harness. */
-  private val minhashCtesSql: String = {
+  /** CTE chain through `br` (capped band rows) + `sig` — the candidate-
+    * generation stage, shared with the incremental variant. */
+  private lazy val minhashBandCtesSql: String = {
     val nib = (0 until 15).map { i =>
       s"(strpos('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}"
     }.mkString("\n   + ")
@@ -196,8 +259,6 @@ object Dedup {
     val bandSel = (0 until mhBands).map(b =>
       s"SELECT doc_id, $b AS c, mh${b * 3} AS k0, mh${b * 3 + 1} AS k1, mh${b * 3 + 2} AS k2 FROM sig")
       .mkString(" UNION ALL ")
-    val nMatch = (0 until mhSeeds).map(k =>
-      s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
     s"""sh AS (
        | SELECT doc_id, md5(unnest($shingleSqlExpr)) AS h32 FROM documents
        |), hx AS (
@@ -211,16 +272,22 @@ object Dedup {
        |), br AS (
        | SELECT br0.doc_id, br0.c, br0.k0, br0.k1, br0.k2
        | FROM br0 JOIN bc USING (c, k0, k1, k2)
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  private lazy val mhMatchSql: String = (0 until mhSeeds).map(k =>
+    s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+
+  private val minhashCtesSql: String =
+    s"""$minhashBandCtesSql, cand AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM br x JOIN br y ON x.c = y.c AND x.k0 = y.k0 AND x.k1 = y.k1
        |   AND x.k2 = y.k2 AND x.doc_id < y.doc_id
        |), mhscored AS (
-       | SELECT c.doc_a, c.doc_b, CAST($nMatch AS BIGINT) AS n_match
+       | SELECT c.doc_a, c.doc_b, CAST($mhMatchSql AS BIGINT) AS n_match
        | FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
        |             JOIN sig sb ON sb.doc_id = c.doc_b
        |)""".stripMargin
-  }
 
   val dedupMinhashSql: String =
     s"""WITH $minhashCtesSql
@@ -822,6 +889,7 @@ object Dedup {
     "d_pipeline_e2e" -> pipelineE2e,
     "d_dedup_exact" -> dedupExact,
     "d_dedup_minhash" -> dedupMinhash,
+    "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_dedup_cluster" -> dedupCluster,
     "d_dedup_simhash" -> dedupSimhash,
@@ -835,6 +903,7 @@ object Dedup {
     "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_minhash" -> dedupMinhashSql,
+    "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_dedup_cluster" -> dedupClusterSql,
     "d_dedup_simhash" -> dedupSimhashSql,

@@ -645,6 +645,46 @@ object GraphOps {
        |        WHERE b.label = e.dst_label AND b.key = e.dst_key)
        |ORDER BY elabel, src_label, src_key, dst_label, dst_key""".stripMargin
 
+  // ---------------------------------------------------- g_graph_summary
+  /** GRAPH CATALOG SUMMARY — the stats surface a graph DB exposes
+    * (reference: the per-label/per-relationship counts a client asks
+    * before planning a traversal): one row per node label and per edge
+    * label with row count, distinct endpoint counts, and total edge
+    * weight. Each row is one partial-aggregated groupBy; the two small
+    * result sets union. At 100 TB this is the query that should feed
+    * from table statistics — expressed as aggregates it still scans
+    * only the 5 columns involved. */
+  def graphSummary: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val n = graph.nodes.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("node").as("kind"), col("label"), col("n_rows"),
+        col("n_rows").as("n_src"), lit(0L).as("n_dst"),
+        lit(0L).as("total_weight"))
+    val e = graph.edges.groupBy(col("elabel").as("label"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("src_label"), col("src_key")).as("n_src"),
+        countDistinct(col("dst_label"), col("dst_key")).as("n_dst"),
+        sum(col("weight")).as("total_weight"))
+      .select(lit("edge").as("kind"), col("label"), col("n_rows"),
+        col("n_src"), col("n_dst"), col("total_weight"))
+    n.unionByName(e).orderBy("kind", "label")
+  }
+
+  val graphSummarySql: String =
+    s"""$cte
+       |SELECT 'node' AS kind, label, count(*) AS n_rows,
+       | count(*) AS n_src, CAST(0 AS BIGINT) AS n_dst,
+       | CAST(0 AS BIGINT) AS total_weight
+       |FROM nodes GROUP BY label
+       |UNION ALL
+       |SELECT 'edge', elabel, count(*),
+       | count(DISTINCT src_label || '|' || CAST(src_key AS VARCHAR)),
+       | count(DISTINCT dst_label || '|' || CAST(dst_key AS VARCHAR)),
+       | CAST(sum(weight) AS BIGINT)
+       |FROM edges GROUP BY elabel
+       |ORDER BY kind, label""".stripMargin
+
   val neighbors2hopSql: String =
     s"""$cte, start AS (
        | SELECT label, key FROM nodes WHERE label = 'customer' AND key <= 10
@@ -683,6 +723,7 @@ object GraphOps {
     "g_paths_labeled" -> pathsLabeled,
     "g_degree" -> degree,
     "g_ego_subgraph" -> egoSubgraph,
+    "g_graph_summary" -> graphSummary,
     "g_neighbors_2hop" -> neighbors2hop)
 
   val oracleSql: Map[String, String] = Map(
@@ -709,5 +750,6 @@ object GraphOps {
     "g_paths_labeled" -> pathsLabeledSql,
     "g_degree" -> degreeSql,
     "g_ego_subgraph" -> egoSubgraphSql,
+    "g_graph_summary" -> graphSummarySql,
     "g_neighbors_2hop" -> neighbors2hopSql)
 }

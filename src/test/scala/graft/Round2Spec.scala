@@ -199,6 +199,17 @@ class Round2Spec extends AnyFunSuite {
     assert(r.head.getLong(0) == 32L)
   }
 
+  test("session extensions: hex_slice reaches the native expression from SQL") {
+    val r = spark.sql("SELECT hex_slice('ff0a', 1, 4) AS v").collect()
+    assert(r.head.getLong(0) == 0xff0aL)
+    // non-literal start must be rejected, not mis-planned
+    val e = intercept[Exception] {
+      spark.sql("SELECT hex_slice('ff', length('x'), 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.toLowerCase.contains("hex_slice"))
+  }
+
   test("pack_sequences: per-shard chunking is gapless and consistent") {
     val rows = operators.TextOps.packSequences(spark, sf).collect()
     assert(rows.length == 500)

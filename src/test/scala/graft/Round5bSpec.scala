@@ -106,6 +106,41 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("d_dedup_incremental: exactly the full-dedup pairs with a new side") {
+    import graft.operators.Dedup
+    val newDoc = (id: Long) => id % 5 == 0
+    val full = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_match")).toMap
+    val inc = Dedup.dedupIncremental(spark, sf).collect()
+    inc.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(newDoc(a) || newDoc(b), s"pair ($a,$b) has no new side")
+      assert(full.get((a, b)).contains(r.getAs[Long]("n_match")),
+        s"pair ($a,$b) disagrees with the full dedup")
+      val wantKind = if (newDoc(a) && newDoc(b)) "new-new" else "new-old"
+      assert(r.getAs[String]("pair_kind") == wantKind)
+    }
+    val incPairs = inc.map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.keys.filter(p => newDoc(p._1) || newDoc(p._2)).foreach { p =>
+      assert(incPairs.contains(p), s"full-dedup pair $p missing incrementally")
+    }
+  }
+
+  test("g_graph_summary: counts reconcile with the graph frames") {
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val rows = graft.operators.GraphOps.graphSummary(spark, sf).collect()
+    val nodeTotal = rows.filter(_.getString(0) == "node")
+      .map(_.getAs[Long]("n_rows")).sum
+    val edgeTotal = rows.filter(_.getString(0) == "edge")
+      .map(_.getAs[Long]("n_rows")).sum
+    assert(nodeTotal == g.nodes.count())
+    assert(edgeTotal == g.edges.count())
+    rows.filter(_.getString(0) == "edge").foreach { r =>
+      assert(r.getAs[Long]("n_src") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("total_weight") >= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("g_pagerank_weighted: mass bounded, weights actually shift rank") {
     val w = Analytics.pagerankWeighted(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("r")).toMap
