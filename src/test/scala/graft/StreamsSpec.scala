@@ -370,6 +370,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(twin.except(streamShaped).count() == 0)
   }
 
+  test("file-source ingestion: explicit schema, incremental discovery across runs") {
+    // the production ingestion path (readStream over a landing
+    // directory) — MemoryStream covers the transform specs; this
+    // proves the FILE source end: explicit schema (an inference pass
+    // is an extra full scan at 100 TB), and checkpointed file
+    // discovery (a restarted query picks up only NEW files)
+    val dir = java.nio.file.Files.createTempDirectory("fsrc").toString
+    val ck = java.nio.file.Files.createTempDirectory("fsrc_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("fsrc_out").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .orderBy("event_id").limit(30).cache()
+    val schema = ev.schema
+    ev.filter(col("event_id") <= 20).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    def sunk(): Set[Long] = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sunk() == ev.filter(col("event_id") <= 20)
+      .collect().map(_.getLong(0)).toSet)
+    // new file lands; the RESTARTED query must pick up only that file —
+    // the checkpointed discovery log plus the file sink's commit log
+    // make the whole chain exactly-once across restarts
+    ev.filter(col("event_id") > 20).write.mode("append").parquet(dir)
+    runOnce()
+    assert(sunk() == ev.collect().map(_.getLong(0)).toSet,
+      "restart duplicated old files or missed the new one")
+  }
+
   test("st_exactly_once_sink: batch replay leaves the table unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
