@@ -34,8 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         // start/len are plan-time Int parameters of the expression (the
         // codegen loop is unrolled against them), so the SQL form
-        // requires foldable integer literals — same contract as
-        // substr's position arguments in practice
+        // requires BARE integer literals — foldable expressions like
+        // 1+0 are rejected too, because constant folding runs after
+        // function resolution
         require(children.length == 3,
           "hex_slice(hexString, startLiteral, lenLiteral)")
         def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,

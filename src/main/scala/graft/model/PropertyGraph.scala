@@ -533,7 +533,7 @@ object PropertyGraph {
     * for any other plan shape (never throws — callers use it in cleanup
     * paths). The freed frame must not be executed again: local
     * checkpoints are non-recomputable by design. */
-  private[model] def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     try {
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -1138,7 +1138,7 @@ object Analytics {
 
   // ----------------------------------------------------- g_betweenness
   /** Bounded-radius BETWEENNESS (Brandes dependency accumulation, ppm-
-    * quantized) from the 25 nation seeds: forward level-synchronous BFS
+    * quantized) from the sampled nation pivots: forward level-sync BFS
     * carries (seed, node, d, σ) where σ is the shortest-path COUNT
     * (sum of predecessor σ at first reach), then the backward pass
     * accumulates Brandes' pair dependency level by level —
@@ -1161,6 +1161,41 @@ object Analytics {
   val betweennessHops = 3
   val betweennessPivots = 10
 
+  // broadcast gate (codebase convention: hint only on a COUNTED small
+  // frame, never blind): the (seed, node, σ) frames are 3 longs/row,
+  // so a million rows is ~24 MB — comfortably broadcastable, and
+  // broadcasting them turns every expansion join map-side with ONE
+  // partial-aggregated shuffle (the groupBy output), instead of
+  // shuffling the 2m-row edge list per level. Past the caps the hints
+  // drop and the joins shuffle — the correct shape at 100× frontier
+  // size. Counts are cheap scans of eager-checkpointed frames.
+  private def bcGated(df: DataFrame, rows: Long,
+                      cap: Long = 1000000L): DataFrame =
+    if (rows <= cap) broadcast(df) else df
+
+  /** One forward betweenness level (un-checkpointed) — extracted so
+    * PlanAuditSpec can audit the gate's join strategy directly (the
+    * loop's eager checkpoints truncate lineage, so the final plan never
+    * shows these joins). frontier(seed, node, d, σ); vis(seed, node). */
+  private[graft] def bcForwardStep(frontier: DataFrame, frontierRows: Long,
+      und: DataFrame, vis: DataFrame, visRows: Long, i: Int): DataFrame =
+    bcGated(frontier.withColumnRenamed("node", "a"), frontierRows)
+      .join(und, Seq("a"))
+      .groupBy(col("seed"), col("b").as("node"))
+      .agg(sum(col("sigma")).as("sigma"))
+      .join(bcGated(vis, visRows, 2000000L), Seq("seed", "node"), "left_anti")
+      .select(col("seed"), col("node"), lit(i).as("d"), col("sigma"))
+
+  /** One backward dependency level (un-checkpointed) —
+    * cur(seed, a, sigma_v); nxt(seed, b, sigma_w, delta_w). */
+  private[graft] def bcBackwardStep(cur: DataFrame, curRows: Long,
+      und: DataFrame, nxt: DataFrame, nxtRows: Long): DataFrame =
+    bcGated(cur, curRows).join(und, Seq("a"))
+      .join(bcGated(nxt, nxtRows, 2000000L), Seq("seed", "b"))
+      .select(col("seed"), col("a").as("node"),
+        expr("sigma_v * (1000000 + delta_w) div sigma_w").as("term"))
+      .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
+
   def betweenness: Q = (s, dir) => {
     val B = betweennessHops
     val (nodes, _) = numericGraph(s, dir)
@@ -1170,71 +1205,63 @@ object Analytics {
       .select(col("id").as("seed"), col("id").as("node"),
         lit(0).as("d"), lit(1L).as("sigma"))
       .localCheckpoint(eager = true)
-    // broadcast gate (codebase convention: hint only on a COUNTED small
-    // frame, never blind): the (seed, node, σ) frames are 3 longs/row,
-    // so a million rows is ~24 MB — comfortably broadcastable, and
-    // broadcasting them turns every expansion join map-side with ONE
-    // partial-aggregated shuffle (the groupBy output), instead of
-    // shuffling the 2m-row edge list per level. Past the caps the hints
-    // drop and the joins shuffle — the correct shape at 100× frontier
-    // size. Counts are cheap scans of eager-checkpointed frames.
-    def gated(df: DataFrame, rows: Long, cap: Long = 1000000L): DataFrame =
-      if (rows <= cap) broadcast(df) else df
     var levels = Vector(seeds)
     var counts = Vector(seeds.count())
     var vis = seeds.select("seed", "node")
     var visRows = counts.last
-    for (i <- 1 to B) {
-      val f = levels.last.withColumnRenamed("node", "a")
-      val next = gated(f, counts.last)
-        .join(und, Seq("a"))
-        .groupBy(col("seed"), col("b").as("node"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .join(gated(vis, visRows, 2000000L), Seq("seed", "node"), "left_anti")
-        .select(col("seed"), col("node"), lit(i).as("d"), col("sigma"))
-        .localCheckpoint(eager = true)
-      levels :+= next
-      counts :+= next.count()
-      vis = vis.unionByName(next.select("seed", "node"))
-        .localCheckpoint(eager = false)
-      visRows += counts.last
-    }
-    // backward pass: deepest level has δ = 0 (pure targets); a node
-    // absent from the next level's delta frame has no successors ⇒ 0
+    val visChain = scala.collection.mutable.Buffer.empty[DataFrame]
     var deltas = Map.empty[Int, DataFrame]
-    for (i <- (B - 1) to 1 by -1) {
-      val nxt = deltas.get(i + 1) match {
-        case Some(df) => levels(i + 1)
-          .join(df, Seq("seed", "node"), "left_outer")
-          .select(col("seed"), col("node").as("b"),
-            col("sigma").as("sigma_w"),
-            coalesce(col("delta"), lit(0L)).as("delta_w"))
-        case None => levels(i + 1)
-          .select(col("seed"), col("node").as("b"),
-            col("sigma").as("sigma_w"), lit(0L).as("delta_w"))
+    // per-call parameterized checkpoints → checkpoint the final result,
+    // free every intermediate in finally (error path included) — the
+    // pathsTo discipline; without it each bench run pins the dead
+    // forward-pass blocks until driver GC
+    try {
+      for (i <- 1 to B) {
+        val next = bcForwardStep(levels.last, counts.last, und, vis, visRows, i)
+          .localCheckpoint(eager = true)
+        levels :+= next
+        counts :+= next.count()
+        vis = vis.unionByName(next.select("seed", "node"))
+          .localCheckpoint(eager = false)
+        visChain += vis
+        visRows += counts.last
       }
-      val cur = levels(i)
-        .select(col("seed"), col("node").as("a"), col("sigma").as("sigma_v"))
-      deltas += i -> gated(cur, counts(i)).join(und, Seq("a"))
-        .join(gated(nxt, counts(i + 1), 2000000L), Seq("seed", "b"))
-        .select(col("seed"), col("a").as("node"),
-          expr("sigma_v * (1000000 + delta_w) div sigma_w").as("term"))
-        .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
+      // backward pass: deepest level has δ = 0 (pure targets); a node
+      // absent from the next level's delta frame has no successors ⇒ 0
+      for (i <- (B - 1) to 1 by -1) {
+        val nxt = deltas.get(i + 1) match {
+          case Some(df) => levels(i + 1)
+            .join(df, Seq("seed", "node"), "left_outer")
+            .select(col("seed"), col("node").as("b"),
+              col("sigma").as("sigma_w"),
+              coalesce(col("delta"), lit(0L)).as("delta_w"))
+          case None => levels(i + 1)
+            .select(col("seed"), col("node").as("b"),
+              col("sigma").as("sigma_w"), lit(0L).as("delta_w"))
+        }
+        val cur = levels(i)
+          .select(col("seed"), col("node").as("a"), col("sigma").as("sigma_v"))
+        deltas += i -> bcBackwardStep(cur, counts(i), und, nxt, counts(i + 1))
+          .localCheckpoint(eager = true)
+      }
+      val bc = (1 to B - 1).map(deltas(_)).reduce(_.unionByName(_))
+        .groupBy("node").agg(sum(col("delta")).as("bc_ppm"))
+        .filter(col("bc_ppm") > 0)
+      nodes.join(bc, col("id") === col("node"))
+        .select(col("label"), col("key"), col("bc_ppm"))
+        .orderBy("label", "key")
         .localCheckpoint(eager = true)
+    } finally {
+      (levels ++ visChain ++ deltas.values)
+        .foreach(PropertyGraph.freeLocalCheckpoint)
     }
-    val bc = (1 to B - 1).map(deltas(_)).reduce(_.unionByName(_))
-      .groupBy("node").agg(sum(col("delta")).as("bc_ppm"))
-      .filter(col("bc_ppm") > 0)
-    nodes.join(bc, col("id") === col("node"))
-      .select(col("label"), col("key"), col("bc_ppm"))
-      .orderBy("label", "key")
   }
 
   val betweennessSql: String = {
     val B = betweennessHops
     val b = new StringBuilder(cte)
     b ++= s""", und AS (
-             | SELECT DISTINCT $undSqlPair
+             | SELECT DISTINCT a, b FROM (SELECT $undSqlPair) u
              |), ids AS (
              | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
              |), f0 AS (
@@ -1470,7 +1497,7 @@ object Analytics {
     b ++= s""", ids AS (
              | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
              |), und AS (
-             | SELECT DISTINCT $undSqlPair
+             | SELECT DISTINCT a, b FROM (SELECT $undSqlPair) u
              |), adj AS (
              | SELECT a, b,
              |  row_number() OVER (PARTITION BY a ORDER BY b) AS rk,

@@ -177,14 +177,21 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (scorePairs(sig, cand), sig)
+  }
+
+  /** Exact signature-agreement scoring of candidate pairs — the n_match
+    * contract shared by full and incremental dedup (the incremental-vs-
+    * full spec equality depends on ONE scoring implementation, like
+    * mhMatchSql on the oracle side). */
+  private def scorePairs(sig: DataFrame, cand: DataFrame): DataFrame = {
     val sa = sig.toDF("doc_a" +: (0 until mhSeeds).map(k => s"a$k"): _*)
     val sb = sig.toDF("doc_b" +: (0 until mhSeeds).map(k => s"b$k"): _*)
-    val scored = cand.join(sa, "doc_a").join(sb, "doc_b")
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (0 until mhSeeds).map(k =>
           when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
           .reduce(_ + _).as("n_match"))
-    (scored, sig)
   }
 
   // ------------------------------------------------ d_dedup_incremental
@@ -214,15 +221,10 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    val sa = sig.toDF("doc_a" +: (0 until mhSeeds).map(k => s"a$k"): _*)
-    val sb = sig.toDF("doc_b" +: (0 until mhSeeds).map(k => s"b$k"): _*)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (0 until mhSeeds).map(k =>
-          when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
-          .reduce(_ + _).as("n_match"),
+    scorePairs(sig, cand)
+      .withColumn("pair_kind",
         when(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0, "new-new")
-          .otherwise("new-old").as("pair_kind"))
+          .otherwise("new-old"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -210,12 +210,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"retention cohort-size join not broadcast:\n$p")
   }
 
-  test("betweenness expansion joins ride the counted broadcast gate") {
-    // at spec scale every frontier is under the gate caps, so the
-    // forward/backward expansions must all plan as broadcast joins
+  test("betweenness expansion steps ride the counted broadcast gate") {
+    // the loop's eager checkpoints truncate lineage (the final plan
+    // never shows the expansion joins), so the audit drives the
+    // EXTRACTED step builders directly: under the cap the frontier/vis
+    // sides must carry broadcast hints; above it the hints must drop
+    import spark.implicits._
+    val frontier = Seq((1L, 1L, 0, 1L)).toDF("seed", "node", "d", "sigma")
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val vis = frontier.select("seed", "node")
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val gatedPlan = optimized(graft.operators.Analytics
+      .bcForwardStep(frontier, 1L, und, vis, 1L, 1))
+    assert(gatedPlan.toLowerCase.contains("broadcast"),
+      s"forward step under the cap lost its broadcast hints:\n$gatedPlan")
+    val ungatedPlan = optimized(graft.operators.Analytics
+      .bcForwardStep(frontier, 2000001L, und, vis, 2000001L, 1))
+    assert(!ungatedPlan.toLowerCase.contains("broadcast"),
+      s"forward step past the cap still hints broadcast:\n$ungatedPlan")
+    val cur = Seq((1L, 1L, 1L)).toDF("seed", "a", "sigma_v")
+    val nxt = Seq((1L, 2L, 1L, 0L)).toDF("seed", "b", "sigma_w", "delta_w")
+    val bwdGated = optimized(graft.operators.Analytics
+      .bcBackwardStep(cur, 1L, und, nxt, 1L))
+    assert(bwdGated.toLowerCase.contains("broadcast"),
+      s"backward step under the cap lost its broadcast hints:\n$bwdGated")
+    // and the real operator's final plan must never degenerate
     val p = finalPlan(graft.operators.Analytics.betweenness(spark, sf))
-    assert(p.contains("BroadcastHashJoin"),
-      s"betweenness expansions lost their broadcast gates:\n$p")
     assert(!p.contains("CartesianProduct"), s"betweenness cartesian:\n$p")
   }
 }
