@@ -1474,18 +1474,24 @@ object Analytics {
     var walk = nodes.filter(col("label") === "nation")
       .select(col("id").as("start"), col("id").as("cur"),
         col("id").cast("string").as("path"))
-    for (i <- 1 to walkSteps) {
-      val pick = (graft.functions.VectorExprs.hexSlice(
-        md5(concat(col("cur").cast("string"), lit(s":$i"))), 1, 8)
-        % col("deg")) + 1
-      walk = walk.join(adj, col("a") === col("cur") && col("rk") === pick)
-        .select(col("start"), col("b").as("cur"),
-          concat(col("path"), lit(">"), col("b")).as("path"))
-    }
-    nodes.join(walk, col("id") === col("start"))
-      .select(col("label"), col("key"), col("path"),
-        col("cur").as("end_id"))
-      .orderBy("label", "key")
+    // per-call checkpoint → checkpoint the (tiny) result, free adj in
+    // finally — without this every call pins a ranked-adjacency copy
+    // in the block manager for the session (the pathsTo discipline)
+    try {
+      for (i <- 1 to walkSteps) {
+        val pick = (graft.functions.VectorExprs.hexSlice(
+          md5(concat(col("cur").cast("string"), lit(s":$i"))), 1, 8)
+          % col("deg")) + 1
+        walk = walk.join(adj, col("a") === col("cur") && col("rk") === pick)
+          .select(col("start"), col("b").as("cur"),
+            concat(col("path"), lit(">"), col("b")).as("path"))
+      }
+      nodes.join(walk, col("id") === col("start"))
+        .select(col("label"), col("key"), col("path"),
+          col("cur").as("end_id"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally PropertyGraph.freeLocalCheckpoint(adj)
   }
 
   val randomWalkSql: String = {

@@ -213,19 +213,26 @@ object Dedup {
     // read twice (new side + corpus side) — eager per the multi-
     // reference checkpoint discipline
     val br = cappedBandRows(sig).localCheckpoint(eager = true)
-    val newBr = br.filter(col("doc_id") % 5 === 0)
-    val cand = newBr.alias("x").join(br.alias("y"),
-        col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
-        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
-        col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
-    scorePairs(sig, cand)
-      .withColumn("pair_kind",
-        when(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0, "new-new")
-          .otherwise("new-old"))
-      .orderBy("doc_a", "doc_b")
+    // per-call checkpoint → checkpoint the pair result, free the band
+    // rows in finally (each arriving batch is a new call; pinning a
+    // band-row copy per batch is exactly the leak shape this op exists
+    // to avoid at the corpus level)
+    try {
+      val newBr = br.filter(col("doc_id") % 5 === 0)
+      val cand = newBr.alias("x").join(br.alias("y"),
+          col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
+          col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+      scorePairs(sig, cand)
+        .withColumn("pair_kind",
+          when(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0, "new-new")
+            .otherwise("new-old"))
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(br)
   }
 
   val dedupIncrementalSql: String =
@@ -755,15 +762,24 @@ object Dedup {
       .localCheckpoint(eager = false)
     val truth = jaccardPairs(s, dir).select("doc_a", "doc_b")
       .localCheckpoint(eager = false)
-    val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-    pred.agg(count(lit(1)).as("n_pred"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
-      .select(col("n_pred"), col("n_truth"), col("n_tp"),
-        expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 1000000) div n_pred END")
-          .as("precision_ppm"),
-        expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 1000000) div n_truth END")
-          .as("recall_ppm"))
+    // per-call checkpoints → checkpoint the single result row, free the
+    // pair sets in finally (repeated eval calls would otherwise pin a
+    // pred/truth copy per invocation)
+    try {
+      val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_pred"), col("n_truth"), col("n_tp"),
+          expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 1000000) div n_pred END")
+            .as("precision_ppm"),
+          expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 1000000) div n_truth END")
+            .as("recall_ppm"))
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.model.PropertyGraph.freeLocalCheckpoint(pred)
+      graft.model.PropertyGraph.freeLocalCheckpoint(truth)
+    }
   }
 
   val dedupEvalSql: String =

@@ -603,19 +603,28 @@ object GraphOps {
     val h1 = expand(start).localCheckpoint(eager = true)
     val ego = start.unionByName(h1).unionByName(expand(h1))
       .distinct().localCheckpoint(eager = true)
-    // gate like every forced hint here: a 2-hop ego of a hub node can
-    // be huge at 100× — past the cap the hints drop and the semi-joins
-    // shuffle (the count is a cheap scan of the checkpointed set)
-    val egoRows = ego.count()
-    def gated(df: DataFrame): DataFrame =
-      if (egoRows <= 500000L) broadcast(df) else df
-    graph.edges
-      .join(gated(ego.toDF("src_label", "src_key")),
-        Seq("src_label", "src_key"), "left_semi")
-      .join(gated(ego.toDF("dst_label", "dst_key")),
-        Seq("dst_label", "dst_key"), "left_semi")
-      .select("elabel", "src_label", "src_key", "dst_label", "dst_key")
-      .orderBy("elabel", "src_label", "src_key", "dst_label", "dst_key")
+    // per-call checkpoints → checkpoint the induced edge list, free the
+    // frontier/ego sets in finally (the pathsTo discipline — repeated
+    // calls would otherwise pin an ego set per invocation)
+    try {
+      // gate like every forced hint here: a 2-hop ego of a hub node can
+      // be huge at 100× — past the cap the hints drop and the semi-joins
+      // shuffle (the count is a cheap scan of the checkpointed set)
+      val egoRows = ego.count()
+      def gated(df: DataFrame): DataFrame =
+        if (egoRows <= 500000L) broadcast(df) else df
+      graph.edges
+        .join(gated(ego.toDF("src_label", "src_key")),
+          Seq("src_label", "src_key"), "left_semi")
+        .join(gated(ego.toDF("dst_label", "dst_key")),
+          Seq("dst_label", "dst_key"), "left_semi")
+        .select("elabel", "src_label", "src_key", "dst_label", "dst_key")
+        .orderBy("elabel", "src_label", "src_key", "dst_label", "dst_key")
+        .localCheckpoint(eager = true)
+    } finally {
+      PropertyGraph.freeLocalCheckpoint(h1)
+      PropertyGraph.freeLocalCheckpoint(ego)
+    }
   }
 
   val egoSubgraphSql: String =
