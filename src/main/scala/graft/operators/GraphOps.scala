@@ -654,6 +654,46 @@ object GraphOps {
        |        WHERE b.label = e.dst_label AND b.key = e.dst_key)
        |ORDER BY elabel, src_label, src_key, dst_label, dst_key""".stripMargin
 
+  // ------------------------------------------------------- g_run_query
+  /** Reference runQuery (Neo4jGraph.scala:153) — the raw-Cypher
+    * passthrough every reference op routes through. The Spark-native
+    * equivalent: the graph registered as TEMP VIEWS and the user's
+    * TEXTUAL query planned by Catalyst (`spark.sql`), with full access
+    * to the optimizer (pushdown, join reorder, AQE) that a string
+    * query through the reference's driver never gets. The demonstration
+    * query is a 2-hop aggregation (suppliers per nation with region
+    * rollup) written as SQL over the views — the shape a reference
+    * user's Cypher `MATCH (s:supplier)-[:IN_NATION]->(n)-[:IN_REGION]->(r)`
+    * becomes. runInTransaction (Neo4jGraph.scala:532) maps to the batch
+    * upsert ops (§3: immutable snapshots, atomic by construction). */
+  def runQuery: Q = (s, dir) => {
+    val graph = g(s, dir)
+    graph.nodes.createOrReplaceTempView("g_nodes")
+    graph.edges.createOrReplaceTempView("g_edges")
+    s.sql("""
+      |SELECT r.name AS region, n.name AS nation, count(*) AS n_suppliers
+      |FROM g_edges e
+      |JOIN g_nodes n ON n.label = e.dst_label AND n.key = e.dst_key
+      |JOIN g_edges ir ON ir.src_label = n.label AND ir.src_key = n.key
+      | AND ir.elabel = 'IN_REGION'
+      |JOIN g_nodes r ON r.label = ir.dst_label AND r.key = ir.dst_key
+      |WHERE e.elabel = 'IN_NATION' AND e.src_label = 'supplier'
+      |GROUP BY r.name, n.name
+      |ORDER BY region, nation""".stripMargin)
+  }
+
+  val runQuerySql: String =
+    s"""$cte
+       |SELECT r.name AS region, n.name AS nation, count(*) AS n_suppliers
+       |FROM edges e
+       |JOIN nodes n ON n.label = e.dst_label AND n.key = e.dst_key
+       |JOIN edges ir ON ir.src_label = n.label AND ir.src_key = n.key
+       | AND ir.elabel = 'IN_REGION'
+       |JOIN nodes r ON r.label = ir.dst_label AND r.key = ir.dst_key
+       |WHERE e.elabel = 'IN_NATION' AND e.src_label = 'supplier'
+       |GROUP BY r.name, n.name
+       |ORDER BY region, nation""".stripMargin
+
   // ---------------------------------------------------- g_graph_summary
   /** GRAPH CATALOG SUMMARY — the stats surface a graph DB exposes
     * (reference: the per-label/per-relationship counts a client asks
@@ -733,6 +773,7 @@ object GraphOps {
     "g_degree" -> degree,
     "g_ego_subgraph" -> egoSubgraph,
     "g_graph_summary" -> graphSummary,
+    "g_run_query" -> runQuery,
     "g_neighbors_2hop" -> neighbors2hop)
 
   val oracleSql: Map[String, String] = Map(
@@ -760,5 +801,6 @@ object GraphOps {
     "g_degree" -> degreeSql,
     "g_ego_subgraph" -> egoSubgraphSql,
     "g_graph_summary" -> graphSummarySql,
+    "g_run_query" -> runQuerySql,
     "g_neighbors_2hop" -> neighbors2hopSql)
 }

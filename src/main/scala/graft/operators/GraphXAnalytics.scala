@@ -162,4 +162,27 @@ object GraphXAnalytics {
     nodes.join(out, Seq("id"))
       .select("label", "key", "lbl").orderBy("label", "key")
   }
+
+  /** GraphX TriangleCount on the SAME part co-occurrence graph as
+    * `Analytics.triangles` — the library's node-iterator count and
+    * GraphX's independent edge-partition algorithm must agree on the
+    * exact total (Σ per-vertex counts = 3 × triangles). The co edge
+    * set is built identically (p1 < p2, distinct — already canonical
+    * for TriangleCount). 6th equivalence-tested alternative path. */
+  def trianglesGraphX(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graph = PropertyGraph.load(s, dir)
+    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("p1"), col("p2")).distinct()
+    val gxEdges = co.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+    val vertices = co.select(col("p1")).union(co.select(col("p2")))
+      .distinct().rdd.map(r => (r.getLong(0), 1))
+    val tc = org.apache.spark.graphx.lib.TriangleCount
+      .run(GXGraph(vertices, gxEdges))
+    val total = tc.vertices.map(_._2.toLong).reduce(_ + _) / 3
+    Seq(total).toDF("n_triangles")
+  }
 }

@@ -79,6 +79,15 @@ class Round5bSpec extends AnyFunSuite {
       "the minimum source must keep everything")
   }
 
+  test("GraphX TriangleCount matches the DataFrame node-iterator exactly") {
+    val df = Analytics.triangles(spark, sf).collect()(0)
+      .getAs[Long]("n_triangles")
+    val gx = graft.operators.GraphXAnalytics.trianglesGraphX(spark, sf)
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(df == gx, s"DataFrame $df vs GraphX $gx")
+    assert(df > 0, "triangle count should be non-trivial at spec scale")
+  }
+
   test("g_butterfly_count: matches an in-memory motif recompute") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").distinct().collect()
