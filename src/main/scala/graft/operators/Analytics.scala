@@ -1528,9 +1528,135 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------- g_node2vec_walk
+  /** SECOND-ORDER biased walks (node2vec, Grover & Leskovec) — the
+    * upgrade over g_random_walk's first-order uniform steps: the next
+    * hop is weighted by where the walk CAME from (return weight 1/p,
+    * stay-local weight 1 for common neighbors of prev and cur,
+    * explore weight 1/q), which is what lets one corpus interpolate
+    * between BFS-like (structural) and DFS-like (community) context.
+    * p = q = 2, weights scaled ×10 to stay integer (back 5 / triangle
+    * 10 / forward 5). The "random" choice is deterministic weighted
+    * selection: r = hexSlice(md5(cur:n2v·i), 8 nibbles) mod Σw over
+    * the id-ordered candidate list, chosen row = the one whose
+    * cumulative-weight interval contains r — reproducible under
+    * re-partitioning and in the oracle (a sampled walk could never
+    * hash-match). Per step: one adjacency join + one LEFT join against
+    * the edge set (the triangle test — exactly the prev-neighborhood
+    * probe node2vec's alias tables precompute; here it stays a
+    * declarative join that shuffles on the edge key) + one per-walk
+    * window. Walk count scales with seeds, not graph size; the
+    * candidate frame is Σ deg(cur) per step. */
+  val n2vSteps = 4
+  val n2vBack = 5L  // 1/p × 10, p = 2
+  val n2vTri = 10L  // distance-1 (common neighbor) × 10
+  val n2vFwd = 5L   // 1/q × 10, q = 2
+
+  def node2vecWalk: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val und = simpleUnd(s, dir)
+    val byA = Window.partitionBy("a")
+    val adj = und
+      .withColumn("rk", row_number().over(byA.orderBy("b")))
+      .withColumn("deg", count(lit(1)).over(byA))
+      .localCheckpoint(eager = false)
+    try {
+      val walk = nodes
+        .filter(col("label") === "nation" && col("key") < 10)
+        .select(col("id").as("start"), col("id").as("cur"),
+          col("id").cast("string").as("path"))
+      // step 1 has no prev — uniform ranked pick like g_random_walk
+      val pick1 = (graft.functions.VectorExprs.hexSlice(
+        md5(concat(col("cur").cast("string"), lit(":n2v1"))), 1, 8)
+        % col("deg")) + 1
+      var st = walk.join(adj, col("a") === col("cur") && col("rk") === pick1)
+        .select(col("start"), col("cur").as("prev"), col("b").as("cur"),
+          concat(col("path"), lit(">"), col("b")).as("path"))
+      val tri = und.select(col("a").as("ta"), col("b").as("tb"))
+      for (i <- 2 to n2vSteps) {
+        val w = Window.partitionBy("start")
+        val ranked = st.join(und, col("a") === col("cur"))
+          .join(tri, col("ta") === col("prev") && col("tb") === col("b"),
+            "left_outer")
+          .withColumn("wgt", when(col("b") === col("prev"), lit(n2vBack))
+            .when(col("tb").isNotNull, lit(n2vTri)).otherwise(lit(n2vFwd)))
+          .withColumn("cumw", sum("wgt").over(w.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum("wgt").over(w))
+          .withColumn("r", graft.functions.VectorExprs.hexSlice(
+            md5(concat(col("cur").cast("string"), lit(s":n2v$i"))), 1, 8)
+            % col("tot"))
+        st = ranked
+          .filter(col("cumw") > col("r") && col("cumw") - col("wgt") <= col("r"))
+          .select(col("start"), col("cur").as("prev"), col("b").as("cur"),
+            concat(col("path"), lit(">"), col("b")).as("path"))
+      }
+      nodes.join(st, col("id") === col("start"))
+        .select(col("label"), col("key"), col("path"),
+          col("cur").as("end_id"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally PropertyGraph.freeLocalCheckpoint(adj)
+  }
+
+  val node2vecWalkSql: String = {
+    def hash8(cur: String, tag: String): String =
+      (0 until 8).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST($cur AS VARCHAR) || ':$tag'), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
+      }.mkString("(", " + ", ")")
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), und AS (
+             | SELECT DISTINCT a, b FROM (SELECT $undSqlPair) u
+             |), adj AS (
+             | SELECT a, b,
+             |  row_number() OVER (PARTITION BY a ORDER BY b) AS rk,
+             |  count(*) OVER (PARTITION BY a) AS deg
+             | FROM und
+             |), w0 AS (
+             | SELECT id AS start, id AS cur, CAST(id AS VARCHAR) AS path
+             | FROM ids WHERE label = 'nation' AND key < 10
+             |), w1 AS (
+             | SELECT w.start, w.cur AS prev, adj.b AS cur,
+             |  w.path || '>' || CAST(adj.b AS VARCHAR) AS path
+             | FROM w0 w JOIN adj ON adj.a = w.cur
+             |  AND adj.rk = (${hash8("w.cur", "n2v1")} % adj.deg) + 1
+             |)""".stripMargin
+    for (i <- 2 to n2vSteps) {
+      b ++= s""", c$i AS (
+               | SELECT w.start, w.prev, w.cur, w.path, u.b AS cand,
+               |  CASE WHEN u.b = w.prev THEN $n2vBack
+               |       WHEN t.b IS NOT NULL THEN $n2vTri
+               |       ELSE $n2vFwd END AS wgt
+               | FROM w${i - 1} w
+               | JOIN und u ON u.a = w.cur
+               | LEFT JOIN und t ON t.a = w.prev AND t.b = u.b
+               |), r$i AS (
+               | SELECT *,
+               |  sum(wgt) OVER (PARTITION BY start ORDER BY cand
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               |  sum(wgt) OVER (PARTITION BY start) AS tot
+               | FROM c$i
+               |), w$i AS (
+               | SELECT start, cur AS prev, cand AS cur,
+               |  path || '>' || CAST(cand AS VARCHAR) AS path
+               | FROM r$i
+               | WHERE cumw > (${hash8("cur", s"n2v$i")} % tot)
+               |  AND cumw - wgt <= (${hash8("cur", s"n2v$i")} % tot)
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, w.path, CAST(w.cur AS BIGINT) AS end_id
+             |FROM w$n2vSteps w JOIN ids i ON i.id = w.start
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g_random_walk" -> randomWalk,
+    "g_node2vec_walk" -> node2vecWalk,
     "g_betweenness" -> betweenness,
     "g_butterfly_count" -> butterflyCount,
     "g_pagerank_weighted" -> pagerankWeighted,
@@ -1552,6 +1678,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "g_random_walk" -> randomWalkSql,
+    "g_node2vec_walk" -> node2vecWalkSql,
     "g_betweenness" -> betweennessSql,
     "g_butterfly_count" -> butterflyCountSql,
     "g_pagerank_weighted" -> pagerankWeightedSql,

@@ -169,6 +169,57 @@ class Round5bSpec extends AnyFunSuite {
     assert(w.collect { case (("region", _), v) => v }.forall(_ > 0))
   }
 
+  test("g_node2vec_walk: every walk replayed exactly by an in-memory model") {
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val codes = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def id(l: String, k: Long) = codes(l) * 10000000000000L + k
+    val pairs: Set[(Long, Long)] =
+      g.edges.select("src_label", "src_key", "dst_label", "dst_key")
+        .collect().flatMap { r =>
+          val a = id(r.getString(0), r.getLong(1))
+          val b = id(r.getString(2), r.getLong(3))
+          Seq((a, b), (b, a))
+        }.toSet
+    val adjm = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h8(cur: Long, tag: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$cur:$tag").substring(0, 8), 16)
+    val rows = Analytics.node2vecWalk(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("path").split(">").map(_.toLong)
+      assert(ids.length == Analytics.n2vSteps + 1)
+      assert(ids.last == r.getAs[Long]("end_id"))
+      ids.sliding(2).foreach { p =>
+        assert(adjm(p(0)).contains(p(1)), s"phantom hop ${p.mkString(">")}")
+      }
+      // replay: uniform first step, then the exact weighted selection
+      var prev = ids(0)
+      val nb1 = adjm(prev).toSeq.sorted
+      var cur = nb1((h8(prev, "n2v1") % nb1.size).toInt)
+      assert(ids(1) == cur, s"step 1 of ${r}")
+      for (i <- 2 to Analytics.n2vSteps) {
+        val cands = adjm(cur).toSeq.sorted
+        val wgts = cands.map { b =>
+          if (b == prev) Analytics.n2vBack
+          else if (adjm(prev).contains(b)) Analytics.n2vTri
+          else Analytics.n2vFwd
+        }
+        val rr = h8(cur, s"n2v$i") % wgts.sum
+        var cum = 0L
+        var chosen = -1L
+        cands.zip(wgts).foreach { case (b, w) =>
+          if (chosen < 0) { cum += w; if (cum > rr) chosen = b }
+        }
+        assert(ids(i) == chosen, s"step $i from $cur (prev $prev)")
+        prev = cur; cur = chosen
+      }
+    }
+  }
+
   test("g_betweenness: matches an independent in-memory Brandes recompute") {
     val g = graft.model.PropertyGraph.load(spark, sf)
     val codes = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
