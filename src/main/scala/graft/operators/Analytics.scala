@@ -1541,12 +1541,19 @@ object Analytics {
     * the id-ordered candidate list, chosen row = the one whose
     * cumulative-weight interval contains r — reproducible under
     * re-partitioning and in the oracle (a sampled walk could never
-    * hash-match). Per step: one adjacency join + one LEFT join against
-    * the edge set (the triangle test — exactly the prev-neighborhood
-    * probe node2vec's alias tables precompute; here it stays a
-    * declarative join that shuffles on the edge key) + one per-walk
-    * window. Walk count scales with seeds, not graph size; the
-    * candidate frame is Σ deg(cur) per step. */
+    * hash-match). Per step: one adjacency join + the triangle test
+    * (the prev-neighborhood probe node2vec's alias tables precompute)
+    * + one per-walk window. The triangle probe does NOT shuffle the
+    * edge set: the prev frontier (one row per walk) is a gated
+    * broadcast that semi-filters the edge set map-side to
+    * prev-anchored rows, and AQE converts the remaining tiny
+    * left-outer join to a broadcast join from observed sizes —
+    * without the semi-filter this was a full edge-set sort-merge
+    * shuffle per step and the whole query's dominant cost. Walk count
+    * scales with seeds, not graph size; past `bcastRowCap` concurrent
+    * walks the gate drops the hint and the probe degrades to the
+    * shuffle (run walk batches, not one mega-batch). The candidate
+    * frame is Σ deg(cur) per step. */
   val n2vSteps = 4
   val n2vBack = 5L  // 1/p × 10, p = 2
   val n2vTri = 10L  // distance-1 (common neighbor) × 10
@@ -1560,6 +1567,7 @@ object Analytics {
       .withColumn("rk", row_number().over(byA.orderBy("b")))
       .withColumn("deg", count(lit(1)).over(byA))
       .localCheckpoint(eager = false)
+    val stepCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val walk = nodes
         .filter(col("label") === "nation" && col("key") < 10)
@@ -1573,10 +1581,24 @@ object Analytics {
         .select(col("start"), col("cur").as("prev"), col("b").as("cur"),
           concat(col("path"), lit(">"), col("b")).as("path"))
       val tri = und.select(col("a").as("ta"), col("b").as("tb"))
+      // one row per walk survives every step (the selection interval
+      // always contains exactly one candidate), so the frontier size
+      // IS the seed count — a loop-invariant gate operand, no count()
+      // per step
+      val nWalks = walk.count()
       for (i <- 2 to n2vSteps) {
+        // st is consumed TWICE this step (the frontier broadcast and
+        // the candidate probe): an eager checkpoint of the one-row-per-
+        // walk frame keeps the broadcast job from re-running the whole
+        // walk-so-far lineage (measured 2× slowdown without it) and
+        // truncates the per-step window lineage; blocks freed below
+        st = st.localCheckpoint(eager = true)
+        stepCkpts += st
         val w = Window.partitionBy("start")
+        val triStep = tri.join(gated(st.select(col("prev").as("ta")).distinct(),
+          nWalks), Seq("ta"), "left_semi")
         val ranked = st.join(und, col("a") === col("cur"))
-          .join(tri, col("ta") === col("prev") && col("tb") === col("b"),
+          .join(triStep, col("ta") === col("prev") && col("tb") === col("b"),
             "left_outer")
           .withColumn("wgt", when(col("b") === col("prev"), lit(n2vBack))
             .when(col("tb").isNotNull, lit(n2vTri)).otherwise(lit(n2vFwd)))
@@ -1596,7 +1618,10 @@ object Analytics {
           col("cur").as("end_id"))
         .orderBy("label", "key")
         .localCheckpoint(eager = true)
-    } finally PropertyGraph.freeLocalCheckpoint(adj)
+    } finally {
+      PropertyGraph.freeLocalCheckpoint(adj)
+      stepCkpts.foreach(PropertyGraph.freeLocalCheckpoint)
+    }
   }
 
   val node2vecWalkSql: String = {
@@ -1653,10 +1678,91 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------- g_topo_levels
+  /** TOPOLOGICAL LEVELS of the directed property graph — lvl(v) =
+    * length of the longest directed path ending at v (0 for sources),
+    * the dependency-depth / critical-path measure and the scheduling
+    * order a DAG pipeline executes in. The graph is a DAG by
+    * construction (customer→order→part→supplier→nation→region, max
+    * depth 5), so `topoIters` = 6 synchronous max-propagation rounds
+    * provably converge: lvl_i(v) = max(lvl_{i-1}(v), max over in-edges
+    * u→v of lvl_{i-1}(u)+1) — monotone, exact BIGINT, and the oracle
+    * unrolls the identical rounds. On a CYCLIC graph the fixed round
+    * count reports length-capped levels instead of diverging (same
+    * bounded-round contract as CC/SSSP). Scale shape: per round one
+    * edge-keyed join against the node-bounded level vector (gated
+    * broadcast) + one partial-agged max groupBy; each round is eagerly
+    * checkpointed — node-bounded rows — so the per-round broadcast
+    * never re-runs prior rounds' joins (the CC materialization
+    * discipline), blocks freed per call. */
+  val topoIters = 6
+
+  /** One max-propagation round — extracted (like bcForwardStep) so the
+    * plan audit can assert the gate behavior directly: the per-round
+    * eager checkpoints truncate lineage and the final plan never shows
+    * these joins. */
+  private[graft] def topoStep(lvl: DataFrame, ed: DataFrame,
+                              nodeCount: Long): DataFrame = {
+    val nx = ed.join(gated(lvl.toDF("u", "lu"), nodeCount),
+        col("a") === col("u"))
+      .groupBy(col("b")).agg(max(col("lu") + lit(1L)).as("cand"))
+    lvl.join(nx, col("id") === col("b"), "left_outer")
+      .select(col("id"),
+        greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl"))
+  }
+
+  def topoLevels: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    // DIRECTED edges — numericGraph's shared frame is the undirected
+    // union, which would make every node reachable from everywhere
+    val ed = g(s, dir).edges.select(
+      nodeIdCol(col("src_label"), col("src_key")).as("a"),
+      nodeIdCol(col("dst_label"), col("dst_key")).as("b"))
+    val n = nodes.count()
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var lvl = nodes.select(col("id"), lit(0L).as("lvl"))
+      for (_ <- 1 to topoIters) {
+        lvl = topoStep(lvl, ed, n).localCheckpoint(eager = true)
+        ckpts += lvl
+      }
+      nodes.join(lvl, "id").select(col("label"), col("key"), col("lvl"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally ckpts.foreach(PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val topoLevelsSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), ed AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b
+             | FROM edges
+             |), lv0 AS (
+             | SELECT id, CAST(0 AS BIGINT) AS lvl FROM ids
+             |)""".stripMargin
+    for (i <- 1 to topoIters) {
+      b ++= s""", nx$i AS (
+               | SELECT e.b AS id, max(l.lvl + 1) AS cand
+               | FROM ed e JOIN lv${i - 1} l ON l.id = e.a GROUP BY e.b
+               |), lv$i AS (
+               | SELECT l.id, greatest(l.lvl, COALESCE(n.cand, 0)) AS lvl
+               | FROM lv${i - 1} l LEFT JOIN nx$i n ON n.id = l.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key, CAST(l.lvl AS BIGINT) AS lvl
+             |FROM ids JOIN lv$topoIters l ON l.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
+    "g_topo_levels" -> topoLevels,
     "g_betweenness" -> betweenness,
     "g_butterfly_count" -> butterflyCount,
     "g_pagerank_weighted" -> pagerankWeighted,
@@ -1679,6 +1785,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,
+    "g_topo_levels" -> topoLevelsSql,
     "g_betweenness" -> betweennessSql,
     "g_butterfly_count" -> butterflyCountSql,
     "g_pagerank_weighted" -> pagerankWeightedSql,

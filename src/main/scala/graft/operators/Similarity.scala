@@ -605,8 +605,169 @@ object Similarity {
        |FROM ex0 e GROUP BY e.probe_id
        |ORDER BY probe_id""".stripMargin
 
+  // ----------------------------------------------- d_kmeans_cluster
+  /** Integer-exact LLOYD k-means over the quantized embeddings — the
+    * real "training" step that s_ann_ivf's static-centroid stand-in
+    * defers to an offline job (its doc notes FLOAT k-means is unstable
+    * across engines; quantized-BIGINT Lloyd is not): distances are
+    * exact squared L2 via precomputed norms (‖v‖² + ‖c‖² − 2·v·c, all
+    * BIGINT through the codegen'd dot expression), argmin ties break to
+    * the lowest centroid id, and the centroid update is the
+    * non-negative-shifted floor mean ((Σv + n·1024) div n) − 1024 —
+    * Spark `div` and DuckDB `//` agree only on non-negative operands
+    * and quantized values are ≥ −1024 by construction, so the shift
+    * makes the floor identical in both engines. `kmIters` assignment
+    * rounds with one update between (fixed rounds ⇒ exact unrolled
+    * oracle). A cluster that loses all members drops out of the next
+    * round (both engines, identically). Scale shape: assignment is the
+    * O(n·k) broadcast-centroid map-side pass (k rows — constants, no
+    * gate needed), the update is ONE shuffle partial-agged on
+    * (cluster, dim), and the k×d centroid rebuild is driver-scale. */
+  val kmK = 8
+  val kmIters = 2
+  private val kmShift = 1024L // > max |quantized coord| (1000)
+
+  /** Shared final-assignment stage for d_kmeans_cluster / d_semdedup:
+    * (vec_id, qe, nb, cid, dist). cache(): parameter-free plan — the
+    * cache manager keys on the canonicalized plan, so both ops (and
+    * repeated calls) reuse one session-bounded entry, like s_ann_ivf's
+    * assignment. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val q = quantizedWithNorm(s, dir)
+    var cents = q.filter(col("vec_id") < kmK)
+      .select(col("vec_id").as("cid"), col("qe").as("qc"), col("nb").as("cnb"))
+    var asg: DataFrame = null
+    for (it <- 1 to kmIters) {
+      val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      asg = q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("qe"), col("nb"), col("cid"),
+          (col("nb") + col("cnb") - lit(2L) * dot(col("qe"), col("qc")))
+            .as("dist"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select("vec_id", "qe", "nb", "cid", "dist")
+      if (it < kmIters) {
+        val sums = asg
+          .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "val")))
+          .groupBy("cid", "pos")
+          .agg(expr(s"((sum(val) + count(1) * $kmShift) div count(1))" +
+            s" - $kmShift").as("cval"))
+        cents = sums.groupBy("cid").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+            x => x.getField("cval")).as("qc"),
+          sum(col("cval") * col("cval")).as("cnb"))
+      }
+    }
+    asg.cache()
+  }
+
+  /** Shared CTE chain ending in the final assignment `a$kmIters`
+    * (vec_id, qe, nb, cid, dist). DuckDB `sum` returns HUGEINT —
+    * CAST back to BIGINT everywhere Spark stays long. lazy: references
+    * object-init-ordered vals. */
+  private lazy val kmeansSqlCtes: String = {
+    val b = new StringBuilder(
+      s"""WITH q AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+         | FROM embeddings
+         |), qn AS (
+         | SELECT vec_id, qe, CAST(list_dot_product(qe, qe) AS BIGINT) AS nb
+         | FROM q
+         |), c0 AS (
+         | SELECT vec_id AS cid, qe AS qc, nb AS cnb FROM qn
+         | WHERE vec_id < $kmK
+         |)""".stripMargin)
+    for (it <- 1 to kmIters) {
+      b ++= s""", d$it AS (
+               | SELECT v.vec_id, v.qe, v.nb, c.cid,
+               |  CAST(v.nb + c.cnb
+               |   - 2 * CAST(list_dot_product(v.qe, c.qc) AS BIGINT)
+               |   AS BIGINT) AS dist
+               | FROM qn v, c${it - 1} c
+               |), a$it AS (
+               | SELECT vec_id, qe, nb, cid, dist FROM (
+               |  SELECT *, row_number() OVER (
+               |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$it
+               | ) WHERE rn = 1
+               |)""".stripMargin
+      if (it < kmIters) {
+        b ++= s""", s$it AS (
+                 | SELECT cid, pos,
+                 |  CAST(((sum(val) + count(*) * $kmShift) // count(*))
+                 |   - $kmShift AS BIGINT) AS cval
+                 | FROM (SELECT cid, unnest(qe) AS val,
+                 |        generate_subscripts(qe, 1) AS pos FROM a$it)
+                 | GROUP BY cid, pos
+                 |), c$it AS (
+                 | SELECT cid, list(cval ORDER BY pos) AS qc,
+                 |  CAST(sum(cval * cval) AS BIGINT) AS cnb
+                 | FROM s$it GROUP BY cid
+                 |)""".stripMargin
+      }
+    }
+    b.toString
+  }
+
+  def kmeansCluster: Q = (s, dir) =>
+    kmeansAssign(s, dir)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+
+  lazy val kmeansClusterSql: String =
+    s"""$kmeansSqlCtes
+       |SELECT vec_id, cid AS cluster, dist FROM a$kmIters
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------- d_semdedup
+  /** SemDeDup (Abbas et al.): semantic near-dup pruning where the
+    * pairwise pass runs only WITHIN a k-means cluster — the clusters
+    * bound the quadratic, which is the whole point of the method at
+    * corpus scale (Σ (n/k)² ≪ n²). A vector is pruned (keep = 0) when
+    * an earlier same-cluster vector (lower vec_id — the deterministic
+    * stand-in for SemDeDup's keep-one-per-group choice) passes the
+    * exact cosine > 0.45 integer test shared with the dedup family
+    * (400·dp² > 81·‖a‖²‖b‖², dp > 0). The corpus-wide brute-force twin
+    * d_dedup_embedding finds 15 near-dup pairs at sf0.01; the
+    * cluster-scoped pass sees 9 — cross-cluster pairs are invisible BY
+    * DESIGN, the recall/efficiency trade both engines express
+    * identically. Scale: pair join keyed on cluster id, per-cluster
+    * candidate lists bounded by n/k; raise k to shrink the quadratic. */
+  def semDedup: Q = (s, dir) => {
+    val asg = kmeansAssign(s, dir)
+    val x = asg.toDF("va", "qa", "na", "ca", "da")
+    val y = asg.toDF("vb", "qb", "nbb", "cb", "db")
+    val dup = x.join(y, col("ca") === col("cb") && col("va") < col("vb"))
+      .select(col("vb"), dot(col("qa"), col("qb")).as("dp"),
+        col("na"), col("nbb"))
+      .filter(col("dp") > 0 &&
+        lit(400L) * col("dp") * col("dp") > lit(81L) * col("na") * col("nbb"))
+      .select("vb").distinct()
+    asg.join(dup, col("vec_id") === col("vb"), "left_outer")
+      .select(col("vec_id"), col("cid").as("cluster"),
+        when(col("vb").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  lazy val semDedupSql: String =
+    s"""$kmeansSqlCtes, pr AS (
+       | SELECT DISTINCT y.vec_id AS vb
+       | FROM a$kmIters x JOIN a$kmIters y
+       |  ON y.cid = x.cid AND x.vec_id < y.vec_id
+       | WHERE CAST(list_dot_product(x.qe, y.qe) AS BIGINT) > 0
+       |  AND 400 * CAST(list_dot_product(x.qe, y.qe) AS BIGINT)
+       |      * CAST(list_dot_product(x.qe, y.qe) AS BIGINT)
+       |      > 81 * x.nb * y.nb
+       |)
+       |SELECT a.vec_id, a.cid AS cluster,
+       | CAST(CASE WHEN p.vb IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM a$kmIters a LEFT JOIN pr p ON p.vb = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "d_kmeans_cluster" -> kmeansCluster,
+    "d_semdedup" -> semDedup,
     "s_ann_filtered" -> annFiltered,
     "s_ann_topk" -> annTopk,
     "s_ann_topk_lsh" -> annTopkLsh,
@@ -616,6 +777,8 @@ object Similarity {
     "s_ann_recall" -> annRecall,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "d_kmeans_cluster" -> kmeansClusterSql,
+    "d_semdedup" -> semDedupSql,
     "s_ann_filtered" -> annFilteredSql,
     "s_ann_topk" -> annTopkSql,
     "s_ann_topk_lsh" -> annTopkLshSql,

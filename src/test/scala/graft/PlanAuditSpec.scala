@@ -239,4 +239,47 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = finalPlan(graft.operators.Analytics.betweenness(spark, sf))
     assert(!p.contains("CartesianProduct"), s"betweenness cartesian:\n$p")
   }
+
+  test("kmeans assignment is the broadcast-centroid O(n·k) pass, no cartesian") {
+    // the centroid side is k = 8 rows: the n×k scoring must plan as a
+    // broadcast nested loop (it is a deliberate cross join against a
+    // constant-size side), NEVER a CartesianProduct (both sides
+    // shuffled) — that is the difference between a map-side linear
+    // scan and a corpus² shuffle at scale
+    val p = plan(Similarity.kmeansCluster(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"kmeans assignment lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"kmeans cartesian:\n$p")
+  }
+
+  test("semdedup pair join is equi on the cluster id, no cartesian") {
+    // the quadratic is bounded per cluster ONLY if the pair join keys
+    // on cid; a dropped equi-condition degenerates to all-pairs
+    val p = plan(Similarity.semDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"semdedup cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Join"),
+      s"unexpected semdedup shape:\n$p")
+  }
+
+  test("topo-levels round joins ride the gated broadcast under the cap") {
+    // per-round eager checkpoints truncate lineage (the final plan
+    // never shows the round joins) — drive the extracted step builder,
+    // same pattern as the betweenness audit
+    import spark.implicits._
+    val lvl = Seq((1L, 0L)).toDF("id", "lvl")
+    val ed = Seq((1L, 2L)).toDF("a", "b")
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val gatedPlan = optimized(
+      graft.operators.Analytics.topoStep(lvl, ed, 1L))
+    assert(gatedPlan.toLowerCase.contains("broadcast"),
+      s"topo step under the cap lost its broadcast hint:\n$gatedPlan")
+    val ungatedPlan = optimized(
+      graft.operators.Analytics.topoStep(lvl, ed, 2000001L))
+    assert(!ungatedPlan.toLowerCase.contains("broadcast"),
+      s"topo step past the cap still hints broadcast:\n$ungatedPlan")
+    // and the executed operator must never degenerate
+    val p = finalPlan(graft.operators.Analytics.topoLevels(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"topo cartesian:\n$p")
+  }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Similarity}
+
+/** Round-5 batch 3: topological levels, integer Lloyd k-means and the
+  * SemDeDup prune built on it — each replayed by an independent
+  * in-memory model (the oracle proves cross-engine parity; these prove
+  * the ALGORITHM computes what it claims). */
+class Round5cSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val labelCode = Map("region" -> 0L, "nation" -> 1L,
+    "customer" -> 2L, "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+  private def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+
+  test("g_topo_levels: matches an in-memory longest-path DP; depth spans 0..5") {
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val edges = g.edges
+      .select("src_label", "src_key", "dst_label", "dst_key").collect()
+      .map(r => (nid(r.getString(0), r.getLong(1)),
+        nid(r.getString(2), r.getLong(3))))
+    val inEdges = edges.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    val nodes = g.nodes.select("label", "key").collect()
+      .map(r => nid(r.getString(0), r.getLong(1)))
+    var lvl = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to Analytics.topoIters) {
+      lvl = lvl.map { case (v, l) =>
+        val in = inEdges.getOrElse(v, Array.empty[Long])
+        v -> math.max(l, if (in.isEmpty) 0L else in.map(lvl(_) + 1).max)
+      }
+    }
+    val rows = Analytics.topoLevels(spark, sf).collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val v = nid(r.getAs[String]("label"), r.getAs[Long]("key"))
+      assert(r.getAs[Long]("lvl") == lvl(v), s"node $v")
+    }
+    // the TPC-H DAG's critical path: customer→order→part→supplier→
+    // nation→region, and customers are sources
+    assert(rows.map(_.getAs[Long]("lvl")).max == 5)
+    rows.filter(_.getAs[String]("label") == "customer")
+      .foreach(r => assert(r.getAs[Long]("lvl") == 0, r.toString))
+  }
+
+  /** In-memory integer Lloyd, same contract as the operator. */
+  private def lloyd(): (Map[Long, (Long, Long)], Map[Long, Array[Long]]) = {
+    val vecs: Map[Long, Array[Long]] = spark.read
+      .parquet(s"$sf/embeddings.parquet").collect().map { r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding")
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong).toArray
+      }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var cents: Map[Long, Array[Long]] =
+      vecs.filter(_._1 < Similarity.kmK)
+    var asg: Map[Long, (Long, Long)] = Map.empty
+    for (it <- 1 to Similarity.kmIters) {
+      asg = vecs.map { case (v, q) =>
+        val nv = dot(q, q)
+        val best = cents.toSeq.map { case (cid, qc) =>
+          (nv + dot(qc, qc) - 2 * dot(q, qc), cid)
+        }.minBy { case (d, cid) => (d, cid) }
+        v -> (best._2, best._1)
+      }
+      if (it < Similarity.kmIters) {
+        cents = asg.groupBy(_._2._1).map { case (cid, members) =>
+          val qs = members.keys.map(vecs).toSeq
+          val n = qs.size.toLong
+          cid -> Array.tabulate(qs.head.length) { d =>
+            Math.floorDiv(qs.map(_(d)).sum + n * 1024, n) - 1024
+          }
+        }
+      }
+    }
+    (asg, vecs)
+  }
+
+  test("d_kmeans_cluster: matches an in-memory integer-Lloyd replay") {
+    val (asg, _) = lloyd()
+    val rows = Similarity.kmeansCluster(spark, sf).collect()
+    assert(rows.length == asg.size)
+    rows.foreach { r =>
+      val (cid, dist) = asg(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("cluster") == cid, r.toString)
+      assert(r.getAs[Long]("dist") == dist, r.toString)
+    }
+    // every initial centroid survives and claims its own vector
+    (0L until Similarity.kmK).foreach(c => assert(asg(c)._1 == c))
+  }
+
+  test("d_semdedup: pruned ⇔ an earlier same-cluster cosine>0.45 neighbor") {
+    val (asg, vecs) = lloyd()
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val pruned = (for {
+      (va, (ca, _)) <- asg.toSeq
+      (vb, (cb, _)) <- asg.toSeq
+      if ca == cb && va < vb
+      dp = dot(vecs(va), vecs(vb))
+      if dp > 0 &&
+        400L * dp * dp > 81L * dot(vecs(va), vecs(va)) * dot(vecs(vb), vecs(vb))
+    } yield vb).toSet
+    val rows = Similarity.semDedup(spark, sf).collect()
+    assert(rows.length == asg.size)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("cluster") == asg(v)._1, r.toString)
+      assert(r.getAs[Long]("keep") == (if (pruned(v)) 0L else 1L), r.toString)
+    }
+    // the prune actually fires at sf0.01, and never on an initial seed
+    assert(pruned.nonEmpty)
+    assert(rows.count(_.getAs[Long]("keep") == 0L) == pruned.size)
+  }
+}
