@@ -67,7 +67,7 @@ object Dedup {
     * document, and the actual hot loop of round 1's 64 s minhash. The
     * caller materializes `split(text, ' ')` ONCE in a child projection
     * via `withShingles`. */
-  private def shingleCol(words: Column): Column =
+  private[graft] def shingleCol(words: Column): Column =
     when(size(words) >= 3,
       array_distinct(transform(
         sequence(lit(0), size(words) - 3),
@@ -120,13 +120,13 @@ object Dedup {
   val mhSeeds = 9
   val mhBands = 3
   val mhBucketCap = 20
-  private val mhPrime = 2147483647L // 2^31 - 1, Mersenne
+  private[graft] val mhPrime = 2147483647L // 2^31 - 1, Mersenne
   /** Universal-hash constants: successive powers of the MINSTD Lehmer
     * multipliers mod p — deterministic, distinct, inlined as literals in
     * both engines. */
-  private val mhA: IndexedSeq[Long] =
+  private[graft] val mhA: IndexedSeq[Long] =
     Iterator.iterate(48271L)(x => x * 48271L % mhPrime).take(mhSeeds).toIndexedSeq
-  private val mhB: IndexedSeq[Long] =
+  private[graft] val mhB: IndexedSeq[Long] =
     Iterator.iterate(16807L)(x => x * 16807L % mhPrime).take(mhSeeds).toIndexedSeq
 
   private def signatures(s: SparkSession, dir: String): DataFrame = {
@@ -164,6 +164,13 @@ object Dedup {
       .select(bandKey.map(col): _*)
     bandRows.join(keep, bandKey, "left_semi")
   }
+
+  /** Static corpus band index for the streaming probe (st_dedup_probe):
+    * the capped band rows as a frozen lookup side. The cache on the
+    * signature stage is the same session-bounded, plan-keyed entry the
+    * batch ops share. */
+  private[graft] def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
+    cappedBandRows(signatures(s, dir).cache())
 
   private[graft] def dedupMinhashRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // sig feeds three consumers (band explode + both pair sides) —

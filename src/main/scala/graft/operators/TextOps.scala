@@ -1304,7 +1304,81 @@ object TextOps {
       |FROM kept k JOIN c ON c.source = k.source
       |ORDER BY k.source""".stripMargin
 
+  // ----------------------------------------------------- t_doc_lm_score
+  /** Per-document LM quality score — the CCNet/KenLM perplexity-filter
+    * idea with the corpus itself as the model: train a conditional
+    * bigram LM on the corpus (c(w1 w2)·10⁶ div c(w1 ·), the
+    * t_bigram_cond table without the top-k cut), then score each doc by
+    * the MEAN conditional probability of its bigram OCCURRENCES in
+    * exact ppm (Σ cond_ppm div n — sum of ints, floor div, no float
+    * crosses the engine boundary; a true log-perplexity would). High
+    * lm_ppm = predictable/natural text, low = noisy — the number a
+    * perplexity threshold filter reads. Every doc bigram hits the model
+    * by construction (same corpus); docs with < 2 words score 0 via the
+    * left join. Scale: the model is distinct-bigram-bounded (two
+    * map-side-combined aggs); scoring is ONE join of occurrences vs
+    * model keyed (w1, w2) — stopword-bigram skew is the AQE skew-join
+    * case, and the occurrence frame is cached because it feeds both the
+    * model build and the scoring pass (the t_distinct_kmv lesson:
+    * don't pay the corpus explode twice). */
+  def docLmScore: Q = (s, dir) => {
+    val words = col("words")
+    val pairs = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => struct(element_at(words, i + 1).as("w1"),
+          element_at(words, i + 2).as("w2"))))
+      .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    val ob = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .cache()
+    val bg = ob.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val model = bg.groupBy("w1").agg(sum(col("cb")).as("cw"))
+      .join(bg, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(cb * 1000000) div cw").as("cond_ppm"))
+    val sc = ob.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_ppm) div count(1)").as("lm_ppm"))
+    docs(s, dir).select("doc_id").join(sc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val docLmScoreSql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), ob AS (
+      | SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(words) - 1, 0) + 1),
+      |    i -> {'w1': words[i], 'w2': words[i+1]})) AS p
+      |  FROM w)
+      |), bg AS (
+      | SELECT w1, w2, count(*) AS cb FROM ob GROUP BY 1, 2
+      |), m AS (
+      | SELECT w1, sum(cb) AS cw FROM bg GROUP BY 1
+      |), model AS (
+      | SELECT bg.w1, bg.w2,
+      |  CAST((bg.cb * 1000000) // m.cw AS BIGINT) AS cond_ppm
+      | FROM bg JOIN m ON m.w1 = bg.w1
+      |), sc AS (
+      | SELECT ob.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(model.cond_ppm) // count(*) AS BIGINT) AS lm_ppm
+      | FROM ob JOIN model ON model.w1 = ob.w1 AND model.w2 = ob.w2
+      | GROUP BY ob.doc_id
+      |)
+      |SELECT d.doc_id,
+      | COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      | COALESCE(sc.lm_ppm, 0) AS lm_ppm
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_doc_lm_score" -> docLmScore,
     "t_readability" -> readability,
     "t_mixture_resample" -> mixtureResample,
     "t_langid_eval" -> langidEval,
@@ -1331,6 +1405,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_doc_lm_score" -> docLmScoreSql,
     "t_readability" -> readabilitySql,
     "t_mixture_resample" -> mixtureResampleSql,
     "t_langid_eval" -> langidEvalSql,

@@ -326,6 +326,53 @@ object Streams {
     * (pre-aggregated per user), and partition-dir overwrite is atomic
     * enough for parquet readers that list before read — a lakehouse
     * table format is the upgrade once available. */
+  /** st_dedup_probe: ONLINE near-dup detection of a document stream
+    * against a FROZEN corpus index — the stream-static join shape (the
+    * production "is this crawl page already in my training set" gate;
+    * batch twin: d_dedup_incremental carries the DuckDB oracle on the
+    * same band semantics).
+    *
+    * The per-doc minhash signature is computed STATELESSLY inside the
+    * row with array HOFs (shingles → one md5 → 60-bit parse → 9
+    * Lehmer mixes → array_min), value-identical to the batch
+    * explode+groupBy signature (duplicate shingles can't change a min;
+    * < 3-word docs emit nothing in both forms) — no shuffle, no state,
+    * so the probe side scales with the micro-batch alone. The only
+    * join is stream-static on the band key against the capped corpus
+    * band index (`Dedup.corpusBandIndex`), re-broadcast/re-scanned per
+    * batch by Spark; state stays EMPTY — an unbounded stream holds
+    * nothing. Emits one hit row per matching band (a pair sharing two
+    * bands appears twice — distinct is the caller's cross-batch
+    * concern, exactly like the exactly-once sink's idempotence
+    * contract). */
+  def dedupProbe(docs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val words = split(col("text"), " ")
+    val h31 = transform(Dedup.shingleCol(words),
+      sh => graft.functions.VectorExprs.hexSlice(md5(sh), 1, 15)
+        % Dedup.mhPrime)
+    val sigs = (0 until Dedup.mhSeeds).map { k =>
+      array_min(transform(col("h31"),
+        h => (lit(Dedup.mhA(k)) * h + lit(Dedup.mhB(k))) % Dedup.mhPrime))
+        .as(s"mh$k")
+    }
+    val bandStructs = array((0 until Dedup.mhBands).map { b =>
+      struct(lit(b).as("c"), col(s"mh${b * 3}").as("k0"),
+        col(s"mh${b * 3 + 1}").as("k1"), col(s"mh${b * 3 + 2}").as("k2"))
+    }: _*)
+    docs
+      .withColumn("h31", h31)
+      .filter(size(col("h31")) > 0)
+      .select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id").as("probe_id"), col("bs.c").as("c"),
+        col("bs.k0").as("k0"), col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+      .join(corpusBands.select(col("doc_id").as("corpus_id"), col("c"),
+        col("k0"), col("k1"), col("k2")), Seq("c", "k0", "k1", "k2"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("c").as("band"), col("corpus_id"))
+  }
+
   def exactlyOnceSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
     batch.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))

@@ -113,4 +113,32 @@ class Round5cSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
     assert(rows.count(_.getAs[Long]("keep") == 0L) == pruned.size)
   }
+
+  test("t_doc_lm_score: matches an in-memory bigram-LM replay") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val docBigrams = texts.map { case (id, t) =>
+      id -> t.split(" ").sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))).toSeq
+    }
+    val cb = docBigrams.values.flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cw = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val condPpm = cb.map { case (bg, c) =>
+      bg -> Math.floorDiv(c * 1000000L, cw(bg._1))
+    }
+    val rows = graft.operators.TextOps.docLmScore(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val bgs = docBigrams(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == bgs.size, r.toString)
+      val expected =
+        if (bgs.isEmpty) 0L
+        else Math.floorDiv(bgs.map(condPpm).sum, bgs.size.toLong)
+      assert(r.getAs[Long]("lm_ppm") == expected, r.toString)
+    }
+    // the score separates docs: not all identical at sf0.01
+    assert(rows.map(_.getAs[Long]("lm_ppm")).distinct.length > 10)
+  }
 }

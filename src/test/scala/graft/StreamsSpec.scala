@@ -435,4 +435,46 @@ class StreamsSpec extends AnyFunSuite {
         s"replay changed the table: $before -> ${snapshot()}")
     } finally q.stop()
   }
+
+  test("st_dedup_probe: hits equal the batch incremental new-old pairs; no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Dedup = graft.operators.Dedup
+    // frozen index = old-corpus band rows; the bucket cap is computed
+    // over the FULL corpus, matching the incremental op's discipline
+    val corpus = Dedup.corpusBandIndex(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+    val newDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupProbe(
+        mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("probe")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val hits = spark.table("probe").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(2)),
+          math.max(r.getLong(0), r.getLong(2)))).toSet
+      val batch = Dedup.dedupIncremental(spark, sf)
+        .filter(col("pair_kind") === "new-old")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.nonEmpty)
+      assert(hits == batch,
+        s"stream ${hits.size} pairs vs batch ${batch.size}")
+      // statelessness: replaying batch 1 re-emits exactly its own hit
+      // rows (the same transform run as BATCH input predicts the count)
+      val rowsAfterTwo = spark.table("probe").count()
+      val b1BatchRows = Streams.dedupProbe(
+        b1.toIndexedSeq.toDF("doc_id", "text"), corpus).count()
+      assert(b1BatchRows > 0)
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      assert(spark.table("probe").count() == rowsAfterTwo + b1BatchRows,
+        "probe is not stateless across micro-batches")
+    } finally q.stop()
+  }
 }
