@@ -53,6 +53,88 @@ object Dedup {
       | count(*) OVER (PARTITION BY md5(text)) AS cluster_size
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- d_dedup_span
+  /** Sliding-SPAN exact dedup — the word-granularity form of C4's
+    * duplicate-paragraph removal and the ExactSubstr policy of "Dedup-
+    * licating Training Data Makes Language Models Better" (Lee et al.,
+    * 2022): every 8-word sliding window is hashed, a span occurrence
+    * survives only if it is the GLOBAL first occurrence (min (doc_id,
+    * pos)) of its hash; every later occurrence is "removed". Per doc:
+    * span counts, duplicated-span count, removed count and removed_ppm
+    * — the numbers a span-level dedup filter reads. Exact doc
+    * duplicates show up as docs whose every span is removed.
+    *
+    * Scale: the occurrence frame is ~token-count-sized; first-occurrence
+    * + multiplicity are two window functions over ONE hash exchange
+    * (count needs no order, row_number sorts (doc_id, pos) — same
+    * Exchange, one Sort), then a map-side-combinable per-doc re-agg.
+    * Boilerplate spans (licence headers) are the skewed keys — AQE /
+    * salting territory, same as the band buckets above. The suffix-array
+    * construction the paper uses is the single-machine contrast; the
+    * rolling-window hash form is the one that distributes. */
+  def dedupSpan: Q = (s, dir) => {
+    val spanW = 8
+    val words = col("words")
+    val spans = when(size(words) >= spanW,
+      transform(sequence(lit(1), size(words) - (spanW - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(words, i, lit(spanW)))).as("h"))))
+      .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))
+    val occ = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(spans).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    val byH = Window.partitionBy("h")
+    val marked = occ
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .withColumn("rn",
+        row_number().over(byH.orderBy("doc_id", "pos")))
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+    docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("removed_ppm",
+        when(col("n_spans") > 0,
+          expr("n_removed * 1000000 div n_spans")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpanSql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), occ AS (
+      | SELECT doc_id, i AS pos,
+      |  md5(array_to_string(words[i:i+7], ' ')) AS h
+      | FROM w CROSS JOIN
+      |  UNNEST(range(1, greatest(len(words) - 7, 0) + 1)) AS t(i)
+      |), mk AS (
+      | SELECT doc_id,
+      |  count(*) OVER (PARTITION BY h) AS cnt,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      | FROM occ
+      |), pd AS (
+      | SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_spans,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed
+      | FROM mk GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      | COALESCE(pd.n_spans, 0) AS n_spans,
+      | COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+      | COALESCE(pd.n_removed, 0) AS n_removed,
+      | CASE WHEN COALESCE(pd.n_spans, 0) > 0
+      |  THEN CAST((pd.n_removed * 1000000) // pd.n_spans AS BIGINT)
+      |  ELSE 0 END AS removed_ppm
+      |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------- shingling
   /** Distinct 3-word shingles per document. Documents with < 3 words
     * emit NO shingles (guarded identically in both engines: Spark's
@@ -913,6 +995,7 @@ object Dedup {
     "d_decontaminate" -> decontaminate,
     "d_pipeline_e2e" -> pipelineE2e,
     "d_dedup_exact" -> dedupExact,
+    "d_dedup_span" -> dedupSpan,
     "d_dedup_minhash" -> dedupMinhash,
     "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -927,6 +1010,7 @@ object Dedup {
     "d_decontaminate" -> decontaminateSql,
     "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),
     "d_dedup_exact" -> dedupExactSql,
+    "d_dedup_span" -> dedupSpanSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

@@ -141,4 +141,38 @@ class Round5cSpec extends AnyFunSuite {
     // the score separates docs: not all identical at sf0.01
     assert(rows.map(_.getAs[Long]("lm_ppm")).distinct.length > 10)
   }
+
+  test("d_dedup_span: matches an in-memory first-occurrence replay") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .sortBy(_._1)
+    // every 8-word sliding span as (hash-key, doc, pos) occurrences
+    val occ = texts.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 to w.length - 8).map(i =>
+        (w.slice(i, i + 8).mkString(" "), id, i + 1))
+    }
+    val byKey = occ.groupBy(_._1)
+    val first = byKey.map { case (k, os) =>
+      k -> os.map(o => (o._2, o._3)).min
+    }
+    val expected = texts.map { case (id, _) =>
+      val mine = occ.filter(_._2 == id)
+      val dup = mine.count(o => byKey(o._1).length > 1)
+      val removed = mine.count(o => first(o._1) != ((o._2, o._3)))
+      (id, mine.length.toLong, dup.toLong, removed.toLong,
+        if (mine.nonEmpty)
+          Math.floorDiv(removed.toLong * 1000000L, mine.length.toLong)
+        else 0L)
+    }
+    val rows = graft.operators.Dedup.dedupSpan(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("removed_ppm")))
+    assert(rows.toSeq == expected.toSeq)
+    // the injected exact-duplicate docs make the op non-trivial here
+    assert(expected.exists(_._4 > 0L),
+      "no removed spans at this sf — op untested")
+  }
 }
