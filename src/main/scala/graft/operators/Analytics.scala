@@ -435,6 +435,87 @@ object Analytics {
     co.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
+  // -------------------------------------------------- g_clustering_coef
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the same part
+    * co-purchase projection (Neo4j GDS localClusteringCoefficient):
+    * lcc = 2·tri(v) / (d(v)·(d(v)−1)) in exact ppm (integer div — no
+    * float crosses the engine boundary). Per-node triangle counts come
+    * from the SAME degree-ordered intersection pass as g_triangles —
+    * the (u,v) corners take the intersection SIZE without enumerating
+    * (two count rows per oriented edge), only the third corner w needs
+    * the explode, so the shuffled volume is n_edges·2 + n_triangles,
+    * never the wedge set. The co/oriented/adj plans are canonically
+    * identical to g_triangles' — one session-wide cache entry serves
+    * both ops. Isolated parts (no co edge) have no degree and are out
+    * of scope, same as the projection itself. */
+  def clusteringCoef: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("p1"), col("p2")).distinct().cache()
+    val deg = co.select(col("p1").as("p")).union(co.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+    val withDeg = co
+      .join(deg.toDF("p1", "d1"), "p1").join(deg.toDF("p2", "d2"), "p2")
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2")), col("p1"))
+        .otherwise(col("p2")).as("u"),
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2")), col("p2"))
+        .otherwise(col("p1")).as("v")).cache()
+    val adj = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
+    val edgeTri = oriented
+      .join(adj.toDF("u", "nu"), "u")
+      .join(adj.toDF("v", "nv"), "v")
+      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("w"))
+      .cache() // feeds the two corner passes + the w explode; parameter-
+      // free plan → one bounded session-wide entry (file cache policy)
+    val corners = edgeTri
+      .select(col("u").as("p"), size(col("w")).cast("long").as("c"))
+      .union(edgeTri.select(col("v").as("p"), size(col("w")).cast("long")))
+      .union(edgeTri.select(explode(col("w")).as("p"), lit(1L)))
+    val perNode = corners.groupBy("p").agg(sum(col("c")).as("n_tri"))
+    val out = deg.join(perNode, Seq("p"), "left_outer")
+      .select(col("p"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_ppm", when(col("degree") >= 2,
+        expr("n_tri * 2000000 div (degree * (degree - 1))"))
+        .otherwise(lit(0L)))
+      .orderBy("p")
+    out
+  }
+
+  val clusteringCoefSql: String =
+    s"""$cte, hp AS (
+       | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
+       |), co AS (
+       | SELECT DISTINCT a.p AS p1, b.p AS p2
+       | FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+       |), deg AS (
+       | SELECT p, count(*) AS degree FROM (
+       |  SELECT p1 AS p FROM co UNION ALL SELECT p2 AS p FROM co)
+       | GROUP BY 1
+       |), tri AS (
+       | SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+       | FROM co e1 JOIN co e2 ON e2.p1 = e1.p2
+       |  JOIN co e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       |), pn AS (
+       | SELECT n AS p, count(*) AS n_tri FROM (
+       |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+       |  UNION ALL SELECT c AS n FROM tri)
+       | GROUP BY 1
+       |)
+       |SELECT deg.p, deg.degree, COALESCE(pn.n_tri, 0) AS n_tri,
+       | CASE WHEN deg.degree >= 2
+       |  THEN CAST((COALESCE(pn.n_tri, 0) * 2000000)
+       |   // (deg.degree * (deg.degree - 1)) AS BIGINT)
+       |  ELSE 0 END AS lcc_ppm
+       |FROM deg LEFT JOIN pn ON pn.p = deg.p
+       |ORDER BY deg.p""".stripMargin
+
   val trianglesSql: String =
     s"""$cte, hp AS (
        | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
@@ -1777,6 +1858,7 @@ object Analytics {
     "g_pagerank" -> pagerank,
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
+    "g_clustering_coef" -> clusteringCoef,
     "g_bfs_depth" -> bfsDepth,
     "g_sssp_weighted" -> ssspWeighted,
     "g_label_propagation" -> labelPropagation,
@@ -1800,6 +1882,7 @@ object Analytics {
     "g_pagerank" -> pagerankSql,
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,
+    "g_clustering_coef" -> clusteringCoefSql,
     "g_bfs_depth" -> bfsDepthSql,
     "g_sssp_weighted" -> ssspWeightedSql,
     "g_label_propagation" -> labelPropagationSql,

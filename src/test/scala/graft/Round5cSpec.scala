@@ -175,4 +175,34 @@ class Round5cSpec extends AnyFunSuite {
     assert(expected.exists(_._4 > 0L),
       "no removed spans at this sf — op untested")
   }
+
+  test("g_clustering_coef: matches an in-memory adjacency-set replay") {
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val hp = g.edges.filter(col("elabel") === "HAS_PART")
+      .select("src_key", "dst_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = hp.groupBy(_._1).values
+    val co = byOrder.flatMap { es =>
+      val ps = es.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = (co.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (p, es) => p -> es.map(_._2).toSet }
+    val rows = graft.operators.Analytics.clusteringCoef(spark, sf).collect()
+    assert(rows.length == nbrs.size)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p")
+      val n = nbrs(p)
+      assert(r.getAs[Long]("degree") == n.size.toLong, s"degree of $p")
+      val tri = n.toSeq.combinations(2)
+        .count(pr => nbrs(pr(0)).contains(pr(1))).toLong
+      assert(r.getAs[Long]("n_tri") == tri, s"tri of $p")
+      val expLcc = if (n.size >= 2)
+        Math.floorDiv(tri * 2000000L, n.size.toLong * (n.size - 1L))
+      else 0L
+      assert(r.getAs[Long]("lcc_ppm") == expLcc, s"lcc of $p")
+    }
+    // the projection is dense enough to exercise both branches
+    assert(rows.exists(_.getAs[Long]("n_tri") > 0L))
+  }
 }
