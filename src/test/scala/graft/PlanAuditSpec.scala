@@ -282,4 +282,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = finalPlan(graft.operators.Analytics.topoLevels(spark, sf))
     assert(!p.contains("CartesianProduct"), s"topo cartesian:\n$p")
   }
+
+  test("span dedup's two window functions share ONE hash exchange") {
+    // count-over-h and row_number-over-h both need hashpartitioning(h);
+    // losing the shared exchange doubles the biggest shuffle of the op
+    val p = plan(Dedup.dedupSpan(spark, sf))
+    val n = "Exchange hashpartitioning\\(h#".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 span-hash exchange, got $n:\n$p")
+  }
+
+  test("clustering-coef attribution joins are equi, never cartesian") {
+    val p = finalPlan(graft.operators.Analytics.clusteringCoef(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"clustering coef degenerated:\n$p")
+  }
 }
