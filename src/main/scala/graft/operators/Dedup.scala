@@ -72,8 +72,14 @@ object Dedup {
     * salting territory, same as the band buckets above. The suffix-array
     * construction the paper uses is the single-machine contrast; the
     * rolling-window hash form is the one that distributes. */
-  def dedupSpan: Q = (s, dir) => {
-    val spanW = 8
+  private val spanW = 8
+
+  /** Span occurrences marked with corpus-wide multiplicity (`cnt`) and
+    * first-occurrence rank (`rn` over (doc_id, pos)) — the shared stage
+    * of d_dedup_span (stats) and d_dedup_span_rewrite (actual token
+    * removal). Both window functions ride ONE hash exchange
+    * (plan-audited). */
+  private def spanMarked(s: SparkSession, dir: String): DataFrame = {
     val words = col("words")
     val spans = when(size(words) >= spanW,
       transform(sequence(lit(1), size(words) - (spanW - 1)),
@@ -85,11 +91,14 @@ object Dedup {
       .select(col("doc_id"), explode(spans).as("sp"))
       .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
     val byH = Window.partitionBy("h")
-    val marked = occ
+    occ
       .withColumn("cnt", count(lit(1)).over(byH))
       .withColumn("rn",
         row_number().over(byH.orderBy("doc_id", "pos")))
-    val perDoc = marked.groupBy("doc_id").agg(
+  }
+
+  def dedupSpan: Q = (s, dir) => {
+    val perDoc = spanMarked(s, dir).groupBy("doc_id").agg(
       count(lit(1)).as("n_spans"),
       sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
       sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
@@ -133,6 +142,82 @@ object Dedup {
       |  THEN CAST((pd.n_removed * 1000000) // pd.n_spans AS BIGINT)
       |  ELSE 0 END AS removed_ppm
       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------ d_dedup_span_rewrite
+  /** The REWRITE stage of span dedup — not just flagging duplicated
+    * spans but removing their tokens and rebuilding the text (what
+    * ExactSubstr dedup actually does to a corpus; most engines stop at
+    * the flag). A token survives unless it is covered by ANY removed
+    * (non-first-occurrence) span; per doc we emit kept-token count and
+    * the md5 of the rebuilt text — the hash crosses the engine boundary,
+    * not the text, so the oracle proves byte-identical reconstruction
+    * without hauling documents through the compare. Fully-duplicated
+    * docs rebuild to the empty string (md5('') matches cross-engine via
+    * the coalesce).
+    *
+    * Scale: covered positions are an 8× explode of REMOVED spans only
+    * (dup-bounded, not corpus-bounded); the rebuild is one corpus-sized
+    * anti-join + groupBy — the unavoidable cost of materializing a new
+    * corpus — with per-doc array_sort bounded by document length.
+    * Deterministic rebuild: collect_list order is salvaged by sorting
+    * (tpos, word) structs, tpos unique per doc. */
+  def dedupSpanRewrite: Q = (s, dir) => {
+    val removed = spanMarked(s, dir).filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanW - 1))).as("tpos"))
+      .distinct()
+    val tokens = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("tpos"), col("col").as("word"))
+    val kept = tokens.join(removed, Seq("doc_id", "tpos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("word")))),
+        x => x.getField("word")), " ").as("txt"))
+    docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("txt"), lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpanRewriteSql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), occ AS (
+      | SELECT doc_id, i AS pos,
+      |  md5(array_to_string(words[i:i+7], ' ')) AS h
+      | FROM w CROSS JOIN
+      |  UNNEST(range(1, greatest(len(words) - 7, 0) + 1)) AS t(i)
+      |), mk AS (
+      | SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      | FROM occ
+      |), cov AS (
+      | SELECT DISTINCT doc_id, pos + i AS tpos
+      | FROM mk CROSS JOIN UNNEST(range(0, 8)) AS t(i)
+      | WHERE rn > 1
+      |), tok AS (
+      | SELECT doc_id, i AS tpos, words[i] AS word
+      | FROM w CROSS JOIN UNNEST(range(1, len(words) + 1)) AS t(i)
+      |), kept AS (
+      | SELECT t.doc_id, t.tpos, t.word FROM tok t
+      | LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+      | WHERE c.doc_id IS NULL
+      |), agg AS (
+      | SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(word, ' ' ORDER BY tpos) AS txt
+      | FROM kept GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      | CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      | COALESCE(a.n_kept, 0) AS n_kept,
+      | md5(COALESCE(a.txt, '')) AS kept_md5
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------- shingling
@@ -996,6 +1081,7 @@ object Dedup {
     "d_pipeline_e2e" -> pipelineE2e,
     "d_dedup_exact" -> dedupExact,
     "d_dedup_span" -> dedupSpan,
+    "d_dedup_span_rewrite" -> dedupSpanRewrite,
     "d_dedup_minhash" -> dedupMinhash,
     "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -1011,6 +1097,7 @@ object Dedup {
     "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_span" -> dedupSpanSql,
+    "d_dedup_span_rewrite" -> dedupSpanRewriteSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

@@ -205,4 +205,37 @@ class Round5cSpec extends AnyFunSuite {
     // the projection is dense enough to exercise both branches
     assert(rows.exists(_.getAs[Long]("n_tri") > 0L))
   }
+
+  test("d_dedup_span_rewrite: rebuilt text md5-matches an in-memory rewrite") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .sortBy(_._1)
+    val occ = texts.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 to w.length - 8).map(i =>
+        (w.slice(i, i + 8).mkString(" "), id, i + 1))
+    }
+    val first = occ.groupBy(_._1).map { case (k, os) =>
+      k -> os.map(o => (o._2, o._3)).min
+    }
+    val expected = texts.map { case (id, t) =>
+      val w = t.split(" ")
+      val covered = occ.filter(o => o._2 == id && first(o._1) != ((id, o._3)))
+        .flatMap(o => o._3 until o._3 + 8).toSet
+      val keptWords = w.indices.filterNot(i => covered(i + 1)).map(w)
+      (id, w.length.toLong, keptWords.length.toLong,
+        md5hex(keptWords.mkString(" ")))
+    }
+    val rows = graft.operators.Dedup.dedupSpanRewrite(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("kept_md5")))
+    assert(rows.toSeq == expected.toSeq)
+    // exact-duplicate docs collapse to the empty rebuild; others keep all
+    assert(expected.exists(_._3 == 0L), "no fully-rewritten doc at this sf")
+    assert(expected.exists(e => e._3 == e._2), "no untouched doc at this sf")
+  }
 }
