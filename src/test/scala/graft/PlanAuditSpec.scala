@@ -291,6 +291,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 span-hash exchange, got $n:\n$p")
   }
 
+  test("phash band join is equi on (band, value), never cartesian") {
+    val p = finalPlan(graft.operators.Multimodal.phashDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"phash candidate join degenerated:\n$p")
+  }
+
   test("clustering-coef attribution joins are equi, never cartesian") {
     val p = finalPlan(graft.operators.Analytics.clusteringCoef(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),

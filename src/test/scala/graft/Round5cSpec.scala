@@ -238,4 +238,40 @@ class Round5cSpec extends AnyFunSuite {
     assert(expected.exists(_._3 == 0L), "no fully-rewritten doc at this sf")
     assert(expected.exists(e => e._3 == e._2), "no untouched doc at this sf")
   }
+
+  test("m_phash_dedup: matches an in-memory bigram-histogram + banding replay") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def signature(t: String): (Long, Long) = {
+      val bs = t.getBytes("UTF-8").map(_ & 0xff)
+      val cnt = Array.fill(64)(0L)
+      bs.sliding(2).foreach { p =>
+        if (p.length == 2) cnt((p(0) * 31 + p(1)) % 64) += 1
+      }
+      val total = (bs.length - 1).toLong
+      val lo = (0 until 32).map(v =>
+        if (cnt(v) * 64 > total) 1L << v else 0L).sum
+      val hi = (32 until 64).map(v =>
+        if (cnt(v) * 64 > total) 1L << (v - 32) else 0L).sum
+      (lo, hi)
+    }
+    val sigs = texts.map { case (id, t) => id -> signature(t) }.toMap
+    def bandVals(s: (Long, Long)): Seq[(Int, Long)] =
+      (0 until 8).map(b => b ->
+        (if (b < 4) (s._1 >> (b * 8)) & 255L else (s._2 >> ((b - 4) * 8)) & 255L))
+    val expected = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      if bandVals(sa).intersect(bandVals(sb)).nonEmpty
+      hamming = java.lang.Long.bitCount(sa._1 ^ sb._1) +
+        java.lang.Long.bitCount(sa._2 ^ sb._2)
+      if hamming <= 2
+    } yield (a, b, hamming.toLong)).sorted
+    val rows = graft.operators.Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(rows == expected)
+    // duplicate payloads collide at hamming 0 at this sf
+    assert(expected.exists(_._3 == 0L), "no hamming-0 pair — op untested")
+  }
 }
