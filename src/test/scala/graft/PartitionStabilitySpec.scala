@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count INDEPENDENCE: a distributed operator must return the
+  * same rows whether the cluster runs 32 shuffle partitions or 7, and
+  * whatever the input split sizing — anything else means the result
+  * depends on physical placement (the classic collect_list /
+  * first-in-partition / float-reduction bug class). These specs re-run
+  * the most order-SENSITIVE ops (per-doc rebuilds from collect_list,
+  * window-ranked selections, banded self-joins, per-level iteration)
+  * under deliberately different partitioning and require row-identical
+  * output — locally this simulates the executor-count change every
+  * real cluster rollout performs. */
+class PartitionStabilitySpec extends AnyFunSuite {
+  import TestSession._
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toIndexedSeq
+
+  private def stable(name: String)(run: => DataFrame): Unit = {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    val beforeBytes = conf.get("spark.sql.files.maxPartitionBytes")
+    val baseline = collectSorted(run)
+    try {
+      // different shuffle width AND different input splits; drop every
+      // cached plan so nothing replays the old physical layout
+      spark.sharedState.cacheManager.clearCache()
+      conf.set("spark.sql.shuffle.partitions", "7")
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val repartitioned = collectSorted(run)
+      assert(repartitioned == baseline,
+        s"$name depends on physical partitioning: " +
+          s"${baseline.size} vs ${repartitioned.size} rows or order drift")
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", before)
+      conf.set("spark.sql.files.maxPartitionBytes", beforeBytes)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("span-rewrite rebuild is partition-stable (collect_list + array_sort)") {
+    stable("d_dedup_span_rewrite") {
+      graft.operators.Dedup.dedupSpanRewrite(spark, sf)
+    }
+  }
+
+  test("mixture resample membership is partition-stable (ranked selection)") {
+    stable("t_mixture_resample") {
+      graft.operators.TextOps.mixtureResample(spark, sf)
+    }
+  }
+
+  test("phash candidate pairs are partition-stable (banded self-join)") {
+    stable("m_phash_dedup") {
+      graft.operators.Multimodal.phashDedup(spark, sf)
+    }
+  }
+
+  test("random walk is partition-stable (per-step deterministic choice)") {
+    stable("g_random_walk") {
+      graft.operators.Analytics.randomWalk(spark, sf)
+    }
+  }
+}
