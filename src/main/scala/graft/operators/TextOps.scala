@@ -1304,6 +1304,50 @@ object TextOps {
       |FROM kept k JOIN c ON c.source = k.source
       |ORDER BY k.source""".stripMargin
 
+  // ---------------------------------------------------- t_global_shuffle
+  /** Deterministic GLOBAL SHUFFLE + SHARDING — the last step of every
+    * training-data pipeline: a seeded pseudorandom permutation of the
+    * corpus written as N shards, reproducible run-to-run (the training
+    * job's data order is part of the experiment record). Key =
+    * md5(seed:doc_id); shard = first key nibble mod 8 (hash-sharding —
+    * embarrassingly parallel, no global sort); position = rank of the
+    * key WITHIN the shard. No global row_number ever exists: ordering
+    * is per-shard (one window over the shard key), which is how a
+    * 100 TB corpus is actually laid out — in production n_shards is
+    * O(corpus/shard_target) (thousands), so per-shard sort parallelism
+    * equals shard count and each task sorts one output file's worth;
+    * the 8 here is a demo constant. Partition-stable by construction:
+    * key ties are impossible (doc_id is injective into the key) and
+    * the (k, doc_id) order pins rank deterministically anyway. */
+  def globalShuffle: Q = (s, dir) => {
+    val nShards = 8
+    val keyed = docs(s, dir).select(col("doc_id"),
+      md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        (graft.functions.VectorExprs.hexSlice(col("k"), 1, 1)
+          % nShards).cast("long"))
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  val globalShuffleSql: String =
+    """WITH k AS (
+      | SELECT doc_id,
+      |  md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS k
+      | FROM documents
+      |), s AS (
+      | SELECT doc_id, k,
+      |  CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8
+      |   AS BIGINT) AS shard
+      | FROM k
+      |)
+      |SELECT doc_id, shard,
+      | CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+      |  AS BIGINT) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   // ----------------------------------------------------- t_doc_lm_score
   /** Per-document LM quality score — the CCNet/KenLM perplexity-filter
     * idea with the corpus itself as the model: train a conditional
@@ -1378,6 +1422,7 @@ object TextOps {
       |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "t_global_shuffle" -> globalShuffle,
     "t_doc_lm_score" -> docLmScore,
     "t_readability" -> readability,
     "t_mixture_resample" -> mixtureResample,
@@ -1405,6 +1450,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_global_shuffle" -> globalShuffleSql,
     "t_doc_lm_score" -> docLmScoreSql,
     "t_readability" -> readabilitySql,
     "t_mixture_resample" -> mixtureResampleSql,

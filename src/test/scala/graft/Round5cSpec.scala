@@ -274,4 +274,27 @@ class Round5cSpec extends AnyFunSuite {
     // duplicate payloads collide at hamming 0 at this sf
     assert(expected.exists(_._3 == 0L), "no hamming-0 pair — op untested")
   }
+
+  test("t_global_shuffle: matches an in-memory seeded permutation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val keyed = ids.map(id => (id, md5hex(s"shuf42:$id")))
+    val expected = keyed
+      .groupBy { case (_, k) => "0123456789abcdef".indexOf(k.head) % 8 }
+      .toSeq.flatMap { case (shard, members) =>
+        members.sortBy { case (id, k) => (k, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, shard.toLong, i + 1L) }
+      }.sortBy(t => (t._2, t._3))
+    val rows = graft.operators.TextOps.globalShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == expected)
+    // every shard non-empty and positions dense from 1
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.size == 8)
+    byShard.values.foreach(m =>
+      assert(m.map(_._3).sorted == (1L to m.length).toSeq))
+  }
 }
