@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.PropertyGraph
@@ -716,6 +716,11 @@ object Analytics {
     // cached node count; past the cap the joins shuffle (at 100× the
     // label vector is pre-partitioned with und instead of shipped)
     val n = nodes.count()
+    // per-round lazy checkpoints are dead once the final eager frame
+    // collapses the chain — free them so the memo pins ONE frame, not
+    // lpaIters of them (nationBfs/pathsTo discipline)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
     for (_ <- 1 to lpaIters) {
       val counts = und.join(gated(lbl.withColumnRenamed("id", "a"), n), Seq("a"))
         .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
@@ -738,8 +743,10 @@ object Analytics {
       lbl = lbl.join(gated(mode, n), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("m"), col("lbl")).as("lbl"))
         .localCheckpoint(eager = false)
+      rounds += lbl
     }
     lbl.localCheckpoint(eager = true)
+    } finally rounds.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   def labelPropagation: Q = (s, dir) => {
@@ -1118,16 +1125,27 @@ object Analytics {
         .localCheckpoint(eager = true)
       var vis = seeds
       var frontier = seeds
-      for (i <- 1 to closenessHops) {
-        val next = und.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
-          .select(col("seed"), col("b").as("node")).distinct()
-          .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
-          .withColumn("d", lit(i))
-          .localCheckpoint(eager = false)
-        vis = vis.unionByName(next).localCheckpoint(eager = false)
-        frontier = next
+      // per-level frames are only needed until the final eager
+      // checkpoint collapses the chain — free their blocks after
+      // (pathsTo discipline; the memo pins ONLY the collapsed frame)
+      val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      try {
+        for (i <- 1 to closenessHops) {
+          val next = und.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+            .select(col("seed"), col("b").as("node")).distinct()
+            .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
+            .withColumn("d", lit(i))
+            .localCheckpoint(eager = false)
+          vis = vis.unionByName(next).localCheckpoint(eager = false)
+          levels += next
+          levels += vis
+          frontier = next
+        }
+        vis.localCheckpoint(eager = true)
+      } finally {
+        levels.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+        graft.model.PropertyGraph.freeLocalCheckpoint(seeds)
       }
-      vis.localCheckpoint(eager = true)
     })
   }
 
@@ -1544,14 +1562,37 @@ object Analytics {
     * scales with seeds, not graph size. */
   val walkSteps = 4
 
-  def randomWalk: Q = (s, dir) => {
-    val (nodes, _) = numericGraph(s, dir)
-    val und = simpleUnd(s, dir)
+  /** Id-ranked adjacency view (rank + degree per source node), lazily
+    * checkpointed because every walk step re-reads it — the shared
+    * neighbor-selection substrate of g_random_walk and g_node2vec_walk
+    * (caller frees it in finally, pathsTo discipline). */
+  private def rankedAdj(und: DataFrame): DataFrame = {
     val byA = Window.partitionBy("a")
-    val adj = und
+    und
       .withColumn("rk", row_number().over(byA.orderBy("b")))
       .withColumn("deg", count(lit(1)).over(byA))
-      .localCheckpoint(eager = false) // read by every step
+      .localCheckpoint(eager = false)
+  }
+
+  /** Deterministic uniform neighbor pick: rank =
+    * (hexSlice(md5(cur:tag), 8 nibbles) mod deg) + 1 — the shared
+    * walk-step sampler (its SQL twin is walkHash8Sql). */
+  private def uniformPick(tag: String): Column =
+    (graft.functions.VectorExprs.hexSlice(
+      md5(concat(col("cur").cast("string"), lit(s":$tag"))), 1, 8)
+      % col("deg")) + 1
+
+  /** DuckDB twin of the walk-step hash: 8 md5 nibbles of cur:tag as a
+    * 32-bit integer — the cross-engine reproducibility contract of both
+    * walk ops (edit in lockstep with uniformPick/hexSlice). */
+  private def walkHash8Sql(cur: String, tag: String): String =
+    (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($cur AS VARCHAR) || ':$tag'), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
+    }.mkString("(", " + ", ")")
+
+  def randomWalk: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val adj = rankedAdj(simpleUnd(s, dir))
     var walk = nodes.filter(col("label") === "nation")
       .select(col("id").as("start"), col("id").as("cur"),
         col("id").cast("string").as("path"))
@@ -1560,9 +1601,7 @@ object Analytics {
     // in the block manager for the session (the pathsTo discipline)
     try {
       for (i <- 1 to walkSteps) {
-        val pick = (graft.functions.VectorExprs.hexSlice(
-          md5(concat(col("cur").cast("string"), lit(s":$i"))), 1, 8)
-          % col("deg")) + 1
+        val pick = uniformPick(i.toString)
         walk = walk.join(adj, col("a") === col("cur") && col("rk") === pick)
           .select(col("start"), col("b").as("cur"),
             concat(col("path"), lit(">"), col("b")).as("path"))
@@ -1576,10 +1615,6 @@ object Analytics {
   }
 
   val randomWalkSql: String = {
-    def hash8(cur: String, i: Int): String =
-      (0 until 8).map { k =>
-        s"(strpos('0123456789abcdef', substr(md5(CAST($cur AS VARCHAR) || ':$i'), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
-      }.mkString("(", " + ", ")")
     val b = new StringBuilder(cte)
     b ++= s""", ids AS (
              | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
@@ -1599,7 +1634,7 @@ object Analytics {
                | SELECT w.start, adj.b AS cur,
                |  w.path || '>' || CAST(adj.b AS VARCHAR) AS path
                | FROM w${i - 1} w JOIN adj ON adj.a = w.cur
-               |  AND adj.rk = (${hash8("w.cur", i)} % adj.deg) + 1
+               |  AND adj.rk = (${walkHash8Sql("w.cur", i.toString)} % adj.deg) + 1
                |)""".stripMargin
     }
     b ++= s"""
@@ -1643,11 +1678,7 @@ object Analytics {
   def node2vecWalk: Q = (s, dir) => {
     val (nodes, _) = numericGraph(s, dir)
     val und = simpleUnd(s, dir)
-    val byA = Window.partitionBy("a")
-    val adj = und
-      .withColumn("rk", row_number().over(byA.orderBy("b")))
-      .withColumn("deg", count(lit(1)).over(byA))
-      .localCheckpoint(eager = false)
+    val adj = rankedAdj(und)
     val stepCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val walk = nodes
@@ -1655,9 +1686,7 @@ object Analytics {
         .select(col("id").as("start"), col("id").as("cur"),
           col("id").cast("string").as("path"))
       // step 1 has no prev — uniform ranked pick like g_random_walk
-      val pick1 = (graft.functions.VectorExprs.hexSlice(
-        md5(concat(col("cur").cast("string"), lit(":n2v1"))), 1, 8)
-        % col("deg")) + 1
+      val pick1 = uniformPick("n2v1")
       var st = walk.join(adj, col("a") === col("cur") && col("rk") === pick1)
         .select(col("start"), col("cur").as("prev"), col("b").as("cur"),
           concat(col("path"), lit(">"), col("b")).as("path"))
@@ -1706,10 +1735,6 @@ object Analytics {
   }
 
   val node2vecWalkSql: String = {
-    def hash8(cur: String, tag: String): String =
-      (0 until 8).map { k =>
-        s"(strpos('0123456789abcdef', substr(md5(CAST($cur AS VARCHAR) || ':$tag'), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
-      }.mkString("(", " + ", ")")
     val b = new StringBuilder(cte)
     b ++= s""", ids AS (
              | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
@@ -1727,7 +1752,7 @@ object Analytics {
              | SELECT w.start, w.cur AS prev, adj.b AS cur,
              |  w.path || '>' || CAST(adj.b AS VARCHAR) AS path
              | FROM w0 w JOIN adj ON adj.a = w.cur
-             |  AND adj.rk = (${hash8("w.cur", "n2v1")} % adj.deg) + 1
+             |  AND adj.rk = (${walkHash8Sql("w.cur", "n2v1")} % adj.deg) + 1
              |)""".stripMargin
     for (i <- 2 to n2vSteps) {
       b ++= s""", c$i AS (
@@ -1748,8 +1773,8 @@ object Analytics {
                | SELECT start, cur AS prev, cand AS cur,
                |  path || '>' || CAST(cand AS VARCHAR) AS path
                | FROM r$i
-               | WHERE cumw > (${hash8("cur", s"n2v$i")} % tot)
-               |  AND cumw - wgt <= (${hash8("cur", s"n2v$i")} % tot)
+               | WHERE cumw > (${walkHash8Sql("cur", s"n2v$i")} % tot)
+               |  AND cumw - wgt <= (${walkHash8Sql("cur", s"n2v$i")} % tot)
                |)""".stripMargin
     }
     b ++= s"""

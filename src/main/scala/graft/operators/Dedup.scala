@@ -428,9 +428,6 @@ object Dedup {
   def dedupMinhash: Q = (s, dir) =>
     dedupMinhashRaw(s, dir)._1.orderBy("doc_a", "doc_b")
 
-  /** The minhash pipeline as a reusable CTE chain ending in
-    * `mhscored(doc_a, doc_b, n_match)` — shared by d_dedup_minhash and
-    * the d_dedup_eval harness. */
   /** CTE chain through `br` (capped band rows) + `sig` — the candidate-
     * generation stage, shared with the incremental variant. */
   private lazy val minhashBandCtesSql: String = {

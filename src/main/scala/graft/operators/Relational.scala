@@ -1550,11 +1550,9 @@ object Relational {
     * op exists for the regime where it is not (RowLevelRuntimeFilter
     * is Spark's automatic cousin; this is the explicit, engine-
     * portable form). */
-  private val bloomJoinBits = 20 // 2²⁰ positions per hash
   private val bloomJoinK = 3
-
-  private def bloomJoinPos(j: Int): Column =
-    graft.functions.VectorExprs.hexSlice(col("h32"), 5 * j + 1, 5)
+  // position scheme (5 nibbles → 2²⁰ slots) shared with t_bloom_filter
+  private def bloomJoinPos(j: Int): Column = TextOps.bloomPos(j)
 
   def qBloomPrejoin: Q = (s, dir) => {
     val dim = t(s, dir, "part").filter(col("p_size") <= 5)

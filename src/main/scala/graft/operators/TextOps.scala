@@ -686,7 +686,11 @@ object TextOps {
       .select(explode(shingles).as("sh")).distinct()
   }
 
-  private def bloomPos(j: Int): Column =
+  /** Bloom position j of the bound md5 column `h32`: 5 md5 nibbles →
+    * a 20-bit position (2²⁰ slots per hash). Shared with Relational's
+    * q_bloom_prejoin — one deterministic position scheme, one edit
+    * point. */
+  private[operators] def bloomPos(j: Int): Column =
     graft.functions.VectorExprs.hexSlice(col("h32"), 5 * j + 1, 5)
 
   def bloomFilter: Q = (s, dir) => {
@@ -1130,13 +1134,19 @@ object TextOps {
     * mass) + a vocabulary-keyed join the optimizer can broadcast;
     * top-20 with full tiebreak is TakeOrderedAndProject. Integer-exact
     * ppm — no float probability crosses the engine boundary. */
-  def bigramCond: Q = (s, dir) => {
-    val words = col("words")
-    val pairs = when(size(words) >= 2,
+  /** Adjacent word pairs of a bound words-array attribute, as
+    * struct(w1, w2); < 2 words emit the typed empty array. Shared by
+    * t_bigram_cond (the LM table) and t_doc_lm_score (which scores
+    * against that same table) — one extraction, one index contract. */
+  private def bigramPairsCol(words: Column): Column =
+    when(size(words) >= 2,
       transform(sequence(lit(0), size(words) - 2),
         i => struct(element_at(words, i + 1).as("w1"),
           element_at(words, i + 2).as("w2"))))
       .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+
+  def bigramCond: Q = (s, dir) => {
+    val pairs = bigramPairsCol(col("words"))
     val bg = docs(s, dir)
       .select(split(col("text"), " ").as("words"))
       .select(explode(pairs).as("p"))
@@ -1366,12 +1376,7 @@ object TextOps {
     * model build and the scoring pass (the t_distinct_kmv lesson:
     * don't pay the corpus explode twice). */
   def docLmScore: Q = (s, dir) => {
-    val words = col("words")
-    val pairs = when(size(words) >= 2,
-      transform(sequence(lit(0), size(words) - 2),
-        i => struct(element_at(words, i + 1).as("w1"),
-          element_at(words, i + 2).as("w2"))))
-      .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    val pairs = bigramPairsCol(col("words"))
     val ob = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(pairs).as("p"))

@@ -38,6 +38,13 @@ class PartitionStabilitySpec extends AnyFunSuite {
       conf.set("spark.sql.shuffle.partitions", before)
       conf.set("spark.sql.files.maxPartitionBytes", beforeBytes)
       spark.sharedState.cacheManager.clearCache()
+      // clearCache also drops the SHARED graph snapshot's registration,
+      // which specs running later in the same session rely on (the plan
+      // audits assert InMemoryTableScan on point lookups). Re-register
+      // it so suite order doesn't leak through this spec.
+      val g = graft.model.PropertyGraph.load(spark, sf)
+      g.nodes.cache()
+      g.edges.cache()
     }
   }
 
