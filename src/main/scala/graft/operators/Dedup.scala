@@ -607,7 +607,9 @@ object Dedup {
     * oracle an unrolled chain. Docs in no pair are their own canon. */
   val clusterIters = 3
 
-  def dedupCluster: Q = (s, dir) => {
+  /** Shared min-id contraction: (doc_id → canon_id) for every doc —
+    * the assignment stage of d_dedup_cluster, reused by d_soft_dedup. */
+  private def clusterAssign(s: SparkSession, dir: String): DataFrame = {
     val jp = jaccardPairs(s, dir).select("doc_a", "doc_b")
     val und = jp.union(jp.select(col("doc_b"), col("doc_a")))
       .toDF("id", "nb").cache()
@@ -627,10 +629,15 @@ object Dedup {
           least(col("canon_id"), coalesce(col("m"), col("canon_id")))
             .as("canon_id"))
     }
-    comp.select(col("id").as("doc_id"), col("canon_id")).orderBy("doc_id")
+    comp.select(col("id").as("doc_id"), col("canon_id"))
   }
 
-  val dedupClusterSql: String = {
+  def dedupCluster: Q = (s, dir) =>
+    clusterAssign(s, dir).orderBy("doc_id")
+
+  /** CTE chain of the contraction, ending in `c$clusterIters(id,
+    * canon_id)` — shared by the cluster and soft-dedup oracles. */
+  private lazy val clusterAssignSqlCtes: String = {
     val b = new StringBuilder(
       s"""WITH $jaccardPairsSqlCte, und AS (
          | SELECT doc_a AS id, doc_b AS nb FROM jp
@@ -647,9 +654,42 @@ object Dedup {
                | FROM c${i - 1} c LEFT JOIN m$i ON m$i.id = c.id
                |)""".stripMargin
     }
-    b ++= s"\nSELECT id AS doc_id, canon_id FROM c$clusterIters ORDER BY doc_id"
     b.toString
   }
+
+  lazy val dedupClusterSql: String =
+    clusterAssignSqlCtes +
+      s"\nSELECT id AS doc_id, canon_id FROM c$clusterIters ORDER BY doc_id"
+
+  // -------------------------------------------------------- d_soft_dedup
+  /** SoftDeDup — REWEIGHT duplicates instead of dropping them (the
+    * training-mixture alternative to hard removal): every document gets
+    * sampling weight 1e6 div |cluster| in ppm, so a near-dup cluster of
+    * n docs contributes ~one document's worth of mass in expectation
+    * and singletons keep full weight. Reuses d_dedup_cluster's min-id
+    * contraction; the only additional work is ONE count shuffle keyed
+    * on canon_id plus the size join back (AQE broadcasts the size frame
+    * — distinct canons ≤ corpus, dominated by singletons). Integer div
+    * — no float weight crosses the engine boundary. */
+  def softDedup: Q = (s, dir) => {
+    val comp = clusterAssign(s, dir)
+    val sizes = comp.groupBy("canon_id").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("canon_id"))
+      .select(col("doc_id"), col("canon_id"), col("n_members"),
+        expr("1000000 div n_members").as("w_ppm"))
+      .orderBy("doc_id")
+  }
+
+  lazy val softDedupSql: String =
+    clusterAssignSqlCtes +
+      s""", csize AS (
+         | SELECT canon_id, count(*) AS n_members
+         | FROM c$clusterIters GROUP BY canon_id
+         |)
+         |SELECT c.id AS doc_id, c.canon_id, s.n_members,
+         | 1000000 // s.n_members AS w_ppm
+         |FROM c$clusterIters c JOIN csize s ON s.canon_id = c.canon_id
+         |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------- d_dedup_simhash
   /** 64-bit SimHash over distinct-token md5s, hamming-bucket candidate
@@ -1083,6 +1123,7 @@ object Dedup {
     "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_dedup_cluster" -> dedupCluster,
+    "d_soft_dedup" -> softDedup,
     "d_dedup_simhash" -> dedupSimhash,
     "d_dedup_embedding" -> dedupEmbedding)
 
@@ -1099,6 +1140,7 @@ object Dedup {
     "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_dedup_cluster" -> dedupClusterSql,
+    "d_soft_dedup" -> softDedupSql,
     "d_dedup_simhash" -> dedupSimhashSql,
     "d_dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -764,8 +764,221 @@ object Similarity {
        |FROM a$kmIters a LEFT JOIN pr p ON p.vb = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ------------------------------------------------------ s_scalar_quant
+  /** INT8 scalar quantization of the embedding corpus — the storage-
+    * compression stage of a vector index (SQ8, FAISS
+    * ScalarQuantizer-style): per-DIMENSION corpus min/max define a
+    * 256-level grid; code_i = ((x_i−mn_i)·255) div (mx_i−mn_i),
+    * reconstruction r_i = mn_i + (code_i·(mx_i−mn_i)) div 255. Output:
+    * per-vector total and max per-dimension squared reconstruction
+    * error on the 1000-scaled integer grid.
+    *
+    * Scale shape: the stats pass is ONE 64-key shuffle (posexplode →
+    * groupBy(dim), partial-agged map-side); the encode/error pass is
+    * SHUFFLE-FREE — the 64-row stats frame collapses to a single sorted
+    * array row cross-broadcast to every partition, and all per-vector
+    * work is zip_with/aggregate inside codegen. floor-by-double stands
+    * in for integer div INSIDE the lambda (no `div` in lambda scope):
+    * exact here because operands are ≤ 2048·255 and divisors ≤ 4096 —
+    * quotient spacing ≥ 1/4096 dwarfs double ulp, so floor(a/b) equals
+    * BIGINT floor division in both engines (DuckDB side uses true
+    * `//`). */
+  def scalarQuant: Q = (s, dir) => {
+    val q = quantized(s, dir)
+    val stats = q.select(posexplode(col("qe")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("st"))
+    q.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(col("qe"), col("st"), (v, st) => {
+          val mn = st.getField("mn")
+          val d = st.getField("mx") - mn
+          val code = when(d > 0,
+            floor(((v - mn) * 255).cast("double") / d).cast("long"))
+            .otherwise(lit(0L))
+          val recon = when(d > 0,
+            mn + floor((code * d).cast("double") / 255).cast("long"))
+            .otherwise(mn)
+          (v - recon) * (v - recon)
+        }).as("errs"))
+      .select(col("vec_id"),
+        aggregate(col("errs"), lit(0L), (acc, x) => acc + x).as("qerr"),
+        array_max(col("errs")).as("max_dim_err"))
+      .orderBy("vec_id")
+  }
+
+  val scalarQuantSql: String =
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), x AS (
+       | SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i
+       | FROM q
+       |), d AS (
+       | SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i
+       |), e AS (
+       | SELECT x.vec_id,
+       |  (x.v - (CASE WHEN d.mx > d.mn
+       |     THEN d.mn + ((((x.v - d.mn) * 255) // (d.mx - d.mn))
+       |                  * (d.mx - d.mn)) // 255
+       |     ELSE d.mn END)) AS ev
+       | FROM x JOIN d ON d.i = x.i
+       |)
+       |SELECT vec_id, CAST(sum(ev * ev) AS BIGINT) AS qerr,
+       | CAST(max(ev * ev) AS BIGINT) AS max_dim_err
+       |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- s_mmr
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the retrieval-diversity op a training-data
+    * curator runs after ANN: from each probe's top-`mmrCand` relevance
+    * candidates, greedily select `mmrK` with
+    * mmr(c) = 7·rel(c) − 3·max_{s∈selected} sim(s,c)  (λ = 0.7 in
+    * tenths — all-integer, no float decides). rel/sim use the SAME
+    * integer cosine-monotone score as s_ann_topk (directional: divides
+    * by the second argument's norm). Ties break to the lowest cand_id;
+    * the greedy loop is `mmrK` fixed rounds ⇒ exact unrolled oracle.
+    *
+    * Scale shape: the relevance pass is the brute-force probe×corpus
+    * scan (same plan as s_ann_topk — broadcast probes, windowed
+    * top-`mmrCand`); everything after operates on probes×20 rows —
+    * driver-scale frames, per-round eager checkpoints keep the
+    * twice-referenced selection lineage flat. */
+  val mmrCand = 20
+  val mmrK = 5
+
+  def mmr: Q = (s, dir) => {
+    val pRaw = quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp")
+    val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
+    val scoreCase =
+      "CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+        " ELSE -((dp * dp * 1000) div nb) END"
+    val rels = probes.crossJoin(quantizedWithNorm(s, dir)
+      .toDF("cand_id", "qc", "nb"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("qc"), col("nb"),
+        dot(col("qp"), col("qc")).as("dp"))
+      .select(col("probe_id"), col("cand_id"), col("qc"), col("nb"),
+        expr(scoreCase).as("rel"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val cand = rels.withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= mmrCand)
+      .localCheckpoint(eager = true)
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val sims = cand.select(col("probe_id"), col("cand_id").as("sel_id"),
+        col("qc").as("qa"))
+        .join(cand.select(col("probe_id"), col("cand_id"), col("qc"),
+          col("nb")), Seq("probe_id"))
+        .filter(col("sel_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("sel_id"), col("cand_id"),
+          dot(col("qa"), col("qc")).as("dp"), col("nb"))
+        .select(col("probe_id"), col("sel_id"), col("cand_id"),
+          expr(scoreCase).as("sim"))
+        .localCheckpoint(eager = true)
+      ckpts += sims
+      var sel = cand.filter(col("rn0") === 1)
+        .select(col("probe_id"), col("cand_id"),
+          (lit(7L) * col("rel")).as("mmr"), lit(1).as("rn"))
+        .localCheckpoint(eager = true)
+      ckpts += sel
+      for (t <- 2 to mmrK) {
+        val picked = sel.select("probe_id", "cand_id")
+        val ms = sims
+          .join(picked.withColumnRenamed("cand_id", "sel_id"),
+            Seq("probe_id", "sel_id"), "left_semi")
+          .groupBy("probe_id", "cand_id").agg(max("sim").as("msim"))
+        val scoredT = cand
+          .join(picked, Seq("probe_id", "cand_id"), "left_anti")
+          .join(ms, Seq("probe_id", "cand_id"))
+          .select(col("probe_id"), col("cand_id"),
+            (lit(7L) * col("rel") - lit(3L) * col("msim")).as("mmr"))
+        val wt = Window.partitionBy("probe_id")
+          .orderBy(col("mmr").desc, col("cand_id"))
+        val pick = scoredT.withColumn("r", row_number().over(wt))
+          .filter(col("r") === 1)
+          .select(col("probe_id"), col("cand_id"), col("mmr"),
+            lit(t).as("rn"))
+        sel = sel.unionByName(pick).localCheckpoint(eager = true)
+        ckpts += sel
+      }
+      sel.orderBy("probe_id", "rn")
+        .select("probe_id", "rn", "cand_id", "mmr")
+        .localCheckpoint(eager = true)
+    } finally {
+      ckpts.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+      graft.model.PropertyGraph.freeLocalCheckpoint(cand)
+    }
+  }
+
+  val mmrSql: String = {
+    def sc(dp: String, nb: String) =
+      s"CASE WHEN $dp >= 0 THEN ($dp * $dp * 1000) // $nb" +
+        s" ELSE -(($dp * $dp * 1000) // $nb) END"
+    val b = new StringBuilder(
+      s"""WITH q AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+         | FROM embeddings
+         |), qn AS (
+         | SELECT vec_id, qe, CAST(list_dot_product(qe, qe) AS BIGINT) AS nb
+         | FROM q
+         |), rels AS (
+         | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.qe AS qc, c.nb,
+         |  ${sc("CAST(list_dot_product(p.qe, c.qe) AS BIGINT)", "c.nb")} AS rel
+         | FROM q p, qn c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+         |), cand AS (
+         | SELECT * FROM (
+         |  SELECT probe_id, cand_id, qc, nb, rel,
+         |   row_number() OVER (PARTITION BY probe_id
+         |                      ORDER BY rel DESC, cand_id) AS rn0
+         |  FROM rels)
+         | WHERE rn0 <= $mmrCand
+         |), sims AS (
+         | SELECT a.probe_id, a.cand_id AS sel_id, b.cand_id AS cand_id,
+         |  ${sc("CAST(list_dot_product(a.qc, b.qc) AS BIGINT)", "b.nb")} AS sim
+         | FROM cand a JOIN cand b
+         |  ON b.probe_id = a.probe_id AND b.cand_id <> a.cand_id
+         |), s1 AS (
+         | SELECT probe_id, cand_id, 7 * rel AS mmr, 1 AS rn
+         | FROM cand WHERE rn0 = 1
+         |), sel1 AS (SELECT probe_id, cand_id FROM s1)""".stripMargin)
+    for (t <- 2 to mmrK) {
+      b ++= s""", ms$t AS (
+               | SELECT c.probe_id, c.cand_id, c.rel, max(p.sim) AS msim
+               | FROM cand c
+               | JOIN sims p ON p.probe_id = c.probe_id
+               |  AND p.cand_id = c.cand_id
+               | JOIN sel${t - 1} s ON s.probe_id = p.probe_id
+               |  AND s.cand_id = p.sel_id
+               | WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+               |   WHERE x.probe_id = c.probe_id AND x.cand_id = c.cand_id)
+               | GROUP BY 1, 2, 3
+               |), s$t AS (
+               | SELECT probe_id, cand_id, mmr, $t AS rn FROM (
+               |  SELECT probe_id, cand_id, 7 * rel - 3 * msim AS mmr,
+               |   row_number() OVER (PARTITION BY probe_id
+               |     ORDER BY 7 * rel - 3 * msim DESC, cand_id) AS r
+               |  FROM ms$t) WHERE r = 1
+               |), sel$t AS (
+               | SELECT probe_id, cand_id FROM sel${t - 1}
+               | UNION ALL SELECT probe_id, cand_id FROM s$t
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT probe_id, rn, cand_id, mmr FROM (" +
+      (1 to mmrK).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ") +
+      ") ORDER BY probe_id, rn"
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "s_scalar_quant" -> scalarQuant,
+    "s_mmr" -> mmr,
     "d_kmeans_cluster" -> kmeansCluster,
     "d_semdedup" -> semDedup,
     "s_ann_filtered" -> annFiltered,
@@ -777,6 +990,8 @@ object Similarity {
     "s_ann_recall" -> annRecall,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "s_scalar_quant" -> scalarQuantSql,
+    "s_mmr" -> mmrSql,
     "d_kmeans_cluster" -> kmeansClusterSql,
     "d_semdedup" -> semDedupSql,
     "s_ann_filtered" -> annFilteredSql,

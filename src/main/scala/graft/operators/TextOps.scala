@@ -1426,7 +1426,79 @@ object TextOps {
       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------- t_gopher_quality
+  /** Gopher-rules quality gate (Rae et al. 2021 §A1.1), adapted to this
+    * corpus (no punctuation/lines → the symbol/bullet/ellipsis rules are
+    * vacuous here and omitted; the word-shape rules carry over):
+    *   1. word count in [30, 50000]            → 'word_count'
+    *   2. mean word length in [3, 10]          → 'word_len'
+    *   3. most-common-word mass ≤ 1/6 of words → 'top_word' (Gopher's
+   *      0.2 never fires on this corpus — max observed mass is 0.19;
+   *      1/6 keeps the rule live while staying integer-exact)
+    *   4. ≥ 2 DISTINCT stopwords present       → 'stopword'
+    * All verdicts are INTEGER comparisons (mean word length via
+    * cross-multiplied sum-of-word-lengths = n_chars − (n_words−1) for
+    * the single-space join; top-word rule as 6·top_freq ≤ n_words) — no
+    * float ever decides. `reason` is the FIRST failing rule in the
+    * fixed order above. Per-document HOF work only (the top-word scan
+    * is O(distinct·words) inside codegen) — linear, shuffle-free,
+    * trivially partition-parallel at 100 TB. */
+  def gopherQuality: Q = (s, dir) => {
+    val en = langStopwords.head._2
+    val words = col("words")
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        (col("n_chars_m") - (size(words).cast("long") - 1)).as("swl"),
+        array_max(transform(array_distinct(words),
+          w => size(filter(words, x => x === w))))
+          .cast("long").as("top_freq"),
+        size(array_intersect(array_distinct(words),
+          array(en.map(lit): _*))).cast("long").as("n_stop_kinds"))
+      .withColumn("reason",
+        when(col("n_words") < 30 || col("n_words") > 50000, "word_count")
+          .when(col("swl") < lit(3) * col("n_words") ||
+            col("swl") > lit(10) * col("n_words"), "word_len")
+          .when(lit(6) * col("top_freq") > col("n_words"), "top_word")
+          .when(col("n_stop_kinds") < 2, "stopword")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val gopherQualitySql: String = {
+    val en = langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       | SELECT doc_id, string_split(text, ' ') AS ws,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m
+       | FROM documents
+       |), f AS (
+       | SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  n_chars_m - (CAST(len(ws) AS BIGINT) - 1) AS swl,
+       |  CAST(list_max(list_transform(list_distinct(ws),
+       |    w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_freq,
+       |  CAST(len(list_intersect(list_distinct(ws), [$en])) AS BIGINT)
+       |    AS n_stop_kinds
+       | FROM m
+       |), v AS (
+       | SELECT doc_id, n_words, swl, top_freq, n_stop_kinds,
+       |  CASE WHEN n_words < 30 OR n_words > 50000 THEN 'word_count'
+       |       WHEN swl < 3 * n_words OR swl > 10 * n_words THEN 'word_len'
+       |       WHEN 6 * top_freq > n_words THEN 'top_word'
+       |       WHEN n_stop_kinds < 2 THEN 'stopword'
+       |       ELSE 'ok' END AS reason
+       | FROM f
+       |)
+       |SELECT doc_id, n_words, swl, top_freq, n_stop_kinds, reason,
+       | (reason = 'ok') AS keep
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_gopher_quality" -> gopherQuality,
     "t_global_shuffle" -> globalShuffle,
     "t_doc_lm_score" -> docLmScore,
     "t_readability" -> readability,
@@ -1455,6 +1527,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_gopher_quality" -> gopherQualitySql,
     "t_global_shuffle" -> globalShuffleSql,
     "t_doc_lm_score" -> docLmScoreSql,
     "t_readability" -> readabilitySql,
