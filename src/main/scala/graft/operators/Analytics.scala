@@ -1864,8 +1864,58 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------------- g_degree_dist
+  /** Total-degree distribution in power-of-two buckets — the catalog
+    * profile a graph engine consults before choosing physical
+    * strategies (a max bucket far above the median is the skew signal
+    * that triggers salting / AQE skew-join on the hot keys). deg =
+    * undirected total degree over the numeric edge list; isolated
+    * nodes surface as deg 0 (sharing bucket 0 with deg 1 — bucket =
+    * ⌊log2 max(deg,1)⌋, min_deg disambiguates). The bucket is a
+    * GENERATED integer CASE chain, not float log2 — log2 at exact
+    * powers of two rounds differently across engines. Scale shape: one
+    * node-keyed partial-agged count shuffle + a constant-size
+    * histogram aggregation. */
+  private val degBuckets = 20
+  private def log2BucketSql(v: String): String =
+    (degBuckets to 1 by -1).map(b => s"WHEN $v >= ${1L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  def degreeDist: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val deg = undW.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    nodes.select("id").join(deg, Seq("id"), "left_outer")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .select(col("deg"), expr(log2BucketSql("deg")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
+        max("deg").as("max_deg"), sum("deg").as("sum_deg"))
+      .orderBy("bucket")
+  }
+
+  val degreeDistSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")} FROM edges
+             |), ids AS (
+             | SELECT $nodeIdSqlExpr AS id FROM nodes
+             |), deg AS (
+             | SELECT CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+             | FROM ids LEFT JOIN (SELECT a AS id, count(*) AS deg
+             |   FROM und GROUP BY a) d ON d.id = ids.id
+             |)
+             |SELECT ${log2BucketSql("deg")} AS bucket, count(*) AS n_nodes,
+             | min(deg) AS min_deg, max(deg) AS max_deg,
+             | CAST(sum(deg) AS BIGINT) AS sum_deg
+             |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_degree_dist" -> degreeDist,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
     "g_topo_levels" -> topoLevels,
@@ -1890,6 +1940,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_degree_dist" -> degreeDistSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,
     "g_topo_levels" -> topoLevelsSql,

@@ -512,7 +512,58 @@ object Multimodal {
       |WHERE hamming <= 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------- m_shard_pack
+  /** WebDataset-style SHARD PACKING: media items are assigned to
+    * size-bounded shards (`shardBudget` bytes) for sequential-read
+    * training IO, and the op emits the shard MANIFEST (item count,
+    * byte total, doc-id range per shard) — the index file a dataloader
+    * consumes. Items are first hash-split across `shardWriters`
+    * independent writers (pmod on doc_id) so packing needs NO global
+    * order — each writer packs its own stream with one bounded window
+    * (the t_pack_sequences scale shape; a single global running sum
+    * would serialize on one partition at 100 TB). Within a writer,
+    * items pack in doc_id order; an item is assigned to the shard where
+    * its running byte offset starts. Global shard_id =
+    * writer·10⁶ + local shard ordinal. All-integer arithmetic. */
+  val shardWriters = 8
+  val shardBudget = 4096L
+
+  def shardPack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("writer").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaTable(s, dir).toDF()
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shardWriters)).as("writer"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("writer") * 1000000L + expr(s"cum_before div $shardBudget"))
+          .as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  val shardPackSql: String =
+    s"""WITH m AS (
+       | SELECT doc_id, doc_id % $shardWriters AS writer,
+       |  CAST(length(text) AS BIGINT) AS n_bytes
+       | FROM documents
+       |), c AS (
+       | SELECT doc_id, writer, n_bytes,
+       |  CAST(COALESCE(sum(n_bytes) OVER (PARTITION BY writer ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       | FROM m
+       |)
+       |SELECT writer * 1000000 + (cum_before // $shardBudget) AS shard_id,
+       | count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m_shard_pack" -> shardPack,
     "m_phash_dedup" -> phashDedup,
     "m_modality_dispatch" -> modalityDispatch,
     "m_multimodal_meta" -> multimodalMeta,
@@ -521,6 +572,7 @@ object Multimodal {
     "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
+    "m_shard_pack" -> shardPackSql,
     "m_phash_dedup" -> phashDedupSql,
     "m_modality_dispatch" -> modalityDispatchSql,
     "m_multimodal_meta" -> multimodalMetaSql,

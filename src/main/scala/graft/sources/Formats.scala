@@ -276,7 +276,83 @@ object Formats {
       | count(DISTINCT md5(text)) AS n_uniq
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------- src_codec_roundtrip
+  /** Parquet COMPRESSION-CODEC round-trip: the same corpus written with
+    * snappy (the throughput default) and zstd (the storage default at
+    * archive scale — typically ~30 % smaller at comparable decode cost),
+    * each read back and integrity-aggregated. A green row proves codec
+    * choice is a pure storage knob — values round-trip byte-exactly
+    * through both. At 100 TB the codec decision is per-table: zstd for
+    * cold/archival layers, snappy/lz4 for shuffle-adjacent hot paths. */
+  def codecRoundtrip: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    Seq("snappy", "zstd").map { codec =>
+      val path = scratch(s, dir, s"pq_$codec")
+      d.write.mode("overwrite").option("compression", codec).parquet(path)
+      integrity(s.read.schema(docSchema).parquet(path))
+        .withColumn("codec", lit(codec))
+    }.reduce(_ unionByName _)
+      .select("codec", "source", "n_docs", "sum_chars", "sum_len", "n_uniq")
+      .orderBy("codec", "source")
+  }
+
+  val codecRoundtripSql: String =
+    """WITH i AS (
+      | SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      |  count(DISTINCT md5(text)) AS n_uniq
+      | FROM documents GROUP BY source
+      |)
+      |SELECT codec, source, n_docs, sum_chars, sum_len, n_uniq
+      |FROM (SELECT 'snappy' AS codec, * FROM i
+      |      UNION ALL SELECT 'zstd' AS codec, * FROM i)
+      |ORDER BY codec, source""".stripMargin
+
+  // ----------------------------------------------------- src_bucketed_join
+  /** BUCKETED-TABLE join — the co-located storage layout §6 promises,
+    * exercised end-to-end as a query: customer and orders are persisted
+    * bucketed (and sorted) on the customer key with the SAME bucket
+    * count, then joined and aggregated per nation. Because each side's
+    * bucket spec equals its join key, the join needs NO Exchange (and
+    * with sortBy, no Sort) — at 100 TB that turns the pipeline's
+    * biggest recurring shuffle into a metadata operation. The
+    * no-Exchange plan shape is asserted in Round5dSpec; this op checks
+    * the VALUES against the plain-join oracle, proving the bucketed
+    * path is a pure physical rewrite. Price sums go through
+    * DECIMAL(12,2) (exact, order-independent) — a double sum would
+    * drift with partial-agg order. */
+  def bucketedJoin: Q = (s, dir) => {
+    val path = scratch(s, dir, "buck")
+    val buckets = 8
+    Tables(s, dir, "customer")
+      .write.mode("overwrite").option("path", s"$path/customer_b")
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+    Tables(s, dir, "orders")
+      .write.mode("overwrite").option("path", s"$path/orders_b")
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    s.table("graft_orders_b")
+      .join(s.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("nation_key")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_codec_roundtrip" -> codecRoundtrip,
+    "src_bucketed_join" -> bucketedJoin,
     "src_schema_evolution" -> schemaEvolution,
     "src_gzip_roundtrip" -> gzipRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
@@ -286,6 +362,8 @@ object Formats {
     "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
+    "src_codec_roundtrip" -> codecRoundtripSql,
+    "src_bucketed_join" -> bucketedJoinSql,
     "src_schema_evolution" -> schemaEvolutionSql,
     "src_gzip_roundtrip" -> integritySql,
     "src_json_roundtrip" -> integritySql,
