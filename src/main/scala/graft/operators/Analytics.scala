@@ -1803,18 +1803,22 @@ object Analytics {
     * discipline), blocks freed per call. */
   val topoIters = 6
 
-  /** One max-propagation round — extracted (like bcForwardStep) so the
+  /** One semi-naive max-propagation round — only the DELTA (rows whose
+    * level changed last round) joins the edge list; the merge keeps
+    * the previous level alongside so the caller can slice the next
+    * delta without recomputing. Extracted (like bcForwardStep) so the
     * plan audit can assert the gate behavior directly: the per-round
     * eager checkpoints truncate lineage and the final plan never shows
     * these joins. */
-  private[graft] def topoStep(lvl: DataFrame, ed: DataFrame,
-                              nodeCount: Long): DataFrame = {
-    val nx = ed.join(gated(lvl.toDF("u", "lu"), nodeCount),
-        col("a") === col("u"))
+  private[graft] def topoDeltaStep(lvl: DataFrame, delta: DataFrame,
+                                   ed: DataFrame, deltaRows: Long,
+                                   nodeCount: Long): DataFrame = {
+    val cand = ed
+      .join(gated(delta.toDF("u", "lu"), deltaRows), col("a") === col("u"))
       .groupBy(col("b")).agg(max(col("lu") + lit(1L)).as("cand"))
-    lvl.join(nx, col("id") === col("b"), "left_outer")
-      .select(col("id"),
-        greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl"))
+    lvl.join(gated(cand, nodeCount), col("id") === col("b"), "left_outer")
+      .select(col("id"), col("lvl"),
+        greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl2"))
   }
 
   def topoLevels: Q = (s, dir) => {
@@ -1828,9 +1832,29 @@ object Analytics {
     val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var lvl = nodes.select(col("id"), lit(0L).as("lvl"))
-      for (_ <- 1 to topoIters) {
-        lvl = topoStep(lvl, ed, n).localCheckpoint(eager = true)
-        ckpts += lvl
+      // SEMI-NAIVE delta rounds, round-identical to topoStep's full
+      // unrolling (the CC argument, max instead of min): max-propagation
+      // is monotone and idempotent, so a source whose level did NOT
+      // change last round re-contributes exactly the candidate it
+      // already contributed — joining only the CHANGED rows (delta)
+      // against the edge list is a provable no-op elimination. After
+      // round 1 the delta collapses to the deep tail of the DAG
+      // (orders→part→supplier→nation→region here), so rounds 2..k touch
+      // a shrinking sliver of the edge table instead of re-aggregating
+      // all of it 6×. Delta-empty ⇒ every remaining round is a no-op ⇒
+      // early exit with the oracle's exact fixed-iteration result.
+      var delta = lvl
+      var deltaRows = n
+      var round = 0
+      while (round < topoIters && deltaRows > 0) {
+        round += 1
+        val merged = topoDeltaStep(lvl, delta, ed, deltaRows, n)
+          .localCheckpoint(eager = true)
+        ckpts += merged
+        delta = merged.filter(col("lvl2") > col("lvl"))
+          .select(col("id"), col("lvl2").as("lvl"))
+        deltaRows = delta.count()
+        lvl = merged.select(col("id"), col("lvl2").as("lvl"))
       }
       nodes.join(lvl, "id").select(col("label"), col("key"), col("lvl"))
         .orderBy("label", "key")

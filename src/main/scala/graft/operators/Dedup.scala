@@ -509,11 +509,22 @@ object Dedup {
     (jp, Seq(ds, sizes))
   }
 
-  /** The J > 1/2 pair set with sizes — shared by `d_ngram_jaccard` and
-    * the cluster-canonicalization op (whose second call reuses the
-    * session-bounded shingle caches). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsRaw(s, dir)._1
+  /** The J > 1/2 pair set with sizes — shared by `d_ngram_jaccard`,
+    * the cluster-canonicalization op, and SoftDeDup. The shingle frame
+    * is plan-cached, but the expensive stage is the sh-keyed SELF-JOIN
+    * + pair aggregation, which cache() cannot absorb — so the RESULT is
+    * session-memoized as one eager localCheckpoint (the nationBfs
+    * pattern): the pair set is tiny by definition (near-dups only), and
+    * every consumer after the first reads the collapsed frame instead
+    * of re-running the join. */
+  private val jpMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    jpMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    jpMemo.getOrElseUpdate((s, dir),
+      jaccardPairsRaw(s, dir)._1.localCheckpoint(eager = true))
+  }
 
   def ngramJaccard: Q = (s, dir) =>
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")

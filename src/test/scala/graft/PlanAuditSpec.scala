@@ -271,11 +271,12 @@ class PlanAuditSpec extends AnyFunSuite {
     def optimized(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.optimizedPlan.toString
     val gatedPlan = optimized(
-      graft.operators.Analytics.topoStep(lvl, ed, 1L))
+      graft.operators.Analytics.topoDeltaStep(lvl, lvl, ed, 1L, 1L))
     assert(gatedPlan.toLowerCase.contains("broadcast"),
       s"topo step under the cap lost its broadcast hint:\n$gatedPlan")
     val ungatedPlan = optimized(
-      graft.operators.Analytics.topoStep(lvl, ed, 2000001L))
+      graft.operators.Analytics.topoDeltaStep(lvl, lvl, ed, 2000001L,
+        2000001L))
     assert(!ungatedPlan.toLowerCase.contains("broadcast"),
       s"topo step past the cap still hints broadcast:\n$ungatedPlan")
     // and the executed operator must never degenerate
