@@ -1497,7 +1497,62 @@ object TextOps {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- t_clean_normalize
+  /** C4/CCNet-style text NORMALIZATION (the transform stage that
+    * precedes filtering): drop degenerate 1-char tokens, then collapse
+    * runs of consecutive duplicate words ("batch batch batch" → one
+    * "batch" — the stutter artifact visible throughout this corpus),
+    * and rebuild the text. Reference scope: the reference stores raw
+    * document properties (vbmudalige/akka-graph-db
+    * neo4j/Neo4jGraph.scala:98-119 keeps values verbatim); a training
+    * pipeline inserts exactly this canonicalization before dedup so
+    * near-dup detection sees normalized bytes.
+    *
+    * Cross-engine contract: the cleaned text itself crosses the oracle
+    * boundary as md5 (the span-rewrite pattern — byte-identical or the
+    * row fails), counts as exact integers, the removal rate as floor
+    * ppm. Both lambdas are index HOFs: Spark `get(fw, i-1)` (0-based,
+    * null OOB) and DuckDB `fw[i-1]` (1-based, null OOB) make the
+    * first-element guard pure 3VL — `true OR null = true` in both
+    * engines, no short-circuit assumption.
+    *
+    * Scale: per-document linear work, no shuffle at all before the
+    * ORDER BY (which a 100 TB pipeline drops — it writes partitioned).
+    * All four HOF stages run inside one codegen'd projection; `fw` is
+    * materialized as a column first (the HOF no-CSE rule — referencing
+    * the filter expression three times would re-run it three times). */
+  def cleanNormalize: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("fw", expr("filter(words, w -> length(w) > 1)"))
+      .withColumn("clp",
+        expr("filter(fw, (w, i) -> i = 0 OR w <> get(fw, i - 1))"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_raw"),
+        size(col("clp")).cast("long").as("n_kept"),
+        expr("(1000000 * (size(words) - size(clp))) div size(words)")
+          .as("removed_ppm"),
+        md5(concat_ws(" ", col("clp"))).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val cleanNormalizeSql: String =
+    """SELECT doc_id,
+      | len(words) AS n_raw,
+      | len(clp) AS n_kept,
+      | CAST(1000000 * (len(words) - len(clp)) // len(words) AS BIGINT) AS removed_ppm,
+      | md5(array_to_string(clp, ' ')) AS clean_md5
+      |FROM (
+      | SELECT doc_id, words,
+      |  list_filter(fw, (w, i) -> i = 1 OR w <> fw[i - 1]) AS clp
+      | FROM (
+      |  SELECT doc_id, words,
+      |   list_filter(words, w -> length(w) > 1) AS fw
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      | )
+      |) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_clean_normalize" -> cleanNormalize,
     "t_gopher_quality" -> gopherQuality,
     "t_global_shuffle" -> globalShuffle,
     "t_doc_lm_score" -> docLmScore,
@@ -1527,6 +1582,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_clean_normalize" -> cleanNormalizeSql,
     "t_gopher_quality" -> gopherQualitySql,
     "t_global_shuffle" -> globalShuffleSql,
     "t_doc_lm_score" -> docLmScoreSql,
