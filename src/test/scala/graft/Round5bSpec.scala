@@ -24,7 +24,7 @@ class Round5bSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_users") == r.getAs[Long]("cohort_size"), r.toString)
     }
     // cohort sizes sum to the distinct-user universe
-    val users = spark.read.parquet(s"$sf/events.parquet")
+    val users = graft.model.Tables(spark, sf, "events")
       .select("user_id").distinct().count()
     val cohortTotal = rows.filter(_.getAs[Long]("week_offset") == 0)
       .map(_.getAs[Long]("cohort_size")).sum

@@ -199,7 +199,7 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("asof_twin")
       .outputMode("append").start()
     try {
-      val events = spark.read.parquet(s"$sf/events.parquet")
+      val events = graft.model.Tables(spark, sf, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Event].collect()
       mem.addData(events.toIndexedSeq)
@@ -218,7 +218,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("batch twin equivalence: streamJoin on static frame matches q_events_funnel") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.model.Tables(spark, sf, "events")
     val streamShaped = Streams.streamJoin(events)
       .select("user_id", "click_id", "purchase_id", "delay_us")
     val twin = SparkEntry.queries("q_events_funnel")(spark, sf)
@@ -304,7 +304,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("batch twin equivalence: slidingAgg on static frame matches q_events_sliding") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.model.Tables(spark, sf, "events")
     val streamShaped = Streams.slidingAgg(events)
       .select(unix_timestamp(col("win_start")).as("win_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -314,7 +314,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("batch twin equivalence: sessionizeNative matches q_events_sessionize") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.model.Tables(spark, sf, "events")
     val streamShaped = Streams.sessionizeNative(events)
       .select(col("user_id"), col("session_start_us"), col("n_events"))
     val twin = SparkEntry.queries("q_events_sessionize")(spark, sf)
@@ -357,7 +357,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("batch twin equivalence: tumblingAgg on static frame matches q_events_window") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.model.Tables(spark, sf, "events")
     // total_value included: both sides sum DECIMAL, so the comparison is
     // exact — raw double sums would be merge-order-dependent
     val streamShaped = Streams.tumblingAgg(events)
@@ -379,7 +379,7 @@ class StreamsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("fsrc").toString
     val ck = java.nio.file.Files.createTempDirectory("fsrc_ck").toString
     val out = java.nio.file.Files.createTempDirectory("fsrc_out").toString
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.model.Tables(spark, sf, "events")
       .orderBy("event_id").limit(30).cache()
     val schema = ev.schema
     ev.filter(col("event_id") <= 20).write.mode("append").parquet(dir)
