@@ -412,22 +412,26 @@ object Multimodal {
     * (uniform payloads) are the AQE skew case; never a cross product
     * (plan-audited). */
   def phashDedup: Q = (s, dir) => {
+    // Byte-bigram histogram RELATIONALLY: explode byte POSITIONS, then
+    // per-row scalar expressions (conv∘hex∘substring — all codegen'd).
+    // The previous array-HOF form (hex → nested transform lambdas →
+    // explode) was quadratic per document: CollapseProject substitutes
+    // the whole per-doc array-build chain into the explode lambda body,
+    // so each array ELEMENT re-evaluated the full parse — interpreted
+    // (HOF lambdas never codegen) — 666 s at sf0.1 where this plan
+    // takes ~2 s. Position-explode + scalar projection is also the
+    // 100 TB shape: whole-stage codegen end to end, work exactly
+    // Σ(octet_length), no per-doc array materialization at all.
     val buckets = mediaTable(s, dir).toDF()
-      .withColumn("hexs", hex(col("payload")))
-      .withColumn("nibs", expr(
-        """transform(filter(split(hexs, ''), c -> c <> ''),
-          |  c -> CAST(ascii(c) - 48 - IF(ascii(c) >= 65, 7, 0) AS BIGINT))"""
-          .stripMargin))
-      .withColumn("bts", expr(
-        """transform(sequence(1, size(nibs) div 2),
-          |  i -> element_at(nibs, CAST(2 * i - 1 AS INT)) * 16
-          |     + element_at(nibs, CAST(2 * i AS INT)))""".stripMargin))
-      .filter(expr("size(bts) >= 2"))
+      .filter(expr("octet_length(payload) >= 2"))
       .select(col("doc_id"),
-        expr("CAST(size(bts) - 1 AS BIGINT)").as("total"),
-        expr("""explode(transform(sequence(1, size(bts) - 1),
-               |  i -> (element_at(bts, i) * 31 + element_at(bts, i + 1)) % 64))"""
-          .stripMargin).as("bucket"))
+        expr("CAST(octet_length(payload) - 1 AS BIGINT)").as("total"),
+        col("payload"),
+        expr("explode(sequence(1, octet_length(payload) - 1))").as("pos"))
+      .select(col("doc_id"), col("total"),
+        expr("""(CAST(conv(hex(substring(payload, pos, 1)), 16, 10) AS BIGINT) * 31
+               | + CAST(conv(hex(substring(payload, pos + 1, 1)), 16, 10) AS BIGINT))
+               | % 64""".stripMargin).as("bucket"))
     val cnts = buckets.groupBy("doc_id", "total", "bucket")
       .agg(count(lit(1)).as("cnt"))
     val sig = cnts.groupBy("doc_id").agg(
