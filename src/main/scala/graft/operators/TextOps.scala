@@ -1516,11 +1516,16 @@ object TextOps {
     * first-element guard pure 3VL — `true OR null = true` in both
     * engines, no short-circuit assumption.
     *
-    * Scale: per-document linear work, no shuffle at all before the
-    * ORDER BY (which a 100 TB pipeline drops — it writes partitioned).
-    * All four HOF stages run inside one codegen'd projection; `fw` is
-    * materialized as a column first (the HOF no-CSE rule — referencing
-    * the filter expression three times would re-run it three times). */
+    * Scale: no shuffle at all before the ORDER BY (which a 100 TB
+    * pipeline drops — it writes partitioned). Cost model, stated
+    * honestly: CollapseProject inlines the `fw` alias into the `clp`
+    * lambda (HOF lambdas are evaluated interpreted and get no CSE), so
+    * the dedup filter re-derives `fw` per element — O(words²) PER
+    * DOCUMENT. Documents are length-bounded (~10² words), so corpus
+    * cost stays linear with a small constant; for unbounded documents
+    * the fix is the position-explode relational form (see
+    * Multimodal.phashDedup, where the same inlining on corpus-scaled
+    * arrays was a 140× regression before the rewrite). */
   def cleanNormalize: Q = (s, dir) =>
     docs(s, dir)
       .withColumn("words", split(col("text"), " "))

@@ -135,4 +135,19 @@ class Round5dSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
+
+  test("events.ts normalizes to BIGINT nanos whatever the parquet physical type") {
+    // The driver has regenerated testdata with ts as TIMESTAMP(NANOS)
+    // in one generation and TIMESTAMP(MICROS) in another; every events
+    // consumer does integer time arithmetic, so Tables() must always
+    // surface BIGINT nanos. Guard the contract, not the generation.
+    val ts = graft.model.Tables(spark, sf, "events").schema("ts")
+    assert(ts.dataType == org.apache.spark.sql.types.LongType,
+      s"events.ts surfaced as ${ts.dataType}")
+    // values are plausible epoch NANOS (post-2000: > 9.4e17), not
+    // micros/millis — a unit slip here silently shifts every window op
+    val mn = graft.model.Tables(spark, sf, "events")
+      .agg(min("ts")).head.getLong(0)
+    assert(mn > 946684800L * 1000000000L, s"min ts $mn is not epoch nanos")
+  }
 }
