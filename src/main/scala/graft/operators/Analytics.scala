@@ -1015,9 +1015,14 @@ object Analytics {
   val hitsIters = 2
   val hitsScale = 1000000L
 
-  /** Core loop over explicit (nodes, edges) frames — `hits` binds it to
-    * the TPC-H graph; AnalyticsSpec drives a synthetic hub graph
-    * through it (overflow would otherwise hide behind the small SF). */
+  /** Core loop over explicit NUMERIC frames — nodes(id), e(src, dst)
+    * as BIGINT node ids, so every per-round join/groupBy shuffles on
+    * one long key instead of a (label, key) string pair (the r5
+    * conversion — the string form was the last heavy op off the shared
+    * numeric cache, ~2× slower at sf0.1 for identical values). `hits`
+    * binds it to the TPC-H graph; AnalyticsSpec drives a synthetic hub
+    * graph through it (overflow would otherwise hide behind the small
+    * SF). */
   private[graft] def hitsOn(nodes: DataFrame, e: DataFrame, n: Long): DataFrame = {
     var h = nodes.withColumn("h", lit(hitsScale))
     var a = nodes.withColumn("a", lit(0L)) // replaced round 1
@@ -1028,33 +1033,39 @@ object Analytics {
       // eager checkpoint adds per half-round (4 of them per query)
       val r = raw.localCheckpoint(eager = false)
       r.crossJoin(broadcast(r.agg(max("s").as("mx"))))
-        .select(col("label"), col("key"),
+        .select(col("id"),
           expr(s"s div greatest(1, mx div $hitsScale)").as("s"))
     }
+    // Rounds carry SPARSE score vectors: a node absent from the
+    // aggregate holds score 0, and 0 contributes nothing to the next
+    // half-round's sum — so the dense fill-with-zeros join is deferred
+    // to the single output join below instead of running per round
+    // (the PPR nonzero-only discipline applied to HITS).
     for (_ <- 1 to hitsIters) {
-      val aAgg = norm(e.join(gated(h.select(col("label").as("src_label"),
-          col("key").as("src_key"), col("h")), n), Seq("src_label", "src_key"))
-        .groupBy(col("dst_label").as("label"), col("dst_key").as("key"))
-        .agg(sum("h").as("s")))
-      a = nodes.join(gated(aAgg, n), Seq("label", "key"), "left_outer")
-        .select(col("label"), col("key"), coalesce(col("s"), lit(0L)).as("a"))
-      val hAgg = norm(e.join(gated(a.select(col("label").as("dst_label"),
-          col("key").as("dst_key"), col("a")), n), Seq("dst_label", "dst_key"))
-        .groupBy(col("src_label").as("label"), col("src_key").as("key"))
-        .agg(sum("a").as("s")))
-      h = nodes.join(gated(hAgg, n), Seq("label", "key"), "left_outer")
-        .select(col("label"), col("key"), coalesce(col("s"), lit(0L)).as("h"))
+      val aAgg = norm(e.join(gated(h.select(col("id").as("src"), col("h")), n),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("h").as("s")))
+      a = aAgg.select(col("id"), col("s").as("a"))
+      val hAgg = norm(e.join(gated(a.select(col("id").as("dst"), col("a")), n),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum("a").as("s")))
+      h = hAgg.select(col("id"), col("s").as("h"))
     }
-    a.join(h, Seq("label", "key"))
-      .select("label", "key", "a", "h").orderBy("label", "key")
+    nodes.select("id")
+      .join(gated(a, n), Seq("id"), "left_outer")
+      .join(gated(h, n), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("h"), lit(0L)).as("h"))
   }
 
   def hits: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val nodes = graph.nodes.select(col("label"), col("key"))
-    val e = graph.edges.select(
-      col("src_label"), col("src_key"), col("dst_label"), col("dst_key"))
-    hitsOn(nodes, e, nodes.count())
+    val (nodes, _) = numericGraph(s, dir)
+    val e = g(s, dir).edges.select(
+      nodeIdCol(col("src_label"), col("src_key")).as("src"),
+      nodeIdCol(col("dst_label"), col("dst_key")).as("dst"))
+    hitsOn(nodes.select("id"), e, nodes.count())
+      .join(nodes, Seq("id"))
+      .select("label", "key", "a", "h").orderBy("label", "key")
   }
 
   val hitsSql: String = {

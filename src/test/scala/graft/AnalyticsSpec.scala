@@ -77,21 +77,17 @@ class AnalyticsSpec extends AnyFunSuite {
     // unnormalized contract grew ~SCALE·deg⁴ and wrapped negative at
     // deg ≳ 10⁴; the max-normalized fixed-point keeps every value in
     // [0, SCALE] regardless of degree.
-    import spark.implicits._
     val deg = 1000000L
-    val spokes = spark.range(1, deg + 1)
-      .select(lit("spoke").as("label"), col("id").as("key"))
-    val nodes = spokes.unionByName(
-      Seq(("hub", 0L)).toDF("label", "key"))
-    val edges = spark.range(1, deg + 1).select(
-      lit("spoke").as("src_label"), col("id").as("src_key"),
-      lit("hub").as("dst_label"), lit(0L).as("dst_key"))
+    // numeric contract: hub = id 0, spokes = ids 1..deg, spoke i → hub
+    val nodes = spark.range(0, deg + 1).toDF("id")
+    val edges = spark.range(1, deg + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"))
     val out = Analytics.hitsOn(nodes, edges, deg + 1).cache()
     val mins = out.agg(min("a"), min("h")).collect().head
     assert(mins.getLong(0) >= 0 && mins.getLong(1) >= 0,
       s"negative HITS value — BIGINT wrapped: $mins")
-    val hub = out.filter(col("label") === "hub").collect().head
-    val spoke = out.filter(col("label") === "spoke").limit(1).collect().head
+    val hub = out.filter(col("id") === 0L).collect().head
+    val spoke = out.filter(col("id") =!= 0L).limit(1).collect().head
     out.unpersist()
     // hub is the unique authority at full scale; spokes are the hubs
     assert(hub.getAs[Long]("a") == Analytics.hitsScale, s"hub authority: $hub")
