@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global 100 TB-safety sweep: an unconditioned Join (cross product)
+  * in ANY registered query is a scale bug unless (a) one side is a
+  * scalar — a grouping-key-free Aggregate or a plan the optimizer
+  * knows is ≤1 row — i.e. the "broadcast one corpus total to every
+  * row" idiom, or (b) the operator's CONTRACT is brute-force and says
+  * so (the exact baselines that anchor the LSH/IVF/PQ scale paths).
+  * Per-op plan audits live in PlanAuditSpec; this is the net under
+  * all 164 of them so a future operator can't quietly ship a
+  * cartesian. */
+class CrossJoinSweepSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Deliberate brute-force contracts (each documents its scale path). */
+  private val bruteForce = Set(
+    "s_ann_topk",        // exact baseline; LSH/IVF/PQ are the scale path
+    "s_mmr",             // relevance pass = the s_ann_topk plan
+    "s_ann_recall",      // composes the exact baseline by definition
+    "d_dedup_embedding", // exact O(n²) baseline; LSH twin is the scale path
+    "s_ann_filtered"     // exact within-predicate baseline
+  )
+
+  private def isScalar(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= 1) || (p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _ => p.children.exists(c => p.outputSet.subsetOf(c.outputSet) && isScalar(c))
+    })
+
+  test("no registered query cross-joins two non-scalar sides (brute-force baselines excepted)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if bruteForce(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case j: Join if j.condition.isEmpty
+            && !isScalar(j.left) && !isScalar(j.right) => j
+        }
+        if (bad.isEmpty) None else Some(s"$name (${bad.size} cross join(s))")
+    }
+    assert(offenders.isEmpty,
+      s"unconditioned cross joins outside the brute-force whitelist:\n  ${offenders.mkString("\n  ")}")
+  }
+}
