@@ -1949,7 +1949,44 @@ object Analytics {
   }
 
   // ------------------------------------------------------------ registry
+  // ------------------------------------------------------ g_graph_summary
+  /** Schema-level graph CATALOG: per (elabel, src_label, dst_label)
+    * triple — edge rows, total weight, distinct endpoints, and average
+    * out/in fan in exact ppm. This is the statistics table a planner
+    * consults for join-order and broadcast decisions over the graph
+    * (the graph analogue of table/column stats; g_degree_dist profiles
+    * skew, this profiles shape). One partial-aggregable groupBy over
+    * the edge scan; the two exact distincts plan as a single Expand
+    * (the q_multi_distinct discipline), output is schema-bounded
+    * (≤ label³ rows) regardless of data scale. */
+  def graphSummary: Q = (s, dir) => {
+    g(s, dir).edges
+      .groupBy("elabel", "src_label", "dst_label")
+      .agg(count(lit(1)).as("n_edges"),
+        sum("weight").as("w_sum"),
+        countDistinct("src_key").as("n_src"),
+        countDistinct("dst_key").as("n_dst"))
+      .select(col("elabel"), col("src_label"), col("dst_label"),
+        col("n_edges"), col("w_sum"), col("n_src"), col("n_dst"),
+        expr("(n_edges * 1000000) div n_src").as("out_ppm"),
+        expr("(n_edges * 1000000) div n_dst").as("in_ppm"))
+      .orderBy("elabel", "src_label", "dst_label")
+  }
+
+  val graphSummarySql: String =
+    s"""$cte
+       |SELECT elabel, src_label, dst_label,
+       | count(*) AS n_edges,
+       | CAST(sum(weight) AS BIGINT) AS w_sum,
+       | count(DISTINCT src_key) AS n_src,
+       | count(DISTINCT dst_key) AS n_dst,
+       | CAST((count(*) * 1000000) // count(DISTINCT src_key) AS BIGINT) AS out_ppm,
+       | CAST((count(*) * 1000000) // count(DISTINCT dst_key) AS BIGINT) AS in_ppm
+       |FROM edges
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "g_graph_summary" -> graphSummary,
     "g_degree_dist" -> degreeDist,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -1975,6 +2012,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_graph_summary" -> graphSummarySql,
     "g_degree_dist" -> degreeDistSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

@@ -975,8 +975,54 @@ object Similarity {
     b.toString
   }
 
+  // -------------------------------------------------------- s_range_search
+  /** RANGE (fixed-radius) retrieval: ALL candidates with cosine > 0.3
+    * of each probe — the "find everything at least this similar"
+    * surface top-k cannot express (result cardinality is data-
+    * dependent; FAISS range_search). Exact integer membership:
+    * dp > 0 AND 100·dp² > 9·na·nb (0.3² = 9/100 cross-multiplied;
+    * |dp| ≤ 64·10⁶ on this grid keeps both sides under 4.2·10¹⁷ —
+    * >20× BIGINT headroom), norms precomputed per vector. This is the
+    * exact baseline over the gated-broadcast probe set; at corpus
+    * scale the candidate set comes from the SAME banded-LSH machinery
+    * as d_dedup_embedding_lsh, with radius recall measured the
+    * s_ann_recall way. Deliberately brute-force — whitelisted in
+    * CrossJoinSweepSpec like the other exact anchors. */
+  def rangeSearch: Q = (s, dir) => {
+    val pRaw = quantizedWithNorm(s, dir).filter(col("vec_id") < 10)
+      .toDF("probe_id", "qp", "na")
+    val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
+    probes.crossJoin(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("na"), col("nb"))
+      .filter(col("dp") > 0 &&
+        lit(100L) * col("dp") * col("dp") > lit(9L) * col("na") * col("nb"))
+      .orderBy("probe_id", "cand_id")
+  }
+
+  val rangeSearchSql: String =
+    """WITH q AS (
+      | SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      | FROM embeddings
+      |), n AS (
+      | SELECT vec_id, qe, CAST(list_dot_product(qe, qe) AS BIGINT) AS nn
+      | FROM q
+      |)
+      |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      | CAST(list_dot_product(p.qe, c.qe) AS BIGINT) AS dp,
+      | p.nn AS na, c.nn AS nb
+      |FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+      |WHERE CAST(list_dot_product(p.qe, c.qe) AS BIGINT) > 0
+      |  AND 100 * CAST(list_dot_product(p.qe, c.qe) AS BIGINT)
+      |      * CAST(list_dot_product(p.qe, c.qe) AS BIGINT)
+      |    > 9 * p.nn * c.nn
+      |ORDER BY probe_id, cand_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "s_range_search" -> rangeSearch,
     "s_scalar_quant" -> scalarQuant,
     "s_mmr" -> mmr,
     "d_kmeans_cluster" -> kmeansCluster,
@@ -990,6 +1036,7 @@ object Similarity {
     "s_ann_recall" -> annRecall,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "s_range_search" -> rangeSearchSql,
     "s_scalar_quant" -> scalarQuantSql,
     "s_mmr" -> mmrSql,
     "d_kmeans_cluster" -> kmeansClusterSql,

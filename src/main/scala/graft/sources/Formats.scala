@@ -350,7 +350,53 @@ object Formats {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------- src_binary_files
+  /** ONE-OBJECT-PER-ITEM landing-directory ingestion via Spark's
+    * `binaryFile` source — the shape a multimodal corpus actually
+    * arrives in (an image/audio drop is millions of small objects, not
+    * parquet). Sink: each document's payload bytes written as its own
+    * `<source>__<doc_id>.bin` from `foreachPartition` (distributed, no
+    * driver funnel — the writer pattern of an object-store upload).
+    * Source: `format("binaryFile")` surfaces (path, length, content);
+    * provenance is recovered from the file NAME (regexp on path — the
+    * only metadata an object listing carries), then the standard
+    * integrity aggregate: file count, byte mass, distinct payload md5
+    * per source, oracle-checked against the original table. 100 TB
+    * caveats encoded here: the many-small-files listing is the
+    * bottleneck at scale (binaryFile lists before reading — compact to
+    * WebDataset-style shards, see m_shard_pack, once ingested), and
+    * `pathGlobFilter` keeps stray files out of the scan. */
+  def binaryFiles: Q = (s, dir) => {
+    val path = scratch(s, dir, "binfiles")
+    Tables(s, dir, "documents").select("doc_id", "source", "text")
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              s"$path/${r.getAs[String]("source")}__${r.getAs[Long]("doc_id")}.bin"),
+            r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+      .select(
+        regexp_extract(col("path"), "([^/]+)__\\d+\\.bin$", 1).as("source"),
+        col("content"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_files"),
+        sum(octet_length(col("content"))).cast("long").as("sum_bytes"),
+        countDistinct(md5(col("content"))).as("n_uniq"))
+      .orderBy("source")
+  }
+
+  val binaryFilesSql: String =
+    """SELECT source, count(*) AS n_files,
+      | CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+      | count(DISTINCT md5(text)) AS n_uniq
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_binary_files" -> binaryFiles,
     "src_codec_roundtrip" -> codecRoundtrip,
     "src_bucketed_join" -> bucketedJoin,
     "src_schema_evolution" -> schemaEvolution,
@@ -362,6 +408,7 @@ object Formats {
     "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
+    "src_binary_files" -> binaryFilesSql,
     "src_codec_roundtrip" -> codecRoundtripSql,
     "src_bucketed_join" -> bucketedJoinSql,
     "src_schema_evolution" -> schemaEvolutionSql,

@@ -21,7 +21,8 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "s_mmr",             // relevance pass = the s_ann_topk plan
     "s_ann_recall",      // composes the exact baseline by definition
     "d_dedup_embedding", // exact O(n²) baseline; LSH twin is the scale path
-    "s_ann_filtered"     // exact within-predicate baseline
+    "s_ann_filtered",    // exact within-predicate baseline
+    "s_range_search"     // exact fixed-radius baseline; LSH candidates at scale
   )
 
   private def isScalar(p: LogicalPlan): Boolean =
