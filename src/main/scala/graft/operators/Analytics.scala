@@ -1949,17 +1949,18 @@ object Analytics {
   }
 
   // ------------------------------------------------------------ registry
-  // ------------------------------------------------------ g_graph_summary
-  /** Schema-level graph CATALOG: per (elabel, src_label, dst_label)
-    * triple — edge rows, total weight, distinct endpoints, and average
-    * out/in fan in exact ppm. This is the statistics table a planner
-    * consults for join-order and broadcast decisions over the graph
-    * (the graph analogue of table/column stats; g_degree_dist profiles
-    * skew, this profiles shape). One partial-aggregable groupBy over
-    * the edge scan; the two exact distincts plan as a single Expand
-    * (the q_multi_distinct discipline), output is schema-bounded
+  // ----------------------------------------------------- g_edge_type_stats
+  /** EDGE-TYPE statistics: per (elabel, src_label, dst_label) TRIPLE —
+    * edge rows, total weight, distinct endpoints, and average out/in
+    * fan in exact ppm. Finer-grained companion to GraphOps'
+    * g_graph_summary (per-label node/edge census): this is the
+    * selectivity table a planner consults for join-order and broadcast
+    * decisions over typed traversals (g_degree_dist profiles skew,
+    * this profiles shape). One partial-aggregable groupBy over the
+    * edge scan; the two exact distincts plan as a single Expand (the
+    * q_multi_distinct discipline), output is schema-bounded
     * (≤ label³ rows) regardless of data scale. */
-  def graphSummary: Q = (s, dir) => {
+  def edgeTypeStats: Q = (s, dir) => {
     g(s, dir).edges
       .groupBy("elabel", "src_label", "dst_label")
       .agg(count(lit(1)).as("n_edges"),
@@ -1973,7 +1974,7 @@ object Analytics {
       .orderBy("elabel", "src_label", "dst_label")
   }
 
-  val graphSummarySql: String =
+  val edgeTypeStatsSql: String =
     s"""$cte
        |SELECT elabel, src_label, dst_label,
        | count(*) AS n_edges,
@@ -1986,7 +1987,7 @@ object Analytics {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "g_graph_summary" -> graphSummary,
+    "g_edge_type_stats" -> edgeTypeStats,
     "g_degree_dist" -> degreeDist,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -2012,7 +2013,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
-    "g_graph_summary" -> graphSummarySql,
+    "g_edge_type_stats" -> edgeTypeStatsSql,
     "g_degree_dist" -> degreeDistSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,
