@@ -35,6 +35,24 @@ class InventorySyncSpec extends AnyFunSuite {
       s"§2 rows with no implementation (remove or implement): ${ghosts.toSeq.sorted.mkString(", ")}")
   }
 
+  test("no query name is defined by two modules (Map ++ would silently drop one)") {
+    val modules = Seq(
+      "Relational" -> graft.operators.Relational.queries.keySet,
+      "GraphOps" -> graft.operators.GraphOps.queries.keySet,
+      "Analytics" -> graft.operators.Analytics.queries.keySet,
+      "Dedup" -> graft.operators.Dedup.queries.keySet,
+      "Similarity" -> graft.operators.Similarity.queries.keySet,
+      "TextOps" -> graft.operators.TextOps.queries.keySet,
+      "Multimodal" -> graft.operators.Multimodal.queries.keySet,
+      "Formats" -> graft.sources.Formats.queries.keySet)
+    val clashes = for {
+      ((a, sa), i) <- modules.zipWithIndex
+      (b, sb) <- modules.drop(i + 1)
+      k <- (sa & sb).toSeq.sorted
+    } yield s"$k ($a vs $b)"
+    assert(clashes.isEmpty, s"shadowed query names: ${clashes.mkString(", ")}")
+  }
+
   test("every registered query has an oracle entry") {
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty,
