@@ -1949,6 +1949,121 @@ object Analytics {
   }
 
   // ------------------------------------------------------------ registry
+  // ------------------------------------------------------------ g_ktruss
+  /** k-TRUSS (k = `trussK`) of the part co-purchase projection — the
+    * EDGE-peeling cohesion analogue of k-core's node peeling: each
+    * synchronous round computes per-edge SUPPORT (triangles containing
+    * the edge) over the surviving edge set and drops edges below
+    * k−2, for `trussIters` fixed rounds with provable early exit (a
+    * round that drops nothing reaches the fixpoint, so all remaining
+    * oracle rounds are identity — same argument as CC's delta drain).
+    * Output = surviving edges with the support that qualified them in
+    * the final executed round, the k-core output contract.
+    *
+    * Per-round support uses the degree-ordered orientation +
+    * adjacency-array intersection of g_triangles (per-node out-degree
+    * O(√m), wedges never materialized), then EXPLODES each triangle to
+    * its three canonical edges for attribution — shuffled volume per
+    * round = edges + 3·triangles, against the naive 3-way self-join
+    * the oracle keeps (any correct enumeration finds the same
+    * triangles). The projection reuses g_triangles' session-cached
+    * `co` plan (canonicalized-plan cache hit). At 100× scale each
+    * round is two node-keyed joins + one edge-keyed count — the same
+    * bucketed-prepartition story as CC, with the edge set only
+    * shrinking. */
+  // k chosen against the MEASURED support distribution of this
+  // projection (sf0.01: support ≥ 2 keeps 115662 of 115729 edges — no
+  // peeling at all; ≥ 20 collapses to empty by round 3): k−2 = 12
+  // peels 115729 → 44818 → 2946 → 8 — genuine cascading rounds (every
+  // removed edge destroys its neighbors' triangles) ending in the
+  // dense core a truss query is actually asked for.
+  val trussK = 14
+  val trussIters = 3
+
+  def ktruss: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("p1"), col("p2")).distinct().cache()
+
+    def support(e: DataFrame): DataFrame = {
+      val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+      val wd = e.join(deg.toDF("p1", "d1"), "p1").join(deg.toDF("p2", "d2"), "p2")
+      val low = col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      val or = wd.select(when(low, col("p1")).otherwise(col("p2")).as("u"),
+        when(low, col("p2")).otherwise(col("p1")).as("v"))
+      val adj = or.groupBy("u").agg(collect_list("v").as("nbrs"))
+      or.join(adj.toDF("u", "nu"), "u").join(adj.toDF("v", "nv"), "v")
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .select(explode(array(
+          struct(least(col("u"), col("v")).as("p1"),
+            greatest(col("u"), col("v")).as("p2")),
+          struct(least(col("u"), col("w")).as("p1"),
+            greatest(col("u"), col("w")).as("p2")),
+          struct(least(col("v"), col("w")).as("p1"),
+            greatest(col("v"), col("w")).as("p2")))).as("ed"))
+        .select(col("ed.p1").as("p1"), col("ed.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+    }
+
+    var e = co
+    var nEdges = e.count()
+    var sup = e.limit(0).withColumn("support", lit(0L)) // replaced round 1
+    var dropped = 1L
+    var round = 0
+    while (round < trussIters && dropped > 0) {
+      round += 1
+      sup = support(e).localCheckpoint(eager = true)
+      val kept = e.join(sup, Seq("p1", "p2"))
+        .filter(col("support") >= trussK - 2)
+        .select("p1", "p2").localCheckpoint(eager = true)
+      val keptRows = kept.count()
+      dropped = nEdges - keptRows
+      nEdges = keptRows
+      e = kept
+    }
+    e.join(sup, Seq("p1", "p2")).select("p1", "p2", "support")
+      .orderBy("p1", "p2")
+  }
+
+  val ktrussSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", e0 AS (
+             | SELECT DISTINCT h1.dst_key AS p1, h2.dst_key AS p2
+             | FROM edges h1 JOIN edges h2
+             |   ON h1.elabel = 'HAS_PART' AND h2.elabel = 'HAS_PART'
+             |  AND h1.src_key = h2.src_key AND h1.dst_key < h2.dst_key
+             |)""".stripMargin
+    for (i <- 1 to trussIters) {
+      b ++= s""", t$i AS (
+               | SELECT a.p1 AS x, a.p2 AS y, b.p2 AS z
+               | FROM e${i - 1} a JOIN e${i - 1} b ON b.p1 = a.p2
+               |      JOIN e${i - 1} c ON c.p1 = a.p1 AND c.p2 = b.p2
+               |), s$i AS (
+               | SELECT p1, p2, count(*) AS support FROM (
+               |  SELECT x AS p1, y AS p2 FROM t$i
+               |  UNION ALL SELECT y, z FROM t$i
+               |  UNION ALL SELECT x, z FROM t$i
+               | ) GROUP BY 1, 2
+               |), e$i AS (
+               | SELECT e.p1, e.p2 FROM e${i - 1} e
+               | JOIN s$i s ON s.p1 = e.p1 AND s.p2 = e.p2
+               | WHERE s.support >= ${trussK - 2}
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT e.p1, e.p2, s.support
+             |FROM e$trussIters e
+             |JOIN s$trussIters s ON s.p1 = e.p1 AND s.p2 = e.p2
+             |ORDER BY e.p1, e.p2""".stripMargin
+    b.toString
+  }
+
   // ----------------------------------------------------- g_edge_type_stats
   /** EDGE-TYPE statistics: per (elabel, src_label, dst_label) TRIPLE —
     * edge rows, total weight, distinct endpoints, and average out/in
@@ -1987,6 +2102,7 @@ object Analytics {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "g_ktruss" -> ktruss,
     "g_edge_type_stats" -> edgeTypeStats,
     "g_degree_dist" -> degreeDist,
     "g_random_walk" -> randomWalk,
@@ -2013,6 +2129,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_ktruss" -> ktrussSql,
     "g_edge_type_stats" -> edgeTypeStatsSql,
     "g_degree_dist" -> degreeDistSql,
     "g_random_walk" -> randomWalkSql,

@@ -150,4 +150,33 @@ class Round5dSpec extends AnyFunSuite {
       .agg(min("ts")).head.getLong(0)
     assert(mn > 946684800L * 1000000000L, s"min ts $mn is not epoch nanos")
   }
+
+  test("g_ktruss: full peeling replayed in memory — identical edges and supports") {
+    val rows = Analytics.ktruss(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) -> r.getAs[Long]("support")).toMap
+    // independent replay: naive triangle enumeration + peel loop
+    val hp = graft.model.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = hp.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    var sup = Map.empty[(Long, Long), Int]
+    var dropped = 1
+    var round = 0
+    while (round < Analytics.trussIters && dropped > 0) {
+      round += 1
+      val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      sup = edges.toSeq.map { case (a, b) =>
+        (a, b) -> (nbrs(a) & nbrs(b)).size
+      }.toMap
+      val kept = edges.filter(e => sup(e) >= Analytics.trussK - 2)
+      dropped = edges.size - kept.size
+      edges = kept
+    }
+    assert(rows.keySet == edges, s"edge sets differ: ${rows.size} vs ${edges.size}")
+    rows.foreach { case (e, s0) => assert(s0 == sup(e).toLong, s"support of $e") }
+  }
 }
