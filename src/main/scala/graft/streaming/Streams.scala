@@ -377,4 +377,60 @@ object Streams {
     batch.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  // ---------------------------------------------------- st_user_counters
+  final case class UserCounters(user_id: Long, n_events: Long,
+                                sum_cents: Long, max_cents: Long)
+
+  /** st_user_counters: per-user RUNNING counters through
+    * `transformWithState` — Spark 4's arbitrary-state API (the
+    * successor to [flat]MapGroupsWithState: typed ValueState handles,
+    * explicit TimeMode, RocksDB-backed). One ValueState[UserCounters]
+    * per user merges each micro-batch's rows into the running
+    * (count, Σ value, max value); the value is held in exact integer
+    * CENTS — a running double sum would make the emission
+    * batch-split-dependent. Emits the updated row per touched user
+    * per batch, so the LAST emission per user equals the batch
+    * aggregate over the same frame — the equivalence the spec proves
+    * under different micro-batch splits. State = one small struct per
+    * user, the bounded-keyspace profile (user count, not stream
+    * length); TTL config is the documented knob for open-world key
+    * spaces. Requires the RocksDB state-store provider (spec sets it).
+    */
+  class UserCountersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserCounters] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UserCounters] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[UserCounters](
+        "counters", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserCounters] = {
+      val prev = if (state.exists()) state.get()
+                 else UserCounters(key, 0L, 0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        val cents = math.round(e.value * 100)
+        UserCounters(key, acc.n_events + 1, acc.sum_cents + cents,
+          math.max(acc.max_cents, cents))
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** The transformWithState plan over a (possibly streaming) typed
+    * events Dataset. Update mode: one row per touched user per batch. */
+  def userCounters(events: Dataset[Event]): Dataset[UserCounters] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserCountersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

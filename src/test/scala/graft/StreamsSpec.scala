@@ -477,4 +477,47 @@ class StreamsSpec extends AnyFunSuite {
         "probe is not stateless across micro-batches")
     } finally q.stop()
   }
+
+  test("st_user_counters: transformWithState running counters == batch aggregate under any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.Event].collect().toSeq
+      // reference: batch aggregate in the same integer-cents contract
+      val want = events.groupBy(_.user_id).map { case (u, es) =>
+        val cents = es.map(e => math.round(e.value * 100))
+        u -> ((es.size.toLong, cents.sum, cents.max))
+      }
+      def run(name: String, batches: Seq[Seq[Streams.Event]]): Map[Long, (Long, Long, Long)] = {
+        val mem = MemoryStream[Streams.Event]
+        val q = Streams.userCounters(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          // LAST emission per user carries the running totals
+          spark.table(name).collect()
+            .zipWithIndex.groupBy(_._1.getAs[Long]("user_id"))
+            .map { case (u, rs) =>
+              val last = rs.maxBy(_._2)._1
+              u -> ((last.getAs[Long]("n_events"),
+                last.getAs[Long]("sum_cents"), last.getAs[Long]("max_cents")))
+            }
+        } finally q.stop()
+      }
+      val oneShot = run("uc_one", Seq(events))
+      val split = run("uc_split", events.grouped(
+        math.max(1, events.size / 3)).toSeq)
+      assert(oneShot == want.toMap, "single-batch run != batch aggregate")
+      assert(split == want.toMap, "multi-batch run != batch aggregate")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
 }
