@@ -2016,19 +2016,30 @@ object Analytics {
     var sup = e.limit(0).withColumn("support", lit(0L)) // replaced round 1
     var dropped = 1L
     var round = 0
-    while (round < trussIters && dropped > 0) {
-      round += 1
-      sup = support(e).localCheckpoint(eager = true)
-      val kept = e.join(sup, Seq("p1", "p2"))
-        .filter(col("support") >= trussK - 2)
-        .select("p1", "p2").localCheckpoint(eager = true)
-      val keptRows = kept.count()
-      dropped = nEdges - keptRows
-      nEdges = keptRows
-      e = kept
-    }
-    e.join(sup, Seq("p1", "p2")).select("p1", "p2", "support")
-      .orderBy("p1", "p2")
+    // per-round checkpoints release in the finally (the LPA/closeness
+    // discipline — the r4 advisor's pathsTo finding applies to any
+    // iterative op whose result would otherwise pin every round's
+    // blocks for the session); the returned frame is its own eager
+    // checkpoint, so nothing it references is freed
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      while (round < trussIters && dropped > 0) {
+        round += 1
+        sup = support(e).localCheckpoint(eager = true)
+        val kept = e.join(sup, Seq("p1", "p2"))
+          .filter(col("support") >= trussK - 2)
+          .select("p1", "p2").localCheckpoint(eager = true)
+        interim += sup
+        interim += kept
+        val keptRows = kept.count()
+        dropped = nEdges - keptRows
+        nEdges = keptRows
+        e = kept
+      }
+      e.join(sup, Seq("p1", "p2")).select("p1", "p2", "support")
+        .orderBy("p1", "p2")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   val ktrussSql: String = {
