@@ -1026,16 +1026,22 @@ object Analytics {
   private[graft] def hitsOn(nodes: DataFrame, e: DataFrame, n: Long): DataFrame = {
     var h = nodes.withColumn("h", lit(hitsScale))
     var a = nodes.withColumn("a", lit(0L)) // replaced round 1
+    // half-round checkpoints release in the finally (the block-
+    // retention discipline); the returned frame is its own eager
+    // checkpoint so nothing it references is freed
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def norm(raw: DataFrame): DataFrame = {
       // LAZY checkpoint: r feeds both the scalar max and the rescaled
       // values — lazy materializes on the max's broadcast build and the
       // value side reads the stored blocks, without the blocking job an
       // eager checkpoint adds per half-round (4 of them per query)
       val r = raw.localCheckpoint(eager = false)
+      interim += r
       r.crossJoin(broadcast(r.agg(max("s").as("mx"))))
         .select(col("id"),
           expr(s"s div greatest(1, mx div $hitsScale)").as("s"))
     }
+    try {
     // Rounds carry SPARSE score vectors: a node absent from the
     // aggregate holds score 0, and 0 contributes nothing to the next
     // half-round's sum — so the dense fill-with-zeros join is deferred
@@ -1056,6 +1062,8 @@ object Analytics {
       .join(gated(h, n), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("a"), lit(0L)).as("a"),
         coalesce(col("h"), lit(0L)).as("h"))
+      .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   def hits: Q = (s, dir) => {
