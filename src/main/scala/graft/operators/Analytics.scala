@@ -335,24 +335,31 @@ object Analytics {
     var deltaRows = nodes.count()
     val nTotal = deltaRows
     var round = 0
-    while (round < ccIters && deltaRows > 0) {
-      round += 1
-      val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
-        .groupBy(col("b").as("id")).agg(min("comp").as("m"))
-      // ONE eager materialization per round; delta/comp are cheap
-      // column-prunes over the materialized frame (no extra jobs).
-      // cand is node-bounded (one row per touched id) → gate on nTotal.
-      val merged = comp.join(gated(cand, nTotal), Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
-          (col("m") < col("comp")).as("chg"))
+    // round blocks release in the finally (block-retention discipline);
+    // the returned frame is its own eager checkpoint
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](comp)
+    try {
+      while (round < ccIters && deltaRows > 0) {
+        round += 1
+        val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
+          .groupBy(col("b").as("id")).agg(min("comp").as("m"))
+        // ONE eager materialization per round; delta/comp are cheap
+        // column-prunes over the materialized frame (no extra jobs).
+        // cand is node-bounded (one row per touched id) → gate on nTotal.
+        val merged = comp.join(gated(cand, nTotal), Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
+            (col("m") < col("comp")).as("chg"))
+          .localCheckpoint(eager = true)
+        interim += merged
+        delta = merged.filter(col("chg")).select("id", "comp")
+        deltaRows = delta.count()
+        comp = merged.select("id", "comp")
+      }
+      nodes.join(comp, Seq("id"))
+        .select("label", "key", "comp").orderBy("label", "key")
         .localCheckpoint(eager = true)
-      delta = merged.filter(col("chg")).select("id", "comp")
-      deltaRows = delta.count()
-      comp = merged.select("id", "comp")
-    }
-    nodes.join(comp, Seq("id"))
-      .select("label", "key", "comp").orderBy("label", "key")
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   val connectedComponentsSql: String = {
@@ -559,17 +566,24 @@ object Analytics {
       .filter(col("label") === "region" && col("key") === 0L)
       .select(col("id"), lit(0).as("depth"))
     var frontier = dist.select("id")
-    for (i <- 1 to bfsIters) {
-      val next = und.join(gated(frontier.withColumnRenamed("id", "a"), n), Seq("a"))
-        .select(col("b").as("id")).distinct()
-        .join(gated(dist.select("id"), n), Seq("id"), "left_anti")
-        .withColumn("depth", lit(i))
-        .localCheckpoint(eager = false)
-      dist = dist.unionByName(next).localCheckpoint(eager = false)
-      frontier = next.select("id")
-    }
-    nodes.join(dist, Seq("id"))
-      .select("label", "key", "depth").orderBy("label", "key")
+    // level blocks release in the finally (block-retention discipline)
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      for (i <- 1 to bfsIters) {
+        val next = und.join(gated(frontier.withColumnRenamed("id", "a"), n), Seq("a"))
+          .select(col("b").as("id")).distinct()
+          .join(gated(dist.select("id"), n), Seq("id"), "left_anti")
+          .withColumn("depth", lit(i))
+          .localCheckpoint(eager = false)
+        dist = dist.unionByName(next).localCheckpoint(eager = false)
+        interim += next
+        interim += dist
+        frontier = next.select("id")
+      }
+      nodes.join(dist, Seq("id"))
+        .select("label", "key", "depth").orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   val bfsDepthSql: String = {
@@ -626,27 +640,33 @@ object Analytics {
     var delta = dist
     var deltaRows = delta.count()
     var round = 0
-    while (round < ssspIters && deltaRows > 0) {
-      round += 1
-      // delta is frontier-bounded (≤ node count, shrinking past the
-      // graph's weighted diameter) — the hint is gated on the count
-      // already materialized for termination; past the cap the join
-      // shuffles (at 100× pre-partition und + dist on the id instead)
-      val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
-        .groupBy(col("b").as("id")).agg(min(col("d") + col("w")).as("m"))
-      // full-outer merge: relaxations can REACH new nodes (no dist row
-      // yet), unlike CC where comp starts with every node
-      val merged = dist.join(cand, Seq("id"), "full_outer")
-        .select(col("id"),
-          least(coalesce(col("d"), col("m")), coalesce(col("m"), col("d"))).as("nd"),
-          coalesce(col("m") < col("d"), col("d").isNull).as("chg"))
+    // round blocks release in the finally (block-retention discipline)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](dist)
+    try {
+      while (round < ssspIters && deltaRows > 0) {
+        round += 1
+        // delta is frontier-bounded (≤ node count, shrinking past the
+        // graph's weighted diameter) — the hint is gated on the count
+        // already materialized for termination; past the cap the join
+        // shuffles (at 100× pre-partition und + dist on the id instead)
+        val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
+          .groupBy(col("b").as("id")).agg(min(col("d") + col("w")).as("m"))
+        // full-outer merge: relaxations can REACH new nodes (no dist row
+        // yet), unlike CC where comp starts with every node
+        val merged = dist.join(cand, Seq("id"), "full_outer")
+          .select(col("id"),
+            least(coalesce(col("d"), col("m")), coalesce(col("m"), col("d"))).as("nd"),
+            coalesce(col("m") < col("d"), col("d").isNull).as("chg"))
+          .localCheckpoint(eager = true)
+        interim += merged
+        delta = merged.filter(col("chg")).select(col("id"), col("nd").as("d"))
+        deltaRows = delta.count()
+        dist = merged.select(col("id"), col("nd").as("d"))
+      }
+      nodes.join(dist, Seq("id"))
+        .select("label", "key", "d").orderBy("label", "key")
         .localCheckpoint(eager = true)
-      delta = merged.filter(col("chg")).select(col("id"), col("nd").as("d"))
-      deltaRows = delta.count()
-      dist = merged.select(col("id"), col("nd").as("d"))
-    }
-    nodes.join(dist, Seq("id"))
-      .select("label", "key", "d").orderBy("label", "key")
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   val ssspWeightedSql: String = {
@@ -907,17 +927,23 @@ object Analytics {
     // job an eager one added per round
     val n = nodes.count()
     var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced round 1
-    for (_ <- 1 to kcoreIters) {
-      deg = und
-        .join(gated(alive.withColumnRenamed("id", "a"), n), Seq("a"))
-        .join(gated(alive.withColumnRenamed("id", "b"), n), Seq("b"))
-        .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= kcoreK)
-        .localCheckpoint(eager = false)
-      alive = deg.select("id")
-    }
-    nodes.join(deg, Seq("id"))
-      .select("label", "key", "deg").orderBy("label", "key")
+    // round blocks release in the finally (block-retention discipline)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](alive)
+    try {
+      for (_ <- 1 to kcoreIters) {
+        deg = und
+          .join(gated(alive.withColumnRenamed("id", "a"), n), Seq("a"))
+          .join(gated(alive.withColumnRenamed("id", "b"), n), Seq("b"))
+          .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= kcoreK)
+          .localCheckpoint(eager = false)
+        interim += deg
+        alive = deg.select("id")
+      }
+      nodes.join(deg, Seq("id"))
+        .select("label", "key", "deg").orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
   val kcoreSql: String = {
