@@ -580,11 +580,18 @@ object Analytics {
         interim += dist
         frontier = next.select("id")
       }
-      nodes.join(dist, Seq("id"))
+      val out = nodes.join(dist, Seq("id"))
         .select("label", "key", "depth").orderBy("label", "key")
-        .localCheckpoint(eager = true)
+      // plan audits read the PRE-checkpoint plan (the returned frame is
+      // a checkpoint leaf that hides the join shape)
+      bfsAuditPlan = out.queryExecution.executedPlan.toString
+      out.localCheckpoint(eager = true)
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
+
+  /** Last bfsDepth physical plan BEFORE result materialization —
+    * written on every run for Round5Spec's broadcast-gate audit. */
+  @volatile private[graft] var bfsAuditPlan: String = ""
 
   val bfsDepthSql: String = {
     val b = new StringBuilder(cte)

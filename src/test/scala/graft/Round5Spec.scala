@@ -279,7 +279,10 @@ class Round5Spec extends AnyFunSuite {
   }
 
   test("g_bfs_depth: level joins broadcast below the gate (hint survives)") {
-    val plan = Analytics.bfsDepth(spark, sf).queryExecution.executedPlan.toString
+    // the op returns an eager checkpoint (block-retention discipline),
+    // so audit the captured pre-materialization plan instead
+    Analytics.bfsDepth(spark, sf)
+    val plan = Analytics.bfsAuditPlan
     assert(plan.contains("BroadcastHashJoin"),
       s"gated frontier broadcast missing at small scale:\n$plan")
   }
