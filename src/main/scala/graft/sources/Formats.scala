@@ -395,7 +395,48 @@ object Formats {
       | count(DISTINCT md5(text)) AS n_uniq
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ src_compaction
+  /** SMALL-FILES COMPACTION — the maintenance job src_binary_files'
+    * caveat demands: a landing directory of one-object-per-item files
+    * (here: one parquet part per document, the worst case a streaming
+    * ingest produces) is rewritten into a bounded number of
+    * right-sized files. Read side lists once; write side
+    * `repartition(compactTarget)` — a round-robin exchange, the only
+    * shuffle, sized so each output file lands near the HDFS/object
+    * block size at scale (file count is a physical spec assertion, not
+    * an oracle column). The oracle checks INTEGRITY through the full
+    * fragment → compact → read-back chain, so a green row proves
+    * compaction is a pure physical rewrite. At 100 TB this runs per
+    * partition-directory with `maxRecordsPerFile` as the finer knob. */
+  val compactTarget = 4
+  val fragTarget = 64
+
+  def compaction: Q = (s, dir) => {
+    val fragDir = scratch(s, dir, "frag")
+    val compDir = scratch(s, dir, "compact")
+    val d = Tables(s, dir, "documents")
+    // fragment: an EXPLICIT 64-way hash repartition (user-specified
+    // counts are exempt from AQE coalescing) — a few rows per part
+    // file, the shape a high-parallelism streaming ingest leaves behind
+    d.repartition(fragTarget, col("doc_id"))
+      .write.mode("overwrite").parquet(fragDir)
+    s.read.schema(docSchema).parquet(fragDir)
+      .repartition(compactTarget)
+      .write.mode("overwrite").parquet(compDir)
+    integrity(s.read.schema(docSchema).parquet(compDir))
+      .select("source", "n_docs", "sum_chars", "sum_len", "n_uniq")
+      .orderBy("source")
+  }
+
+  val compactionSql: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      | count(DISTINCT md5(text)) AS n_uniq
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_compaction" -> compaction,
     "src_binary_files" -> binaryFiles,
     "src_codec_roundtrip" -> codecRoundtrip,
     "src_bucketed_join" -> bucketedJoin,
@@ -408,6 +449,7 @@ object Formats {
     "src_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
+    "src_compaction" -> compactionSql,
     "src_binary_files" -> binaryFilesSql,
     "src_codec_roundtrip" -> codecRoundtripSql,
     "src_bucketed_join" -> bucketedJoinSql,

@@ -179,4 +179,20 @@ class Round5dSpec extends AnyFunSuite {
     assert(rows.keySet == edges, s"edge sets differ: ${rows.size} vs ${edges.size}")
     rows.foreach { case (e, s0) => assert(s0 == sup(e).toLong, s"support of $e") }
   }
+
+  test("src_compaction: the compacted directory has exactly compactTarget part files") {
+    graft.sources.Formats.compaction(spark, sf).collect()
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sources/${spark.sparkContext.applicationId}")
+    def parts(name: String): Int = {
+      val dirs = new java.io.File(root, java.lang.Integer.toHexString(sf.hashCode))
+      new java.io.File(dirs, name).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    val frag = parts("frag")
+    val compact = parts("compact")
+    assert(compact == graft.sources.Formats.compactTarget,
+      s"expected ${graft.sources.Formats.compactTarget} compacted files, got $compact")
+    assert(frag > compact, s"fragmented dir ($frag files) should exceed compacted ($compact)")
+  }
 }
