@@ -1020,9 +1020,81 @@ object Similarity {
       |    > 9 * p.nn * c.nn
       |ORDER BY probe_id, cand_id""".stripMargin
 
+  // ------------------------------------------------------ s_binary_quant
+  /** BINARY (1-bit sign) QUANTIZATION + Hamming top-k — the modern
+    * extreme-compression retrieval path (64 dims → 64 bits, a 32×
+    * reduction over float32; rescoring survivors with the full vectors
+    * is the documented second stage, = the oracle-checked s_ann_topk
+    * plan over a candidate subset). Sign bits pack into TWO BIGINT
+    * halves (32 bits each — `1 << 63` wraps differently across
+    * engines, the phash banding lesson), built by posexplode +
+    * map-side-combined sum so the packing stays in codegen; distance =
+    * bit_count(xor) on each half, exact integers, ties to the lower
+    * cand_id. Scale shape: the signature table is corpus-sized but
+    * 16 bytes/vector — the probe×corpus scan is the brute pass over a
+    * structure 32× smaller than the float corpus, and the same banded
+    * LSH applies on the halves when even that scan is too big. */
+  val bqK = 10
+
+  def binaryQuant: Q = (s, dir) => {
+    val sig = quantized(s, dir)
+      .select(col("vec_id"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("vec_id")
+      .agg(
+        sum(expr("IF(pos < 32 AND v > 0, shiftleft(1L, CAST(pos AS INT)), 0L)"))
+          .as("sig_lo"),
+        sum(expr("IF(pos >= 32 AND v > 0, shiftleft(1L, CAST(pos AS INT) - 32), 0L)"))
+          .as("sig_hi"))
+      .cache() // 16 bytes/vector, feeds both sides of the probe scan
+    val pRaw = sig.filter(col("vec_id") < 10)
+      .toDF("probe_id", "plo", "phi")
+    val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    probes.crossJoin(sig.toDF("cand_id", "clo", "chi"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (expr("bit_count(plo ^ clo)") + expr("bit_count(phi ^ chi)"))
+          .cast("long").as("hamming"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bqK)
+      .select("probe_id", "rn", "cand_id", "hamming")
+      .orderBy("probe_id", "rn")
+  }
+
+  val binaryQuantSql: String =
+    """WITH q AS (
+      | SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      | FROM embeddings
+      |), bits AS (
+      | SELECT vec_id, CAST(u.i AS INTEGER) - 1 AS pos, qe[CAST(u.i AS INTEGER)] AS v
+      | FROM q, unnest(range(1, len(qe) + 1)) u(i)
+      |), sig AS (
+      | SELECT vec_id,
+      |  CAST(sum(CASE WHEN pos < 32 AND v > 0
+      |   THEN (1::BIGINT << pos) ELSE 0 END) AS BIGINT) AS sig_lo,
+      |  CAST(sum(CASE WHEN pos >= 32 AND v > 0
+      |   THEN (1::BIGINT << (pos - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
+      | FROM bits GROUP BY vec_id
+      |), scored AS (
+      | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |  CAST(bit_count(xor(p.sig_lo, c.sig_lo))
+      |     + bit_count(xor(p.sig_hi, c.sig_hi)) AS BIGINT) AS hamming
+      | FROM sig p JOIN sig c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+      |), ranked AS (
+      | SELECT probe_id, cand_id, hamming,
+      |  row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY hamming, cand_id) AS rn
+      | FROM scored
+      |)
+      |SELECT probe_id, rn, cand_id, hamming FROM ranked
+      |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_range_search" -> rangeSearch,
+    "s_binary_quant" -> binaryQuant,
     "s_scalar_quant" -> scalarQuant,
     "s_mmr" -> mmr,
     "d_kmeans_cluster" -> kmeansCluster,
@@ -1037,6 +1109,7 @@ object Similarity {
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_range_search" -> rangeSearchSql,
+    "s_binary_quant" -> binaryQuantSql,
     "s_scalar_quant" -> scalarQuantSql,
     "s_mmr" -> mmrSql,
     "d_kmeans_cluster" -> kmeansClusterSql,

@@ -22,7 +22,9 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "s_ann_recall",      // composes the exact baseline by definition
     "d_dedup_embedding", // exact O(n²) baseline; LSH twin is the scale path
     "s_ann_filtered",    // exact within-predicate baseline
-    "s_range_search"     // exact fixed-radius baseline; LSH candidates at scale
+    "s_range_search",    // exact fixed-radius baseline; LSH candidates at scale
+    "s_binary_quant"     // brute scan over the 16-byte/vec signature table
+                         // (32x smaller than the corpus); banded LSH beyond
   )
 
   private def isScalar(p: LogicalPlan): Boolean =
