@@ -1556,7 +1556,103 @@ object TextOps {
       | )
       |) ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- t_rule_ablation
+  /** Quality-rule ABLATION report — the table a curator reads before
+    * changing a filter: for each Gopher rule, how many docs fail it at
+    * all (n_fail), how many fail ONLY it (n_sole_fail — the docs that
+    * rule alone is removing; dropping the rule re-admits exactly
+    * these), the token mass those sole-failures carry (tok_readmit),
+    * and the corpus share in ppm. Rules share t_gopher_quality's exact
+    * integer forms, evaluated INDEPENDENTLY here (the gate's `reason`
+    * is first-fail-wins and cannot answer ablation questions). One
+    * 4-rules-per-doc explode + one partial-aggregable groupBy; the
+    * corpus total joins as a broadcast 1-row aggregate (the t_df_prune
+    * discipline). */
+  def ruleAblation: Q = (s, dir) => {
+    val en = langStopwords.head._2
+    val words = col("words")
+    val flagged = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        (col("n_chars_m") - (size(words).cast("long") - 1)).as("swl"),
+        array_max(transform(array_distinct(words),
+          w => size(filter(words, x => x === w))))
+          .cast("long").as("top_freq"),
+        size(array_intersect(array_distinct(words),
+          array(en.map(lit): _*))).cast("long").as("n_stop_kinds"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") < 30 || col("n_words") > 50000).as("f_wc"),
+        (col("swl") < lit(3) * col("n_words") ||
+          col("swl") > lit(10) * col("n_words")).as("f_wl"),
+        (lit(6) * col("top_freq") > col("n_words")).as("f_tw"),
+        (col("n_stop_kinds") < 2).as("f_sw"))
+      .withColumn("n_fails",
+        col("f_wc").cast("long") + col("f_wl").cast("long") +
+          col("f_tw").cast("long") + col("f_sw").cast("long"))
+    val total = flagged.agg(count(lit(1)).as("n_docs_total"))
+    flagged
+      .select(col("doc_id"), col("n_words"), col("n_fails"),
+        explode(array(
+          struct(lit("1_word_count").as("rule"), col("f_wc").as("fails")),
+          struct(lit("2_word_len").as("rule"), col("f_wl").as("fails")),
+          struct(lit("3_top_word").as("rule"), col("f_tw").as("fails")),
+          struct(lit("4_stopword").as("rule"), col("f_sw").as("fails"))))
+          .as("rf"))
+      .select(col("doc_id"), col("n_words"), col("n_fails"),
+        col("rf.rule").as("rule"), col("rf.fails").as("fails"))
+      .groupBy("rule")
+      .agg(
+        sum(col("fails").cast("long")).as("n_fail"),
+        sum((col("fails") && col("n_fails") === 1).cast("long"))
+          .as("n_sole_fail"),
+        sum(when(col("fails") && col("n_fails") === 1, col("n_words"))
+          .otherwise(0L)).as("tok_readmit"))
+      .crossJoin(broadcast(total))
+      .select(col("rule"), col("n_fail"), col("n_sole_fail"),
+        col("tok_readmit"),
+        expr("(n_fail * 1000000) div n_docs_total").as("fail_ppm"))
+      .orderBy("rule")
+  }
+
+  val ruleAblationSql: String =
+    """WITH f AS (
+      | SELECT doc_id,
+      |  len(words) AS n_words,
+      |  (length(text) - (len(words) - 1)) AS swl,
+      |  list_max(list_transform(list_distinct(words),
+      |    w -> len(list_filter(words, x -> x = w)))) AS top_freq,
+      |  len(list_intersect(list_distinct(words),
+      |    ['the','a','of','and','to','in','is','it'])) AS n_stop_kinds
+      | FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+      |), fl AS (
+      | SELECT doc_id, n_words,
+      |  (n_words < 30 OR n_words > 50000) AS f_wc,
+      |  (swl < 3 * n_words OR swl > 10 * n_words) AS f_wl,
+      |  (6 * top_freq > n_words) AS f_tw,
+      |  (n_stop_kinds < 2) AS f_sw
+      | FROM f
+      |), nf AS (
+      | SELECT doc_id, n_words, f_wc, f_wl, f_tw, f_sw,
+      |  (CAST(f_wc AS BIGINT) + CAST(f_wl AS BIGINT)
+      |   + CAST(f_tw AS BIGINT) + CAST(f_sw AS BIGINT)) AS n_fails
+      | FROM fl
+      |), ex AS (
+      | SELECT doc_id, n_words, n_fails, '1_word_count' AS rule, f_wc AS fails FROM nf
+      | UNION ALL SELECT doc_id, n_words, n_fails, '2_word_len', f_wl FROM nf
+      | UNION ALL SELECT doc_id, n_words, n_fails, '3_top_word', f_tw FROM nf
+      | UNION ALL SELECT doc_id, n_words, n_fails, '4_stopword', f_sw FROM nf
+      |), t AS (SELECT count(*) AS n_docs_total FROM nf)
+      |SELECT rule,
+      | CAST(sum(CAST(fails AS BIGINT)) AS BIGINT) AS n_fail,
+      | CAST(sum(CASE WHEN fails AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail,
+      | CAST(sum(CASE WHEN fails AND n_fails = 1 THEN n_words ELSE 0 END) AS BIGINT) AS tok_readmit,
+      | CAST((sum(CAST(fails AS BIGINT)) * 1000000) // (SELECT n_docs_total FROM t) AS BIGINT) AS fail_ppm
+      |FROM ex GROUP BY rule ORDER BY rule""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_rule_ablation" -> ruleAblation,
     "t_clean_normalize" -> cleanNormalize,
     "t_gopher_quality" -> gopherQuality,
     "t_global_shuffle" -> globalShuffle,
@@ -1587,6 +1683,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_rule_ablation" -> ruleAblationSql,
     "t_clean_normalize" -> cleanNormalizeSql,
     "t_gopher_quality" -> gopherQualitySql,
     "t_global_shuffle" -> globalShuffleSql,
