@@ -2028,32 +2028,48 @@ object Analytics {
   val trussK = 14
   val trussIters = 3
 
+  /** Session-memoized per-edge triangle SUPPORT of the FULL co
+    * projection — k-truss round 1 and g_local_bridges run this same
+    * pass; one eager checkpoint feeds both (the lpaLabels discipline).
+    * Later truss rounds operate on shrinking survivor sets and compute
+    * their own (different edge set — not memoizable). */
+  private val coSupportCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def coSupport(s: SparkSession, dir: String): DataFrame = {
+    coSupportCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    coSupportCache.getOrElseUpdate((s, dir),
+      edgeSupport(coProjection(s, dir)).localCheckpoint(eager = true))
+  }
+
+  /** Per-edge triangle support of an undirected (p1 < p2) edge set via
+    * the degree-ordered adjacency intersection (triangles' enumeration)
+    * with three-canonical-edge attribution. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+    val wd = e.join(deg.toDF("p1", "d1"), "p1").join(deg.toDF("p2", "d2"), "p2")
+    val low = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("p1") < col("p2"))
+    val or = wd.select(when(low, col("p1")).otherwise(col("p2")).as("u"),
+      when(low, col("p2")).otherwise(col("p1")).as("v"))
+    val adj = or.groupBy("u").agg(collect_list("v").as("nbrs"))
+    or.join(adj.toDF("u", "nu"), "u").join(adj.toDF("v", "nv"), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("p1"),
+          greatest(col("u"), col("v")).as("p2")),
+        struct(least(col("u"), col("w")).as("p1"),
+          greatest(col("u"), col("w")).as("p2")),
+        struct(least(col("v"), col("w")).as("p1"),
+          greatest(col("v"), col("w")).as("p2")))).as("ed"))
+      .select(col("ed.p1").as("p1"), col("ed.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+  }
+
   def ktruss: Q = (s, dir) => {
     val co = coProjection(s, dir)
-
-    def support(e: DataFrame): DataFrame = {
-      val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
-        .groupBy("p").agg(count(lit(1)).as("d"))
-      val wd = e.join(deg.toDF("p1", "d1"), "p1").join(deg.toDF("p2", "d2"), "p2")
-      val low = col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("p1") < col("p2"))
-      val or = wd.select(when(low, col("p1")).otherwise(col("p2")).as("u"),
-        when(low, col("p2")).otherwise(col("p1")).as("v"))
-      val adj = or.groupBy("u").agg(collect_list("v").as("nbrs"))
-      or.join(adj.toDF("u", "nu"), "u").join(adj.toDF("v", "nv"), "v")
-        .select(col("u"), col("v"),
-          explode(array_intersect(col("nu"), col("nv"))).as("w"))
-        .select(explode(array(
-          struct(least(col("u"), col("v")).as("p1"),
-            greatest(col("u"), col("v")).as("p2")),
-          struct(least(col("u"), col("w")).as("p1"),
-            greatest(col("u"), col("w")).as("p2")),
-          struct(least(col("v"), col("w")).as("p1"),
-            greatest(col("v"), col("w")).as("p2")))).as("ed"))
-        .select(col("ed.p1").as("p1"), col("ed.p2").as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
-    }
-
     var e = co
     var nEdges = e.count()
     var sup = e.limit(0).withColumn("support", lit(0L)) // replaced round 1
@@ -2063,16 +2079,22 @@ object Analytics {
     // discipline — the r4 advisor's pathsTo finding applies to any
     // iterative op whose result would otherwise pin every round's
     // blocks for the session); the returned frame is its own eager
-    // checkpoint, so nothing it references is freed
+    // checkpoint, so nothing it references is freed. Round 1's support
+    // is the session MEMO (shared with g_local_bridges) — owned by the
+    // memo, never freed here.
     val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       while (round < trussIters && dropped > 0) {
         round += 1
-        sup = support(e).localCheckpoint(eager = true)
+        sup = if (round == 1) coSupport(s, dir)
+              else {
+                val sc = edgeSupport(e).localCheckpoint(eager = true)
+                interim += sc
+                sc
+              }
         val kept = e.join(sup, Seq("p1", "p2"))
           .filter(col("support") >= trussK - 2)
           .select("p1", "p2").localCheckpoint(eager = true)
-        interim += sup
         interim += kept
         val keptRows = kept.count()
         dropped = nEdges - keptRows
@@ -2135,24 +2157,9 @@ object Analytics {
     val deg = co.select(col("p1").as("p")).union(co.select(col("p2").as("p")))
       .groupBy("p").agg(count(lit(1)).as("d"))
     val wd = co.join(deg.toDF("p1", "d1"), "p1").join(deg.toDF("p2", "d2"), "p2")
-    val low = col("d1") < col("d2") ||
-      (col("d1") === col("d2") && col("p1") < col("p2"))
-    val or = wd.select(when(low, col("p1")).otherwise(col("p2")).as("u"),
-      when(low, col("p2")).otherwise(col("p1")).as("v"))
-    val adj = or.groupBy("u").agg(collect_list("v").as("nbrs"))
-    val supported = or.join(adj.toDF("u", "nu"), "u")
-      .join(adj.toDF("v", "nv"), "v")
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
-      .select(explode(array(
-        struct(least(col("u"), col("v")).as("p1"),
-          greatest(col("u"), col("v")).as("p2")),
-        struct(least(col("u"), col("w")).as("p1"),
-          greatest(col("u"), col("w")).as("p2")),
-        struct(least(col("v"), col("w")).as("p1"),
-          greatest(col("v"), col("w")).as("p2")))).as("ed"))
-      .select(col("ed.p1").as("p1"), col("ed.p2").as("p2")).distinct()
-    wd.join(supported, Seq("p1", "p2"), "left_anti")
+    // the support frame is the SESSION MEMO shared with k-truss round 1
+    // — one triangle-enumeration pass feeds both ops
+    wd.join(coSupport(s, dir), Seq("p1", "p2"), "left_anti")
       .select(col("p1"), col("p2"), col("d1"), col("d2"))
       .orderBy("p1", "p2")
   }
