@@ -272,7 +272,9 @@ object Analytics {
     simpleUnd(s, dir)
     // the co-purchase projection is shared by the triangle family
     // (triangles / clustering_coef / ktruss / GraphX twin) the same way
-    coProjection(s, dir).count(): Unit
+    coProjection(s, dir).count()
+    // ... as is its per-edge support frame (ktruss round 1 + bridges)
+    coSupport(s, dir): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by
