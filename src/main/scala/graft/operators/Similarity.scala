@@ -1091,10 +1091,51 @@ object Similarity {
       |SELECT probe_id, rn, cand_id, hamming FROM ranked
       |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
 
+  // -------------------------------------------------------- s_quant_eval
+  /** QUANTIZATION-RECALL harness — the adjudication table for the
+    * compression family, same philosophy as s_ann_recall (which judges
+    * the INDEX family): per probe, how many of the exact integer-cosine
+    * top-k survive in the 1-bit Hamming top-k (s_binary_quant), as
+    * count and floor ppm. This is the number a "can we ship 32×
+    * compression" decision actually reads; a threshold/packing change
+    * is judged by this table moving. Composes two already-oracle-
+    * checked pipelines; the oracle composes their full CTE chains, so
+    * the composition itself is cross-engine-verified. */
+  def quantEval: Q = (s, dir) => {
+    val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
+    val bq = binaryQuant(s, dir).select(col("probe_id"), col("cand_id"))
+    val hitBq = ex.join(bq, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits_bq"))
+    ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hitBq, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("hits_bq"), lit(0L)).as("hits_bq"))
+      .withColumn("recall_ppm", expr("(hits_bq * 1000000) div n_exact"))
+      .orderBy("probe_id")
+  }
+
+  val quantEvalSql: String =
+    s"""WITH ex0 AS (
+       |$annTopkSql
+       |), bq0 AS (
+       |$binaryQuantSql
+       |)
+       |SELECT probe_id, n_exact, hits_bq,
+       | CAST((hits_bq * 1000000) // n_exact AS BIGINT) AS recall_ppm
+       |FROM (
+       | SELECT e.probe_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM bq0 b
+       |    WHERE b.probe_id = e.probe_id AND b.cand_id = e.cand_id)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS hits_bq
+       | FROM ex0 e GROUP BY e.probe_id
+       |)
+       |ORDER BY probe_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_range_search" -> rangeSearch,
     "s_binary_quant" -> binaryQuant,
+    "s_quant_eval" -> quantEval,
     "s_scalar_quant" -> scalarQuant,
     "s_mmr" -> mmr,
     "d_kmeans_cluster" -> kmeansCluster,
@@ -1110,6 +1151,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "s_range_search" -> rangeSearchSql,
     "s_binary_quant" -> binaryQuantSql,
+    "s_quant_eval" -> quantEvalSql,
     "s_scalar_quant" -> scalarQuantSql,
     "s_mmr" -> mmrSql,
     "d_kmeans_cluster" -> kmeansClusterSql,

@@ -23,8 +23,9 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "d_dedup_embedding", // exact O(n²) baseline; LSH twin is the scale path
     "s_ann_filtered",    // exact within-predicate baseline
     "s_range_search",    // exact fixed-radius baseline; LSH candidates at scale
-    "s_binary_quant"     // brute scan over the 16-byte/vec signature table
+    "s_binary_quant",    // brute scan over the 16-byte/vec signature table
                          // (32x smaller than the corpus); banded LSH beyond
+    "s_quant_eval"       // composes the exact baseline by definition
   )
 
   private def isScalar(p: LogicalPlan): Boolean =
