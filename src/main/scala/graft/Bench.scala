@@ -25,6 +25,10 @@ object Bench {
     // whole build (round-1's g_update_node 19.7 s was mostly this).
     // Prewarming makes every per-query number steady-state.
     graft.operators.Analytics.warmShared(spark, sfDir)
+    // same for the similarity family's shared cached frames (bands,
+    // IVF/k-means assignments, binary signatures) — first-runner
+    // attribution whipsawed s_ann_ivf 5× in r5
+    graft.operators.Similarity.warmShared(spark, sfDir)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>

@@ -546,13 +546,8 @@ object PropertyGraph {
     * pure SQL-expressible construction so every oracle rebuilds the
     * identical graph in its CTEs.
     */
-  def load(spark: SparkSession, dir: String): PropertyGraph = {
-    // evict memo entries of stopped sessions — the map is JVM-global,
-    // and a driver cycling sessions (notebook, test matrix) would
-    // otherwise pin one dead snapshot per (session, dir) forever
-    loaded.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    loaded.getOrElseUpdate((spark, dir), build(spark, dir))
-  }
+  def load(spark: SparkSession, dir: String): PropertyGraph =
+    SessionMemo.getOrBuild(loaded, (spark, dir))(build(spark, dir))
 
   private def build(spark: SparkSession, dir: String): PropertyGraph = {
     def t(n: String) = Tables(spark, dir, n)

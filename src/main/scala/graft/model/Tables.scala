@@ -34,6 +34,14 @@ object Tables {
     df.schema.fields.collectFirst { case StructField("ts", t, _, _) => t } match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
         df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
-      case Some(LongType) | _ => df
+      case Some(LongType) | None => df
+      // fail AT LOAD on any other physical type (a future regeneration
+      // landing as e.g. INT96 or STRING) — silently passing it through
+      // deferred the break to downstream integer arithmetic with
+      // confusing symptoms (r5 advisor; the r4 regeneration break cost
+      // half a session to localize)
+      case Some(other) => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — " +
+          "extend Tables.normalizeTs for this generation")
     }
 }

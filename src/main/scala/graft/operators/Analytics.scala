@@ -285,19 +285,13 @@ object Analytics {
   private val simpleUndCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def simpleUnd(s: SparkSession, dir: String): DataFrame = {
-    simpleUndCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    simpleUndCache.getOrElseUpdate((s, dir),
+  private def simpleUnd(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(simpleUndCache, (s, dir))(
       numericGraph(s, dir)._2.select("a", "b").distinct()
         .localCheckpoint(eager = true))
-  }
 
-  private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // evict entries of stopped sessions — the memo is JVM-global, and a
-    // driver that cycles sessions would otherwise pin one dead edge
-    // cache per (session, dir) forever
-    numericCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    numericCache.getOrElseUpdate((s, dir), {
+  private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.model.SessionMemo.getOrBuild(numericCache, (s, dir)) {
       val graph = g(s, dir)
       val sid = nodeIdCol(col("src_label"), col("src_key"))
       val did = nodeIdCol(col("dst_label"), col("dst_key"))
@@ -309,8 +303,7 @@ object Analytics {
           .select(did.as("a"), sid.as("b"), col("weight").as("w")))
         .cache()
       (nodes, und)
-    })
-  }
+    }
 
   def connectedComponents: Q = (s, dir) => {
     val (nodes, undW) = numericGraph(s, dir)
@@ -593,14 +586,19 @@ object Analytics {
         .select("label", "key", "depth").orderBy("label", "key")
       // plan audits read the PRE-checkpoint plan (the returned frame is
       // a checkpoint leaf that hides the join shape)
-      bfsAuditPlan = out.queryExecution.executedPlan.toString
+      bfsAuditPlans.put((s, dir), out.queryExecution.executedPlan.toString)
       out.localCheckpoint(eager = true)
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
-  /** Last bfsDepth physical plan BEFORE result materialization —
-    * written on every run for Round5Spec's broadcast-gate audit. */
-  @volatile private[graft] var bfsAuditPlan: String = ""
+  /** Last bfsDepth physical plan BEFORE result materialization, per
+    * (session, dir) — keyed like the other session memos so concurrent
+    * runs can't clobber each other's audit (the r5 advisor's nit on the
+    * previous single global). */
+  private val bfsAuditPlans = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private[graft] def bfsAuditPlan(s: SparkSession, dir: String): String =
+    bfsAuditPlans.getOrElse((s, dir), "")
 
   val bfsDepthSql: String = {
     val b = new StringBuilder(cte)
@@ -739,10 +737,8 @@ object Analytics {
   private val lpaCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
-    lpaCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    lpaCache.getOrElseUpdate((s, dir), lpaLabelsBuild(s, dir))
-  }
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(lpaCache, (s, dir))(lpaLabelsBuild(s, dir))
 
   private def lpaLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val (nodes, undW) = numericGraph(s, dir)
@@ -1176,9 +1172,8 @@ object Analytics {
   private val nationBfsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def nationBfs(s: SparkSession, dir: String): DataFrame = {
-    nationBfsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    nationBfsCache.getOrElseUpdate((s, dir), {
+  private def nationBfs(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(nationBfsCache, (s, dir)) {
       val (nodes, undW) = numericGraph(s, dir)
       val und = undW.select("a", "b")
       val seeds = nodes.filter(col("label") === "nation")
@@ -1207,8 +1202,7 @@ object Analytics {
         levels.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
         graft.model.PropertyGraph.freeLocalCheckpoint(seeds)
       }
-    })
-  }
+    }
 
   def closeness: Q = (s, dir) => {
     val (nodes, _) = numericGraph(s, dir)
@@ -2038,11 +2032,9 @@ object Analytics {
   private val coSupportCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def coSupport(s: SparkSession, dir: String): DataFrame = {
-    coSupportCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    coSupportCache.getOrElseUpdate((s, dir),
+  private def coSupport(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(coSupportCache, (s, dir))(
       edgeSupport(coProjection(s, dir)).localCheckpoint(eager = true))
-  }
 
   /** Per-edge triangle support of an undirected (p1 < p2) edge set via
     * the degree-ordered adjacency intersection (triangles' enumeration)

@@ -520,11 +520,9 @@ object Dedup {
   private val jpMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    jpMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    jpMemo.getOrElseUpdate((s, dir),
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(jpMemo, (s, dir))(
       jaccardPairsRaw(s, dir)._1.localCheckpoint(eager = true))
-  }
 
   def ngramJaccard: Q = (s, dir) =>
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
@@ -711,23 +709,36 @@ object Dedup {
     * contract); output pairs with exact hamming ≤ 12. */
   val shChunks = 4
 
-  def dedupSimhash: Q = (s, dir) => {
+  def dedupSimhash: Q = (s, dir) =>
+    simhashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Unordered simhash near-dup pairs `(doc_a, doc_b, hamming ≤ 12)` —
+    * the shared stage behind d_dedup_simhash and d_simhash_eval. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", md5(col("w")))
     // nibble q value of the token hash, 0-based q (codegen'd hexSlice)
     def nib(q: Int): Column =
       graft.functions.VectorExprs.hexSlice(col("h"), q + 1, 1)
-    // per-doc: for each of 64 bits, count of tokens with that bit set
+    // per-doc: for each of 64 bits, count of tokens with that bit set —
+    // LANE-PACKED: the 4 bit-counts of one nibble ride ONE BIGINT sum
+    // in 16-bit lanes (counts bounded by n_tok, and distinct tokens per
+    // doc ≪ 2¹⁵ so even the 2⁴⁸ lane cannot overflow the signed sum).
+    // 64 single-bit sum() columns measured 3× slower than these 16.
+    def bitOf(q: Int, b: Int): Column =
+      shiftright(nib(q), 3 - b).bitwiseAND(lit(1L))
     val bitSums = tok.groupBy("doc_id").agg(
       count(lit(1)).as("n_tok"),
-      (for (q <- 0 until 16; b <- 0 until 3 + 1) yield
-        sum((nib(q) / math.pow(2, 3 - b).toInt).cast("int") % 2)
-          .as(s"s${q}_$b")): _*)
-    // majority per bit -> nibble value -> hex char -> 16-char simhash
+      (for (q <- 0 until 16) yield
+        sum((0 until 4).map(b => bitOf(q, b) * lit(1L << (16 * (3 - b))))
+          .reduce(_ + _)).as(s"sq$q")): _*)
+    // majority per bit (unpacked from its lane) -> nibble value ->
+    // hex char -> 16-char simhash
     val nibbles = (0 until 16).map { q =>
       (0 until 4).map { b =>
-        when(col(s"s${q}_$b") * 2 > col("n_tok"),
+        val cnt = shiftright(col(s"sq$q"), 16 * (3 - b)).bitwiseAND(lit(0xFFFFL))
+        when(cnt * 2 > col("n_tok"),
           lit(1 << (3 - b))).otherwise(lit(0))
       }.reduce(_ + _).as(s"v$q")
     }
@@ -755,23 +766,31 @@ object Dedup {
           bit_count(col(s"va$q").bitwiseXOR(col(s"vb$q"))).cast("long"))
           .reduce(_ + _).as("hamming"))
       .filter(col("hamming") <= 12)
-      .orderBy("doc_a", "doc_b")
   }
 
-  val dedupSimhashSql: String = {
+  /** CTE chain ending in `shp(doc_a, doc_b, hamming)` — shared by
+    * d_dedup_simhash's oracle and d_simhash_eval's composition. */
+  private lazy val simhashCtesSql: String = {
     def nib(q: Int) = s"(strpos('0123456789abcdef', substr(h, ${q + 1}, 1)) - 1)"
-    val sums = (for (q <- 0 until 16; b <- 0 until 4) yield
-      s"sum((${nib(q)} // ${math.pow(2, 3 - b).toInt}) % 2) AS s${q}_$b").mkString(",\n  ")
+    // same lane-packing as the Spark side: 4 bit-counts per nibble in
+    // 16-bit lanes of one sum (DuckDB's HUGEINT intermediate is fine —
+    // lanes are extracted before anything reaches the output schema)
+    val sums = (for (q <- 0 until 16) yield
+      "sum(" + (0 until 4).map(b =>
+        s"((${nib(q)} // ${1 << (3 - b)}) % 2) * ${1L << (16 * (3 - b))}")
+        .mkString(" + ") + s") AS sq$q").mkString(",\n  ")
     val nibbles = (0 until 16).map { q =>
-      "(" + (0 until 4).map(b =>
-        s"CASE WHEN s${q}_$b * 2 > n_tok THEN ${1 << (3 - b)} ELSE 0 END").mkString(" + ") + s") AS v$q"
+      "(" + (0 until 4).map { b =>
+        val cnt = s"((sq$q // ${1L << (16 * (3 - b))}) % 65536)"
+        s"CASE WHEN $cnt * 2 > n_tok THEN ${1 << (3 - b)} ELSE 0 END"
+      }.mkString(" + ") + s") AS v$q"
     }.mkString(",\n  ")
     val chunkSel = (0 until shChunks).map { c =>
       val ck = (0 until 4).map(j => s"substr('0123456789abcdef', v${c * 4 + j} + 1, 1)").mkString(" || ")
       s"SELECT doc_id, $c AS c, $ck AS ck FROM sim"
     }.mkString(" UNION ALL ")
     val ham = (0 until 16).map(q => s"bit_count(xor(sa.v$q, sb.v$q))").mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        | SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents
        |), bits AS (
        | SELECT doc_id, count(*) AS n_tok,
@@ -785,13 +804,77 @@ object Dedup {
        |), cand AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM cr x JOIN cr y ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
-       |)
-       |SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
-       |FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a
-       |            JOIN sim sb ON sb.doc_id = c.doc_b
-       |WHERE $ham <= 12
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), shp AS (
+       | SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       | FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a
+       |             JOIN sim sb ON sb.doc_id = c.doc_b
+       | WHERE $ham <= 12
+       |)""".stripMargin
   }
+
+  lazy val dedupSimhashSql: String =
+    s"""WITH $simhashCtesSql
+       |SELECT doc_a, doc_b, hamming FROM shp
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------ d_simhash_eval
+  /** SimHash EVAL harness — the d_dedup_eval pattern applied to the
+    * OTHER sketch family: simhash-claimed near-dups (hamming ≤
+    * `shEvalHam` — within the radius the 16-bit-chunk candidate scheme
+    * finds EXHAUSTIVELY, so the claim set is complete, not band-lucky)
+    * scored against the same exact blocked-Jaccard truth (J > ½) as
+    * integer precision/recall ppm. Puts minhash and simhash on one
+    * yardstick: a "which sketch for this corpus" decision reads
+    * d_dedup_eval and this table side by side. Composes two
+    * independently oracle-checked chains; the oracle composes both CTE
+    * chains, verifying the composition itself. */
+  val shEvalHam = 3
+
+  def simhashEval: Q = (s, dir) => {
+    val pred = simhashPairs(s, dir)
+      .filter(col("hamming") <= shEvalHam)
+      .select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    val truth = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    // per-call checkpoints → checkpoint the single result row, free the
+    // pair sets in finally (the dedupEval discipline)
+    try {
+      val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_pred"), col("n_truth"), col("n_tp"),
+          expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 1000000) div n_pred END")
+            .as("precision_ppm"),
+          expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 1000000) div n_truth END")
+            .as("recall_ppm"))
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.model.PropertyGraph.freeLocalCheckpoint(pred)
+      graft.model.PropertyGraph.freeLocalCheckpoint(truth)
+    }
+  }
+
+  lazy val simhashEvalSql: String =
+    s"""WITH $simhashCtesSql,
+       |$jaccardPairsSqlCte,
+       |pred AS (
+       | SELECT doc_a, doc_b FROM shp WHERE hamming <= $shEvalHam
+       |), tp AS (
+       | SELECT p.doc_a, p.doc_b FROM pred p
+       | JOIN jp t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+       |), cts AS (
+       | SELECT (SELECT count(*) FROM pred) AS n_pred,
+       |        (SELECT count(*) FROM jp) AS n_truth,
+       |        (SELECT count(*) FROM tp) AS n_tp
+       |)
+       |SELECT n_pred, n_truth, n_tp,
+       | CAST(CASE WHEN n_pred = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_pred END AS BIGINT) AS precision_ppm,
+       | CAST(CASE WHEN n_truth = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
+       |FROM cts""".stripMargin
 
   // ----------------------------------------------------- d_decontaminate
   /** Benchmark DECONTAMINATION — the cross-set overlap check every LLM
@@ -1136,6 +1219,7 @@ object Dedup {
     "d_dedup_cluster" -> dedupCluster,
     "d_soft_dedup" -> softDedup,
     "d_dedup_simhash" -> dedupSimhash,
+    "d_simhash_eval" -> simhashEval,
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
@@ -1153,5 +1237,6 @@ object Dedup {
     "d_dedup_cluster" -> dedupClusterSql,
     "d_soft_dedup" -> softDedupSql,
     "d_dedup_simhash" -> dedupSimhashSql,
+    "d_simhash_eval" -> simhashEvalSql,
     "d_dedup_embedding" -> dedupEmbeddingSql)
 }

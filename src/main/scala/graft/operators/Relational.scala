@@ -1107,10 +1107,10 @@ object Relational {
   val qsThresh: Long = (1L << 40) / qsDiv
 
   def qQuantileSampled: Q = (s, dir) => {
-    val h40 = (0 until 10).map { i =>
-      expr(s"instr('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1") *
-        lit(1L << (4 * (9 - i)))
-    }.reduce(_ + _)
+    // 40-bit sample hash via the codegen'd hexSlice — the composed
+    // instr/substr nibble chain this replaced measured 2× slower on
+    // minhash (10 interpreted string scans per row vs one pass)
+    val h40 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 10)
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"),
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
@@ -1529,9 +1529,29 @@ object Relational {
       | FROM o
       |)
       |SELECT o_custkey, o_orderkey, day,
-      | sum(first_seen) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pri_seen
+      | CAST(sum(first_seen) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pri_seen
       |FROM m ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ q_user_counters
+  /** Per-user lifetime counters over events — the BATCH anchor for
+    * `st_user_counters`: the streaming op's last emission per user must
+    * equal exactly this frame (same shared transform,
+    * Streams.userCountersBatch), so the transformWithState path gets a
+    * driver-checked oracle row like the other streaming twins. Values
+    * held in exact integer cents (floor(x·100 + ½) = Math.round), the
+    * processor's merge contract — a double running sum would be
+    * batch-split-dependent. One partial-agged shuffle on user_id. */
+  def qUserCounters: Q = (s, dir) =>
+    graft.streaming.Streams.userCountersBatch(t(s, dir, "events"))
+      .orderBy("user_id")
+
+  val qUserCountersSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(sum(cents) AS BIGINT) AS sum_cents, max(cents) AS max_cents
+      |FROM (SELECT user_id,
+      |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------ q_bloom_prejoin
   /** Bloom-filter SEMI-JOIN REDUCTION — the shuffle-avoidance pattern
@@ -1686,6 +1706,7 @@ object Relational {
     "q_events_sliding" -> qEventsSliding,
     "q_window_range" -> qWindowRange,
     "q_pivot" -> qPivot,
+    "q_user_counters" -> qUserCounters,
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
@@ -1731,5 +1752,6 @@ object Relational {
     "q_events_sliding" -> qEventsSlidingSql,
     "q_window_range" -> qWindowRangeSql,
     "q_pivot" -> qPivotSql,
+    "q_user_counters" -> qUserCountersSql,
     "q_events_sessionize" -> qEventsSessionizeSql)
 }

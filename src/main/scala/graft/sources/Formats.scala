@@ -368,6 +368,15 @@ object Formats {
     * `pathGlobFilter` keeps stray files out of the scan. */
   def binaryFiles: Q = (s, dir) => {
     val path = scratch(s, dir, "binfiles")
+    // executors write with java.nio to a LOCAL path and the driver-side
+    // read lists the same path — correct only when all tasks share the
+    // driver's filesystem. On a real cluster each executor would write
+    // its own local disk and the read would silently under-count, so
+    // fail fast instead (r5 advisor); the cluster deployment writes
+    // through the Hadoop FileSystem API to an object store.
+    require(s.sparkContext.isLocal,
+      "src_binary_files' landing-dir writer assumes a shared local " +
+        "filesystem — on a cluster, write via the Hadoop FileSystem API")
     Tables(s, dir, "documents").select("doc_id", "source", "text")
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))

@@ -424,6 +424,21 @@ object Streams {
     }
   }
 
+  /** BATCH twin of userCounters — the aggregate the LAST emission per
+    * user must equal, whatever the micro-batch split (Math.round(x) ==
+    * floor(x + 0.5), so the cents column is the processor's exact
+    * integer contract). ONE definition feeds both the driver-checked
+    * `q_user_counters` row (Relational registry, DuckDB oracle) and
+    * StreamsSpec's split-invariance assertion, so the streaming op's
+    * equivalence claim is anchored to an oracle-checked frame. */
+  def userCountersBatch(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+        max(col("cents")).as("max_cents"))
+
   /** The transformWithState plan over a (possibly streaming) typed
     * events Dataset. Update mode: one row per touched user per batch. */
   def userCounters(events: Dataset[Event]): Dataset[UserCounters] = {

@@ -282,7 +282,7 @@ class Round5Spec extends AnyFunSuite {
     // the op returns an eager checkpoint (block-retention discipline),
     // so audit the captured pre-materialization plan instead
     Analytics.bfsDepth(spark, sf)
-    val plan = Analytics.bfsAuditPlan
+    val plan = Analytics.bfsAuditPlan(spark, sf)
     assert(plan.contains("BroadcastHashJoin"),
       s"gated frontier broadcast missing at small scale:\n$plan")
   }

@@ -490,11 +490,21 @@ class StreamsSpec extends AnyFunSuite {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[Streams.Event].collect().toSeq
-      // reference: batch aggregate in the same integer-cents contract
+      // reference #1: in-memory aggregate in the integer-cents contract
       val want = events.groupBy(_.user_id).map { case (u, es) =>
         val cents = es.map(e => math.round(e.value * 100))
         u -> ((es.size.toLong, cents.sum, cents.max))
       }
+      // reference #2: the SHARED batch transform behind the driver-
+      // checked q_user_counters row — proving the streaming emissions
+      // equal the same frame DuckDB oracles, not just a spec-local re-
+      // implementation
+      val wantDriver = Streams.userCountersBatch(events.toDF())
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"),
+            r.getAs[Long]("max_cents")))).toMap
+      assert(wantDriver == want.toMap,
+        "shared q_user_counters transform != in-memory cents contract")
       def run(name: String, batches: Seq[Seq[Streams.Event]]): Map[Long, (Long, Long, Long)] = {
         val mem = MemoryStream[Streams.Event]
         val q = Streams.userCounters(mem.toDS())
