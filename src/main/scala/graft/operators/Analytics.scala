@@ -1992,6 +1992,66 @@ object Analytics {
     b.toString
   }
 
+  // ---------------------------------------------------------- g_rich_club
+  /** RICH-CLUB coefficient (Zhou & Mondragón 2004) at degree thresholds
+    * k ∈ {4, 8, 16, 32}: among nodes with simple-graph degree > k, the
+    * realized fraction of possible edges — φ(k) = 2·E_k / (N_k·(N_k−1))
+    * in exact ppm ((2E)·10⁶ div N(N−1); the both-direction pair count
+    * IS 2E, so no halving error can creep in). Rising φ(k) with k is
+    * the "hubs prefer hubs" connectivity signature; the metric a
+    * topology-aware partitioner or robustness audit reads. Built on
+    * the session-shared simple undirected pair set (one distinct
+    * shuffle per session); per threshold: one filter + two node-keyed
+    * joins + 1-row aggregates — nothing edge-quadratic, the same
+    * counts at 100× with the pair set pre-partitioned on the node
+    * key. Thresholds are constants ⇒ exact unrolled oracle. */
+  val richClubKs: Seq[Long] = Seq(4L, 8L, 16L, 32L)
+
+  def richClub: Q = (s, dir) => {
+    val su = simpleUnd(s, dir)
+    val deg = su.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    richClubKs.map { k =>
+      val rich = deg.filter(col("deg") > k).select("id")
+      val n = rich.agg(count(lit(1)).as("n_nodes"))
+      // e2 counts each undirected edge twice (both directions present)
+      val e2 = su.join(rich.toDF("a"), "a").join(rich.toDF("b"), "b")
+        .agg(count(lit(1)).as("e2"))
+      n.crossJoin(e2).select(lit(k).as("k"), col("n_nodes"),
+        expr("e2 div 2").as("n_edges"),
+        expr("CASE WHEN n_nodes > 1 THEN (e2 * 1000000)" +
+          " div (n_nodes * (n_nodes - 1)) ELSE 0 END").as("phi_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  val richClubSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", su AS (
+             | SELECT DISTINCT a, b FROM (
+             |  SELECT $undSqlPair
+             | )
+             |), deg AS (
+             | SELECT a AS id, count(*) AS deg FROM su GROUP BY a
+             |)""".stripMargin
+    for (k <- richClubKs) {
+      b ++= s""", rc$k AS (
+               | SELECT id FROM deg WHERE deg > $k
+               |), m$k AS (
+               | SELECT (SELECT count(*) FROM rc$k) AS n_nodes,
+               |  (SELECT count(*) FROM su x
+               |    JOIN rc$k r1 ON x.a = r1.id
+               |    JOIN rc$k r2 ON x.b = r2.id) AS e2
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT k, n_nodes, n_edges, phi_ppm FROM (" +
+      richClubKs.map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, n_nodes, e2 // 2 AS n_edges,
+           | CAST(CASE WHEN n_nodes > 1 THEN (e2 * 1000000)
+           |  // (n_nodes * (n_nodes - 1)) ELSE 0 END AS BIGINT) AS phi_ppm
+           |FROM m$k""".stripMargin).mkString(" UNION ALL ") +
+      ") ORDER BY k"
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------------ g_ktruss
   /** k-TRUSS (k = `trussK`) of the part co-purchase projection — the
@@ -2232,6 +2292,7 @@ object Analytics {
     "g_local_bridges" -> localBridges,
     "g_edge_type_stats" -> edgeTypeStats,
     "g_degree_dist" -> degreeDist,
+    "g_rich_club" -> richClub,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
     "g_topo_levels" -> topoLevels,
@@ -2260,6 +2321,7 @@ object Analytics {
     "g_local_bridges" -> localBridgesSql,
     "g_edge_type_stats" -> edgeTypeStatsSql,
     "g_degree_dist" -> degreeDistSql,
+    "g_rich_club" -> richClubSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,
     "g_topo_levels" -> topoLevelsSql,

@@ -554,6 +554,37 @@ object Dedup {
        | WHERE 3 * p.inter > sa.n + sb.n
        |)""".stripMargin
 
+  // ----------------------------------------------------- d_source_overlap
+  /** CROSS-SOURCE duplicate-mass audit — the "which feeds overlap"
+    * table a corpus curator reads before setting mixture weights:
+    * every exact-Jaccard near-dup pair (J > ½, the shared blocked
+    * stage) attributed to its UNORDERED source pair (least/greatest
+    * canonicalization, so (src2, src7) and (src7, src2) are one row).
+    * The diagonal rows are within-source redundancy; off-diagonal mass
+    * is double-ingestion — the signal that two feeds crawl the same
+    * sites, which dedup alone hides. Cost on top of the memoized pair
+    * set: two broadcast-size joins against the doc→source map and one
+    * partial-agged count — nothing corpus-quadratic. */
+  def sourceOverlap: Q = (s, dir) => {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .join(src.toDF("doc_a", "source_a"), "doc_a")
+      .join(src.toDF("doc_b", "source_b"), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  lazy val sourceOverlapSql: String =
+    s"""WITH $jaccardPairsSqlCte
+       |SELECT least(sa.source, sb.source) AS source_x,
+       |       greatest(sa.source, sb.source) AS source_y,
+       |       count(*) AS n_pairs
+       |FROM jp p JOIN documents sa ON sa.doc_id = p.doc_a
+       |          JOIN documents sb ON sb.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- d_containment
   /** ASYMMETRIC containment near-dup detection: C(A→B) = |A∩B| / |A|
     * over the df-capped distinct shingle sets. Jaccard misses the
@@ -1220,6 +1251,7 @@ object Dedup {
     "d_soft_dedup" -> softDedup,
     "d_dedup_simhash" -> dedupSimhash,
     "d_simhash_eval" -> simhashEval,
+    "d_source_overlap" -> sourceOverlap,
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
@@ -1238,5 +1270,6 @@ object Dedup {
     "d_soft_dedup" -> softDedupSql,
     "d_dedup_simhash" -> dedupSimhashSql,
     "d_simhash_eval" -> simhashEvalSql,
+    "d_source_overlap" -> sourceOverlapSql,
     "d_dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -597,16 +597,21 @@ object Similarity {
     val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
     val pq = annPq(s, dir).select(col("probe_id"), col("cand_id"))
     val lsh = annTopkLsh(s, dir).select(col("probe_id"), col("cand_id"))
+    val ivf = annIvf(s, dir).select(col("probe_id"), col("cand_id"))
     val hitPq = ex.join(pq, Seq("probe_id", "cand_id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("hits_pq"))
     val hitLsh = ex.join(lsh, Seq("probe_id", "cand_id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("hits_lsh"))
+    val hitIvf = ex.join(ivf, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits_ivf"))
     ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
       .join(hitPq, Seq("probe_id"), "left_outer")
       .join(hitLsh, Seq("probe_id"), "left_outer")
+      .join(hitIvf, Seq("probe_id"), "left_outer")
       .select(col("probe_id"), col("n_exact"),
         coalesce(col("hits_pq"), lit(0L)).as("hits_pq"),
-        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"))
+        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+        coalesce(col("hits_ivf"), lit(0L)).as("hits_ivf"))
       .orderBy("probe_id")
   }
 
@@ -617,6 +622,8 @@ object Similarity {
        |$annPqSql
        |), lsh0 AS (
        |$annTopkLshSql
+       |), ivf0 AS (
+       |$annIvfSql
        |)
        |SELECT e.probe_id, count(*) AS n_exact,
        | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM pq0 p
@@ -624,7 +631,10 @@ object Similarity {
        |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq,
        | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh0 l
        |   WHERE l.probe_id = e.probe_id AND l.cand_id = e.cand_id)
-       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_lsh
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_lsh,
+       | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf0 v
+       |   WHERE v.probe_id = e.probe_id AND v.cand_id = e.cand_id)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivf
        |FROM ex0 e GROUP BY e.probe_id
        |ORDER BY probe_id""".stripMargin
 
@@ -1096,6 +1106,72 @@ object Similarity {
       |    > 9 * p.nn * c.nn
       |ORDER BY probe_id, cand_id""".stripMargin
 
+  // ------------------------------------------------------ s_range_recall
+  /** RADIUS-RECALL harness — the measurement s_range_search's doc
+    * promises: the banded-LSH candidate generator (the corpus-scale
+    * path, same machinery as d_dedup_embedding_lsh) run through the
+    * SAME exact integer radius test, scored per probe against the
+    * exact range-search ground truth. The LSH result is a subset of
+    * the truth by construction (identical membership test over a
+    * candidate subset), so n_lsh ≤ n_true and recall_ppm is the exact
+    * floor ratio — the number that decides how many bands the radius
+    * workload needs. Composes two oracle-checked pipelines; the oracle
+    * composes both chains. */
+  def rangeRecall: Q = (s, dir) => {
+    val truth = rangeSearch(s, dir).select("probe_id", "cand_id")
+    val bands = lshBands(s, dir).cache() // session-shared entry
+    val pb = broadcast(bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("band"), col("sig")))
+    val cand = pb
+      .join(bands.select(col("vec_id").as("cand_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val qn = quantizedWithNorm(s, dir)
+    val lshHits = cand
+      .join(broadcast(qn.filter(col("vec_id") < 10).toDF("probe_id", "qp", "na")),
+        "probe_id")
+      .join(qn.toDF("cand_id", "qc", "nb"), "cand_id")
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("na"), col("nb"))
+      .filter(col("dp") > 0 &&
+        lit(100L) * col("dp") * col("dp") > lit(9L) * col("na") * col("nb"))
+      .select("probe_id", "cand_id")
+    truth.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
+      .join(lshHits.groupBy("probe_id").agg(count(lit(1)).as("n_lsh")),
+        Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_true"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"))
+      .withColumn("recall_ppm", expr("(n_lsh * 1000000) div n_true"))
+      .orderBy("probe_id")
+  }
+
+  val rangeRecallSql: String =
+    s"""WITH tr AS (
+       |$rangeSearchSql
+       |), $lshBandsSqlCte, cand AS (
+       | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       | FROM bk p JOIN bk c ON c.band = p.band AND c.sig = p.sig
+       |  AND c.vec_id <> p.vec_id
+       | WHERE p.vec_id < 10
+       |), lh AS (
+       | SELECT cd.probe_id, cd.cand_id
+       | FROM cand cd JOIN q p ON p.vec_id = cd.probe_id
+       |              JOIN q c ON c.vec_id = cd.cand_id
+       | WHERE CAST(list_dot_product(p.qe, c.qe) AS BIGINT) > 0
+       |  AND 100 * CAST(list_dot_product(p.qe, c.qe) AS BIGINT)
+       |      * CAST(list_dot_product(p.qe, c.qe) AS BIGINT)
+       |    > 9 * CAST(list_dot_product(p.qe, p.qe) AS BIGINT)
+       |      * CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |)
+       |SELECT t.probe_id, t.n_true, COALESCE(l.n_lsh, 0) AS n_lsh,
+       | CAST((COALESCE(l.n_lsh, 0) * 1000000) // t.n_true AS BIGINT)
+       |  AS recall_ppm
+       |FROM (SELECT probe_id, count(*) AS n_true FROM tr GROUP BY 1) t
+       |LEFT JOIN (SELECT probe_id, count(*) AS n_lsh FROM lh GROUP BY 1) l
+       |  USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+
   // ------------------------------------------------------ s_binary_quant
   /** BINARY (1-bit sign) QUANTIZATION + Hamming top-k — the modern
     * extreme-compression retrieval path (64 dims → 64 bits, a 32×
@@ -1218,6 +1294,7 @@ object Similarity {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_range_search" -> rangeSearch,
+    "s_range_recall" -> rangeRecall,
     "s_binary_quant" -> binaryQuant,
     "s_quant_eval" -> quantEval,
     "s_scalar_quant" -> scalarQuant,
@@ -1235,6 +1312,7 @@ object Similarity {
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_range_search" -> rangeSearchSql,
+    "s_range_recall" -> rangeRecallSql,
     "s_binary_quant" -> binaryQuantSql,
     "s_quant_eval" -> quantEvalSql,
     "s_scalar_quant" -> scalarQuantSql,

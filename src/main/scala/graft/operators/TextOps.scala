@@ -615,6 +615,93 @@ object TextOps {
       | range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])""".stripMargin
 
+  // --------------------------------------------------------- t_bpe_train
+  /** BPE TOKENIZER TRAINING, the first `bpeIters` merge rounds — the
+    * "train a tokenizer on the corpus" step every LLM pipeline runs
+    * before token counting means anything (Sennrich et al. 2016).
+    * Scale shape is the published one: the corpus collapses FIRST to
+    * the (word, count) VOCABULARY (one shuffle; vocabulary-sized from
+    * then on, not corpus-sized — the property that makes BPE training
+    * tractable at 100 TB), words split to space-joined symbols, and
+    * each round (a) counts adjacent symbol pairs weighted by word
+    * count, (b) picks the best pair (max freq, tie → lexicographically
+    * SMALLEST pair — no float, no rand), (c) applies the merge with
+    * `replace` (leftmost non-overlapping in both engines). The chosen
+    * scalar stays IN-PLAN (1-row broadcast crossJoin, the
+    * scalar-subquery pattern) — no collect, no driver loop. Output:
+    * one row per round with the merge learned and its corpus
+    * frequency, the head of the merges.txt a real tokenizer ships.
+    * Fixed rounds ⇒ exact unrolled oracle. */
+  val bpeIters = 3
+
+  def bpeTrain: Q = (s, dir) => {
+    var words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 2)
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+      .select(expr("trim(regexp_replace(wd, '(.)', '$1 '))").as("w"),
+        col("cnt"))
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val bests = (1 to bpeIters).map { r =>
+        val pairs = words
+          .select(col("cnt"), split(col("w"), " ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1)," +
+              " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("freq"))
+        // deterministic argmax: global sort-limit (TakeOrderedAndProject
+        // — vocabulary-pair-sized input, 1 row out)
+        val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
+          .localCheckpoint(eager = true)
+        interim += best
+        // apply the merge; checkpoint caps the per-round lineage
+        words = words.crossJoin(broadcast(best.select(col("pair"))))
+          .select(expr("replace(w, pair, replace(pair, ' ', ''))").as("w"),
+            col("cnt"))
+          .localCheckpoint(eager = true)
+        interim += words
+        best.select(lit(r).cast("int").as("round"), col("pair"), col("freq"))
+      }
+      bests.reduce(_.unionByName(_)).orderBy("round")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  lazy val bpeTrainSql: String = {
+    val b = new StringBuilder(
+      """WITH w0 AS (
+        | SELECT trim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w, cnt
+        | FROM (
+        |  SELECT wd, count(*) AS cnt FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+        |  ) WHERE length(wd) >= 2 GROUP BY wd
+        | )
+        |)""".stripMargin)
+    for (r <- 1 to bpeIters) {
+      b ++= s""", p$r AS (
+               | SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+               |  SELECT cnt, sy[i] || ' ' || sy[i + 1] AS pair
+               |  FROM (SELECT cnt, string_split(w, ' ') AS sy FROM w${r - 1}),
+               |       unnest(range(1, len(sy))) t(i)
+               | ) GROUP BY pair
+               |), b$r AS (
+               | SELECT pair, freq FROM p$r ORDER BY freq DESC, pair LIMIT 1
+               |), w$r AS (
+               | SELECT replace(x.w, b.pair, replace(b.pair, ' ', '')) AS w,
+               |        x.cnt
+               | FROM w${r - 1} x, b$r b
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT round, pair, freq FROM (" +
+      (1 to bpeIters).map(r => s"SELECT $r AS round, pair, freq FROM b$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY round"
+    b.toString
+  }
+
   // -------------------------------------------------------- t_fingerprint
   /** Document fingerprints: exact content hash, order-independent bag
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
@@ -1680,9 +1767,11 @@ object TextOps {
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
     "t_distinct_kmv" -> distinctKmv,
+    "t_bpe_train" -> bpeTrain,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainSql,
     "t_rule_ablation" -> ruleAblationSql,
     "t_clean_normalize" -> cleanNormalizeSql,
     "t_gopher_quality" -> gopherQualitySql,

@@ -23,9 +23,16 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "d_dedup_embedding", // exact O(n²) baseline; LSH twin is the scale path
     "s_ann_filtered",    // exact within-predicate baseline
     "s_range_search",    // exact fixed-radius baseline; LSH candidates at scale
+    "s_range_recall",    // composes the exact radius baseline by definition
     "s_binary_quant",    // brute scan over the 16-byte/vec signature table
                          // (32x smaller than the corpus); banded LSH beyond
-    "s_quant_eval"       // composes the exact baseline by definition
+    "s_quant_eval",      // composes the exact baseline by definition
+    "d_kmeans_eval"      // Lloyd assignment = O(n·k) crossJoin against the
+                         // k=8 BROADCAST CENTROID CONSTANTS — the IVF/k-means
+                         // map-side shape, linear in the corpus. The same
+                         // join sits inside d_kmeans_cluster/d_semdedup but
+                         // behind their cache() leaf; the eval reads the
+                         // uncached trajectory, so the sweep sees it here.
   )
 
   private def isScalar(p: LogicalPlan): Boolean =
