@@ -29,6 +29,9 @@ object Bench {
     // IVF/k-means assignments, binary signatures) — first-runner
     // attribution whipsawed s_ann_ivf 5× in r5
     graft.operators.Similarity.warmShared(spark, sfDir)
+    // ... and the dedup family's (jaccard pair memo + minhash
+    // signature cache — six and four consumers respectively)
+    graft.operators.Dedup.warmShared(spark, sfDir)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>

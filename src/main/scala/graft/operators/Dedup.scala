@@ -524,6 +524,17 @@ object Dedup {
     graft.model.SessionMemo.getOrBuild(jpMemo, (s, dir))(
       jaccardPairsRaw(s, dir)._1.localCheckpoint(eager = true))
 
+  /** Populate the dedup family's session-shared frames (the
+    * Analytics/Similarity warmShared pattern, called from Bench's
+    * warmup): the jaccard pair memo feeds six ops and the minhash
+    * signature cache four — whichever ran first was absorbing the
+    * build (r6: d_source_overlap 3.3 s of which ~3 s was the pair
+    * memo). */
+  private[graft] def warmShared(s: SparkSession, dir: String): Unit = {
+    jaccardPairs(s, dir).count()
+    signatures(s, dir).cache().count(): Unit
+  }
+
   def ngramJaccard: Q = (s, dir) =>
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
@@ -1138,6 +1149,98 @@ object Dedup {
        |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
        |FROM cts""".stripMargin
 
+  // --------------------------------------------------------- d_lsh_tuning
+  /** LSH BANDING-TUNING table — the S-curve made empirical: the SAME
+    * 9-minhash signature table laid out as 9 bands × 1 row (high
+    * recall), 3 × 3 (the production config), and 1 × 9 (near-exact
+    * precision), each config's candidate pairs scored against the
+    * blocked-Jaccard truth as precision/recall ppm. This is the table
+    * a "do we need more bands for this corpus" decision reads —
+    * changing the banding means re-running ONE harness, not eyeballing
+    * pair lists. Same bucket-cap discipline as the production pipeline
+    * (df-capped buckets per band key; identical in the oracle). Cost:
+    * the signature table is computed once (session cache shared with
+    * d_dedup_minhash); each config adds one band explode + one capped
+    * band self-join — the candidate stages stay banded, nothing
+    * all-pairs. */
+  val lshConfigs: Seq[(String, Int)] = Seq(("b1r9", 9), ("b3r3", 3), ("b9r1", 1))
+
+  def lshTuning: Q = (s, dir) => {
+    val sig = signatures(s, dir).cache()
+    val truth = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    try {
+      lshConfigs.map { case (name, rows) =>
+        val nB = mhSeeds / rows
+        val bandRows = sig.select(col("doc_id"), explode(array(
+          (0 until nB).map { b =>
+            struct(lit(b).as("c"), concat_ws(",",
+              (0 until rows).map(j => col(s"mh${b * rows + j}")): _*).as("key"))
+          }: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.c").as("c"), col("bs.key").as("key"))
+        val keep = bandRows.groupBy("c", "key").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= mhBucketCap).select("c", "key")
+        val capped = bandRows.join(keep, Seq("c", "key"), "left_semi")
+        val pred = capped.alias("x").join(capped.alias("y"),
+            col("x.c") === col("y.c") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        pred.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .select(lit(name).as("config"), col("n_pred"), col("n_truth"),
+            col("n_tp"),
+            expr("CASE WHEN n_pred = 0 THEN 0" +
+              " ELSE (n_tp * 1000000) div n_pred END").as("precision_ppm"),
+            expr("CASE WHEN n_truth = 0 THEN 0" +
+              " ELSE (n_tp * 1000000) div n_truth END").as("recall_ppm"))
+      }.reduce(_.unionByName(_)).orderBy("config")
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(truth)
+  }
+
+  lazy val lshTuningSql: String = {
+    val b = new StringBuilder(s"WITH $minhashBandCtesSql,\n$jaccardPairsSqlCte")
+    for ((name, rows) <- lshConfigs) {
+      val nB = mhSeeds / rows
+      val bandSel = (0 until nB).map { bb =>
+        val key = (0 until rows).map(j => s"CAST(mh${bb * rows + j} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bb AS c, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      b ++= s""", ${name}_b AS ($bandSel
+               |), ${name}_k AS (
+               | SELECT c, key FROM ${name}_b GROUP BY 1, 2
+               | HAVING count(*) <= $mhBucketCap
+               |), ${name}_c AS (
+               | SELECT x.doc_id, x.c, x.key
+               | FROM ${name}_b x JOIN ${name}_k USING (c, key)
+               |), ${name}_p AS (
+               | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               | FROM ${name}_c x JOIN ${name}_c y
+               |  ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+               |), ${name}_m AS (
+               | SELECT (SELECT count(*) FROM ${name}_p) AS n_pred,
+               |  (SELECT count(*) FROM jp) AS n_truth,
+               |  (SELECT count(*) FROM ${name}_p p JOIN jp t
+               |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS n_tp
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT config, n_pred, n_truth, n_tp, precision_ppm, recall_ppm FROM (" +
+      lshConfigs.map { case (name, _) =>
+        s"""SELECT '$name' AS config, n_pred, n_truth, n_tp,
+           | CAST(CASE WHEN n_pred = 0 THEN 0
+           |  ELSE (n_tp * 1000000) // n_pred END AS BIGINT) AS precision_ppm,
+           | CAST(CASE WHEN n_truth = 0 THEN 0
+           |  ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
+           |FROM ${name}_m""".stripMargin
+      }.mkString(" UNION ALL ") +
+      ") ORDER BY config"
+    b.toString
+  }
+
   // -------------------------------------------------- d_entity_resolution
   /** ENTITY RESOLUTION — fuzzy-matching dirty records back to canonical
     * entities, the metadata-dedup step (author/source/site names) that
@@ -1252,6 +1355,7 @@ object Dedup {
     "d_dedup_simhash" -> dedupSimhash,
     "d_simhash_eval" -> simhashEval,
     "d_source_overlap" -> sourceOverlap,
+    "d_lsh_tuning" -> lshTuning,
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
@@ -1271,5 +1375,6 @@ object Dedup {
     "d_dedup_simhash" -> dedupSimhashSql,
     "d_simhash_eval" -> simhashEvalSql,
     "d_source_overlap" -> sourceOverlapSql,
+    "d_lsh_tuning" -> lshTuningSql,
     "d_dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -136,6 +136,29 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("d_lsh_tuning: per-config counts coherent, shared truth, exact ppm") {
+    val rows = Dedup.lshTuning(spark, sf).collect()
+      .map(r => r.getAs[String]("config") -> r).toMap
+    assert(rows.keySet == Dedup.lshConfigs.map(_._1).toSet)
+    val truths = rows.values.map(_.getAs[Long]("n_truth")).toSet
+    assert(truths.size == 1, "configs disagree on the shared truth count")
+    assert(truths.head == Dedup.ngramJaccard(spark, sf).count())
+    rows.values.foreach { r =>
+      val (np, nt, tp) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_tp"))
+      assert(tp <= math.min(np, nt), s"${r.getAs[String]("config")}: tp $tp")
+      assert(r.getAs[Long]("precision_ppm") ==
+        (if (np == 0) 0L else tp * 1000000L / np))
+      assert(r.getAs[Long]("recall_ppm") ==
+        (if (nt == 0) 0L else tp * 1000000L / nt))
+    }
+    // NOTE deliberately no cross-config monotonicity assertion: bucket
+    // caps apply per layout, so subset relations between configs are
+    // NOT invariants (a full-sig-identical cluster can survive the 1×9
+    // cap while every single-minhash bucket it sits in is over cap) —
+    // the harness MEASURES the trade-off rather than assuming it.
+  }
+
   test("SessionMemo: concurrent first access builds the value exactly once") {
     val cache = scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), String]
