@@ -930,27 +930,47 @@ object Analytics {
   def kcore: Q = (s, dir) => {
     val (nodes, undW) = numericGraph(s, dir)
     val und = undW.select("a", "b")
-    var alive = nodes.select(col("id")).localCheckpoint(eager = true)
-    // the survivor set only SHRINKS and the loop has no early exit, so
-    // the cached node count gates every round's hints — the per-round
-    // count jobs existed only for gating and are gone; LAZY per-round
-    // checkpoints (alive is read twice per round — the two semi-join
-    // broadcast builds) materialize on first use without the blocking
-    // job an eager one added per round
-    val n = nodes.count()
-    var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced round 1
+    // DELTA PEELING (round-identical to the oracle's full recompute):
+    // degree among the alive set changes ONLY by the neighbors a node
+    // lost, so after one full-edge degree pass (round 1) each round
+    // just subtracts the removed-incident edge counts — per-round work
+    // ∝ edges touching the latest removals (shrinking fast), not
+    // rounds × full edge joins. Identity: deg_i(a) = deg_{i-1}(a) −
+    // |nbrs(a) ∩ removed_{i-1}| for surviving a; a round that removes
+    // nothing is a provable fixpoint (remaining oracle rounds are
+    // identity) → early exit, the CC delta-drain argument.
+    var deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= kcoreK)
+      .localCheckpoint(eager = true)
+    // removed_1: everything not surviving round 1 (isolated nodes ride
+    // along harmlessly — they have no incident edges to subtract)
+    var removed = nodes.select("id")
+      .join(deg.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    var removedRows = removed.count()
+    var round = 1
     // round blocks release in the finally (block-retention discipline)
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](alive)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](deg, removed)
     try {
-      for (_ <- 1 to kcoreIters) {
-        deg = und
-          .join(gated(alive.withColumnRenamed("id", "a"), n), Seq("a"))
-          .join(gated(alive.withColumnRenamed("id", "b"), n), Seq("b"))
-          .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      while (round < kcoreIters && removedRows > 0) {
+        round += 1
+        // removed is bounded by the count already materialized for
+        // termination — gate the hint on it (same discipline as SSSP)
+        val drops = und
+          .join(gated(removed.withColumnRenamed("id", "b"), removedRows), Seq("b"))
+          .groupBy(col("a").as("id")).agg(count(lit(1)).as("drop"))
+        val newDeg = deg.join(drops, Seq("id"), "left_outer")
+          .select(col("id"),
+            (col("deg") - coalesce(col("drop"), lit(0L))).as("deg"))
           .filter(col("deg") >= kcoreK)
-          .localCheckpoint(eager = false)
-        interim += deg
-        alive = deg.select("id")
+          .localCheckpoint(eager = true)
+        interim += newDeg
+        removed = deg.select("id")
+          .join(newDeg.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        interim += removed
+        removedRows = removed.count()
+        deg = newDeg
       }
       nodes.join(deg, Seq("id"))
         .select("label", "key", "deg").orderBy("label", "key")
