@@ -220,6 +220,59 @@ object Formats {
       .filter(col("lang").isin("en", "de"))
   }
 
+  // ---------------------------------------------------- src_sorted_minmax
+  /** SORTED LAYOUT + row-group min/max pruning — the other half of the
+    * pruning story next to src_partition_prune's directory pruning:
+    * orders written `repartitionByRange(o_orderdate)` + sorted within
+    * partitions, so every parquet file/row-group carries a TIGHT
+    * [min, max] date interval in its footer stats; a time-window read
+    * then skips whole files/row-groups at the reader level (the filter
+    * shows as PushedFilters on the scan — PlanAuditSpec asserts it).
+    * This is the layout rule for every time-series lake: sort/cluster
+    * by the dominant filter column at WRITE time and a month query on
+    * a 100 TB table touches one range slice instead of every file.
+    * (Range partitioning samples boundaries — fine: file SPLITS vary
+    * run to run, values and stats-correctness don't.) Month keys as
+    * yyyymm integers — no timestamp formatting parity risk. */
+  def sortedMinmax: Q = (s, dir) => {
+    val path = scratch(s, dir, "sorted")
+    Tables(s, dir, "orders")
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(path)
+    sortedScan(s, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("long").as("sum_cents"))
+      .orderBy("month")
+  }
+
+  /** The stats-pruned filtered scan over the sorted layout, exposed for
+    * PlanAuditSpec (the date window must reach the reader as
+    * PushedFilters, not a post-scan Filter only). Assumes sortedMinmax
+    * already wrote the directory. */
+  private[graft] def sortedScan(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "sorted")
+    val o = s.read.parquet(path)
+    // literals cast to the column's OWN physical type (generations have
+    // flipped between TIMESTAMP and TIMESTAMP_NTZ; the UTC-pinned
+    // session makes both readings identical to DuckDB's naive values)
+    val dt = o.schema("o_orderdate").dataType
+    o.filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(dt) &&
+      col("o_orderdate") < lit("1995-07-01 00:00:00").cast(dt))
+  }
+
+  val sortedMinmaxSql: String =
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   // ------------------------------------------------------ src_gzip_roundtrip
   /** documents → GZIP-compressed JSON-lines sink → source → integrity
     * aggregate. Compressed interchange is the default shape of a
@@ -455,7 +508,8 @@ object Formats {
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_text_roundtrip" -> textRoundtrip,
-    "src_partition_prune" -> partitionPrune)
+    "src_partition_prune" -> partitionPrune,
+    "src_sorted_minmax" -> sortedMinmax)
 
   val oracleSql: Map[String, String] = Map(
     "src_compaction" -> compactionSql,
@@ -468,5 +522,6 @@ object Formats {
     "src_csv_roundtrip" -> integritySql,
     "src_orc_roundtrip" -> integritySql,
     "src_text_roundtrip" -> integritySql,
-    "src_partition_prune" -> partitionPruneSql)
+    "src_partition_prune" -> partitionPruneSql,
+    "src_sorted_minmax" -> sortedMinmaxSql)
 }

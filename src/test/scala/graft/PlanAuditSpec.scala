@@ -157,6 +157,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lang filter did not become a partition filter:\n$p")
   }
 
+  test("sorted-layout read pushes the date window into the parquet reader") {
+    // write the sorted layout first (the op owns the directory)
+    graft.sources.Formats.sortedMinmax(spark, sf).collect()
+    val p = plan(graft.sources.Formats.sortedScan(spark, sf))
+    // the o_orderdate window must reach the scan as PushedFilters —
+    // that is what lets footer min/max stats skip files/row-groups on
+    // the sorted layout; a post-scan-only Filter would read everything
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date window not pushed to the parquet reader:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"window bounds missing from PushedFilters:\n$p")
+  }
+
   test("PQ assignment and ADC are equi-joins with top-k pushdown, no cartesian") {
     val p = plan(Similarity.annPq(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
