@@ -297,10 +297,18 @@ object Analytics {
       val did = nodeIdCol(col("dst_label"), col("dst_key"))
       val nodes = graph.nodes.select(col("label"), col("key"),
         nodeIdCol(col("label"), col("key")).as("id")).cache()
+      // HASH-PARTITIONED on the propagation join key before caching:
+      // InMemoryRelation preserves the child's outputPartitioning, so
+      // every iterative round's und ⋈ delta join (CC/SSSP/LPA/kcore —
+      // all keyed on `a`) reuses the cached layout and shuffles ONLY
+      // the delta side when it is past the broadcast gate. This is the
+      // in-session stand-in for the bucketed-table co-location the ops
+      // document for 100× (src_bucketed_join proves the disk variant).
       val und = graph.edges
         .select(sid.as("a"), did.as("b"), col("weight").as("w"))
         .union(graph.edges
           .select(did.as("a"), sid.as("b"), col("weight").as("w")))
+        .repartition(col("a"))
         .cache()
       (nodes, und)
     }
@@ -341,14 +349,17 @@ object Analytics {
         round += 1
         val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
           .groupBy(col("b").as("id")).agg(min("comp").as("m"))
-        // ONE eager materialization per round; delta/comp are cheap
-        // column-prunes over the materialized frame (no extra jobs).
+        // ONE materialization per round: the checkpoint is LAZY and the
+        // delta count right below is what computes it — an eager
+        // checkpoint would add a second blocking job per round for the
+        // same blocks (kcore's lazy+count discipline). delta/comp are
+        // column-prunes over the materialized frame.
         // cand is node-bounded (one row per touched id) → gate on nTotal.
         val merged = comp.join(gated(cand, nTotal), Seq("id"), "left_outer")
           .select(col("id"),
             least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
             (col("m") < col("comp")).as("chg"))
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         interim += merged
         delta = merged.filter(col("chg")).select("id", "comp")
         deltaRows = delta.count()
@@ -671,7 +682,9 @@ object Analytics {
           .select(col("id"),
             least(coalesce(col("d"), col("m")), coalesce(col("m"), col("d"))).as("nd"),
             coalesce(col("m") < col("d"), col("d").isNull).as("chg"))
-          .localCheckpoint(eager = true)
+          // LAZY: the delta count below materializes the checkpoint in
+          // the same job (one blocking job per round, not two)
+          .localCheckpoint(eager = false)
         interim += merged
         delta = merged.filter(col("chg")).select(col("id"), col("nd").as("d"))
         deltaRows = delta.count()
@@ -1391,8 +1404,10 @@ object Analytics {
     // forward-pass blocks until driver GC
     try {
       for (i <- 1 to B) {
+        // LAZY: the count below materializes the checkpoint in the same
+        // job (one blocking job per level, not two)
         val next = bcForwardStep(levels.last, counts.last, und, vis, visRows, i)
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         levels :+= next
         counts :+= next.count()
         vis = vis.unionByName(next.select("seed", "node"))
@@ -1923,8 +1938,10 @@ object Analytics {
       var round = 0
       while (round < topoIters && deltaRows > 0) {
         round += 1
+        // LAZY: the delta count below materializes the checkpoint in
+        // the same job (one blocking job per round, not two)
         val merged = topoDeltaStep(lvl, delta, ed, deltaRows, n)
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         ckpts += merged
         delta = merged.filter(col("lvl2") > col("lvl"))
           .select(col("id"), col("lvl2").as("lvl"))
