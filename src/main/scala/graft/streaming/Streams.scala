@@ -345,7 +345,14 @@ object Streams {
     * bands appears twice — distinct is the caller's cross-batch
     * concern, exactly like the exactly-once sink's idempotence
     * contract). */
-  def dedupProbe(docs: DataFrame, corpusBands: DataFrame): DataFrame = {
+  /** Stateless per-doc minhash BAND ROWS `(doc_id, c, k0, k1, k2)` —
+    * value-identical to the batch explode+groupBy signature (duplicate
+    * shingles can't change a min; < 3-word docs emit nothing in both
+    * forms). Shared by the probe (st_dedup_probe) and the index
+    * maintainer (st_band_index): one definition, so the index a stream
+    * builds and the probe a stream runs can never disagree on band
+    * semantics. */
+  def streamBandRows(docs: DataFrame): DataFrame = {
     import graft.operators.Dedup
     val words = split(col("text"), " ")
     val h31 = transform(Dedup.shingleCol(words),
@@ -365,13 +372,33 @@ object Streams {
       .filter(size(col("h31")) > 0)
       .select(col("doc_id") +: sigs: _*)
       .select(col("doc_id"), explode(bandStructs).as("bs"))
-      .select(col("doc_id").as("probe_id"), col("bs.c").as("c"),
+      .select(col("doc_id"), col("bs.c").as("c"),
         col("bs.k0").as("k0"), col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+  }
+
+  def dedupProbe(docs: DataFrame, corpusBands: DataFrame): DataFrame =
+    streamBandRows(docs)
+      .select(col("doc_id").as("probe_id"), col("c"), col("k0"),
+        col("k1"), col("k2"))
       .join(corpusBands.select(col("doc_id").as("corpus_id"), col("c"),
         col("k0"), col("k1"), col("k2")), Seq("c", "k0", "k1", "k2"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("c").as("band"), col("corpus_id"))
-  }
+
+  /** st_band_index: streaming MAINTENANCE of the corpus band index —
+    * the other half of the online-dedup loop st_dedup_probe probes
+    * against. Each micro-batch's band rows (same shared stateless
+    * transform) land in `outDir/batch_id=N` via partition-dir
+    * overwrite, so at-least-once replay × idempotent write =
+    * exactly-once index contents (the st_exactly_once_sink
+    * discipline); the union of batch dirs IS the corpus band index —
+    * append-only, no state store, unbounded streams hold nothing. The
+    * probe-side bucket CAP is applied at QUERY time over the
+    * assembled index (Dedup.corpusBandIndex's contract), not at
+    * ingest — an ingest-time cap would depend on batch order. */
+  def bandIndexSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    streamBandRows(batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
   def exactlyOnceSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
     batch.groupBy("user_id")

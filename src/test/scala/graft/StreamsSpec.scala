@@ -478,6 +478,40 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_band_index: streamed index equals the batch band rows; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(Streams.bandIndexSink(dir) _)
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      def index(): Set[(Long, Int, Long, Long, Long)] =
+        spark.read.parquet(dir).collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Int]("c"), r.getAs[Long]("k0"),
+            r.getAs[Long]("k1"), r.getAs[Long]("k2"))).toSet
+      // the assembled index == the same transform run as one batch —
+      // micro-batch composition can't change the index contents
+      val want = Streams.streamBandRows(docs.toIndexedSeq.toDF("doc_id", "text"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("c"),
+          r.getAs[Long]("k0"), r.getAs[Long]("k1"), r.getAs[Long]("k2"))).toSet
+      val before = index()
+      assert(before.nonEmpty && before == want,
+        s"streamed index ${before.size} rows != batch ${want.size}")
+      // at-least-once replay of batch 0: partition-dir overwrite must
+      // leave the assembled index unchanged
+      Streams.bandIndexSink(dir)(b1.toIndexedSeq.toDF("doc_id", "text"), 0L)
+      assert(index() == before, "batch replay changed the index")
+    } finally q.stop()
+  }
+
   test("st_user_counters: transformWithState running counters == batch aggregate under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
