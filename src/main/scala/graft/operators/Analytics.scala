@@ -275,6 +275,8 @@ object Analytics {
     coProjection(s, dir).count()
     // ... as is its per-edge support frame (ktruss round 1 + bridges)
     coSupport(s, dir): Unit
+    // directed shared frame (topo levels + hits)
+    directedNum(s, dir).count(): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by
@@ -289,6 +291,22 @@ object Analytics {
     graft.model.SessionMemo.getOrBuild(simpleUndCache, (s, dir))(
       numericGraph(s, dir)._2.select("a", "b").distinct()
         .localCheckpoint(eager = true))
+
+  /** Session-shared DIRECTED numeric edge list `(a, b)`, hash-
+    * partitioned on the source key and cached (the und discipline) —
+    * g_topo_levels loops 6 delta rounds over it and g_hits 8
+    * half-rounds; both were rebuilding a per-call plan with scan-width
+    * partitioning, paying task-scheduling overhead every iteration. */
+  private val directedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def directedNum(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(directedCache, (s, dir))(
+      g(s, dir).edges.select(
+        nodeIdCol(col("src_label"), col("src_key")).as("a"),
+        nodeIdCol(col("dst_label"), col("dst_key")).as("b"))
+        .repartition(col("a"))
+        .cache())
 
   private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.model.SessionMemo.getOrBuild(numericCache, (s, dir)) {
@@ -1139,9 +1157,7 @@ object Analytics {
 
   def hits: Q = (s, dir) => {
     val (nodes, _) = numericGraph(s, dir)
-    val e = g(s, dir).edges.select(
-      nodeIdCol(col("src_label"), col("src_key")).as("src"),
-      nodeIdCol(col("dst_label"), col("dst_key")).as("dst"))
+    val e = directedNum(s, dir).toDF("src", "dst")
     hitsOn(nodes.select("id"), e, nodes.count())
       .join(nodes, Seq("id"))
       .select("label", "key", "a", "h").orderBy("label", "key")
@@ -1915,9 +1931,7 @@ object Analytics {
     val (nodes, _) = numericGraph(s, dir)
     // DIRECTED edges — numericGraph's shared frame is the undirected
     // union, which would make every node reachable from everywhere
-    val ed = g(s, dir).edges.select(
-      nodeIdCol(col("src_label"), col("src_key")).as("a"),
-      nodeIdCol(col("dst_label"), col("dst_key")).as("b"))
+    val ed = directedNum(s, dir)
     val n = nodes.count()
     val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
