@@ -128,6 +128,44 @@ object TextOps {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- t_quality_calibration
+  /** CALIBRATION of the cheap composite score against the rule gate:
+    * per 0.1-wide quality bucket, how many docs the Gopher gate keeps
+    * (count + keep ppm) — the "does the fast score predict the
+    * expensive verdict" table that decides whether a corpus can be
+    * pre-filtered by score alone at 100 TB (run the gate on one shard,
+    * read this table, pick the score cutoff). Bucket = floor(q·10) on
+    * the already-oracle-exact rounded double — both engines floor the
+    * IDENTICAL IEEE value, so the binary-float boundary quirk
+    * (0.3·10 = 2.999…) lands identically and parity holds. Composes
+    * two oracle-checked ops; one groupBy on a ≤11-bucket key. */
+  def qualityCalibration: Q = (s, dir) => {
+    val q = qualityScore(s, dir).select(col("doc_id"),
+      floor(col("quality") * 10).cast("long").as("q_bucket"))
+    val g = gopherQuality(s, dir).select(col("doc_id"), col("keep"))
+    q.join(g, "doc_id")
+      .groupBy("q_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_gopher_keep"))
+      .withColumn("keep_ppm", expr("(n_gopher_keep * 1000000) div n_docs"))
+      .orderBy("q_bucket")
+  }
+
+  lazy val qualityCalibrationSql: String =
+    s"""WITH qs AS (
+       |$qualityScoreSql
+       |), gq AS (
+       |$gopherQualitySql
+       |)
+       |SELECT CAST(floor(q.quality * 10) AS BIGINT) AS q_bucket,
+       | count(*) AS n_docs,
+       | CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_gopher_keep,
+       | CAST((sum(CASE WHEN g.keep THEN 1 ELSE 0 END) * 1000000)
+       |  // count(*) AS BIGINT) AS keep_ppm
+       |FROM qs q JOIN gq g USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------- t_corpus_filter
   /** Corpus filter — the keep/drop verdict every training-data pipeline
     * ends its text stage with, composed from the quality signals. All
@@ -1768,10 +1806,12 @@ object TextOps {
     "t_rep_ngram" -> repNgram,
     "t_distinct_kmv" -> distinctKmv,
     "t_bpe_train" -> bpeTrain,
+    "t_quality_calibration" -> qualityCalibration,
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainSql,
+    "t_quality_calibration" -> qualityCalibrationSql,
     "t_rule_ablation" -> ruleAblationSql,
     "t_clean_normalize" -> cleanNormalizeSql,
     "t_gopher_quality" -> gopherQualitySql,
