@@ -1149,6 +1149,59 @@ object Dedup {
        |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
        |FROM cts""".stripMargin
 
+  // ----------------------------------------------------------- d_data_card
+  /** PER-SOURCE DATA CARD — the release table a curated corpus ships
+    * with (the Datasheets/Data-Cards practice made executable): for
+    * every source, document and token mass, language spread, near-dup
+    * rate (docs whose min-id cluster canon is not themselves — the
+    * d_dedup_cluster assignment), and quality keep rate (the Gopher
+    * gate), rates in exact ppm. One row per source; every input column
+    * comes from an independently oracle-checked stage, and the oracle
+    * composes their CTE chains — so the CARD itself is cross-engine
+    * verified, not just its ingredients. Cost: two doc-keyed joins +
+    * one partial-agged groupBy on a 20-value key. */
+  def dataCard: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val dup = clusterAssign(s, dir).select(col("doc_id"),
+      (col("canon_id") =!= col("doc_id")).cast("long").as("is_dup"))
+    val keep = TextOps.gopherQuality(s, dir).select(col("doc_id"),
+      col("keep").cast("long").as("is_keep"))
+    d.join(dup, "doc_id").join(keep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum("is_dup").as("n_dup"),
+        sum("is_keep").as("n_keep"))
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) div n_docs"))
+      .withColumn("keep_ppm", expr("(n_keep * 1000000) div n_docs"))
+      .orderBy("source")
+  }
+
+  lazy val dataCardSql: String =
+    s"""WITH dc AS (
+       |$dedupClusterSql
+       |), gq AS (
+       |${TextOps.gopherQualitySql}
+       |)
+       |SELECT source, n_docs, n_tokens, n_langs, n_dup, n_keep,
+       | CAST((n_dup * 1000000) // n_docs AS BIGINT) AS dup_ppm,
+       | CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm
+       |FROM (
+       | SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT d.lang) AS n_langs,
+       |  CAST(sum(CASE WHEN c.canon_id <> d.doc_id THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       | FROM documents d
+       | JOIN dc c ON c.doc_id = d.doc_id
+       | JOIN gq g ON g.doc_id = d.doc_id
+       | GROUP BY 1
+       |)
+       |ORDER BY source""".stripMargin
+
   // --------------------------------------------------------- d_lsh_tuning
   /** LSH BANDING-TUNING table — the S-curve made empirical: the SAME
     * 9-minhash signature table laid out as 9 bands × 1 row (high
@@ -1356,6 +1409,7 @@ object Dedup {
     "d_simhash_eval" -> simhashEval,
     "d_source_overlap" -> sourceOverlap,
     "d_lsh_tuning" -> lshTuning,
+    "d_data_card" -> dataCard,
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
@@ -1376,5 +1430,6 @@ object Dedup {
     "d_simhash_eval" -> simhashEvalSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_lsh_tuning" -> lshTuningSql,
+    "d_data_card" -> dataCardSql,
     "d_dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -159,6 +159,24 @@ class Round6Spec extends AnyFunSuite {
     // the harness MEASURES the trade-off rather than assuming it.
   }
 
+  test("d_data_card: corpus mass conserved, rates exact, dup census matches the cluster op") {
+    val rows = Dedup.dataCard(spark, sf).collect()
+    val nDocs = graft.model.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "per-source doc counts do not sum to the corpus")
+    val totalDup = rows.map(_.getAs[Long]("n_dup")).sum
+    val clusterDup = Dedup.dedupCluster(spark, sf)
+      .filter(col("canon_id") =!= col("doc_id")).count()
+    assert(totalDup == clusterDup, s"dup census $totalDup != cluster op $clusterDup")
+    rows.foreach { r =>
+      val (n, d, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"),
+        r.getAs[Long]("n_keep"))
+      assert(d <= n && k <= n)
+      assert(r.getAs[Long]("dup_ppm") == d * 1000000L / n)
+      assert(r.getAs[Long]("keep_ppm") == k * 1000000L / n)
+    }
+  }
+
   test("SessionMemo: concurrent first access builds the value exactly once") {
     val cache = scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), String]
