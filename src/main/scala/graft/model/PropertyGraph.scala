@@ -596,8 +596,12 @@ object PropertyGraph {
     // every query loading the same graph in one session shares ONE
     // materialization of the union + lineitem aggregations (nodes/edges
     // are a few MB even at sf0.1; at 100 TB you'd persist the graph as
-    // bucketed tables instead — see SURVEY.md §6)
-    PropertyGraph(nodes.cache(), edges.cache())
+    // bucketed tables instead — see SURVEY.md §6). The edge cache is
+    // hash-partitioned on the traversal key (src_label, src_key) so the
+    // hop-expansion joins (pathsTo / ego / traversals) reuse the cached
+    // layout instead of re-tasking the scan-width union per hop.
+    PropertyGraph(nodes.cache(),
+      edges.repartition(col("src_label"), col("src_key")).cache())
   }
 
   /** MapType view over the typed prop columns; null-valued props are

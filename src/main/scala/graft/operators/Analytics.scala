@@ -289,7 +289,11 @@ object Analytics {
 
   private def simpleUnd(s: SparkSession, dir: String): DataFrame =
     graft.model.SessionMemo.getOrBuild(simpleUndCache, (s, dir))(
+      // repartition AFTER the distinct (which shuffles on both columns)
+      // so the checkpointed layout is keyed on the frontier-join key —
+      // betweenness/random-walk rounds then reuse it (the und story)
       numericGraph(s, dir)._2.select("a", "b").distinct()
+        .repartition(col("a"))
         .localCheckpoint(eager = true))
 
   /** Session-shared DIRECTED numeric edge list `(a, b)`, hash-
