@@ -566,8 +566,47 @@ object Multimodal {
        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // ------------------------------------------------------ m_shard_balance
+  /** DATALOADER-BALANCE audit over the WebDataset shard manifest: per
+    * writer — shard count, item count, byte mass, and load share in
+    * exact ppm of the corpus. Sequential training IO is only as fast
+    * as the hottest writer; this is the table that says whether the
+    * hash split actually spread the byte mass (load_ppm ≈ 1e6/writers)
+    * or one writer owns the fat tail and the epoch time with it.
+    * Composes the oracle-checked manifest; one groupBy on the writer
+    * key + a 1-row total broadcast. */
+  def shardBalance: Q = (s, dir) => {
+    val per = shardPack(s, dir)
+      .select(expr("shard_id div 1000000").as("writer"),
+        col("n_items"), col("shard_bytes"))
+      .groupBy("writer")
+      .agg(count(lit(1)).as("n_shards"), sum("n_items").as("n_items"),
+        sum("shard_bytes").as("writer_bytes"))
+    per.crossJoin(broadcast(per.agg(sum("writer_bytes").as("total_bytes"))))
+      .select(col("writer"), col("n_shards"), col("n_items"),
+        col("writer_bytes"),
+        expr("(writer_bytes * 1000000) div total_bytes").as("load_ppm"))
+      .orderBy("writer")
+  }
+
+  lazy val shardBalanceSql: String =
+    s"""WITH sp AS (
+       |$shardPackSql
+       |), per AS (
+       | SELECT shard_id // 1000000 AS writer, count(*) AS n_shards,
+       |  CAST(sum(n_items) AS BIGINT) AS n_items,
+       |  CAST(sum(shard_bytes) AS BIGINT) AS writer_bytes
+       | FROM sp GROUP BY 1
+       |)
+       |SELECT writer, n_shards, n_items, writer_bytes,
+       | CAST((writer_bytes * 1000000)
+       |  // (SELECT CAST(sum(writer_bytes) AS BIGINT) FROM per)
+       |  AS BIGINT) AS load_ppm
+       |FROM per ORDER BY writer""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m_shard_pack" -> shardPack,
+    "m_shard_balance" -> shardBalance,
     "m_phash_dedup" -> phashDedup,
     "m_modality_dispatch" -> modalityDispatch,
     "m_multimodal_meta" -> multimodalMeta,
@@ -577,6 +616,7 @@ object Multimodal {
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
     "m_shard_pack" -> shardPackSql,
+    "m_shard_balance" -> shardBalanceSql,
     "m_phash_dedup" -> phashDedupSql,
     "m_modality_dispatch" -> modalityDispatchSql,
     "m_multimodal_meta" -> multimodalMetaSql,
