@@ -172,10 +172,15 @@ object TextOps {
     * rules are INTEGER comparisons (cross-multiplied ratios), so no
     * float ever decides a verdict; `reason` is the first failing rule
     * in fixed order. Linear, shuffle-free, one projection. */
-  def corpusFilter: Q = (s, dir) => {
+  /** The verdict transform over ANY (doc_id, text) frame — stateless
+    * and per-row, so it runs unchanged as a STREAMING gate
+    * (st_corpus_filter drives this same definition through MemoryStream
+    * micro-batches; StreamsSpec proves streamed == batch under any
+    * split). One definition ⇒ the online ingest gate and the batch
+    * curation gate can never disagree on a verdict. */
+  def corpusFilterOn(d: DataFrame): DataFrame = {
     val en = langStopwords.head._2
-    docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    d.select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_words"),
         size(array_distinct(col("words"))).cast("long").as("n_distinct"),
@@ -188,8 +193,10 @@ object TextOps {
           .when(lit(50) * col("n_stop") < col("n_words"), "low_stopword")
           .otherwise("ok"))
       .withColumn("keep", (col("reason") === "ok").cast("boolean"))
-      .orderBy("doc_id")
   }
+
+  def corpusFilter: Q = (s, dir) =>
+    corpusFilterOn(docs(s, dir)).orderBy("doc_id")
 
   val corpusFilterSql: String = {
     val en = langStopwords.head._2.map(w => s"'$w'").mkString(", ")

@@ -512,6 +512,34 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_corpus_filter: the shared quality gate streams; verdicts == batch under any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps
+      .corpusFilterOn(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cfilter")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      def asTuple(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_distinct"), r.getAs[Long]("n_stop"),
+          r.getAs[String]("reason"), r.getAs[Boolean]("keep"))
+      val streamed = spark.table("cfilter").collect().map(asTuple).toSet
+      val batch = graft.operators.TextOps.corpusFilter(spark, sf)
+        .collect().map(asTuple).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} verdicts != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("st_user_counters: transformWithState running counters == batch aggregate under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
