@@ -2047,6 +2047,83 @@ object Analytics {
     b.toString
   }
 
+  // --------------------------------------------------------- g_path_count
+  /** EXACT DAG PATH COUNTING to a target — the provenance/lineage
+    * primitive ("how many distinct supply routes reach region 0"):
+    * np(v) = Σ_{v→u} np(u) with np(target) = 1, the reverse-topological
+    * DP, run as `pcIters` synchronous rounds of
+    * np_i(v) = [v = target] + Σ np_{i-1}(u) — on a DAG this stabilizes
+    * once i exceeds the longest path (5 on this schema), so fixed
+    * rounds ⇒ exact unrolled oracle, and each round RECOMPUTES from the
+    * previous vector (no cross-round accumulation to get wrong).
+    * All-BIGINT: route counts are products of per-hop fanouts, bounded
+    * here by lineitem multiplicities (≪ 2⁶³; at a scale where counts
+    * overflow, the same DP carries log-space or modular counters).
+    * Per round: one edge join keyed on the shared directed frame's
+    * layout + one partial-agged sum — the CC cost shape. Output: every
+    * node with ≥1 route, its route count. */
+  val pcIters = 6
+
+  def pathCount: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val ed = directedNum(s, dir) // (a, b): a → b
+    val target = nodes.filter(col("label") === "region" && col("key") === 0L)
+      .select(col("id"), lit(1L).as("np"))
+    var np = target.localCheckpoint(eager = true)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](np)
+    try {
+      for (_ <- 1 to pcIters) {
+        // recompute from the PREVIOUS vector: base + inbound sums; np is
+        // sparse (reaching nodes only) — broadcast-gated under the cap
+        val sums = ed.join(gated(np.withColumnRenamed("id", "b"), np.count()),
+            Seq("b"))
+          .groupBy(col("a").as("id")).agg(sum("np").as("s"))
+        val next = target.select(col("id"), col("np").as("base"))
+          .join(sums, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(col("base"), lit(0L)) + coalesce(col("s"), lit(0L)))
+              .as("np"))
+          .localCheckpoint(eager = true)
+        interim += next
+        np = next
+      }
+      nodes.join(np, Seq("id"))
+        .select("label", "key", "np").orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val pathCountSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), ed AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b
+             | FROM edges
+             |), np0 AS (
+             | SELECT id, CAST(1 AS BIGINT) AS np FROM ids
+             | WHERE label = 'region' AND key = 0
+             |)""".stripMargin
+    for (i <- 1 to pcIters) {
+      b ++= s""", np$i AS (
+               | SELECT id, CAST(COALESCE(base, 0) + COALESCE(s, 0) AS BIGINT) AS np
+               | FROM (
+               |  SELECT COALESCE(t.id, x.id) AS id, t.np AS base, x.s
+               |  FROM np0 t FULL OUTER JOIN (
+               |   SELECT e.a AS id, CAST(sum(p.np) AS BIGINT) AS s
+               |   FROM ed e JOIN np${i - 1} p ON p.id = e.b
+               |   GROUP BY e.a
+               |  ) x ON x.id = t.id
+               | )
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key, np$pcIters.np
+             |FROM ids JOIN np$pcIters ON np$pcIters.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ---------------------------------------------------------- g_rich_club
   /** RICH-CLUB coefficient (Zhou & Mondragón 2004) at degree thresholds
     * k ∈ {4, 8, 16, 32}: among nodes with simple-graph degree > k, the
@@ -2348,6 +2425,7 @@ object Analytics {
     "g_edge_type_stats" -> edgeTypeStats,
     "g_degree_dist" -> degreeDist,
     "g_rich_club" -> richClub,
+    "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
     "g_topo_levels" -> topoLevels,
@@ -2377,6 +2455,7 @@ object Analytics {
     "g_edge_type_stats" -> edgeTypeStatsSql,
     "g_degree_dist" -> degreeDistSql,
     "g_rich_club" -> richClubSql,
+    "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,
     "g_topo_levels" -> topoLevelsSql,

@@ -177,6 +177,28 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("g_path_count: in-memory reverse-DP replay") {
+    import graft.operators.Analytics
+    val got = Analytics.pathCount(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("np")).toMap
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val edges = g.edges
+      .select("src_label", "src_key", "dst_label", "dst_key").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getString(2), r.getLong(3))))
+    val target = ("region", 0L)
+    var np = Map(target -> 1L)
+    for (_ <- 1 to Analytics.pcIters) {
+      val sums = edges.groupBy(_._1).view.mapValues(
+        _.map(e => np.getOrElse(e._2, 0L)).sum).toMap
+      np = (sums.keySet + target).iterator.map { v =>
+        v -> ((if (v == target) 1L else 0L) + sums.getOrElse(v, 0L))
+      }.filter(_._2 > 0).toMap
+    }
+    assert(got.nonEmpty && got == np,
+      s"route counts differ: op ${got.size} rows vs replay ${np.size}")
+  }
+
   test("SessionMemo: concurrent first access builds the value exactly once") {
     val cache = scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), String]
