@@ -245,6 +245,13 @@ object Analytics {
     "(CASE " + labelCodes.map { case (l, c) => s"WHEN ${prefix}_label = '$l' THEN $c" }
       .mkString(" ") + s" END) * 10000000000000 + ${prefix}_key"
 
+  /** Weighted undirected edge-pair CTE body (both directions) —
+    * numericGraph's `und(a, b, w)` in SQL. */
+  private def undSqlPairW: String =
+    s"""${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b, weight AS w FROM edges
+       | UNION ALL
+       | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")}, weight FROM edges""".stripMargin
+
   /** Unweighted undirected edge-pair CTE body (both directions). */
   private def undSqlPair: String =
     s"""${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
@@ -2184,6 +2191,153 @@ object Analytics {
     b.toString
   }
 
+  // ---------------------------------------------------------------- g_mst
+  /** MINIMUM SPANNING FOREST via BORŮVKA — the canonical parallel MST
+    * algorithm (every distributed MST in the literature is Borůvka at
+    * its core, because all components choose their min edge
+    * SIMULTANEOUSLY — no sequential Kruskal/Prim frontier): per round,
+    * every component picks its minimum outgoing edge under the TOTAL
+    * order (w, ea, eb) (lexicographic tiebreak ⇒ effectively distinct
+    * weights ⇒ the cut property holds and every picked edge is in THE
+    * unique MSF of that order — spec-checked against in-memory
+    * Kruskal), then components contract: hook ptr(c) = other endpoint's
+    * component, 2-cycles (mutual picks — the only cycles min-edge
+    * hooking can form under a consistent order) resolve to the lower
+    * id, and `mstJumps` pointer-jump rounds collapse hook chains
+    * (depth ≤ 2^jumps covered; both engines run the identical fixed
+    * recurrence, so even a hypothetical deeper chain cannot diverge
+    * cross-engine — it would only surface in the Kruskal spec).
+    * `mstRounds` fixed rounds emit (round, ea, eb, w) — the forest
+    * grown so far; components at least halve per round, so full
+    * spanning needs ~log₂(n) rounds — the contract here is the first
+    * R rounds, the shape that matters (each round: one edge⋈comp join
+    * pair on the und partition layout, one map-side-combinable
+    * min(struct) per component — NO window sort over the edge set —
+    * and contraction joins on component-bounded frames that shrink
+    * geometrically; the oracle keeps the row_number formulation, any
+    * correct argmin finds the same rows). */
+  val mstRounds = 3
+  val mstJumps = 4
+
+  def mst: Q = (s, dir) => {
+    val (nodes, und) = numericGraph(s, dir)
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      // canonical min-weight edge per unordered pair (multi-label pairs
+      // collapse to their lightest edge — the standard simple-graph prep)
+      val eset = und.select(least(col("a"), col("b")).as("ea"),
+        greatest(col("a"), col("b")).as("eb"), col("w"))
+        .groupBy("ea", "eb").agg(min("w").as("w"))
+        .localCheckpoint(eager = true)
+      interim += eset
+      var comp = nodes.select(col("id"), col("id").as("c"))
+        .localCheckpoint(eager = true)
+      interim += comp
+      val chosen = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (r <- 1 to mstRounds) {
+        val ec = eset
+          .join(gated(comp.toDF("ea", "ca"), n), "ea")
+          .join(gated(comp.toDF("eb", "cb"), n), "eb")
+          .filter(col("ca") =!= col("cb"))
+        val cand = ec.select(col("ca").as("c"), col("cb").as("oc"),
+          col("w"), col("ea"), col("eb"))
+          .unionByName(ec.select(col("cb").as("c"), col("ca").as("oc"),
+            col("w"), col("ea"), col("eb")))
+        // per-component argmin as a PARTIAL-AGGREGABLE min(struct) —
+        // (w, ea, eb) is unique within c (an edge meets a component
+        // once per side), so this picks exactly the oracle's rn=1 row
+        val pick = cand.groupBy("c")
+          .agg(min(struct(col("w"), col("ea"), col("eb"), col("oc"))).as("m"))
+          .select(col("c"), col("m.oc").as("oc"), col("m.w").as("w"),
+            col("m.ea").as("ea"), col("m.eb").as("eb"))
+          .localCheckpoint(eager = true)
+        interim += pick
+        chosen += pick.select("ea", "eb", "w").distinct()
+          .select(lit(r.toLong).as("round"), col("ea"), col("eb"), col("w"))
+        val hook = comp.select(col("c")).distinct()
+          .join(pick.select(col("c"), col("oc")), Seq("c"), "left_outer")
+          .select(col("c"), coalesce(col("oc"), col("c")).as("ptr"))
+          .localCheckpoint(eager = true)
+        interim += hook
+        // 2-cycle resolution: mutual picks root at the lower comp id
+        var ptr = hook.join(hook.toDF("ptr", "ptr2"), "ptr")
+          .select(col("c"), when(col("ptr2") === col("c"),
+            least(col("c"), col("ptr"))).otherwise(col("ptr")).as("ptr"))
+          .localCheckpoint(eager = true)
+        interim += ptr
+        for (_ <- 1 to mstJumps) {
+          ptr = ptr.join(ptr.toDF("ptr", "ptrn"), "ptr")
+            .select(col("c"), col("ptrn").as("ptr"))
+            .localCheckpoint(eager = true)
+          interim += ptr
+        }
+        comp = comp.join(ptr, "c").select(col("id"), col("ptr").as("c"))
+          .localCheckpoint(eager = true)
+        interim += comp
+      }
+      chosen.reduce(_.unionByName(_)).orderBy("round", "ea", "eb")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val mstSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPairW
+             |), eset AS (
+             | SELECT least(a, b) AS ea, greatest(a, b) AS eb,
+             |  CAST(min(w) AS BIGINT) AS w
+             | FROM undp GROUP BY 1, 2
+             |), comp0 AS (SELECT id, id AS c FROM ids)""".stripMargin
+    for (r <- 1 to mstRounds) {
+      b ++= s""", ec$r AS (
+               | SELECT e.ea, e.eb, e.w, x.c AS ca, y.c AS cb
+               | FROM eset e
+               | JOIN comp${r - 1} x ON x.id = e.ea
+               | JOIN comp${r - 1} y ON y.id = e.eb
+               | WHERE x.c <> y.c
+               |), cand$r AS (
+               | SELECT ca AS c, cb AS oc, w, ea, eb FROM ec$r
+               | UNION ALL SELECT cb, ca, w, ea, eb FROM ec$r
+               |), pick$r AS (
+               | SELECT c, oc, w, ea, eb FROM (
+               |  SELECT c, oc, w, ea, eb,
+               |   row_number() OVER (PARTITION BY c ORDER BY w, ea, eb) AS rn
+               |  FROM cand$r
+               | ) WHERE rn = 1
+               |), chosen$r AS (
+               | SELECT DISTINCT ea, eb, w FROM pick$r
+               |), hook$r AS (
+               | SELECT a.c, COALESCE(p.oc, a.c) AS ptr
+               | FROM (SELECT DISTINCT c FROM comp${r - 1}) a
+               | LEFT JOIN pick$r p ON p.c = a.c
+               |), hk$r AS (
+               | SELECT h.c, CASE WHEN h2.ptr = h.c THEN least(h.c, h.ptr)
+               |  ELSE h.ptr END AS ptr
+               | FROM hook$r h JOIN hook$r h2 ON h2.c = h.ptr
+               |), j${r}_0 AS (SELECT c, ptr FROM hk$r)""".stripMargin
+      for (j <- 1 to mstJumps) {
+        b ++= s""", j${r}_$j AS (
+                 | SELECT a.c, b.ptr FROM j${r}_${j - 1} a
+                 | JOIN j${r}_${j - 1} b ON b.c = a.ptr
+                 |)""".stripMargin
+      }
+      b ++= s""", comp$r AS (
+               | SELECT v.id, j.ptr AS c
+               | FROM comp${r - 1} v JOIN j${r}_$mstJumps j ON j.c = v.c
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT round, ea, eb, w FROM (" +
+      (1 to mstRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, ea, eb, w FROM chosen$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY round, ea, eb"
+    b.toString
+  }
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------------ g_ktruss
   /** k-TRUSS (k = `trussK`) of the part co-purchase projection — the
@@ -2425,6 +2579,7 @@ object Analytics {
     "g_edge_type_stats" -> edgeTypeStats,
     "g_degree_dist" -> degreeDist,
     "g_rich_club" -> richClub,
+    "g_mst" -> mst,
     "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -2455,6 +2610,7 @@ object Analytics {
     "g_edge_type_stats" -> edgeTypeStatsSql,
     "g_degree_dist" -> degreeDistSql,
     "g_rich_club" -> richClubSql,
+    "g_mst" -> mstSql,
     "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

@@ -1391,7 +1391,85 @@ object Dedup {
        |FROM best b JOIN dirty d ON d.id = b.id
        |ORDER BY b.id""".stripMargin
 
+  // ------------------------------------------------------ d_dataset_split
+  /** Deterministic TRAIN/VAL/TEST SPLIT with a leakage guard — the
+    * held-out-set cut every training run makes, done the way the dedup
+    * literature says to (split on CONTENT, not on row id): the split
+    * key is md5(text), so byte-identical duplicates land in the SAME
+    * split by construction and exact-dup train→test leakage is
+    * impossible. Split = first 8 md5 nibbles mod 10 → 0-7 train,
+    * 8 val, 9 test (hash-based — reproducible under re-partitioning,
+    * re-ingestion, and engine change, unlike any rand() split).
+    * Output: per (source, split) doc count, token mass, and
+    * within-source share in exact ppm — the table that shows every
+    * source actually contributed to val/test — with the leakage audit
+    * riding along: n_leak_hashes = distinct text-hashes seen in more
+    * than one split, COMPUTED (one distinct + groupBy over (hash,
+    * split)), not assumed; 0 is the invariant, and near-dup leakage
+    * (this guard is exact-only) is d_decontaminate's job. Scale: the
+    * split is a map-side projection; the report is two partial-agged
+    * groupBys; the audit is hash-keyed — all shapes that survive
+    * 100 TB. */
+  def datasetSplit: Q = (s, dir) => {
+    val hashed = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("text")).as("h"))
+      .withColumn("split",
+        when(graft.functions.VectorExprs.hexSlice(col("h"), 1, 8) % 10 <= 7,
+          "train")
+          .when(graft.functions.VectorExprs.hexSlice(col("h"), 1, 8) % 10 === 8,
+            "val")
+          .otherwise("test"))
+    val leak = hashed.select("h", "split").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_splits"))
+      .agg(count(when(col("n_splits") > 1, 1)).as("n_leak_hashes"))
+    val bySource = hashed.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+    hashed.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .join(bySource, "source")
+      .crossJoin(broadcast(leak))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000000) div n_src").as("share_ppm"),
+        col("n_leak_hashes"))
+      .orderBy("source", "split")
+  }
+
+  val datasetSplitSql: String = {
+    val h8 = (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       | SELECT doc_id, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  md5(text) AS h
+       | FROM documents
+       |), sp AS (
+       | SELECT doc_id, source, n_tokens, h,
+       |  CASE WHEN ($h8) % 10 <= 7 THEN 'train'
+       |       WHEN ($h8) % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       | FROM hashed
+       |), leak AS (
+       | SELECT count(CASE WHEN n_splits > 1 THEN 1 END) AS n_leak_hashes
+       | FROM (SELECT h, count(*) AS n_splits
+       |       FROM (SELECT DISTINCT h, split FROM sp) GROUP BY h)
+       |), bysrc AS (
+       | SELECT source, count(*) AS n_src FROM sp GROUP BY source
+       |)
+       |SELECT g.source, g.split, g.n_docs, g.n_tokens,
+       | (g.n_docs * 1000000) // b.n_src AS share_ppm,
+       | leak.n_leak_hashes
+       |FROM (
+       | SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       | FROM sp GROUP BY source, split
+       |) g JOIN bysrc b ON b.source = g.source, leak
+       |ORDER BY g.source, g.split""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_dataset_split" -> datasetSplit,
     "d_entity_resolution" -> entityResolution,
     "d_dedup_eval" -> dedupEval,
     "d_containment" -> containment,
@@ -1413,6 +1491,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_dataset_split" -> datasetSplitSql,
     "d_entity_resolution" -> entityResolutionSql,
     "d_dedup_eval" -> dedupEvalSql,
     "d_containment" -> containmentSql,

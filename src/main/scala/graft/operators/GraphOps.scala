@@ -747,8 +747,126 @@ object GraphOps {
        |SELECT DISTINCT label, key FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
        |ORDER BY label, key""".stripMargin
 
+  // ---------------------------------------------------- g_snapshot_diff
+  /** GRAPH SNAPSHOT DIFF — the graph twin of q_cdc_diff, and the audit
+    * query the immutable-snapshot mutation model (SURVEY §3) makes
+    * possible: every mutation produces a new snapshot, so "what did
+    * this batch change" is a first-class query, not a transaction-log
+    * replay. A deterministic mutation batch composes three reference
+    * ops (removeNodes DETACH of negative-balance suppliers, upsertNodes
+    * of a new region + clamped customer balances, upsertEdges of a
+    * weight bump + a REFERRED fan); the diff full-outer-joins base and
+    * next on the stable composite identities ((label, key) for nodes,
+    * the 5-column composite for edges — identities are unique by graph
+    * construction) and classifies every row added / removed / changed /
+    * unchanged. Output: per (section, label) counts. At 100 TB both
+    * joins key on the identity the tables are bucketed by (the
+    * src_bucketed_join layout) — a metadata-local diff, no re-shuffle;
+    * counts partial-aggregate. */
+  def snapshotDiff: Q = (s, dir) => {
+    val base = g(s, dir)
+    val clamped = base.nodes
+      .filter(col("label") === "customer" && col("balance") < 0)
+      .withColumn("balance", lit(0.0))
+    val region100 = s.range(1).select(
+      lit("region").as("label"), lit(100L).as("key"),
+      lit("LAPLAND").as("name"), lit(null).cast("double").as("balance"))
+    val bump = base.edges
+      .filter(col("elabel") === "HAS_PART" && col("src_key") <= 50L)
+      .withColumn("weight", col("weight") + 10L)
+    val fan = s.range(3).select(
+      lit("REFERRED").as("elabel"),
+      lit("customer").as("src_label"), lit(1L).as("src_key"),
+      lit("customer").as("dst_label"), (col("id") + 2L).as("dst_key"),
+      lit(1L).as("weight"))
+    val next = base.removeNodes("supplier", col("balance") < 0)
+      .upsertNodes(region100.unionByName(clamped))
+      .upsertEdges(bump.unionByName(fan))
+
+    def classify(changed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(col("in_b").isNull, "removed")
+        .when(col("in_a").isNull, "added")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+
+    val na = base.nodes.select(col("label"), col("key"),
+      col("name").as("name_a"), col("balance").as("bal_a"), lit(1).as("in_a"))
+    val nb = next.nodes.select(col("label"), col("key"),
+      col("name").as("name_b"), col("balance").as("bal_b"), lit(1).as("in_b"))
+    val nd = na.join(nb, Seq("label", "key"), "full_outer")
+      .select(lit("node").as("section"), col("label"),
+        classify(!(col("name_a") <=> col("name_b")) ||
+          !(col("bal_a") <=> col("bal_b"))).as("kind"))
+
+    val idCols = Seq("elabel", "src_label", "src_key", "dst_label", "dst_key")
+    val ea = base.edges.withColumnRenamed("weight", "w_a")
+      .withColumn("in_a", lit(1))
+    val eb = next.edges.withColumnRenamed("weight", "w_b")
+      .withColumn("in_b", lit(1))
+    val ed = ea.join(eb, idCols, "full_outer")
+      .select(lit("edge").as("section"), col("elabel").as("label"),
+        classify(!(col("w_a") <=> col("w_b"))).as("kind"))
+
+    nd.unionByName(ed).groupBy("section", "label").agg(
+      count(when(col("kind") === "added", 1)).as("n_added"),
+      count(when(col("kind") === "removed", 1)).as("n_removed"),
+      count(when(col("kind") === "changed", 1)).as("n_changed"),
+      count(when(col("kind") === "unchanged", 1)).as("n_unchanged"))
+      .orderBy("section", "label")
+  }
+
+  // count(CASE …) not sum(CASE …): a DuckDB integer sum widens to
+  // HUGEINT — the q_running_distinct class the oracle type gate bans.
+  val snapshotDiffSql: String =
+    s"""$cte, rm AS (
+       | SELECT label, key FROM nodes WHERE label = 'supplier' AND balance < 0
+       |), n2 AS (
+       | SELECT label, key, name,
+       |  CASE WHEN label = 'customer' AND balance < 0 THEN 0.0 ELSE balance END AS balance
+       | FROM nodes WHERE NOT (label = 'supplier' AND balance < 0)
+       | UNION ALL SELECT 'region', 100, 'LAPLAND', CAST(NULL AS DOUBLE)
+       |), e2 AS (
+       | SELECT elabel, src_label, src_key, dst_label, dst_key,
+       |  CASE WHEN elabel = 'HAS_PART' AND src_key <= 50
+       |   THEN weight + 10 ELSE weight END AS weight
+       | FROM edges e
+       | WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.label = e.src_label AND rm.key = e.src_key)
+       |   AND NOT EXISTS (SELECT 1 FROM rm WHERE rm.label = e.dst_label AND rm.key = e.dst_key)
+       | UNION ALL SELECT 'REFERRED', 'customer', 1, 'customer', 2, 1
+       | UNION ALL SELECT 'REFERRED', 'customer', 1, 'customer', 3, 1
+       | UNION ALL SELECT 'REFERRED', 'customer', 1, 'customer', 4, 1
+       |), ndiff AS (
+       | SELECT 'node' AS section, COALESCE(a.label, b.label) AS label,
+       |  CASE WHEN b.key IS NULL THEN 'removed'
+       |       WHEN a.key IS NULL THEN 'added'
+       |       WHEN a.name IS DISTINCT FROM b.name
+       |         OR a.balance IS DISTINCT FROM b.balance THEN 'changed'
+       |       ELSE 'unchanged' END AS kind
+       | FROM nodes a FULL OUTER JOIN n2 b
+       |   ON a.label = b.label AND a.key = b.key
+       |), ediff AS (
+       | SELECT 'edge' AS section, COALESCE(a.elabel, b.elabel) AS label,
+       |  CASE WHEN b.elabel IS NULL THEN 'removed'
+       |       WHEN a.elabel IS NULL THEN 'added'
+       |       WHEN a.weight IS DISTINCT FROM b.weight THEN 'changed'
+       |       ELSE 'unchanged' END AS kind
+       | FROM edges a FULL OUTER JOIN e2 b
+       |   ON a.elabel = b.elabel AND a.src_label = b.src_label
+       |  AND a.src_key = b.src_key AND a.dst_label = b.dst_label
+       |  AND a.dst_key = b.dst_key
+       |)
+       |SELECT section, label,
+       | count(CASE WHEN kind = 'added' THEN 1 END) AS n_added,
+       | count(CASE WHEN kind = 'removed' THEN 1 END) AS n_removed,
+       | count(CASE WHEN kind = 'changed' THEN 1 END) AS n_changed,
+       | count(CASE WHEN kind = 'unchanged' THEN 1 END) AS n_unchanged
+       |FROM (SELECT * FROM ndiff UNION ALL SELECT * FROM ediff)
+       |GROUP BY section, label
+       |ORDER BY section, label""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g_snapshot_diff" -> snapshotDiff,
     "g_get_node" -> getNode,
     "g_get_nodes" -> getNodes,
     "g_get_nodes_any" -> getNodesAny,
@@ -777,6 +895,7 @@ object GraphOps {
     "g_neighbors_2hop" -> neighbors2hop)
 
   val oracleSql: Map[String, String] = Map(
+    "g_snapshot_diff" -> snapshotDiffSql,
     "g_get_node" -> getNodeSql,
     "g_get_nodes" -> getNodesSql,
     "g_get_nodes_any" -> getNodesAnySql,

@@ -480,6 +480,90 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
   }
 
+  // ----------------------------------------------------- s_ivf_multiprobe
+  /** IVF MULTIPROBE (nprobe = 2) — the recall knob every production IVF
+    * exposes (FAISS `nprobe`): a probe searches its `ivfNprobe` nearest
+    * cells instead of only its own, trading ~nprobe× scan cost for the
+    * recall lost when a true neighbor sits just across a Voronoi
+    * boundary. Cell ranking reuses the EXACT integer centroid score of
+    * the assignment step (ties to the lowest cid), so the probed-cell
+    * set is deterministic in both engines; candidates never duplicate
+    * (each vector lives in exactly one cell). The candidate side is the
+    * same session-cached `ivfAssign` frame as s_ann_ivf — multiprobe is
+    * a pure QUERY-time decision over the same index, which is the point:
+    * at 100 TB the index is an offline artifact partitioned by cid, and
+    * nprobe only widens the partition-pruned read from 1 to 2 cells.
+    * Recall vs nprobe=1 is monotone non-decreasing per probe (the
+    * candidate set is a superset — spec-asserted). */
+  val ivfNprobe = 2
+
+  def ivfMultiprobe: Q = (s, dir) => {
+    val asg = ivfAssign(s, dir)
+    val q = quantizedWithNorm(s, dir)
+    val cents = broadcast(q.filter(col("vec_id") < ivfK)
+      .toDF("cid", "qc", "cnb"))
+    // per-probe top-`ivfNprobe` cells: 10 probes × K cells — tiny
+    val p0 = q.filter(col("vec_id") < 10).toDF("probe_id", "qp", "pnb")
+      .crossJoin(cents)
+      .select(col("probe_id"), col("qp"), col("cid"),
+        dot(col("qp"), col("qc")).as("dp"), col("cnb").as("nb"))
+      .select(col("probe_id"), col("qp"), col("cid"),
+        expr(scoreExpr).as("cs"))
+    val wp = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("cid"))
+    val probes = broadcast(p0.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= ivfNprobe).select("probe_id", "qp", "cid"))
+    val scored = probes.join(asg.toDF("cand_id", "qc", "nb", "cid"), "cid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val ivfMultiprobeSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), cents AS (
+       | SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < $ivfK
+       |), asg0 AS (
+       | SELECT v.vec_id, v.qe, c.cid,
+       |  CAST(list_dot_product(v.qe, c.qc) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qc, c.qc) AS BIGINT) AS nb
+       | FROM q v, cents c
+       |), asg1 AS (
+       | SELECT vec_id, qe, cid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY $score DESC, cid) AS rn
+       | FROM asg0
+       |), asg AS (
+       | SELECT vec_id, qe, cid FROM asg1 WHERE rn = 1
+       |), pr AS (
+       | SELECT vec_id AS probe_id, qe, cid FROM asg1
+       | WHERE vec_id < 10 AND rn <= $ivfNprobe
+       |), sc0 AS (
+       | SELECT p.probe_id, c.vec_id AS cand_id,
+       |  CAST(list_dot_product(p.qe, c.qe) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qe, c.qe) AS BIGINT) AS nb
+       | FROM pr p JOIN asg c ON c.cid = p.cid AND c.vec_id <> p.probe_id
+       |), scored AS (
+       | SELECT probe_id, cand_id, $score AS score FROM sc0
+       |)
+       |SELECT probe_id, rn, cand_id, score FROM (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM scored
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+  }
+
   // -------------------------------------------------------------- s_ann_pq
   /** Product-quantization ANN (Jégou et al., the compressed-index scale
     * path that completes the family: brute → LSH → IVF → PQ). The
@@ -1306,6 +1390,7 @@ object Similarity {
     "s_ann_topk" -> annTopk,
     "s_ann_topk_lsh" -> annTopkLsh,
     "s_ann_ivf" -> annIvf,
+    "s_ivf_multiprobe" -> ivfMultiprobe,
     "s_ann_pq" -> annPq,
     "s_knn_join" -> knnJoin,
     "s_ann_recall" -> annRecall,
@@ -1324,6 +1409,7 @@ object Similarity {
     "s_ann_topk" -> annTopkSql,
     "s_ann_topk_lsh" -> annTopkLshSql,
     "s_ann_ivf" -> annIvfSql,
+    "s_ivf_multiprobe" -> ivfMultiprobeSql,
     "s_ann_pq" -> annPqSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_recall" -> annRecallSql,

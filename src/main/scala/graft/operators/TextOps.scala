@@ -1558,6 +1558,108 @@ object TextOps {
       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t_dsir
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") in exact integers:
+    * build hashed-bigram bag-of-words models of a TARGET distribution
+    * (the lang = 'en' slice stands in for "looks like my eval set") and
+    * of the RAW corpus, then score each document by how much more
+    * likely its features are under target than raw. The published form
+    * sums log(p_t(f)/p_r(f)) per feature and adds Gumbel noise at
+    * selection time — both float, neither cross-engine stable — so the
+    * score here is the floor-MEAN per-feature likelihood ratio in ppm
+    * (add-1 smoothed, corpus-size normalized:
+    * score(b) = ((ct+1)·10⁶ div (cr+1)) · ((R+B)·10³ div (T+B)) div 10³)
+    * and selection is the deterministic top-`dsirKeep` by
+    * (dsir_ppm, doc_id) — the oracle-checkable contract; hash-seeded
+    * Gumbel would re-introduce log(). Features are hashed to
+    * B = `dsirB` buckets (the paper's hashed n-gram trick — the model
+    * is B-bounded regardless of vocabulary, the property that lets the
+    * importance model BROADCAST at 100 TB). Plan: one corpus bigram
+    * explode (cached — feeds model build + scoring), one B-bounded
+    * groupBy where raw and target counts ride the SAME aggregate
+    * (count + filtered count, one pass — not two scans), scoring is a
+    * broadcast join against the B-row score table, per-doc mean is one
+    * partial-agged groupBy. The selection window is a global order over
+    * doc-level rows — at corpus scale the cutoff comes from the
+    * sampled-rank trick (t_ccnet_bucket_scaled); BIGINT headroom:
+    * (ct+1)·10⁶ ≤ 2⁶³ up to ~9·10¹² target-bigram occurrences. */
+  val dsirB = 256L
+  val dsirKeep = 100
+
+  def dsir: Q = (s, dir) => {
+    val pairs = bigramPairsCol(col("words"))
+    val occ = docs(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.VectorExprs.hexSlice(
+          md5(concat(col("p.w1"), lit(" "), col("p.w2"))), 1, 8) % dsirB)
+          .as("b"))
+      .cache()
+    val model = occ.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val tot = model.agg((sum("cr") + dsirB).as("r_tot"),
+      (sum("ct") + dsirB).as("t_tot"))
+    val scored = model.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        "((((ct + 1) * 1000000) div (cr + 1)) * ((r_tot * 1000) div t_tot))" +
+          " div 1000").as("score_b"))
+    val perDoc = occ.join(broadcast(scored), Seq("b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_feat"),
+        expr("sum(score_b) div count(1)").as("dsir_ppm"))
+    val full = docs(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("dsir_ppm"), lit(0L)).as("dsir_ppm"))
+    val w = Window.orderBy(col("dsir_ppm").desc, col("doc_id"))
+    full.withColumn("selected",
+      when(row_number().over(w) <= dsirKeep, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val dsirSql: String = {
+    val h8 = (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(bg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    s"""WITH w AS (
+       | SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+       |), occ AS (
+       | SELECT doc_id, lang, CAST(($h8) % $dsirB AS BIGINT) AS b
+       | FROM (
+       |  SELECT doc_id, lang, unnest(list_transform(
+       |    range(1, greatest(len(words) - 1, 0) + 1),
+       |    i -> words[i] || ' ' || words[i+1])) AS bg
+       |  FROM w)
+       |), model AS (
+       | SELECT b, count(*) AS cr,
+       |  count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+       | FROM occ GROUP BY b
+       |), tot AS (
+       | SELECT CAST(sum(cr) + $dsirB AS BIGINT) AS r_tot,
+       |  CAST(sum(ct) + $dsirB AS BIGINT) AS t_tot
+       | FROM model
+       |), scored AS (
+       | SELECT b, CAST(((((ct + 1) * 1000000) // (cr + 1)) *
+       |   ((r_tot * 1000) // t_tot)) // 1000 AS BIGINT) AS score_b
+       | FROM model, tot
+       |), sc AS (
+       | SELECT occ.doc_id, count(*) AS n_feat,
+       |  CAST(sum(scored.score_b) // count(*) AS BIGINT) AS dsir_ppm
+       | FROM occ JOIN scored ON scored.b = occ.b
+       | GROUP BY occ.doc_id
+       |), f AS (
+       | SELECT d.doc_id, COALESCE(sc.n_feat, 0) AS n_feat,
+       |  COALESCE(sc.dsir_ppm, 0) AS dsir_ppm
+       | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, n_feat, dsir_ppm,
+       | CAST(CASE WHEN row_number() OVER (ORDER BY dsir_ppm DESC, doc_id)
+       |   <= $dsirKeep THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------- t_gopher_quality
   /** Gopher-rules quality gate (Rae et al. 2021 §A1.1), adapted to this
     * corpus (no punctuation/lines → the symbol/bullet/ellipsis rules are
@@ -1784,6 +1886,7 @@ object TextOps {
       |FROM ex GROUP BY rule ORDER BY rule""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "t_dsir" -> dsir,
     "t_rule_ablation" -> ruleAblation,
     "t_clean_normalize" -> cleanNormalize,
     "t_gopher_quality" -> gopherQuality,
@@ -1817,6 +1920,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_dsir" -> dsirSql,
     "t_bpe_train" -> bpeTrainSql,
     "t_quality_calibration" -> qualityCalibrationSql,
     "t_rule_ablation" -> ruleAblationSql,

@@ -27,6 +27,11 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "s_binary_quant",    // brute scan over the 16-byte/vec signature table
                          // (32x smaller than the corpus); banded LSH beyond
     "s_quant_eval",      // composes the exact baseline by definition
+    "s_ivf_multiprobe",  // probe-side cell RANKING = crossJoin of the probe
+                         // set against the k=8 broadcast centroids (the IVF
+                         // assign shape, linear in probes); the candidate
+                         // scan itself is a cid-keyed equi-join. annIvf runs
+                         // the same ranking behind ivfAssign's cache leaf.
     "d_kmeans_eval"      // Lloyd assignment = O(n·k) crossJoin against the
                          // k=8 BROADCAST CENTROID CONSTANTS — the IVF/k-means
                          // map-side shape, linear in the corpus. The same

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, GraphOps, Similarity, TextOps}
+
+/** Round-6 continuation operators: algorithm-level invariants for the
+  * snapshot diff, DSIR weighting, IVF multiprobe, and the dataset
+  * split (the oracle proves cross-engine parity; these prove the ops
+  * compute what their contracts claim). */
+class Round6bSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("g_snapshot_diff: mutation-batch accounting is conserved") {
+    val rows = GraphOps.snapshotDiff(spark, sf).collect()
+    val bySec = rows.groupBy(_.getAs[String]("section"))
+    def tot(sec: String, c: String): Long =
+      bySec(sec).map(_.getAs[Long](c)).sum
+    // node side: exactly one added node (region:100); removed =
+    // negative-balance suppliers; changed = negative-balance customers
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val negSup = g.nodes.filter(col("label") === "supplier" &&
+      col("balance") < 0).count()
+    val negCust = g.nodes.filter(col("label") === "customer" &&
+      col("balance") < 0).count()
+    assert(tot("node", "n_added") == 1L)
+    assert(tot("node", "n_removed") == negSup)
+    assert(tot("node", "n_changed") == negCust)
+    // conservation: base rows = removed + changed + unchanged
+    assert(g.nodes.count() ==
+      tot("node", "n_removed") + tot("node", "n_changed") +
+        tot("node", "n_unchanged"))
+    // edge side: added = the 3-edge REFERRED fan; removed = edges
+    // incident to doomed suppliers; changed = bumped HAS_PART rows
+    assert(tot("edge", "n_added") == 3L)
+    val doomed = g.nodes.filter(col("label") === "supplier" &&
+      col("balance") < 0).select(col("key"))
+    val rmEdges = g.edges.join(doomed.withColumnRenamed("key", "dst_key"),
+        Seq("dst_key"), "left_semi").filter(col("dst_label") === "supplier")
+      .count() +
+      g.edges.join(doomed.withColumnRenamed("key", "src_key"),
+        Seq("src_key"), "left_semi").filter(col("src_label") === "supplier")
+        .count()
+    assert(tot("edge", "n_removed") == rmEdges)
+    val bumped = g.edges.filter(col("elabel") === "HAS_PART" &&
+      col("src_key") <= 50L).count()
+    assert(tot("edge", "n_changed") == bumped)
+    assert(g.edges.count() ==
+      tot("edge", "n_removed") + tot("edge", "n_changed") +
+        tot("edge", "n_unchanged"))
+  }
+
+  test("t_dsir: target docs outscore non-target on average; selection is the top-k") {
+    val rows = TextOps.dsir(spark, sf).collect()
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the importance model was built FOR lang=en: mean en score must
+    // beat the mean non-en score, or the weighting does nothing
+    val (en, other) = rows.partition(r => docs(r.getAs[Long]("doc_id")) == "en")
+    val meanEn = en.map(_.getAs[Long]("dsir_ppm")).sum / en.length
+    val meanOther = other.map(_.getAs[Long]("dsir_ppm")).sum / other.length
+    assert(meanEn > meanOther,
+      s"en mean $meanEn not above non-en mean $meanOther")
+    // selected = exactly dsirKeep docs, and they are the (score, id) top-k
+    val sel = rows.filter(_.getAs[Long]("selected") == 1L)
+    assert(sel.length == TextOps.dsirKeep)
+    val ordered = rows.sortBy(r =>
+      (-r.getAs[Long]("dsir_ppm"), r.getAs[Long]("doc_id")))
+      .take(TextOps.dsirKeep).map(_.getAs[Long]("doc_id")).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet == ordered)
+  }
+
+  test("s_ivf_multiprobe: per-probe recall vs exact is >= single-probe ivf") {
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      val exact = Similarity.annTopk(spark, sf).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")))
+        .filter(exact.contains).groupBy(_._1).map { case (p, g) => p -> g.length }
+        .withDefaultValue(0)
+    }
+    val h1 = hits(Similarity.annIvf(spark, sf))
+    val h2 = hits(Similarity.ivfMultiprobe(spark, sf))
+    (0L until 10L).foreach { p =>
+      assert(h2(p) >= h1(p),
+        s"probe $p: multiprobe recall ${h2(p)} < single-probe ${h1(p)}")
+    }
+  }
+
+  test("g_mst: chosen edges are exactly the Kruskal MSF under the same total order") {
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    // canonical min-weight simple edges, same prep as the op
+    val eset = g.edges.collect().map { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      (math.min(a, b), math.max(a, b)) -> r.getAs[Long]("weight")
+    }.groupBy(_._1).map { case (k, g) => (k._1, k._2, g.map(_._2).min) }.toSeq
+    val nodes = g.nodes.collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")))
+    // Kruskal with union-find under the identical (w, ea, eb) order —
+    // an INDEPENDENT algorithm finding the same unique MSF
+    val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val kruskal = scala.collection.mutable.Set[(Long, Long, Long)]()
+    eset.sortBy { case (ea, eb, w) => (w, ea, eb) }.foreach {
+      case (ea, eb, w) =>
+        val (ra, rb) = (find(ea), find(eb))
+        if (ra != rb) { parent(ra) = rb; kruskal += ((ea, eb, w)) }
+    }
+    val chosen = graft.operators.Analytics.mst(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ea"), r.getAs[Long]("eb"), r.getAs[Long]("w")))
+    // every Borůvka pick is in the unique MSF (cut property under the
+    // total order); no edge is ever picked twice across rounds
+    assert(chosen.length == chosen.distinct.length, "edge picked twice")
+    val missing = chosen.toSet -- kruskal
+    assert(missing.isEmpty, s"non-MSF edges chosen: ${missing.take(3)}")
+    // at this scale 3 rounds complete the forest: counts must agree with
+    // the Kruskal component census exactly
+    assert(chosen.length == kruskal.size,
+      s"forest incomplete: chosen ${chosen.length} vs MSF ${kruskal.size}")
+  }
+
+  test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
+    val rows = Dedup.datasetSplit(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
+      "content-hash split produced a cross-split duplicate")
+    val nDocs = graft.model.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // every source contributes to train (8/10 of the hash space — at
+    // this corpus size an empty train bucket would be a split-key bug)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, g) =>
+      assert(g.exists(r => r.getAs[String]("split") == "train" &&
+        r.getAs[Long]("n_docs") > 0L), s"source $src has no train docs")
+    }
+    // share_ppm is the exact floor ratio against the source total
+    bySrc.foreach { case (_, g) =>
+      val nSrc = g.map(_.getAs[Long]("n_docs")).sum
+      g.foreach { r =>
+        assert(r.getAs[Long]("share_ppm") ==
+          r.getAs[Long]("n_docs") * 1000000L / nSrc)
+      }
+    }
+  }
+}
