@@ -340,10 +340,16 @@ object TextOps {
     * subset too. Linear per row, one 5-group shuffle. */
   val piiPattern = "[0-9]+"
 
+  /** The stateless per-row redaction — ONE definition shared by the
+    * batch op and the streaming ingest stage (`st_pii_redact`), the
+    * corpusFilterOn discipline: the online scrubber and the
+    * oracle-checked batch scrubber can never disagree. */
+  def piiRedactRows(d: DataFrame): DataFrame =
+    d.select(col("event_type"), col("props"),
+      regexp_replace(col("props"), piiPattern, "#").as("red"))
+
   def piiRedact: Q = (s, dir) => {
-    Tables(s, dir, "events")
-      .select(col("event_type"), col("props"),
-        regexp_replace(col("props"), piiPattern, "#").as("red"))
+    piiRedactRows(Tables(s, dir, "events"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("red") =!= col("props"), 1L).otherwise(0L)).as("n_changed"),

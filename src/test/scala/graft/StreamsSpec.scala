@@ -540,6 +540,36 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_pii_redact: the shared scrubber streams; redacted rows == batch under any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.model.Tables(spark, sf, "events")
+      .select("event_type", "props").as[(String, String)].collect()
+    val mem = MemoryStream[(String, String)]
+    val q = graft.operators.TextOps
+      .piiRedactRows(mem.toDF().toDF("event_type", "props"))
+      .writeStream.format("memory").queryName("pii")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = events.splitAt(events.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      def counts(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[String]("event_type"), r.getAs[String]("props"),
+          r.getAs[String]("red")))
+        .groupBy(identity).map { case (k, g) => k -> g.length }
+      val streamed = counts(spark.table("pii").collect())
+      val batch = counts(graft.operators.TextOps
+        .piiRedactRows(graft.model.Tables(spark, sf, "events")).collect())
+      assert(streamed.nonEmpty && streamed == batch,
+        "streamed redaction multiset != batch")
+      // and every digit run is actually gone from the redacted column
+      assert(spark.table("pii").filter(col("red").rlike("[0-9]")).count() == 0)
+    } finally q.stop()
+  }
+
   test("st_user_counters: transformWithState running counters == batch aggregate under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
