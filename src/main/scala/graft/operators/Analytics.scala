@@ -2191,6 +2191,174 @@ object Analytics {
     b.toString
   }
 
+  // ----------------------------------------------- g_triangle_estimate
+  /** DOULION (Tsourakakis et al. 2009) sampled triangle ESTIMATION
+    * beside the exact census — the graph-estimation adjudication row
+    * (the s_ann_recall philosophy applied to graph counting): keep
+    * each co-purchase edge when md5(p1:p2) mod `triSampleP` = 0 — a
+    * DETERMINISTIC stand-in for the paper's coin flip, reproducible
+    * under re-partitioning and in the oracle — run the SAME
+    * degree-ordered intersection census on the sampled subgraph
+    * (~1/p² of the wedges), and scale the count by p³ (each triangle
+    * survives with probability 1/p³). Output: one row with the
+    * sampled count, the estimate, the exact count, and the measured
+    * error in ppm. The exact side reads the session-shared support
+    * frame (sum(support) = 3·triangles) — no second census pass. At
+    * 100 TB the sample filter is map-side BEFORE any shuffle, so the
+    * census cost drops ~p³ while the estimate's variance is the
+    * published bound — this row is how a p is chosen. */
+  val triSampleP = 5L
+
+  def triangleEstimate: Q = (s, dir) => {
+    val co = coProjection(s, dir)
+    val samp = co.filter(graft.functions.VectorExprs.hexSlice(
+      md5(concat(col("p1").cast("string"), lit(":"), col("p2").cast("string"))),
+      1, 8) % triSampleP === 0)
+    val p3 = triSampleP * triSampleP * triSampleP
+    val nCo = co.agg(count(lit(1)).as("n_edges"))
+    val nS = samp.agg(count(lit(1)).as("n_sampled"))
+    val triS = edgeSupport(samp)
+      .agg(coalesce(expr("sum(support) div 3"), lit(0L)).as("tri_sampled"))
+    val triX = coSupport(s, dir)
+      .agg(expr("sum(support) div 3").as("tri_exact"))
+    nCo.crossJoin(nS).crossJoin(triS).crossJoin(triX)
+      .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
+        (col("tri_sampled") * p3).as("est_triangles"), col("tri_exact"))
+      .withColumn("err_ppm", expr(
+        "(abs(est_triangles - tri_exact) * 1000000) div greatest(1, tri_exact)"))
+  }
+
+  val triangleEstimateSql: String = {
+    val h8 = (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(p1 AS VARCHAR) || ':' || CAST(p2 AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val p3 = triSampleP * triSampleP * triSampleP
+    s"""$cte, hp AS (
+       | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
+       |), co AS (
+       | SELECT DISTINCT a.p AS p1, b.p AS p2
+       | FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+       |), samp AS (
+       | SELECT p1, p2 FROM co WHERE ($h8) % $triSampleP = 0
+       |), ts AS (
+       | SELECT count(*) AS tri_sampled FROM samp e1
+       | JOIN samp e2 ON e2.p1 = e1.p2
+       | JOIN samp e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       |), tx AS (
+       | SELECT count(*) AS tri_exact FROM co e1
+       | JOIN co e2 ON e2.p1 = e1.p2
+       | JOIN co e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       |)
+       |SELECT (SELECT count(*) FROM co) AS n_edges,
+       | (SELECT count(*) FROM samp) AS n_sampled,
+       | ts.tri_sampled,
+       | CAST(ts.tri_sampled * $p3 AS BIGINT) AS est_triangles,
+       | tx.tri_exact,
+       | CAST((abs(ts.tri_sampled * $p3 - tx.tri_exact) * 1000000)
+       |  // greatest(1, tx.tri_exact) AS BIGINT) AS err_ppm
+       |FROM ts, tx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- g_anf
+  /** APPROXIMATE NEIGHBORHOOD FUNCTION (ANF — Palmer et al. 2002;
+    * HyperANF is the HLL refinement): per-node estimated reach within
+    * `anfRounds` hops, the all-pairs-distance summary that powers
+    * effective-diameter and centrality screens WITHOUT an O(n·m·diam)
+    * exact multi-source BFS. Each node carries a bottom-`anfK` KMV
+    * sketch of the node-hash set of its ball; one round merges every
+    * neighbor's sketch (set union = k smallest of the union — the
+    * mergeable-sketch property that makes this distributed): candidates
+    * = own ∪ neighbors' sketch rows, then ONE groupBy(id) with
+    * array_sort(collect_set)[1..k] — a single shuffle per round, no
+    * per-node window sort. Estimate: |B| < k ⇒ the sketch IS the exact
+    * ball (count it); else the KMV estimator (k−1)·M div h_k on the
+    * 52-bit hash grid ((k−1)·2⁵² ≪ 2⁶³ — 60-bit hashes would overflow
+    * the numerator). Hashes are md5-derived so both engines build
+    * bit-identical sketches — HLL's stochastic averaging + floats could
+    * never hash-match. Per-round shuffle volume ≤ k·m sketch rows
+    * (k = 16), vs the quadratic (seed × node) frame exact ANF needs —
+    * this is the 100 TB path; group width is bounded by k·(deg+1)
+    * (hub groups are the AQE skew case). */
+  val anfK = 16
+  val anfRounds = 3
+  val anfM = 1L << 52
+
+  def anf: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      // sketches travel as SORTED ARRAYS (one row per node, ≤ k longs),
+      // not exploded scalar rows: the merge round then shuffles m rows
+      // of 16-element payloads instead of k·m rows — 16× fewer rows
+      // through every exchange, with the union + distinct + bottom-k
+      // all inside one codegen'd array projection per group
+      val n = nodes.count()
+      var sk = nodes.select(col("id"), array(
+        graft.functions.VectorExprs.hexSlice(md5(col("id").cast("string")), 1, 13))
+        .as("hs"))
+        .localCheckpoint(eager = true)
+      interim += sk
+      for (_ <- 1 to anfRounds) {
+        val nbr = und.join(gated(sk.withColumnRenamed("id", "a"), n), "a")
+          .select(col("b").as("id"), col("hs"))
+        sk = sk.unionByName(nbr).groupBy("id")
+          .agg(slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
+            1, anfK).as("hs"))
+          .localCheckpoint(eager = true)
+        interim += sk
+      }
+      val est = sk.select(col("id"),
+        size(col("hs")).cast("long").as("n_sketch"),
+        element_at(col("hs"), -1).as("hk"))
+        .select(col("id"), col("n_sketch"),
+          when(col("n_sketch") < anfK, col("n_sketch"))
+            .otherwise(expr(s"${(anfK - 1).toLong * anfM} div greatest(1, hk)"))
+            .as("est_reach"))
+      nodes.join(est, Seq("id"))
+        .select("label", "key", "n_sketch", "est_reach")
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val anfSql: String = {
+    val h13 = (0 until 13).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (12 - i))}")
+      .mkString(" + ")
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPair
+             |), sk0 AS (
+             | SELECT id, CAST($h13 AS BIGINT) AS h FROM ids
+             |)""".stripMargin
+    for (r <- 1 to anfRounds) {
+      b ++= s""", cand$r AS (
+               | SELECT id, h FROM sk${r - 1}
+               | UNION ALL
+               | SELECT u.b AS id, p.h FROM undp u JOIN sk${r - 1} p ON p.id = u.a
+               |), sk$r AS (
+               | SELECT id, unnest(hs) AS h FROM (
+               |  SELECT id, list_sort(list_distinct(list(h)))[1:$anfK] AS hs
+               |  FROM cand$r GROUP BY id
+               | )
+               |)""".stripMargin
+    }
+    b ++= s""", est AS (
+             | SELECT id, count(*) AS n_sketch, max(h) AS hk
+             | FROM sk$anfRounds GROUP BY id
+             |)
+             |SELECT ids.label, ids.key, e.n_sketch,
+             | CAST(CASE WHEN e.n_sketch < $anfK THEN e.n_sketch
+             |  ELSE ${(anfK - 1).toLong * anfM} // greatest(1, e.hk) END
+             |  AS BIGINT) AS est_reach
+             |FROM ids JOIN est e ON e.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ---------------------------------------------------------------- g_mst
   /** MINIMUM SPANNING FOREST via BORŮVKA — the canonical parallel MST
     * algorithm (every distributed MST in the literature is Borůvka at
@@ -2226,8 +2394,15 @@ object Analytics {
     try {
       // canonical min-weight edge per unordered pair (multi-label pairs
       // collapse to their lightest edge — the standard simple-graph prep)
-      val eset = und.select(least(col("a"), col("b")).as("ea"),
-        greatest(col("a"), col("b")).as("eb"), col("w"))
+      // canonical pairs from the DIRECTED edge list (half the rows of
+      // und — the union's second half canonicalizes to the same pairs)
+      val graph = g(s, dir)
+      var eset = graph.edges.select(
+        least(nodeIdCol(col("src_label"), col("src_key")),
+          nodeIdCol(col("dst_label"), col("dst_key"))).as("ea"),
+        greatest(nodeIdCol(col("src_label"), col("src_key")),
+          nodeIdCol(col("dst_label"), col("dst_key"))).as("eb"),
+        col("weight").as("w"))
         .groupBy("ea", "eb").agg(min("w").as("w"))
         .localCheckpoint(eager = true)
       interim += eset
@@ -2235,11 +2410,42 @@ object Analytics {
         .localCheckpoint(eager = true)
       interim += comp
       val chosen = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      for (r <- 1 to mstRounds) {
-        val ec = eset
-          .join(gated(comp.toDF("ea", "ca"), n), "ea")
-          .join(gated(comp.toDF("eb", "cb"), n), "eb")
-          .filter(col("ca") =!= col("cb"))
+      var round = 0
+      var ecRows = 1L
+      while (round < mstRounds && ecRows > 0) {
+        round += 1
+        val r = round
+        // SEMI-NAIVE edge carry: an edge intra-component at round r is
+        // intra-component forever (components only merge), so each
+        // round keeps only the inter-component survivors as the next
+        // round's edge set — the big edge⋈comp join pair runs over a
+        // geometrically shrinking input instead of the full m every
+        // round (the oracle keeps the full-eset formulation: dropped
+        // edges can never be picked, so the values are identical)
+        // round 1: components ARE the node ids — the comp join is the
+        // identity, so attach ca/cb as projections (no join, no new
+        // checkpoint: eset's blocks serve directly)
+        val ec =
+          if (r == 1)
+            eset.select(col("ea"), col("eb"), col("w"),
+              col("ea").as("ca"), col("eb").as("cb"))
+          else {
+            val j = eset
+              .join(gated(comp.toDF("ea", "ca"), n), "ea")
+              .join(gated(comp.toDF("eb", "cb"), n), "eb")
+              .filter(col("ca") =!= col("cb"))
+              .localCheckpoint(eager = true)
+            interim += j
+            j
+          }
+        eset = ec.select("ea", "eb", "w")
+        // EARLY EXIT (provable): no inter-component edge ⇒ no picks ⇒
+        // hook is the identity ⇒ every remaining oracle round is a
+        // no-op — the CC delta-drain argument. The count reads the
+        // checkpointed blocks (cheap) and ends the loop before paying
+        // a full round of identity contraction jobs.
+        ecRows = ec.count()
+        if (ecRows > 0) {
         val cand = ec.select(col("ca").as("c"), col("cb").as("oc"),
           col("w"), col("ea"), col("eb"))
           .unionByName(ec.select(col("cb").as("c"), col("ca").as("oc"),
@@ -2261,20 +2467,28 @@ object Analytics {
           .localCheckpoint(eager = true)
         interim += hook
         // 2-cycle resolution: mutual picks root at the lower comp id
-        var ptr = hook.join(hook.toDF("ptr", "ptr2"), "ptr")
+        val r1 = hook.join(hook.toDF("ptr", "ptr2"), "ptr")
           .select(col("c"), when(col("ptr2") === col("c"),
             least(col("c"), col("ptr"))).otherwise(col("ptr")).as("ptr"))
           .localCheckpoint(eager = true)
-        interim += ptr
+        interim += r1
+        // pointer-jump squarings on the COMPONENT-bounded pointer table
+        // (r² → r⁴ → r⁸ → r¹⁶ — each a tiny self-join, the table only
+        // shrinks with the component count), then ONE comp ⋈ r¹⁶ join;
+        // roots self-point, so application past the tree depth is
+        // identity — identical to the oracle's unrolled jumps
+        var ptr = r1
         for (_ <- 1 to mstJumps) {
           ptr = ptr.join(ptr.toDF("ptr", "ptrn"), "ptr")
             .select(col("c"), col("ptrn").as("ptr"))
             .localCheckpoint(eager = true)
           interim += ptr
         }
-        comp = comp.join(ptr, "c").select(col("id"), col("ptr").as("c"))
+        comp = comp.join(gated(ptr, n), "c")
+          .select(col("id"), col("ptr").as("c"))
           .localCheckpoint(eager = true)
         interim += comp
+        }
       }
       chosen.reduce(_.unionByName(_)).orderBy("round", "ea", "eb")
         .localCheckpoint(eager = true)
@@ -2580,6 +2794,8 @@ object Analytics {
     "g_degree_dist" -> degreeDist,
     "g_rich_club" -> richClub,
     "g_mst" -> mst,
+    "g_anf" -> anf,
+    "g_triangle_estimate" -> triangleEstimate,
     "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -2611,6 +2827,8 @@ object Analytics {
     "g_degree_dist" -> degreeDistSql,
     "g_rich_club" -> richClubSql,
     "g_mst" -> mstSql,
+    "g_anf" -> anfSql,
+    "g_triangle_estimate" -> triangleEstimateSql,
     "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

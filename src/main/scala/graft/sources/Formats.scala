@@ -273,6 +273,103 @@ object Formats {
       |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ----------------------------------------------------------- src_zorder
+  /** Z-ORDER (Morton-curve) MULTI-DIMENSIONAL CLUSTERING — the layout
+    * answer when a table has TWO dominant filter columns (the Delta/
+    * Iceberg OPTIMIZE ZORDER idea): src_sorted_minmax's single-column
+    * sort makes date windows cheap but leaves customer filters reading
+    * every file; interleaving the bits of BOTH dimensions into one
+    * sort key gives every file a tight min/max envelope on EACH column,
+    * so either filter prunes at the footer-stats level. Each dimension
+    * is first min/max-scaled to 16 bits (production z-order uses
+    * rank/range bucket ids per column for the same reason — raw values
+    * waste interleave bits when one dim's high bits are constant), the
+    * 32-bit Morton code is a pure codegen'd bit-expression, and the
+    * write is repartitionByRange + sortWithinPartitions on z. The
+    * z-value exists only at WRITE time — queries filter the original
+    * columns and the layout is invisible to semantics, which is exactly
+    * what the oracle checks (both slice aggregates computed from the
+    * original table). Round6cSpec measures the clustering itself: mean
+    * per-file range on BOTH dims well under the global range, and the
+    * slice scans carry PushedFilters. At 100 TB: z-order per partition
+    * dir as a compaction variant (src_compaction's loop with this sort
+    * key); beyond 2 dims the same interleave generalizes until bits
+    * per dim get too thin (~3-4 dims). */
+  private def morton16(c: org.apache.spark.sql.Column,
+                       d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  def zorder: Q = (s, dir) => {
+    val path = scratch(s, dir, "zorder")
+    val o = Tables(s, dir, "orders")
+      .withColumn("o_day", datediff(col("o_orderdate"),
+        lit("1992-01-01").cast("date")).cast("long"))
+    val rng = o.agg(min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+      min("o_day").as("dmin"), max("o_day").as("dmax"))
+    val scaled = o.crossJoin(broadcast(rng)) // 1-row scalar
+      .withColumn("c16",
+        expr("((o_custkey - cmin) * 65535) div greatest(1, cmax - cmin)"))
+      .withColumn("d16",
+        expr("((o_day - dmin) * 65535) div greatest(1, dmax - dmin)"))
+      .withColumn("z", morton16(col("c16"), col("d16")))
+    scaled.select(o.columns.map(col) :+ col("z"): _*)
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z", "o_day")
+      .write.mode("overwrite").parquet(path)
+    val zo = s.read.parquet(path)
+    val dt = zo.schema("o_orderdate").dataType
+    val custSlice = zo.filter(col("o_custkey").between(100L, 200L))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("long").as("sum_cents"))
+      .select(lit("cust_100_200").as("slice"), col("n_orders"), col("sum_cents"))
+    val dateSlice = zo
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(dt) &&
+        col("o_orderdate") < lit("1995-04-01 00:00:00").cast(dt))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("long").as("sum_cents"))
+      .select(lit("date_1995q1").as("slice"), col("n_orders"), col("sum_cents"))
+    custSlice.unionByName(dateSlice).orderBy("slice")
+  }
+
+  /** The z-layout path + per-file dual-dimension stats, exposed for the
+    * clustering-quality spec (assumes zorder already wrote the dir). */
+  private[graft] def zorderFileStats(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "zorder")
+    s.read.parquet(path)
+      .withColumn("f", input_file_name())
+      // epoch-day longs so the spec is independent of the column's
+      // physical timestamp flavor (TIMESTAMP vs NTZ across generations)
+      .withColumn("d", datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long"))
+      .groupBy("f")
+      .agg(min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+        min("d").as("dmin"), max("d").as("dmax"))
+  }
+
+  private[graft] def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "zorder")
+    s.read.parquet(path).filter(col("o_custkey").between(100L, 200L))
+  }
+
+  val zorderSql: String =
+    """SELECT slice, n_orders, sum_cents FROM (
+      | SELECT 'cust_100_200' AS slice, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents
+      | FROM orders WHERE o_custkey BETWEEN 100 AND 200
+      | UNION ALL
+      | SELECT 'date_1995q1', count(*),
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      | FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |) ORDER BY slice""".stripMargin
+
   // ------------------------------------------------------ src_gzip_roundtrip
   /** documents → GZIP-compressed JSON-lines sink → source → integrity
     * aggregate. Compressed interchange is the default shape of a
@@ -509,7 +606,8 @@ object Formats {
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_text_roundtrip" -> textRoundtrip,
     "src_partition_prune" -> partitionPrune,
-    "src_sorted_minmax" -> sortedMinmax)
+    "src_sorted_minmax" -> sortedMinmax,
+    "src_zorder" -> zorder)
 
   val oracleSql: Map[String, String] = Map(
     "src_compaction" -> compactionSql,
@@ -523,5 +621,6 @@ object Formats {
     "src_orc_roundtrip" -> integritySql,
     "src_text_roundtrip" -> integritySql,
     "src_partition_prune" -> partitionPruneSql,
-    "src_sorted_minmax" -> sortedMinmaxSql)
+    "src_sorted_minmax" -> sortedMinmaxSql,
+    "src_zorder" -> zorderSql)
 }

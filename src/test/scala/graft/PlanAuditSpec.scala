@@ -171,6 +171,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window bounds missing from PushedFilters:\n$p")
   }
 
+  test("z-ordered layout clusters BOTH dims per file and pushes the cust filter") {
+    graft.sources.Formats.zorder(spark, sf).collect()
+    // pruning mechanics: the custkey slice must reach the reader as
+    // PushedFilters (footer stats can then skip files on a column the
+    // layout was never SORTED by — that is z-order's whole point)
+    val p = plan(graft.sources.Formats.zorderScan(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)"),
+      s"custkey slice not pushed to the parquet reader:\n$p")
+    // clustering quality: mean per-file envelope on EACH dim must sit
+    // well under the global range — a single-column sort leaves the
+    // other dim's per-file range at ~100% of global
+    val rows = graft.sources.Formats.zorderFileStats(spark, sf).collect()
+    assert(rows.length > 1, "z-order write produced a single file")
+    def spanShare(lo: Seq[Long], hi: Seq[Long]): Double = {
+      val (gmin, gmax) = (lo.min, hi.max)
+      val mean = lo.zip(hi).map { case (a, b) => (b - a).toDouble }.sum / lo.length
+      mean / math.max(1L, gmax - gmin)
+    }
+    val cust = spanShare(rows.map(_.getAs[Long]("cmin")).toSeq,
+      rows.map(_.getAs[Long]("cmax")).toSeq)
+    val day = spanShare(rows.map(_.getAs[Long]("dmin")).toSeq,
+      rows.map(_.getAs[Long]("dmax")).toSeq)
+    assert(cust < 0.7, f"custkey per-file span $cust%.2f of global — not clustered")
+    assert(day < 0.7, f"orderdate per-file span $day%.2f of global — not clustered")
+  }
+
   test("PQ assignment and ADC are equi-joins with top-k pushdown, no cartesian") {
     val p = plan(Similarity.annPq(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -129,6 +129,74 @@ class Round6bSpec extends AnyFunSuite {
       s"forest incomplete: chosen ${chosen.length} vs MSF ${kruskal.size}")
   }
 
+  test("g_anf: full sketch replay; sub-k sketches are the exact 3-hop ball") {
+    import graft.operators.Analytics
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set())
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = g.nodes.collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")))
+    def h13(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(13).foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+    }
+    // replay the KMV recurrence exactly
+    var sk: Map[Long, Set[Long]] = nodes.map(v => v -> Set(h13(v))).toMap
+    for (_ <- 1 to Analytics.anfRounds)
+      sk = nodes.map { v =>
+        val merged = sk(v) ++ adj(v).flatMap(sk)
+        v -> merged.toSeq.sorted.take(Analytics.anfK).toSet
+      }.toMap
+    // exact 3-hop balls (including self) for the sub-k check
+    var ball: Map[Long, Set[Long]] = nodes.map(v => v -> Set(v)).toMap
+    for (_ <- 1 to Analytics.anfRounds)
+      ball = nodes.map { v =>
+        v -> (ball(v) ++ adj(v).flatMap(ball))
+      }.toMap
+    val rows = Analytics.anf(spark, sf).collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val v = nid(r.getAs[String]("label"), r.getAs[Long]("key"))
+      val mine = sk(v)
+      assert(r.getAs[Long]("n_sketch") == mine.size.toLong,
+        s"node $v sketch size ${r.getAs[Long]("n_sketch")} != replay ${mine.size}")
+      val want =
+        if (mine.size < Analytics.anfK) mine.size.toLong
+        else (Analytics.anfK - 1).toLong * Analytics.anfM / math.max(1L, mine.max)
+      assert(r.getAs[Long]("est_reach") == want, s"node $v estimate mismatch")
+      // a sketch below k lost nothing: it IS the exact ball
+      if (mine.size < Analytics.anfK)
+        assert(r.getAs[Long]("est_reach") == ball(v).size.toLong,
+          s"node $v sub-k sketch ${mine.size} != exact ball ${ball(v).size}")
+    }
+  }
+
+  test("g_triangle_estimate: sampled count is a subgraph count; arithmetic exact") {
+    import graft.operators.Analytics
+    val r = Analytics.triangleEstimate(spark, sf).collect().head
+    val (nS, triS, est, exact, err) = (r.getAs[Long]("n_sampled"),
+      r.getAs[Long]("tri_sampled"), r.getAs[Long]("est_triangles"),
+      r.getAs[Long]("tri_exact"), r.getAs[Long]("err_ppm"))
+    // the sampled graph is a subgraph: its census can never exceed exact
+    assert(triS <= exact && nS <= r.getAs[Long]("n_edges"))
+    val p3 = Analytics.triSampleP * Analytics.triSampleP * Analytics.triSampleP
+    assert(est == triS * p3)
+    assert(err == math.abs(est - exact) * 1000000L / math.max(1L, exact))
+    // exact side must agree with the census op itself
+    val tri = Analytics.triangles(spark, sf).collect().head
+    assert(exact == tri.getAs[Long]("n_triangles"),
+      s"support-frame exact $exact != census ${tri.getAs[Long]("n_triangles")}")
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
