@@ -2191,6 +2191,81 @@ object Analytics {
     b.toString
   }
 
+  // --------------------------------------------------- g_louvain_move
+  /** LOUVAIN MOVE PHASE, one synchronous round from singleton
+    * communities (Blondel et al. 2008; the synchronous variant is the
+    * distributed-Louvain shape — Grappolo et al.): every node
+    * simultaneously evaluates moving into each neighbor's community
+    * and takes the best strictly-positive modularity gain. With
+    * singletons, ΔQ(i→c) ∝ k_{i,in}(c) − k_i·Σtot(c)/(2m) — compared
+    * here as the cross-multiplied BIGINT 2m·k_{i,in}(c) − k_i·k_c (no
+    * float ever decides a move; ties take the LOWEST community id;
+    * gain ≤ 0 keeps the node where it is). This is the move primitive
+    * the full hierarchy iterates (move rounds → contract via the
+    * g_mst component machinery → repeat); one round keeps the oracle a
+    * flat join+window while already producing the hub-absorbing
+    * first-level communities. Cost: one edge-keyed aggregate for
+    * k_{i,in} (parallel edges collapse), one weighted-degree frame
+    * joined on both sides, one per-node argmax window — every shuffle
+    * keyed on node id, the CC partition layout. Overflow: k_i·k_c ≤
+    * (Σw)² needs Σw < 3·10⁹ — document scaled-down weights past that. */
+  def louvainMove: Q = (s, dir) => {
+    val (nodes, und) = numericGraph(s, dir)
+    // weighted degree k_i (und carries both directions)
+    val kdeg = und.groupBy(col("a").as("id")).agg(sum("w").as("k"))
+    val m2 = und.agg(sum("w").as("m2")) // = 2m
+    // k_{i,in}(c): weight from i into (singleton) community c = b
+    val kin = und.groupBy(col("a"), col("b")).agg(sum("w").as("kin"))
+    val cand = kin
+      .join(kdeg.toDF("a", "ka"), "a")
+      .join(kdeg.toDF("b", "kc"), "b")
+      .crossJoin(broadcast(m2)) // 1-row scalar
+      .select(col("a"), col("b").as("c"),
+        (col("m2") * col("kin") - col("ka") * col("kc")).as("gain"))
+      .filter(col("gain") > 0)
+    val w = Window.partitionBy("a").orderBy(col("gain").desc, col("c"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("a").as("id"), col("c"))
+    nodes.join(best, Seq("id"), "left_outer")
+      .select(col("label"), col("key"),
+        coalesce(col("c"), col("id")).as("comm"))
+      .orderBy("label", "key")
+  }
+
+  val louvainMoveSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPairW
+             |), kdeg AS (
+             | SELECT a AS id, CAST(sum(w) AS BIGINT) AS k FROM undp GROUP BY a
+             |), m2 AS (
+             | SELECT CAST(sum(w) AS BIGINT) AS m2 FROM undp
+             |), kin AS (
+             | SELECT a, b, CAST(sum(w) AS BIGINT) AS kin FROM undp GROUP BY a, b
+             |), cand AS (
+             | SELECT kin.a, kin.b AS c,
+             |  m2.m2 * kin.kin - ka.k * kc.k AS gain
+             | FROM kin
+             | JOIN kdeg ka ON ka.id = kin.a
+             | JOIN kdeg kc ON kc.id = kin.b
+             | CROSS JOIN m2
+             | WHERE m2.m2 * kin.kin - ka.k * kc.k > 0
+             |), best AS (
+             | SELECT a AS id, c FROM (
+             |  SELECT a, c, row_number() OVER (
+             |    PARTITION BY a ORDER BY gain DESC, c) AS rn
+             |  FROM cand
+             | ) WHERE rn = 1
+             |)
+             |SELECT ids.label, ids.key,
+             | CAST(COALESCE(best.c, ids.id) AS BIGINT) AS comm
+             |FROM ids LEFT JOIN best ON best.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ----------------------------------------------- g_triangle_estimate
   /** DOULION (Tsourakakis et al. 2009) sampled triangle ESTIMATION
     * beside the exact census — the graph-estimation adjudication row
@@ -2796,6 +2871,7 @@ object Analytics {
     "g_mst" -> mst,
     "g_anf" -> anf,
     "g_triangle_estimate" -> triangleEstimate,
+    "g_louvain_move" -> louvainMove,
     "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -2829,6 +2905,7 @@ object Analytics {
     "g_mst" -> mstSql,
     "g_anf" -> anfSql,
     "g_triangle_estimate" -> triangleEstimateSql,
+    "g_louvain_move" -> louvainMoveSql,
     "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

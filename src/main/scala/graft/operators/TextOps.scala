@@ -753,6 +753,112 @@ object TextOps {
     b.toString
   }
 
+  // --------------------------------------------------------- t_bpe_apply
+  /** BPE TOKENIZATION of the corpus under the merges t_bpe_train
+    * learns — the apply half of the tokenizer loop, and the number
+    * ("how many tokens is my corpus under THIS tokenizer") every
+    * mixture/packing/cost decision reads. The merge table is re-derived
+    * in-plan by the SAME vocabulary-collapsed recurrence as training
+    * (identical corpus ⇒ identical merges — one definition of the
+    * recurrence per engine, so train and apply can never disagree),
+    * with the original word carried through so the post-merge symbol
+    * count lands in a (word → n_sym) VOCAB table. Tokenizing the
+    * corpus is then one word-keyed join of the exploded corpus against
+    * that vocabulary (stopword skew = the AQE skew case; the vocab
+    * side is vocabulary-bounded and broadcasts). Output per source:
+    * words, character tokens (the no-merge baseline), BPE tokens, and
+    * the saving in exact ppm — after `bpeIters` merges the saving is
+    * small by construction; the shape, not the ratio, is the product.
+    * Single-char words (excluded from training, 1 symbol either way)
+    * fall out of the left join's coalesce. */
+  def bpeApply: Q = (s, dir) => {
+    var words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 2)
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+      .select(col("wd"),
+        expr("trim(regexp_replace(wd, '(.)', '$1 '))").as("w"), col("cnt"))
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      for (_ <- 1 to bpeIters) {
+        val pairs = words
+          .select(col("cnt"), split(col("w"), " ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1)," +
+              " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("freq"))
+        val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
+          .localCheckpoint(eager = true)
+        interim += best
+        words = words.crossJoin(broadcast(best.select(col("pair"))))
+          .select(col("wd"),
+            expr("replace(w, pair, replace(pair, ' ', ''))").as("w"),
+            col("cnt"))
+          .localCheckpoint(eager = true)
+        interim += words
+      }
+      val vocab = words.select(col("wd"),
+        size(split(col("w"), " ")).cast("long").as("n_sym"))
+      docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("wd"))
+        .join(vocab, Seq("wd"), "left_outer")
+        .groupBy("source").agg(count(lit(1)).as("n_words"),
+          sum(length(col("wd")).cast("long")).as("n_chars"),
+          sum(coalesce(col("n_sym"), length(col("wd")).cast("long")))
+            .as("n_bpe_tokens"))
+        .withColumn("saved_ppm",
+          expr("((n_chars - n_bpe_tokens) * 1000000) div n_chars"))
+        .orderBy("source")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  lazy val bpeApplySql: String = {
+    val b = new StringBuilder(
+      """WITH w0 AS (
+        | SELECT wd, trim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w, cnt
+        | FROM (
+        |  SELECT wd, count(*) AS cnt FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+        |  ) WHERE length(wd) >= 2 GROUP BY wd
+        | )
+        |)""".stripMargin)
+    for (r <- 1 to bpeIters) {
+      b ++= s""", p$r AS (
+               | SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+               |  SELECT cnt, sy[i] || ' ' || sy[i + 1] AS pair
+               |  FROM (SELECT cnt, string_split(w, ' ') AS sy FROM w${r - 1}),
+               |       unnest(range(1, len(sy))) t(i)
+               | ) GROUP BY pair
+               |), b$r AS (
+               | SELECT pair FROM p$r ORDER BY freq DESC, pair LIMIT 1
+               |), w$r AS (
+               | SELECT x.wd, replace(x.w, b.pair, replace(b.pair, ' ', '')) AS w,
+               |        x.cnt
+               | FROM w${r - 1} x, b$r b
+               |)""".stripMargin
+    }
+    b ++= s""", vocab AS (
+             | SELECT wd, CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+             | FROM w$bpeIters
+             |), tok AS (
+             | SELECT source, unnest(string_split(text, ' ')) AS wd
+             | FROM documents
+             |), agg AS (
+             | SELECT t.source, count(*) AS n_words,
+             |  CAST(sum(length(t.wd)) AS BIGINT) AS n_chars,
+             |  CAST(sum(COALESCE(v.n_sym, length(t.wd))) AS BIGINT) AS n_bpe_tokens
+             | FROM tok t LEFT JOIN vocab v ON v.wd = t.wd
+             | GROUP BY t.source
+             |)
+             |SELECT source, n_words, n_chars, n_bpe_tokens,
+             | ((n_chars - n_bpe_tokens) * 1000000) // n_chars AS saved_ppm
+             |FROM agg ORDER BY source""".stripMargin
+    b.toString
+  }
+
   // -------------------------------------------------------- t_fingerprint
   /** Document fingerprints: exact content hash, order-independent bag
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
@@ -1893,6 +1999,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t_dsir" -> dsir,
+    "t_bpe_apply" -> bpeApply,
     "t_rule_ablation" -> ruleAblation,
     "t_clean_normalize" -> cleanNormalize,
     "t_gopher_quality" -> gopherQuality,
@@ -1927,6 +2034,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "t_dsir" -> dsirSql,
+    "t_bpe_apply" -> bpeApplySql,
     "t_bpe_train" -> bpeTrainSql,
     "t_quality_calibration" -> qualityCalibrationSql,
     "t_rule_ablation" -> ruleAblationSql,

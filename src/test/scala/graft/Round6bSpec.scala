@@ -197,6 +197,77 @@ class Round6bSpec extends AnyFunSuite {
       s"support-frame exact $exact != census ${tri.getAs[Long]("n_triangles")}")
   }
 
+  test("g_louvain_move: every community choice is the replayed argmax gain") {
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    // weighted undirected adjacency with parallel edges collapsed
+    val kin = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      val w = r.getAs[Long]("weight")
+      kin((a, b)) += w; kin((b, a)) += w
+    }
+    val k = kin.toSeq.groupBy(_._1._1)
+      .map { case (i, es) => i -> es.map(_._2).sum }.withDefaultValue(0L)
+    val m2 = kin.values.sum
+    val rows = graft.operators.Analytics.louvainMove(spark, sf).collect()
+    rows.foreach { r =>
+      val i = nid(r.getAs[String]("label"), r.getAs[Long]("key"))
+      val cands = kin.collect { case ((a, c), w) if a == i =>
+        c -> (m2 * w - k(i) * k(c)) }.filter(_._2 > 0)
+      val want =
+        if (cands.isEmpty) i
+        else cands.toSeq.sortBy { case (c, gain) => (-gain, c) }.head._1
+      assert(r.getAs[Long]("comm") == want,
+        s"node $i chose ${r.getAs[Long]("comm")}, replay says $want")
+    }
+    // the move phase must actually form communities: strictly fewer
+    // distinct communities than nodes
+    assert(rows.map(_.getAs[Long]("comm")).distinct.length < rows.length)
+  }
+
+  test("t_bpe_apply: token counts replay under the trained merges") {
+    // replay: learn the same merges in memory (the Round6Spec BPE
+    // replay machinery, reduced), apply to every word, count tokens
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var vocab: Map[String, Long] = docs.flatMap(_._2.split(" "))
+      .filter(_.length >= 2).groupBy(identity)
+      .map { case (w, g) => w.toSeq.mkString(" ") -> g.length.toLong }
+    for (_ <- 1 to TextOps.bpeIters) {
+      val pairCounts = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      vocab.foreach { case (w, c) =>
+        val sy = w.split(" ")
+        sy.zip(sy.tail).foreach { case (a, b2) =>
+          pairCounts(s"$a $b2") += c }
+      }
+      val best = pairCounts.toSeq.sortBy { case (p, f) => (-f, p) }.head._1
+      vocab = vocab.map { case (w, c) =>
+        w.replace(best, best.replace(" ", "")) -> c }
+        .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+    }
+    val nSym: Map[String, Long] = vocab.map { case (w, _) =>
+      w.replace(" ", "") -> w.split(" ").length.toLong }
+    val want = docs.groupBy(_._1).map { case (src, g) =>
+      val ws = g.flatMap(_._2.split(" "))
+      src -> ws.map(w => nSym.getOrElse(w, w.length.toLong)).sum
+    }
+    val rows = TextOps.bpeApply(spark, sf).collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_bpe_tokens") == want(src),
+        s"$src: bpe tokens ${r.getAs[Long]("n_bpe_tokens")} != replay ${want(src)}")
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
