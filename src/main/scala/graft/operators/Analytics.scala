@@ -2286,21 +2286,29 @@ object Analytics {
 
   def triangleEstimate: Q = (s, dir) => {
     val co = coProjection(s, dir)
+    // eager checkpoint: edgeSupport references its input ~6× (degree
+    // union, orientation, adjacency build + both probe sides) — an
+    // uncheckpointed filter would re-run the md5 sample over the full
+    // projection for each reference
     val samp = co.filter(graft.functions.VectorExprs.hexSlice(
       md5(concat(col("p1").cast("string"), lit(":"), col("p2").cast("string"))),
       1, 8) % triSampleP === 0)
-    val p3 = triSampleP * triSampleP * triSampleP
-    val nCo = co.agg(count(lit(1)).as("n_edges"))
-    val nS = samp.agg(count(lit(1)).as("n_sampled"))
-    val triS = edgeSupport(samp)
-      .agg(coalesce(expr("sum(support) div 3"), lit(0L)).as("tri_sampled"))
-    val triX = coSupport(s, dir)
-      .agg(expr("sum(support) div 3").as("tri_exact"))
-    nCo.crossJoin(nS).crossJoin(triS).crossJoin(triX)
-      .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
-        (col("tri_sampled") * p3).as("est_triangles"), col("tri_exact"))
-      .withColumn("err_ppm", expr(
-        "(abs(est_triangles - tri_exact) * 1000000) div greatest(1, tri_exact)"))
+      .localCheckpoint(eager = true)
+    try {
+      val p3 = triSampleP * triSampleP * triSampleP
+      val nCo = co.agg(count(lit(1)).as("n_edges"))
+      val nS = samp.agg(count(lit(1)).as("n_sampled"))
+      val triS = edgeSupport(samp)
+        .agg(coalesce(expr("sum(support) div 3"), lit(0L)).as("tri_sampled"))
+      val triX = coSupport(s, dir)
+        .agg(expr("sum(support) div 3").as("tri_exact"))
+      nCo.crossJoin(nS).crossJoin(triS).crossJoin(triX)
+        .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
+          (col("tri_sampled") * p3).as("est_triangles"), col("tri_exact"))
+        .withColumn("err_ppm", expr(
+          "(abs(est_triangles - tri_exact) * 1000000) div greatest(1, tri_exact)"))
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(samp)
   }
 
   val triangleEstimateSql: String = {

@@ -564,6 +564,149 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
   }
 
+  // ------------------------------------------------------ s_hybrid_search
+  /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack et al. 2009
+    * — the fusion production RAG stacks ship because it needs no score
+    * calibration across legs): for each probe document (id < 5),
+    * leg 1 ranks candidates LEXICALLY — Σ over shared DISTINCT terms
+    * of the integer idf proxy (N·1000 div df), posting lists df-capped
+    * at `hybridDfCap` so stopwords can never flood the candidate join
+    * — and leg 2 ranks the banded-LSH VECTOR candidates by the exact
+    * integer cosine score (the checked s_ann_topk_lsh machinery, NOT
+    * the brute-force baseline). Fused score = Σ 10⁶ div (60 + rank)
+    * over the legs that surfaced the candidate (rank 0 = absent,
+    * contributes nothing; 60 is the published RRF constant). Output:
+    * top `hybridK` per probe with both leg ranks — a candidate only
+    * one leg found still surfaces, which is RRF's point. Scale: the
+    * lexical leg is a df-bounded term-keyed join (the d_containment
+    * blocking discipline), the vector leg is bucket-local LSH; both
+    * leg top-Ns are per-probe windows over bounded candidate sets —
+    * nothing here is corpus². */
+  val hybridDfCap = 50L
+  val hybridTopn = 20
+  val hybridK = 10
+
+  def hybridSearch: Q = (s, dir) => {
+    val docsT = Tables(s, dir, "documents")
+    val terms = docsT.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("t"))
+    val dfc = terms.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= hybridDfCap)
+    val nD = docsT.agg(count(lit(1)).as("n_docs"))
+    val post = terms.join(dfc, "t")
+    val pTerms = post.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("t"), col("df"))
+    val lex = broadcast(pTerms)
+      .join(post.select(col("t"), col("doc_id").as("cand_id")), "t")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .crossJoin(broadcast(nD)) // 1-row scalar
+      .groupBy("probe_id", "cand_id")
+      .agg(sum(expr("(n_docs * 1000) div df")).as("lex"))
+    val wl = Window.partitionBy("probe_id")
+      .orderBy(col("lex").desc, col("cand_id"))
+    val lexTop = lex.withColumn("r_lex", row_number().over(wl))
+      .filter(col("r_lex") <= hybridTopn)
+      .select("probe_id", "cand_id", "r_lex")
+
+    val bands = lshBands(s, dir).cache() // the session-shared band entry
+    val pb = broadcast(bands.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("band"), col("sig")))
+    val vcand = pb.join(bands.select(col("vec_id").as("cand_id"),
+        col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val vscored = vcand
+      .join(broadcast(quantized(s, dir).filter(col("vec_id") < 5)
+        .toDF("probe_id", "qp")), "probe_id")
+      .join(quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb"), "cand_id")
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("vscore"))
+    val wv = Window.partitionBy("probe_id")
+      .orderBy(col("vscore").desc, col("cand_id"))
+    val vecTop = vscored.withColumn("r_vec", row_number().over(wv))
+      .filter(col("r_vec") <= hybridTopn)
+      .select("probe_id", "cand_id", "r_vec")
+
+    val fused = lexTop.join(vecTop, Seq("probe_id", "cand_id"), "full_outer")
+      .select(col("probe_id"), col("cand_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"))
+      .withColumn("rrf", expr(
+        "CASE WHEN r_lex > 0 THEN 1000000 div (60 + r_lex) ELSE 0 END" +
+          " + CASE WHEN r_vec > 0 THEN 1000000 div (60 + r_vec) ELSE 0 END"))
+    val wf = Window.partitionBy("probe_id")
+      .orderBy(col("rrf").desc, col("cand_id"))
+    fused.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= hybridK)
+      .select("probe_id", "rn", "cand_id", "rrf", "r_lex", "r_vec")
+      .orderBy("probe_id", "rn")
+  }
+
+  val hybridSearchSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    s"""WITH $lshBandsSqlCte, terms AS (
+       | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       | FROM documents
+       |), dfc AS (
+       | SELECT t, count(*) AS df FROM terms GROUP BY t
+       | HAVING count(*) <= $hybridDfCap
+       |), n AS (SELECT count(*) AS n_docs FROM documents
+       |), post AS (
+       | SELECT tm.doc_id, tm.t, dfc.df FROM terms tm JOIN dfc ON dfc.t = tm.t
+       |), lex AS (
+       | SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+       |  CAST(sum((n.n_docs * 1000) // p.df) AS BIGINT) AS lex
+       | FROM post p JOIN post c ON c.t = p.t AND c.doc_id <> p.doc_id, n
+       | WHERE p.doc_id < 5
+       | GROUP BY 1, 2
+       |), lexTop AS (
+       | SELECT probe_id, cand_id, CAST(rn AS INT) AS r_lex FROM (
+       |  SELECT probe_id, cand_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY lex DESC, cand_id) AS rn
+       |  FROM lex
+       | ) WHERE rn <= $hybridTopn
+       |), vcand AS (
+       | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       | FROM bk p JOIN bk c ON c.band = p.band AND c.sig = p.sig
+       |  AND c.vec_id <> p.vec_id
+       | WHERE p.vec_id < 5
+       |), vscored AS (
+       | SELECT cd.probe_id, cd.cand_id, $score AS vscore FROM (
+       |  SELECT cd0.probe_id, cd0.cand_id,
+       |   CAST(list_dot_product(p.qe, c.qe) AS BIGINT) AS dp,
+       |   CAST(list_dot_product(c.qe, c.qe) AS BIGINT) AS nb
+       |  FROM vcand cd0 JOIN q p ON p.vec_id = cd0.probe_id
+       |                 JOIN q c ON c.vec_id = cd0.cand_id
+       | ) cd
+       |), vecTop AS (
+       | SELECT probe_id, cand_id, CAST(rn AS INT) AS r_vec FROM (
+       |  SELECT probe_id, cand_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY vscore DESC, cand_id) AS rn
+       |  FROM vscored
+       | ) WHERE rn <= $hybridTopn
+       |), fused AS (
+       | SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+       |  COALESCE(l.cand_id, v.cand_id) AS cand_id,
+       |  COALESCE(l.r_lex, 0) AS r_lex, COALESCE(v.r_vec, 0) AS r_vec
+       | FROM lexTop l FULL OUTER JOIN vecTop v
+       |   ON v.probe_id = l.probe_id AND v.cand_id = l.cand_id
+       |), rrfs AS (
+       | SELECT probe_id, cand_id, r_lex, r_vec,
+       |  CAST(CASE WHEN r_lex > 0 THEN 1000000 // (60 + r_lex) ELSE 0 END
+       |   + CASE WHEN r_vec > 0 THEN 1000000 // (60 + r_vec) ELSE 0 END
+       |   AS BIGINT) AS rrf
+       | FROM fused
+       |)
+       |SELECT probe_id, CAST(rn AS INT) AS rn, cand_id, rrf, r_lex, r_vec
+       |FROM (
+       | SELECT probe_id, cand_id, rrf, r_lex, r_vec, row_number() OVER (
+       |   PARTITION BY probe_id ORDER BY rrf DESC, cand_id) AS rn
+       | FROM rrfs
+       |) WHERE rn <= $hybridK ORDER BY probe_id, rn""".stripMargin
+  }
+
   // -------------------------------------------------------------- s_ann_pq
   /** Product-quantization ANN (Jégou et al., the compressed-index scale
     * path that completes the family: brute → LSH → IVF → PQ). The
@@ -1391,6 +1534,7 @@ object Similarity {
     "s_ann_topk_lsh" -> annTopkLsh,
     "s_ann_ivf" -> annIvf,
     "s_ivf_multiprobe" -> ivfMultiprobe,
+    "s_hybrid_search" -> hybridSearch,
     "s_ann_pq" -> annPq,
     "s_knn_join" -> knnJoin,
     "s_ann_recall" -> annRecall,
@@ -1410,6 +1554,7 @@ object Similarity {
     "s_ann_topk_lsh" -> annTopkLshSql,
     "s_ann_ivf" -> annIvfSql,
     "s_ivf_multiprobe" -> ivfMultiprobeSql,
+    "s_hybrid_search" -> hybridSearchSql,
     "s_ann_pq" -> annPqSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_recall" -> annRecallSql,

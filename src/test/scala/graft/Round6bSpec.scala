@@ -268,6 +268,38 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("s_hybrid_search: rrf replays from the leg ranks; single-leg candidates survive") {
+    val rows = Similarity.hybridSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rl, rv, rrf) = (r.getAs[Int]("r_lex"), r.getAs[Int]("r_vec"),
+        r.getAs[Long]("rrf"))
+      // every fused candidate came from at least one leg, and the rrf
+      // is exactly the two reciprocal terms
+      assert(rl > 0 || rv > 0)
+      val want = (if (rl > 0) 1000000L / (60 + rl) else 0L) +
+        (if (rv > 0) 1000000L / (60 + rv) else 0L)
+      assert(rrf == want, s"rrf $rrf != $want for ranks ($rl, $rv)")
+      assert(rl <= Similarity.hybridTopn && rv <= Similarity.hybridTopn)
+    }
+    // fusion is doing work: some probe's list mixes dual-leg and
+    // single-leg candidates (pure-intersection output would mean the
+    // full-outer join degenerated to inner)
+    assert(rows.exists(r => r.getAs[Int]("r_lex") == 0 ||
+      r.getAs[Int]("r_vec") == 0), "no single-leg candidate surfaced")
+    assert(rows.exists(r => r.getAs[Int]("r_lex") > 0 &&
+      r.getAs[Int]("r_vec") > 0), "no dual-leg candidate surfaced")
+    // per-probe ordering is (rrf desc, cand asc)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rn"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("rrf") > b.getAs[Long]("rrf") ||
+          (a.getAs[Long]("rrf") == b.getAs[Long]("rrf") &&
+            a.getAs[Long]("cand_id") < b.getAs[Long]("cand_id")))
+      }
+    }
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
