@@ -742,6 +742,46 @@ object Dedup {
          |FROM c$clusterIters c JOIN csize s ON s.canon_id = c.canon_id
          |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- d_dup_distribution
+  /** DUPLICATION PROFILE — the cluster-SIZE histogram of the near-dup
+    * graph (the "how duplicated is this corpus" table a data card
+    * leads with, and the input to the dedup-or-reweight decision
+    * d_soft_dedup encodes): every doc lands in its min-id cluster
+    * (the session-shared contraction d_dedup_cluster/d_soft_dedup
+    * already compute — marginal cost is two tiny aggregations), then
+    * one row per observed cluster size with the cluster count, doc
+    * mass, and corpus share in exact ppm. size 1 = unique docs; the
+    * tail IS the boilerplate. Scale: both groupBys partial-aggregate;
+    * the histogram is size-bounded by the largest cluster. */
+  def dupDistribution: Q = (s, dir) => {
+    val comp = clusterAssign(s, dir)
+    val total = comp.agg(count(lit(1)).as("n_total"))
+    comp.groupBy("canon_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        expr("(cluster_size * n_clusters * 1000000) div n_total")
+          .as("doc_share_ppm"))
+      .orderBy("cluster_size")
+  }
+
+  lazy val dupDistributionSql: String =
+    clusterAssignSqlCtes +
+      s""", csize AS (
+         | SELECT canon_id, count(*) AS cluster_size
+         | FROM c$clusterIters GROUP BY canon_id
+         |), tot AS (
+         | SELECT count(*) AS n_total FROM c$clusterIters
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         | CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         | CAST((cluster_size * count(*) * 1000000) // tot.n_total AS BIGINT)
+         |  AS doc_share_ppm
+         |FROM csize, tot
+         |GROUP BY cluster_size, tot.n_total
+         |ORDER BY cluster_size""".stripMargin
+
   // ----------------------------------------------------- d_dedup_simhash
   /** 64-bit SimHash over distinct-token md5s, hamming-bucket candidate
     * join. Bit p of a token = bit (3 - p%4) of hex nibble p/4 of
@@ -1470,6 +1510,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d_dataset_split" -> datasetSplit,
+    "d_dup_distribution" -> dupDistribution,
     "d_entity_resolution" -> entityResolution,
     "d_dedup_eval" -> dedupEval,
     "d_containment" -> containment,
@@ -1492,6 +1533,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "d_dataset_split" -> datasetSplitSql,
+    "d_dup_distribution" -> dupDistributionSql,
     "d_entity_resolution" -> entityResolutionSql,
     "d_dedup_eval" -> dedupEvalSql,
     "d_containment" -> containmentSql,

@@ -273,6 +273,83 @@ object Formats {
       |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ------------------------------------------------- src_manifest_snapshot
+  /** SNAPSHOT ISOLATION VIA FILE MANIFESTS — the mechanism under every
+    * lakehouse table format (Iceberg/Delta strip to exactly this),
+    * built from public primitives because the container allows no
+    * format dependency: a table VERSION is an immutable manifest (the
+    * list of data files in the snapshot), readers plan from a
+    * manifest — never from directory listing — and writers publish a
+    * new manifest only after their files are durable. Generation 1
+    * writes the even-doc_id half and publishes manifest v1; generation
+    * 2 adds the odd half and publishes v2 = v1's files + the new ones
+    * (data files are never rewritten — append-only, the O(1)-commit
+    * property). The op reads BOTH versions through their manifests and
+    * reports per-version integrity; v1's numbers are computed while
+    * v2's files already sit in the same tree — the isolation the
+    * mechanism guarantees (a directory-listing reader would see phantom
+    * rows; Round6bSpec proves the contrast). At 100 TB manifests hold
+    * file-level min/max stats for pruning and live in a metadata store;
+    * the list-of-paths read (`parquet(paths: _*)`) is exactly how
+    * Spark's format readers consume them. */
+  def manifestSnapshot: Q = (s, dir) => {
+    val path = scratch(s, dir, "manifest")
+    val d = Tables(s, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$path/gen1")
+    def dataFiles(gen: String): Seq[String] =
+      new java.io.File(s"$path/$gen").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+        .sorted.toSeq
+    val v1 = dataFiles("gen1")
+    // manifests are METADATA — tiny, driver-written, immutable
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/manifest-1"),
+      v1.mkString("\n").getBytes("UTF-8"))
+    d.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$path/gen2")
+    val v2 = v1 ++ dataFiles("gen2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/manifest-2"),
+      v2.mkString("\n").getBytes("UTF-8"))
+    def readManifest(v: Int): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/manifest-$v")), "UTF-8")
+        .split("\n").toSeq
+    def stats(v: Int): DataFrame =
+      s.read.parquet(readManifest(v): _*)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("sum_chars"), col("n_uniq"))
+    stats(1).unionByName(stats(2)).orderBy("version")
+  }
+
+  /** v1 re-read through its manifest (for the isolation spec — called
+    * AFTER gen2 exists on disk). */
+  private[graft] def manifestRead(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val path = scratch(s, dir, "manifest")
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/manifest-$v")), "UTF-8").split("\n").toSeq
+    s.read.parquet(files: _*)
+  }
+
+  private[graft] def manifestDirListingRead(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "manifest")
+    s.read.parquet(s"$path/gen1", s"$path/gen2")
+  }
+
+  val manifestSnapshotSql: String =
+    """SELECT version, n_docs, sum_chars, n_uniq FROM (
+      | SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT md5(text)) AS n_uniq
+      | FROM documents WHERE doc_id % 2 = 0
+      | UNION ALL
+      | SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT),
+      |  count(DISTINCT md5(text))
+      | FROM documents
+      |) ORDER BY version""".stripMargin
+
   // ----------------------------------------------------------- src_zorder
   /** Z-ORDER (Morton-curve) MULTI-DIMENSIONAL CLUSTERING — the layout
     * answer when a table has TWO dominant filter columns (the Delta/
@@ -607,7 +684,8 @@ object Formats {
     "src_text_roundtrip" -> textRoundtrip,
     "src_partition_prune" -> partitionPrune,
     "src_sorted_minmax" -> sortedMinmax,
-    "src_zorder" -> zorder)
+    "src_zorder" -> zorder,
+    "src_manifest_snapshot" -> manifestSnapshot)
 
   val oracleSql: Map[String, String] = Map(
     "src_compaction" -> compactionSql,
@@ -622,5 +700,6 @@ object Formats {
     "src_text_roundtrip" -> integritySql,
     "src_partition_prune" -> partitionPruneSql,
     "src_sorted_minmax" -> sortedMinmaxSql,
-    "src_zorder" -> zorderSql)
+    "src_zorder" -> zorderSql,
+    "src_manifest_snapshot" -> manifestSnapshotSql)
 }

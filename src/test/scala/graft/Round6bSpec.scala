@@ -300,6 +300,45 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("src_manifest_snapshot: manifest readers are isolated from newer files") {
+    import graft.sources.Formats
+    // run the op (writes gen1+manifest-1, then gen2+manifest-2)
+    val byVersion = Formats.manifestSnapshot(spark, sf).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_docs")).toMap
+    val docs = graft.model.Tables(spark, sf, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0).count()
+    val all = docs.count()
+    assert(byVersion(1L) == even && byVersion(2L) == all)
+    // ISOLATION: reading manifest v1 NOW — with gen2's files on disk in
+    // the same tree — still returns exactly the v1 snapshot, twice
+    val v1a = Formats.manifestRead(spark, sf, 1)
+    assert(v1a.count() == even)
+    assert(v1a.filter(col("doc_id") % 2 === 1).count() == 0,
+      "a phantom odd row leaked into the v1 snapshot")
+    assert(Formats.manifestRead(spark, sf, 1).count() == even)
+    // the CONTRAST: a directory-listing reader sees the phantoms —
+    // which is why lakehouse readers never plan from listings
+    assert(Formats.manifestDirListingRead(spark, sf).count() == all)
+  }
+
+  test("d_dup_distribution: histogram masses reconcile with the cluster op") {
+    val rows = Dedup.dupDistribution(spark, sf).collect()
+    val nDocs = graft.model.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "histogram doc mass != corpus size")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("doc_share_ppm") ==
+        r.getAs[Long]("n_docs") * 1000000L / nDocs)
+    }
+    // cross-check the multi-doc mass against d_soft_dedup's cluster view
+    val dupDocs = Dedup.softDedup(spark, sf)
+      .filter(col("n_members") > 1).count()
+    assert(rows.filter(_.getAs[Long]("cluster_size") > 1)
+      .map(_.getAs[Long]("n_docs")).sum == dupDocs)
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
