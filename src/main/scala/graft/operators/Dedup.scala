@@ -520,7 +520,7 @@ object Dedup {
   private val jpMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.model.SessionMemo.getOrBuild(jpMemo, (s, dir))(
       jaccardPairsRaw(s, dir)._1.localCheckpoint(eager = true))
 
@@ -557,7 +557,7 @@ object Dedup {
        |)""".stripMargin
 
   /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, uni)`. */
-  private val jaccardPairsSqlCte: String =
+  private[operators] val jaccardPairsSqlCte: String =
     s"""$shinglePairsSqlCte, jp AS (
        | SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS uni
        | FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a

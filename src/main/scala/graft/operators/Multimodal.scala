@@ -461,6 +461,67 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------- m_phash_eval
+  /** pHash EVAL harness — the d_simhash_eval pattern applied to the
+    * BYTE domain, completing the eval-harness family (every sketch the
+    * engine ships is now scored on a driver-checked yardstick):
+    * m_phash_dedup's claimed pairs (banded candidates at hamming ≤ 2)
+    * against the exact blocked-Jaccard TEXT truth — legitimate ground
+    * truth here because the payload IS the text's bytes, so byte-level
+    * near-dups and shingle near-dups should coincide; on a real image
+    * corpus the truth column comes from human labels or exact pixel
+    * dedup, and this table is unchanged. Low recall is EXPECTED and is
+    * the measurement (hamming ≤ 2 trades recall for a tiny candidate
+    * set — the prefilter contract); the number says what the prefilter
+    * alone would miss. Oracle composes both full CTE chains. */
+  def phashEval: Q = (s, dir) => {
+    val pred = phashDedup(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    val truth = Dedup.jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    try {
+      val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_pred"), col("n_truth"), col("n_tp"),
+          expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 1000000) div n_pred END")
+            .as("precision_ppm"),
+          expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 1000000) div n_truth END")
+            .as("recall_ppm"))
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.model.PropertyGraph.freeLocalCheckpoint(pred)
+      graft.model.PropertyGraph.freeLocalCheckpoint(truth)
+    }
+  }
+
+  lazy val phashEvalSql: String = {
+    // phashDedupSql's chain as a composable body: strip the WITH and
+    // wrap its final SELECT as a `php` CTE
+    val body = phashDedupSql.stripPrefix("WITH ")
+    val idx = body.lastIndexOf("SELECT doc_a, doc_b, hamming FROM (")
+    val (ctes, finalSel) = body.splitAt(idx)
+    val phpCte = ctes.trim.stripSuffix(",") + ", php AS (\n" +
+      finalSel.replace("ORDER BY doc_a, doc_b", "") + "\n)"
+    s"""WITH $phpCte,
+       |${Dedup.jaccardPairsSqlCte},
+       |tp AS (
+       | SELECT p.doc_a, p.doc_b FROM php p
+       | JOIN jp t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+       |), cts AS (
+       | SELECT (SELECT count(*) FROM php) AS n_pred,
+       |        (SELECT count(*) FROM jp) AS n_truth,
+       |        (SELECT count(*) FROM tp) AS n_tp
+       |)
+       |SELECT n_pred, n_truth, n_tp,
+       | CAST(CASE WHEN n_pred = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_pred END AS BIGINT) AS precision_ppm,
+       | CAST(CASE WHEN n_truth = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
+       |FROM cts""".stripMargin
+  }
+
   /** Oracle rebuilds the payload as hex(encode(text)) — the payload IS
     * the UTF-8 text bytes — and replays the identical nibble/bigram/
     * shift arithmetic in DuckDB (xor() there, ^ is POWER). */
@@ -608,6 +669,7 @@ object Multimodal {
     "m_shard_pack" -> shardPack,
     "m_shard_balance" -> shardBalance,
     "m_phash_dedup" -> phashDedup,
+    "m_phash_eval" -> phashEval,
     "m_modality_dispatch" -> modalityDispatch,
     "m_multimodal_meta" -> multimodalMeta,
     "m_frame_sample" -> frameSampleQ,
@@ -618,6 +680,7 @@ object Multimodal {
     "m_shard_pack" -> shardPackSql,
     "m_shard_balance" -> shardBalanceSql,
     "m_phash_dedup" -> phashDedupSql,
+    "m_phash_eval" -> phashEvalSql,
     "m_modality_dispatch" -> modalityDispatchSql,
     "m_multimodal_meta" -> multimodalMetaSql,
     "m_frame_sample" -> frameSampleSql,

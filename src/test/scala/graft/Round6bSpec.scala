@@ -339,6 +339,22 @@ class Round6bSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_docs")).sum == dupDocs)
   }
 
+  test("m_phash_eval: counts consistent with the two source pair ops") {
+    import graft.operators.Multimodal
+    val r = Multimodal.phashEval(spark, sf).collect().head
+    val (nPred, nTruth, nTp) = (r.getAs[Long]("n_pred"),
+      r.getAs[Long]("n_truth"), r.getAs[Long]("n_tp"))
+    assert(nTp <= math.min(nPred, nTruth))
+    assert(nPred == Multimodal.phashDedup(spark, sf).count(),
+      "pred count != m_phash_dedup pair count")
+    assert(nTruth == Dedup.ngramJaccard(spark, sf).count(),
+      "truth count != d_ngram_jaccard pair count")
+    assert(r.getAs[Long]("precision_ppm") ==
+      (if (nPred == 0) 0L else nTp * 1000000L / nPred))
+    assert(r.getAs[Long]("recall_ppm") ==
+      (if (nTruth == 0) 0L else nTp * 1000000L / nTruth))
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
