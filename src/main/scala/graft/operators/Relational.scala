@@ -1361,6 +1361,69 @@ object Relational {
       |   ORDER BY c_acctbal, c_custkey) AS quartile
       |FROM customer ORDER BY segment, c_custkey""".stripMargin
 
+  // ------------------------------------------------------------- q_skyline
+  /** SKYLINE (Pareto frontier — Börzsönyi et al. 2001): customers not
+    * DOMINATED on (account balance, lifetime spend) — no other customer
+    * is ≥ on both dimensions and > on at least one. The textbook plan
+    * is the O(n²) dominance self-join; the 2-D skyline collapses to ONE
+    * WINDOW: sort by x descending (tie y desc), a point is on the
+    * frontier iff its y strictly exceeds the running y-max of all
+    * points with higher x — plus the x-tie group's y-max rows
+    * (equal-x points can't dominate each other unless y differs).
+    * Implemented as max(y) over the UNBOUNDED-PRECEDING-to-1-PRECEDING
+    * frame on the (x desc, y desc) order with deterministic custkey
+    * tiebreak; integer cents throughout. At 100 TB a single global
+    * window serializes — the production path partitions by an x range
+    * (each partition's skyline computed locally, then the partials
+    * merged by the same rule — skyline is distributive); this op is
+    * the per-partition kernel of that plan. */
+  def qSkyline: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val spend = o.groupBy(col("o_custkey").as("c_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("spend_cents"))
+    val pts = c.select(col("c_custkey"),
+      (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      .join(spend, Seq("c_custkey"), "left_outer")
+      .select(col("c_custkey"), col("bal_cents"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+    // RANGE frame: ymax over points with STRICTLY higher x (desc order,
+    // integer grid ⇒ "1 preceding" == x > current); x-ties can only
+    // dominate through a strictly larger y, handled by the group max —
+    // exact duplicate points correctly BOTH survive (neither dominates)
+    val wh = Window.orderBy(col("bal_cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wg = Window.partitionBy(col("bal_cents"))
+    pts.withColumn("ymax", max("spend_cents").over(wh))
+      .withColumn("gmax", max("spend_cents").over(wg))
+      .filter((col("ymax").isNull || col("spend_cents") > col("ymax")) &&
+        col("spend_cents") === col("gmax"))
+      .select("c_custkey", "bal_cents", "spend_cents")
+      .orderBy("c_custkey")
+  }
+
+  val qSkylineSql: String =
+    """WITH spend AS (
+      | SELECT o_custkey AS c_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |   AS spend_cents
+      | FROM orders GROUP BY 1
+      |), pts AS (
+      | SELECT c.c_custkey,
+      |  CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+      |  COALESCE(s.spend_cents, 0) AS spend_cents
+      | FROM customer c LEFT JOIN spend s ON s.c_custkey = c.c_custkey
+      |), marked AS (
+      | SELECT c_custkey, bal_cents, spend_cents,
+      |  max(spend_cents) OVER (ORDER BY bal_cents DESC
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ymax,
+      |  max(spend_cents) OVER (PARTITION BY bal_cents) AS gmax
+      | FROM pts
+      |)
+      |SELECT c_custkey, bal_cents, spend_cents FROM marked
+      |WHERE (ymax IS NULL OR spend_cents > ymax) AND spend_cents = gmax
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------- q_gaps_islands
   /** Gaps-and-islands: per customer, maximal runs of CONSECUTIVE order
     * days, via the classic day − row_number() island key (constant
@@ -1677,6 +1740,7 @@ object Relational {
     "q_string_agg" -> qStringAgg,
     "q_ntile" -> qNtile,
     "q_gaps_islands" -> qGapsIslands,
+    "q_skyline" -> qSkyline,
     "q_corr" -> qCorr,
     "q_intersect_except" -> qIntersectExcept,
     "q_json_extract" -> qJsonExtract,
@@ -1723,6 +1787,7 @@ object Relational {
     "q_string_agg" -> qStringAggSql,
     "q_ntile" -> qNtileSql,
     "q_gaps_islands" -> qGapsIslandsSql,
+    "q_skyline" -> qSkylineSql,
     "q_corr" -> qCorrSql,
     "q_intersect_except" -> qIntersectExceptSql,
     "q_json_extract" -> qJsonExtractSql,

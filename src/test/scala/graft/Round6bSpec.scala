@@ -355,6 +355,26 @@ class Round6bSpec extends AnyFunSuite {
       (if (nTruth == 0) 0L else nTp * 1000000L / nTruth))
   }
 
+  test("q_skyline: window formulation equals brute-force dominance") {
+    val o = graft.model.Tables(spark, sf, "orders")
+    val c = graft.model.Tables(spark, sf, "customer")
+    val spend = o.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("sp")).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("sp")).toMap
+    val pts = c.select(col("c_custkey"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), spend.getOrElse(r.getLong(0), 0L)))
+    // O(n²) dominance — the definition, not the windowed shortcut
+    val want = pts.filter { case (id, x, y) =>
+      !pts.exists { case (id2, x2, y2) =>
+        id2 != id && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    val got = graft.operators.Relational.qSkyline(spark, sf).collect()
+      .map(_.getAs[Long]("c_custkey")).toSet
+    assert(got == want, s"skyline ${got.size} != brute ${want.size}")
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
