@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -404,6 +404,52 @@ object Streams {
     batch.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  // -------------------------------------------------- st_manifest_commit
+  /** st_manifest_commit: the exactly-once streaming sink COMBINED with
+    * manifest-based snapshot publication (src_manifest_snapshot's
+    * mechanism driven by a stream) — how a streaming writer feeds a
+    * lakehouse-style table: each micro-batch (1) lands its data files
+    * under its own batch_id dir (idempotent overwrite, the
+    * exactlyOnceSink discipline), then (2) PUBLISHES manifest-<id>
+    * listing every data file of batches ≤ id, written to a temp name
+    * and atomically renamed — a reader either sees a complete manifest
+    * or the previous one, never a torn file list. Replay of batch k
+    * rewrites byte-identical files and a byte-identical manifest ⇒
+    * The manifest IS the commit marker: a replayed batch that finds
+    * its manifest already published SKIPS entirely — the transaction-
+    * log idempotence real table formats implement (rewriting the files
+    * instead would change the UUID'd part names and orphan every later
+    * manifest that listed the old ones). Readers pin a manifest VERSION
+    * and are isolated from later batches (the spec proves both:
+    * replay-is-a-no-op and version isolation). Local-filesystem
+    * rename here; on an object store the manifest publish is a
+    * conditional PUT — same protocol, documented at src_binary_files. */
+  def manifestCommitSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    val files = (0L to batchId).flatMap { b =>
+      val d = new java.io.File(s"$outDir/batch_id=$b")
+      if (!d.isDirectory) Nil
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted.toSeq
+    }
+    val tmp = java.nio.file.Paths.get(s"$outDir/.manifest-$batchId.tmp")
+    java.nio.file.Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$outDir/manifest-$batchId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Read the table AT a published manifest version. */
+  def manifestVersionRead(s: SparkSession, outDir: String, version: Long): DataFrame = {
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/manifest-$version")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    s.read.parquet(files: _*)
+  }
 
   // ---------------------------------------------------- st_user_counters
   final case class UserCounters(user_id: Long, n_events: Long,

@@ -436,6 +436,50 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_manifest_commit: versions isolate readers; replay republishes identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mfc").toString
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream
+      .foreachBatch(Streams.manifestCommitSink(dir) _)
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10, user = 1), ev(2, 20, user = 2))
+      q.processAllAvailable()
+      mem.addData(ev(3, 30, user = 1))
+      q.processAllAvailable()
+      mem.addData(ev(4, 40, user = 3))
+      q.processAllAvailable()
+      def idsAt(v: Long) = Streams.manifestVersionRead(spark, dir, v)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      // each version is the cumulative table as of its batch
+      assert(idsAt(0) == Set(1L, 2L))
+      assert(idsAt(1) == Set(1L, 2L, 3L))
+      assert(idsAt(2) == Set(1L, 2L, 3L, 4L))
+      // ISOLATION: version 1 read again AFTER batch 2 landed — same rows
+      assert(idsAt(1) == Set(1L, 2L, 3L),
+        "a later batch leaked into a pinned manifest version")
+      // at-least-once REPLAY of batch 1: the published manifest is the
+      // commit marker, so the replay is a NO-OP — data files and
+      // manifest untouched (rewriting would orphan later manifests
+      // that list the old UUID'd part names)
+      val m1 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-1")), "UTF-8")
+      val f1 = new java.io.File(s"$dir/batch_id=1").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+      Streams.manifestCommitSink(dir)(Seq(ev(3, 30, user = 1)).toDF(), 1L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-1")), "UTF-8") == m1,
+        "replay changed the published manifest")
+      assert(new java.io.File(s"$dir/batch_id=1").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap == f1,
+        "replay touched already-committed data files")
+      assert(idsAt(1) == Set(1L, 2L, 3L) && idsAt(2) == Set(1L, 2L, 3L, 4L),
+        "replay changed a reader-visible version")
+    } finally q.stop()
+  }
+
   test("st_dedup_probe: hits equal the batch incremental new-old pairs; no state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
