@@ -2442,6 +2442,101 @@ object Analytics {
     b.toString
   }
 
+  // --------------------------------------------- g_neighborhood_function
+  /** The NEIGHBORHOOD FUNCTION N(h) itself — ANF's headline output
+    * (Palmer et al.; the curve HyperANF computes for web-scale graphs):
+    * per hop h ≤ `anfRounds`, the estimated number of reachable pairs
+    * Σ_v |ball(v, h)|, its growth over h−1 in ppm, and how many nodes'
+    * balls are still EXACT (sketch below k — at h=1 that is every
+    * node whose degree < k−1). Saturating growth locates the effective
+    * diameter; the curve is the one-look summary of how tightly a
+    * graph is knit, computed from the SAME per-round KMV sketch frames
+    * as g_anf (identical recurrence, one extra 1-row aggregate per
+    * round — the sketches are the cost, the curve is free). Output is
+    * hop-count-bounded: `anfRounds` rows at any graph size. */
+  def neighborhoodFunction: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      var sk = nodes.select(col("id"), array(
+        graft.functions.VectorExprs.hexSlice(md5(col("id").cast("string")), 1, 13))
+        .as("hs"))
+        .localCheckpoint(eager = true)
+      interim += sk
+      val rounds = (1 to anfRounds).map { h =>
+        val nbr = und.join(gated(sk.withColumnRenamed("id", "a"), n), "a")
+          .select(col("b").as("id"), col("hs"))
+        sk = sk.unionByName(nbr).groupBy("id")
+          .agg(slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
+            1, anfK).as("hs"))
+          .localCheckpoint(eager = true)
+        interim += sk
+        sk.select(size(col("hs")).cast("long").as("n_sketch"),
+          element_at(col("hs"), -1).as("hk"))
+          .select(when(col("n_sketch") < anfK, col("n_sketch"))
+            .otherwise(expr(s"${(anfK - 1).toLong * anfM} div greatest(1, hk)"))
+            .as("est"), col("n_sketch"))
+          .agg(sum("est").as("n_pairs_est"),
+            count(when(col("n_sketch") < anfK, 1)).as("n_exact_balls"))
+          .select(lit(h.toLong).as("hop"), col("n_pairs_est"),
+            col("n_exact_balls"))
+      }
+      val curve = rounds.reduce(_.unionByName(_))
+      // growth over the previous hop in ppm (hop 1 reports 0)
+      curve.withColumn("growth_ppm",
+        coalesce(expr("((n_pairs_est - lag(n_pairs_est, 1) OVER " +
+          "(ORDER BY hop)) * 1000000) div lag(n_pairs_est, 1) OVER " +
+          "(ORDER BY hop)"), lit(0L)))
+        .orderBy("hop")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val neighborhoodFunctionSql: String = {
+    val h13 = (0 until 13).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (12 - i))}")
+      .mkString(" + ")
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPair
+             |), sk0 AS (
+             | SELECT id, CAST($h13 AS BIGINT) AS h FROM ids
+             |)""".stripMargin
+    for (r <- 1 to anfRounds) {
+      b ++= s""", cand$r AS (
+               | SELECT id, h FROM sk${r - 1}
+               | UNION ALL
+               | SELECT u.b AS id, p.h FROM undp u JOIN sk${r - 1} p ON p.id = u.a
+               |), sk$r AS (
+               | SELECT id, unnest(hs) AS h FROM (
+               |  SELECT id, list_sort(list_distinct(list(h)))[1:$anfK] AS hs
+               |  FROM cand$r GROUP BY id
+               | )
+               |), est$r AS (
+               | SELECT CAST($r AS BIGINT) AS hop,
+               |  CAST(sum(CASE WHEN n_sketch < $anfK THEN n_sketch
+               |   ELSE ${(anfK - 1).toLong * anfM} // greatest(1, hk) END)
+               |   AS BIGINT) AS n_pairs_est,
+               |  count(CASE WHEN n_sketch < $anfK THEN 1 END) AS n_exact_balls
+               | FROM (SELECT id, count(*) AS n_sketch, max(h) AS hk
+               |       FROM sk$r GROUP BY id)
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT hop, n_pairs_est, n_exact_balls, CAST(COALESCE(" +
+      "((n_pairs_est - lag(n_pairs_est, 1) OVER (ORDER BY hop)) * 1000000)" +
+      " // lag(n_pairs_est, 1) OVER (ORDER BY hop), 0) AS BIGINT)" +
+      " AS growth_ppm FROM (" +
+      (1 to anfRounds).map(r =>
+        s"SELECT hop, n_pairs_est, n_exact_balls FROM est$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY hop"
+    b.toString
+  }
+
   // ---------------------------------------------------------------- g_mst
   /** MINIMUM SPANNING FOREST via BORŮVKA — the canonical parallel MST
     * algorithm (every distributed MST in the literature is Borůvka at
@@ -2878,6 +2973,7 @@ object Analytics {
     "g_rich_club" -> richClub,
     "g_mst" -> mst,
     "g_anf" -> anf,
+    "g_neighborhood_function" -> neighborhoodFunction,
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
     "g_path_count" -> pathCount,
@@ -2912,6 +3008,7 @@ object Analytics {
     "g_rich_club" -> richClubSql,
     "g_mst" -> mstSql,
     "g_anf" -> anfSql,
+    "g_neighborhood_function" -> neighborhoodFunctionSql,
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
     "g_path_count" -> pathCountSql,

@@ -375,6 +375,37 @@ class Round6bSpec extends AnyFunSuite {
     assert(got == want, s"skyline ${got.size} != brute ${want.size}")
   }
 
+  test("g_neighborhood_function: monotone curve, consistent with g_anf at the horizon") {
+    import graft.operators.Analytics
+    val rows = Analytics.neighborhoodFunction(spark, sf).collect()
+      .sortBy(_.getAs[Long]("hop"))
+    assert(rows.map(_.getAs[Long]("hop")).toSeq ==
+      (1L to Analytics.anfRounds.toLong))
+    // monotone: balls only grow, and a KMV superset's estimate is >=
+    val est = rows.map(_.getAs[Long]("n_pairs_est"))
+    assert(est.zip(est.tail).forall { case (a, b) => b >= a },
+      s"N(h) decreased: ${est.mkString(",")}")
+    // growth_ppm is the exact floor ratio
+    rows.zip(rows.tail).foreach { case (p, c) =>
+      val (np, nc) = (p.getAs[Long]("n_pairs_est"), c.getAs[Long]("n_pairs_est"))
+      assert(c.getAs[Long]("growth_ppm") == (nc - np) * 1000000L / np)
+    }
+    assert(rows.head.getAs[Long]("growth_ppm") == 0L)
+    // the curve's horizon row must equal the per-node op aggregated
+    val anf = Analytics.anf(spark, sf).collect()
+    assert(rows.last.getAs[Long]("n_pairs_est") ==
+      anf.map(_.getAs[Long]("est_reach")).sum)
+    assert(rows.last.getAs[Long]("n_exact_balls") ==
+      anf.count(_.getAs[Long]("n_sketch") < Analytics.anfK))
+    // h=1: exact balls are degree+1 — the estimate is near-exact there
+    // (sanity anchor: N(1) must be within a few percent of 2m+n)
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val truth1 = 2 * g.edges.count() + g.nodes.count()
+    val n1 = rows.head.getAs[Long]("n_pairs_est")
+    assert(math.abs(n1 - truth1) * 100 < truth1 * 10,
+      s"N(1) $n1 vs exact $truth1 — estimator off by >10%")
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
