@@ -284,6 +284,9 @@ object Analytics {
     coSupport(s, dir): Unit
     // directed shared frame (topo levels + hits)
     directedNum(s, dir).count(): Unit
+    // ANF sketch rounds (g_anf + g_neighborhood_function) — eager
+    // checkpoints, so the build itself materializes them
+    anfSketches(s, dir): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by
@@ -2312,9 +2315,8 @@ object Analytics {
   }
 
   val triangleEstimateSql: String = {
-    val h8 = (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST(p1 AS VARCHAR) || ':' || CAST(p2 AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-      .mkString(" + ")
+    val h8 = OracleSql.hexToLong(
+      "md5(CAST(p1 AS VARCHAR) || ':' || CAST(p2 AS VARCHAR))", 1, 8)
     val p3 = triSampleP * triSampleP * triSampleP
     s"""$cte, hp AS (
        | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
@@ -2366,57 +2368,71 @@ object Analytics {
   val anfRounds = 3
   val anfM = 1L << 52
 
-  def anf: Q = (s, dir) => {
-    val (nodes, undW) = numericGraph(s, dir)
-    val und = undW.select("a", "b")
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    try {
-      // sketches travel as SORTED ARRAYS (one row per node, ≤ k longs),
-      // not exploded scalar rows: the merge round then shuffles m rows
-      // of 16-element payloads instead of k·m rows — 16× fewer rows
-      // through every exchange, with the union + distinct + bottom-k
-      // all inside one codegen'd array projection per group
+  /** SESSION-shared per-round KMV sketch frames sk1..skR (each an
+    * eager checkpoint, retained like coSupport — ~n·k longs per round)
+    * — g_anf reads the horizon round, g_neighborhood_function reads
+    * every round; the expensive merge shuffles run once per session.
+    * Sketches travel as SORTED ARRAYS (one row per node, ≤ k longs),
+    * not exploded scalar rows: a merge round shuffles m rows of
+    * 16-element payloads instead of k·m scalar rows — 16× fewer rows
+    * through every exchange, with union + distinct + bottom-k all
+    * inside one codegen'd array projection per group. The round-0 seed
+    * frame frees once the rounds are materialized. */
+  private val anfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[DataFrame]]
+
+  private def anfSketches(s: SparkSession, dir: String): Seq[DataFrame] =
+    graft.model.SessionMemo.getOrBuild(anfCache, (s, dir)) {
+      val (nodes, undW) = numericGraph(s, dir)
+      val und = undW.select("a", "b")
       val n = nodes.count()
-      var sk = nodes.select(col("id"), array(
+      val seed = nodes.select(col("id"), array(
         graft.functions.VectorExprs.hexSlice(md5(col("id").cast("string")), 1, 13))
         .as("hs"))
         .localCheckpoint(eager = true)
-      interim += sk
-      for (_ <- 1 to anfRounds) {
+      var sk = seed
+      val rounds = (1 to anfRounds).map { _ =>
         val nbr = und.join(gated(sk.withColumnRenamed("id", "a"), n), "a")
           .select(col("b").as("id"), col("hs"))
         sk = sk.unionByName(nbr).groupBy("id")
           .agg(slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
             1, anfK).as("hs"))
           .localCheckpoint(eager = true)
-        interim += sk
+        sk
       }
-      val est = sk.select(col("id"),
-        size(col("hs")).cast("long").as("n_sketch"),
-        element_at(col("hs"), -1).as("hk"))
-        .select(col("id"), col("n_sketch"),
-          when(col("n_sketch") < anfK, col("n_sketch"))
-            .otherwise(expr(s"${(anfK - 1).toLong * anfM} div greatest(1, hk)"))
-            .as("est_reach"))
-      nodes.join(est, Seq("id"))
-        .select("label", "key", "n_sketch", "est_reach")
-        .orderBy("label", "key")
-        .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+      graft.model.PropertyGraph.freeLocalCheckpoint(seed)
+      rounds
+    }
+
+  /** KMV estimate columns from a sketch frame: |B| < k ⇒ exact count,
+    * else (k−1)·M div h_k. */
+  private def anfEstimate(sk: DataFrame): DataFrame =
+    sk.select(col("id"),
+      size(col("hs")).cast("long").as("n_sketch"),
+      element_at(col("hs"), -1).as("hk"))
+      .select(col("id"), col("n_sketch"),
+        when(col("n_sketch") < anfK, col("n_sketch"))
+          .otherwise(expr(s"${(anfK - 1).toLong * anfM} div greatest(1, hk)"))
+          .as("est_reach"))
+
+  def anf: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    nodes.join(anfEstimate(anfSketches(s, dir).last), Seq("id"))
+      .select("label", "key", "n_sketch", "est_reach")
+      .orderBy("label", "key")
   }
 
-  val anfSql: String = {
-    val h13 = (0 until 13).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (12 - i))}")
-      .mkString(" + ")
-    val b = new StringBuilder(cte)
-    b ++= s""", ids AS (
-             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
-             |), undp AS (
-             | SELECT $undSqlPair
-             |), sk0 AS (
-             | SELECT id, CAST($h13 AS BIGINT) AS h FROM ids
-             |)""".stripMargin
+  /** Shared oracle twin of `anfSketches`: CTEs ids/undp/sk0..skR. */
+  private lazy val anfSketchCtesSql: String = {
+    val h13 = OracleSql.hexToLong("md5(CAST(id AS VARCHAR))", 1, 13)
+    val b = new StringBuilder(
+      s""", ids AS (
+         | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+         |), undp AS (
+         | SELECT $undSqlPair
+         |), sk0 AS (
+         | SELECT id, CAST($h13 AS BIGINT) AS h FROM ids
+         |)""".stripMargin)
     for (r <- 1 to anfRounds) {
       b ++= s""", cand$r AS (
                | SELECT id, h FROM sk${r - 1}
@@ -2429,18 +2445,20 @@ object Analytics {
                | )
                |)""".stripMargin
     }
-    b ++= s""", est AS (
-             | SELECT id, count(*) AS n_sketch, max(h) AS hk
-             | FROM sk$anfRounds GROUP BY id
-             |)
-             |SELECT ids.label, ids.key, e.n_sketch,
-             | CAST(CASE WHEN e.n_sketch < $anfK THEN e.n_sketch
-             |  ELSE ${(anfK - 1).toLong * anfM} // greatest(1, e.hk) END
-             |  AS BIGINT) AS est_reach
-             |FROM ids JOIN est e ON e.id = ids.id
-             |ORDER BY label, key""".stripMargin
     b.toString
   }
+
+  val anfSql: String =
+    s"""$cte$anfSketchCtesSql, est AS (
+       | SELECT id, count(*) AS n_sketch, max(h) AS hk
+       | FROM sk$anfRounds GROUP BY id
+       |)
+       |SELECT ids.label, ids.key, e.n_sketch,
+       | CAST(CASE WHEN e.n_sketch < $anfK THEN e.n_sketch
+       |  ELSE ${(anfK - 1).toLong * anfM} // greatest(1, e.hk) END
+       |  AS BIGINT) AS est_reach
+       |FROM ids JOIN est e ON e.id = ids.id
+       |ORDER BY label, key""".stripMargin
 
   // --------------------------------------------- g_neighborhood_function
   /** The NEIGHBORHOOD FUNCTION N(h) itself — ANF's headline output
@@ -2455,68 +2473,26 @@ object Analytics {
     * round — the sketches are the cost, the curve is free). Output is
     * hop-count-bounded: `anfRounds` rows at any graph size. */
   def neighborhoodFunction: Q = (s, dir) => {
-    val (nodes, undW) = numericGraph(s, dir)
-    val und = undW.select("a", "b")
-    val n = nodes.count()
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    try {
-      var sk = nodes.select(col("id"), array(
-        graft.functions.VectorExprs.hexSlice(md5(col("id").cast("string")), 1, 13))
-        .as("hs"))
-        .localCheckpoint(eager = true)
-      interim += sk
-      val rounds = (1 to anfRounds).map { h =>
-        val nbr = und.join(gated(sk.withColumnRenamed("id", "a"), n), "a")
-          .select(col("b").as("id"), col("hs"))
-        sk = sk.unionByName(nbr).groupBy("id")
-          .agg(slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
-            1, anfK).as("hs"))
-          .localCheckpoint(eager = true)
-        interim += sk
-        sk.select(size(col("hs")).cast("long").as("n_sketch"),
-          element_at(col("hs"), -1).as("hk"))
-          .select(when(col("n_sketch") < anfK, col("n_sketch"))
-            .otherwise(expr(s"${(anfK - 1).toLong * anfM} div greatest(1, hk)"))
-            .as("est"), col("n_sketch"))
-          .agg(sum("est").as("n_pairs_est"),
-            count(when(col("n_sketch") < anfK, 1)).as("n_exact_balls"))
-          .select(lit(h.toLong).as("hop"), col("n_pairs_est"),
-            col("n_exact_balls"))
-      }
-      val curve = rounds.reduce(_.unionByName(_))
-      // growth over the previous hop in ppm (hop 1 reports 0)
-      curve.withColumn("growth_ppm",
-        coalesce(expr("((n_pairs_est - lag(n_pairs_est, 1) OVER " +
-          "(ORDER BY hop)) * 1000000) div lag(n_pairs_est, 1) OVER " +
-          "(ORDER BY hop)"), lit(0L)))
-        .orderBy("hop")
-        .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+    val curve = anfSketches(s, dir).zipWithIndex.map { case (sk, i) =>
+      anfEstimate(sk)
+        .agg(sum("est_reach").as("n_pairs_est"),
+          count(when(col("n_sketch") < anfK, 1)).as("n_exact_balls"))
+        .select(lit((i + 1).toLong).as("hop"), col("n_pairs_est"),
+          col("n_exact_balls"))
+    }.reduce(_.unionByName(_))
+    // growth over the previous hop in ppm (hop 1 reports 0)
+    curve.withColumn("growth_ppm",
+      coalesce(expr("((n_pairs_est - lag(n_pairs_est, 1) OVER " +
+        "(ORDER BY hop)) * 1000000) div lag(n_pairs_est, 1) OVER " +
+        "(ORDER BY hop)"), lit(0L)))
+      .orderBy("hop")
   }
 
   val neighborhoodFunctionSql: String = {
-    val h13 = (0 until 13).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (12 - i))}")
-      .mkString(" + ")
     val b = new StringBuilder(cte)
-    b ++= s""", ids AS (
-             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
-             |), undp AS (
-             | SELECT $undSqlPair
-             |), sk0 AS (
-             | SELECT id, CAST($h13 AS BIGINT) AS h FROM ids
-             |)""".stripMargin
+    b ++= anfSketchCtesSql
     for (r <- 1 to anfRounds) {
-      b ++= s""", cand$r AS (
-               | SELECT id, h FROM sk${r - 1}
-               | UNION ALL
-               | SELECT u.b AS id, p.h FROM undp u JOIN sk${r - 1} p ON p.id = u.a
-               |), sk$r AS (
-               | SELECT id, unnest(hs) AS h FROM (
-               |  SELECT id, list_sort(list_distinct(list(h)))[1:$anfK] AS hs
-               |  FROM cand$r GROUP BY id
-               | )
-               |), est$r AS (
+      b ++= s""", est$r AS (
                | SELECT CAST($r AS BIGINT) AS hop,
                |  CAST(sum(CASE WHEN n_sketch < $anfK THEN n_sketch
                |   ELSE ${(anfK - 1).toLong * anfM} // greatest(1, hk) END)
@@ -2605,8 +2581,12 @@ object Analytics {
         // checkpoint: eset's blocks serve directly)
         val ec =
           if (r == 1)
-            eset.select(col("ea"), col("eb"), col("w"),
-              col("ea").as("ca"), col("eb").as("cb"))
+            // ea =!= eb mirrors the oracle's ca <> cb (a self-loop —
+            // impossible in the current edge construction but cheap to
+            // exclude — must never be a component's min pick)
+            eset.filter(col("ea") =!= col("eb"))
+              .select(col("ea"), col("eb"), col("w"),
+                col("ea").as("ca"), col("eb").as("cb"))
           else {
             val j = eset
               .join(gated(comp.toDF("ea", "ca"), n), "ea")
@@ -2668,7 +2648,13 @@ object Analytics {
         interim += comp
         }
       }
-      chosen.reduce(_.unionByName(_)).orderBy("round", "ea", "eb")
+      // empty-schema seed: a graph with no edges picks nothing in round
+      // 1 and `chosen` stays empty — reduce over the seed returns the
+      // oracle's empty result instead of throwing on an empty buffer
+      val seed = s.range(0).select(lit(0L).as("round"), lit(0L).as("ea"),
+        lit(0L).as("eb"), lit(0L).as("w"))
+      (seed +: chosen.toSeq).reduce(_.unionByName(_))
+        .orderBy("round", "ea", "eb")
         .localCheckpoint(eager = true)
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }

@@ -1476,9 +1476,7 @@ object Dedup {
   }
 
   val datasetSplitSql: String = {
-    val h8 = (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-      .mkString(" + ")
+    val h8 = OracleSql.hexToLong("h", 1, 8)
     s"""WITH hashed AS (
        | SELECT doc_id, source,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

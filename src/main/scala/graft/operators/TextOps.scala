@@ -685,46 +685,56 @@ object TextOps {
     * Fixed rounds ⇒ exact unrolled oracle. */
   val bpeIters = 3
 
-  def bpeTrain: Q = (s, dir) => {
+  /** The SHARED merge-round machinery — ONE definition of the BPE
+    * recurrence (vocabulary collapse → per-round weighted pair counts →
+    * (freq desc, pair asc) argmax → leftmost-non-overlap replace) that
+    * BOTH t_bpe_train (reads the per-round bests) and t_bpe_apply
+    * (reads the final merged vocabulary) run, so train and apply can
+    * never disagree by construction. `wd` (the original word) rides
+    * along for the apply side's vocab join; callers pass their interim
+    * buffer so round frames release under their `finally`. */
+  private def bpeMergeRounds(s: SparkSession, dir: String,
+      interim: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (Seq[DataFrame], DataFrame) = {
     var words = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("wd"))
       .filter(length(col("wd")) >= 2)
       .groupBy("wd").agg(count(lit(1)).as("cnt"))
-      .select(expr("trim(regexp_replace(wd, '(.)', '$1 '))").as("w"),
-        col("cnt"))
-    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    try {
-      val bests = (1 to bpeIters).map { r =>
-        val pairs = words
-          .select(col("cnt"), split(col("w"), " ").as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(sy) - 1)," +
-              " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
-            .as("pair"))
-          .groupBy("pair").agg(sum(col("cnt")).as("freq"))
-        // deterministic argmax: global sort-limit (TakeOrderedAndProject
-        // — vocabulary-pair-sized input, 1 row out)
-        val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
-          .localCheckpoint(eager = true)
-        interim += best
-        // apply the merge; checkpoint caps the per-round lineage
-        words = words.crossJoin(broadcast(best.select(col("pair"))))
-          .select(expr("replace(w, pair, replace(pair, ' ', ''))").as("w"),
-            col("cnt"))
-          .localCheckpoint(eager = true)
-        interim += words
-        best.select(lit(r).cast("int").as("round"), col("pair"), col("freq"))
-      }
-      bests.reduce(_.unionByName(_)).orderBy("round")
+      .select(col("wd"),
+        expr("trim(regexp_replace(wd, '(.)', '$1 '))").as("w"), col("cnt"))
+    val bests = (1 to bpeIters).map { _ =>
+      val pairs = words
+        .select(col("cnt"), split(col("w"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("freq"))
+      // deterministic argmax: global sort-limit (TakeOrderedAndProject
+      // — vocabulary-pair-sized input, 1 row out)
+      val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
         .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+      interim += best
+      // apply the merge; checkpoint caps the per-round lineage
+      words = words.crossJoin(broadcast(best.select(col("pair"))))
+        .select(col("wd"),
+          expr("replace(w, pair, replace(pair, ' ', ''))").as("w"),
+          col("cnt"))
+        .localCheckpoint(eager = true)
+      interim += words
+      best
+    }
+    (bests, words)
   }
 
-  lazy val bpeTrainSql: String = {
+  /** The shared oracle twin of `bpeMergeRounds`: CTEs w0..wN (wd
+    * carried) + p_r/b_r per round. Train's final select reads the b_r
+    * frames, apply's continues the chain with vocab/tok CTEs. */
+  private lazy val bpeChainSqlCtes: String = {
     val b = new StringBuilder(
-      """WITH w0 AS (
-        | SELECT trim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w, cnt
+      """w0 AS (
+        | SELECT wd, trim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w, cnt
         | FROM (
         |  SELECT wd, count(*) AS cnt FROM (
         |   SELECT unnest(string_split(text, ' ')) AS wd FROM documents
@@ -741,17 +751,31 @@ object TextOps {
                |), b$r AS (
                | SELECT pair, freq FROM p$r ORDER BY freq DESC, pair LIMIT 1
                |), w$r AS (
-               | SELECT replace(x.w, b.pair, replace(b.pair, ' ', '')) AS w,
+               | SELECT x.wd, replace(x.w, b.pair, replace(b.pair, ' ', '')) AS w,
                |        x.cnt
                | FROM w${r - 1} x, b$r b
                |)""".stripMargin
     }
-    b ++= "\nSELECT round, pair, freq FROM (" +
+    b.toString
+  }
+
+  def bpeTrain: Q = (s, dir) => {
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val (bests, _) = bpeMergeRounds(s, dir, interim)
+      bests.zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).cast("int").as("round"), col("pair"),
+          col("freq"))
+      }.reduce(_.unionByName(_)).orderBy("round")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  lazy val bpeTrainSql: String =
+    s"WITH $bpeChainSqlCtes\nSELECT round, pair, freq FROM (" +
       (1 to bpeIters).map(r => s"SELECT $r AS round, pair, freq FROM b$r")
         .mkString(" UNION ALL ") +
       ") ORDER BY round"
-    b.toString
-  }
 
   // --------------------------------------------------------- t_bpe_apply
   /** BPE TOKENIZATION of the corpus under the merges t_bpe_train
@@ -772,33 +796,9 @@ object TextOps {
     * Single-char words (excluded from training, 1 symbol either way)
     * fall out of the left join's coalesce. */
   def bpeApply: Q = (s, dir) => {
-    var words = docs(s, dir)
-      .select(explode(split(col("text"), " ")).as("wd"))
-      .filter(length(col("wd")) >= 2)
-      .groupBy("wd").agg(count(lit(1)).as("cnt"))
-      .select(col("wd"),
-        expr("trim(regexp_replace(wd, '(.)', '$1 '))").as("w"), col("cnt"))
     val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      for (_ <- 1 to bpeIters) {
-        val pairs = words
-          .select(col("cnt"), split(col("w"), " ").as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(sy) - 1)," +
-              " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
-            .as("pair"))
-          .groupBy("pair").agg(sum(col("cnt")).as("freq"))
-        val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
-          .localCheckpoint(eager = true)
-        interim += best
-        words = words.crossJoin(broadcast(best.select(col("pair"))))
-          .select(col("wd"),
-            expr("replace(w, pair, replace(pair, ' ', ''))").as("w"),
-            col("cnt"))
-          .localCheckpoint(eager = true)
-        interim += words
-      }
+      val (_, words) = bpeMergeRounds(s, dir, interim)
       val vocab = words.select(col("wd"),
         size(split(col("w"), " ")).cast("long").as("n_sym"))
       docs(s, dir)
@@ -816,30 +816,7 @@ object TextOps {
   }
 
   lazy val bpeApplySql: String = {
-    val b = new StringBuilder(
-      """WITH w0 AS (
-        | SELECT wd, trim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w, cnt
-        | FROM (
-        |  SELECT wd, count(*) AS cnt FROM (
-        |   SELECT unnest(string_split(text, ' ')) AS wd FROM documents
-        |  ) WHERE length(wd) >= 2 GROUP BY wd
-        | )
-        |)""".stripMargin)
-    for (r <- 1 to bpeIters) {
-      b ++= s""", p$r AS (
-               | SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
-               |  SELECT cnt, sy[i] || ' ' || sy[i + 1] AS pair
-               |  FROM (SELECT cnt, string_split(w, ' ') AS sy FROM w${r - 1}),
-               |       unnest(range(1, len(sy))) t(i)
-               | ) GROUP BY pair
-               |), b$r AS (
-               | SELECT pair FROM p$r ORDER BY freq DESC, pair LIMIT 1
-               |), w$r AS (
-               | SELECT x.wd, replace(x.w, b.pair, replace(b.pair, ' ', '')) AS w,
-               |        x.cnt
-               | FROM w${r - 1} x, b$r b
-               |)""".stripMargin
-    }
+    val b = new StringBuilder(s"WITH $bpeChainSqlCtes")
     b ++= s""", vocab AS (
              | SELECT wd, CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
              | FROM w$bpeIters
@@ -1732,9 +1709,7 @@ object TextOps {
   }
 
   val dsirSql: String = {
-    val h8 = (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5(bg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-      .mkString(" + ")
+    val h8 = OracleSql.hexToLong("md5(bg)", 1, 8)
     s"""WITH w AS (
        | SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
        |), occ AS (

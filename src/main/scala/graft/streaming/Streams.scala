@@ -429,14 +429,24 @@ object Streams {
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    val files = (0L to batchId).flatMap { b =>
-      val d = new java.io.File(s"$outDir/batch_id=$b")
-      if (!d.isDirectory) Nil
-      else d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getPath).sorted.toSeq
-    }
+    // new manifest = PREVIOUS MANIFEST + this batch's files: prior
+    // batches' contents come from the immutable manifest chain, never
+    // from re-listing their directories (a stray file landing in an
+    // old batch dir must NOT get committed into future versions — the
+    // same readers-plan-from-manifests principle, applied to the
+    // writer), and the per-commit cost stays O(new files + manifest
+    // read), not O(all files ever written)
+    val prev = java.nio.file.Paths.get(s"$outDir/manifest-${batchId - 1}")
+    val base =
+      if (batchId > 0 && java.nio.file.Files.exists(prev))
+        new String(java.nio.file.Files.readAllBytes(prev), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    val fresh = new java.io.File(s"$outDir/batch_id=$batchId").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
     val tmp = java.nio.file.Paths.get(s"$outDir/.manifest-$batchId.tmp")
-    java.nio.file.Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp,
+      (base ++ fresh).mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(s"$outDir/manifest-$batchId"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
