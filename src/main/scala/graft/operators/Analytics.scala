@@ -2194,6 +2194,130 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------------- g_coloring
+  /** DISTRIBUTED GRAPH COLORING via Jones–Plassmann (1993) — the
+    * parallel symmetry-breaking primitive behind conflict-free
+    * scheduling, register allocation, and chromatic ordering of
+    * updates: per round, every uncolored node whose PRIORITY beats all
+    * its uncolored neighbors' colors itself with the smallest color no
+    * already-colored neighbor holds (the winners form an independent
+    * set by construction — two adjacent winners would need to out-
+    * prioritize each other). Priority is LARGEST-DEGREE-FIRST
+    * (Welsh–Powell order parallelized — the LDF heuristic of
+    * Hasenplaugh et al. 2014), id tie-broken: least(deg, 65535)·10¹⁴
+    * + id — unique, BIGINT-safe, identical in both engines. LDF is a
+    * MEASURED choice, not taste: random hash priorities stall on this
+    * hub-heavy graph (a hub waits on ~half its huge neighborhood,
+    * serializing everything under it — 912/1890 colored after 20
+    * replay rounds at sf0.001), while degree-major priorities color
+    * the hubs first and finish in 7 (the published LDF behavior).
+    * `colorRounds` fixed synchronous rounds with early exit when
+    * everything is colored; still-uncolored nodes report color 0 (the
+    * documented partial-progress contract). At round r the mex is
+    * provably ≤ r (neighbors hold colors from rounds < r), so the
+    * candidate explode is round-bounded. Per round: one
+    * edge⋈uncolored join + partial-agged max (the CC shape), one
+    * colored-neighbor distinct, one bounded mex anti-join. */
+  val colorRounds = 8
+
+  def coloring: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val deg = und.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      var state = nodes.join(deg, Seq("id"), "left_outer")
+        .select(col("id"),
+          (least(coalesce(col("deg"), lit(0L)), lit(65535L))
+            * 100000000000000L + col("id")).as("c"),
+          lit(null).cast("long").as("color"))
+        .localCheckpoint(eager = true)
+      interim += state
+      var uncRows = n
+      var round = 0
+      while (round < colorRounds && uncRows > 0) {
+        round += 1
+        val unc = state.filter(col("color").isNull).select("id", "c")
+        val nmax = und
+          .join(gated(unc.toDF("b", "cb"), n), "b")
+          .groupBy(col("a").as("id")).agg(max("cb").as("mx"))
+        val win = unc.join(gated(nmax, n), Seq("id"), "left_outer")
+          .filter(col("c") > coalesce(col("mx"), lit(-1L)))
+          .select("id")
+        val ncol = und
+          .join(gated(state.filter(col("color").isNotNull)
+            .select(col("id"), col("color")).toDF("b", "ncolor"), n), "b")
+          .select(col("a").as("id"), col("ncolor")).distinct()
+        val mex = win
+          .select(col("id"), explode(expr(s"sequence(1, $round)")).as("x"))
+          .join(ncol.toDF("id", "x"), Seq("id", "x"), "left_anti")
+          .groupBy("id").agg(min("x").cast("long").as("newc"))
+        state = state.join(gated(mex, n), Seq("id"), "left_outer")
+          .select(col("id"), col("c"),
+            coalesce(col("color"), col("newc")).as("color"))
+          .localCheckpoint(eager = true)
+        interim += state
+        uncRows = state.filter(col("color").isNull).count()
+      }
+      nodes.join(state, Seq("id"))
+        .select(col("label"), col("key"),
+          coalesce(col("color"), lit(0L)).as("color"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val coloringSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPair
+             |), dg AS (
+             | SELECT a AS id, count(*) AS deg FROM undp GROUP BY a
+             |), st0 AS (
+             | SELECT i.id,
+             |  CAST(least(COALESCE(dg.deg, 0), 65535) * 100000000000000
+             |   + i.id AS BIGINT) AS c,
+             |  CAST(NULL AS BIGINT) AS color
+             | FROM ids i LEFT JOIN dg ON dg.id = i.id
+             |)""".stripMargin
+    for (r <- 1 to colorRounds) {
+      b ++= s""", unc$r AS (
+               | SELECT id, c FROM st${r - 1} WHERE color IS NULL
+               |), nmax$r AS (
+               | SELECT u.a AS id, max(x.c) AS mx
+               | FROM undp u JOIN unc$r x ON x.id = u.b
+               | GROUP BY u.a
+               |), win$r AS (
+               | SELECT u.id FROM unc$r u
+               | LEFT JOIN nmax$r m ON m.id = u.id
+               | WHERE u.c > COALESCE(m.mx, -1)
+               |), ncol$r AS (
+               | SELECT DISTINCT u.a AS id, s.color AS ncolor
+               | FROM undp u JOIN st${r - 1} s ON s.id = u.b
+               | WHERE s.color IS NOT NULL
+               |), mex$r AS (
+               | SELECT w.id, CAST(min(t.x) AS BIGINT) AS newc
+               | FROM win$r w CROSS JOIN unnest(range(1, ${r + 1})) t(x)
+               | WHERE NOT EXISTS (SELECT 1 FROM ncol$r n
+               |  WHERE n.id = w.id AND n.ncolor = t.x)
+               | GROUP BY w.id
+               |), st$r AS (
+               | SELECT s.id, s.c, COALESCE(s.color, m.newc) AS color
+               | FROM st${r - 1} s LEFT JOIN mex$r m ON m.id = s.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key,
+             | CAST(COALESCE(st$colorRounds.color, 0) AS BIGINT) AS color
+             |FROM ids JOIN st$colorRounds ON st$colorRounds.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // --------------------------------------------------- g_louvain_move
   /** LOUVAIN MOVE PHASE, one synchronous round from singleton
     * communities (Blondel et al. 2008; the synchronous variant is the
@@ -2962,6 +3086,7 @@ object Analytics {
     "g_neighborhood_function" -> neighborhoodFunction,
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
+    "g_coloring" -> coloring,
     "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -2997,6 +3122,7 @@ object Analytics {
     "g_neighborhood_function" -> neighborhoodFunctionSql,
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
+    "g_coloring" -> coloringSql,
     "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

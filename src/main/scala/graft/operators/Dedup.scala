@@ -1139,6 +1139,63 @@ object Dedup {
     * 1-row aggregates over the existing stages. */
   val mhEvalMatch = 6
 
+  // ---------------------------------------------- d_dedup_threshold_curve
+  /** The SCORE-THRESHOLD S-curve — the tuning axis d_lsh_tuning does
+    * not cover: d_lsh_tuning varies the BANDING (candidate generation),
+    * this varies the signature-agreement CUTOFF over ONE candidate set
+    * (n_match ≥ t for t ∈ `mhCurveTs`), each threshold scored against
+    * the same blocked-Jaccard truth. Precision rises and recall falls
+    * monotonically in t by construction (spec-asserted) — the table a
+    * "tighten the dedup?" decision reads next to the banding curve.
+    * Cost: the candidate scoring runs ONCE (lazy checkpoint shared by
+    * all thresholds); each row adds two count aggregates. */
+  val mhCurveTs: Seq[Int] = Seq(5, 6, 7, 8, 9)
+
+  def dedupThresholdCurve: Q = (s, dir) => {
+    val scored = dedupMinhashRaw(s, dir)._1.localCheckpoint(eager = false)
+    val truth = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    try {
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      mhCurveTs.map { t =>
+        val pred = scored.filter(col("n_match") >= t).select("doc_a", "doc_b")
+        val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        pred.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(t.toLong).as("threshold"), col("n_pred"),
+            col("n_tp"), col("n_truth"),
+            expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 1000000) div n_pred END")
+              .as("precision_ppm"),
+            expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 1000000) div n_truth END")
+              .as("recall_ppm"))
+      }.reduce(_.unionByName(_)).orderBy("threshold")
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.model.PropertyGraph.freeLocalCheckpoint(scored)
+      graft.model.PropertyGraph.freeLocalCheckpoint(truth)
+    }
+  }
+
+  lazy val dedupThresholdCurveSql: String =
+    s"""WITH $minhashCtesSql,
+       |$jaccardPairsSqlCte
+       |SELECT threshold, n_pred, n_tp, n_truth,
+       | CAST(CASE WHEN n_pred = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_pred END AS BIGINT) AS precision_ppm,
+       | CAST(CASE WHEN n_truth = 0 THEN 0
+       |      ELSE (n_tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm
+       |FROM (""".stripMargin +
+      mhCurveTs.map(t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold,
+           | (SELECT count(*) FROM mhscored WHERE n_match >= $t) AS n_pred,
+           | (SELECT count(*) FROM mhscored m
+           |  JOIN jp ON jp.doc_a = m.doc_a AND jp.doc_b = m.doc_b
+           |  WHERE m.n_match >= $t) AS n_tp,
+           | (SELECT count(*) FROM jp) AS n_truth""".stripMargin)
+        .mkString(" UNION ALL ") +
+      ") ORDER BY threshold"
+
   def dedupEval: Q = (s, dir) => {
     // both pair sets are read twice (their count agg + the semi-join);
     // the candidate joins behind them are NOT covered by the upstream
@@ -1511,6 +1568,7 @@ object Dedup {
     "d_dup_distribution" -> dupDistribution,
     "d_entity_resolution" -> entityResolution,
     "d_dedup_eval" -> dedupEval,
+    "d_dedup_threshold_curve" -> dedupThresholdCurve,
     "d_containment" -> containment,
     "d_decontaminate" -> decontaminate,
     "d_pipeline_e2e" -> pipelineE2e,
@@ -1534,6 +1592,7 @@ object Dedup {
     "d_dup_distribution" -> dupDistributionSql,
     "d_entity_resolution" -> entityResolutionSql,
     "d_dedup_eval" -> dedupEvalSql,
+    "d_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "d_containment" -> containmentSql,
     "d_decontaminate" -> decontaminateSql,
     "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),

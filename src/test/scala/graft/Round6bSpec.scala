@@ -437,6 +437,76 @@ class Round6bSpec extends AnyFunSuite {
       "no cross-doc chunk dedup found on a corpus with known duplicates")
   }
 
+  test("d_dedup_threshold_curve: tightening the cutoff is monotone both ways") {
+    val rows = Dedup.dedupThresholdCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("threshold"))
+    assert(rows.map(_.getAs[Long]("threshold")).toSeq ==
+      Dedup.mhCurveTs.map(_.toLong))
+    // a higher cutoff can only shrink the claim set: n_pred and n_tp
+    // non-increasing, so precision can't fall and recall can't rise
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(hi.getAs[Long]("n_pred") <= lo.getAs[Long]("n_pred"))
+      assert(hi.getAs[Long]("n_tp") <= lo.getAs[Long]("n_tp"))
+      assert(hi.getAs[Long]("recall_ppm") <= lo.getAs[Long]("recall_ppm"))
+    }
+    // the ppm columns are the exact floor ratios
+    rows.foreach { r =>
+      val (p, tp, tr) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_tp"),
+        r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("precision_ppm") ==
+        (if (p == 0) 0L else tp * 1000000L / p))
+      assert(r.getAs[Long]("recall_ppm") ==
+        (if (tr == 0) 0L else tp * 1000000L / tr))
+    }
+  }
+
+  test("g_coloring: proper coloring; full Jones-Plassmann replay agrees") {
+    import graft.operators.Analytics
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val adj = scala.collection.mutable.Map[Long, Seq[Long]]()
+      .withDefaultValue(Seq())
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      adj(a) = adj(a) :+ b; adj(b) = adj(b) :+ a
+    }
+    val nodes = g.nodes.collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")))
+    // LDF priority exactly as the op: least(deg, 65535)*1e14 + id
+    // (deg counts edge ENDPOINTS, parallel edges included)
+    val p = nodes.map(v =>
+      v -> (math.min(adj(v).length, 65535).toLong * 100000000000000L + v)).toMap
+    var color = Map.empty[Long, Long]
+    for (_ <- 1 to Analytics.colorRounds if color.size < nodes.length) {
+      val winners = nodes.filterNot(color.contains).filter(v =>
+        adj(v).filterNot(color.contains).forall(u => p(v) > p(u)))
+      color = color ++ winners.map { v =>
+        val used = adj(v).flatMap(color.get).toSet
+        v -> (1L to 100L).find(!used.contains(_)).get
+      }
+    }
+    val got = Analytics.coloring(spark, sf).collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("color")).toMap
+    // exact replay agreement, including any uncolored (0) nodes
+    nodes.foreach { v =>
+      assert(got(v) == color.getOrElse(v, 0L),
+        s"node $v: op ${got(v)} != replay ${color.getOrElse(v, 0L)}")
+    }
+    // PROPER: no edge joins two equal nonzero colors
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      assert(got(a) == 0L || got(b) == 0L || got(a) != got(b),
+        s"adjacent nodes $a, $b share color ${got(a)}")
+    }
+    // and LDF actually finishes here — the measured claim in the doc
+    assert(got.values.forall(_ > 0L), "uncolored nodes remain at sf0.001")
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
