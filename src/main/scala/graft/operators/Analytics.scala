@@ -2194,6 +2194,127 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------------- g_matching
+  /** PARALLEL MAXIMAL MATCHING via locally-dominant edges (the
+    * Hoepman/Manne–Bisseling local-max algorithm; Luby-style symmetry
+    * breaking on the LINE graph): per round, an edge both of whose
+    * endpoints are free JOINS THE MATCHING iff its priority beats
+    * every competing free-free edge at either endpoint — two adjacent
+    * edges cannot both win, so each round adds an independent edge
+    * set; matched endpoints retire and the conflict graph thins.
+    * Priority = md5-derived 52-bit value tie-broken by the canonical
+    * pair ((h, ea, eb) compared as h·10⁶ + a dense tiebreak is NOT
+    * needed: h ties across distinct edges are broken by (ea, eb) via
+    * a two-level max — exact in both engines). `matchRounds` fixed
+    * rounds + early exit once no free-free edge remains (maximality:
+    * at the fixpoint every remaining edge has a matched endpoint —
+    * spec-checked). The greedy local-max matching is also a ½-
+    * approximation of MAXIMUM matching when run on weights — here
+    * priorities are hashes, the symmetry-breaking contract. Per
+    * round: one endpoint-keyed max aggregate + one join (the CC cost
+    * shape), candidates only shrink. */
+  val matchRounds = 8
+
+  def matching: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      // canonical free-free edge set with a deterministic priority
+      var es = undW.select(least(col("a"), col("b")).as("ea"),
+        greatest(col("a"), col("b")).as("eb"))
+        .distinct()
+        .withColumn("h", graft.functions.VectorExprs.hexSlice(
+          md5(concat(col("ea").cast("string"), lit(">"),
+            col("eb").cast("string"))), 1, 13))
+        .localCheckpoint(eager = true)
+      interim += es
+      var esRows = es.count()
+      val matched = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var round = 0
+      while (round < matchRounds && esRows > 0) {
+        round += 1
+        // per endpoint: the max (h, ea, eb) among incident candidates —
+        // struct max is partial-aggregable and lexicographic, the mst
+        // pick discipline
+        val byEnd = es.select(col("ea").as("v"), struct(col("h"),
+          col("ea"), col("eb")).as("e"))
+          .unionByName(es.select(col("eb").as("v"), struct(col("h"),
+            col("ea"), col("eb")).as("e")))
+        val vmax = byEnd.groupBy("v").agg(max("e").as("m"))
+        // an edge wins iff it IS the max at BOTH endpoints
+        val win = es
+          .join(vmax.select(col("v").as("ea"), col("m").as("ma")), "ea")
+          .join(vmax.select(col("v").as("eb"), col("m").as("mb")), "eb")
+          .filter(struct(col("h"), col("ea"), col("eb")) === col("ma") &&
+            struct(col("h"), col("ea"), col("eb")) === col("mb"))
+          .select(lit(round.toLong).as("round"), col("ea"), col("eb"))
+          .localCheckpoint(eager = true)
+        interim += win
+        matched += win
+        // retire matched endpoints; the candidate set only shrinks
+        val used = win.select(col("ea").as("v"))
+          .unionByName(win.select(col("eb").as("v"))).distinct()
+        es = es
+          .join(used.toDF("ea"), Seq("ea"), "left_anti")
+          .join(used.toDF("eb"), Seq("eb"), "left_anti")
+          .select("ea", "eb", "h")
+          .localCheckpoint(eager = true)
+        interim += es
+        esRows = es.count()
+      }
+      val seed = s.range(0).select(lit(0L).as("round"), lit(0L).as("ea"),
+        lit(0L).as("eb"))
+      (seed +: matched.toSeq).reduce(_.unionByName(_))
+        .orderBy("round", "ea", "eb")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val matchingSql: String = {
+    val h13 = OracleSql.hexToLong(
+      "md5(CAST(ea AS VARCHAR) || '>' || CAST(eb AS VARCHAR))", 1, 13)
+    val b = new StringBuilder(cte)
+    b ++= s""", undp AS (
+             | SELECT $undSqlPair
+             |), es0 AS (
+             | SELECT ea, eb, CAST($h13 AS BIGINT) AS h FROM (
+             |  SELECT DISTINCT least(a, b) AS ea, greatest(a, b) AS eb
+             |  FROM undp
+             | )
+             |)""".stripMargin
+    for (r <- 1 to matchRounds) {
+      b ++= s""", vmax$r AS (
+               | SELECT v, hh AS mh, mea AS xea, meb AS xeb FROM (
+               |  SELECT v, hh, mea, meb, row_number() OVER (
+               |    PARTITION BY v ORDER BY hh DESC, mea DESC, meb DESC) AS rn
+               |  FROM (
+               |   SELECT ea AS v, h AS hh, ea AS mea, eb AS meb FROM es${r - 1}
+               |   UNION ALL
+               |   SELECT eb, h, ea, eb FROM es${r - 1}
+               |  )
+               | ) WHERE rn = 1
+               |), win$r AS (
+               | SELECT e.ea, e.eb FROM es${r - 1} e
+               | JOIN vmax$r a ON a.v = e.ea AND a.mh = e.h
+               |  AND a.xea = e.ea AND a.xeb = e.eb
+               | JOIN vmax$r b ON b.v = e.eb AND b.mh = e.h
+               |  AND b.xea = e.ea AND b.xeb = e.eb
+               |), used$r AS (
+               | SELECT ea AS v FROM win$r UNION SELECT eb FROM win$r
+               |), es$r AS (
+               | SELECT e.ea, e.eb, e.h FROM es${r - 1} e
+               | WHERE NOT EXISTS (SELECT 1 FROM used$r u WHERE u.v = e.ea)
+               |   AND NOT EXISTS (SELECT 1 FROM used$r u WHERE u.v = e.eb)
+               |)""".stripMargin
+    }
+    b ++= "\nSELECT round, ea, eb FROM (" +
+      (1 to matchRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, ea, eb FROM win$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY round, ea, eb"
+    b.toString
+  }
+
   // ------------------------------------------------------- g_coloring
   /** DISTRIBUTED GRAPH COLORING via Jones–Plassmann (1993) — the
     * parallel symmetry-breaking primitive behind conflict-free
@@ -3087,6 +3208,7 @@ object Analytics {
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
     "g_coloring" -> coloring,
+    "g_matching" -> matching,
     "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -3123,6 +3245,7 @@ object Analytics {
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
     "g_coloring" -> coloringSql,
+    "g_matching" -> matchingSql,
     "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

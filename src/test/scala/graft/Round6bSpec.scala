@@ -507,6 +507,52 @@ class Round6bSpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0L), "uncolored nodes remain at sf0.001")
   }
 
+  test("g_matching: a valid MAXIMAL matching; local-max replay agrees") {
+    import graft.operators.Analytics
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val pairs = g.edges.collect().map { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    def h13(ea: Long, eb: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$ea>$eb".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(13).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    // replay the local-max rounds exactly
+    var es = pairs.map { case (ea, eb) => (ea, eb, h13(ea, eb)) }
+    val replay = scala.collection.mutable.Map[(Long, Long), Long]()
+    var round = 0
+    while (round < Analytics.matchRounds && es.nonEmpty) {
+      round += 1
+      val vmax = (es.map { case (ea, eb, h) => ea -> (h, ea, eb) } ++
+        es.map { case (ea, eb, h) => eb -> (h, ea, eb) })
+        .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).max }
+      val win = es.filter { case (ea, eb, h) =>
+        vmax(ea) == ((h, ea, eb)) && vmax(eb) == ((h, ea, eb)) }
+      win.foreach { case (ea, eb, _) => replay((ea, eb)) = round.toLong }
+      val used = win.flatMap { case (ea, eb, _) => Seq(ea, eb) }.toSet
+      es = es.filter { case (ea, eb, _) =>
+        !used.contains(ea) && !used.contains(eb) }
+    }
+    val got = Analytics.matching(spark, sf).collect().map(r =>
+      (r.getAs[Long]("ea"), r.getAs[Long]("eb")) -> r.getAs[Long]("round"))
+      .toMap
+    assert(got == replay.toMap, s"op ${got.size} pairs != replay ${replay.size}")
+    // VALID: no node appears in two matched edges
+    val ends = got.keys.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    assert(ends.length == ends.distinct.length, "a node is matched twice")
+    // MAXIMAL (the fixpoint drained here): every edge touches a match
+    val matchedV = ends.toSet
+    assert(pairs.forall { case (a, b) =>
+      matchedV.contains(a) || matchedV.contains(b) },
+      "an edge with two free endpoints remains — matching not maximal")
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
