@@ -2194,6 +2194,121 @@ object Analytics {
     b.toString
   }
 
+  // -------------------------------------------------------- g_densest
+  /** DENSEST SUBGRAPH via parallel peeling (Bahmani, Kumar, Vassilvitskii
+    * 2012 — THE MapReduce-native densest-subgraph algorithm, a
+    * 2(1+ε)-approximation): each round computes the current subgraph's
+    * density ρ = m/n and removes EVERY node with degree ≤ 2(1+ε)·ρ at
+    * once (the all-at-once removal is what makes it O(log n) rounds
+    * where Charikar's one-node-at-a-time peel is O(n) and inherently
+    * sequential); the density over the whole peel trajectory peaks at
+    * ≥ OPT/(2(1+ε)). ε = 1/20 here ⇒ REMOVE every node with
+    * d ≤ 2.1·ρ, integer-exact as the cross-multiplication
+    * d·n·10 ≤ 21·m (no float density ever decides). Run on the
+    * co-purchase projection (the graph with a meaningful dense core —
+    * the hierarchy graph's density is structurally ~1). Output: one
+    * row per executed round — nodes, edges, density in ppm, and
+    * whether that round is the peak — the trajectory table; fixed
+    * `densestRounds` with early exit when the subgraph empties or no
+    * node falls below threshold (fixpoint rounds are identity, the CC
+    * argument). Per round: one degree aggregate + two semi-joins on a
+    * shrinking edge set. */
+  val densestRounds = 8
+
+  def densest: Q = (s, dir) => {
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      var e = coProjection(s, dir)
+        .select(col("p1"), col("p2")).localCheckpoint(eager = true)
+      interim += e
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var round = 0
+      var continue = true
+      while (round < densestRounds && continue) {
+        round += 1
+        val deg = e.select(col("p1").as("p")).unionByName(
+          e.select(col("p2").as("p")))
+          .groupBy("p").agg(count(lit(1)).as("d"))
+          .localCheckpoint(eager = true)
+        interim += deg
+        val m = e.count()
+        val n = deg.count()
+        if (n == 0) { continue = false }
+        else {
+          rows += ((round.toLong, n, m))
+          // KEEP nodes with d·n·10 > 21·m (the survivors of removing
+          // every d ≤ 2(1+ε)·ρ, ε = 1/20) — peeling removes the LOW-
+          // degree fringe so the dense core surfaces
+          val keep = deg.filter(col("d") * n * 10L > 21L * m).select("p")
+          val e2 = e.join(keep.toDF("p1"), Seq("p1"), "left_semi")
+            .join(keep.toDF("p2"), Seq("p2"), "left_semi")
+            .select("p1", "p2")
+            .localCheckpoint(eager = true)
+          interim += e2
+          val m2 = e2.count()
+          if (m2 == m && keep.count() == n) continue = false // fixpoint
+          e = e2
+        }
+      }
+      import s.implicits._
+      val traj = rows.toSeq.toDF("round", "n_nodes", "n_edges")
+        .withColumn("density_ppm", expr("(n_edges * 1000000) div n_nodes"))
+      val best = traj.agg(max("density_ppm").as("best"))
+      traj.crossJoin(broadcast(best)) // 1-row scalar
+        .select(col("round"), col("n_nodes"), col("n_edges"),
+          col("density_ppm"),
+          when(col("density_ppm") === col("best"), 1L).otherwise(0L)
+            .as("is_peak"))
+        .orderBy("round")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val densestSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", hp AS (
+             | SELECT src_key AS o, dst_key AS p FROM edges
+             | WHERE elabel = 'HAS_PART'
+             |), e0 AS (
+             | SELECT DISTINCT a.p AS p1, b.p AS p2
+             | FROM hp a JOIN hp b ON a.o = b.o AND a.p < b.p
+             |)""".stripMargin
+    for (r <- 1 to densestRounds) {
+      b ++= s""", deg$r AS (
+               | SELECT p, count(*) AS d FROM (
+               |  SELECT p1 AS p FROM e${r - 1}
+               |  UNION ALL SELECT p2 FROM e${r - 1}
+               | ) GROUP BY p
+               |), st$r AS (
+               | SELECT (SELECT count(*) FROM e${r - 1}) AS m,
+               |        (SELECT count(*) FROM deg$r) AS n
+               |), keep$r AS (
+               | SELECT p FROM deg$r, st$r WHERE d * n * 10 > 21 * m
+               |), e$r AS (
+               | SELECT e.p1, e.p2 FROM e${r - 1} e
+               | WHERE EXISTS (SELECT 1 FROM keep$r k WHERE k.p = e.p1)
+               |   AND EXISTS (SELECT 1 FROM keep$r k WHERE k.p = e.p2)
+               |)""".stripMargin
+    }
+    b ++= s""", traj AS (
+             |${(1 to densestRounds).map(r =>
+               s""" SELECT CAST($r AS BIGINT) AS round, n AS n_nodes, m AS n_edges,
+                  |  (m * 1000000) // n AS density_ppm
+                  | FROM st$r WHERE n > 0""").mkString("\n UNION ALL\n")}
+             |), dedup AS (
+             | SELECT round, n_nodes, n_edges, density_ppm FROM (
+             |  SELECT t.*, lag(n_edges) OVER (ORDER BY round) AS pm,
+             |   lag(n_nodes) OVER (ORDER BY round) AS pn
+             |  FROM traj t
+             | ) WHERE pm IS NULL OR pm <> n_edges OR pn <> n_nodes
+             |)
+             |SELECT round, n_nodes, n_edges, density_ppm,
+             | CAST(CASE WHEN density_ppm = (SELECT max(density_ppm) FROM dedup)
+             |  THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+             |FROM dedup ORDER BY round""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------------- g_matching
   /** PARALLEL MAXIMAL MATCHING via locally-dominant edges (the
     * Hoepman/Manne–Bisseling local-max algorithm; Luby-style symmetry
@@ -3209,6 +3324,7 @@ object Analytics {
     "g_louvain_move" -> louvainMove,
     "g_coloring" -> coloring,
     "g_matching" -> matching,
+    "g_densest" -> densest,
     "g_path_count" -> pathCount,
     "g_random_walk" -> randomWalk,
     "g_node2vec_walk" -> node2vecWalk,
@@ -3246,6 +3362,7 @@ object Analytics {
     "g_louvain_move" -> louvainMoveSql,
     "g_coloring" -> coloringSql,
     "g_matching" -> matchingSql,
+    "g_densest" -> densestSql,
     "g_path_count" -> pathCountSql,
     "g_random_walk" -> randomWalkSql,
     "g_node2vec_walk" -> node2vecWalkSql,

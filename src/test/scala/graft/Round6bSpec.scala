@@ -553,6 +553,50 @@ class Round6bSpec extends AnyFunSuite {
       "an edge with two free endpoints remains — matching not maximal")
   }
 
+  test("g_densest: the peel trajectory replays exactly; peak is the max") {
+    import graft.operators.Analytics
+    // build the co-purchase projection in memory
+    val hp = graft.model.PropertyGraph.load(spark, sf).edges
+      .filter(col("elabel") === "HAS_PART")
+      .select("src_key", "dst_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = hp.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    // replay the Bahmani peel: remove d*n*10 <= 21*m each round
+    var e = co
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var r = 0
+    var go = true
+    while (r < Analytics.densestRounds && go && e.nonEmpty) {
+      r += 1
+      val deg = e.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, g) => v -> g.length.toLong }
+      val (m, n) = (e.size.toLong, deg.size.toLong)
+      want += ((r.toLong, n, m))
+      val keep = deg.filter { case (_, d) => d * n * 10L > 21L * m }.keySet
+      val e2 = e.filter { case (a, b) => keep(a) && keep(b) }
+      if (e2 == e) go = false
+      e = e2
+    }
+    val got = Analytics.densest(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(x => (x.getAs[Long]("round"), x.getAs[Long]("n_nodes"),
+        x.getAs[Long]("n_edges")))
+    assert(got.toSeq == want.toSeq,
+      s"trajectory mismatch:\n op: ${got.toSeq}\n rep: ${want.toSeq}")
+    // peak marks exactly the max-density rows
+    val rows = Analytics.densest(spark, sf).collect()
+    val best = rows.map(_.getAs[Long]("density_ppm")).max
+    rows.foreach { x =>
+      assert((x.getAs[Long]("is_peak") == 1L) ==
+        (x.getAs[Long]("density_ppm") == best))
+      assert(x.getAs[Long]("density_ppm") ==
+        x.getAs[Long]("n_edges") * 1000000L / x.getAs[Long]("n_nodes"))
+    }
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
