@@ -2482,7 +2482,14 @@ object Analytics {
         val win = unc.join(gated(nmax, n), Seq("id"), "left_outer")
           .filter(col("c") > coalesce(col("mx"), lit(-1L)))
           .select("id")
+        // colored neighbors of WINNERS only — the full-graph distinct
+        // re-scanned every round as the colored set grew (12.4 s at
+        // sf0.1); a winner's mex depends only on ITS neighborhood, so
+        // semi-filtering und by the winner frontier first is
+        // value-identical (the oracle keeps the unfiltered form) and
+        // bounds the round's work by edges incident to winners
         val ncol = und
+          .join(gated(win.toDF("a"), n), "a")
           .join(gated(state.filter(col("color").isNotNull)
             .select(col("id"), col("color")).toDF("b", "ncolor"), n), "b")
           .select(col("a").as("id"), col("ncolor")).distinct()
