@@ -1833,6 +1833,44 @@ object TextOps {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- t_dsir_eval
+  /** DSIR SELECTION CALIBRATION — does importance resampling toward
+    * the target distribution actually pick documents the QUALITY gate
+    * keeps? Two rows (selected / not): docs, Gopher-keep count and
+    * rate in ppm, mean importance score — read side by side, the table
+    * answers whether the cheap distribution-matching score can stand
+    * in for (or must compose with) the rule gate, the same question
+    * t_quality_calibration asks of the composite score. Either outcome
+    * is the product: a flat keep rate across the rows is the
+    * measurement that distribution match ≠ quality. Composes two
+    * oracle-checked ops; the oracle nests both full chains. */
+  def dsirEval: Q = (s, dir) => {
+    val sel = dsir(s, dir).select("doc_id", "selected", "dsir_ppm")
+    val gate = gopherQuality(s, dir).select("doc_id", "keep")
+    sel.join(gate, "doc_id")
+      .groupBy("selected")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_gopher_keep"),
+        expr("(count(CASE WHEN keep THEN 1 END) * 1000000) div count(1)")
+          .as("keep_ppm"),
+        expr("sum(dsir_ppm) div count(1)").as("mean_dsir_ppm"))
+      .orderBy("selected")
+  }
+
+  lazy val dsirEvalSql: String =
+    s"""WITH ds AS (
+       |$dsirSql
+       |), gq AS (
+       |$gopherQualitySql
+       |)
+       |SELECT d.selected, count(*) AS n_docs,
+       | count(CASE WHEN g.keep THEN 1 END) AS n_gopher_keep,
+       | CAST((count(CASE WHEN g.keep THEN 1 END) * 1000000) // count(*)
+       |  AS BIGINT) AS keep_ppm,
+       | CAST(sum(d.dsir_ppm) // count(*) AS BIGINT) AS mean_dsir_ppm
+       |FROM ds d JOIN gq g USING (doc_id)
+       |GROUP BY d.selected ORDER BY d.selected""".stripMargin
+
   // ---------------------------------------------------- t_gopher_quality
   /** Gopher-rules quality gate (Rae et al. 2021 §A1.1), adapted to this
     * corpus (no punctuation/lines → the symbol/bullet/ellipsis rules are
@@ -2060,6 +2098,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t_dsir" -> dsir,
+    "t_dsir_eval" -> dsirEval,
     "t_bpe_apply" -> bpeApply,
     "t_content_chunking" -> contentChunking,
     "t_rule_ablation" -> ruleAblation,
@@ -2096,6 +2135,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "t_dsir" -> dsirSql,
+    "t_dsir_eval" -> dsirEvalSql,
     "t_bpe_apply" -> bpeApplySql,
     "t_content_chunking" -> contentChunkingSql,
     "t_bpe_train" -> bpeTrainSql,

@@ -597,6 +597,26 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("t_dsir_eval: the calibration rows reconcile with both composed ops") {
+    val rows = TextOps.dsirEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("selected") -> r).toMap
+    val nDocs = graft.model.Tables(spark, sf, "documents").count()
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows(1L).getAs[Long]("n_docs") == TextOps.dsirKeep.toLong)
+    // keep counts must equal composing the two source ops directly
+    val sel = TextOps.dsir(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("selected")).toMap
+    val keep = TextOps.gopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    Seq(0L, 1L).foreach { g =>
+      val want = sel.count { case (d, s2) => s2 == g && keep(d) }
+      assert(rows(g).getAs[Long]("n_gopher_keep") == want.toLong,
+        s"group $g keep count off")
+      assert(rows(g).getAs[Long]("keep_ppm") ==
+        want.toLong * 1000000L / rows(g).getAs[Long]("n_docs"))
+    }
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
