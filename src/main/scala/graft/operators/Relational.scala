@@ -1361,6 +1361,53 @@ object Relational {
       |   ORDER BY c_acctbal, c_custkey) AS quartile
       |FROM customer ORDER BY segment, c_custkey""".stripMargin
 
+  // ------------------------------------------------------------- q_mom_yoy
+  /** PERIOD-OVER-PERIOD report — the month-over-month / year-over-year
+    * deltas every revenue dashboard leads with: monthly order revenue
+    * in exact cents, MoM and YoY change in ppm of the PRIOR period
+    * (lag 1 / lag 12 over the month sequence; a missing prior period
+    * reports 0 — the first-row convention of the growth_ppm columns
+    * elsewhere). Calendar months come from year·100+month integer
+    * arithmetic (both engines bucket identically by construction —
+    * no format strings). One partial-agged groupBy to month grain
+    * (≤ 84 rows here, period-bounded at any data scale), then two lag
+    * windows over the tiny month frame — the aggregate is the only
+    * corpus-sized work. */
+  def qMomYoy: Q = (s, dir) => {
+    val monthly = t(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("mom_ppm", coalesce(
+        expr("((rev_cents - lag(rev_cents, 1) OVER (ORDER BY month)) * 1000000)" +
+          " div lag(rev_cents, 1) OVER (ORDER BY month)"), lit(0L)))
+      .withColumn("yoy_ppm", coalesce(
+        expr("((rev_cents - lag(rev_cents, 12) OVER (ORDER BY month)) * 1000000)" +
+          " div lag(rev_cents, 12) OVER (ORDER BY month)"), lit(0L)))
+      .orderBy("month")
+  }
+
+  val qMomYoySql: String =
+    """WITH monthly AS (
+      | SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      |   AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |   AS rev_cents
+      | FROM orders GROUP BY 1
+      |)
+      |SELECT month, n_orders, rev_cents,
+      | CAST(COALESCE(((rev_cents - lag(rev_cents, 1) OVER (ORDER BY month))
+      |  * 1000000) // lag(rev_cents, 1) OVER (ORDER BY month), 0)
+      |  AS BIGINT) AS mom_ppm,
+      | CAST(COALESCE(((rev_cents - lag(rev_cents, 12) OVER (ORDER BY month))
+      |  * 1000000) // lag(rev_cents, 12) OVER (ORDER BY month), 0)
+      |  AS BIGINT) AS yoy_ppm
+      |FROM monthly ORDER BY month""".stripMargin
+
   // ------------------------------------------------------------- q_skyline
   /** SKYLINE (Pareto frontier — Börzsönyi et al. 2001): customers not
     * DOMINATED on (account balance, lifetime spend) — no other customer
@@ -1741,6 +1788,7 @@ object Relational {
     "q_ntile" -> qNtile,
     "q_gaps_islands" -> qGapsIslands,
     "q_skyline" -> qSkyline,
+    "q_mom_yoy" -> qMomYoy,
     "q_corr" -> qCorr,
     "q_intersect_except" -> qIntersectExcept,
     "q_json_extract" -> qJsonExtract,
@@ -1788,6 +1836,7 @@ object Relational {
     "q_ntile" -> qNtileSql,
     "q_gaps_islands" -> qGapsIslandsSql,
     "q_skyline" -> qSkylineSql,
+    "q_mom_yoy" -> qMomYoySql,
     "q_corr" -> qCorrSql,
     "q_intersect_except" -> qIntersectExceptSql,
     "q_json_extract" -> qJsonExtractSql,

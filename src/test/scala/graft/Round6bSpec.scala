@@ -617,6 +617,22 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mom_yoy: deltas replay from the monthly frame") {
+    val rows = graft.operators.Relational.qMomYoy(spark, sf).collect()
+      .sortBy(_.getAs[Long]("month"))
+    val rev = rows.map(r => r.getAs[Long]("month") -> r.getAs[Long]("rev_cents"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      def delta(lagN: Int): Long =
+        if (i < lagN) 0L
+        else (rev(i)._2 - rev(i - lagN)._2) * 1000000L / rev(i - lagN)._2
+      assert(r.getAs[Long]("mom_ppm") == delta(1), s"mom at ${rev(i)._1}")
+      assert(r.getAs[Long]("yoy_ppm") == delta(12), s"yoy at ${rev(i)._1}")
+    }
+    // months are a strictly increasing yyyymm sequence with valid months
+    rev.map(_._1).foreach(m => assert(m % 100 >= 1 && m % 100 <= 12))
+    assert(rev.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
+
   test("d_dataset_split: content-keyed split leaks nothing and covers the corpus") {
     val rows = Dedup.datasetSplit(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("n_leak_hashes") == 0L),
