@@ -2332,16 +2332,23 @@ object Analytics {
 
   def matching: Q = (s, dir) => {
     val (nodes, undW) = numericGraph(s, dir)
+    // broadcast bound for `used` (≤ 2·|win| ≤ n matched endpoints)
+    val n = nodes.count()
     val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
-      // canonical free-free edge set with a deterministic priority
+      // canonical free-free edge set with a deterministic priority.
+      // LAZY checkpoint: the count() on the next line is the round
+      // loop's driver scalar anyway, so it doubles as the materializing
+      // action — one job instead of an eager-checkpoint job + a count
+      // job (the r6 verdict's materialization-floor fix; same pattern
+      // per round below)
       var es = undW.select(least(col("a"), col("b")).as("ea"),
         greatest(col("a"), col("b")).as("eb"))
         .distinct()
         .withColumn("h", graft.functions.VectorExprs.hexSlice(
           md5(concat(col("ea").cast("string"), lit(">"),
             col("eb").cast("string"))), 1, 13))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       interim += es
       var esRows = es.count()
       val matched = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -2356,24 +2363,30 @@ object Analytics {
           .unionByName(es.select(col("eb").as("v"), struct(col("h"),
             col("ea"), col("eb")).as("e")))
         val vmax = byEnd.groupBy("v").agg(max("e").as("m"))
-        // an edge wins iff it IS the max at BOTH endpoints
-        val win = es
-          .join(vmax.select(col("v").as("ea"), col("m").as("ma")), "ea")
-          .join(vmax.select(col("v").as("eb"), col("m").as("mb")), "eb")
-          .filter(struct(col("h"), col("ea"), col("eb")) === col("ma") &&
-            struct(col("h"), col("ea"), col("eb")) === col("mb"))
-          .select(lit(round.toLong).as("round"), col("ea"), col("eb"))
+        // an edge wins iff it IS the max at BOTH endpoints. The struct
+        // m = (h, ea, eb) NAMES its edge, and an edge can only be a
+        // vertex-max at its own two endpoints — so "max at both ends"
+        // ≡ "m appears twice in vmax". One count-by-struct replaces the
+        // two es ⋈ vmax shuffle joins the r6 plan paid per round
+        // (value-identical: both select exactly the locally-dominant
+        // edges; the oracle keeps the two-join formulation)
+        val win = vmax.groupBy("m").agg(count(lit(1)).as("k"))
+          .filter(col("k") === 2)
+          .select(lit(round.toLong).as("round"), col("m.ea").as("ea"),
+            col("m.eb").as("eb"))
           .localCheckpoint(eager = true)
         interim += win
         matched += win
-        // retire matched endpoints; the candidate set only shrinks
+        // retire matched endpoints; the candidate set only shrinks.
+        // `used` is bounded by 2·|win| ≤ n — broadcast both anti-joins
+        // so es is never shuffled, only scanned and re-checkpointed
         val used = win.select(col("ea").as("v"))
           .unionByName(win.select(col("eb").as("v"))).distinct()
         es = es
-          .join(used.toDF("ea"), Seq("ea"), "left_anti")
-          .join(used.toDF("eb"), Seq("eb"), "left_anti")
+          .join(gated(used.toDF("ea"), n), Seq("ea"), "left_anti")
+          .join(gated(used.toDF("eb"), n), Seq("eb"), "left_anti")
           .select("ea", "eb", "h")
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         interim += es
         esRows = es.count()
       }
@@ -2464,47 +2477,77 @@ object Analytics {
     try {
       val deg = und.groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("deg"))
-      var state = nodes.join(deg, Seq("id"), "left_outer")
+      // DELTA-CARRY state (the kcore/topo_levels shape, r6 verdict #1):
+      // instead of rewriting an all-n (id, c, color) frame every round,
+      // carry (a) `unc` — the shrinking uncolored frontier, the ONLY
+      // per-round checkpoint, and (b) `colored` — append-only per-round
+      // (id, color) deltas. LDF colors the hubs immediately, so unc
+      // collapses geometrically and each round's rewrite is bounded by
+      // the remaining frontier, not n — the property that survives 100×.
+      var unc = nodes.join(deg, Seq("id"), "left_outer")
         .select(col("id"),
           (least(coalesce(col("deg"), lit(0L)), lit(65535L))
-            * 100000000000000L + col("id")).as("c"),
-          lit(null).cast("long").as("color"))
+            * 100000000000000L + col("id")).as("c"))
         .localCheckpoint(eager = true)
-      interim += state
+      interim += unc
+      val colored = scala.collection.mutable.ArrayBuffer[DataFrame]()
       var uncRows = n
       var round = 0
       while (round < colorRounds && uncRows > 0) {
         round += 1
-        val unc = state.filter(col("color").isNull).select("id", "c")
         val nmax = und
           .join(gated(unc.toDF("b", "cb"), n), "b")
           .groupBy(col("a").as("id")).agg(max("cb").as("mx"))
         val win = unc.join(gated(nmax, n), Seq("id"), "left_outer")
           .filter(col("c") > coalesce(col("mx"), lit(-1L)))
           .select("id")
+          // EAGER: win feeds BOTH the ncol semi-filter and the mex
+          // explode — uncheckpointed it was recomputed (broadcast(unc)
+          // + full und scan + broadcast(nmax)) once per arm inside the
+          // delta job (measured: +6 s over 7 rounds at sf0.1;
+          // ReuseExchange does not unify the two copies)
+          .localCheckpoint(eager = true)
+        interim += win
         // colored neighbors of WINNERS only — the full-graph distinct
         // re-scanned every round as the colored set grew (12.4 s at
         // sf0.1); a winner's mex depends only on ITS neighborhood, so
         // semi-filtering und by the winner frontier first is
         // value-identical (the oracle keeps the unfiltered form) and
-        // bounds the round's work by edges incident to winners
-        val ncol = und
-          .join(gated(win.toDF("a"), n), "a")
-          .join(gated(state.filter(col("color").isNotNull)
-            .select(col("id"), col("color")).toDF("b", "ncolor"), n), "b")
-          .select(col("a").as("id"), col("ncolor")).distinct()
-        val mex = win
-          .select(col("id"), explode(expr(s"sequence(1, $round)")).as("x"))
-          .join(ncol.toDF("id", "x"), Seq("id", "x"), "left_anti")
-          .groupBy("id").agg(min("x").cast("long").as("newc"))
-        state = state.join(gated(mex, n), Seq("id"), "left_outer")
-          .select(col("id"), col("c"),
-            coalesce(col("color"), col("newc")).as("color"))
-          .localCheckpoint(eager = true)
-        interim += state
-        uncRows = state.filter(col("color").isNull).count()
+        // bounds the round's work by edges incident to winners. The
+        // colored side is the union of the (checkpointed) per-round
+        // deltas — round 1 has none, and no colored neighbor exists, so
+        // every winner provably takes color 1 (sequence(1,1) minus ∅).
+        val delta = colored.reduceOption(_.unionByName(_)) match {
+          case None => win.select(col("id"), lit(1L).as("color"))
+          case Some(prev) =>
+            val ncol = und
+              .join(gated(win.toDF("a"), n), "a")
+              .join(gated(prev.toDF("b", "ncolor"), n), "b")
+              .select(col("a").as("id"), col("ncolor")).distinct()
+            win
+              .select(col("id"), explode(expr(s"sequence(1, $round)")).as("x"))
+              .join(ncol.toDF("id", "x"), Seq("id", "x"), "left_anti")
+              .groupBy("id").agg(min("x").cast("long").as("color"))
+        }
+        // every winner IS colored (neighbors hold colors < round, the
+        // sequence has `round` values — one always survives the anti-
+        // join), so retiring delta ids from unc retires exactly the
+        // winners. delta is eager (it is re-read by every later round's
+        // ncol and by the final union); unc is lazy — the uncRows count
+        // is its materializing action. The round writes |delta| + |unc|
+        // rows instead of the full-n state rewrite of the r6 plan.
+        val d = delta.localCheckpoint(eager = true)
+        interim += d
+        colored += d
+        unc = unc.join(gated(d.select("id"), n), Seq("id"), "left_anti")
+          .select("id", "c")
+          .localCheckpoint(eager = false)
+        interim += unc
+        uncRows = unc.count()
       }
-      nodes.join(state, Seq("id"))
+      val seed = s.range(0).select(lit(0L).as("id"), lit(0L).as("color"))
+      val allColored = (seed +: colored.toSeq).reduce(_.unionByName(_))
+      nodes.join(allColored, Seq("id"), "left_outer")
         .select(col("label"), col("key"),
           coalesce(col("color"), lit(0L)).as("color"))
         .orderBy("label", "key")
