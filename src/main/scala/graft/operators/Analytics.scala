@@ -286,7 +286,9 @@ object Analytics {
     directedNum(s, dir).count(): Unit
     // ANF sketch rounds (g_anf + g_neighborhood_function) — eager
     // checkpoints, so the build itself materializes them
-    anfSketches(s, dir): Unit
+    anfSketches(s, dir)
+    // level-1 Louvain move table (g_louvain_move + g_louvain level 1)
+    louvainBestMoveL1(s, dir): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by
@@ -2622,13 +2624,21 @@ object Analytics {
     * joined on both sides, one per-node argmax window — every shuffle
     * keyed on node id, the CC partition layout. Overflow: k_i·k_c ≤
     * (Σw)² needs Σw < 3·10⁹ — document scaled-down weights past that. */
-  def louvainMove: Q = (s, dir) => {
-    val (nodes, und) = numericGraph(s, dir)
-    // weighted degree k_i (und carries both directions)
+  /** One synchronous Louvain move round from singleton communities on
+    * an (a, b, w) both-directions edge frame. Shared by g_louvain_move
+    * (level 1, no self-loops) and g_louvain (level 2, where the
+    * contracted graph carries (c, c) self-loop rows: they feed the
+    * weighted degree k — the Louvain convention counts internal weight
+    * twice, which the both-directions aggregation produces naturally —
+    * but are excluded as move candidates). Returns the strictly-
+    * positive-gain argmax moves (id, c); absent id = stay. */
+  private def louvainBestMove(und: DataFrame): DataFrame = {
+    // weighted degree k_i (self-loop rows contribute their full lane)
     val kdeg = und.groupBy(col("a").as("id")).agg(sum("w").as("k"))
-    val m2 = und.agg(sum("w").as("m2")) // = 2m
+    val m2 = und.agg(sum("w").as("m2")) // = 2m (invariant under contraction)
     // k_{i,in}(c): weight from i into (singleton) community c = b
-    val kin = und.groupBy(col("a"), col("b")).agg(sum("w").as("kin"))
+    val kin = und.filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum("w").as("kin"))
     val cand = kin
       .join(kdeg.toDF("a", "ka"), "a")
       .join(kdeg.toDF("b", "kc"), "b")
@@ -2637,9 +2647,25 @@ object Analytics {
         (col("m2") * col("kin") - col("ka") * col("kc")).as("gain"))
       .filter(col("gain") > 0)
     val w = Window.partitionBy("a").orderBy(col("gain").desc, col("c"))
-    val best = cand.withColumn("rn", row_number().over(w))
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("a").as("id"), col("c"))
-    nodes.join(best, Seq("id"), "left_outer")
+  }
+
+  /** Level-1 move table on the session's numericGraph — the shared
+    * stage of g_louvain_move and g_louvain's first level, session-
+    * memoized as one eager localCheckpoint (the jaccardPairs pattern)
+    * and pre-built in warmShared so neither consumer absorbs the
+    * argmax-window build. */
+  private val lbmMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def louvainBestMoveL1(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(lbmMemo, (s, dir))(
+      louvainBestMove(numericGraph(s, dir)._2).localCheckpoint(eager = true))
+
+  def louvainMove: Q = (s, dir) => {
+    val (nodes, und) = numericGraph(s, dir)
+    nodes.join(louvainBestMoveL1(s, dir), Seq("id"), "left_outer")
       .select(col("label"), col("key"),
         coalesce(col("c"), col("id")).as("comm"))
       .orderBy("label", "key")
@@ -2675,6 +2701,186 @@ object Analytics {
              |SELECT ids.label, ids.key,
              | CAST(COALESCE(best.c, ids.id) AS BIGINT) AS comm
              |FROM ids LEFT JOIN best ON best.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
+  // -------------------------------------------------------- g_louvain
+  /** TWO-LEVEL LOUVAIN (Blondel et al. 2008, the full hierarchy shape
+    * at a fixed level count): a move round from singletons
+    * (g_louvain_move's gain primitive), the moves RESOLVED into
+    * communities by the g_mst contraction machinery — hook ptr(i) =
+    * best target, mutual picks (2-cycles) root at the lower id,
+    * `louvainJumps` pointer-jump squarings collapse chains — then
+    * CONTRACTION (community graph aggregated by (comm(a), comm(b))
+    * with (c, c) self-loop rows: both edge directions sum into the
+    * row, so a super-node's weighted degree counts internal edges
+    * twice, the Louvain k convention), then the same move + resolve on
+    * the contracted graph, mapped back comm(i) = root₂(root₁(i)).
+    * Why hook + jump and not a raw synchronous label move: the gain
+    * m2·kin(i,j) − k_i·k_j is SYMMETRIC in (i, j), so the argmax
+    * pointer graph provably contains only 2-cycles (the locally-
+    * dominant-edge theorem — a longer cycle forces a strictly
+    * increasing gain around it, or with all gains tied, a decreasing
+    * id cycle under the lowest-c tie-break); raw simultaneous label
+    * adoption instead lets pairs SWAP communities and measurably
+    * degrades modularity (spec-checked: the hierarchy must improve
+    * Q level over level on the test graph). Chains deeper than
+    * 2^louvainJumps keep a mid-chain root — both engines run the
+    * identical fixed recurrence, so parity cannot break (the mst
+    * contract). All gains stay cross-multiplied BIGINTs; 2m is
+    * invariant under contraction so ONE scalar serves both levels.
+    * Cost: each level is one move phase + component-bounded pointer
+    * tables (tiny self-joins); level 2 runs on the contracted graph,
+    * smaller by the merge factor — the hierarchy's cost telescopes at
+    * 100 TB, the published behavior. Overflow: k_i·k_c ≤ (Σw)² needs
+    * Σw < 3·10⁹ — scale down weights past that (the g_louvain_move
+    * contract). */
+  val louvainJumps = 4
+
+  /** One Louvain level: the (id, c) best positive-gain moves, hooked
+    * and pointer-jumped into community roots. `ids` is the one-column
+    * frame of member ids. Returns (id, ptr = community root). */
+  private def louvainLevel(ids: DataFrame, best: DataFrame, n: Long,
+      interim: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    val hook = ids
+      .join(gated(best, n), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("c"), col("id")).as("ptr"))
+      .localCheckpoint(eager = true)
+    interim += hook
+    // 2-cycle resolution: mutual best pairs root at the lower id
+    val r1 = hook.join(gated(hook.toDF("ptr", "ptr2"), n), "ptr")
+      .select(col("id"), when(col("ptr2") === col("id"),
+        least(col("id"), col("ptr"))).otherwise(col("ptr")).as("ptr"))
+      .localCheckpoint(eager = true)
+    interim += r1
+    var ptr = r1
+    for (_ <- 1 to louvainJumps) {
+      ptr = ptr.join(gated(ptr.toDF("ptr", "ptrn"), n), "ptr")
+        .select(col("id"), col("ptrn").as("ptr"))
+        .localCheckpoint(eager = true)
+      interim += ptr
+    }
+    ptr
+  }
+
+  def louvain: Q = (s, dir) => {
+    val (nodes, und) = numericGraph(s, dir)
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      // level-1 roots (eager via louvainLevel: read by both contraction
+      // endpoints and the final map-back); the move table is the
+      // session-memoized stage shared with g_louvain_move
+      val comm1 = louvainLevel(nodes.select("id"),
+          louvainBestMoveL1(s, dir), n, interim)
+        .toDF("id", "c1")
+      // contracted community graph, self-loops kept (see Scaladoc)
+      val und2 = und
+        .join(gated(comm1.toDF("a", "ca"), n), "a")
+        .join(gated(comm1.toDF("b", "cb"), n), "b")
+        .groupBy(col("ca").as("a"), col("cb").as("b")).agg(sum("w").as("w"))
+        .localCheckpoint(eager = true)
+      interim += und2
+      val supers = comm1.select(col("c1").as("id")).distinct()
+      val comm2 = louvainLevel(supers, louvainBestMove(und2), n, interim)
+        .toDF("c1", "c2")
+      nodes.join(comm1, Seq("id"))
+        .join(gated(comm2, n), Seq("c1"), "left_outer")
+        .select(col("label"), col("key"),
+          coalesce(col("c2"), col("c1")).as("comm"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val louvainSql: String = {
+    // hook + 2-cycle resolve + fixed pointer jumps over a (id, ptr)
+    // table named `<p>hook` — the mstSql machinery, one instance per
+    // level; ends in CTE `<p>r$louvainJumps(id, ptr)`
+    def resolve(p: String): String = {
+      val b = new StringBuilder(
+        s""", ${p}hk AS (
+           | SELECT h.id, CASE WHEN h2.ptr = h.id THEN least(h.id, h.ptr)
+           |  ELSE h.ptr END AS ptr
+           | FROM ${p}hook h JOIN ${p}hook h2 ON h2.id = h.ptr
+           |), ${p}r0 AS (SELECT id, ptr FROM ${p}hk)""".stripMargin)
+      for (j <- 1 to louvainJumps)
+        b ++= s""", ${p}r$j AS (
+                 | SELECT a.id, b.ptr FROM ${p}r${j - 1} a
+                 | JOIN ${p}r${j - 1} b ON b.id = a.ptr
+                 |)""".stripMargin
+      b.toString
+    }
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPairW
+             |), kdeg AS (
+             | SELECT a AS id, CAST(sum(w) AS BIGINT) AS k FROM undp GROUP BY a
+             |), m2 AS (
+             | SELECT CAST(sum(w) AS BIGINT) AS m2 FROM undp
+             |), kin AS (
+             | SELECT a, b, CAST(sum(w) AS BIGINT) AS kin FROM undp
+             | WHERE a <> b GROUP BY a, b
+             |), cand AS (
+             | SELECT kin.a, kin.b AS c,
+             |  m2.m2 * kin.kin - ka.k * kc.k AS gain
+             | FROM kin
+             | JOIN kdeg ka ON ka.id = kin.a
+             | JOIN kdeg kc ON kc.id = kin.b
+             | CROSS JOIN m2
+             | WHERE m2.m2 * kin.kin - ka.k * kc.k > 0
+             |), best AS (
+             | SELECT a AS id, c FROM (
+             |  SELECT a, c, row_number() OVER (
+             |    PARTITION BY a ORDER BY gain DESC, c) AS rn
+             |  FROM cand
+             | ) WHERE rn = 1
+             |), l1hook AS (
+             | SELECT ids.id, COALESCE(best.c, ids.id) AS ptr
+             | FROM ids LEFT JOIN best ON best.id = ids.id
+             |)""".stripMargin
+    b ++= resolve("l1")
+    b ++= s""", c1 AS (
+             | SELECT id, ptr AS c1 FROM l1r$louvainJumps
+             |), und2 AS (
+             | SELECT x.c1 AS a, y.c1 AS b, CAST(sum(u.w) AS BIGINT) AS w
+             | FROM undp u
+             | JOIN c1 x ON x.id = u.a
+             | JOIN c1 y ON y.id = u.b
+             | GROUP BY 1, 2
+             |), k2 AS (
+             | SELECT a AS id, CAST(sum(w) AS BIGINT) AS k FROM und2 GROUP BY a
+             |), kin2 AS (
+             | SELECT a, b, CAST(sum(w) AS BIGINT) AS kin FROM und2
+             | WHERE a <> b GROUP BY a, b
+             |), cand2 AS (
+             | SELECT kin2.a, kin2.b AS c,
+             |  m2.m2 * kin2.kin - ka.k * kc.k AS gain
+             | FROM kin2
+             | JOIN k2 ka ON ka.id = kin2.a
+             | JOIN k2 kc ON kc.id = kin2.b
+             | CROSS JOIN m2
+             | WHERE m2.m2 * kin2.kin - ka.k * kc.k > 0
+             |), best2 AS (
+             | SELECT a AS id, c FROM (
+             |  SELECT a, c, row_number() OVER (
+             |    PARTITION BY a ORDER BY gain DESC, c) AS rn
+             |  FROM cand2
+             | ) WHERE rn = 1
+             |), l2hook AS (
+             | SELECT s.id, COALESCE(best2.c, s.id) AS ptr
+             | FROM (SELECT DISTINCT c1 AS id FROM c1) s
+             | LEFT JOIN best2 ON best2.id = s.id
+             |)""".stripMargin
+    b ++= resolve("l2")
+    b ++= s"""
+             |SELECT ids.label, ids.key,
+             | CAST(COALESCE(r2.ptr, c1.c1) AS BIGINT) AS comm
+             |FROM ids JOIN c1 ON c1.id = ids.id
+             |LEFT JOIN l2r$louvainJumps r2 ON r2.id = c1.c1
              |ORDER BY label, key""".stripMargin
     b.toString
   }
@@ -3372,6 +3578,7 @@ object Analytics {
     "g_neighborhood_function" -> neighborhoodFunction,
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
+    "g_louvain" -> louvain,
     "g_coloring" -> coloring,
     "g_matching" -> matching,
     "g_densest" -> densest,
@@ -3410,6 +3617,7 @@ object Analytics {
     "g_neighborhood_function" -> neighborhoodFunctionSql,
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
+    "g_louvain" -> louvainSql,
     "g_coloring" -> coloringSql,
     "g_matching" -> matchingSql,
     "g_densest" -> densestSql,

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operators: algorithm-level invariants for the two-level
+  * Louvain hierarchy (the oracle proves cross-engine parity; this
+  * proves the op computes what the contract claims). */
+class Round7Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("g_louvain: two-level replay agrees; measured modularity improves on level 1") {
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    // weighted undirected adjacency, both directions, parallel edges
+    // collapsed — the numericGraph und contract
+    val kin = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      val w = r.getAs[Long]("weight")
+      kin((a, b)) += w; kin((b, a)) += w
+    }
+    val nodes = g.nodes.collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")))
+    val k = kin.toSeq.groupBy(_._1._1)
+      .map { case (i, es) => i -> es.map(_._2).sum }.withDefaultValue(0L)
+    val m2 = kin.values.sum
+
+    // one Louvain level on an (a,b)->w map whose keys may include self
+    // rows (level 2): self rows feed k but are never candidates; the
+    // best positive-gain moves are hooked, 2-cycles root at the lower
+    // id, and louvainJumps pointer squarings collapse chains — the
+    // louvainLevel contract
+    def level(adj: collection.Map[(Long, Long), Long],
+              ids: Seq[Long]): Map[Long, Long] = {
+      val kk = adj.toSeq.groupBy(_._1._1)
+        .map { case (i, es) => i -> es.map(_._2).sum }.withDefaultValue(0L)
+      val hook = ids.map { i =>
+        val cands = adj.collect { case ((a, c), w) if a == i && c != i =>
+          c -> (BigInt(m2) * w - BigInt(kk(i)) * kk(c)) }.filter(_._2 > 0)
+        val c =
+          if (cands.isEmpty) i
+          else cands.toSeq.sortBy { case (cc, gain) => (-gain, cc) }.head._1
+        i -> c
+      }.toMap
+      var ptr = hook.map { case (i, p) =>
+        i -> (if (hook(p) == i) math.min(i, p) else p) }
+      for (_ <- 1 to graft.operators.Analytics.louvainJumps)
+        ptr = ptr.map { case (i, p) => i -> ptr(p) }
+      ptr
+    }
+
+    val comm1 = level(kin, nodes.toSeq)
+    // contraction: community graph with (c,c) self rows accumulating
+    // both directions of internal weight (the 2×-internal k convention)
+    val kin2 = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    kin.foreach { case ((a, b), w) => kin2((comm1(a), comm1(b))) += w }
+    val supers = comm1.values.toSeq.distinct
+    val move2 = level(kin2, supers)
+    val want = nodes.map(i => i -> move2(comm1(i))).toMap
+
+    val rows = graft.operators.Analytics.louvain(spark, sf).collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val i = nid(r.getAs[String]("label"), r.getAs[Long]("key"))
+      assert(r.getAs[Long]("comm") == want(i),
+        s"node $i got ${r.getAs[Long]("comm")}, replay says ${want(i)}")
+    }
+
+    // exact-integer modularity Q·(2m)² = 2m·Σ_c in_c − Σ_c tot_c² over
+    // the ORIGINAL graph (in_c counts internal weight twice via both
+    // directions; tot_c = Σ_{i∈c} k_i). Synchronous simultaneous moves
+    // carry no worst-case monotonicity theorem — this asserts the
+    // MEASURED improvement on this graph, pinning the behavior the
+    // hierarchy exists for.
+    def qScaled(comm: Map[Long, Long]): BigInt = {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      kin.foreach { case ((a, b), w) =>
+        if (comm(a) == comm(b)) in(comm(a)) += w }
+      val tot = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      nodes.foreach(i => tot(comm(i)) += k(i))
+      BigInt(m2) * in.values.map(BigInt(_)).sum -
+        tot.values.map(t => BigInt(t) * t).sum
+    }
+    val q0 = qScaled(nodes.map(i => i -> i).toMap)
+    val q1 = qScaled(comm1)
+    val q2 = qScaled(want)
+    assert(q1 > q0, s"level-1 modularity $q1 did not improve on singletons $q0")
+    assert(q2 > q1, s"level-2 modularity $q2 did not improve on level-1 $q1")
+    // the hierarchy must coarsen: level-2 community count is no larger
+    assert(want.values.toSet.size <= comm1.values.toSet.size)
+  }
+}
