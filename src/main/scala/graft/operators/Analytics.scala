@@ -347,58 +347,68 @@ object Analytics {
       (nodes, und)
     }
 
-  def connectedComponents: Q = (s, dir) => {
-    val (nodes, undW) = numericGraph(s, dir)
-    val und = undW.select("a", "b")
-    // SEMI-NAIVE delta propagation. Round-identical to the oracle's
-    // naive unrolling: min-propagation is monotone, so a neighbor whose
-    // comp did not change last round contributes exactly the value it
-    // already contributed when it last changed — re-applying it is a
-    // no-op. Each round therefore joins only the CHANGED rows (delta)
-    // against the edge list and least-merges into comp. Delta hits zero
-    // at the graph's effective diameter (round 7 of 10 at sf0.1), after
-    // which remaining rounds are provable no-ops → early exit.
-    //
-    // Each round is EAGERLY materialized (node-count rows, tiny relative
-    // to edges): caps plan/codegen depth at one join+agg per round
-    // (round-1's single-pass 10-level lineage re-shuffled the edge table
-    // every level — 126 s vs ~16 s at sf0.1) and makes delta a known
-    // small broadcast side. At 100× node scale comp outgrows the
-    // broadcast ceiling — there, pre-partition und and comp on the join
-    // key (bucketed tables) so rounds reuse the partitioning; delta
-    // still shrinks geometrically, which is what survives 100 TB.
-    var comp = nodes.select(col("id"), col("id").as("comp"))
+  /** SEMI-NAIVE min-label propagation to a fixpoint (≤ `iters` rounds)
+    * over an (a, b) both-directions edge frame — the loop shared by
+    * g_connected_components (full graph) and g_cc_incremental (base
+    * stage + super-graph stage). Round-identical to the oracle's naive
+    * unrolling: min-propagation is monotone, so a neighbor whose comp
+    * did not change last round contributes exactly the value it
+    * already contributed when it last changed — re-applying it is a
+    * no-op. Each round therefore joins only the CHANGED rows (delta)
+    * against the edge list and least-merges into comp. Delta hits zero
+    * at the graph's effective diameter (round 7 of 10 at sf0.1), after
+    * which remaining rounds are provable no-ops → early exit.
+    *
+    * Each round is EAGERLY materialized (node-count rows, tiny relative
+    * to edges): caps plan/codegen depth at one join+agg per round
+    * (round-1's single-pass 10-level lineage re-shuffled the edge table
+    * every level — 126 s vs ~16 s at sf0.1) and makes delta a known
+    * small broadcast side. At 100× node scale comp outgrows the
+    * broadcast ceiling — there, pre-partition und and comp on the join
+    * key (bucketed tables) so rounds reuse the partitioning; delta
+    * still shrinks geometrically, which is what survives 100 TB.
+    * Returns (id, comp); round blocks land in `interim` for the
+    * caller's finally. */
+  private def ccLabels(ids: DataFrame, und: DataFrame, iters: Int,
+      interim: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    var comp = ids.select(col("id"), col("id").as("comp"))
       .localCheckpoint(eager = true)
+    interim += comp
     var delta = comp
     // the termination probe doubles as the broadcast gate input: count
     // on a checkpointed frame costs what isEmpty cost before
-    var deltaRows = nodes.count()
+    var deltaRows = comp.count()
     val nTotal = deltaRows
     var round = 0
-    // round blocks release in the finally (block-retention discipline);
-    // the returned frame is its own eager checkpoint
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](comp)
+    while (round < iters && deltaRows > 0) {
+      round += 1
+      val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min("comp").as("m"))
+      // ONE materialization per round: the checkpoint is LAZY and the
+      // delta count right below is what computes it — an eager
+      // checkpoint would add a second blocking job per round for the
+      // same blocks (kcore's lazy+count discipline). delta/comp are
+      // column-prunes over the materialized frame.
+      // cand is node-bounded (one row per touched id) → gate on nTotal.
+      val merged = comp.join(gated(cand, nTotal), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
+          (col("m") < col("comp")).as("chg"))
+        .localCheckpoint(eager = false)
+      interim += merged
+      delta = merged.filter(col("chg")).select("id", "comp")
+      deltaRows = delta.count()
+      comp = merged.select("id", "comp")
+    }
+    comp
+  }
+
+  def connectedComponents: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
-      while (round < ccIters && deltaRows > 0) {
-        round += 1
-        val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
-          .groupBy(col("b").as("id")).agg(min("comp").as("m"))
-        // ONE materialization per round: the checkpoint is LAZY and the
-        // delta count right below is what computes it — an eager
-        // checkpoint would add a second blocking job per round for the
-        // same blocks (kcore's lazy+count discipline). delta/comp are
-        // column-prunes over the materialized frame.
-        // cand is node-bounded (one row per touched id) → gate on nTotal.
-        val merged = comp.join(gated(cand, nTotal), Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
-            (col("m") < col("comp")).as("chg"))
-          .localCheckpoint(eager = false)
-        interim += merged
-        delta = merged.filter(col("chg")).select("id", "comp")
-        deltaRows = delta.count()
-        comp = merged.select("id", "comp")
-      }
+      val comp = ccLabels(nodes.select("id"), und, ccIters, interim)
       nodes.join(comp, Seq("id"))
         .select("label", "key", "comp").orderBy("label", "key")
         .localCheckpoint(eager = true)
@@ -428,6 +438,119 @@ object Analytics {
                |)""".stripMargin
     }
     b ++= s"\nSELECT label, key, comp FROM c$ccIters ORDER BY label, key"
+    b.toString
+  }
+
+  // --------------------------------------------------- g_cc_incremental
+  /** INCREMENTAL CONNECTED COMPONENTS — append-only graph maintenance,
+    * the d_dedup_incremental philosophy applied to the graph side: the
+    * edge set splits into the stored BASE (≈90%) and the arriving
+    * DELTA batch (md5 of the canonical pair mod `ccIncDeltaMod` = 0 —
+    * deterministic and SF-invariant, the dedup-batch discipline), base
+    * labels are computed once (in production they ARE the previous
+    * run's stored output — here recomputed because a one-shot query
+    * has no state store), and the delta merges by CONTRACTING through
+    * the base labels: delta edges map to super-edges between base
+    * components (ca ≠ cb — a tiny frame), a short min-label
+    * propagation runs on the SUPER-graph only, and nodes relabel
+    * through the composed map. The merge stage's cost is ∝ delta edges
+    * + touched components, NOT graph size — re-running CC over 100 TB
+    * per arriving batch is the thing this exists to avoid. Because
+    * min-label propagation converges to the component-minimum id at
+    * both stages, the composed labels equal the full-graph
+    * g_connected_components output EXACTLY — the incremental path is
+    * not an approximation, and Round7Spec asserts frame equality. */
+  val ccIncDeltaMod = 10L
+  val ccIncSuperIters = 6
+
+  def ccIncremental: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      // canonical-pair hash splits BOTH directions of an edge together
+      val und = undW.select(col("a"), col("b"),
+        (graft.functions.VectorExprs.hexSlice(
+          md5(concat(least(col("a"), col("b")).cast("string"), lit(">"),
+            greatest(col("a"), col("b")).cast("string"))), 1, 8)
+          % ccIncDeltaMod).as("hm"))
+        .localCheckpoint(eager = true)
+      interim += und
+      val base = und.filter(col("hm") =!= 0).select("a", "b")
+      val deltaE = und.filter(col("hm") === 0).select("a", "b")
+      // stage 1: the stored state
+      val baseL = ccLabels(nodes.select("id"), base, ccIters, interim)
+        .localCheckpoint(eager = true) // read 3×: both endpoints + final
+      interim += baseL
+      // stage 2: the batch merge — everything below is delta-bounded
+      val dSup = deltaE
+        .join(gated(baseL.toDF("a", "ca"), n), "a")
+        .join(gated(baseL.toDF("b", "cb"), n), "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca").as("a"), col("cb").as("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      interim += dSup
+      val supIds = dSup.select(col("a").as("id")).distinct()
+      val supL = ccLabels(supIds, dSup, ccIncSuperIters, interim)
+      nodes.join(baseL, Seq("id"))
+        .join(gated(supL.toDF("comp", "root"), n), Seq("comp"), "left_outer")
+        .select(col("label"), col("key"),
+          coalesce(col("root"), col("comp")).as("comp"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val ccIncrementalSql: String = {
+    val h8 = OracleSql.hexToLong(
+      "md5(CAST(least(a, b) AS VARCHAR) || '>' || CAST(greatest(a, b) AS VARCHAR))",
+      1, 8)
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undd AS (
+             | SELECT $undSqlPair
+             |), undh AS (
+             | SELECT a, b, CAST($h8 AS BIGINT) % $ccIncDeltaMod AS hm FROM undd
+             |), base AS (
+             | SELECT a, b FROM undh WHERE hm <> 0
+             |), delta AS (
+             | SELECT a, b FROM undh WHERE hm = 0
+             |), c0 AS (SELECT id, id AS comp FROM ids)""".stripMargin
+    for (i <- 1 to ccIters) {
+      b ++= s""", m$i AS (
+               | SELECT u.b AS id, min(c${i - 1}.comp) AS m
+               | FROM base u JOIN c${i - 1} ON c${i - 1}.id = u.a GROUP BY u.b
+               |), c$i AS (
+               | SELECT c.id, least(c.comp, COALESCE(m$i.m, c.comp)) AS comp
+               | FROM c${i - 1} c LEFT JOIN m$i ON m$i.id = c.id
+               |)""".stripMargin
+    }
+    b ++= s""", dsup AS (
+             | SELECT DISTINCT x.comp AS a, y.comp AS b
+             | FROM delta d
+             | JOIN c$ccIters x ON x.id = d.a
+             | JOIN c$ccIters y ON y.id = d.b
+             | WHERE x.comp <> y.comp
+             |), s0 AS (SELECT DISTINCT a AS id, a AS comp FROM dsup)""".stripMargin
+    for (i <- 1 to ccIncSuperIters) {
+      b ++= s""", sm$i AS (
+               | SELECT u.b AS id, min(s${i - 1}.comp) AS m
+               | FROM dsup u JOIN s${i - 1} ON s${i - 1}.id = u.a GROUP BY u.b
+               |), s$i AS (
+               | SELECT s.id, least(s.comp, COALESCE(sm$i.m, s.comp)) AS comp
+               | FROM s${i - 1} s LEFT JOIN sm$i ON sm$i.id = s.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key,
+             | CAST(COALESCE(s$ccIncSuperIters.comp, c$ccIters.comp) AS BIGINT)
+             |  AS comp
+             |FROM ids JOIN c$ccIters ON c$ccIters.id = ids.id
+             |LEFT JOIN s$ccIncSuperIters
+             |  ON s$ccIncSuperIters.id = c$ccIters.comp
+             |ORDER BY label, key""".stripMargin
     b.toString
   }
 
@@ -2248,6 +2371,13 @@ object Analytics {
             .localCheckpoint(eager = true)
           interim += e2
           val m2 = e2.count()
+          // FIXPOINT INVARIANT (cross-engine contract): the Spark loop
+          // breaks the moment a round changes nothing, while the oracle
+          // runs all densestRounds and DEDUPS repeated (n, m) fixpoint
+          // rows — the two emit identical trajectories ONLY because the
+          // break fires at exactly the first repeated round. Any future
+          // early-exit heuristic (e.g. stopping while rounds still
+          // shrink) must change the oracle's dedup in lockstep.
           if (m2 == m && keep.count() == n) continue = false // fixpoint
           e = e2
         }
@@ -3579,6 +3709,7 @@ object Analytics {
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
     "g_louvain" -> louvain,
+    "g_cc_incremental" -> ccIncremental,
     "g_coloring" -> coloring,
     "g_matching" -> matching,
     "g_densest" -> densest,
@@ -3618,6 +3749,7 @@ object Analytics {
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
     "g_louvain" -> louvainSql,
+    "g_cc_incremental" -> ccIncrementalSql,
     "g_coloring" -> coloringSql,
     "g_matching" -> matchingSql,
     "g_densest" -> densestSql,

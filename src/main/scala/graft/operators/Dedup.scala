@@ -1033,6 +1033,97 @@ object Dedup {
        |WHERE o.inter >= $decontMinShared
        |ORDER BY o.train_doc, o.eval_doc""".stripMargin
 
+  // ----------------------------------------------- d_decontaminate_fuzzy
+  /** NEAR-DUP DECONTAMINATION — the fuzzy half of the benchmark-leak
+    * check (the published training-report practice: exact n-gram
+    * overlap AND near-duplicate matching, because a paraphrased or
+    * lightly-edited eval document still leaks): eval docs (the
+    * deterministic doc_id % 7 slice — wider than d_decontaminate's
+    * % 97 so the near-dup measurement is non-vacuous at sf0.01, where
+    * a 1% slice intersects zero of the ~25 near-dup pairs) are matched
+    * against training docs through the MINHASH BAND INDEX — eval band
+    * rows join the capped training band rows, so the candidate stage
+    * is the d_dedup_incremental shape with the eval set as the probe
+    * batch: cost ∝ eval bands × bucket cap, never train × eval.
+    * Candidates are scored by exact signature agreement (the shared
+    * scorePairs stage) and flagged when ≥ `fuzzyDecontMin` of the 9
+    * components agree (est. Jaccard ≥ 2/3 — well past the J > 1/2
+    * near-dup bar). At 100 TB the eval side is tiny: its band rows
+    * broadcast, the training index is the already-built dedup index —
+    * decontamination rides the existing structure for free. */
+  val fuzzyDecontMin = 6
+
+  def decontaminateFuzzy: Q = (s, dir) => {
+    val sig = signatures(s, dir).cache()
+    // read twice (eval probe + train side) — eager per the multi-
+    // reference checkpoint discipline
+    val br = cappedBandRows(sig).localCheckpoint(eager = true)
+    try {
+      val isEval = col("doc_id") % 7 === 0
+      val cand = br.filter(isEval).alias("x")
+        .join(br.filter(!isEval).alias("y"),
+          col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
+          col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2"))
+        .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+        .distinct()
+      scorePairs(sig, cand)
+        .select(col("doc_a").as("train_doc"), col("doc_b").as("eval_doc"),
+          col("n_match"),
+          (col("n_match") >= fuzzyDecontMin).as("near_contaminated"))
+        .orderBy("train_doc", "eval_doc")
+        // the result must be its own eager checkpoint BEFORE the finally
+        // releases br's blocks (the dedupIncremental discipline)
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(br)
+  }
+
+  val decontaminateFuzzySql: String =
+    s"""WITH $minhashBandCtesSql, cand AS (
+       | SELECT DISTINCT y.doc_id AS train_doc, x.doc_id AS eval_doc
+       | FROM br x JOIN br y ON x.c = y.c AND x.k0 = y.k0 AND x.k1 = y.k1
+       |   AND x.k2 = y.k2
+       | WHERE x.doc_id % 7 = 0 AND y.doc_id % 7 <> 0
+       |)
+       |SELECT c.train_doc, c.eval_doc, CAST($mhMatchSql AS BIGINT) AS n_match,
+       | ($mhMatchSql) >= $fuzzyDecontMin AS near_contaminated
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.train_doc
+       |            JOIN sig sb ON sb.doc_id = c.eval_doc
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // -------------------------------------------------- d_minhash_est_error
+  /** MINHASH ESTIMATION-ERROR table — the sketch-accuracy adjudication
+    * row the minhash family was missing (simhash and pHash already
+    * carry theirs): over every exact blocked-Jaccard truth pair, the
+    * 9-component signature-agreement ESTIMATE (n_match/9, the standard
+    * unbiased minhash estimator) against the exact inter/union Jaccard,
+    * per pair in ppm with the absolute error. This is the table that
+    * justifies (or indicts) `mhSeeds = 9` — a production corpus reads
+    * the error column and sizes its signature accordingly. Cost: one
+    * signature join over the (tiny, near-dups-only) memoized truth pair
+    * set — both stages are session-shared frames already warmed. */
+  def minhashEstError: Q = (s, dir) => {
+    val truth = jaccardPairs(s, dir)
+    scorePairs(signatures(s, dir).cache(), truth.select("doc_a", "doc_b"))
+      .join(truth, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(inter * 1000000) div uni").as("exact_ppm"),
+        expr(s"(n_match * 1000000) div $mhSeeds").as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashEstErrorSql: String =
+    s"""WITH $minhashBandCtesSql,
+       |$jaccardPairsSqlCte
+       |SELECT jp.doc_a, jp.doc_b,
+       | CAST((jp.inter * 1000000) // jp.uni AS BIGINT) AS exact_ppm,
+       | CAST((($mhMatchSql) * 1000000) // $mhSeeds AS BIGINT) AS est_ppm,
+       | CAST(abs((($mhMatchSql) * 1000000) // $mhSeeds
+       |   - (jp.inter * 1000000) // jp.uni) AS BIGINT) AS abs_err_ppm
+       |FROM jp JOIN sig sa ON sa.doc_id = jp.doc_a
+       |        JOIN sig sb ON sb.doc_id = jp.doc_b
+       |ORDER BY jp.doc_a, jp.doc_b""".stripMargin
+
   // ------------------------------------------------------ d_pipeline_e2e
   /** END-TO-END training-data gate — the operators COMPOSED, the way a
     * pipeline actually runs them: per document, the quality verdict
@@ -1611,6 +1702,8 @@ object Dedup {
     "d_dedup_threshold_curve" -> dedupThresholdCurve,
     "d_containment" -> containment,
     "d_decontaminate" -> decontaminate,
+    "d_decontaminate_fuzzy" -> decontaminateFuzzy,
+    "d_minhash_est_error" -> minhashEstError,
     "d_pipeline_e2e" -> pipelineE2e,
     "d_dedup_exact" -> dedupExact,
     "d_dedup_span" -> dedupSpan,
@@ -1635,6 +1728,8 @@ object Dedup {
     "d_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "d_containment" -> containmentSql,
     "d_decontaminate" -> decontaminateSql,
+    "d_decontaminate_fuzzy" -> decontaminateFuzzySql,
+    "d_minhash_est_error" -> minhashEstErrorSql,
     "d_pipeline_e2e" -> pipelineE2eSql(TextOps.corpusFilterSql),
     "d_dedup_exact" -> dedupExactSql,
     "d_dedup_span" -> dedupSpanSql,

@@ -144,6 +144,93 @@ object Multimodal {
        | md5(substr(text, 1, $frameBytes)) AS first_frame_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- m_scene_detect
+  /** SCENE (shot-boundary) DETECTION — the video-curation primitive
+    * that turns a frame stream into clips (dedup, captioning, and
+    * clip-sampling all operate per scene, not per frame): consecutive
+    * frame SIGNATURES are compared and a cut is declared when their
+    * hamming distance exceeds `sceneCutHam` — the standard
+    * histogram/phash-delta shot detector shape. The signature here is
+    * the first 48 bits of md5(frame bytes) (the stub stand-in for a
+    * perceptual frame hash; swap `sig` for a decoder-backed phash and
+    * nothing else changes — same seam as fakeDecode). Per doc the op
+    * emits the frame census, the scene count, and the longest scene
+    * run — computed IMPERATIVELY inside one mapPartitions pass (arrays
+    * beat exploded rows: a doc's frames never need to leave the task),
+    * while the oracle replays the identical arithmetic as an
+    * explode + window chain. Threshold: random 48-bit signatures sit
+    * at hamming ≈ 24, so > `sceneCutHam` = 20 keeps a measurable
+    * fraction of boundaries cut-free on the synthetic payloads. */
+  val sceneCutHam = 20
+
+  final case class SceneMeta(doc_id: Long, n_frames: Long, n_scenes: Long,
+                             max_scene_frames: Long)
+
+  def sceneDetect(media: Dataset[MediaRow]): Dataset[SceneMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition digest handle (the decoder-handle seam)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sig(f: Array[Byte]): Long = {
+        md.reset()
+        java.lang.Long.parseLong(
+          md.digest(f).map("%02x".format(_)).mkString.take(12), 16)
+      }
+      it.map { r =>
+        val frames = r.payload.grouped(frameBytes).toArray
+        val sigs = frames.map(sig)
+        val isCut = (1 until sigs.length).map(i =>
+          java.lang.Long.bitCount(sigs(i - 1) ^ sigs(i)) > sceneCutHam)
+        val nScenes = if (frames.isEmpty) 0L else 1L + isCut.count(identity)
+        var maxRun = if (frames.isEmpty) 0L else 1L
+        var run = maxRun
+        isCut.foreach { c =>
+          run = if (c) 1L else run + 1L
+          maxRun = math.max(maxRun, run)
+        }
+        SceneMeta(r.doc_id, frames.length.toLong, nScenes, maxRun)
+      }
+    }
+  }
+
+  def sceneDetectQ: Q = (s, dir) =>
+    sceneDetect(mediaTable(s, dir)).toDF().orderBy("doc_id")
+
+  val sceneDetectSql: String = {
+    val sig = OracleSql.hexToLong("h", 1, 12)
+    s"""WITH fr AS (
+       | SELECT doc_id,
+       |  CAST((length(text) + ${frameBytes - 1}) // $frameBytes AS BIGINT)
+       |   AS nf,
+       |  unnest(range(1,
+       |   (length(text) + ${frameBytes - 1}) // $frameBytes + 1)) AS i,
+       |  text
+       | FROM documents
+       |), sg AS (
+       | SELECT doc_id, nf, i,
+       |  md5(substr(text,
+       |   CAST((i - 1) * $frameBytes + 1 AS INTEGER), $frameBytes)) AS h
+       | FROM fr
+       |), sig AS (
+       | SELECT doc_id, nf, i, CAST($sig AS BIGINT) AS sg FROM sg
+       |), ct AS (
+       | SELECT doc_id, nf, i,
+       |  CASE WHEN i = 1 THEN 1
+       |   WHEN bit_count(xor(lag(sg) OVER w, sg)) > $sceneCutHam THEN 1
+       |   ELSE 0 END AS is_new
+       | FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |), sc AS (
+       | SELECT doc_id, nf, i,
+       |  sum(is_new) OVER (PARTITION BY doc_id ORDER BY i) AS scene
+       | FROM ct
+       |), per AS (
+       | SELECT doc_id, nf, scene, count(*) AS flen FROM sc GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_id, nf AS n_frames, CAST(max(scene) AS BIGINT) AS n_scenes,
+       | CAST(max(flen) AS BIGINT) AS max_scene_frames
+       |FROM per GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- m_embed_batch
   /** Batched embedding inference — the GPU-inference plumbing shape: a
     * model call costs per-BATCH, not per-row, so the partition iterator
@@ -497,14 +584,7 @@ object Multimodal {
   }
 
   lazy val phashEvalSql: String = {
-    // phashDedupSql's chain as a composable body: strip the WITH and
-    // wrap its final SELECT as a `php` CTE
-    val body = phashDedupSql.stripPrefix("WITH ")
-    val idx = body.lastIndexOf("SELECT doc_a, doc_b, hamming FROM (")
-    val (ctes, finalSel) = body.splitAt(idx)
-    val phpCte = ctes.trim.stripSuffix(",") + ", php AS (\n" +
-      finalSel.replace("ORDER BY doc_a, doc_b", "") + "\n)"
-    s"""WITH $phpCte,
+    s"""WITH $phashChainSqlCtes,
        |${Dedup.jaccardPairsSqlCte},
        |tp AS (
        | SELECT p.doc_a, p.doc_b FROM php p
@@ -524,9 +604,13 @@ object Multimodal {
 
   /** Oracle rebuilds the payload as hex(encode(text)) — the payload IS
     * the UTF-8 text bytes — and replays the identical nibble/bigram/
-    * shift arithmetic in DuckDB (xor() there, ^ is POWER). */
-  val phashDedupSql: String =
-    """WITH m AS (
+    * shift arithmetic in DuckDB (xor() there, ^ is POWER). Kept as a
+    * NAMED composable CTE chain ending in `php(doc_a, doc_b, hamming)`
+    * (the bpeChainSqlCtes / jaccardPairsSqlCte pattern) so
+    * phashEvalSql composes it directly instead of string-slicing the
+    * finished query. */
+  private val phashChainSqlCtes: String =
+    """m AS (
       | SELECT doc_id, hex(encode(text)) AS hexs FROM documents
       |), nb AS (
       | SELECT doc_id,
@@ -566,16 +650,21 @@ object Multimodal {
       |   ELSE (sig_hi >> CAST((t.bid - 4) * 8 AS INTEGER)) & 255
       |  END AS bval
       | FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS bid) t
-      |)
-      |SELECT doc_a, doc_b, hamming FROM (
-      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(bit_count(xor(a.sig_lo, b.sig_lo))
-      |     + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
-      | FROM bands a JOIN bands b
-      |  ON b.bid = a.bid AND b.bval = a.bval AND a.doc_id < b.doc_id
-      |)
-      |WHERE hamming <= 2
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |), php AS (
+      | SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+      |      + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+      |  FROM bands a JOIN bands b
+      |   ON b.bid = a.bid AND b.bval = a.bval AND a.doc_id < b.doc_id
+      | )
+      | WHERE hamming <= 2
+      |)""".stripMargin
+
+  val phashDedupSql: String =
+    s"""WITH $phashChainSqlCtes
+       |SELECT doc_a, doc_b, hamming FROM php
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------- m_shard_pack
   /** WebDataset-style SHARD PACKING: media items are assigned to
@@ -673,6 +762,7 @@ object Multimodal {
     "m_modality_dispatch" -> modalityDispatch,
     "m_multimodal_meta" -> multimodalMeta,
     "m_frame_sample" -> frameSampleQ,
+    "m_scene_detect" -> sceneDetectQ,
     "m_resize" -> resizeQ,
     "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
@@ -684,6 +774,7 @@ object Multimodal {
     "m_modality_dispatch" -> modalityDispatchSql,
     "m_multimodal_meta" -> multimodalMetaSql,
     "m_frame_sample" -> frameSampleSql,
+    "m_scene_detect" -> sceneDetectSql,
     "m_resize" -> resizeSql,
     "m_chunk" -> chunkSql,
     "m_embed_batch" -> embedBatchSql)

@@ -1364,14 +1364,20 @@ object Relational {
   // ------------------------------------------------------------- q_mom_yoy
   /** PERIOD-OVER-PERIOD report — the month-over-month / year-over-year
     * deltas every revenue dashboard leads with: monthly order revenue
-    * in exact cents, MoM and YoY change in ppm of the PRIOR period
-    * (lag 1 / lag 12 over the month sequence; a missing prior period
-    * reports 0 — the first-row convention of the growth_ppm columns
-    * elsewhere). Calendar months come from year·100+month integer
-    * arithmetic (both engines bucket identically by construction —
-    * no format strings). One partial-agged groupBy to month grain
-    * (≤ 84 rows here, period-bounded at any data scale), then two lag
-    * windows over the tiny month frame — the aggregate is the only
+    * in exact cents, MoM and YoY change in ppm of the PRIOR period; a
+    * missing prior period reports 0 — the first-row convention of the
+    * growth_ppm columns elsewhere. The prior period comes from a
+    * SELF-JOIN on the computed calendar key (prior month with the
+    * December→January rollover; same month previous year = key − 100),
+    * NOT from lag() over the month row sequence — lag silently shifts
+    * the comparison period when a month has no orders, which is
+    * exactly when a dashboard reader most needs the number to be
+    * honest (the r6 advisor item). Calendar months come from
+    * year·100+month integer arithmetic (both engines bucket
+    * identically by construction — no format strings). One
+    * partial-agged groupBy to month grain (≤ 84 rows here,
+    * period-bounded at any data scale), checkpointed once and joined
+    * against its two shifted projections — the aggregate is the only
     * corpus-sized work. */
   def qMomYoy: Q = (s, dir) => {
     val monthly = t(s, dir, "orders")
@@ -1379,15 +1385,29 @@ object Relational {
         .cast("long").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         (sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
-    val w = Window.orderBy("month")
-    monthly
-      .withColumn("mom_ppm", coalesce(
-        expr("((rev_cents - lag(rev_cents, 1) OVER (ORDER BY month)) * 1000000)" +
-          " div lag(rev_cents, 1) OVER (ORDER BY month)"), lit(0L)))
-      .withColumn("yoy_ppm", coalesce(
-        expr("((rev_cents - lag(rev_cents, 12) OVER (ORDER BY month)) * 1000000)" +
-          " div lag(rev_cents, 12) OVER (ORDER BY month)"), lit(0L)))
-      .orderBy("month")
+      // tiny (period-bounded) but read three times — checkpoint the agg
+      .localCheckpoint(eager = true)
+    try {
+      // each month keyed to its SUCCESSOR: Dec (yyyy12) + 89 = (yyyy+1)01
+      val prevM = monthly.select(
+        when(col("month") % 100 === 12, col("month") + 89)
+          .otherwise(col("month") + 1).as("month"),
+        col("rev_cents").as("prev_m_rev"))
+      val prevY = monthly.select((col("month") + 100).as("month"),
+        col("rev_cents").as("prev_y_rev"))
+      monthly
+        .join(broadcast(prevM), Seq("month"), "left_outer")
+        .join(broadcast(prevY), Seq("month"), "left_outer")
+        .select(col("month"), col("n_orders"), col("rev_cents"),
+          coalesce(expr(
+            "((rev_cents - prev_m_rev) * 1000000) div prev_m_rev"),
+            lit(0L)).as("mom_ppm"),
+          coalesce(expr(
+            "((rev_cents - prev_y_rev) * 1000000) div prev_y_rev"),
+            lit(0L)).as("yoy_ppm"))
+        .orderBy("month")
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(monthly)
   }
 
   val qMomYoySql: String =
@@ -1399,14 +1419,16 @@ object Relational {
       |   AS rev_cents
       | FROM orders GROUP BY 1
       |)
-      |SELECT month, n_orders, rev_cents,
-      | CAST(COALESCE(((rev_cents - lag(rev_cents, 1) OVER (ORDER BY month))
-      |  * 1000000) // lag(rev_cents, 1) OVER (ORDER BY month), 0)
-      |  AS BIGINT) AS mom_ppm,
-      | CAST(COALESCE(((rev_cents - lag(rev_cents, 12) OVER (ORDER BY month))
-      |  * 1000000) // lag(rev_cents, 12) OVER (ORDER BY month), 0)
-      |  AS BIGINT) AS yoy_ppm
-      |FROM monthly ORDER BY month""".stripMargin
+      |SELECT m.month, m.n_orders, m.rev_cents,
+      | CAST(COALESCE(((m.rev_cents - pm.rev_cents) * 1000000)
+      |  // pm.rev_cents, 0) AS BIGINT) AS mom_ppm,
+      | CAST(COALESCE(((m.rev_cents - py.rev_cents) * 1000000)
+      |  // py.rev_cents, 0) AS BIGINT) AS yoy_ppm
+      |FROM monthly m
+      |LEFT JOIN monthly pm ON m.month =
+      | CASE WHEN pm.month % 100 = 12 THEN pm.month + 89 ELSE pm.month + 1 END
+      |LEFT JOIN monthly py ON py.month = m.month - 100
+      |ORDER BY m.month""".stripMargin
 
   // ------------------------------------------------------------- q_skyline
   /** SKYLINE (Pareto frontier — Börzsönyi et al. 2001): customers not

