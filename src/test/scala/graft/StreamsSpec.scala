@@ -303,6 +303,29 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_scene_detect: streamed micro-batches match the batch scene op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.operators.Multimodal.MediaRow]
+    // the SAME transform as m_scene_detect — per-doc scene census is
+    // stateless (frames never cross rows), so any micro-batch split
+    // must reproduce the batch op exactly
+    val q = graft.operators.Multimodal.sceneDetect(mem.toDS())
+      .writeStream.format("memory").queryName("scene_stream")
+      .outputMode("append").start()
+    try {
+      val rows = graft.operators.Multimodal.mediaTable(spark, sf)
+        .as[graft.operators.Multimodal.MediaRow].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 4)
+      mem.addData(b1.toIndexedSeq); mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("scene_stream")
+      val twin = SparkEntry.queries("m_scene_detect")(spark, sf)
+      assert(streamed.except(twin).count() == 0)
+      assert(twin.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("batch twin equivalence: slidingAgg on static frame matches q_events_sliding") {
     val events = graft.model.Tables(spark, sf, "events")
     val streamShaped = Streams.slidingAgg(events)
