@@ -77,9 +77,14 @@ object Similarity {
     * cast-back truncation only matches DuckDB's exact integer `//`
     * below 2^53 — dp²·1000 reaches ~4×10¹⁸. `div` is exact BIGINT
     * floor division in both engines (same fix as pagerank). */
-  private def bruteTopk(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
-    val pRaw = quantized(s, dir)
-      .filter(col("vec_id") < 10).toDF("probe_id", "qp")
+  private def bruteTopk(s: SparkSession, dir: String, cands: DataFrame): DataFrame =
+    bruteTopkFrom(quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp"), cands)
+
+  /** Same stage with an explicit probe frame `(probe_id, qp)` — the
+    * dimension-truncation eval scores TRUNCATED probes against
+    * truncated candidates through the identical expression. */
+  private def bruteTopkFrom(pRaw: DataFrame, cands: DataFrame): DataFrame = {
     val probes = if (pRaw.count() <= 500000L) broadcast(pRaw) else pRaw
     val scored = probes
       .crossJoin(cands)
@@ -865,6 +870,95 @@ object Similarity {
        |FROM ex0 e GROUP BY e.probe_id
        |ORDER BY probe_id""".stripMargin
 
+  // ---------------------------------------------- s_dim_truncate_eval
+  /** DIMENSION-TRUNCATION recall — the Matryoshka (MRL) serving
+    * question made a table: for each prefix width d, the exact top-k
+    * is recomputed on vectors TRUNCATED to their first d quantized
+    * components (prefix slice, the identical integer score through the
+    * shared bruteTopkFrom stage) and recall-scored against the
+    * full-dimension exact top-k. MRL-trained embeddings are built so
+    * small prefixes retain ranking; embeddings trained without it lose
+    * recall fast — this table MEASURES which regime a corpus is in and
+    * therefore how many leading dimensions the serving index must
+    * hold (d× less memory and dot-product work at 100 TB scale).
+    * Truncated self-norms floor at 1 (a zero prefix would otherwise
+    * divide by zero; the full-dim baseline never does, so the shared
+    * stage is unchanged). Cost: the probe-gated brute baseline once
+    * per d — the documented s_ann_topk cost class. */
+  val truncDims = Seq(8, 16, 32)
+
+  def dimTruncateEval: Q = (s, dir) => {
+    // full-dim exact top-k, read twice per dim (hit semi-join + count)
+    val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
+      .localCheckpoint(eager = true)
+    try {
+      val rows = truncDims.map { d =>
+        val topd = truncTopk(s, dir, d).select("probe_id", "cand_id")
+        val hits = ex.join(topd, Seq("probe_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        ex.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(hits)) // 1-row scalar
+          .select(lit(d.toLong).as("dim"), col("n_exact"), col("n_hits"),
+            expr("(n_hits * 1000000) div n_exact").as("recall_ppm"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("dim")
+        // result must be its own checkpoint BEFORE the finally frees ex
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(ex)
+  }
+
+  /** The per-width truncated top-k (private[graft]: Round7Spec's
+    * full-width sanity drives it at d = 64, where slicing is the
+    * identity and the result must equal s_ann_topk's rows exactly —
+    * the self-consistency proof that the truncation pipeline measures
+    * truncation and nothing else). */
+  private[graft] def truncTopk(s: SparkSession, dir: String, d: Int): DataFrame = {
+    val q = quantized(s, dir)
+      .select(col("vec_id"), slice(col("qe"), 1, d).as("qe"))
+    bruteTopkFrom(
+      q.filter(col("vec_id") < 10).toDF("probe_id", "qp"),
+      q.select(col("vec_id").as("cand_id"), col("qe").as("qc"),
+        greatest(dot(col("qe"), col("qe")), lit(1L)).as("nb")))
+  }
+
+  private def truncTopkCtes(d: Int): String = {
+    val dp = "CAST(list_dot_product(p.qe, c.qe) AS BIGINT)"
+    val nb = "greatest(CAST(list_dot_product(c.qe, c.qe) AS BIGINT), 1)"
+    s"""q$d AS (
+       | SELECT vec_id, list_transform(embedding[1:$d],
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), t$d AS (
+       | SELECT probe_id, cand_id FROM (
+       |  SELECT probe_id, cand_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       |  FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    CASE WHEN $dp >= 0 THEN ($dp * $dp * 1000) // $nb
+       |     ELSE -(($dp * $dp * 1000) // $nb) END AS score
+       |   FROM q$d p, q$d c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |  )
+       | ) WHERE rn <= $annK
+       |)""".stripMargin
+  }
+
+  lazy val dimTruncateEvalSql: String = {
+    val per = truncDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         | (SELECT count(*) FROM ex0) AS n_exact,
+         | (SELECT count(*) FROM ex0 e JOIN t$d t
+         |   ON t.probe_id = e.probe_id AND t.cand_id = e.cand_id) AS n_hits"""
+        .stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ex0 AS (
+       |$annTopkSql
+       |),
+       |${truncDims.map(truncTopkCtes).mkString(",\n")}
+       |SELECT dim, n_exact, n_hits,
+       | CAST((n_hits * 1000000) // n_exact AS BIGINT) AS recall_ppm
+       |FROM ($per) ORDER BY dim""".stripMargin
+  }
+
   // ----------------------------------------------- d_kmeans_cluster
   /** Integer-exact LLOYD k-means over the quantized embeddings — the
     * real "training" step that s_ann_ivf's static-centroid stand-in
@@ -1538,6 +1632,7 @@ object Similarity {
     "s_ann_pq" -> annPq,
     "s_knn_join" -> knnJoin,
     "s_ann_recall" -> annRecall,
+    "s_dim_truncate_eval" -> dimTruncateEval,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_range_search" -> rangeSearchSql,
@@ -1558,5 +1653,6 @@ object Similarity {
     "s_ann_pq" -> annPqSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_recall" -> annRecallSql,
+    "s_dim_truncate_eval" -> dimTruncateEvalSql,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

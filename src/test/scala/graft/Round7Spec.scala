@@ -158,6 +158,27 @@ class Round7Spec extends AnyFunSuite {
     assert(row.getAs[Long]("n_orphans_removed") == 1L)
   }
 
+  test("s_dim_truncate_eval: full-width truncation reproduces the exact top-k") {
+    import graft.operators.Similarity
+    // d = 64 makes the prefix slice the identity — the truncated
+    // pipeline must then equal s_ann_topk row for row, proving the
+    // eval measures TRUNCATION and not an artifact of its own stage
+    val full = Similarity.truncTopk(spark, sf, 64)
+      .select("probe_id", "rn", "cand_id", "score").collect().toSeq
+    val exact = Similarity.annTopk(spark, sf)
+      .select("probe_id", "rn", "cand_id", "score").collect().toSeq
+    assert(full == exact)
+    // and the op's arithmetic is internally consistent
+    val rows = Similarity.dimTruncateEval(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq ==
+      Similarity.truncDims.map(_.toLong))
+    rows.foreach { r =>
+      val (ne, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"))
+      assert(nh >= 0 && nh <= ne)
+      assert(r.getAs[Long]("recall_ppm") == nh * 1000000L / ne)
+    }
+  }
+
   test("m_scene_detect: census invariants hold against the documents table") {
     val lens = graft.model.Tables(spark, sf, "documents")
       .select("doc_id", "n_chars").collect()
