@@ -2648,26 +2648,38 @@ object Analytics {
         // bounds the round's work by edges incident to winners. The
         // colored side is the union of the (checkpointed) per-round
         // deltas — round 1 has none, and no colored neighbor exists, so
-        // every winner provably takes color 1 (sequence(1,1) minus ∅).
+        // every winner provably takes color 1. For later rounds the
+        // neighbor colors (all < round ≤ colorRounds) fold into ONE
+        // BIT_OR MASK per winner, and the mex is a static ≤-colorRounds
+        // branch CASE over the mask — no sequence explode, no (id, x)
+        // anti-join shuffle, and the old `distinct` is free (OR is
+        // idempotent). Value-identical to the oracle's mex formulation.
         val delta = colored.reduceOption(_.unionByName(_)) match {
           case None => win.select(col("id"), lit(1L).as("color"))
           case Some(prev) =>
-            val ncol = und
+            val ncolMask = und
               .join(gated(win.toDF("a"), n), "a")
               .join(gated(prev.toDF("b", "ncolor"), n), "b")
-              .select(col("a").as("id"), col("ncolor")).distinct()
-            win
-              .select(col("id"), explode(expr(s"sequence(1, $round)")).as("x"))
-              .join(ncol.toDF("id", "x"), Seq("id", "x"), "left_anti")
-              .groupBy("id").agg(min("x").cast("long").as("color"))
+              .groupBy(col("a").as("id"))
+              .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
+                " CAST(ncolor AS INT)))").as("mask"))
+            // smallest x in 1..round whose mask bit is clear — exists
+            // because winners see at most round−1 distinct colors
+            val mex = (1 to round).foldRight(lit(null).cast("long")) {
+              case (x, acc) =>
+                when(col("mask").bitwiseAND(lit(1L << x)) === 0,
+                  lit(x.toLong)).otherwise(acc)
+            }
+            win.join(gated(ncolMask, n), Seq("id"), "left_outer")
+              .select(col("id"),
+                when(col("mask").isNull, lit(1L)).otherwise(mex).as("color"))
         }
-        // every winner IS colored (neighbors hold colors < round, the
-        // sequence has `round` values — one always survives the anti-
-        // join), so retiring delta ids from unc retires exactly the
-        // winners. delta is eager (it is re-read by every later round's
-        // ncol and by the final union); unc is lazy — the uncRows count
-        // is its materializing action. The round writes |delta| + |unc|
-        // rows instead of the full-n state rewrite of the r6 plan.
+        // every winner IS colored, so retiring delta ids from unc
+        // retires exactly the winners — uncRows therefore updates by
+        // SUBTRACTING d's (cached-read) count instead of a separate
+        // unc materialization job; the lazy unc checkpoint materializes
+        // inside the next round's first use. The round writes
+        // |delta| + |unc| rows, never the full-n state of the r6 plan.
         val d = delta.localCheckpoint(eager = true)
         interim += d
         colored += d
@@ -2675,7 +2687,7 @@ object Analytics {
           .select("id", "c")
           .localCheckpoint(eager = false)
         interim += unc
-        uncRows = unc.count()
+        uncRows -= d.count()
       }
       val seed = s.range(0).select(lit(0L).as("id"), lit(0L).as("color"))
       val allColored = (seed +: colored.toSeq).reduce(_.unionByName(_))
