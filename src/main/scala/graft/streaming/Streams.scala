@@ -540,4 +540,84 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ------------------------------------------------------ st_idle_timeout
+  /** st_idle_timeout: session FINALIZATION by EVENT-TIME TIMER — the
+    * emit-once-when-idle output no windowed aggregation or Update-mode
+    * state can express (they emit per batch; this emits exactly once,
+    * when the user goes quiet): each arriving batch folds into the
+    * per-user running session and RE-ARMS one event-time timer at
+    * last-event-time + `idleGapMs` (delete-then-register — one armed
+    * timer per key), and when the WATERMARK passes the armed expiry
+    * the processor's handleExpiredTimer fires once, emits the final
+    * session row, and clears the state. Determinism: expiry is driven
+    * by the event-time watermark, never the wall clock, so replays and
+    * tests see identical emissions (the spec advances the watermark
+    * with far-future events and asserts exactly-once finalization).
+    * This is the timer half of the transformWithState API
+    * (registerTimer / deleteTimer / handleExpiredTimer, TimeMode
+    * .EventTime) — the state half is st_user_counters. Integer cents
+    * as everywhere (a float sum would be batch-split-dependent).
+    * State: one small struct + one timer per ACTIVE user — idle users
+    * are evicted by their own finalization, the bounded-state shape an
+    * open-world keyspace needs. */
+  val idleGapMs: Long = 30L * 60L * 1000L
+
+  final case class TimedEvent(user_id: Long, etime: java.sql.Timestamp,
+                              value: Double)
+  final case class SessionFinal(user_id: Long, n_events: Long,
+                                sum_cents: Long, session_end_ms: Long)
+
+  class IdleTimeoutProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, SessionFinal] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionFinal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[SessionFinal]("sess", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[SessionFinal] = {
+      val prev = if (state.exists()) state.get()
+                 else SessionFinal(key, 0L, 0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        SessionFinal(key, acc.n_events + 1,
+          acc.sum_cents + math.round(e.value * 100),
+          math.max(acc.session_end_ms, e.etime.getTime))
+      }
+      state.update(next)
+      // exactly one armed timer per user: re-arm at last-seen + gap
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(next.session_end_ms + idleGapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionFinal] = {
+      // a late re-arm may leave a stale expired timer behind — state
+      // absence means the session was already finalized
+      if (!state.exists()) Iterator.empty
+      else {
+        val out = state.get()
+        state.clear()
+        Iterator.single(out)
+      }
+    }
+  }
+
+  /** Append-mode plan: rows appear ONLY at finalization. Watermark
+    * delay 0 — expiry tracks the observed max event time directly. */
+  def idleTimeout(events: Dataset[TimedEvent]): Dataset[SessionFinal] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("etime", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleTimeoutProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -637,6 +637,64 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_idle_timeout: event-time timers finalize sessions exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.TimedEvent]
+      val q = Streams.idleTimeout(mem.toDS())
+        .toDF().writeStream.format("memory").queryName("idle")
+        .outputMode("append").start()
+      // base offset off epoch 0: a row with etime <= the initial
+      // watermark (0) is dropped by the stateful-op late filter (the
+      // st_sessionize gotcha); processAllAvailable also DRAINS
+      // follow-up batches, so a batch's own max event time reaches the
+      // watermark (and can fire timers) within the same call
+      val baseMin = 24L * 60L
+      def te(user: Long, minute: Long, v: Double) =
+        Streams.TimedEvent(user,
+          new java.sql.Timestamp((baseMin + minute) * 60000L), v)
+      def endMs(minute: Long) = (baseMin + minute) * 60000L
+      try {
+        // batch 1: user 1 active at 0 and 10 min; user 2 at 5 min —
+        // watermark drains to +10 min, below every armed expiry
+        mem.addData(te(1, 0, 1.25), te(1, 10, 2.50), te(2, 5, 4.00))
+        q.processAllAvailable()
+        assert(spark.table("idle").isEmpty,
+          "nothing may finalize before the watermark passes an idle gap")
+        // batch 2: user 2 again at 50 min re-arms its timer to 80 min;
+        // the drained watermark (50) passes user 1's 10+30 expiry —
+        // user 1 finalizes with BOTH events, exactly once
+        mem.addData(te(2, 50, 1.00))
+        q.processAllAvailable()
+        val after2 = spark.table("idle").collect()
+        assert(after2.map(_.getAs[Long]("user_id")).toSeq == Seq(1L),
+          s"only user 1 may finalize here: ${after2.mkString(";")}")
+        assert(after2.head.getAs[Long]("n_events") == 2L)
+        assert(after2.head.getAs[Long]("sum_cents") == 375L)
+        assert(after2.head.getAs[Long]("session_end_ms") == endMs(10))
+        // batch 3: heartbeat at 200 min drains the watermark past user
+        // 2's re-armed 80 — ONE session containing both its events (the
+        // re-arm extended the session instead of splitting it)
+        mem.addData(te(9, 200, 0.0))
+        q.processAllAvailable()
+        val u2 = spark.table("idle").filter(col("user_id") === 2L).collect()
+        assert(u2.length == 1, s"user 2 must finalize exactly once: ${u2.mkString(";")}")
+        assert(u2.head.getAs[Long]("n_events") == 2L)
+        assert(u2.head.getAs[Long]("sum_cents") == 500L)
+        assert(u2.head.getAs[Long]("session_end_ms") == endMs(50))
+        // exactly-once overall: user 1 did not re-emit; the heartbeat
+        // user's own timer (200+30) is beyond the watermark — still live
+        assert(spark.table("idle").count() == 2L)
+      } finally q.stop()
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("st_user_counters: transformWithState running counters == batch aggregate under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
