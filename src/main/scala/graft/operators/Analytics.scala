@@ -370,7 +370,8 @@ object Analytics {
     * Returns (id, comp); round blocks land in `interim` for the
     * caller's finally. */
   private def ccLabels(ids: DataFrame, und: DataFrame, iters: Int,
-      interim: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      interim: scala.collection.mutable.ArrayBuffer[DataFrame],
+      assertConverged: Boolean = false): DataFrame = {
     var comp = ids.select(col("id"), col("id").as("comp"))
       .localCheckpoint(eager = true)
     interim += comp
@@ -400,6 +401,15 @@ object Analytics {
       deltaRows = delta.count()
       comp = merged.select("id", "comp")
     }
+    // callers whose CONTRACT depends on reaching the true fixpoint
+    // (g_cc_incremental's composed-equals-full-CC exactness) must not
+    // silently accept a capped, unconverged label table — a long chain
+    // merged only via delta edges would exceed the cap at some SF and
+    // the cross-engine oracle could never catch it (both engines would
+    // run the same truncated rounds)
+    if (assertConverged && deltaRows > 0) throw new IllegalStateException(
+      s"ccLabels: $deltaRows labels still changing after $iters rounds — " +
+        "convergence cap too low for this graph; exactness contract broken")
     comp
   }
 
@@ -465,7 +475,6 @@ object Analytics {
 
   def ccIncremental: Q = (s, dir) => {
     val (nodes, undW) = numericGraph(s, dir)
-    val n = nodes.count()
     val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
       // canonical-pair hash splits BOTH directions of an edge together
@@ -478,23 +487,33 @@ object Analytics {
       interim += und
       val base = und.filter(col("hm") =!= 0).select("a", "b")
       val deltaE = und.filter(col("hm") === 0).select("a", "b")
-      // stage 1: the stored state
-      val baseL = ccLabels(nodes.select("id"), base, ccIters, interim)
+      // stage 1: the stored state. assertConverged: the EXACTLY-equals-
+      // full-CC contract below depends on both label loops reaching the
+      // true fixpoint, not the iteration cap — enforce it loudly.
+      val baseL = ccLabels(nodes.select("id"), base, ccIters, interim,
+          assertConverged = true)
         .localCheckpoint(eager = true) // read 3×: both endpoints + final
       interim += baseL
-      // stage 2: the batch merge — everything below is delta-bounded
-      val dSup = deltaE
-        .join(gated(baseL.toDF("a", "ca"), n), "a")
-        .join(gated(baseL.toDF("b", "cb"), n), "b")
+      // stage 2: the batch merge — everything below is delta-bounded.
+      // Broadcast the DELTA side (row count known small by
+      // construction), never the n-row base-label table: baseL streams
+      // past the broadcast delta for endpoint a, then past the (still
+      // delta-bounded) half-resolved frame for endpoint b, so the merge
+      // never shuffles and stays ∝ delta edges at any graph size — at
+      // 100 TB baseL is the table that outgrows the broadcast ceiling.
+      val dRows = deltaE.count() // prune of the eager und checkpoint
+      val halfA = baseL.toDF("a", "ca").join(gated(deltaE, dRows), Seq("a"))
+      val dSup = baseL.toDF("b", "cb").join(gated(halfA, dRows), Seq("b"))
         .filter(col("ca") =!= col("cb"))
         .select(col("ca").as("a"), col("cb").as("b"))
         .distinct()
         .localCheckpoint(eager = true)
       interim += dSup
       val supIds = dSup.select(col("a").as("id")).distinct()
-      val supL = ccLabels(supIds, dSup, ccIncSuperIters, interim)
+      val supL = ccLabels(supIds, dSup, ccIncSuperIters, interim,
+        assertConverged = true)
       nodes.join(baseL, Seq("id"))
-        .join(gated(supL.toDF("comp", "root"), n), Seq("comp"), "left_outer")
+        .join(gated(supL.toDF("comp", "root"), dRows), Seq("comp"), "left_outer")
         .select(col("label"), col("key"),
           coalesce(col("root"), col("comp")).as("comp"))
         .orderBy("label", "key")

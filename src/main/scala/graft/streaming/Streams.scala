@@ -413,8 +413,10 @@ object Streams {
     * under its own batch_id dir (idempotent overwrite, the
     * exactlyOnceSink discipline), then (2) PUBLISHES manifest-<id>
     * listing every data file of batches ≤ id, written to a temp name
-    * and atomically renamed — a reader either sees a complete manifest
-    * or the previous one, never a torn file list. Replay of batch k
+    * and hard-linked into place (link(2) fails on an existing target,
+    * giving both no-clobber AND no-torn-read) — a reader either sees a
+    * complete manifest or the previous one, never a torn file list.
+    * Replay of batch k
     * rewrites byte-identical files and a byte-identical manifest ⇒
     * The manifest IS the commit marker: a replayed batch that finds
     * its manifest already published SKIPS entirely — the transaction-
@@ -444,22 +446,28 @@ object Streams {
       else Seq.empty[String]
     val fresh = new java.io.File(s"$outDir/batch_id=$batchId").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    // Publish = write the complete bytes to a tmp name, then HARD-LINK
+    // it to the manifest name. link(2) is the true create-if-absent
+    // commit (it FAILS with EEXIST when the target exists — unlike
+    // rename(2), which under ATOMIC_MOVE silently REPLACES an existing
+    // target on POSIX, so the previous tmp+rename shape never actually
+    // delivered the no-clobber CAS it claimed), and because the tmp
+    // file is fully written before the link, a reader still never
+    // observes a torn manifest. A racer that slipped past the
+    // exists-check above loses the link race and treats "already
+    // committed" as a no-op — safe because a batch id's content is
+    // deterministic (byte-identical replay). On an object store this
+    // publish becomes a conditional PUT (if-none-match), same protocol.
     val tmp = java.nio.file.Paths.get(s"$outDir/.manifest-$batchId.tmp")
     java.nio.file.Files.write(tmp,
       (base ++ fresh).mkString("\n").getBytes("UTF-8"))
-    // ATOMIC_MOVE *without* REPLACE_EXISTING = compare-and-swap (the
-    // Formats.publishManifest primitive): a racer that slipped past the
-    // exists-check above cannot clobber the committed manifest — the
-    // move throws, and since a batch id's content is deterministic
-    // (byte-identical replay), "already committed" is simply a no-op
     try
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"), tmp)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp): Unit
-    }
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    } finally
+      java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 
   /** Read the table AT a published manifest version. */
@@ -610,11 +618,23 @@ object Streams {
     }
   }
 
-  /** Append-mode plan: rows appear ONLY at finalization. Watermark
-    * delay 0 — expiry tracks the observed max event time directly. */
-  def idleTimeout(events: Dataset[TimedEvent]): Dataset[SessionFinal] = {
+  /** Append-mode plan: rows appear ONLY at finalization.
+    *
+    * `watermarkDelay` is the lateness budget: the stateful-op late
+    * filter DROPS any event whose time is <= (max event time seen −
+    * delay), so at the default "0 seconds" EVERY cross-batch
+    * out-of-order event is silently discarded and sessions undercount —
+    * acceptable only for a source that is time-ordered across
+    * micro-batches (the deterministic spec harness). A real source
+    * reorders across batches as a matter of course: pass the source's
+    * actual disorder bound (e.g. "10 minutes"), which delays timer
+    * expiry — and thus session finalization — by the same amount.
+    * Determinism holds at ANY delay; delay 0 only buys the earliest
+    * possible finalization. */
+  def idleTimeout(events: Dataset[TimedEvent],
+      watermarkDelay: String = "0 seconds"): Dataset[SessionFinal] = {
     import events.sparkSession.implicits._
-    events.withWatermark("etime", "0 seconds")
+    events.withWatermark("etime", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new IdleTimeoutProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
