@@ -1794,8 +1794,288 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  // ------------------------------------------------------- q_hll_distinct
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) over the
+    * ordering customers — the MERGEABLE cardinality sketch: m = 64
+    * registers, register j = max over rows of (leading zeros of a
+    * 40-bit md5 suffix + 1). `groupBy(j).max(rho)` IS the merge
+    * operator — map-side partial max per register, a 64-row shuffle,
+    * associative across shards/days/partitions, which is what replaces
+    * the full `COUNT(DISTINCT)` shuffle at 100 TB (the exact count is
+    * kept alongside as ground truth — at scale it's the path the
+    * sketch exists to avoid). All register math is exact BIGINT:
+    * Σ 2^(-M_j) is computed as the INTEGER Σ 2^(41-M_j) (≤ 64·2^41,
+    * BIGINT-safe) so the only float is the final α·m²·2^41/S division,
+    * rounded. The small-range linear-counting branch (E ≤ 2.5m, empty
+    * registers V > 0 ⇒ m·ln(m/V)) takes ln from a 64-entry literal
+    * table generated once in Scala into BOTH engines' SQL — no
+    * cross-engine libm call (house no-transcendentals rule). */
+  val hllM = 64
+
+  private val hllLinTable: String = // 64·ln(64/V) per V, same literal both engines
+    (1 to hllM).map { v =>
+      val e = BigDecimal(hllM * math.log(hllM.toDouble / v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+      s"WHEN $v THEN CAST($e AS DOUBLE)"
+    }.mkString(" ")
+
+  private val hllEstExpr: String =
+    "CASE WHEN raw <= 160.0 AND v_empty > 0 THEN " +
+      s"round(CASE v_empty $hllLinTable END, 6) ELSE round(raw, 6) END"
+
+  def qHllDistinct: Q = (s, dir) => {
+    val h = md5(col("o_custkey").cast("string"))
+    val rows = t(s, dir, "orders").select(
+      (graft.functions.VectorExprs.hexSlice(h, 1, 2) % hllM).as("j"),
+      graft.functions.VectorExprs.hexSlice(h, 3, 10).as("w"))
+    val regs = rows
+      .select(col("j"),
+        expr("CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END").as("rho"))
+      .groupBy("j").agg(max("rho").as("mr"))
+    val full = s.range(hllM).toDF("j")
+      .join(regs, Seq("j"), "left_outer")
+      .select(coalesce(col("mr"), lit(0L)).as("m"))
+    val sk = full.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m AS INT))")).as("s_pow"),
+      count(when(col("m") === 0, 1)).as("v_empty"))
+    val exact = t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.crossJoin(sk)
+      .withColumn("raw",
+        expr(s"(CAST(0.709 AS DOUBLE) * ${hllM * hllM} * 2199023255552.0) / CAST(s_pow AS DOUBLE)"))
+      .select(col("n_exact"), lit(hllM.toLong).as("m_registers"),
+        col("v_empty"), col("s_pow"), expr(hllEstExpr).as("est_hll"))
+  }
+
+  val qHllDistinctSql: String = {
+    val j = graft.operators.OracleSql.hexToLong("h", 1, 2)
+    val w = graft.operators.OracleSql.hexToLong("h", 3, 10)
+    s"""WITH hs AS (
+       | SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+       |), jw AS (
+       | SELECT CAST($j AS BIGINT) % $hllM AS j, CAST($w AS BIGINT) AS w FROM hs
+       |), regs AS (
+       | SELECT j, max(CASE WHEN w = 0 THEN 41
+       |   ELSE 41 - length(bin(w)) END) AS mr
+       | FROM jw GROUP BY j
+       |), fr AS (
+       | SELECT COALESCE(mr, 0) AS m
+       | FROM range($hllM) r(j) LEFT JOIN regs ON regs.j = r.j
+       |), sk AS (
+       | SELECT CAST(sum(1::BIGINT << CAST(41 - m AS INTEGER)) AS BIGINT) AS s_pow,
+       |  CAST(count(CASE WHEN m = 0 THEN 1 END) AS BIGINT) AS v_empty
+       | FROM fr
+       |), ex AS (
+       | SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
+       |), rw AS (
+       | SELECT n_exact, CAST($hllM AS BIGINT) AS m_registers, v_empty, s_pow,
+       |  (CAST(0.709 AS DOUBLE) * ${hllM * hllM} * 2199023255552.0) / CAST(s_pow AS DOUBLE) AS raw
+       | FROM ex, sk
+       |)
+       |SELECT n_exact, m_registers, v_empty, s_pow, $hllEstExpr AS est_hll
+       |FROM rw""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- q_chi2
+  /** Chi-square test of independence — customer nation × order priority
+    * (is ordering urgency uniform across geographies?). Observed counts
+    * come from one fact-side aggregation (orders ⋈ broadcast customer
+    * dim); marginals re-aggregate the 125-cell table, never the fact
+    * table. Exactness: every product (o·N, r·c, N·r·c) is DECIMAL(38,0)
+    * (o·N ≤ 3.6e11 at sf0.1, squared 1.3e23 — 38 digits hold to
+    * N ≈ 10¹⁴ rows); each cell contribution is ONE double expression
+    * from exact integers rounded to integer micro-units, and the
+    * statistic is the exact BIGINT sum of those micro-units — no
+    * cross-engine float-summation-order dependence (the q_corr
+    * discipline extended to a per-cell sum). */
+  def qChi2: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val cust = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey")))
+    val cells = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(cust, Seq("o_custkey"))
+      .groupBy("c_nationkey", "o_orderpriority")
+      .agg(count(lit(1)).cast(D38).as("o"))
+      .localCheckpoint(eager = true) // read 4×: cells + both marginals + dof
+    try {
+      val rTot = cells.groupBy("c_nationkey").agg(sum("o").cast(D38).as("r"))
+      val cTot = cells.groupBy("o_orderpriority").agg(sum("o").cast(D38).as("c"))
+      val nTot = cells.agg(sum("o").cast(D38).as("nn"),
+        countDistinct("c_nationkey").as("nr"),
+        countDistinct("o_orderpriority").as("nc"))
+      val contrib = cells
+        .join(broadcast(rTot), Seq("c_nationkey"))
+        .join(broadcast(cTot), Seq("o_orderpriority"))
+        .crossJoin(broadcast(nTot))
+        .select(expr(
+          "CAST(round(CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE)" +
+            " / CAST(nn * r * c AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+          .as("micro"), col("nn"), col("nr"), col("nc"))
+      contrib
+        .groupBy("nn", "nr", "nc")
+        .agg(count(lit(1)).as("n_cells"), sum("micro").as("sum_micro"))
+        .select(col("nn").cast("long").as("n_rows"), col("n_cells"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          round(col("sum_micro").cast("double") / 1000000.0, 6).as("chi2"),
+          round(sqrt(col("sum_micro").cast("double") / 1000000.0 /
+            (col("nn").cast("double") *
+              least(col("nr") - 1, col("nc") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+        .localCheckpoint(eager = true) // collapse before cells is freed
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(cells)
+  }
+
+  val qChi2Sql: String =
+    """WITH cells AS (
+      | SELECT c.c_nationkey, o.o_orderpriority,
+      |  CAST(count(*) AS DECIMAL(38,0)) AS o
+      | FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      | GROUP BY 1, 2
+      |), rt AS (
+      | SELECT c_nationkey, CAST(sum(o) AS DECIMAL(38,0)) AS r
+      | FROM cells GROUP BY 1
+      |), ct AS (
+      | SELECT o_orderpriority, CAST(sum(o) AS DECIMAL(38,0)) AS c
+      | FROM cells GROUP BY 1
+      |), nt AS (
+      | SELECT CAST(sum(o) AS DECIMAL(38,0)) AS nn,
+      |  count(DISTINCT c_nationkey) AS nr,
+      |  count(DISTINCT o_orderpriority) AS nc
+      | FROM cells
+      |), contrib AS (
+      | SELECT CAST(round(CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE)
+      |    / CAST(nn * r * c AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS micro,
+      |  nn, nr, nc
+      | FROM cells
+      | JOIN rt USING (c_nationkey)
+      | JOIN ct USING (o_orderpriority)
+      | CROSS JOIN nt
+      |)
+      |SELECT CAST(nn AS BIGINT) AS n_rows, count(*) AS n_cells,
+      | CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      | round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 6) AS chi2,
+      | round(sqrt(CAST(sum(micro) AS DOUBLE) / 1000000.0 /
+      |   (CAST(nn AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6)
+      |  AS cramers_v
+      |FROM contrib GROUP BY nn, nr, nc""".stripMargin
+
+  // ------------------------------------------------------------ q_time_decay
+  /** Exponentially time-decayed per-user engagement score — the
+    * recency-weighted counter behind feed ranking / churn features:
+    * score(u) = Σ value_i · 2^(−age_days_i), half-life one day, age
+    * capped at 40 days (beyond the cap the weight is < 10⁻¹², i.e.
+    * under cent resolution — the cap makes the weight EXACT instead of
+    * approximately zero, and at stream scale it is also the state
+    * bound: anything older than the cap can be dropped, which is what
+    * keeps the incremental version finite). Exact fixed point: cents
+    * shifted left by (40 − age) accumulate in DECIMAL(38,0)
+    * (≤ n·10⁵·2⁴⁰ ≈ 10²² at sf0.1), one double division by 2⁴⁰ at the
+    * end, rounded. One groupBy(user), map-side combinable; the max-day
+    * anchor is a 1-row broadcast. */
+  def qTimeDecay: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("xc"),
+      expr("ts div 86400000000000").as("day"))
+    val mx = ev.agg(max("day").as("maxday"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("shiftleft(xc, CAST(40 - least(maxday - day, 40) AS INT))")
+          .cast(D38).as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w")).cast("double") / 1099511627776.0, 6)
+          .as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  val qTimeDecaySql: String =
+    """WITH ev AS (
+      | SELECT user_id,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+      |  epoch_us(ts) // 86400000000 AS day
+      | FROM events
+      |), mx AS (SELECT max(day) AS maxday FROM ev)
+      |SELECT user_id, count(*) AS n_events,
+      | round(CAST(sum(CAST(xc << CAST(40 - least(maxday - day, 40) AS INTEGER)
+      |    AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0, 6) AS decay_score
+      |FROM ev, mx GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- q_linreg
+  /** Per-nation ordinary least squares — extendedprice regressed on
+    * quantity per supplier nation (slope ≈ effective unit price,
+    * r² ≈ how linear the pricing is). Same exact-moments discipline as
+    * q_corr, GROUPED: both axes lift ×100 to integers, five moments
+    * accumulate per group in DECIMAL(38,0) (the r² cross-products are
+    * evaluated in DOUBLE because (nΣxy)² overflows 38 digits at sf0.1
+    * — each is one deterministic float expression from exact decimal
+    * moments, identical text in both engines), slope/intercept/r² are
+    * single rounded divisions. Plan: fact table joins two broadcast
+    * dims (supplier, nation), one groupBy with map-side partial
+    * moments — the 100 TB shape is a pure map + 25-group shuffle. */
+  def qLinreg: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").as("x"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").as("y"))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")))
+    val nat = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name")))
+    li.join(sup, Seq("l_suppkey")).join(nat, Seq("s_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast(D38).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_name"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept_scaled"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+      .orderBy("n_name")
+  }
+
+  val qLinregSql: String =
+    """WITH v AS (
+      | SELECT n.n_name,
+      |  CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS x,
+      |  CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS y
+      | FROM lineitem l
+      | JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      | JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |), m AS (
+      | SELECT n_name, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  sum(x) AS sx, sum(y) AS sy,
+      |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      | FROM v GROUP BY n_name
+      |)
+      |SELECT n_name, CAST(n AS BIGINT) AS n_rows,
+      | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      | round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |   CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept_scaled,
+      | round((CAST(n * sxy - sx * sy AS DOUBLE) *
+      |    CAST(n * sxy - sx * sy AS DOUBLE)) /
+      |   (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |    CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM m ORDER BY n_name""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_hll_distinct" -> qHllDistinct,
+    "q_chi2" -> qChi2,
+    "q_time_decay" -> qTimeDecay,
+    "q_linreg" -> qLinreg,
     "q_cdc_diff" -> qCdcDiff,
     "q_multi_distinct" -> qMultiDistinct,
     "q_dq_checks" -> qDqChecks,
@@ -1844,6 +2124,10 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_hll_distinct" -> qHllDistinctSql,
+    "q_chi2" -> qChi2Sql,
+    "q_time_decay" -> qTimeDecaySql,
+    "q_linreg" -> qLinregSql,
     "q_cdc_diff" -> qCdcDiffSql,
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_dq_checks" -> qDqChecksSql,

@@ -2099,7 +2099,152 @@ object TextOps {
       | CAST((sum(CAST(fails AS BIGINT)) * 1000000) // (SELECT n_docs_total FROM t) AS BIGINT) AS fail_ppm
       |FROM ex GROUP BY rule ORDER BY rule""".stripMargin
 
+  // -------------------------------------------------- t_simpson_diversity
+  /** Per-document lexical CONCENTRATION via the Gini–Simpson index:
+    * 1 − Σ p_w² over the word distribution — the repetition signal a
+    * corpus-quality pipeline wants where Shannon entropy would force a
+    * transcendental per count (the house parity rule bans cross-engine
+    * log(): Σ c_w² is EXACT BIGINT, and the index is one double
+    * division from exact integers, rounded — engine-bit-identical).
+    * Low diversity ⇒ template/boilerplate/keyword-stuffed docs (the
+    * same family t_rep_ngram catches at the n-gram level). Per-doc
+    * linear; the word-count aggregation is map-side combinable and the
+    * per-doc Σc² folds in one groupBy — at corpus scale this is one
+    * shuffle keyed by (doc_id, word), no global state. */
+  def simpsonDiversity: Q = (s, dir) => {
+    val wc = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        max(col("c")).as("top_freq"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_words") * col("n_words")).cast("double"), 6)
+          .as("simpson_div"),
+        round(col("top_freq").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val simpsonDiversitySql: String =
+    """WITH wc AS (
+      | SELECT doc_id, w, count(*) AS c
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents)
+      | GROUP BY doc_id, w
+      |)
+      |SELECT doc_id,
+      | CAST(sum(c) AS BIGINT) AS n_words,
+      | count(*) AS n_distinct,
+      | round(1.0 - CAST(sum(c * c) AS DOUBLE) /
+      |   CAST(sum(c) * sum(c) AS DOUBLE), 6) AS simpson_div,
+      | round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_ratio
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- t_hapax
+  /** Corpus vocabulary-growth profile: hapax/dis/tris legomena counts
+    * (words occurring exactly 1/2/3 times corpus-wide) and the
+    * type-token ratio — the Zipf-tail diagnostic that predicts how fast
+    * vocabulary grows with corpus size (a high hapax share means the
+    * tokenizer/vocab budget is not yet saturated). All counts exact
+    * integers; the two ratios are single double divisions, rounded.
+    * Plan: one (word)-keyed count aggregation (map-side combinable),
+    * then a 1-row re-aggregation over frequency classes — the second
+    * stage input is |vocab| rows, never |corpus|. */
+  def hapax: Q = (s, dir) => {
+    val vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    vocab.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("n_tokens"),
+      count(when(col("c") === 1, 1)).as("n_hapax"),
+      count(when(col("c") === 2, 1)).as("n_dis"),
+      count(when(col("c") === 3, 1)).as("n_tris"))
+      .select(col("vocab_size"), col("n_tokens"),
+        col("n_hapax"), col("n_dis"), col("n_tris"),
+        round(col("n_hapax").cast("double") / col("vocab_size").cast("double"), 6)
+          .as("hapax_ratio"),
+        round(col("vocab_size").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+  }
+
+  val hapaxSql: String =
+    """WITH vocab AS (
+      | SELECT w, count(*) AS c
+      | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      | GROUP BY w
+      |)
+      |SELECT count(*) AS vocab_size,
+      | CAST(sum(c) AS BIGINT) AS n_tokens,
+      | CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+      | CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS n_dis,
+      | CAST(count(CASE WHEN c = 3 THEN 1 END) AS BIGINT) AS n_tris,
+      | round(CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE) /
+      |   CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+      | round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |  AS type_token_ratio
+      |FROM vocab""".stripMargin
+
+  // ------------------------------------------------------ t_sentence_stats
+  /** Sentence segmentation stats per document — the chunking-granularity
+    * profile (sequence packers and context-window planners size on
+    * sentences, not characters): split on terminal-punctuation runs
+    * `[.!?]+`, drop whitespace-only fragments, report count / mean
+    * chars / max words. The regex split and the whitespace-token count
+    * are the SAME pattern on both engines; mean is one double division
+    * from exact integers. Linear, shuffle-free per-doc projection. */
+  def sentenceStats: Q = (s, dir) => {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+    docs(s, dir)
+      .select(col("doc_id"), sents.as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        aggregate(col("sents"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_chars"),
+        aggregate(col("sents"), lit(0L),
+          (acc, x) => greatest(acc, size(split(x, " +")).cast("long")))
+          .as("max_sent_words"))
+      .select(col("doc_id"), col("n_sentences"),
+        when(col("n_sentences") > 0,
+          round(col("sum_chars").cast("double") /
+            col("n_sentences").cast("double"), 6))
+          .otherwise(lit(0.0)).as("avg_sent_chars"),
+        col("max_sent_words"))
+      .orderBy("doc_id")
+  }
+
+  val sentenceStatsSql: String =
+    """WITH sx AS (
+      | SELECT doc_id,
+      |  list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+      |    x -> trim(x)), x -> length(x) > 0) AS sents
+      | FROM documents
+      |), st AS (
+      | SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  CAST(list_sum(list_transform(sents, x -> length(x))) AS BIGINT)
+      |   AS sum_chars,
+      |  CAST(list_max(list_transform(sents,
+      |    x -> len(string_split_regex(x, ' +')))) AS BIGINT)
+      |   AS max_sent_words
+      | FROM sx
+      |)
+      |SELECT doc_id, n_sentences,
+      | CASE WHEN n_sentences > 0
+      |  THEN round(CAST(sum_chars AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+      |  ELSE 0.0 END AS avg_sent_chars,
+      | COALESCE(max_sent_words, 0) AS max_sent_words
+      |FROM st ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_simpson_diversity" -> simpsonDiversity,
+    "t_hapax" -> hapax,
+    "t_sentence_stats" -> sentenceStats,
     "t_dsir" -> dsir,
     "t_dsir_eval" -> dsirEval,
     "t_bpe_apply" -> bpeApply,
@@ -2137,6 +2282,9 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_simpson_diversity" -> simpsonDiversitySql,
+    "t_hapax" -> hapaxSql,
+    "t_sentence_stats" -> sentenceStatsSql,
     "t_dsir" -> dsirSql,
     "t_dsir_eval" -> dsirEvalSql,
     "t_bpe_apply" -> bpeApplySql,
