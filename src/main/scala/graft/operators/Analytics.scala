@@ -1383,6 +1383,75 @@ object Analytics {
     b.toString
   }
 
+  // -------------------------------------------------- g_eigencentrality
+  /** Eigenvector centrality — power iteration x ← A·x on the UNDIRECTED
+    * adjacency, `eigenIters` synchronous rounds, with the same
+    * integer max-normalization contract as g_hits (a float L2 norm
+    * would drift across partial-aggregation orders; dividing by the
+    * integer max-derived factor preserves relative order — what the
+    * centrality is for — identically in both engines). Values entering
+    * a round are ≤ 2·SCALE, so a raw BIGINT round sum is bounded by
+    * 2·maxdeg·10⁶ — the g_hits overflow contract. Per round: ONE
+    * equi-join (und ⋈ sparse score vector) + ONE map-side-combinable
+    * sum + a scalar max broadcast; rounds carry SPARSE vectors (absent
+    * = 0 contributes nothing) and the dense zero-fill is deferred to
+    * the single output join (the hitsOn discipline). */
+  val eigenIters = 3
+
+  def eigencentrality: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def norm(raw: DataFrame): DataFrame = {
+      val r = raw.localCheckpoint(eager = false) // feeds max + values
+      interim += r
+      r.crossJoin(broadcast(r.agg(max("s").as("mx"))))
+        .select(col("id"), expr(s"s div greatest(1, mx div $hitsScale)").as("x"))
+    }
+    try {
+      var x = nodes.select(col("id")).withColumn("x", lit(hitsScale))
+      for (_ <- 1 to eigenIters)
+        x = norm(und
+          .join(gated(x.select(col("id").as("a"), col("x")), n), Seq("a"))
+          .groupBy(col("b").as("id")).agg(sum("x").as("s")))
+      nodes.join(gated(x, n), Seq("id"), "left_outer")
+        .select(col("label"), col("key"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val eigencentralitySql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")} FROM edges
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), x0 AS (
+             | SELECT id, CAST($hitsScale AS BIGINT) AS x FROM ids
+             |)""".stripMargin
+    for (i <- 1 to eigenIters) {
+      b ++= s""", r$i AS (
+               | SELECT u.b AS id, sum(p.x) AS s
+               | FROM und u JOIN x${i - 1} p ON p.id = u.a GROUP BY u.b
+               |), x$i AS (
+               | SELECT ids.id, CAST(COALESCE(
+               |   r.s // greatest(1, (SELECT max(s) FROM r$i) // $hitsScale),
+               |   0) AS BIGINT) AS x
+               | FROM ids LEFT JOIN r$i r ON r.id = ids.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key, x$eigenIters.x
+             |FROM ids JOIN x$eigenIters ON x$eigenIters.id = ids.id
+             |ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
   // -------------------------------------------------------- g_closeness
   /** Bounded-hop harmonic closeness for the 25 nation nodes: score(s) =
     * Σ_{v: 1 ≤ d(s,v) ≤ 2} (2 div d) over undirected hop distance — the
@@ -3778,6 +3847,7 @@ object Analytics {
     "g_assortativity" -> assortativity,
     "g_jaccard_neighbors" -> jaccardNeighbors,
     "g_hits" -> hits,
+    "g_eigencentrality" -> eigencentrality,
     "g_closeness" -> closeness,
     "g_link_predict" -> linkPredict,
     "g_kcore" -> kcore,
@@ -3818,6 +3888,7 @@ object Analytics {
     "g_assortativity" -> assortativitySql,
     "g_jaccard_neighbors" -> jaccardNeighborsSql,
     "g_hits" -> hitsSql,
+    "g_eigencentrality" -> eigencentralitySql,
     "g_closeness" -> closenessSql,
     "g_link_predict" -> linkPredictSql,
     "g_kcore" -> kcoreSql,

@@ -754,7 +754,88 @@ object Multimodal {
        |  AS BIGINT) AS load_ppm
        |FROM per ORDER BY writer""".stripMargin
 
+  // --------------------------------------------------------- m_audio_vad
+  /** Energy-based voice-activity detection — the segmentation pass an
+    * audio-training pipeline runs before transcription/alignment: the
+    * payload is treated as a PCM sample stream (here the deterministic
+    * text-byte stand-in — the decode seam is the same `mapPartitions`
+    * iterator a real codec plugs into), framed at `vadFrameBytes`
+    * samples; a frame is SPEECH when its mean energy Σ(b−32)² ≥
+    * `vadThresh`·len, and maximal speech runs become segments. One
+    * imperative pass per row — samples never leave the task, nothing
+    * is exploded (the m_scene_detect shape); the oracle REPLAYS the
+    * same arithmetic relationally (char explode + gaps-islands), which
+    * is exact because the payload is ASCII (byte == codepoint —
+    * documented mediaTable contract). Stats per doc: frames, speech
+    * frames, segments, longest segment. */
+  val vadFrameBytes = 64
+  val vadThresh = 4500L
+
+  final case class VadMeta(doc_id: Long, n_frames: Long, n_speech: Long,
+                           n_segments: Long, max_segment: Long)
+
+  def audioVad(media: Dataset[MediaRow]): Dataset[VadMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val frames = r.payload.grouped(vadFrameBytes).toArray
+        val speech = frames.map { f =>
+          var e = 0L
+          f.foreach { b => val d = (b & 0xFF).toLong - 32; e += d * d }
+          e >= vadThresh * f.length
+        }
+        var nSeg = 0L; var maxSeg = 0L; var run = 0L
+        speech.foreach { sp =>
+          if (sp) { if (run == 0) nSeg += 1; run += 1; maxSeg = math.max(maxSeg, run) }
+          else run = 0
+        }
+        VadMeta(r.doc_id, frames.length.toLong, speech.count(identity).toLong,
+          nSeg, maxSeg)
+      }
+    }
+  }
+
+  def audioVadQ: Q = (s, dir) =>
+    audioVad(mediaTable(s, dir)).toDF().orderBy("doc_id")
+
+  val audioVadSql: String =
+    s"""WITH ch AS (
+       | SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
+       | FROM documents
+       |), en AS (
+       | SELECT doc_id, (p - 1) // $vadFrameBytes AS f,
+       |  (ord(substr(text, CAST(p AS INTEGER), 1)) - 32) AS d
+       | FROM ch
+       |), fe AS (
+       | SELECT doc_id, f, sum(d * d) AS energy, count(*) AS flen
+       | FROM en GROUP BY 1, 2
+       |), fa AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(count(CASE WHEN energy >= $vadThresh * flen THEN 1 END) AS BIGINT)
+       |   AS n_speech
+       | FROM fe GROUP BY doc_id
+       |), isl AS (
+       | SELECT doc_id,
+       |  f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+       | FROM fe WHERE energy >= $vadThresh * flen
+       |), seg AS (
+       | SELECT doc_id, g, count(*) AS slen FROM isl GROUP BY 1, 2
+       |), sa AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(max(slen) AS BIGINT) AS max_segment
+       | FROM seg GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(fa.n_frames, 0) AS n_frames,
+       | COALESCE(fa.n_speech, 0) AS n_speech,
+       | COALESCE(sa.n_segments, 0) AS n_segments,
+       | COALESCE(sa.max_segment, 0) AS max_segment
+       |FROM documents d
+       |LEFT JOIN fa ON fa.doc_id = d.doc_id
+       |LEFT JOIN sa ON sa.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m_audio_vad" -> audioVadQ,
     "m_shard_pack" -> shardPack,
     "m_shard_balance" -> shardBalance,
     "m_phash_dedup" -> phashDedup,
@@ -767,6 +848,7 @@ object Multimodal {
     "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
+    "m_audio_vad" -> audioVadSql,
     "m_shard_pack" -> shardPackSql,
     "m_shard_balance" -> shardBalanceSql,
     "m_phash_dedup" -> phashDedupSql,

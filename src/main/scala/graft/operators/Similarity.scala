@@ -1612,8 +1612,119 @@ object Similarity {
        |)
        |ORDER BY probe_id""".stripMargin
 
+  // -------------------------------------------------------- s_ann_rerank
+  /** TWO-STAGE retrieval — the production serving shape: a CHEAP
+    * coarse filter (1-bit Hamming over the 64-bit signatures, 2
+    * bit_count ops/pair) keeps the top-`rerankC` candidates per probe,
+    * then the EXACT integer-cosine score reranks only those C — per
+    * probe the expensive 64-mult dot product runs C times instead of
+    * n times (C/n of the brute cost; at corpus scale the coarse stage
+    * is the only full scan and it reads 16 bytes/vector, a 32×
+    * bandwidth cut — this is refine-after-quantize, the PQ/ADC serving
+    * pattern). `in_exact` marks survivors of the true top-k, so the
+    * row set IS the recall audit (s_quant_eval's judgment, per rank).
+    * Both stages reuse already-oracle-checked machinery (binarySig /
+    * quantizedWithNorm / the bruteTopk score expression); the oracle
+    * composes the same chains. */
+  val rerankC = 50
+
+  def annRerank: Q = (s, dir) => {
+    val sig = binarySig(s, dir)
+    val probesB = broadcast(sig.filter(col("vec_id") < 10)
+      .toDF("probe_id", "plo", "phi"))
+    val wC = Window.partitionBy("probe_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    val coarse = probesB.crossJoin(sig.toDF("cand_id", "clo", "chi"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (expr("bit_count(plo ^ clo)") + expr("bit_count(phi ^ chi)"))
+          .cast("long").as("hamming"))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= rerankC)
+      .select("probe_id", "cand_id")
+    val qp = broadcast(quantized(s, dir).filter(col("vec_id") < 10)
+      .toDF("probe_id", "qp"))
+    val cand = quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val rer = coarse.join(qp, Seq("probe_id")).join(cand, Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"),
+        expr("CASE WHEN dp >= 0 THEN (dp * dp * 1000) div nb" +
+          " ELSE -((dp * dp * 1000) div nb) END").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+    val exact = annTopk(s, dir).select(col("probe_id"), col("cand_id"),
+      lit(1L).as("in_exact"))
+    rer.join(exact, Seq("probe_id", "cand_id"), "left_outer")
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val annRerankSql: String =
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), bits AS (
+       | SELECT vec_id, CAST(u.i AS INTEGER) - 1 AS pos, qe[CAST(u.i AS INTEGER)] AS v
+       | FROM q, unnest(range(1, len(qe) + 1)) u(i)
+       |), sig AS (
+       | SELECT vec_id,
+       |  CAST(sum(CASE WHEN pos < 32 AND v > 0
+       |   THEN (1::BIGINT << pos) ELSE 0 END) AS BIGINT) AS sig_lo,
+       |  CAST(sum(CASE WHEN pos >= 32 AND v > 0
+       |   THEN (1::BIGINT << (pos - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
+       | FROM bits GROUP BY vec_id
+       |), coarse AS (
+       | SELECT probe_id, cand_id FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |   row_number() OVER (PARTITION BY p.vec_id
+       |     ORDER BY bit_count(xor(p.sig_lo, c.sig_lo))
+       |            + bit_count(xor(p.sig_hi, c.sig_hi)), c.vec_id) AS rn
+       |  FROM sig p JOIN sig c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+       | ) WHERE rn <= $rerankC
+       |), resc AS (
+       | SELECT co.probe_id, co.cand_id,
+       |  CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
+       |   THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |   ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |        // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
+       |  END AS score
+       | FROM coarse co
+       | JOIN q p ON p.vec_id = co.probe_id
+       | JOIN q c ON c.vec_id = co.cand_id
+       |), rr AS (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, cand_id) AS rn
+       | FROM resc
+       |), exact AS (
+       | SELECT probe_id, cand_id FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |    CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
+       |     THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |          // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |     ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |          // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
+       |    END DESC, c.vec_id) AS rn
+       |  FROM q p, q c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+       | ) WHERE rn <= $annK
+       |)
+       |SELECT rr.probe_id, rr.rn, rr.cand_id, rr.score,
+       | CAST(CASE WHEN EXISTS (SELECT 1 FROM exact e
+       |   WHERE e.probe_id = rr.probe_id AND e.cand_id = rr.cand_id)
+       |  THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+       |FROM rr WHERE rr.rn <= $annK
+       |ORDER BY rr.probe_id, rr.rn""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "s_ann_rerank" -> annRerank,
     "s_range_search" -> rangeSearch,
     "s_range_recall" -> rangeRecall,
     "s_binary_quant" -> binaryQuant,
@@ -1635,6 +1746,7 @@ object Similarity {
     "s_dim_truncate_eval" -> dimTruncateEval,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "s_ann_rerank" -> annRerankSql,
     "s_range_search" -> rangeSearchSql,
     "s_range_recall" -> rangeRecallSql,
     "s_binary_quant" -> binaryQuantSql,

@@ -640,4 +640,97 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  // --------------------------------------------------------------- st_hll
+  /** st_hll: STREAMING distinct-count sketch — q_hll_distinct's
+    * HyperLogLog registers held as per-key state (here: distinct users
+    * per event_type). The register update max(M_j, rho) is associative
+    * and commutative, so the state is split-invariant by construction —
+    * the SAME property that makes the batch sketch map-side combinable
+    * makes the streaming sketch exactly-once-equivalent under any
+    * micro-batch partition of the stream (the spec proves one-shot ==
+    * split == the shared batch transform). State per key is EXACTLY 64
+    * small ints — the bounded-sketch profile: unlike a running
+    * COUNT(DISTINCT) whose state grows with the key's cardinality,
+    * this never grows, which is the entire reason a 100 TB stream can
+    * afford per-key distinct estimates. Register math is IDENTICAL to
+    * q_hll_distinct (md5 nibbles: j = first byte % 64, rho = 41 −
+    * bitlength of the 40-bit suffix), so the emitted (s_pow, v_empty)
+    * pair is the same integer contract the DuckDB oracle checks on the
+    * batch side. Emits the updated sketch per touched key per batch
+    * (Update mode); LAST emission per key is the stream's answer. */
+  val hllStreamM = 64
+
+  final case class HllRegs(regs: Seq[Int])
+  final case class HllOut(event_type: String, s_pow: Long, v_empty: Long)
+
+  private[graft] def hllOutOf(key: String, regs: Seq[Int]): HllOut = {
+    var sPow = 0L; var vEmpty = 0L
+    regs.foreach { m =>
+      sPow += (1L << (41 - m)); if (m == 0) vEmpty += 1
+    }
+    HllOut(key, sPow, vEmpty)
+  }
+
+  class HllProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, HllOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[HllRegs] = _
+    @transient private var md: java.security.MessageDigest = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[HllRegs]("hll", TTLConfig.NONE)
+      md = java.security.MessageDigest.getInstance("MD5")
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[HllOut] = {
+      val regs = (if (state.exists()) state.get().regs
+                  else Seq.fill(hllStreamM)(0)).toArray
+      rows.foreach { e =>
+        md.reset()
+        val hex = md.digest(e.user_id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val j = Integer.parseInt(hex.substring(0, 2), 16) % hllStreamM
+        val w = java.lang.Long.parseLong(hex.substring(2, 12), 16)
+        val rho =
+          if (w == 0L) 41
+          else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      state.update(HllRegs(regs.toSeq))
+      Iterator.single(hllOutOf(key, regs.toSeq))
+    }
+  }
+
+  /** BATCH twin — per-event_type registers through the SAME md5-nibble
+    * arithmetic as q_hll_distinct's column expressions; empty registers
+    * are accounted arithmetically ((m − present)·2⁴¹) instead of via a
+    * dense range join, because present ⇒ rho ≥ 1. */
+  def hllSketchBatch(events: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    events
+      .select(col("event_type"),
+        (graft.functions.VectorExprs.hexSlice(h, 1, 2) % hllStreamM).as("j"),
+        graft.functions.VectorExprs.hexSlice(h, 3, 10).as("w"))
+      .select(col("event_type"), col("j"),
+        expr("CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END").as("rho"))
+      .groupBy("event_type", "j").agg(max("rho").as("m"))
+      .groupBy("event_type")
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m AS INT))")) +
+        (lit(hllStreamM) - count(lit(1))) * lit(1L << 41)).as("s_pow"),
+        (lit(hllStreamM.toLong) - count(lit(1))).as("v_empty"))
+  }
+
+  /** The transformWithState plan keyed by event_type (Update mode). */
+  def hllStream(events: Dataset[Event]): Dataset[HllOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -1,0 +1,282 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Round-8 operators: algorithm-level invariants (the DuckDB oracle
+  * proves cross-engine parity; these prove each op computes what its
+  * contract claims, against independent in-memory replays). */
+class Round8Spec extends AnyFunSuite {
+  import TestSession._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_hll_distinct: register pipeline equals the imperative HLL replay") {
+    val custs = graft.model.Tables(spark, sf, "orders")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val regs = Array.fill(64)(0)
+    custs.foreach { c =>
+      val hex = md5hex(c.toString)
+      val j = Integer.parseInt(hex.substring(0, 2), 16) % 64
+      val w = java.lang.Long.parseLong(hex.substring(2, 12), 16)
+      val rho = if (w == 0L) 41
+                else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(j)) regs(j) = rho
+    }
+    val sPow = regs.map(m => 1L << (41 - m)).sum
+    val vEmpty = regs.count(_ == 0).toLong
+    val row = graft.operators.Relational.qHllDistinct(spark, sf).collect().head
+    assert(row.getAs[Long]("s_pow") == sPow, "s_pow mismatch vs replay")
+    assert(row.getAs[Long]("v_empty") == vEmpty, "v_empty mismatch vs replay")
+    assert(row.getAs[Long]("n_exact") == custs.distinct.length.toLong)
+    // the estimate must answer within the m=64 error regime (σ≈13%);
+    // allow 4σ so the assertion tests the estimator, not the noise
+    val est = row.getAs[Double]("est_hll")
+    val exact = row.getAs[Long]("n_exact").toDouble
+    assert(math.abs(est - exact) / exact < 0.52,
+      s"HLL estimate $est implausibly far from exact $exact")
+  }
+
+  test("q_chi2: statistic equals the in-memory contingency replay") {
+    val o = graft.model.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val nat = graft.model.Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toMap
+    val cells = o.groupBy { case (ck, pri) => (nat(ck), pri) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val n = cells.values.sum
+    val rT = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cT = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val micro = cells.map { case ((r, c), obs) =>
+      val num = (BigInt(obs) * n - BigInt(rT(r)) * cT(c))
+      math.round((num * num).toDouble / (BigInt(n) * rT(r) * cT(c)).toDouble
+        * 1000000.0)
+    }.sum
+    val chi2 = BigDecimal(micro.toDouble / 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = graft.operators.Relational.qChi2(spark, sf).collect().head
+    assert(row.getAs[Double]("chi2") == chi2, "chi2 mismatch vs replay")
+    assert(row.getAs[Long]("dof") ==
+      (rT.size.toLong - 1) * (cT.size.toLong - 1))
+  }
+
+  test("q_time_decay: per-user scores equal the shifted-cents replay") {
+    val ev = graft.model.Tables(spark, sf, "events")
+      .select(col("user_id"), col("value"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val maxDay = ev.map(_._3 / 86400000000000L).max
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      val s = es.map { case (_, v, ts) =>
+        val cents = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact
+        val age = math.min(maxDay - ts / 86400000000000L, 40L)
+        BigInt(cents) << (40 - age).toInt
+      }.sum
+      u -> BigDecimal(s.toDouble / 1099511627776.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.operators.Relational.qTimeDecay(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("decay_score"))
+      .toMap
+    assert(got == want, "decay scores mismatch vs replay")
+  }
+
+  test("q_linreg: slope/intercept/r2 equal the exact-moment OLS replay") {
+    val li = graft.model.Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).doubleValue, r.getAs[Number](2).doubleValue))
+    val supNat = graft.model.Tables(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toMap
+    val natName = graft.model.Tables(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1))).toMap
+    def cents(v: Double) = BigInt(BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+    val groups = li.groupBy { case (sk, _, _) => natName(supNat(sk)) }
+    val got = graft.operators.Relational.qLinreg(spark, sf).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        ((r.getAs[Double]("slope"), r.getAs[Double]("r2")))).toMap
+    groups.foreach { case (name, rows) =>
+      val xs = rows.map(t => cents(t._2)); val ys = rows.map(t => cents(t._3))
+      val n = BigInt(rows.length)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val slope = r6((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+      val r2 = r6((n * sxy - sx * sy).toDouble * (n * sxy - sx * sy).toDouble /
+        ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+      assert(got(name)._1 == slope, s"$name slope mismatch")
+      assert(got(name)._2 == r2, s"$name r2 mismatch")
+    }
+  }
+
+  test("t_simpson_diversity + t_hapax: word-count replays agree") {
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotDiv = graft.operators.TextOps.simpsonDiversity(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("simpson_div")))).toMap
+    docs.foreach { case (id, text) =>
+      val cs = text.split(" ", -1).groupBy(identity).map(_._2.length.toLong)
+      val nw = cs.sum
+      val div = r6(1.0 - cs.map(c => c.toDouble * c).sum / (nw.toDouble * nw))
+      assert(gotDiv(id) == ((nw, div)), s"doc $id diversity mismatch")
+    }
+    val vocab = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map(_._2.length.toLong)
+    val row = graft.operators.TextOps.hapax(spark, sf).collect().head
+    assert(row.getAs[Long]("vocab_size") == vocab.size.toLong)
+    assert(row.getAs[Long]("n_hapax") == vocab.count(_ == 1L).toLong)
+    assert(row.getAs[Long]("n_dis") == vocab.count(_ == 2L).toLong)
+  }
+
+  test("t_sentence_stats: segmentation replay agrees") {
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = graft.operators.TextOps.sentenceStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("max_sent_words"))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val sents = text.split("[.!?]+", -1).map(_.trim).filter(_.nonEmpty)
+      val maxW = if (sents.isEmpty) 0L
+                 else sents.map(_.split(" +").length.toLong).max
+      assert(got(id) == ((sents.length.toLong, maxW)),
+        s"doc $id sentence stats mismatch")
+    }
+  }
+
+  test("g_eigencentrality: power-iteration replay agrees frame-for-frame") {
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    // numericGraph contract: one und row per edges-table row per
+    // direction — parallel rows (if any) each contribute to the sum,
+    // so the replay keeps duplicates (multiset, not set)
+    val und = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      und += ((a, b)); und += ((b, a))
+    }
+    val ids = g.nodes.collect().map(r =>
+      (r.getAs[String]("label"), r.getAs[Long]("key")))
+    var x = ids.map(i => nid(i._1, i._2) -> 1000000L).toMap
+    for (_ <- 1 to graft.operators.Analytics.eigenIters) {
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      und.foreach { case (a, b) => if (x.contains(a)) s(b) += x(a) }
+      val mx = if (s.isEmpty) 1L else s.values.max
+      val divisor = math.max(1L, mx / 1000000L)
+      x = s.map { case (id, v) => id -> v / divisor }.toMap
+    }
+    val want = ids.map { case (l, k) =>
+      (l, k) -> x.getOrElse(nid(l, k), 0L) }.toMap
+    val got = graft.operators.Analytics.eigencentrality(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("x")).toMap
+    assert(got == want, "eigencentrality mismatch vs replay")
+  }
+
+  test("m_audio_vad: handcrafted payloads segment correctly") {
+    import spark.implicits._
+    // 64 high-energy chars ('z' → d=90, e=64·8100 ≫ thresh·64), then 64
+    // spaces (e=0), then 128 high — speech/silence/speech = 2 segments
+    val loud = "z" * 64; val quiet = " " * 64
+    val media = Seq(
+      graft.operators.Multimodal.MediaRow(1L, "wav",
+        (loud + quiet + loud + loud).getBytes("UTF-8")),
+      graft.operators.Multimodal.MediaRow(2L, "wav",
+        quiet.getBytes("UTF-8")),
+      graft.operators.Multimodal.MediaRow(3L, "wav", Array.empty[Byte]))
+      .toDS()
+    val out = graft.operators.Multimodal.audioVad(media).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(out(1L).n_frames == 4 && out(1L).n_speech == 3 &&
+      out(1L).n_segments == 2 && out(1L).max_segment == 2)
+    assert(out(2L).n_frames == 1 && out(2L).n_speech == 0 &&
+      out(2L).n_segments == 0 && out(2L).max_segment == 0)
+    assert(out(3L).n_frames == 0 && out(3L).n_speech == 0)
+  }
+
+  test("s_ann_rerank: reranked rows are exact-scored and recall-flagged consistently") {
+    val rer = graft.operators.Similarity.annRerank(spark, sf).collect()
+    val exact = graft.operators.Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Long]("score")).toMap
+    assert(rer.nonEmpty)
+    rer.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      val byRn = rows.sortBy(_.getAs[Int]("rn"))
+      // scores non-increasing down the ranking
+      val scores = byRn.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"probe $p scores not sorted")
+      byRn.foreach { r =>
+        val key = (p, r.getAs[Long]("cand_id"))
+        val flagged = r.getAs[Long]("in_exact") == 1L
+        assert(flagged == exact.contains(key),
+          s"probe $p in_exact flag wrong for $key")
+        // a reranked candidate that IS in the exact top-k must carry
+        // the exact pipeline's score — same integer expression
+        if (flagged) assert(r.getAs[Long]("score") == exact(key),
+          s"probe $p score differs from exact pipeline for $key")
+      }
+    }
+  }
+
+  test("st_hll: streaming registers == batch twin under any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val want = graft.streaming.Streams
+        .hllSketchBatch(events.toDF()).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("s_pow"), r.getAs[Long]("v_empty")))).toMap
+      def run(name: String,
+          batches: Seq[Seq[graft.streaming.Streams.Event]]): Map[String, (Long, Long)] = {
+        val mem = MemoryStream[graft.streaming.Streams.Event]
+        val q = graft.streaming.Streams.hllStream(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect().zipWithIndex
+            .groupBy(_._1.getAs[String]("event_type"))
+            .map { case (k, rs) =>
+              val last = rs.maxBy(_._2)._1
+              k -> ((last.getAs[Long]("s_pow"), last.getAs[Long]("v_empty")))
+            }
+        } finally q.stop()
+      }
+      val oneShot = run("hll_one", Seq(events))
+      val split = run("hll_split",
+        events.grouped(math.max(1, events.size / 7)).toSeq)
+      assert(oneShot == want, "one-shot stream != batch twin")
+      assert(split == want, "split stream != batch twin (merge not split-invariant?)")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+}
