@@ -2070,8 +2070,104 @@ object Relational {
       |    CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
       |FROM m ORDER BY n_name""".stripMargin
 
+  // ----------------------------------------------------- q_markov_transitions
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral model behind next-action prediction and
+    * anomaly scoring: lag(event_type) within each user's (ts, event_id)
+    * order gives (prev → next) pairs; counts aggregate per pair and the
+    * row-conditional probability is an exact integer ppm against the
+    * prev-state marginal (re-aggregated from the PAIR table — never a
+    * second scan of the fact table). Plan: one user-partitioned window
+    * (shuffles on user_id — the sequence key, so 100 TB of events
+    * parallelize across users), one pair groupBy, a states-sized
+    * broadcast join for the marginal. */
+  def qMarkovTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(marg), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(n * 1000000) div tot").as("prob_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH seq AS (
+      | SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_type
+      | FROM events
+      |), pairs AS (
+      | SELECT prev_type, event_type AS next_type, count(*) AS n
+      | FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |), marg AS (
+      | SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1
+      |)
+      |SELECT p.prev_type, p.next_type, p.n,
+      | CAST((p.n * 1000000) // m.tot AS BIGINT) AS prob_ppm
+      |FROM pairs p JOIN marg m ON m.prev_type = p.prev_type
+      |ORDER BY p.prev_type, p.next_type""".stripMargin
+
+  // ----------------------------------------------------------- q_changepoint
+  /** CUSUM changepoint detection (Page 1954) over the daily event-count
+    * series: S_k = Σ_{i≤k} (D·c_i − T) — deviations from the mean,
+    * scaled by the day count D so every term is EXACT BIGINT (the
+    * rational mean T/D never materializes); the |S| peak marks the most
+    * likely regime change. Output is the full per-day CUSUM table with
+    * the peak flagged (deterministic earliest-day tiebreak) — the
+    * monitoring chart, not just the argmax. The cumulative window runs
+    * on the PRE-AGGREGATED day series (card. = distinct days), so the
+    * single-partition window is bounded regardless of corpus size; the
+    * raw scan is one map-side-combinable groupBy(day). */
+  def qChangepoint: Q = (s, dir) => {
+    val days = t(s, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = days.agg(sum("n_events").as("t"), count(lit(1)).as("d"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = days.crossJoin(broadcast(tot))
+      .withColumn("cusum", sum(col("d") * col("n_events") - col("t")).over(w))
+    cusum.crossJoin(broadcast(
+        cusum.agg(max(abs(col("cusum"))).as("mx"))))
+      .withColumn("is_peak",
+        (abs(col("cusum")) === col("mx")).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("is_peak").desc, col("day"))))
+      .select(col("day"), col("n_events"), col("cusum"),
+        when(col("is_peak") === 1L && col("rn") === 1L, lit(1L))
+          .otherwise(lit(0L)).as("is_peak"))
+      .orderBy("day")
+  }
+
+  val qChangepointSql: String =
+    """WITH days AS (
+      | SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+      | FROM events GROUP BY 1
+      |), tot AS (
+      | SELECT CAST(sum(n_events) AS BIGINT) AS t, count(*) AS d FROM days
+      |), cs AS (
+      | SELECT day, n_events,
+      |  CAST(sum(d * n_events - t) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS cusum
+      | FROM days, tot
+      |), mx AS (SELECT max(abs(cusum)) AS mx FROM cs),
+      |pk AS (SELECT min(day) AS pday FROM cs, mx WHERE abs(cusum) = mx)
+      |SELECT day, n_events, cusum,
+      | CAST(CASE WHEN day = (SELECT pday FROM pk) THEN 1 ELSE 0 END AS BIGINT)
+      |  AS is_peak
+      |FROM cs ORDER BY day""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_markov_transitions" -> qMarkovTransitions,
+    "q_changepoint" -> qChangepoint,
     "q_hll_distinct" -> qHllDistinct,
     "q_chi2" -> qChi2,
     "q_time_decay" -> qTimeDecay,
@@ -2124,6 +2220,8 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_markov_transitions" -> qMarkovTransitionsSql,
+    "q_changepoint" -> qChangepointSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_chi2" -> qChi2Sql,
     "q_time_decay" -> qTimeDecaySql,

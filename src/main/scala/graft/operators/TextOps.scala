@@ -2241,7 +2241,48 @@ object TextOps {
       | COALESCE(max_sent_words, 0) AS max_sent_words
       |FROM st ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- t_code_detect
+  /** Code-vs-prose heuristic — the corpus-mix gate that decides whether
+    * a document routes to the code pipeline (different tokenizer,
+    * different dedup granularity) or the text one: symbol density
+    * (braces/brackets/semicolons/operators per char) and digit density
+    * as exact integer ppm, thresholded. Counts via one
+    * regexp_extract_all per class — identical RE2-compatible patterns
+    * on both engines; linear, shuffle-free. The 2% symbol-ppm
+    * threshold is the published prose/code separation heuristic
+    * (natural prose ≈ 0.1–0.5%, source code ≥ 3%). */
+  val codeSymPpmThresh = 20000L
+
+  def codeDetect: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_cd"),
+      size(regexp_extract_all(col("text"), lit("[{}()<>;=\\[\\]]"), lit(0)))
+        .cast("long").as("n_sym"),
+      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("long").as("n_digit"))
+      .select(col("doc_id"), col("n_chars_cd"), col("n_sym"), col("n_digit"),
+        expr("(n_sym * 1000000) div greatest(n_chars_cd, 1)").as("sym_ppm"),
+        expr("(n_digit * 1000000) div greatest(n_chars_cd, 1)").as("digit_ppm"))
+      .withColumn("is_code",
+        (col("sym_ppm") >= codeSymPpmThresh).cast("long"))
+      .orderBy("doc_id")
+
+  val codeDetectSql: String =
+    s"""SELECT doc_id, n_chars_cd, n_sym, n_digit,
+       | CAST((n_sym * 1000000) // greatest(n_chars_cd, 1) AS BIGINT) AS sym_ppm,
+       | CAST((n_digit * 1000000) // greatest(n_chars_cd, 1) AS BIGINT) AS digit_ppm,
+       | CAST(CASE WHEN (n_sym * 1000000) // greatest(n_chars_cd, 1)
+       |   >= $codeSymPpmThresh THEN 1 ELSE 0 END AS BIGINT) AS is_code
+       |FROM (
+       | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_cd,
+       |  CAST(len(regexp_extract_all(text, '[{}()<>;=\\[\\]]')) AS BIGINT) AS n_sym,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+       | FROM documents
+       |) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_code_detect" -> codeDetect,
     "t_simpson_diversity" -> simpsonDiversity,
     "t_hapax" -> hapax,
     "t_sentence_stats" -> sentenceStats,
@@ -2282,6 +2323,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_code_detect" -> codeDetectSql,
     "t_simpson_diversity" -> simpsonDiversitySql,
     "t_hapax" -> hapaxSql,
     "t_sentence_stats" -> sentenceStatsSql,

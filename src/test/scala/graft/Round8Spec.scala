@@ -239,6 +239,67 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("q_markov_transitions: pair counts + ppm equal the sequence replay") {
+    val ev = graft.model.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.zip(seq.tail).foreach(p => pairs(p) += 1)
+    }
+    val marg = pairs.toSeq.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val want = pairs.map { case ((a, b), n) =>
+      (a, b) -> ((n, n * 1000000L / marg(a))) }.toMap
+    val got = graft.operators.Relational.qMarkovTransitions(spark, sf)
+      .collect().map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("prob_ppm")))).toMap
+    assert(got == want, "transition matrix mismatch vs replay")
+  }
+
+  test("q_changepoint: CUSUM series and peak equal the replay") {
+    val ev = graft.model.Tables(spark, sf, "events")
+      .select(col("ts")).collect().map(_.getLong(0) / 86400000000000L)
+    val days = ev.groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+      .toSeq.sortBy(_._1)
+    val t = days.map(_._2).sum; val d = days.length.toLong
+    var acc = 0L
+    val cusum = days.map { case (day, c) => acc += d * c - t; (day, c, acc) }
+    val mx = cusum.map(x => math.abs(x._3)).max
+    val peak = cusum.filter(x => math.abs(x._3) == mx).map(_._1).min
+    val got = graft.operators.Relational.qChangepoint(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("cusum"), r.getAs[Long]("is_peak")))
+    assert(got.toSeq == cusum.map { case (day, c, s) =>
+      (day, c, s, if (day == peak) 1L else 0L) },
+      "CUSUM table mismatch vs replay")
+  }
+
+  test("t_code_detect: symbol/digit ppm equal the regex replay") {
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sym = java.util.regex.Pattern.compile("[{}()<>;=\\[\\]]")
+    val dig = java.util.regex.Pattern.compile("[0-9]")
+    def count(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }
+    val got = graft.operators.TextOps.codeDetect(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sym"), r.getAs[Long]("sym_ppm"),
+          r.getAs[Long]("digit_ppm")))).toMap
+    docs.foreach { case (id, text) =>
+      val nc = math.max(text.length.toLong, 1L)
+      val ns = count(sym, text); val nd = count(dig, text)
+      assert(got(id) == ((ns, ns * 1000000L / nc, nd * 1000000L / nc)),
+        s"doc $id code-detect mismatch")
+    }
+  }
+
   test("st_hll: streaming registers == batch twin under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
