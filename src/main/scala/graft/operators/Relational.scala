@@ -1892,38 +1892,39 @@ object Relational {
     val D38 = DecimalType(38, 0)
     val cust = broadcast(t(s, dir, "customer")
       .select(col("c_custkey").as("o_custkey"), col("c_nationkey")))
+    // cells is read 4× (cells + both marginals + totals) — cache, not
+    // checkpoint: 125 rows, and the parameter-free plan means ONE
+    // session-bounded entry; caching keeps the logical plan visible to
+    // the broadcast-audit spec (a checkpoint truncates it to an RDD scan)
     val cells = t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderpriority"))
       .join(cust, Seq("o_custkey"))
       .groupBy("c_nationkey", "o_orderpriority")
       .agg(count(lit(1)).cast(D38).as("o"))
-      .localCheckpoint(eager = true) // read 4×: cells + both marginals + dof
-    try {
-      val rTot = cells.groupBy("c_nationkey").agg(sum("o").cast(D38).as("r"))
-      val cTot = cells.groupBy("o_orderpriority").agg(sum("o").cast(D38).as("c"))
-      val nTot = cells.agg(sum("o").cast(D38).as("nn"),
-        countDistinct("c_nationkey").as("nr"),
-        countDistinct("o_orderpriority").as("nc"))
-      val contrib = cells
-        .join(broadcast(rTot), Seq("c_nationkey"))
-        .join(broadcast(cTot), Seq("o_orderpriority"))
-        .crossJoin(broadcast(nTot))
-        .select(expr(
-          "CAST(round(CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE)" +
-            " / CAST(nn * r * c AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
-          .as("micro"), col("nn"), col("nr"), col("nc"))
-      contrib
-        .groupBy("nn", "nr", "nc")
-        .agg(count(lit(1)).as("n_cells"), sum("micro").as("sum_micro"))
-        .select(col("nn").cast("long").as("n_rows"), col("n_cells"),
-          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
-          round(col("sum_micro").cast("double") / 1000000.0, 6).as("chi2"),
-          round(sqrt(col("sum_micro").cast("double") / 1000000.0 /
-            (col("nn").cast("double") *
-              least(col("nr") - 1, col("nc") - 1).cast("double"))), 6)
-            .as("cramers_v"))
-        .localCheckpoint(eager = true) // collapse before cells is freed
-    } finally graft.model.PropertyGraph.freeLocalCheckpoint(cells)
+      .cache()
+    val rTot = cells.groupBy("c_nationkey").agg(sum("o").cast(D38).as("r"))
+    val cTot = cells.groupBy("o_orderpriority").agg(sum("o").cast(D38).as("c"))
+    val nTot = cells.agg(sum("o").cast(D38).as("nn"),
+      countDistinct("c_nationkey").as("nr"),
+      countDistinct("o_orderpriority").as("nc"))
+    val contrib = cells
+      .join(broadcast(rTot), Seq("c_nationkey"))
+      .join(broadcast(cTot), Seq("o_orderpriority"))
+      .crossJoin(broadcast(nTot))
+      .select(expr(
+        "CAST(round(CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE)" +
+          " / CAST(nn * r * c AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+        .as("micro"), col("nn"), col("nr"), col("nc"))
+    contrib
+      .groupBy("nn", "nr", "nc")
+      .agg(count(lit(1)).as("n_cells"), sum("micro").as("sum_micro"))
+      .select(col("nn").cast("long").as("n_rows"), col("n_cells"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(col("sum_micro").cast("double") / 1000000.0, 6).as("chi2"),
+        round(sqrt(col("sum_micro").cast("double") / 1000000.0 /
+          (col("nn").cast("double") *
+            least(col("nr") - 1, col("nc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
   }
 
   val qChi2Sql: String =
@@ -2164,8 +2165,65 @@ object Relational {
       |  AS is_peak
       |FROM cs ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q_benford
+  /** Benford's-law first-digit audit on order totals — the classic
+    * fraud/synthetic-data detector: natural multiplicative quantities
+    * put digit d first with probability log₁₀(1+1/d). First digit is
+    * extracted in PURE INTEGER arithmetic: cents = price·100 exact,
+    * digit = cents div 10^(len−1) where the power comes from
+    * substr('1 000…', 1, len) — string length of an INTEGER is
+    * formatting-stable across engines (a decimal's string is not:
+    * '1234.5' vs '1234.50'). Expected shares are the 9 Benford
+    * constants generated ONCE in Scala into both engines' SQL (the
+    * q_hll_distinct ln-table discipline — no cross-engine log10 call).
+    * One map-side-combinable groupBy(digit), 9-row output with
+    * observed/expected/deviation ppm. */
+  private val benfordPpm: Map[Int, Long] = (1 to 9).map { d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0)
+  }.toMap
+
+  private val benfordCase: String =
+    "CASE digit " + (1 to 9).map(d => s"WHEN $d THEN ${benfordPpm(d)}L")
+      .mkString(" ") + " END"
+  private val benfordCaseSql: String =
+    "CASE digit " + (1 to 9).map(d => s"WHEN $d THEN ${benfordPpm(d)}")
+      .mkString(" ") + " END"
+
+  def qBenford: Q = (s, dir) => {
+    val digits = t(s, dir, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("c"))
+      .select(expr("c div CAST(substr('1000000000000000000', 1," +
+        " length(CAST(c AS STRING))) AS BIGINT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    digits.crossJoin(broadcast(digits.agg(sum("n_obs").as("tot"))))
+      .select(col("digit"), col("n_obs"),
+        expr("(n_obs * 1000000) div tot").as("obs_ppm"),
+        expr(benfordCase).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
+  }
+
+  val qBenfordSql: String =
+    s"""WITH c AS (
+       | SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+       | FROM orders
+       |), dg AS (
+       | SELECT c // CAST(substr('1000000000000000000', 1,
+       |   length(CAST(c AS VARCHAR))) AS BIGINT) AS digit
+       | FROM c
+       |), obs AS (
+       | SELECT digit, count(*) AS n_obs FROM dg GROUP BY digit
+       |), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tot FROM obs)
+       |SELECT digit, n_obs,
+       | CAST((n_obs * 1000000) // tot AS BIGINT) AS obs_ppm,
+       | CAST($benfordCaseSql AS BIGINT) AS exp_ppm,
+       | CAST((n_obs * 1000000) // tot - ($benfordCaseSql) AS BIGINT) AS dev_ppm
+       |FROM obs, tot ORDER BY digit""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_benford" -> qBenford,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_changepoint" -> qChangepoint,
     "q_hll_distinct" -> qHllDistinct,
@@ -2220,6 +2278,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_benford" -> qBenfordSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_changepoint" -> qChangepointSql,
     "q_hll_distinct" -> qHllDistinctSql,

@@ -343,4 +343,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"clustering coef degenerated:\n$p")
   }
+
+  test("q_linreg broadcasts both dims and prunes the lineitem scan") {
+    val p = plan(Relational.qLinreg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"),
+      s"unused lineitem columns leaked into the q_linreg scan:\n$p")
+  }
+
+  test("q_chi2 marginal joins broadcast the cell-table aggregates") {
+    val p = finalPlan(Relational.qChi2(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"marginals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"chi2 degenerated to a cartesian cell join:\n$p")
+  }
+
+  test("q_markov_transitions: pair join is broadcast, window keyed on user") {
+    val p = plan(Relational.qMarkovTransitions(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"marginal not broadcast:\n$p")
+    assert(p.toLowerCase.contains("window"), s"no window operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerate plan:\n$p")
+  }
+
+  test("q_hll_distinct register merge partially aggregates map-side") {
+    // the whole point of the sketch: partial_max per register before
+    // the 64-row shuffle — a final-only aggregate would shuffle rows
+    val p = plan(Relational.qHllDistinct(spark, sf))
+    assert(p.contains("partial_max") || p.contains("partial max")
+      || p.contains("HashAggregate(keys=[j"),
+      s"register max is not a partial (map-side) aggregate:\n$p")
+  }
+
+  test("t_code_detect scans only doc_id and text") {
+    val p = plan(graft.operators.TextOps.codeDetect(spark, sf))
+    assert(!p.contains("source") && !p.contains("lang"),
+      s"unused documents columns leaked into the t_code_detect scan:\n$p")
+  }
 }

@@ -300,6 +300,34 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("q_benford: digit histogram equals the integer-extraction replay") {
+    val prices = graft.model.Tables(spark, sf, "orders")
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val digits = prices.map { p =>
+      val c = BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+      c.toString.head.asDigit.toLong
+    }
+    val obs = digits.groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val tot = digits.length.toLong
+    val got = graft.operators.Relational.qBenford(spark, sf).collect()
+      .map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+          r.getAs[Long]("exp_ppm") + r.getAs[Long]("dev_ppm")))).toMap
+    obs.foreach { case (d, n) =>
+      assert(got(d)._1 == n, s"digit $d count mismatch")
+      assert(got(d)._2 == n * 1000000L / tot, s"digit $d ppm mismatch")
+      assert(got(d)._3 == got(d)._2, "dev_ppm is not obs - exp")
+    }
+    // Benford exp_ppm column must be the log10(1+1/d) table
+    val row1 = graft.operators.Relational.qBenford(spark, sf).collect()
+      .map(r => r.getAs[Long]("digit") -> r.getAs[Long]("exp_ppm")).toMap
+    (1 to 9).foreach { d =>
+      assert(row1(d.toLong) ==
+        math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
+    }
+  }
+
   test("st_hll: streaming registers == batch twin under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
