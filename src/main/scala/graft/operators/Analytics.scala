@@ -1383,6 +1383,91 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------------------ g_salsa
+  /** SALSA (Lempel–Moran 2000) — the degree-normalized HITS variant:
+    * the authority walk steps backward-then-forward through the
+    * bipartite hub/authority view, so each update DIVIDES by the
+    * degree: a(v) = Σ_{u→v} h(u) div outdeg(u), h(u) = Σ_{u→v} a(v)
+    * div indeg(v). Division keeps magnitudes bounded by SCALE (the
+    * stationary solution is degree-proportional — no renormalization
+    * round is needed, unlike HITS whose sums grow by maxdeg per
+    * round), and floor-div is the same exact-integer contract as
+    * g_pagerank's per-edge contribution. `salsaIters` rounds; degree
+    * tables computed once and broadcast-joined; per round one edge ⋈
+    * vector join per half-step, map-side-combinable sums. */
+  val salsaIters = 2
+
+  def salsa: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val e = directedNum(s, dir).toDF("src", "dst")
+    val n = nodes.count()
+    val outd = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val ind = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var h = nodes.select(col("id")).withColumn("h", lit(hitsScale))
+      var a = nodes.select(col("id")).withColumn("a", lit(0L))
+      for (_ <- 1 to salsaIters) {
+        val aAgg = e
+          .join(gated(h.toDF("src", "h"), n), Seq("src"))
+          .join(gated(outd.toDF("src", "outdeg"), n), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(expr("h div outdeg")).as("a"))
+          .localCheckpoint(eager = false)
+        interim += aAgg
+        a = aAgg
+        val hAgg = e
+          .join(gated(a.toDF("dst", "a"), n), Seq("dst"))
+          .join(gated(ind.toDF("dst", "indeg"), n), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(expr("a div indeg")).as("h"))
+          .localCheckpoint(eager = false)
+        interim += hAgg
+        h = hAgg
+      }
+      nodes.join(gated(a, n), Seq("id"), "left_outer")
+        .join(gated(h, n), Seq("id"), "left_outer")
+        .select(col("label"), col("key"),
+          coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("h"), lit(0L)).as("h"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val salsaSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", e AS (
+             | SELECT ${nodeIdSqlOf("src")} AS src, ${nodeIdSqlOf("dst")} AS dst FROM edges
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src
+             |), ind AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst
+             |), h0 AS (SELECT id, CAST($hitsScale AS BIGINT) AS h FROM ids)""".stripMargin
+    for (i <- 1 to salsaIters) {
+      b ++= s""", a$i AS (
+               | SELECT e.dst AS id, CAST(sum(p.h // o.outdeg) AS BIGINT) AS a
+               | FROM e JOIN h${i - 1} p ON p.id = e.src
+               | JOIN outd o ON o.src = e.src
+               | GROUP BY e.dst
+               |), h$i AS (
+               | SELECT e.src AS id, CAST(sum(p.a // d.indeg) AS BIGINT) AS h
+               | FROM e JOIN a$i p ON p.id = e.dst
+               | JOIN ind d ON d.dst = e.dst
+               | GROUP BY e.src
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key,
+             | CAST(COALESCE(a$salsaIters.a, 0) AS BIGINT) AS a,
+             | CAST(COALESCE(h$salsaIters.h, 0) AS BIGINT) AS h
+             |FROM ids
+             |LEFT JOIN a$salsaIters ON a$salsaIters.id = ids.id
+             |LEFT JOIN h$salsaIters ON h$salsaIters.id = ids.id
+             |ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
   // -------------------------------------------------- g_eigencentrality
   /** Eigenvector centrality — power iteration x ← A·x on the UNDIRECTED
     * adjacency, `eigenIters` synchronous rounds, with the same
@@ -3848,6 +3933,7 @@ object Analytics {
     "g_jaccard_neighbors" -> jaccardNeighbors,
     "g_hits" -> hits,
     "g_eigencentrality" -> eigencentrality,
+    "g_salsa" -> salsa,
     "g_closeness" -> closeness,
     "g_link_predict" -> linkPredict,
     "g_kcore" -> kcore,
@@ -3889,6 +3975,7 @@ object Analytics {
     "g_jaccard_neighbors" -> jaccardNeighborsSql,
     "g_hits" -> hitsSql,
     "g_eigencentrality" -> eigencentralitySql,
+    "g_salsa" -> salsaSql,
     "g_closeness" -> closenessSql,
     "g_link_predict" -> linkPredictSql,
     "g_kcore" -> kcoreSql,

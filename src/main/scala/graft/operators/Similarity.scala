@@ -1722,8 +1722,66 @@ object Similarity {
        |FROM rr WHERE rr.rn <= $annK
        |ORDER BY rr.probe_id, rr.rn""".stripMargin
 
+  // -------------------------------------------------------- s_ndcg_eval
+  /** NDCG@k of the 1-bit Hamming ranking against the exact-cosine
+    * ranking — the graded-relevance eval the recall tables
+    * (s_quant_eval / s_ann_recall) can't express: recall treats rank 1
+    * == rank k, NDCG discounts by position. Relevance of a candidate =
+    * k+1 − its EXACT rank (5..1, 0 if outside the exact top-k); system
+    * order = s_binary_quant's top-k. ENTIRELY integer: the 1/log₂(i+1)
+    * position discounts are k generated micro-unit literals (the
+    * q_hll_distinct table discipline — no cross-engine log), DCG is an
+    * exact BIGINT micro sum, IDCG a compile-time constant, and
+    * ndcg_ppm one integer division. Per probe one row; composes two
+    * already-oracle-checked chains. */
+  private val ndcgDiscMicro: IndexedSeq[Long] = // round(1e6 / log2(i+1))
+    (1 to annK).map(i => math.round(1000000.0 / (math.log(i + 1) / math.log(2))))
+
+  private val ndcgIdcgMicro: Long = // perfect ranking: rel 5..1 in order
+    (1 to annK).map(i => (annK + 1 - i).toLong * ndcgDiscMicro(i - 1)).sum
+
+  def ndcgEval: Q = (s, dir) => {
+    val sys = binaryQuant(s, dir)
+      .filter(col("rn") <= annK).select(col("probe_id"), col("rn"), col("cand_id"))
+    val ex = annTopk(s, dir)
+      .select(col("probe_id"), col("cand_id"), col("rn").as("ex_rn"))
+    val discCase = "CASE rn " + (1 to annK)
+      .map(i => s"WHEN $i THEN ${ndcgDiscMicro(i - 1)}L").mkString(" ") + " END"
+    sys.join(ex, Seq("probe_id", "cand_id"), "left_outer")
+      .select(col("probe_id"),
+        (coalesce(lit(annK + 1) - col("ex_rn"), lit(0L)) *
+          expr(discCase)).as("gain_micro"))
+      .groupBy("probe_id")
+      .agg(sum("gain_micro").as("dcg_micro"))
+      .select(col("probe_id"), col("dcg_micro"),
+        lit(ndcgIdcgMicro).as("idcg_micro"),
+        expr(s"(dcg_micro * 1000000) div $ndcgIdcgMicro").as("ndcg_ppm"))
+      .orderBy("probe_id")
+  }
+
+  val ndcgEvalSql: String = {
+    val discCase = "CASE s.rn " + (1 to annK)
+      .map(i => s"WHEN $i THEN ${ndcgDiscMicro(i - 1)}").mkString(" ") + " END"
+    s"""WITH sys0 AS (
+       |$binaryQuantSql
+       |), ex0 AS (
+       |$annTopkSql
+       |), gains AS (
+       | SELECT s.probe_id,
+       |  COALESCE(${annK + 1} - e.rn, 0) * ($discCase) AS gain_micro
+       | FROM sys0 s LEFT JOIN ex0 e
+       |   ON e.probe_id = s.probe_id AND e.cand_id = s.cand_id
+       | WHERE s.rn <= $annK
+       |)
+       |SELECT probe_id, CAST(sum(gain_micro) AS BIGINT) AS dcg_micro,
+       | CAST($ndcgIdcgMicro AS BIGINT) AS idcg_micro,
+       | CAST((sum(gain_micro) * 1000000) // $ndcgIdcgMicro AS BIGINT) AS ndcg_ppm
+       |FROM gains GROUP BY probe_id ORDER BY probe_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "s_ndcg_eval" -> ndcgEval,
     "s_ann_rerank" -> annRerank,
     "s_range_search" -> rangeSearch,
     "s_range_recall" -> rangeRecall,
@@ -1746,6 +1804,7 @@ object Similarity {
     "s_dim_truncate_eval" -> dimTruncateEval,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "s_ndcg_eval" -> ndcgEvalSql,
     "s_ann_rerank" -> annRerankSql,
     "s_range_search" -> rangeSearchSql,
     "s_range_recall" -> rangeRecallSql,

@@ -328,6 +328,69 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("g_salsa: degree-normalized walk replay agrees frame-for-frame") {
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val e = g.edges.collect().map { r =>
+      (nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key")),
+        nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key")))
+    }
+    val outd = e.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ind = e.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val ids = g.nodes.collect().map(r =>
+      (r.getAs[String]("label"), r.getAs[Long]("key")))
+    var h = ids.map(i => nid(i._1, i._2) -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to graft.operators.Analytics.salsaIters) {
+      val aAcc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (u, v) =>
+        if (h.contains(u)) aAcc(v) += h(u) / outd(u) }
+      a = aAcc.toMap
+      val hAcc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (u, v) =>
+        if (a.contains(v)) hAcc(u) += a(v) / ind(v) }
+      h = hAcc.toMap
+    }
+    val want = ids.map { case (l, k) =>
+      (l, k) -> ((a.getOrElse(nid(l, k), 0L), h.getOrElse(nid(l, k), 0L)))
+    }.toMap
+    val got = graft.operators.Analytics.salsa(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        ((r.getAs[Long]("a"), r.getAs[Long]("h")))).toMap
+    assert(got == want, "salsa mismatch vs replay")
+  }
+
+  test("s_ndcg_eval: DCG replay from the two source rankings agrees") {
+    val disc = (1 to 5).map(i =>
+      math.round(1000000.0 / (math.log(i + 1) / math.log(2))))
+    val idcg = (1 to 5).map(i => (6 - i).toLong * disc(i - 1)).sum
+    val ex = graft.operators.Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Int]("rn")).toMap
+    val sys = graft.operators.Similarity.binaryQuant(spark, sf).collect()
+      .filter(_.getAs[Int]("rn") <= 5)
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("cand_id")))
+    val want = sys.groupBy(_._1).map { case (p, rows) =>
+      p -> rows.map { case (_, rn, cand) =>
+        val rel = ex.get((p, cand)).map(6L - _).getOrElse(0L)
+        rel * disc(rn - 1)
+      }.sum
+    }
+    val got = graft.operators.Similarity.ndcgEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"),
+          r.getAs[Long]("ndcg_ppm")))).toMap
+    want.foreach { case (p, dcg) =>
+      assert(got(p)._1 == dcg, s"probe $p DCG mismatch")
+      assert(got(p)._2 == idcg)
+      assert(got(p)._3 == dcg * 1000000L / idcg)
+      assert(got(p)._3 <= 1000000L, "NDCG cannot exceed 1")
+    }
+  }
+
   test("st_hll: streaming registers == batch twin under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
