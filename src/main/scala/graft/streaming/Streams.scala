@@ -641,6 +641,71 @@ object Streams {
         OutputMode.Append())
   }
 
+  // ---------------------------------------------------------- st_cdc_apply
+  /** st_cdc_apply: streaming CDC MATERIALIZATION — the state that turns
+    * a change stream into a queryable current-state table (what Delta/
+    * Hudi "merge into" does in batch, held live): each change row
+    * carries a monotone sequence number (the log's LSN — here
+    * event_id) and applies IFF its seq exceeds the stored one
+    * (last-writer-wins), so the materialized row is correct under ANY
+    * arrival order — the spec feeds an adversarially SHUFFLED split
+    * and still matches the batch argmax-by-seq twin. A change with
+    * value < 1.0 is a DELETE (tombstone retained so a late stale
+    * upsert cannot resurrect the row — the standard CDC tombstone
+    * rationale). State per key = one (seq, payload, deleted) struct:
+    * bounded by keyspace, not stream length. Emits the post-image per
+    * touched key per batch (Update mode); LAST emission per key is the
+    * materialized row. */
+  final case class CdcRow(user_id: Long, seq: Long, cents: Long,
+                          is_deleted: Boolean)
+
+  class CdcApplyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CdcRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[CdcRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[CdcRow]("cdc", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[CdcRow] = {
+      var cur = if (state.exists()) state.get()
+                else CdcRow(key, Long.MinValue, 0L, is_deleted = false)
+      rows.foreach { e =>
+        if (e.event_id > cur.seq) // LWW: stale changes are no-ops
+          cur = CdcRow(key, e.event_id, math.round(e.value * 100),
+            is_deleted = e.value < 1.0)
+      }
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** BATCH twin: argmax-by-seq per key — the frame a MERGE INTO
+    * over the full change log would produce. */
+  def cdcApplyBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id").desc)
+    events
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("seq"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        (col("value") < 1.0).as("is_deleted"))
+  }
+
+  def cdcApply(events: Dataset[Event]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CdcApplyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // --------------------------------------------------------------- st_hll
   /** st_hll: STREAMING distinct-count sketch — q_hll_distinct's
     * HyperLogLog registers held as per-key state (here: distinct users

@@ -391,6 +391,52 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("st_cdc_apply: materialized state == batch MERGE under ordered AND shuffled splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val want = graft.streaming.Streams.cdcApplyBatch(events.toDF())
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("seq"), r.getAs[Long]("cents"),
+            r.getAs[Boolean]("is_deleted")))).toMap
+      def run(name: String,
+          batches: Seq[Seq[graft.streaming.Streams.Event]]): Map[Long, (Long, Long, Boolean)] = {
+        val mem = MemoryStream[graft.streaming.Streams.Event]
+        val q = graft.streaming.Streams.cdcApply(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect().zipWithIndex
+            .groupBy(_._1.getAs[Long]("user_id"))
+            .map { case (u, rs) =>
+              val last = rs.maxBy(_._2)._1
+              u -> ((last.getAs[Long]("seq"), last.getAs[Long]("cents"),
+                last.getAs[Boolean]("is_deleted")))
+            }
+        } finally q.stop()
+      }
+      val oneShot = run("cdc_one", Seq(events))
+      // adversarial arrival order: md5-shuffled, so changes for a key
+      // arrive OUT of sequence across batches — LWW must still win
+      val shuffled = events.sortBy(e => md5hex(e.event_id.toString))
+      val split = run("cdc_shuf",
+        shuffled.grouped(math.max(1, shuffled.size / 5)).toSeq)
+      assert(oneShot == want, "one-shot stream != batch MERGE twin")
+      assert(split == want,
+        "shuffled split != batch MERGE twin (LWW not order-invariant?)")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("st_hll: streaming registers == batch twin under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
