@@ -185,4 +185,42 @@ object GraphXAnalytics {
     val total = tc.vertices.map(_._2.toLong).reduce(_ + _) / 3
     Seq(total).toDF("n_triangles")
   }
+
+  /** Eigenvector centrality on GraphX with the SAME integer
+    * max-normalization contract as `Analytics.eigencentrality` (3
+    * rounds, x ← A·x over the undirected multiset, divisor =
+    * max(1, round-max div SCALE)) — each round one `aggregateMessages`
+    * + a driver-side scalar max (the exact analogue of the DataFrame
+    * op's 1-row broadcast) + one `outerJoinVertices`. Sparse semantics
+    * match: a vertex receiving no message holds 0 and contributes
+    * nothing next round. Equivalence-tested in Round8Spec against the
+    * oracle-checked DataFrame operator (identical integers). */
+  def eigencentralityGraphX(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graph = PropertyGraph.load(s, dir)
+    val sid = Analytics.nodeIdCol(col("src_label"), col("src_key"))
+    val did = Analytics.nodeIdCol(col("dst_label"), col("dst_key"))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      Analytics.nodeIdCol(col("label"), col("key")).as("id"))
+    val vertices = nodes.select("id").rdd
+      .map(r => (r.getLong(0), Analytics.hitsScale))
+    // both directions explicitly — aggregateMessages ships along the
+    // edge direction, and the und contract is one row per edge per dir
+    val gxEdges = graph.edges.select(sid.as("a"), did.as("b")).rdd
+      .flatMap(r => Seq(GXEdge(r.getLong(0), r.getLong(1), 1),
+        GXEdge(r.getLong(1), r.getLong(0), 1)))
+    var g = GXGraph(vertices, gxEdges)
+    for (_ <- 1 to Analytics.eigenIters) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _).cache()
+      val mx = if (msgs.isEmpty()) 1L else msgs.values.max()
+      val divisor = math.max(1L, mx / Analytics.hitsScale)
+      g = g.outerJoinVertices(msgs) {
+        (_, _, m) => m.map(_ / divisor).getOrElse(0L)
+      }
+    }
+    val xs = g.vertices.toDF("id", "x")
+    nodes.join(xs, Seq("id"))
+      .select("label", "key", "x").orderBy("label", "key")
+  }
 }

@@ -193,6 +193,17 @@ class Round8Spec extends AnyFunSuite {
     assert(got == want, "eigencentrality mismatch vs replay")
   }
 
+  test("g_eigencentrality: GraphX Pregel twin produces identical integers") {
+    val df = graft.operators.Analytics.eigencentrality(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("x")).toMap
+    val gx = graft.operators.GraphXAnalytics.eigencentralityGraphX(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("x")).toMap
+    assert(gx == df, "GraphX eigencentrality != DataFrame operator")
+  }
+
   test("m_audio_vad: handcrafted payloads segment correctly") {
     import spark.implicits._
     // 64 high-energy chars ('z' → d=90, e=64·8100 ≫ thresh·64), then 64
