@@ -1722,6 +1722,100 @@ object Similarity {
        |FROM rr WHERE rr.rn <= $annK
        |ORDER BY rr.probe_id, rr.rn""".stripMargin
 
+  // -------------------------------------------------------- s_pca_power
+  /** Dominant principal direction of the embedding corpus — power
+    * iteration v ← G·v on the EXACT integer Gram matrix G = ΣᵥqᵥqᵥᵀV
+    * (uncentered PCA; G is PSD so the iteration converges to the top
+    * eigenvector): the direction dimension-reduction, whitening, and
+    * ANN rotation tricks all need first. Two stages, both exact:
+    * (1) G accumulates as BIGINT sums of quantized products — one
+    * (vec, i)×(vec, j) self-equi-join + a 4096-group aggregation,
+    * map-side combinable and MERGEABLE across shards (the sketch
+    * property: at 100 TB each partition emits its partial Gram and a
+    * 4096-row reduce finishes); (2) `pcaIters` matvec rounds on the
+    * 4096-row G with the integer max-|·|-normalization contract
+    * (divisor = max(1, max|s| div SCALE); signed values divide through
+    * the sign-split CASE — truncation toward zero in BOTH engines,
+    * where a bare floor-div would disagree on negatives). Matvec sums
+    * accumulate in DECIMAL(38,0); the normalized vector re-enters
+    * BIGINT (≤ 2·SCALE by the norm bound).
+    *
+    * MEASURED convergence regime: these near-isotropic synthetic
+    * embeddings have a ~1.7% eigengap (top eigenvalues 13.82M vs
+    * 13.59M at sf0.01), so full eigenvector alignment needs O(1/gap)
+    * ≈ hundreds of rounds — out of scope for an unrolled oracle. The
+    * contract is therefore "exactly `pcaIters` rounds": the Rayleigh
+    * quotient rises 6.65M → 10.99M (79% of the top eigenvalue) in 3
+    * rounds, which Round8Spec asserts, along with per-round
+    * monotonicity — the PSD power-iteration guarantee. On a real
+    * (anisotropic) corpus the same 3 rounds land far closer. */
+  val pcaIters = 3
+
+  def pcaPower: Q = (s, dir) => {
+    val el = quantized(s, dir)
+      .select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qi")))
+      .cache() // both sides of the Gram self-join; parameter-free plan
+    val g = el.toDF("vec_id", "i", "qi")
+      .join(el.toDF("vec_id", "j", "qj"), Seq("vec_id"))
+      .groupBy("i", "j")
+      .agg(sum(expr("qi * qj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("gv"))
+      .localCheckpoint(eager = true) // read once per round (3×)
+    try {
+      var v = s.range(pcaDim).toDF("j").withColumn("v", lit(pcaScale))
+      for (_ <- 1 to pcaIters) {
+        val r = g.join(broadcast(v), Seq("j"))
+          .groupBy("i")
+          .agg(sum(col("gv") * col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sm"))
+        v = r.crossJoin(broadcast(r.agg(max(abs(col("sm"))).as("mx"))))
+          .select(col("i").as("j"), expr(
+            "CASE WHEN sm >= 0 THEN CAST(sm AS BIGINT) div" +
+              s" greatest(1, CAST(mx AS BIGINT) div $pcaScale)" +
+              " ELSE -((CAST(-sm AS BIGINT)) div" +
+              s" greatest(1, CAST(mx AS BIGINT) div $pcaScale)) END").as("v"))
+      }
+      v.select(col("j").cast("long").as("component"), col("v"))
+        .orderBy("component")
+        .localCheckpoint(eager = true) // collapse before g is freed
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(g)
+  }
+
+  private val pcaDim = 64
+  private val pcaScale = 1000000L
+
+  val pcaPowerSql: String = {
+    val b = new StringBuilder(
+      s"""WITH q AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+         | FROM embeddings
+         |), el AS (
+         | SELECT vec_id, CAST(u.i AS INTEGER) - 1 AS i, qe[CAST(u.i AS INTEGER)] AS qi
+         | FROM q, unnest(range(1, len(qe) + 1)) u(i)
+         |), g AS (
+         | SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS DECIMAL(38,0)) AS gv
+         | FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2
+         |), v0 AS (
+         | SELECT CAST(r.j AS BIGINT) AS j, CAST($pcaScale AS BIGINT) AS v
+         | FROM range($pcaDim) r(j)
+         |)""".stripMargin)
+    for (t <- 1 to pcaIters) {
+      b ++= s""", r$t AS (
+               | SELECT g.i, CAST(sum(g.gv * p.v) AS DECIMAL(38,0)) AS sm
+               | FROM g JOIN v${t - 1} p ON p.j = g.j GROUP BY g.i
+               |), v$t AS (
+               | SELECT i AS j, CAST(CASE WHEN sm >= 0
+               |   THEN CAST(sm AS BIGINT) // greatest(1,
+               |     (SELECT CAST(max(abs(sm)) AS BIGINT) FROM r$t) // $pcaScale)
+               |   ELSE -((CAST(-sm AS BIGINT)) // greatest(1,
+               |     (SELECT CAST(max(abs(sm)) AS BIGINT) FROM r$t) // $pcaScale))
+               |  END AS BIGINT) AS v
+               | FROM r$t
+               |)""".stripMargin
+    }
+    b ++= s"\nSELECT j AS component, v FROM v$pcaIters ORDER BY component"
+    b.toString
+  }
+
   // -------------------------------------------------------- s_ndcg_eval
   /** NDCG@k of the 1-bit Hamming ranking against the exact-cosine
     * ranking — the graded-relevance eval the recall tables
@@ -1782,6 +1876,7 @@ object Similarity {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_ndcg_eval" -> ndcgEval,
+    "s_pca_power" -> pcaPower,
     "s_ann_rerank" -> annRerank,
     "s_range_search" -> rangeSearch,
     "s_range_recall" -> rangeRecall,
@@ -1805,6 +1900,7 @@ object Similarity {
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_ndcg_eval" -> ndcgEvalSql,
+    "s_pca_power" -> pcaPowerSql,
     "s_ann_rerank" -> annRerankSql,
     "s_range_search" -> rangeSearchSql,
     "s_range_recall" -> rangeRecallSql,
