@@ -2281,7 +2281,70 @@ object TextOps {
        | FROM documents
        |) ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- t_vocab_coverage
+  /** Vocabulary-budget coverage curve — the table a tokenizer-size
+    * decision reads: for k ∈ {100, 1000, 10000}, what fraction of all
+    * token OCCURRENCES is covered by the k most frequent words?
+    * (Zipf makes this concave: the first 100 words usually cover
+    * 40-50% of mass; the curve's knee is the budget.) Rank ties break
+    * deterministically (count desc, word asc). Plan: one word-count
+    * aggregation (map-side combinable), ONE vocab-sized window pass
+    * computing cumulative mass ordered by rank, probed at the three
+    * budgets — the window input is |vocab| rows, never |corpus|; at
+    * 100 TB the vocab table is the thing that still fits. */
+  val vocabBudgets: Seq[Long] = Seq(100L, 1000L, 10000L)
+
+  def vocabCoverage: Q = (s, dir) => {
+    val vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val wOrd = Window.orderBy(col("c").desc, col("w"))
+    val ranked = vocab
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("cum", sum("c").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ranked.agg(sum("c").as("tot"), count(lit(1)).as("vocab_size"))
+    val budgets = s.createDataFrame(
+      vocabBudgets.map(Tuple1.apply)).toDF("k")
+    // probe: the covered mass at budget k = cum at rank min(k, vocab)
+    val probes = budgets.crossJoin(broadcast(tot))
+      .select(col("k"), least(col("k"), col("vocab_size")).as("rk"),
+        col("tot"), col("vocab_size"))
+    probes.join(ranked.select("rk", "cum"), Seq("rk"))
+      .select(col("k"), col("vocab_size"), col("cum").as("covered"),
+        col("tot").as("total_tokens"),
+        expr("(cum * 1000000) div tot").as("coverage_ppm"))
+      .orderBy("k")
+  }
+
+  val vocabCoverageSql: String = {
+    val ks = vocabBudgets.mkString(", ")
+    s"""WITH vocab AS (
+       | SELECT w, count(*) AS c
+       | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       | GROUP BY w
+       |), ranked AS (
+       | SELECT c,
+       |  row_number() OVER (ORDER BY c DESC, w) AS rk,
+       |  sum(c) OVER (ORDER BY c DESC, w
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       | FROM vocab
+       |), tot AS (
+       | SELECT CAST(sum(c) AS BIGINT) AS tot, count(*) AS vocab_size
+       | FROM vocab
+       |), probes AS (
+       | SELECT k, least(k, vocab_size) AS rk, tot, vocab_size
+       | FROM (SELECT unnest(ARRAY[$ks]) AS k), tot
+       |)
+       |SELECT p.k, p.vocab_size, CAST(r.cum AS BIGINT) AS covered,
+       | p.tot AS total_tokens,
+       | CAST((r.cum * 1000000) // p.tot AS BIGINT) AS coverage_ppm
+       |FROM probes p JOIN ranked r ON r.rk = p.rk
+       |ORDER BY p.k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_vocab_coverage" -> vocabCoverage,
     "t_code_detect" -> codeDetect,
     "t_simpson_diversity" -> simpsonDiversity,
     "t_hapax" -> hapax,
@@ -2323,6 +2386,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_vocab_coverage" -> vocabCoverageSql,
     "t_code_detect" -> codeDetectSql,
     "t_simpson_diversity" -> simpsonDiversitySql,
     "t_hapax" -> hapaxSql,

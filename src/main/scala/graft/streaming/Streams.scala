@@ -641,6 +641,76 @@ object Streams {
         OutputMode.Append())
   }
 
+  // -------------------------------------------------------- st_bloom_dedup
+  /** st_bloom_dedup: BOUNDED-MEMORY streaming seen-before detection —
+    * the scale counterpart to st_stateful_dedup, whose exact state
+    * grows with the distinct keyspace: here the state is a FIXED
+    * 1024-bit Bloom filter per shard (16 longs — 128 bytes, forever),
+    * the only way an unbounded keyspace affords stream dedup at all.
+    * Events shard by an md5 nibble of the user id (each user maps to
+    * exactly ONE shard, so its k=3 bit positions live in one state
+    * row); within a batch rows fold in EVENT-ID ORDER
+    * (check-then-insert per event — deterministic regardless of
+    * shuffle iterator order), so the emissions replay exactly against
+    * an in-memory sequential fold. Contract: NO false negatives (a
+    * truly-seen user is always flagged), false positives at the
+    * documented Bloom rate (k=3, m=1024 — Round8Spec measures it);
+    * bit-OR state is associative, so the FINAL filter contents are
+    * split-invariant even under adversarial arrival order. */
+  val bloomShards = 8
+  val bloomBitsM = 1024 // 16 longs per shard
+
+  final case class BloomState(bits: Seq[Long])
+  final case class BloomSeen(event_id: Long, user_id: Long,
+                             maybe_seen: Boolean)
+
+  private[graft] def bloomPositions(userId: Long): (Int, Seq[Int]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val shard = Integer.parseInt(hex.substring(12, 14), 16) % bloomShards
+    val pos = (0 until 3).map(i =>
+      Integer.parseInt(hex.substring(3 * i, 3 * i + 3), 16) % bloomBitsM)
+    (shard, pos)
+  }
+
+  class BloomDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, Event, BloomSeen] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[BloomState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[BloomState]("bloom", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[Event],
+        timers: TimerValues): Iterator[BloomSeen] = {
+      val bits = (if (state.exists()) state.get().bits
+                  else Seq.fill(bloomBitsM / 64)(0L)).toArray
+      // deterministic fold order — the shuffle's iterator order is not
+      // a contract, the event-id order is
+      val out = rows.toArray.sortBy(_.event_id).map { e =>
+        val (_, pos) = bloomPositions(e.user_id)
+        val seen = pos.forall(p => (bits(p / 64) >>> (p % 64) & 1L) == 1L)
+        pos.foreach(p => bits(p / 64) |= (1L << (p % 64)))
+        BloomSeen(e.event_id, e.user_id, seen)
+      }
+      state.update(BloomState(bits.toSeq))
+      out.iterator
+    }
+  }
+
+  def bloomDedup(events: Dataset[Event]): Dataset[BloomSeen] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => bloomPositions(e.user_id)._1)
+      .transformWithState(new BloomDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---------------------------------------------------------- st_cdc_apply
   /** st_cdc_apply: streaming CDC MATERIALIZATION — the state that turns
     * a change stream into a queryable current-state table (what Delta/

@@ -513,6 +513,63 @@ class Round8Spec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  test("st_bloom_dedup: emissions replay the sequential fold; no false negatives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect().toSeq
+        .sortBy(_.event_id)
+      // in-memory gold standard: per-shard bloom, check-then-insert in
+      // event-id order
+      val blooms = Array.fill(graft.streaming.Streams.bloomShards)(
+        Array.fill(graft.streaming.Streams.bloomBitsM / 64)(0L))
+      val want = events.map { e =>
+        val (shard, pos) = graft.streaming.Streams.bloomPositions(e.user_id)
+        val b = blooms(shard)
+        val seen = pos.forall(p => (b(p / 64) >>> (p % 64) & 1L) == 1L)
+        pos.foreach(p => b(p / 64) |= (1L << (p % 64)))
+        e.event_id -> seen
+      }.toMap
+      def run(name: String,
+          batches: Seq[Seq[graft.streaming.Streams.Event]]): Map[Long, Boolean] = {
+        val mem = MemoryStream[graft.streaming.Streams.Event]
+        val q = graft.streaming.Streams.bloomDedup(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+            .map(r => r.getAs[Long]("event_id") ->
+              r.getAs[Boolean]("maybe_seen")).toMap
+        } finally q.stop()
+      }
+      val oneShot = run("bd_one", Seq(events))
+      val split = run("bd_split",
+        events.grouped(math.max(1, events.size / 6)).toSeq)
+      assert(oneShot == want, "one-shot stream != sequential replay")
+      assert(split == want, "ordered split != sequential replay")
+      // NO FALSE NEGATIVES: any user's non-first event must be flagged
+      val firstEvent = events.groupBy(_.user_id)
+        .map { case (_, es) => es.map(_.event_id).min }.toSet
+      val fn = events.filterNot(e => firstEvent(e.event_id))
+        .count(e => !want(e.event_id))
+      assert(fn == 0, s"$fn false negatives — impossible for a Bloom filter")
+      // false positives exist only at the documented Bloom rate
+      val firsts = events.filter(e => firstEvent(e.event_id))
+      val fp = firsts.count(e => want(e.event_id))
+      assert(fp.toDouble / math.max(firsts.size, 1) < 0.25,
+        s"FP rate $fp/${firsts.size} implausibly high for k=3, m=1024")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("st_hll: streaming registers == batch twin under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
