@@ -834,7 +834,104 @@ object Multimodal {
        |LEFT JOIN sa ON sa.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------------- m_video_dedup
+  /** VIDEO-LEVEL near-duplicate detection — content dedup where the
+    * unit is the whole stream, not a frame: each video reduces to its
+    * SET of 48-bit frame signatures (the m_scene_detect digest, at a
+    * finer `vdFrameBytes` = 64 grain — MEASURED: at 256-byte frames
+    * the sub-512-char dup cohort holds ≤ 2 frames and the glitch
+    * erases the overlap, 1 surviving pair; at 64 bytes the cohort
+    * holds 3-8 frames and every planted pair scores), candidate
+    * pairs arise ONLY by sharing a
+    * signature (the frame sig doubles as its own LSH band — no
+    * all-pairs stage, work ∝ Σ shared-sig group²), and survivors
+    * score set-Jaccard in exact integer ppm. The corpus is augmented
+    * with DETERMINISTIC near-duplicates (every 50th doc re-uploaded
+    * with 3 bytes altered mid-stream — the re-encode-with-a-glitch
+    * analogue), so the measurement is non-vacuous at every SF and the
+    * oracle builds the identical augmented table. Frame-grid caveat
+    * (documented): byte-OFFSET copies shift every frame boundary and
+    * are invisible here — that variant is what m_scene_detect's
+    * cut-anchored signatures are for. */
+  val vdupThreshPpm = 500000L
+  val vdFrameBytes = 64
+
+  def videoDedup: Q = (s, dir) => {
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    // doc 0 is excluded: -0 == 0 would merge the re-upload into the
+    // original row and silently lose the planted pair
+    val dups = base.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
+      .select((-col("doc_id")).as("doc_id"),
+        concat(substring(col("text"), 1, 128), lit("ZZZ"),
+          expr("substr(text, 132)")).as("text"))
+    val vids = base.unionByName(dups)
+    val nf = expr(s"CAST((length(text) + ${vdFrameBytes - 1}) div $vdFrameBytes AS INT)")
+    val sigs = vids
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), nf)).as("i"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.hexSlice(
+          md5(expr(s"substr(text, (i - 1) * $vdFrameBytes + 1, $vdFrameBytes)")),
+          1, 12).as("sg"))
+      .distinct()
+      .cache() // both sides of the candidate self-join
+    val perDoc = sigs.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val shared = sigs.toDF("a", "sg")
+      .join(sigs.toDF("b", "sg"), Seq("sg"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(perDoc.toDF("a", "na")), Seq("a"))
+      .join(broadcast(perDoc.toDF("b", "nb")), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("na") + col("nb") - col("n_shared")).as("n_union"))
+      .withColumn("jaccard_ppm", expr("(n_shared * 1000000) div n_union"))
+      .filter(col("jaccard_ppm") >= vdupThreshPpm)
+      .orderBy("a", "b")
+  }
+
+  val videoDedupSql: String = {
+    val sg = OracleSql.hexToLong("h", 1, 12)
+    s"""WITH vids AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT -doc_id,
+       |  substr(text, 1, 128) || 'ZZZ' || substr(text, 132)
+       | FROM documents WHERE doc_id % 50 = 0 AND doc_id <> 0
+       |), fr AS (
+       | SELECT doc_id,
+       |  unnest(range(1,
+       |   CAST((length(text) + ${vdFrameBytes - 1}) // $vdFrameBytes AS INTEGER) + 1)) AS i,
+       |  text
+       | FROM vids
+       |), sigs AS (
+       | SELECT DISTINCT doc_id, CAST($sg AS BIGINT) AS sg
+       | FROM (
+       |  SELECT doc_id,
+       |   md5(substr(text,
+       |    CAST((i - 1) * $vdFrameBytes + 1 AS INTEGER), $vdFrameBytes)) AS h
+       |  FROM fr
+       | )
+       |), per AS (
+       | SELECT doc_id, count(*) AS ns FROM sigs GROUP BY doc_id
+       |), shared AS (
+       | SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+       | FROM sigs x JOIN sigs y ON x.sg = y.sg AND x.doc_id < y.doc_id
+       | GROUP BY 1, 2
+       |)
+       |SELECT s.a, s.b, s.n_shared,
+       | CAST(pa.ns + pb.ns - s.n_shared AS BIGINT) AS n_union,
+       | CAST((s.n_shared * 1000000) // (pa.ns + pb.ns - s.n_shared) AS BIGINT)
+       |  AS jaccard_ppm
+       |FROM shared s
+       |JOIN per pa ON pa.doc_id = s.a
+       |JOIN per pb ON pb.doc_id = s.b
+       |WHERE (s.n_shared * 1000000) // (pa.ns + pb.ns - s.n_shared)
+       |  >= $vdupThreshPpm
+       |ORDER BY s.a, s.b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m_video_dedup" -> videoDedup,
     "m_audio_vad" -> audioVadQ,
     "m_shard_pack" -> shardPack,
     "m_shard_balance" -> shardBalance,
@@ -848,6 +945,7 @@ object Multimodal {
     "m_chunk" -> chunkQ,
     "m_embed_batch" -> embedBatchQ)
   val oracleSql: Map[String, String] = Map(
+    "m_video_dedup" -> videoDedupSql,
     "m_audio_vad" -> audioVadSql,
     "m_shard_pack" -> shardPackSql,
     "m_shard_balance" -> shardBalanceSql,

@@ -2221,8 +2221,43 @@ object Relational {
        | CAST((n_obs * 1000000) // tot - ($benfordCaseSql) AS BIGINT) AS dev_ppm
        |FROM obs, tot ORDER BY digit""".stripMargin
 
+  // --------------------------------------------------------- q_path_analysis
+  /** Top user paths — the order-2 companion to q_markov_transitions
+    * (product analytics' "what do users actually do" table): each
+    * user's (ts, event_id)-ordered stream yields sliding event-type
+    * TRIGRAMS via two lag windows over the SAME user-keyed sort (one
+    * window exchange serves both lags), counted corpus-wide, top-20
+    * with full deterministic tiebreak. TakeOrderedAndProject — no
+    * global sort of the path table. */
+  def qPathAnalysis: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lag("event_type", 1).over(w))
+      .withColumn("e1", lag("event_type", 2).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  val qPathAnalysisSql: String =
+    """WITH seq AS (
+      | SELECT user_id, event_type,
+      |  lag(event_type, 1) OVER w AS e2,
+      |  lag(event_type, 2) OVER w AS e1
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT e1, e2, event_type AS e3, count(*) AS n
+      |FROM seq WHERE e1 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_path_analysis" -> qPathAnalysis,
     "q_benford" -> qBenford,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_changepoint" -> qChangepoint,
@@ -2278,6 +2313,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_path_analysis" -> qPathAnalysisSql,
     "q_benford" -> qBenfordSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_changepoint" -> qChangepointSql,

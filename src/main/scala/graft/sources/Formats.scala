@@ -791,7 +791,71 @@ object Formats {
       | count(DISTINCT md5(text)) AS n_uniq
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------- src_rowgroup_stats
+  /** ROW-GROUP FOOTER INTROSPECTION — the metadata a pruning scan
+    * actually reads: sorted data is written with a bounded
+    * rows-per-file budget (so file = row group at this size), then the
+    * op opens ONLY the parquet FOOTERS (`ParquetFileReader.getFooter`
+    * — zero data-page IO; this is the planner's cost profile, and on
+    * 100 TB it is the difference between listing metadata and reading
+    * the lake) and reports per-row-group row counts and l_orderkey
+    * min/max. Because the write is key-sorted, the physical stats are
+    * LOGICALLY REPLAYABLE: group g must hold exactly the g-th
+    * 10k-row slice of the sorted key sequence — which is what the
+    * DuckDB oracle computes from the view, making the footer path
+    * cross-engine-verified without the oracle ever touching the files.
+    * (Boundary TIES are safe: the per-slice key multiset is fixed by
+    * the sort regardless of tie order.) Driver-side footer reads: at
+    * cluster scale footers are listed in parallel via the same API on
+    * executors — metadata volume, not data volume. */
+  val rgRowsPerFile = 10000L
+
+  def rowgroupStats: Q = (s, dir) => {
+    val path = scratch(s, dir, "rgstats")
+    Tables(s, dir, "lineitem").select(col("l_orderkey"))
+      .coalesce(1).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rgRowsPerFile)
+      .parquet(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    import scala.jdk.CollectionConverters._
+    val rows = files.flatMap { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try rd.getFooter.getBlocks.asScala.map { b =>
+        val st = b.getColumns.get(0).getStatistics
+        (b.getRowCount,
+          st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+      }.toSeq
+      finally rd.close()
+    }
+    // physical order == key order (single sorted partition writes its
+    // files sequentially); group id = position in that order
+    import s.implicits._
+    rows.toSeq.sortBy(r => (r._2, r._3)).zipWithIndex
+      .map { case ((n, mn, mx), g) => (g.toLong, n, mn, mx) }
+      .toDF("grp", "num_rows", "okey_min", "okey_max")
+      .orderBy("grp")
+  }
+
+  val rowgroupStatsSql: String =
+    s"""WITH o AS (
+       | SELECT l_orderkey,
+       |  row_number() OVER (ORDER BY l_orderkey) AS rn
+       | FROM lineitem
+       |)
+       |SELECT CAST((rn - 1) // $rgRowsPerFile AS BIGINT) AS grp,
+       | count(*) AS num_rows,
+       | CAST(min(l_orderkey) AS BIGINT) AS okey_min,
+       | CAST(max(l_orderkey) AS BIGINT) AS okey_max
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_rowgroup_stats" -> rowgroupStats,
     "src_compaction" -> compaction,
     "src_binary_files" -> binaryFiles,
     "src_codec_roundtrip" -> codecRoundtrip,
@@ -810,6 +874,7 @@ object Formats {
 
   val oracleSql: Map[String, String] = Map(
     "src_compaction" -> compactionSql,
+    "src_rowgroup_stats" -> rowgroupStatsSql,
     "src_binary_files" -> binaryFilesSql,
     "src_codec_roundtrip" -> codecRoundtripSql,
     "src_bucketed_join" -> bucketedJoinSql,

@@ -513,6 +513,60 @@ class Round8Spec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  test("src_rowgroup_stats: footer stats equal the sorted-slice replay") {
+    val keys = graft.model.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).sorted
+    val want = keys.grouped(10000).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.length.toLong, g.min, g.max) }.toSeq
+    val got = graft.sources.Formats.rowgroupStats(spark, sf).collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("num_rows"),
+        r.getAs[Long]("okey_min"), r.getAs[Long]("okey_max"))).toSeq
+    assert(got == want, "row-group footer stats != sorted-slice replay")
+  }
+
+  test("q_path_analysis: trigram counts equal the sequence replay") {
+    val ev = graft.model.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tri = scala.collection.mutable.Map[(String, String, String), Long]()
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.size == 3)
+        .foreach(t => tri((t(0), t(1), t(2))) += 1)
+    }
+    val want = tri.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20).toSet
+    val got = graft.operators.Relational.qPathAnalysis(spark, sf).collect()
+      .map(r => ((r.getAs[String]("e1"), r.getAs[String]("e2"),
+        r.getAs[String]("e3")), r.getAs[Long]("n"))).toSet
+    assert(got == want, "top trigram paths mismatch vs replay")
+  }
+
+  test("m_video_dedup: every planted glitched re-upload with enough frames is found") {
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sigs(text: String): Set[String] =
+      text.grouped(64).map(f => md5hex(f)).toSet
+    val got = graft.operators.Multimodal.videoDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("jaccard_ppm")).toMap
+    docs.filter(d => d._1 % 50 == 0 && d._1 != 0L).foreach { case (id, text) =>
+      val glitched = text.substring(0, math.min(128, text.length)) + "ZZZ" +
+        (if (text.length >= 131) text.substring(131) else "")
+      val a = sigs(text); val b = sigs(glitched)
+      val j = a.intersect(b).size.toLong * 1000000L /
+        math.max(a.union(b).size.toLong, 1L)
+      if (j >= 500000L)
+        assert(got.contains((-id, id)) &&
+          got((-id, id)) == j,
+          s"planted pair for doc $id (jaccard $j) missing or wrong")
+    }
+    got.foreach { case (_, j) => assert(j >= 500000L && j <= 1000000L) }
+  }
+
   test("st_bloom_dedup: emissions replay the sequential fold; no false negatives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
