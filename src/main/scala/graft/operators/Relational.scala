@@ -2255,8 +2255,113 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------- q_k_anonymity
+  /** k-anonymity audit over quasi-identifiers — the privacy gate a
+    * dataset release runs: orders project to the QI tuple (customer
+    * nation, order year, priority); any equivalence class smaller
+    * than k = 5 is a re-identification risk. Reports per-class-size
+    * profile: how many classes and rows sit at each size band, plus
+    * the suppression cost (rows that must be dropped/generalized to
+    * reach k). One fact-side aggregation (orders ⋈ broadcast customer)
+    * + a class-sized re-aggregation — the second stage input is
+    * |classes|, never |rows|. All exact integers. */
+  val kAnonK = 5L
+
+  def qKAnonymity: Q = (s, dir) => {
+    val cust = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey")))
+    val classes = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority"))
+      .join(cust, Seq("o_custkey"))
+      .groupBy("c_nationkey", "yr", "o_orderpriority")
+      .agg(count(lit(1)).as("cls"))
+    classes
+      .select(
+        when(col("cls") >= kAnonK, lit("k_or_more"))
+          .otherwise(concat(lit("size_"), col("cls"))).as("band"),
+        col("cls"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_classes"), sum("cls").as("n_rows"),
+        count(when(col("cls") < kAnonK, 1)).as("n_risky_classes"),
+        sum(when(col("cls") < kAnonK, col("cls")).otherwise(lit(0L)))
+          .as("rows_to_suppress"))
+      .orderBy("band")
+  }
+
+  val qKAnonymitySql: String =
+    s"""WITH classes AS (
+       | SELECT c.c_nationkey, year(o.o_orderdate) AS yr, o.o_orderpriority,
+       |  count(*) AS cls
+       | FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       | GROUP BY 1, 2, 3
+       |)
+       |SELECT CASE WHEN cls >= $kAnonK THEN 'k_or_more'
+       |  ELSE 'size_' || CAST(cls AS VARCHAR) END AS band,
+       | count(*) AS n_classes,
+       | CAST(sum(cls) AS BIGINT) AS n_rows,
+       | CAST(count(CASE WHEN cls < $kAnonK THEN 1 END) AS BIGINT)
+       |  AS n_risky_classes,
+       | CAST(sum(CASE WHEN cls < $kAnonK THEN cls ELSE 0 END) AS BIGINT)
+       |  AS rows_to_suppress
+       |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------- q_disorder_profile
+  /** Event-time DISORDER profile — the table that DECIDES a watermark
+    * delay (the idleTimeout/st_* ops take the delay as a parameter;
+    * this measures what it should be): within each user's ARRIVAL
+    * order (event_id — the log sequence), lateness of an event =
+    * running-max(ts) − ts, i.e. how far behind the frontier it
+    * arrived. Per-user max lateness aggregates into a corpus histogram
+    * by lateness band; the p-high band edge IS the watermark that
+    * loses almost nothing (delay 0 drops every positive-lateness
+    * event — the advisor's st_idle_timeout caveat, quantified). One
+    * user-keyed window (running max), exact integer microseconds. */
+  def qDisorderProfile: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      .withColumn("lateness_us", max("tus").over(w) - col("tus"))
+    val perUser = late.groupBy("user_id")
+      .agg(max("lateness_us").as("max_late_us"),
+        count(when(col("lateness_us") > 0, 1)).as("n_late"))
+    perUser
+      .select(
+        when(col("max_late_us") === 0, lit("0_in_order"))
+          .when(col("max_late_us") <= 60000000L, lit("1_under_1min"))
+          .when(col("max_late_us") <= 3600000000L, lit("2_under_1h"))
+          .otherwise(lit("3_over_1h")).as("band"),
+        col("n_late"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"), sum("n_late").as("n_late_events"))
+      .orderBy("band")
+  }
+
+  val qDisorderProfileSql: String =
+    """WITH late AS (
+      | SELECT user_id,
+      |  max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - epoch_us(ts) AS lateness_us
+      | FROM events
+      |), per_user AS (
+      | SELECT user_id, CAST(max(lateness_us) AS BIGINT) AS max_late_us,
+      |  CAST(count(CASE WHEN lateness_us > 0 THEN 1 END) AS BIGINT) AS n_late
+      | FROM late GROUP BY user_id
+      |)
+      |SELECT CASE WHEN max_late_us = 0 THEN '0_in_order'
+      |  WHEN max_late_us <= 60000000 THEN '1_under_1min'
+      |  WHEN max_late_us <= 3600000000 THEN '2_under_1h'
+      |  ELSE '3_over_1h' END AS band,
+      | count(*) AS n_users,
+      | CAST(sum(n_late) AS BIGINT) AS n_late_events
+      |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_k_anonymity" -> qKAnonymity,
+    "q_disorder_profile" -> qDisorderProfile,
     "q_path_analysis" -> qPathAnalysis,
     "q_benford" -> qBenford,
     "q_markov_transitions" -> qMarkovTransitions,
@@ -2313,6 +2418,8 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" -> qKAnonymitySql,
+    "q_disorder_profile" -> qDisorderProfileSql,
     "q_path_analysis" -> qPathAnalysisSql,
     "q_benford" -> qBenfordSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,

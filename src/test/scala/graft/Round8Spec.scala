@@ -567,6 +567,55 @@ class Round8Spec extends AnyFunSuite {
     got.foreach { case (_, j) => assert(j >= 500000L && j <= 1000000L) }
   }
 
+  test("q_k_anonymity: class-size bands equal the contingency replay") {
+    val nat = graft.model.Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toMap
+    val classes = graft.model.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority")).collect()
+      .map(r => (nat(r.getAs[Number](0).longValue),
+        r.getAs[Number](1).intValue, r.getString(2)))
+      .groupBy(identity).map(_._2.length.toLong)
+    def band(c: Long) = if (c >= 5) "k_or_more" else s"size_$c"
+    val want = classes.groupBy(band).map { case (b, cs) =>
+      b -> ((cs.size.toLong, cs.sum,
+        cs.count(_ < 5).toLong, cs.filter(_ < 5).sum))
+    }
+    val got = graft.operators.Relational.qKAnonymity(spark, sf).collect()
+      .map(r => r.getAs[String]("band") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_risky_classes"),
+          r.getAs[Long]("rows_to_suppress")))).toMap
+    assert(got == want, "k-anonymity bands mismatch vs replay")
+  }
+
+  test("q_disorder_profile: lateness replay agrees (and reports the in-order truth)") {
+    val ev = graft.model.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      val ordered = es.sortBy(_._2)
+      var runMax = Long.MinValue; var maxLate = 0L; var nLate = 0L
+      ordered.foreach { case (_, _, tus) =>
+        runMax = math.max(runMax, tus)
+        val late = runMax - tus
+        maxLate = math.max(maxLate, late); if (late > 0) nLate += 1
+      }
+      u -> ((maxLate, nLate))
+    }
+    def band(m: Long) = if (m == 0) "0_in_order"
+      else if (m <= 60000000L) "1_under_1min"
+      else if (m <= 3600000000L) "2_under_1h" else "3_over_1h"
+    val want = perUser.values.groupBy(v => band(v._1))
+      .map { case (b, vs) => b -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    val got = graft.operators.Relational.qDisorderProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("band") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_late_events")))).toMap
+    assert(got == want, "disorder profile mismatch vs replay")
+  }
+
   test("st_bloom_dedup: emissions replay the sequential fold; no false negatives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
