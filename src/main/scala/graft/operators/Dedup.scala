@@ -1694,7 +1694,49 @@ object Dedup {
        |ORDER BY g.source, g.split""".stripMargin
   }
 
+  // ---------------------------------------------------- d_norm_dedup_gain
+  /** NORMALIZATION-UNLOCKED DEDUP GAIN — the measurement that decides
+    * whether a canonicalization pass is worth running before exact
+    * dedup: distinct counts on the raw text vs the canonical form
+    * (lowercase, strip non-alphanumerics, collapse runs of spaces,
+    * trim — the standard exact-dedup canonicalizer), and the delta =
+    * duplicates ONLY canonicalization exposes ("Hello  World!" vs
+    * "hello world"). Hash-distinct both ways in ONE pass over the
+    * corpus (two md5s per doc, two approx-free exact distincts); all
+    * counts exact. At 100 TB both distincts are the same md5-keyed
+    * aggregation exact dedup already pays — the gain table is free
+    * relative to the pipeline it evaluates. */
+  def normDedupGain: Q = (s, dir) => {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(s, dir)
+      .select(md5(col("text")).as("raw_h"), md5(canon).as("norm_h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("distinct_raw"),
+        countDistinct(col("norm_h")).as("distinct_norm"))
+      .select(col("n_docs"), col("distinct_raw"), col("distinct_norm"),
+        (col("n_docs") - col("distinct_raw")).as("dups_raw"),
+        (col("distinct_raw") - col("distinct_norm")).as("dups_unlocked"))
+  }
+
+  val normDedupGainSql: String =
+    """WITH h AS (
+      | SELECT md5(text) AS raw_h,
+      |  md5(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g'))) AS norm_h
+      | FROM documents
+      |)
+      |SELECT count(*) AS n_docs,
+      | count(DISTINCT raw_h) AS distinct_raw,
+      | count(DISTINCT norm_h) AS distinct_norm,
+      | CAST(count(*) - count(DISTINCT raw_h) AS BIGINT) AS dups_raw,
+      | CAST(count(DISTINCT raw_h) - count(DISTINCT norm_h) AS BIGINT)
+      |  AS dups_unlocked
+      |FROM h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d_norm_dedup_gain" -> normDedupGain,
     "d_dataset_split" -> datasetSplit,
     "d_dup_distribution" -> dupDistribution,
     "d_entity_resolution" -> entityResolution,
@@ -1721,6 +1763,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_norm_dedup_gain" -> normDedupGainSql,
     "d_dataset_split" -> datasetSplitSql,
     "d_dup_distribution" -> dupDistributionSql,
     "d_entity_resolution" -> entityResolutionSql,

@@ -854,7 +854,48 @@ object Formats {
        | CAST(max(l_orderkey) AS BIGINT) AS okey_max
        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------- src_delete_vectors
+  /** MERGE-ON-READ with DELETION VECTORS — the modern lakehouse delete
+    * (Delta DVs / Iceberg position deletes): a delete commits a tiny
+    * POSITION file, the immutable base parquet is never rewritten, and
+    * readers apply the vector as a position anti-join. Positions come
+    * from the engine's own `_metadata.row_index` (stable per file); at
+    * scale the vector is keyed (file, row_index) and the anti-join is
+    * per-file-local — delete cost ∝ deleted rows, read overhead ∝
+    * vector size, versus copy-on-write's full-file rewrite. The oracle
+    * replays the MERGE LOGICALLY (the delete predicate over the view):
+    * physical positions never cross engines, but the merged result
+    * must equal the logical delete exactly — which also proves the
+    * row_index round-trip is lossless. */
+  def deleteVectors: Q = (s, dir) => {
+    val path = scratch(s, dir, "delvec")
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .coalesce(1).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$path/base")
+    def base = s.read.parquet(s"$path/base")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("_metadata.row_index").as("pos"))
+    // the DELETE: writes ONLY positions — base files untouched
+    base.filter(col("l_orderkey") % 13 === 0).select("pos")
+      .write.mode("overwrite").parquet(s"$path/dv")
+    val dv = s.read.parquet(s"$path/dv")
+    base.join(dv, Seq("pos"), "left_anti")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val deleteVectorsSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 13 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_delete_vectors" -> deleteVectors,
     "src_rowgroup_stats" -> rowgroupStats,
     "src_compaction" -> compaction,
     "src_binary_files" -> binaryFiles,
@@ -874,6 +915,7 @@ object Formats {
 
   val oracleSql: Map[String, String] = Map(
     "src_compaction" -> compactionSql,
+    "src_delete_vectors" -> deleteVectorsSql,
     "src_rowgroup_stats" -> rowgroupStatsSql,
     "src_binary_files" -> binaryFilesSql,
     "src_codec_roundtrip" -> codecRoundtripSql,

@@ -616,6 +616,36 @@ class Round8Spec extends AnyFunSuite {
     assert(got == want, "disorder profile mismatch vs replay")
   }
 
+  test("src_delete_vectors: merged read equals the logical delete replay") {
+    val li = graft.model.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val want = li.filter(_._1 % 13 != 0).groupBy(_._3).map { case (f, rows) =>
+      f -> ((rows.length.toLong,
+        rows.map(r => BigDecimal(r._2)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }
+    val got = graft.sources.Formats.deleteVectors(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty")))).toMap
+    assert(got == want, "merged read != logical delete")
+  }
+
+  test("d_norm_dedup_gain: distinct deltas equal the canonicalization replay") {
+    val docs = graft.model.Tables(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    def canon(t: String) = t.toLowerCase
+      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val row = graft.operators.Dedup.normDedupGain(spark, sf).collect().head
+    assert(row.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(row.getAs[Long]("distinct_raw") == docs.distinct.length.toLong)
+    assert(row.getAs[Long]("distinct_norm") ==
+      docs.map(canon).distinct.length.toLong)
+    assert(row.getAs[Long]("dups_unlocked") ==
+      row.getAs[Long]("distinct_raw") - row.getAs[Long]("distinct_norm"))
+  }
+
   test("st_bloom_dedup: emissions replay the sequential fold; no false negatives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
