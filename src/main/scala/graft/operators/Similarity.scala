@@ -1722,6 +1722,137 @@ object Similarity {
        |FROM rr WHERE rr.rn <= $annK
        |ORDER BY rr.probe_id, rr.rn""".stripMargin
 
+  // ---------------------------------------------------- s_ivf_probe_curve
+  /** IVF nprobe TUNING CURVE — the recall-vs-cost sweep an index
+    * deployment reads before picking nprobe (the d_lsh_tuning
+    * discipline applied to the IVF family: lsh_tuning sizes minhash
+    * bands, quant_eval judges compression, this sizes the probe
+    * budget): for nprobe ∈ {1,2,4,8}, recall@5 of the multiprobe
+    * search against the exact top-5. ONE pass: cells are scored and
+    * ranked per probe ONCE, each config materializes as a filter
+    * rn ≤ np over the same ranked frame (configs ride an explode —
+    * no per-config rescan), candidates score once per (config, probe,
+    * cell member). A candidate appears via exactly ONE cell (IVF
+    * assignment is functional), so no dedup stage. Exact integer
+    * hits/ppm. */
+  val ivfCurveNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  def ivfProbeCurve: Q = (s, dir) => {
+    val asg = ivfAssign(s, dir)
+    val q = quantizedWithNorm(s, dir)
+    val cents = broadcast(q.filter(col("vec_id") < ivfK)
+      .toDF("cid", "qc", "cnb"))
+    val p0 = q.filter(col("vec_id") < 10).toDF("probe_id", "qp", "pnb")
+      .crossJoin(cents)
+      .select(col("probe_id"), col("qp"), col("cid"),
+        dot(col("qp"), col("qc")).as("dp"), col("cnb").as("nb"))
+      .select(col("probe_id"), col("qp"), col("cid"),
+        expr(scoreExpr).as("cs"))
+    val wp = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("cid"))
+    val ranked = p0.withColumn("rn", row_number().over(wp))
+    val confs = broadcast(ranked
+      .withColumn("np",
+        explode(array(ivfCurveNprobes.map(n => lit(n)): _*)))
+      .filter(col("rn") <= col("np"))
+      .select("np", "probe_id", "qp", "cid"))
+    val scored = confs.join(asg.toDF("cand_id", "qc", "nb", "cid"), Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("np"), col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("np"), col("probe_id"), col("cand_id"),
+        expr(scoreExpr).as("score"))
+    val w = Window.partitionBy("np", "probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK).select("np", "probe_id", "cand_id")
+    val exact = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
+    val hits = top.join(exact, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("n_hits"))
+    val totals = exact.agg(count(lit(1)).as("n_exact"))
+    s.createDataFrame(ivfCurveNprobes.map(n => Tuple1(n))).toDF("np")
+      .join(hits, Seq("np"), "left_outer").crossJoin(broadcast(totals))
+      .select(col("np").cast("long").as("nprobe"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 1000000) div n_exact").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
+  val ivfProbeCurveSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    val nps = ivfCurveNprobes.mkString(", ")
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), cents AS (
+       | SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < $ivfK
+       |), asg0 AS (
+       | SELECT v.vec_id, v.qe, c.cid,
+       |  CAST(list_dot_product(v.qe, c.qc) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qc, c.qc) AS BIGINT) AS nb
+       | FROM q v, cents c
+       |), asg AS (
+       | SELECT vec_id, qe, cid FROM (
+       |  SELECT vec_id, qe, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY $score DESC, cid) AS rn
+       |  FROM asg0
+       | ) WHERE rn = 1
+       |), pc AS (
+       | SELECT p.vec_id AS probe_id, p.qe AS qp, c.cid,
+       |  row_number() OVER (PARTITION BY p.vec_id ORDER BY (
+       |   CASE WHEN CAST(list_dot_product(p.qe, c.qc) AS BIGINT) >= 0
+       |    THEN (CAST(list_dot_product(p.qe, c.qc) AS BIGINT) * CAST(list_dot_product(p.qe, c.qc) AS BIGINT) * 1000)
+       |         // CAST(list_dot_product(c.qc, c.qc) AS BIGINT)
+       |    ELSE -((CAST(list_dot_product(p.qe, c.qc) AS BIGINT) * CAST(list_dot_product(p.qe, c.qc) AS BIGINT) * 1000)
+       |         // CAST(list_dot_product(c.qc, c.qc) AS BIGINT))
+       |   END) DESC, c.cid) AS rn
+       | FROM q p, cents c WHERE p.vec_id < 10
+       |), confs AS (
+       | SELECT u.np, pc.probe_id, pc.qp, pc.cid
+       | FROM pc, unnest(ARRAY[$nps]) u(np)
+       | WHERE pc.rn <= u.np
+       |), scored AS (
+       | SELECT co.np, co.probe_id, a.vec_id AS cand_id,
+       |  CAST(list_dot_product(co.qp, a.qe) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS nb
+       | FROM confs co JOIN asg a ON a.cid = co.cid
+       | WHERE a.vec_id <> co.probe_id
+       |), top AS (
+       | SELECT np, probe_id, cand_id FROM (
+       |  SELECT np, probe_id, cand_id, row_number() OVER (
+       |    PARTITION BY np, probe_id ORDER BY $score DESC, cand_id) AS rn
+       |  FROM scored
+       | ) WHERE rn <= $annK
+       |), ex AS (
+       | SELECT probe_id, cand_id FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |   row_number() OVER (PARTITION BY p.vec_id ORDER BY (
+       |    CASE WHEN CAST(list_dot_product(p.qe, c.qe) AS BIGINT) >= 0
+       |     THEN (CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |          // CAST(list_dot_product(c.qe, c.qe) AS BIGINT)
+       |     ELSE -((CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * CAST(list_dot_product(p.qe, c.qe) AS BIGINT) * 1000)
+       |          // CAST(list_dot_product(c.qe, c.qe) AS BIGINT))
+       |    END) DESC, c.vec_id) AS rn
+       |  FROM q p, q c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+       | ) WHERE rn <= $annK
+       |), hits AS (
+       | SELECT t.np, count(*) AS n_hits
+       | FROM top t WHERE EXISTS (SELECT 1 FROM ex e
+       |   WHERE e.probe_id = t.probe_id AND e.cand_id = t.cand_id)
+       | GROUP BY t.np
+       |), tot AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT CAST(u.np AS BIGINT) AS nprobe, tot.n_exact,
+       | CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       | CAST((COALESCE(h.n_hits, 0) * 1000000) // tot.n_exact AS BIGINT)
+       |  AS recall_ppm
+       |FROM unnest(ARRAY[$nps]) u(np)
+       |LEFT JOIN hits h ON h.np = u.np
+       |CROSS JOIN tot
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // -------------------------------------------------------- s_pca_power
   /** Dominant principal direction of the embedding corpus — power
     * iteration v ← G·v on the EXACT integer Gram matrix G = ΣᵥqᵥqᵥᵀV
@@ -1876,6 +2007,7 @@ object Similarity {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s_ndcg_eval" -> ndcgEval,
+    "s_ivf_probe_curve" -> ivfProbeCurve,
     "s_pca_power" -> pcaPower,
     "s_ann_rerank" -> annRerank,
     "s_range_search" -> rangeSearch,
@@ -1900,6 +2032,7 @@ object Similarity {
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_ndcg_eval" -> ndcgEvalSql,
+    "s_ivf_probe_curve" -> ivfProbeCurveSql,
     "s_pca_power" -> pcaPowerSql,
     "s_ann_rerank" -> annRerankSql,
     "s_range_search" -> rangeSearchSql,

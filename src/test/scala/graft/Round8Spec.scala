@@ -646,6 +646,21 @@ class Round8Spec extends AnyFunSuite {
       row.getAs[Long]("distinct_raw") - row.getAs[Long]("distinct_norm"))
   }
 
+  test("s_ivf_probe_curve: recall is monotone in nprobe and exact at nprobe = K") {
+    val rows = graft.operators.Similarity.ivfProbeCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_ppm")))
+    // growing the probe budget can only grow the candidate set
+    rows.zip(rows.tail).foreach { case ((np1, r1), (np2, r2)) =>
+      assert(r1 <= r2, s"recall fell $r1 -> $r2 going nprobe $np1 -> $np2")
+    }
+    // nprobe = ivfK probes EVERY cell — the candidate set is the whole
+    // corpus, so the "approximate" search IS brute force: recall must
+    // be exactly 1.0, not approximately
+    assert(rows.last._1 == 8L && rows.last._2 == 1000000L,
+      s"full-probe recall must be exact: ${rows.last}")
+  }
+
   test("st_bloom_dedup: emissions replay the sequential fold; no false negatives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
