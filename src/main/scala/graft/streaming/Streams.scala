@@ -641,6 +641,66 @@ object Streams {
         OutputMode.Append())
   }
 
+  // --------------------------------------------------------- st_rate_limit
+  /** st_rate_limit: per-user TOKEN-BUCKET admission — the quota
+    * enforcement a streaming ingest front-door runs (API limits, abuse
+    * control, fair-share): each user holds a bucket of capacity
+    * `rlBurst` that refills at ONE token per event-time DAY (sized to
+    * the data: inter-event gaps here are hours-scale, so a per-second
+    * refill never rejects — measured before choosing; event time, not
+    * wall clock, keeps the decision replay-deterministic). An event is
+    * ADMITTED iff a whole token is available. Integer micro-tokens:
+    * refill = Δts_us div 86400 (10⁶ micro per 86400·10⁶ µs), capped;
+    * spend = 10⁶ — no float drift ever. Rows fold in event-id
+    * order within the batch (the st_bloom_dedup discipline), so the
+    * emission stream replays exactly against a sequential in-memory
+    * fold under one-shot OR ordered-split feeding. State per user =
+    * one (micro_tokens, last_ts) pair — bounded keyspace profile. */
+  val rlBurst = 3L           // bucket capacity, whole tokens
+
+  final case class RateState(micro_tokens: Long, last_ts_us: Long)
+  final case class RateDecision(event_id: Long, user_id: Long,
+                                admitted: Boolean)
+
+  class RateLimitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, RateDecision] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[RateState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[RateState]("bucket", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[RateDecision] = {
+      var st = if (state.exists()) state.get()
+               else RateState(rlBurst * 1000000L, Long.MinValue)
+      val out = rows.toArray.sortBy(_.event_id).map { e =>
+        val tsUs = e.ts / 1000
+        val refill =
+          if (st.last_ts_us == Long.MinValue) 0L
+          else math.max(0L, tsUs - st.last_ts_us) / 86400L
+        val avail = math.min(rlBurst * 1000000L, st.micro_tokens + refill)
+        val admit = avail >= 1000000L
+        st = RateState(if (admit) avail - 1000000L else avail, tsUs)
+        RateDecision(e.event_id, key, admit)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def rateLimit(events: Dataset[Event]): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RateLimitProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // -------------------------------------------------------- st_bloom_dedup
   /** st_bloom_dedup: BOUNDED-MEMORY streaming seen-before detection —
     * the scale counterpart to st_stateful_dedup, whose exact state

@@ -718,6 +718,57 @@ class Round8Spec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  test("st_rate_limit: admissions replay the token-bucket fold under any ordered split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect().toSeq
+        .sortBy(_.event_id)
+      // sequential token-bucket fold, integer micro-tokens
+      val st = scala.collection.mutable.Map[Long, (Long, Long)]()
+      val want = events.map { e =>
+        val (tok, last) = st.getOrElse(e.user_id,
+          (3000000L, Long.MinValue))
+        val tsUs = e.ts / 1000
+        val refill = if (last == Long.MinValue) 0L
+                     else math.max(0L, tsUs - last) / 86400L
+        val avail = math.min(3000000L, tok + refill)
+        val admit = avail >= 1000000L
+        st(e.user_id) = (if (admit) avail - 1000000L else avail, tsUs)
+        e.event_id -> admit
+      }.toMap
+      // sanity: the limiter actually bites on this data (both classes)
+      assert(want.values.exists(identity) && want.values.exists(!_),
+        "rate limiter never rejected (or never admitted) — vacuous data")
+      def run(name: String,
+          batches: Seq[Seq[graft.streaming.Streams.Event]]): Map[Long, Boolean] = {
+        val mem = MemoryStream[graft.streaming.Streams.Event]
+        val q = graft.streaming.Streams.rateLimit(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+            .map(r => r.getAs[Long]("event_id") ->
+              r.getAs[Boolean]("admitted")).toMap
+        } finally q.stop()
+      }
+      assert(run("rl_one", Seq(events)) == want,
+        "one-shot stream != token-bucket replay")
+      assert(run("rl_split",
+        events.grouped(math.max(1, events.size / 6)).toSeq) == want,
+        "ordered split != token-bucket replay")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("st_hll: streaming registers == batch twin under any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
