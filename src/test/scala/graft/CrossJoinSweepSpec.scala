@@ -32,6 +32,9 @@ class CrossJoinSweepSpec extends AnyFunSuite {
                          // assign shape, linear in probes); the candidate
                          // scan itself is a cid-keyed equi-join. annIvf runs
                          // the same ranking behind ivfAssign's cache leaf.
+    "s_ivf_probe_curve", // the same probe×centroid ranking cross as
+                         // s_ivf_multiprobe, swept once across the nprobe
+                         // configs; candidate scans stay cid-keyed equi-joins.
     "d_kmeans_eval"      // Lloyd assignment = O(n·k) crossJoin against the
                          // k=8 BROADCAST CENTROID CONSTANTS — the IVF/k-means
                          // map-side shape, linear in the corpus. The same
