@@ -220,6 +220,91 @@ object Analytics {
         s"(CASE WHEN ${seedSql(p)} THEN ${(15L * prScale) / 100L} ELSE 0 END)")
   }
 
+  // ---------------------------------------------------- g_pr_convergence
+  /** PageRank CONVERGENCE CURVE — the tuning table behind the fixed
+    * `prIters = 5` contract (the iteration-count analogue of
+    * d_lsh_tuning / s_ivf_probe_curve: every fixed-round op should
+    * publish the table that justifies its rounds): per round, the L1
+    * delta mass Σ|r_i − r_{i−1}| and the total mass Σ r_i, in the
+    * SAME exact fixed-point integers as g_pagerank (identical init,
+    * damping, floor-div contribution, shared eod cache plan). A
+    * monotone-shrinking delta is the convergence evidence; where the
+    * curve flattens is where more rounds stop buying rank movement.
+    * Each round's vector is lazily checkpointed (read twice: next
+    * round + its delta row — the LPA discipline); rounds' 1-row
+    * aggregates union into the 5-row output. */
+  def prConvergence: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val nodes = graph.nodes.select("label", "key")
+    val e = graph.edges.select(col("src_label"), col("src_key"),
+      col("dst_label").as("label"), col("dst_key").as("key"))
+    val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
+    val eod = e.join(od, Seq("src_label", "src_key")).cache() // shared entry
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var r = nodes.withColumn("r", lit(prScale / n))
+      val base = lit((15L * prScale) / (100L * n))
+      val rounds = (1 to prIters).map { i =>
+        val contrib = eod
+          .join(gated(r.select(col("label").as("src_label"),
+            col("key").as("src_key"), col("r")), n), Seq("src_label", "src_key"))
+          .select(col("label"), col("key"),
+            expr("(85 * r) div (100 * outdeg)").as("c"))
+          .groupBy("label", "key").agg(sum("c").as("s"))
+        val next = nodes.join(gated(contrib, n), Seq("label", "key"), "left_outer")
+          .select(col("label"), col("key"),
+            (base + coalesce(col("s"), lit(0L))).as("r"))
+          .localCheckpoint(eager = false) // read 2×: next round + delta
+        interim += next
+        val delta = next.toDF("label", "key", "rn")
+          .join(gated(r.toDF("label", "key", "rp"), n), Seq("label", "key"))
+          .agg(sum(abs(col("rn") - col("rp"))).as("delta_mass"),
+            sum(col("rn")).as("total_mass"))
+          .select(lit(i.toLong).as("iter"), col("delta_mass"),
+            col("total_mass"))
+        r = next
+        delta
+      }
+      rounds.reduce(_ unionByName _).orderBy("iter")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val prConvergenceSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", od AS (
+             | SELECT src_label AS label, src_key AS key, count(*) AS outdeg
+             | FROM edges GROUP BY 1, 2
+             |), nn AS (SELECT count(*) AS n FROM nodes)
+             |, r0 AS (
+             | SELECT label, key, $prScale // (SELECT n FROM nn) AS r FROM nodes
+             |)""".stripMargin
+    for (i <- 1 to prIters) {
+      b ++= s""", c$i AS (
+               | SELECT e.dst_label AS label, e.dst_key AS key,
+               |  sum((85 * r${i - 1}.r) // (100 * od.outdeg)) AS s
+               | FROM edges e
+               | JOIN r${i - 1} ON r${i - 1}.label = e.src_label AND r${i - 1}.key = e.src_key
+               | JOIN od ON od.label = e.src_label AND od.key = e.src_key
+               | GROUP BY 1, 2
+               |), r$i AS (
+               | SELECT nd.label, nd.key,
+               |  CAST((${15L * prScale} // (100 * (SELECT n FROM nn)))
+               |   + COALESCE(c$i.s, 0) AS BIGINT) AS r
+               | FROM nodes nd LEFT JOIN c$i ON c$i.label = nd.label AND c$i.key = nd.key
+               |)""".stripMargin
+    }
+    b ++= "\n" + (1 to prIters).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter,
+         | CAST(sum(abs(a.r - b.r)) AS BIGINT) AS delta_mass,
+         | CAST(sum(a.r) AS BIGINT) AS total_mass
+         |FROM r$i a JOIN r${i - 1} b ON b.label = a.label AND b.key = a.key""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    b ++= "\nORDER BY iter"
+    b.toString
+  }
+
   // --------------------------------------------- g_connected_components
   /** Connected components by min-id propagation over the undirected
     * edge set, 10 fixed iterations. Numeric node id =
@@ -3934,6 +4019,7 @@ object Analytics {
     "g_hits" -> hits,
     "g_eigencentrality" -> eigencentrality,
     "g_salsa" -> salsa,
+    "g_pr_convergence" -> prConvergence,
     "g_closeness" -> closeness,
     "g_link_predict" -> linkPredict,
     "g_kcore" -> kcore,
@@ -3976,6 +4062,7 @@ object Analytics {
     "g_hits" -> hitsSql,
     "g_eigencentrality" -> eigencentralitySql,
     "g_salsa" -> salsaSql,
+    "g_pr_convergence" -> prConvergenceSql,
     "g_closeness" -> closenessSql,
     "g_link_predict" -> linkPredictSql,
     "g_kcore" -> kcoreSql,

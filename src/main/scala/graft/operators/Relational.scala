@@ -2358,8 +2358,62 @@ object Relational {
       | CAST(sum(n_late) AS BIGINT) AS n_late_events
       |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------- q_window_pct
+  /** Relative-standing window functions — PERCENT_RANK and CUME_DIST
+    * per customer segment over order totals (the "what percentile is
+    * this order" primitive scorecards and SLA reports run). Both are
+    * exact rationals of window-exact integers ((rank−1)/(n−1),
+    * rows≤x/n) — computed here as ONE rounded division each, identical
+    * text both engines (the builtin implementations agree because the
+    * inputs are exact; the rounding is belt-and-braces against ULP
+    * folklore). Top-3 per segment by percentile keeps the output
+    * bounded; one segment-keyed window exchange serves rank, count and
+    * cume. */
+  def qWindowPct: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("tp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("o_orderstatus")
+          .orderBy(col("tp"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("o_orderstatus")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round((col("rk") - 1).cast("double") /
+          (col("n") - 1).cast("double"), 6).as("pct_rank"),
+        round(col("rk").cast("double") / col("n").cast("double"), 6)
+          .as("cume_dist_ub"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderstatus")
+          .orderBy(col("pct_rank").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select("o_orderkey", "o_orderstatus", "pct_rank", "cume_dist_ub")
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val qWindowPctSql: String =
+    """WITH r AS (
+      | SELECT o_orderkey, o_orderstatus,
+      |  row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS rk,
+      |  count(*) OVER (PARTITION BY o_orderstatus) AS n
+      | FROM orders
+      |), p AS (
+      | SELECT o_orderkey, o_orderstatus,
+      |  round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pct_rank,
+      |  round(CAST(rk AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cume_dist_ub,
+      |  row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+      |      DESC, o_orderkey) AS rn
+      | FROM r
+      |)
+      |SELECT o_orderkey, o_orderstatus, pct_rank, cume_dist_ub
+      |FROM p WHERE rn <= 3
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_window_pct" -> qWindowPct,
     "q_k_anonymity" -> qKAnonymity,
     "q_disorder_profile" -> qDisorderProfile,
     "q_path_analysis" -> qPathAnalysis,
@@ -2418,6 +2472,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_pct" -> qWindowPctSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_disorder_profile" -> qDisorderProfileSql,
     "q_path_analysis" -> qPathAnalysisSql,

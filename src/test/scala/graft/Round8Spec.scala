@@ -718,6 +718,45 @@ class Round8Spec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  test("g_pr_convergence: delta shrinks monotonically and iter-5 mass equals g_pagerank") {
+    val rows = graft.operators.Analytics.prConvergence(spark, sf).collect()
+      .sortBy(_.getAs[Long]("iter"))
+      .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("delta_mass"),
+        r.getAs[Long]("total_mass")))
+    rows.zip(rows.tail).foreach { case ((i1, d1, _), (i2, d2, _)) =>
+      assert(d2 <= d1, s"delta mass grew $d1 -> $d2 at iter $i1 -> $i2")
+    }
+    // the curve's final round IS g_pagerank's published vector
+    val prMass = graft.operators.Analytics.pagerank(spark, sf).collect()
+      .map(_.getAs[Long]("r")).sum
+    assert(rows.last._3 == prMass,
+      s"iter-${rows.last._1} mass ${rows.last._3} != g_pagerank Σr $prMass")
+  }
+
+  test("q_window_pct: percentiles equal the per-segment rank replay") {
+    val os = graft.model.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = os.groupBy(_._2).toSeq.flatMap { case (st, rows) =>
+      val ranked = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      val n = ranked.length
+      ranked.map { case ((k, _, _), i) =>
+        (st, k) -> ((r6(i.toDouble / (n - 1)), r6((i + 1).toDouble / n)))
+      }.toSeq
+    }.toMap
+    val got = graft.operators.Relational.qWindowPct(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("o_orderkey")) ->
+        ((r.getAs[Double]("pct_rank"), r.getAs[Double]("cume_dist_ub"))))
+    assert(got.nonEmpty)
+    got.foreach { case (key, v) =>
+      assert(want(key) == v, s"window pct mismatch for $key")
+    }
+  }
+
   test("st_rate_limit: admissions replay the token-bucket fold under any ordered split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
