@@ -583,7 +583,12 @@ object Analytics {
     * contract depends on the label loop reaching the true fixpoint,
     * not the iteration cap — enforce it loudly. */
   private[graft] def ccIncBase(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ccIncBaseCache.getOrElseUpdate((s, dir), {
+    // SessionMemo, not raw TrieMap.getOrElseUpdate: the raw form can
+    // run the thunk twice under concurrent first calls, and the losing
+    // build's eagerly-checkpointed und/baseL blocks would never be
+    // freed (SessionMemo serializes first construction and evicts
+    // stopped sessions' entries)
+    graft.model.SessionMemo.getOrBuild(ccIncBaseCache, (s, dir))({
       val (nodes, undW) = numericGraph(s, dir)
       val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
       try {
@@ -1494,36 +1499,35 @@ object Analytics {
     val n = nodes.count()
     val outd = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val ind = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
-    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    try {
-      var h = nodes.select(col("id")).withColumn("h", lit(hitsScale))
-      var a = nodes.select(col("id")).withColumn("a", lit(0L))
-      for (_ <- 1 to salsaIters) {
-        val aAgg = e
-          .join(gated(h.toDF("src", "h"), n), Seq("src"))
-          .join(gated(outd.toDF("src", "outdeg"), n), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(sum(expr("h div outdeg")).as("a"))
-          .localCheckpoint(eager = false)
-        interim += aAgg
-        a = aAgg
-        val hAgg = e
-          .join(gated(a.toDF("dst", "a"), n), Seq("dst"))
-          .join(gated(ind.toDF("dst", "indeg"), n), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(sum(expr("a div indeg")).as("h"))
-          .localCheckpoint(eager = false)
-        interim += hAgg
-        h = hAgg
-      }
-      nodes.join(gated(a, n), Seq("id"), "left_outer")
-        .join(gated(h, n), Seq("id"), "left_outer")
-        .select(col("label"), col("key"),
-          coalesce(col("a"), lit(0L)).as("a"),
-          coalesce(col("h"), lit(0L)).as("h"))
-        .orderBy("label", "key")
-        .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+    // PURE LINEAGE, no per-half-round checkpoints (the pr_convergence
+    // lesson, commit c519b99, applied as the r8 verdict suggested):
+    // each half-round vector is consumed exactly once by the next
+    // half-round, so the whole 2×salsaIters broadcast chain pipelines
+    // in one pass exactly like prFamily's 5 iterations. The one frame
+    // read twice — the final a, by the last h half-round AND the
+    // result join — canonicalizes to the SAME broadcast-exchange plan,
+    // which ReuseExchange unifies (as it does outd/ind across rounds).
+    // Measured at sf0.1: 5.0-6.0 s checkpointed → 0.43 s pure-lineage.
+    var h = nodes.select(col("id")).withColumn("h", lit(hitsScale))
+    var a = nodes.select(col("id")).withColumn("a", lit(0L))
+    for (_ <- 1 to salsaIters) {
+      a = e
+        .join(gated(h.toDF("src", "h"), n), Seq("src"))
+        .join(gated(outd.toDF("src", "outdeg"), n), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("h div outdeg")).as("a"))
+      h = e
+        .join(gated(a.toDF("dst", "a"), n), Seq("dst"))
+        .join(gated(ind.toDF("dst", "indeg"), n), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(expr("a div indeg")).as("h"))
+    }
+    nodes.join(gated(a, n), Seq("id"), "left_outer")
+      .join(gated(h, n), Seq("id"), "left_outer")
+      .select(col("label"), col("key"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("h"), lit(0L)).as("h"))
+      .orderBy("label", "key")
   }
 
   val salsaSql: String = {

@@ -210,6 +210,13 @@ object GraphXAnalytics {
       .flatMap(r => Seq(GXEdge(r.getLong(0), r.getLong(1), 1),
         GXEdge(r.getLong(1), r.getLong(0), 1)))
     var g = GXGraph(vertices, gxEdges)
+    // each round's msgs RDD is cached for the max + join reads, then
+    // unpersisted after the NEXT round's aggregateMessages has
+    // materialized past it (freeing it immediately after
+    // outerJoinVertices would yank blocks the lazy joined vertices
+    // still reference) — without this the loop leaked one cached RDD
+    // per round for the session lifetime
+    var prevMsgs: org.apache.spark.rdd.RDD[(Long, Long)] = null
     for (_ <- 1 to Analytics.eigenIters) {
       val msgs = g.aggregateMessages[Long](
         ctx => ctx.sendToDst(ctx.srcAttr), _ + _).cache()
@@ -218,7 +225,15 @@ object GraphXAnalytics {
       g = g.outerJoinVertices(msgs) {
         (_, _, m) => m.map(_ / divisor).getOrElse(0L)
       }
+      if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
+      prevMsgs = msgs
     }
+    // materialize the final vertices into GraphX's own cache (cheap
+    // n-row count), then free the last round's msgs as well — cache()
+    // unpersist keeps lineage, so even an eviction later recomputes
+    // instead of failing
+    g.vertices.count()
+    if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
     val xs = g.vertices.toDF("id", "x")
     nodes.join(xs, Seq("id"))
       .select("label", "key", "x").orderBy("label", "key")

@@ -866,8 +866,14 @@ object Multimodal {
           expr("substr(text, 132)")).as("text"))
     val vids = base.unionByName(dups)
     val nf = expr(s"CAST((length(text) + ${vdFrameBytes - 1}) div $vdFrameBytes AS INT)")
+    // nf = 0 (empty payload) must emit NO frames: Spark's sequence(1, 0)
+    // is the DESCENDING array [1, 0] — unguarded it minted an md5('')
+    // signature that DuckDB's range(1, 1) does not, so two empty docs
+    // would cross-engine-diverge as a fake jaccard_ppm=1000000 pair
+    val frameIdx = when(nf >= 1, sequence(lit(1), nf))
+      .otherwise(array().cast("array<int>"))
     val sigs = vids
-      .select(col("doc_id"), col("text"), explode(sequence(lit(1), nf)).as("i"))
+      .select(col("doc_id"), col("text"), explode(frameIdx).as("i"))
       .select(col("doc_id"),
         graft.functions.VectorExprs.hexSlice(
           md5(expr(s"substr(text, (i - 1) * $vdFrameBytes + 1, $vdFrameBytes)")),
@@ -879,9 +885,14 @@ object Multimodal {
       .join(sigs.toDF("b", "sg"), Seq("sg"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    // NO broadcast hint on perDoc (r8 verdict #1): it is one row per
+    // video — corpus-sized, the one frame in this op that is NOT
+    // bounded by construction. Both joins are equi-joins on a/b, so
+    // AQE broadcasts from OBSERVED size when small and falls back to
+    // shuffle at scale instead of forcing an unbounded driver build
     shared
-      .join(broadcast(perDoc.toDF("a", "na")), Seq("a"))
-      .join(broadcast(perDoc.toDF("b", "nb")), Seq("b"))
+      .join(perDoc.toDF("a", "na"), Seq("a"))
+      .join(perDoc.toDF("b", "nb"), Seq("b"))
       .select(col("a"), col("b"), col("n_shared"),
         (col("na") + col("nb") - col("n_shared")).as("n_union"))
       .withColumn("jaccard_ppm", expr("(n_shared * 1000000) div n_union"))

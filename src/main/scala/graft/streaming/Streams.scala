@@ -458,14 +458,27 @@ object Streams {
     // committed" as a no-op — safe because a batch id's content is
     // deterministic (byte-identical replay). On an object store this
     // publish becomes a conditional PUT (if-none-match), same protocol.
-    val tmp = java.nio.file.Paths.get(s"$outDir/.manifest-$batchId.tmp")
+    // the tmp name is UNIQUE PER ATTEMPT (UUID suffix): with a shared
+    // tmp path, one racer's CREATE+TRUNCATE could tear the bytes
+    // another racer was about to link (publishing a torn manifest),
+    // and the winner's finally-delete could yank a racer's tmp out
+    // from under its createLink. With unique tmps each attempt links
+    // its own complete file; exactly one link wins, the rest observe
+    // EEXIST. Any other FileSystemException is treated as "already
+    // committed" ONLY if the manifest verifiably exists — batch content
+    // is deterministic so that case is a safe no-op; otherwise the
+    // publish truly failed and the batch must fail (rethrown) so the
+    // stream retries instead of silently committing its offsets.
+    val tmp = java.nio.file.Paths.get(
+      s"$outDir/.manifest-$batchId.${java.util.UUID.randomUUID()}.tmp")
     java.nio.file.Files.write(tmp,
       (base ++ fresh).mkString("\n").getBytes("UTF-8"))
-    try
-      java.nio.file.Files.createLink(
-        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"), tmp)
+    val target = java.nio.file.Paths.get(s"$outDir/manifest-$batchId")
+    try java.nio.file.Files.createLink(target, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException => ()
+      case e: java.nio.file.FileSystemException =>
+        if (!java.nio.file.Files.exists(target)) throw e
     } finally
       java.nio.file.Files.deleteIfExists(tmp): Unit
   }
