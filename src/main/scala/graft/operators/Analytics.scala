@@ -4048,7 +4048,235 @@ object Analytics {
        |FROM edges
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------- g_scc
+  /** DIRECTED STRONGLY CONNECTED COMPONENTS — trim + forward/backward
+    * min-label intersection (the FW-BW family: Fleischer–Hendrickson–
+    * Pinar 2000; trimming per Slota–Rajamanickam–Madduri's Multistep).
+    * The reference's traversal surface is directed (getEgressEdges /
+    * getIngressEdges — neo4j/Neo4jGraph.scala:334-404), so directed
+    * reachability structure is in-domain; the base property graph is a
+    * label-DAG (every edge type steps strictly "down" the label order),
+    * so the graph is augmented with a deterministic CYCLIC co-purchase
+    * projection: for every order with o_orderkey % sccRingMod = 0, its
+    * distinct parts sorted by partkey form a directed RING (p₁→p₂→…→
+    * pₖ→p₁). Overlapping rings (orders sharing a part) merge into
+    * non-trivial SCCs — at sf0.1 this yields 134 multi-node components
+    * (giant 1 837) over ~5.9 k ring edges, and every base-graph node is
+    * a singleton, which the algorithm must PROVE, not assume.
+    *
+    * Algorithm, both engines value-identically:
+    * 1. TRIM to fixpoint (≤ sccTrimRounds, stability asserted): keep
+    *    edges whose endpoints each have ≥1 in- AND ≥1 out-edge among
+    *    survivors. Sound — a trimmed node is on no cycle, hence a
+    *    singleton SCC. This strips the entire label-DAG (measured: 4
+    *    rounds), leaving only the ring-union subgraph, so the label
+    *    fixpoint below runs on the tiny cyclic core, not the graph.
+    * 2. f(v) = min id that REACHES v, b(v) = min id v reaches — two
+    *    min-label fixpoints over the surviving edges, run FUSED in one
+    *    GraphX Pregel (GraphXAnalytics.sccCoreLabels — the
+    *    deep-diameter execution path: the core's directed diameter is
+    *    ~23 at sf0.1, and per-superstep cost is milliseconds vs a full
+    *    plan/broadcast/checkpoint trip per DataFrame round). Run to
+    *    convergence ≤ sccLabelCap; the fixpoint is then VERIFIED by an
+    *    aggregateMessages pass asserting no improving message remains
+    *    (the ccLabels loud-abort contract).
+    * 3. SETTLE: f(v) = b(v) = m ⟹ m ⇄ v, so scc(v) = f(v); members of
+    *    one SCC share ancestor and descendant sets, so the id is
+    *    consistent. On a trim-complete graph whose surviving
+    *    components are unions of overlapping cycles, EVERY survivor
+    *    settles in one pass — asserted (f ≠ b would mean an untrimmed
+    *    non-cycle node; the loud-abort exactness contract).
+    * Trimmed / edge-free nodes report scc = own id. The oracle unrolls
+    * trim×sccTrimRounds and labels×sccLabelCap; post-fixpoint stages
+    * are provably identity, so fixed unrolling is exact (the CC
+    * early-exit argument). 100 TB: trim is the scale valve — each
+    * round is one semi-join pair keyed like the CC loop, the cyclic
+    * core after trimming is the only iterated frame, and every
+    * broadcast rides `gated`. */
+  val sccRingMod = 25L
+  val sccTrimRounds = 8
+  val sccLabelCap = 64      // Pregel supersteps are cheap; fixpoint is VERIFIED after
+  val sccOracleRounds = 32  // unrolled SQL stages (fixpoint is 16 at sf0.01 — 2x margin)
+
+  def scc: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val n = nodes.count()
+    val graph = g(s, dir)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val hp = graph.edges
+        .filter(col("elabel") === "HAS_PART" &&
+          col("src_key") % sccRingMod === 0)
+        .select(col("src_key").as("o"), col("dst_key").as("p"))
+      val w = Window.partitionBy("o").orderBy("p")
+      // distinct: the same consecutive part pair can occur in many
+      // orders; min-propagation and trim are set-semantics, so dropping
+      // duplicates here only shrinks the iterated core (the oracle
+      // keeps the duplicated form — values are provably identical).
+      // Checkpointed: read 3x per trim round, and recomputing would
+      // re-run the per-order window; the BIG union below deliberately
+      // stays lineage (directedNum is already cached — checkpointing
+      // the 1.2M-row union would only add a second copy's write)
+      val ringE = hp
+        .withColumn("np", lead("p", 1).over(w))
+        .withColumn("fp", first("p").over(w))
+        .select(nodeIdCol(lit("part"), col("p")).as("a"),
+          nodeIdCol(lit("part"), coalesce(col("np"), col("fp"))).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      interim += ringE
+      val e0 = directedNum(s, dir).unionByName(ringE)
+      // COUNTER-PEELED trim (the g_coloring decrement discipline):
+      // materializing a shrinking edge copy per synchronous round cost
+      // 6.9 s at sf0.1 (three full scans + a 1.2M-row checkpoint write
+      // per early round). Peeling keeps e0 fixed (cached + tiny ring
+      // checkpoint) and carries per-node (din, dout): a node dies when
+      // either hits 0, and each death decrements only its neighbors —
+      // work ∝ dead-incident edges, Σ over rounds = |E|. Peeling and
+      // synchronous trim converge to the SAME unique maximal
+      // both-degrees≥1 subgraph, so the unrolled oracle keeps the
+      // synchronous form (post-fixpoint stages are identity).
+      // ONE tagged pass for both degree tables (two separate groupBys
+      // cost a second full-edge stage)
+      var alive = e0
+        .select(col("b").as("id"), lit(1L).as("i"), lit(0L).as("o"))
+        .unionByName(e0.select(col("a").as("id"), lit(0L).as("i"),
+          lit(1L).as("o")))
+        .groupBy("id").agg(sum("i").as("din"), sum("o").as("dout"))
+        .localCheckpoint(eager = true)
+      interim += alive
+      var dead = alive.filter(col("din") === 0 || col("dout") === 0)
+        .select("id")
+        .localCheckpoint(eager = true)
+      interim += dead
+      var deadRows = dead.count()
+      // death-propagation frame: a row (src, dst, tag) means "src's
+      // death decrements dst's din (tag=i: src→dst edge) or dout
+      // (tag=o: dst→src edge)" — ONE pass + ONE dead broadcast per
+      // round instead of two of each; lazy (one reference per round
+      // over the cached base + tiny ring checkpoint)
+      val er0 = e0.select(col("a").as("src"), col("b").as("dst"),
+          lit(1L).as("ti"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst"),
+          lit(0L).as("ti")))
+      var t = 0
+      while (t < sccTrimRounds && deadRows > 0) {
+        t += 1
+        val dec = er0.join(gated(dead.toDF("src"), n), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("ti")).as("ci"), sum(lit(1L) - col("ti")).as("co"))
+        // ONE update join: retire flag + both decrements ride a single
+        // broadcast; a dying node CAN also receive decrements this
+        // round, so the arms fold by aggregation before the join
+        val upd = dead.select(col("id"), lit(1L).as("dd"), lit(0L).as("ci"),
+            lit(0L).as("co"))
+          .unionByName(dec.select(col("id"), lit(0L).as("dd"), col("ci"),
+            col("co")))
+          .groupBy("id").agg(max("dd").as("dd"), sum("ci").as("ci"),
+            sum("co").as("co"))
+        val alive2 = alive
+          .join(gated(upd, n), Seq("id"), "left_outer")
+          .filter(coalesce(col("dd"), lit(0L)) === 0L)
+          .select(col("id"),
+            (col("din") - coalesce(col("ci"), lit(0L))).as("din"),
+            (col("dout") - coalesce(col("co"), lit(0L))).as("dout"))
+          .localCheckpoint(eager = false) // materializes under dead's job
+        interim += alive2
+        dead = alive2.filter(col("din") <= 0 || col("dout") <= 0)
+          .select("id")
+          .localCheckpoint(eager = true)
+        interim += dead
+        deadRows = dead.count()
+        alive = alive2
+      }
+      if (deadRows > 0) throw new IllegalStateException(
+        s"g_scc: trim not stable after $sccTrimRounds rounds — cap too " +
+          "low for this graph; singleton soundness unproven")
+      val e = e0
+        .join(gated(alive.select(col("id").as("a")), n), Seq("a"), "left_semi")
+        .join(gated(alive.select(col("id").as("b")), n), Seq("b"), "left_semi")
+        .localCheckpoint(eager = true)
+      interim += e
+      // deep-diameter fixpoint on the tiny trimmed core → the Pregel
+      // path (GraphXAnalytics.sccCoreLabels): a DataFrame round here
+      // costs a plan/broadcast/checkpoint trip (23+ rounds made the op
+      // 10x its peers; a pointer-jumped variant degraded superlinearly
+      // — measured, see sccCoreLabels doc), a Pregel superstep costs
+      // milliseconds and the fixpoint is verified post-hoc
+      val lab = GraphXAnalytics.sccCoreLabels(s, e, sccLabelCap)
+      interim += lab
+      val unsettled = lab.filter(col("f") =!= col("bk")).count()
+      if (unsettled > 0) throw new IllegalStateException(
+        s"g_scc: $unsettled survivors have f != b — surviving subgraph " +
+          "is not a union of cycles; FW-BW recursion step not implemented")
+      nodes.join(gated(lab.select(col("id"), col("f")), n),
+          Seq("id"), "left_outer")
+        .select(col("label"), col("key"),
+          coalesce(col("f"), col("id")).as("scc"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val sccSql: String = {
+    val partCode = labelCodes.toMap.apply("part")
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), hp AS (
+             | SELECT src_key AS o, dst_key AS p FROM edges
+             | WHERE elabel = 'HAS_PART' AND src_key % $sccRingMod = 0
+             |), ringp AS (
+             | SELECT p,
+             |  lead(p) OVER (PARTITION BY o ORDER BY p) AS np,
+             |  first_value(p) OVER (PARTITION BY o ORDER BY p) AS fp
+             | FROM hp
+             |), e0 AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             | UNION ALL
+             | SELECT $partCode * 10000000000000 + p,
+             |  $partCode * 10000000000000 + COALESCE(np, fp)
+             | FROM ringp WHERE p <> COALESCE(np, fp)
+             |)""".stripMargin
+    // MATERIALIZED: DuckDB inlines CTEs by default, and every stage
+    // references its predecessor 3x — inlining would grow the
+    // expression tree 3^stages
+    for (t <- 1 to sccTrimRounds) {
+      b ++= s""", s$t AS MATERIALIZED (
+               | SELECT a AS id FROM e${t - 1} INTERSECT SELECT b FROM e${t - 1}
+               |), e$t AS MATERIALIZED (
+               | SELECT e.a, e.b FROM e${t - 1} e
+               | JOIN s$t sa ON sa.id = e.a JOIN s$t sb ON sb.id = e.b
+               |)""".stripMargin
+    }
+    val eT = s"e$sccTrimRounds"
+    b ++= s""", l0 AS MATERIALIZED (
+             | SELECT id, id AS f, id AS bk
+             | FROM (SELECT a AS id FROM $eT INTERSECT SELECT b FROM $eT)
+             |)""".stripMargin
+    for (i <- 1 to sccOracleRounds) {
+      b ++= s""", l$i AS MATERIALIZED (
+               | SELECT l.id,
+               |  least(l.f, COALESCE(pf.m, l.f)) AS f,
+               |  least(l.bk, COALESCE(pb.m, l.bk)) AS bk
+               | FROM l${i - 1} l
+               | LEFT JOIN (SELECT e.b AS id, min(x.f) AS m FROM $eT e
+               |   JOIN l${i - 1} x ON x.id = e.a GROUP BY e.b) pf ON pf.id = l.id
+               | LEFT JOIN (SELECT e.a AS id, min(x.bk) AS m FROM $eT e
+               |   JOIN l${i - 1} x ON x.id = e.b GROUP BY e.a) pb ON pb.id = l.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key,
+             | CAST(COALESCE(l$sccOracleRounds.f, ids.id) AS BIGINT) AS scc
+             |FROM ids LEFT JOIN l$sccOracleRounds ON l$sccOracleRounds.id = ids.id
+             |ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "g_scc" -> scc,
     "g_ktruss" -> ktruss,
     "g_local_bridges" -> localBridges,
     "g_edge_type_stats" -> edgeTypeStats,
@@ -4092,6 +4320,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_scc" -> sccSql,
     "g_ktruss" -> ktrussSql,
     "g_local_bridges" -> localBridgesSql,
     "g_edge_type_stats" -> edgeTypeStatsSql,

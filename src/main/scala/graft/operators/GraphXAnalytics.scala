@@ -24,6 +24,68 @@ import graft.model.PropertyGraph
   */
 object GraphXAnalytics {
 
+  /** FW/BW min-label fixpoint for g_scc's trimmed cyclic core — the
+    * DEEP-DIAMETER case this module exists for (module doc above): the
+    * core's directed diameter is ~23 at sf0.1 and grows with chain
+    * length, and a DataFrame round costs a full plan/broadcast/
+    * checkpoint trip (~0.3-0.9 s each; worse, the pointer-jumped
+    * variant's self-join rounds degraded superlinearly), while a
+    * Pregel superstep on the partition-resident vertex state costs
+    * milliseconds and is SEMI-NAIVE for free (only improved labels
+    * send). Vertex attr = (f, b): f = min id that reaches v (ships
+    * src→dst), b = min id v reaches (ships dst→src), merged
+    * component-wise — one superstep carries both fixpoints. Runs to
+    * convergence (≤ cap); the caller gets a VERIFIED fixpoint: one
+    * post-Pregel aggregateMessages asserts no improving message
+    * remains (the ccLabels loud-abort contract, stronger than a round
+    * cap — it checks the fixpoint itself). Returns an eagerly
+    * local-checkpointed (id, f, bk) frame (caller frees it); all
+    * Pregel-side caches are unpersisted here after materialization. */
+  def sccCoreLabels(s: SparkSession, core: DataFrame, cap: Int): DataFrame = {
+    import s.implicits._
+    // partition count SCALED TO THE CORE, not the session default: a
+    // superstep schedules a task wave per partition, and 24+ rounds x
+    // 32 near-empty partitions cost ~1 s/round in pure scheduling
+    // (measured 23 s for the whole fixpoint at sf0.1's 23 k-edge core;
+    // ~1 partition per 250 k edges keeps waves dense at any scale)
+    val coreRows = core.count()
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, coreRows / 250000L)).toInt
+    val verts = core.select(col("a").as("id"))
+      .union(core.select(col("b").as("id"))).distinct()
+      .coalesce(parts)
+      .rdd.map(r => (r.getLong(0), (r.getLong(0), r.getLong(0))))
+    val es = core.coalesce(parts)
+      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+    val g0 = GXGraph(verts, es)
+    val res = g0.pregel((Long.MaxValue, Long.MaxValue), maxIterations = cap)(
+      (_, attr, msg) =>
+        (math.min(attr._1, msg._1), math.min(attr._2, msg._2)),
+      t => {
+        val fw = if (t.srcAttr._1 < t.dstAttr._1)
+          Iterator((t.dstId, (t.srcAttr._1, Long.MaxValue)))
+        else Iterator.empty
+        val bw = if (t.dstAttr._2 < t.srcAttr._2)
+          Iterator((t.srcId, (Long.MaxValue, t.dstAttr._2)))
+        else Iterator.empty
+        fw ++ bw
+      },
+      (m1, m2) => (math.min(m1._1, m2._1), math.min(m1._2, m2._2)))
+    val improving = res.aggregateMessages[Int](ctx => {
+      if (ctx.srcAttr._1 < ctx.dstAttr._1 || ctx.dstAttr._2 < ctx.srcAttr._2)
+        ctx.sendToDst(1)
+    }, _ + _).count()
+    if (improving > 0) throw new IllegalStateException(
+      s"g_scc: $improving vertices still improvable after $cap Pregel " +
+        "rounds — convergence cap too low; exactness contract broken")
+    val out = res.vertices
+      .map { case (id, (f, bk)) => (id, f, bk) }.toDF("id", "f", "bk")
+      .localCheckpoint(eager = true)
+    res.unpersist(blocking = false)
+    g0.unpersist(blocking = false)
+    out
+  }
+
   /** Connected components via GraphX's Pregel implementation, run to
     * convergence over the undirected edge set. */
   def connectedComponentsGraphX(s: SparkSession, dir: String): DataFrame = {
