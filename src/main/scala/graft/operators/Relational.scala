@@ -2368,7 +2368,15 @@ object Relational {
     * inputs are exact; the rounding is belt-and-braces against ULP
     * folklore). Top-3 per segment by percentile keeps the output
     * bounded; one segment-keyed window exchange serves rank, count and
-    * cume. */
+    * cume.
+    *
+    * SCALE CAVEAT (the q_ntile total-order note, partition edition):
+    * o_orderstatus has 3 distinct values, so both window passes sort
+    * n/3 rows inside 3 tasks — exact per-row standing over a
+    * low-cardinality partition key is a verification-scale contract.
+    * At 100 TB relative standing rides `q_window_pct_scaled` below:
+    * sampled rank-selected cutoffs + map-side band assignment, no
+    * per-segment total sort ever exists. */
   def qWindowPct: Q = (s, dir) => {
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -2411,9 +2419,89 @@ object Relational {
       |FROM p WHERE rn <= 3
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------- q_window_pct_scaled
+  /** Relative standing AT SCALE — the t_ccnet_bucket_scaled discipline
+    * applied to q_window_pct's question: per-segment p50/p90 cutoffs
+    * are RANK-SELECTED from a deterministic 25% md5 hash sample (one
+    * window over the sample only), broadcast, and every order is
+    * assigned its standing band by two map-side comparisons — no
+    * per-segment total sort of the full table exists anywhere in the
+    * plan. At 100 TB the sample is the only sorted frame (and itself
+    * shrinks with a smaller sampling divisor); the full-table pass is
+    * a scan + broadcast-join + partial-agged groupBy. Output is the
+    * per (segment, band) census with exact DECIMAL value mass — the
+    * aggregate a scorecard reads; per-row standing at this granularity
+    * is band membership, which is what sampled cutoffs can promise
+    * (exact per-row percentile cannot avoid the total sort). The md5
+    * sample key is reproducible under re-partitioning and in the
+    * oracle — rand() could never hash-match. */
+  def qWindowPctScaled: Q = (s, dir) => {
+    val thresh = (1L << 40) / 4 // 25% deterministic sample
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val samp = base.filter(
+      graft.functions.VectorExprs.hexSlice(
+        md5(col("o_orderkey").cast("string")), 1, 10) < thresh)
+    val wS = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val cut = samp
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("o_orderstatus")))
+      .groupBy("o_orderstatus")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("c50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("c90"))
+    base.join(broadcast(cut), Seq("o_orderstatus"), "left_outer")
+      .select(col("o_orderstatus"), col("cents"),
+        when(col("c50").isNull, "top10")
+          .when(col("cents") >= col("c90"), "top10")
+          .when(col("cents") >= col("c50"), "upper")
+          .otherwise("lower").as("band"))
+      .groupBy("o_orderstatus", "band")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("cents_mass"))
+      .orderBy("o_orderstatus", "band")
+  }
+
+  val qWindowPctScaledSql: String = {
+    val nib = (0 until 10).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (9 - i))}"
+    }.mkString(" + ")
+    val thresh = (1L << 40) / 4
+    s"""WITH base AS (
+       | SELECT o_orderkey, o_orderstatus,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       | FROM orders
+       |), samp AS (
+       | SELECT o_orderstatus, cents, o_orderkey FROM base
+       | WHERE CAST($nib AS BIGINT) < $thresh
+       |), r AS (
+       | SELECT o_orderstatus, cents,
+       |  row_number() OVER (PARTITION BY o_orderstatus
+       |    ORDER BY cents, o_orderkey) AS rn,
+       |  count(*) OVER (PARTITION BY o_orderstatus) AS n
+       | FROM samp
+       |), cut AS (
+       | SELECT o_orderstatus,
+       |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS c50,
+       |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS c90
+       | FROM r GROUP BY o_orderstatus
+       |)
+       |SELECT base.o_orderstatus,
+       | CASE WHEN cut.c50 IS NULL THEN 'top10'
+       |      WHEN base.cents >= cut.c90 THEN 'top10'
+       |      WHEN base.cents >= cut.c50 THEN 'upper'
+       |      ELSE 'lower' END AS band,
+       | count(*) AS n_orders, CAST(sum(base.cents) AS BIGINT) AS cents_mass
+       |FROM base LEFT JOIN cut ON cut.o_orderstatus = base.o_orderstatus
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_window_pct" -> qWindowPct,
+    "q_window_pct_scaled" -> qWindowPctScaled,
     "q_k_anonymity" -> qKAnonymity,
     "q_disorder_profile" -> qDisorderProfile,
     "q_path_analysis" -> qPathAnalysis,
@@ -2473,6 +2561,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_window_pct" -> qWindowPctSql,
+    "q_window_pct_scaled" -> qWindowPctScaledSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_disorder_profile" -> qDisorderProfileSql,
     "q_path_analysis" -> qPathAnalysisSql,

@@ -941,4 +941,183 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ------------------------------------------------------ st_topk_mapstate
+  /** st_topk_mapstate: per-key streaming TOP-K via `MapState` — the
+    * MapState member of the transformWithState family (ValueState:
+    * st_user_counters/st_hll/st_cdc_apply; timers: st_idle_timeout;
+    * ListState: st_buffered_enrich). Keyed by event_type, the
+    * `MapState[user_id, count]` holds one POINT-UPDATABLE counter per
+    * contributor — the reason MapState exists: a batch touching u
+    * users costs u `getValue/updateValue` point reads against the
+    * RocksDB store, never a full deserialize-modify-serialize of the
+    * whole counter map (which is exactly what packing the map into a
+    * ValueState[Map] would pay, and why a 10⁶-contributor key is
+    * affordable here and not there). Each batch folds its counts in,
+    * then emits the CURRENT top-k (k=3) by (count desc, user asc) —
+    * deterministic ties — stamped with the running total n_total, so
+    * the final standings per key are the rows at max n_total. Count
+    * merge is addition (associative+commutative), so final standings
+    * are split-invariant by construction — the spec proves one-shot ==
+    * split == the batch groupBy/rank twin. State is bounded by
+    * CONTRIBUTORS per key (keyspace, not stream length); the
+    * documented fixed-size downgrade for open-world contributor sets
+    * is SpaceSaving/CMS (t_heavy_hitters' sketch) at the cost of
+    * approximate counts. */
+  val topkK = 3
+
+  final case class TopkStanding(event_type: String, rank: Int,
+                                user_id: Long, n: Long, n_total: Long)
+
+  class TopkMapStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, TopkStanding] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var total:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      counts = getHandle.getMapState[Long, Long]("counts", TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[TopkStanding] = {
+      var n = 0L
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.user_id))
+          counts.getValue(e.user_id) else 0L
+        counts.updateValue(e.user_id, prev + 1L)
+        n += 1L
+      }
+      val nTotal = (if (total.exists()) total.get() else 0L) + n
+      total.update(nTotal)
+      // ranking reads the map ONCE per batch via the iterator — cost ∝
+      // contributors; a per-row rank would be quadratic
+      val top = counts.iterator().toArray
+        .sortBy { case (u, c) => (-c, u) }.take(topkK)
+      top.iterator.zipWithIndex.map { case ((u, c), i) =>
+        TopkStanding(key, i + 1, u, c, nTotal)
+      }
+    }
+  }
+
+  /** BATCH twin: top-k contributors per event_type by count under the
+    * same (count desc, user asc) total order — what the final streaming
+    * standings must equal whatever the micro-batch split. */
+  def topkBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rank") <= topkK)
+      .select("event_type", "rank", "user_id", "n")
+  }
+
+  def topkStream(events: Dataset[Event]): Dataset[TopkStanding] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new TopkMapStateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  // ---------------------------------------------------- st_buffered_enrich
+  /** st_buffered_enrich: stream enrichment with a LATE-ARRIVING
+    * dimension via `ListState` — the fact-buffering join shape (orders
+    * arriving before the customer record, impressions before the
+    * campaign row): purchases for a user whose dimension row (the
+    * user's FIRST click, standing in for an in-stream profile record)
+    * has not arrived yet are BUFFERED in `ListState[PendingFact]` —
+    * appendValue is an O(1) log append against the RocksDB store, the
+    * reason ListState exists (a ValueState[Seq] would rewrite the
+    * whole buffer per arrival); when the dimension lands, the buffer
+    * is drained once (get → enrich → clear) and subsequent facts
+    * enrich pass-through. Emission content is split-invariant: every
+    * purchase of a user with ≥1 click is emitted exactly once,
+    * enriched with the user's first-arriving click — under the
+    * event-ordered feeding contract (the st_rate_limit/st_bloom_dedup
+    * discipline: within-batch fold in event-id order, batches split on
+    * the id order) "first-arriving" IS the global (ts, event_id)
+    * minimum, so one-shot, split, and the batch min-struct twin all
+    * agree exactly; under adversarial cross-batch reorder the
+    * watermark-buffered st_stream_asof is the family member that
+    * restores event-time determinism. Users with no click ever keep
+    * their buffer — bounded by the unmatched-fact horizon; TTLConfig
+    * is the documented eviction knob (exactly the orphaned-fact policy
+    * a production enrichment join must choose). */
+  final case class PendingFact(event_id: Long, ts: Long, cents: Long)
+  final case class EnrichedFact(event_id: Long, user_id: Long,
+                                cents: Long, dim_click_id: Long,
+                                dim_click_ts: Long)
+
+  class BufferedEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, EnrichedFact] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var dim:
+      org.apache.spark.sql.streaming.ValueState[PendingFact] = _
+    @transient private var buffer:
+      org.apache.spark.sql.streaming.ListState[PendingFact] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      dim = getHandle.getValueState[PendingFact]("dim", TTLConfig.NONE)
+      buffer = getHandle.getListState[PendingFact]("buffer", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[EnrichedFact] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedFact]
+      def enrich(f: PendingFact, d: PendingFact): EnrichedFact =
+        EnrichedFact(f.event_id, key, f.cents, d.event_id, d.ts)
+      // deterministic fold order matching the twin's (ts, event_id)
+      // total order — shuffle iterator order is not a contract
+      rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        if (e.event_type == "click") {
+          if (!dim.exists()) {
+            // dimension lands: record it and drain the fact buffer ONCE
+            val d = PendingFact(e.event_id, e.ts, 0L)
+            dim.update(d)
+            buffer.get().foreach(f => out += enrich(f, d))
+            buffer.clear()
+          } // later clicks don't redefine the dimension (first wins)
+        } else if (e.event_type == "purchase") {
+          val f = PendingFact(e.event_id, e.ts, math.round(e.value * 100))
+          if (dim.exists()) out += enrich(f, dim.get())
+          else buffer.appendValue(f) // O(1) append, not read-modify-write
+        } // other event types are not part of this join
+      }
+      out.iterator
+    }
+  }
+
+  /** BATCH twin: every purchase of a user with ≥1 click, enriched with
+    * the user's (ts, event_id)-minimum click — the frame the streamed
+    * emissions must equal under ordered feeding, however split. */
+  def bufferedEnrichBatch(events: DataFrame): DataFrame = {
+    val firstClick = events.filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fc"))
+      .select(col("user_id"), col("fc.event_id").as("dim_click_id"),
+        col("fc.ts").as("dim_click_ts"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(firstClick, Seq("user_id"))
+      .select("event_id", "user_id", "cents", "dim_click_id", "dim_click_ts")
+  }
+
+  def bufferedEnrich(events: Dataset[Event]): Dataset[EnrichedFact] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BufferedEnrichProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

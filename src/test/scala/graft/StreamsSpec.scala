@@ -747,4 +747,110 @@ class StreamsSpec extends AnyFunSuite {
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
+
+  test("st_topk_mapstate: MapState top-k standings == batch rank twin under any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.Event].collect().toSeq
+      // the frame the final standings must equal: the batch twin
+      val want = Streams.topkBatch(events.toDF()).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("user_id"), r.getAs[Long]("n")))).toMap
+      assert(want.nonEmpty)
+      def run(name: String, batches: Seq[Seq[Streams.Event]]): Map[(String, Int), (Long, Long)] = {
+        val mem = MemoryStream[Streams.Event]
+        val q = Streams.topkStream(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          // FINAL standings per key = the emission at max n_total
+          val rows = spark.table(name).collect()
+          val lastTotal = rows.groupBy(_.getAs[String]("event_type"))
+            .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_total")).max }
+          rows.filter(r => r.getAs[Long]("n_total") ==
+              lastTotal(r.getAs[String]("event_type")))
+            .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rank")) ->
+              ((r.getAs[Long]("user_id"), r.getAs[Long]("n")))).toMap
+        } finally q.stop()
+      }
+      val oneShot = run("tk_one", Seq(events))
+      val split = run("tk_split",
+        events.grouped(math.max(1, events.size / 3)).toSeq)
+      assert(oneShot == want, "single-batch standings != batch rank twin")
+      assert(split == want, "multi-batch standings != batch rank twin")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
+  test("st_buffered_enrich: ListState buffers facts until the dim lands; emissions == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ordered-feeding contract: the global (ts, event_id) order
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.Event].collect().toSeq
+        .sortBy(e => (e.ts, e.event_id))
+      val want = Streams.bufferedEnrichBatch(events.toDF()).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("cents"), r.getAs[Long]("dim_click_id"),
+          r.getAs[Long]("dim_click_ts"))).toSet
+      assert(want.nonEmpty, "twin must be non-vacuous at sf0.001")
+      def run(name: String, batches: Seq[Seq[Streams.Event]]): Set[(Long, Long, Long, Long, Long)] = {
+        val mem = MemoryStream[Streams.Event]
+        val q = Streams.bufferedEnrich(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+            .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+              r.getAs[Long]("cents"), r.getAs[Long]("dim_click_id"),
+              r.getAs[Long]("dim_click_ts"))).toSet
+        } finally q.stop()
+      }
+      val oneShot = run("be_one", Seq(events))
+      val split = run("be_split",
+        events.grouped(math.max(1, events.size / 3)).toSeq)
+      assert(oneShot == want, "single-batch enrichment != batch twin")
+      assert(split == want, "ordered-split enrichment != batch twin")
+
+      // the BUFFERING itself, exactly-once: a purchase arriving before
+      // its user's first click emits nothing until the click batch,
+      // then flushes exactly once with that click's identity
+      val mem = MemoryStream[Streams.Event]
+      val q = Streams.bufferedEnrich(mem.toDS())
+        .toDF().writeStream.format("memory").queryName("be_buf")
+        .outputMode("update").start()
+      try {
+        mem.addData(Streams.Event(10L, 1000L, 77L, "purchase", 2.5))
+        q.processAllAvailable()
+        assert(spark.table("be_buf").isEmpty,
+          "a dim-less purchase must buffer, not emit")
+        mem.addData(Streams.Event(11L, 2000L, 77L, "click", 0.0),
+          Streams.Event(12L, 3000L, 77L, "purchase", 1.0))
+        q.processAllAvailable()
+        val out = spark.table("be_buf").collect()
+          .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cents"),
+            r.getAs[Long]("dim_click_id"))).toSet
+        assert(out == Set((10L, 250L, 11L), (12L, 100L, 11L)),
+          s"buffered flush + pass-through expected: ${out.mkString(";")}")
+      } finally q.stop()
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
 }
