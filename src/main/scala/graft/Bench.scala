@@ -39,11 +39,14 @@ object Bench {
     // contended-host artifacts (430 s vs three independent quiet-host
     // runs at 234-251 s) — the sentinel pair makes such a run
     // SELF-IDENTIFY in the JSON instead of costing a judge re-run.
-    def sentinel(): Double = {
+    // each sample is the MIN of 3 consecutive runs: a one-off JIT/GC
+    // blip cannot flag the run, while sustained contention raises the
+    // floor itself (the quantity the flag is about)
+    def sentinel(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(8000000).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
-    }
+    }.min
     sentinel() // JIT the sentinel path itself before the first sample
     val sentStart = sentinel()
     val selected = SparkEntry.queries

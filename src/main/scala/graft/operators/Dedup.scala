@@ -251,7 +251,7 @@ object Dedup {
 
   /** DuckDB twin of shingleCol (1-based list indexing; range(1,1) is
     * empty, so < 3-word docs emit no shingles — same guard as Spark). */
-  private val shingleSqlExpr: String =
+  private[graft] val shingleSqlExpr: String =
     """list_distinct(list_transform(
       | range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))""".stripMargin

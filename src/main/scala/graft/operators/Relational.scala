@@ -2498,10 +2498,161 @@ object Relational {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------ q_bitmap_distinct
+  /** BITMAP-INDEX exact distinct — the roaring-bitmap COUNT(DISTINCT)
+    * replacement (Doris/ClickHouse bitmap aggregates, Chambi et al.
+    * 2016) for dense integer key domains: each customer key maps to
+    * (word = key div 32, bit = key mod 32), per (priority, word) the
+    * bits OR together, and the distinct count is Σ bit_count(mask).
+    * Why it matters at 100 TB: bit_or is ASSOCIATIVE+COMMUTATIVE, so
+    * the bitmap is a map-side-combinable partial aggregate — the
+    * shuffle carries ≤ |keyspace|/32 words per group instead of every
+    * raw (group, key) occurrence pair, and bitmap frames MERGE across
+    * ingestion batches (the incremental-distinct maintenance exact
+    * HLL can only approximate). 32-bit words keep every mask value
+    * positive (1<<63 wraps differently across engines — the phash
+    * banding lesson). The exact COUNT(DISTINCT) rides along from the
+    * same scan; the driver-checked equality of the two columns IS the
+    * proof the bitmap path is lossless. */
+  def qBitmapDistinct: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderpriority"),
+      expr("o_custkey div 32").as("word"),
+      expr("CAST(o_custkey % 32 AS INT)").as("bit"),
+      col("o_custkey"))
+    val bm = o.groupBy("o_orderpriority", "word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(mask)")).cast("long").as("n_distinct_bitmap"))
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_distinct_exact"))
+    bm.join(exact, Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBitmapDistinctSql: String =
+    """WITH b AS (
+      | SELECT o_orderpriority, o_custkey // 32 AS word,
+      |  bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 32 AS INT)) AS mask
+      | FROM orders GROUP BY 1, 2
+      |), bm AS (
+      | SELECT o_orderpriority, count(*) AS n_words,
+      |  CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct_bitmap
+      | FROM b GROUP BY 1
+      |)
+      |SELECT bm.o_orderpriority, bm.n_words, bm.n_distinct_bitmap,
+      | x.n_distinct_exact
+      |FROM bm JOIN (
+      | SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_exact
+      | FROM orders GROUP BY 1) x USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------- q_ab_test
+  /** TWO-PROPORTION z-TEST — the A/B experiment readout (does variant B
+    * convert differently?): users assigned deterministically by md5
+    * parity of user_id (reproducible under re-partitioning and in the
+    * oracle — the q_quantile_sampled discipline; also exactly how real
+    * experiment systems bucket), conversion = user ever purchased.
+    * Conversion = the user's purchase count exceeds the corpus MEDIAN
+    * purchase count (exact rank selection, the q_percentile idiom, on
+    * the user-grain frame — users ≪ events, so the total-order window
+    * runs on the reduced frame; "ever purchased" is degenerate here:
+    * every user has) — self-calibrating at any SF, and under a true
+    * null (the md5 split is independent of behavior) the op honestly
+    * reports non-significance. z² in the q_chi2 exactness contract:
+    * all products DECIMAL(38,0) ((ca·nb − cb·na)² ≤ 10¹⁶ at sf0.1
+    * ×100), ONE rounded double division to integer micro-units at the
+    * end — no float-summation order anywhere. significant = z²_micro >
+    * 3841459 (the χ²₁ 95% critical value 3.841459 as an exact
+    * integer-micro compare). Plan: one user-grain aggregate (map-side
+    * combinable) + median window on the user frame + one 1-row
+    * conditional aggregate. */
+  def qAbTest: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val cnts = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("pc"))
+    // median as a grouping-free AGGREGATE over the ranked frame (not a
+    // filter) so the planner KNOWS the frame is scalar — the
+    // q_window_pct_scaled cutoff idiom
+    val med = cnts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pc"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("pc")))
+        .as("med"))
+    val users = cnts.crossJoin(broadcast(med))
+      .select(col("user_id"),
+        when(col("pc") > col("med"), 1L).otherwise(0L).as("conv"))
+      .withColumn("grp", graft.functions.VectorExprs.hexSlice(
+        md5(col("user_id").cast("string")), 1, 1) % 2)
+    users.agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(D38).as("na"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).cast(D38).as("nb"),
+      sum(when(col("grp") === 0, col("conv")).otherwise(0L)).cast(D38).as("ca"),
+      sum(when(col("grp") === 1, col("conv")).otherwise(0L)).cast(D38).as("cb"))
+      .select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("ca").cast("long").as("conv_a"), col("cb").cast("long").as("conv_b"),
+        expr("""CASE WHEN na * nb * (ca + cb) * (na + nb - ca - cb) = 0
+               | THEN CAST(0 AS BIGINT)
+               | ELSE CAST(round(
+               |  CAST((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb) AS DOUBLE)
+               |  / CAST(na * nb * (ca + cb) * (na + nb - ca - cb) AS DOUBLE)
+               |  * 1000000.0, 0) AS BIGINT) END""".stripMargin).as("z2_micro"))
+      .withColumn("significant", col("z2_micro") > 3841459L)
+  }
+
+  val qAbTestSql: String = {
+    val nib = "(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2"
+    s"""WITH pc AS (
+       | SELECT user_id,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc
+       | FROM events GROUP BY user_id
+       |), med AS (
+       | SELECT pc AS med FROM (
+       |  SELECT pc, row_number() OVER (ORDER BY pc, user_id) AS rn,
+       |   count(*) OVER () AS n
+       |  FROM pc) WHERE rn = (n + 1) // 2
+       |), u AS (
+       | SELECT user_id,
+       |  CASE WHEN pc.pc > med.med THEN 1 ELSE 0 END AS conv,
+       |  $nib AS grp
+       | FROM pc, med
+       |), agg AS (
+       | SELECT
+       |  CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+       |  CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+       |  CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS HUGEINT) AS ca,
+       |  CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS HUGEINT) AS cb
+       | FROM u
+       |)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       | CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+       | CASE WHEN na * nb * (ca + cb) * (na + nb - ca - cb) = 0
+       |  THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(round(
+       |   CAST((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb) AS DOUBLE)
+       |   / CAST(na * nb * (ca + cb) * (na + nb - ca - cb) AS DOUBLE)
+       |   * 1000000.0, 0) AS BIGINT) END AS z2_micro,
+       | (CASE WHEN na * nb * (ca + cb) * (na + nb - ca - cb) = 0
+       |  THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(round(
+       |   CAST((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb) AS DOUBLE)
+       |   / CAST(na * nb * (ca + cb) * (na + nb - ca - cb) AS DOUBLE)
+       |   * 1000000.0, 0) AS BIGINT) END) > 3841459 AS significant
+       |FROM agg""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_window_pct" -> qWindowPct,
     "q_window_pct_scaled" -> qWindowPctScaled,
+    "q_bitmap_distinct" -> qBitmapDistinct,
+    "q_ab_test" -> qAbTest,
     "q_k_anonymity" -> qKAnonymity,
     "q_disorder_profile" -> qDisorderProfile,
     "q_path_analysis" -> qPathAnalysis,
@@ -2562,6 +2713,8 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_window_pct" -> qWindowPctSql,
     "q_window_pct_scaled" -> qWindowPctScaledSql,
+    "q_bitmap_distinct" -> qBitmapDistinctSql,
+    "q_ab_test" -> qAbTestSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_disorder_profile" -> qDisorderProfileSql,
     "q_path_analysis" -> qPathAnalysisSql,

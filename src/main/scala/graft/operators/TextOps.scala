@@ -2343,7 +2343,51 @@ object TextOps {
        |ORDER BY p.k""".stripMargin
   }
 
+  // ------------------------------------------------------ t_ngram_novelty
+  /** Per-document N-GRAM NOVELTY — the share of a doc's 3-gram
+    * shingles whose global FIRST occurrence (min doc_id — the corpus
+    * ingestion order) is the doc itself: the memorization/redundancy
+    * profile training-data analyses read (a near-zero-novelty doc is
+    * boilerplate already covered upstream; the per-doc complement of
+    * the corpus-level d_dup_distribution view). Shares the
+    * d_dedup_minhash shingle definition (one definition — the dedup
+    * family and this profile can never disagree on what a shingle is).
+    * Plan: explode distinct per-doc shingles, groupBy(sh).min(doc_id)
+    * — a map-side-combinable MIN, the wordcount shape — then one
+    * sh-keyed equi-join back and a per-doc re-agg; both shuffles key
+    * on sh and ReuseExchange unifies them. Docs with < 3 words emit no
+    * shingles in either engine (the shared guard). */
+  def ngramNovelty: Q = (s, dir) => {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(Dedup.shingleCol(col("words"))).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH sh AS (
+       | SELECT doc_id, unnest(${Dedup.shingleSqlExpr}) AS sh
+       | FROM documents
+       |), fo AS (
+       | SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+       |)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       | CAST(sum(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       | (CAST(sum(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |   // count(*) AS novelty_ppm
+       |FROM sh s JOIN fo USING (sh)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_ngram_novelty" -> ngramNovelty,
     "t_vocab_coverage" -> vocabCoverage,
     "t_code_detect" -> codeDetect,
     "t_simpson_diversity" -> simpsonDiversity,
@@ -2386,6 +2430,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_ngram_novelty" -> ngramNoveltySql,
     "t_vocab_coverage" -> vocabCoverageSql,
     "t_code_detect" -> codeDetectSql,
     "t_simpson_diversity" -> simpsonDiversitySql,

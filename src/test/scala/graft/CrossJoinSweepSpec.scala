@@ -35,6 +35,10 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "s_ivf_probe_curve", // the same probe×centroid ranking cross as
                          // s_ivf_multiprobe, swept once across the nprobe
                          // configs; candidate scans stay cid-keyed equi-joins.
+    "s_kmeanspp_seed",   // farthest-first rounds = O(n·k) crossJoin against
+                         // the ≤4 BROADCAST chosen-seed constants — the same
+                         // linear d_kmeans_eval assignment shape; each round's
+                         // pick is a 1-row TakeOrderedAndProject.
     "d_kmeans_eval"      // Lloyd assignment = O(n·k) crossJoin against the
                          // k=8 BROADCAST CENTROID CONSTANTS — the IVF/k-means
                          // map-side shape, linear in the corpus. The same
