@@ -4390,7 +4390,146 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------------ g_reciprocity
+  /** DIRECTED RECIPROCITY + DYAD CENSUS (Wasserman–Faust dyads; the
+    * Garlaschelli–Loffredo r coefficient's raw ingredients): over the
+    * DISTINCT directed pair set, an edge (a,b) is MUTUAL iff (b,a) is
+    * also present; reciprocity = mutual edge share. The base graph is
+    * the same directed frame + deterministic cyclic co-purchase rings
+    * g_scc iterates (reference traversal is directed —
+    * Neo4jGraph.scala:334-404 getEgress/getIngressEdges; the base
+    * label-tiers alone are a DAG where the answer is degenerately 0,
+    * and 2-part rings contribute honest mutual dyads). Sharing the scc
+    * frame means the SCC structure and the dyad census can never be
+    * measured on different graphs. Plan: one distinct over the edge
+    * union, then ONE self-equi-join on BOTH keys (a,b)=(b,a) — shuffle
+    * keyed on the pair, no broadcast needed (both sides are the same
+    * corpus-scale frame; at 100× the distinct and the join share one
+    * hash partitioning on a). mutual_edges is provably even (each
+    * mutual dyad contributes 2 rows) — the dyad count is the exact
+    * half, and recip_ppm divides edge counts, never floats. */
+  def reciprocity: Q = (s, dir) => {
+    val graph = g(s, dir)
+    val hp = graph.edges
+      .filter(col("elabel") === "HAS_PART" &&
+        col("src_key") % sccRingMod === 0)
+      .select(col("src_key").as("o"), col("dst_key").as("p"))
+    val w = Window.partitionBy("o").orderBy("p")
+    val ringE = hp
+      .withColumn("np", lead("p", 1).over(w))
+      .withColumn("fp", first("p").over(w))
+      .select(nodeIdCol(lit("part"), col("p")).as("a"),
+        nodeIdCol(lit("part"), coalesce(col("np"), col("fp"))).as("b"))
+      .filter(col("a") =!= col("b"))
+    // checkpointed: BOTH sides of the mutuality self-join read it, and
+    // recomputing would re-run the distinct's shuffle per reference
+    val d = directedNum(s, dir).unionByName(ringE)
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    try {
+      val rev = d.select(col("b").as("a"), col("a").as("b"), lit(1L).as("r"))
+      d.join(rev, Seq("a", "b"), "left_outer")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("r"), lit(0L))).as("mutual_edges"))
+        .select(col("n_edges"), col("mutual_edges"),
+          expr("mutual_edges div 2").as("mutual_dyads"),
+          (col("n_edges") - col("mutual_edges")).as("asym_edges"),
+          expr("(mutual_edges * 1000000) div n_edges").as("recip_ppm"))
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(d)
+  }
+
+  val reciprocitySql: String = {
+    val partCode = labelCodes.toMap.apply("part")
+    s"""$cte, hp AS (
+       | SELECT src_key AS o, dst_key AS p FROM edges
+       | WHERE elabel = 'HAS_PART' AND src_key % $sccRingMod = 0
+       |), ringp AS (
+       | SELECT p,
+       |  lead(p) OVER (PARTITION BY o ORDER BY p) AS np,
+       |  first_value(p) OVER (PARTITION BY o ORDER BY p) AS fp
+       | FROM hp
+       |), d AS (
+       | SELECT DISTINCT a, b FROM (
+       |  SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+       |  UNION ALL
+       |  SELECT $partCode * 10000000000000 + p,
+       |   $partCode * 10000000000000 + COALESCE(np, fp)
+       |  FROM ringp WHERE p <> COALESCE(np, fp)
+       | ) WHERE a <> b
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       | CAST(sum(CASE WHEN r.ra IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mutual_edges,
+       | CAST(sum(CASE WHEN r.ra IS NOT NULL THEN 1 ELSE 0 END) // 2 AS BIGINT) AS mutual_dyads,
+       | CAST(count(*) - sum(CASE WHEN r.ra IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS asym_edges,
+       | CAST((sum(CASE WHEN r.ra IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS recip_ppm
+       |FROM d LEFT JOIN (SELECT a AS rb, b AS ra FROM d) r
+       | ON r.ra = d.a AND r.rb = d.b""".stripMargin
+  }
+
+  // ------------------------------------------------------ g_conductance
+  /** Per-community CONDUCTANCE φ(C) = cut(C) / min(vol(C), U − vol(C))
+    * over the LPA partition — the LOCAL community-quality number
+    * g_modularity's single global score can't give (Kannan–Vempala–
+    * Vetta; the metric behind sweep cuts and community audits: a
+    * low-φ community is separable, a high-φ one is an artifact). On
+    * the 2m undirected edge-row view: vol = community degree mass,
+    * cut = rows whose endpoints disagree (each boundary edge counted
+    * once from C's side), U = 2m. Shares the memoized LPA labels (one
+    * partition measured by modularity AND conductance — the two
+    * numbers can never describe different clusterings) and the
+    * modularity plan shape: two gated node-bounded label joins onto
+    * the cached edge frame + one partial-agged groupBy; φ is exact
+    * integer ppm with the 0/0 isolate guarded to 0. */
+  def conductance: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    val u = und.count()
+    val lbl = lpaLabels(s, dir)
+    val per = und
+      .join(gated(lbl.toDF("a", "ca"), n), Seq("a"))
+      .join(gated(lbl.toDF("b", "cb"), n), Seq("b"))
+      .groupBy(col("ca").as("comm"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("cut"))
+    lbl.groupBy(col("lbl").as("comm")).agg(count(lit(1)).as("n_nodes"))
+      .join(per, Seq("comm"), "left_outer")
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"))
+      .withColumn("phi_ppm", expr(
+        s"CASE WHEN least(vol, $u - vol) = 0 THEN CAST(0 AS BIGINT)" +
+          s" ELSE (cut * 1000000) div least(vol, $u - vol) END"))
+      .orderBy("comm")
+  }
+
+  val conductanceSql: String =
+    s"""$lpaSqlChain, uu AS (SELECT count(*) AS u FROM und
+       |), per AS (
+       | SELECT la.lbl AS comm, count(*) AS vol,
+       |  sum(CASE WHEN la.lbl <> lb.lbl THEN 1 ELSE 0 END) AS cut
+       | FROM und u
+       | JOIN l$lpaIters la ON la.id = u.a
+       | JOIN l$lpaIters lb ON lb.id = u.b
+       | GROUP BY 1
+       |), nn AS (
+       | SELECT lbl AS comm, count(*) AS n_nodes FROM l$lpaIters GROUP BY 1
+       |)
+       |SELECT nn.comm, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       | CAST(COALESCE(per.vol, 0) AS BIGINT) AS vol,
+       | CAST(COALESCE(per.cut, 0) AS BIGINT) AS cut,
+       | CAST(CASE WHEN least(COALESCE(per.vol, 0),
+       |   (SELECT u FROM uu) - COALESCE(per.vol, 0)) = 0 THEN 0
+       |  ELSE (COALESCE(per.cut, 0) * 1000000)
+       |   // least(COALESCE(per.vol, 0), (SELECT u FROM uu) - COALESCE(per.vol, 0))
+       |  END AS BIGINT) AS phi_ppm
+       |FROM nn LEFT JOIN per ON per.comm = nn.comm
+       |ORDER BY nn.comm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "g_reciprocity" -> reciprocity,
+    "g_conductance" -> conductance,
     "g_core_decomposition" -> coreDecomposition,
     "g_scc" -> scc,
     "g_ktruss" -> ktruss,
@@ -4436,6 +4575,8 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_reciprocity" -> reciprocitySql,
+    "g_conductance" -> conductanceSql,
     "g_core_decomposition" -> coreDecompositionSql,
     "g_scc" -> sccSql,
     "g_ktruss" -> ktrussSql,

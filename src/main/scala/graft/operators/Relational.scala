@@ -2647,8 +2647,174 @@ object Relational {
        |FROM agg""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_ks_drift
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic — the
+    * distribution-shift readout for a CONTINUOUS column (q_chi2 covers
+    * categorical): D = max |ECDF_A − ECDF_B| between the 1995 and 1996
+    * order-value cohorts. Evaluated on a FIXED 1024-bin grid (bin
+    * width self-calibrates from the global min/max — a 1-row scalar
+    * broadcast), which is the mergeable-histogram formulation: the
+    * per-bin count pair is a map-side-combinable partial aggregate
+    * that merges across ingestion batches, and D over the binned ECDF
+    * is EXACT for the binned distributions. The raw-support
+    * alternative (cum-counts over every distinct value) needs a
+    * total-order window over a corpus-sized frame — the q_ntile
+    * anti-pattern; here the only window runs on ≤ 1024 rows BY
+    * CONSTRUCTION at any corpus size. Exactness contract: D_num =
+    * max |cumA·N_B − cumB·N_A| in BIGINTs (≤ N_A·N_B·10⁶ ≈ 2.3·10¹⁶
+    * at sf0.1 — DECIMAL(38,0) upgrade documented past sf10),
+    * d_at_bin = lowest bin attaining the max (deterministic struct
+    * argmax), d_ppm one integer division. */
+  val ksBins = 1024L
+
+  def qKsDrift: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .filter(col("y").isin(1995, 1996))
+    val rng = o.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val binned = o.crossJoin(broadcast(rng))
+      .select(col("y"),
+        expr(s"(cents - mn) div (((mx - mn) div $ksBins) + 1)").as("bin"))
+      .groupBy("bin")
+      .agg(sum(when(col("y") === 1995, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("y") === 1996, 1L).otherwise(0L)).as("cb"))
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cuma", sum("ca").over(wc))
+      .withColumn("cumb", sum("cb").over(wc))
+      .withColumn("na", sum("ca").over(Window.partitionBy(lit(1))))
+      .withColumn("nb", sum("cb").over(Window.partitionBy(lit(1))))
+      .select(col("bin"), col("na"), col("nb"),
+        expr("abs(cuma * nb - cumb * na)").as("dnum"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(struct(col("dnum"), (-col("bin")).as("negbin"))).as("mx"))
+      .select(col("n_a"), col("n_b"),
+        col("mx.dnum").as("d_num"),
+        (-col("mx.negbin")).as("d_at_bin"),
+        expr("(mx.dnum * 1000000) div (n_a * n_b)").as("d_ppm"))
+  }
+
+  val qKsDriftSql: String =
+    s"""WITH o AS (
+       | SELECT year(o_orderdate) AS y,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+       |), rng AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o
+       |), b AS (
+       | SELECT (cents - rng.mn) // (((rng.mx - rng.mn) // $ksBins) + 1) AS bin,
+       |  sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS ca,
+       |  sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS cb
+       | FROM o, rng GROUP BY 1
+       |), c AS (
+       | SELECT bin,
+       |  sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+       |  sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb,
+       |  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+       | FROM b
+       |), d AS (
+       | SELECT bin, na, nb, abs(cuma * nb - cumb * na) AS dnum FROM c
+       |)
+       |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       | CAST(max(dnum) AS BIGINT) AS d_num,
+       | CAST(min(CASE WHEN dnum = (SELECT max(dnum) FROM d) THEN bin END) AS BIGINT) AS d_at_bin,
+       | CAST((max(dnum) * 1000000) // (max(na) * max(nb)) AS BIGINT) AS d_ppm
+       |FROM d""".stripMargin
+
+  // ------------------------------------------------------------ q_ivm_join
+  /** INCREMENTAL VIEW MAINTENANCE of a join-aggregate view — the delta
+    * algebra every streaming materialized-view engine runs (Blakeley
+    * et al. 1986; DBSP/differential-dataflow's linear case): for
+    * V = γ(A ⋈ B), Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — refresh cost
+    * scales with |Δ|, never |A|+|B|. A = orders, B = lineitem split at
+    * 1998-06-01 (arrival-time cut on each side: o_orderdate /
+    * l_shipdate); view = revenue cents per order priority. The op
+    * EXECUTES the three delta joins + the base term as separate
+    * branches (filters pushed to each scan) and folds them with one
+    * partial-aggregable conditional sum; `rev_full` — the from-scratch
+    * recompute — rides along, and the driver-checked equality
+    * rev_incremental = rev_full IS the proof the delta algebra loses
+    * nothing (the q_bitmap_distinct self-adjudication pattern). At
+    * 100 TB the base term is the stored view (never re-joined — here
+    * it is materialized only because the oracle needs the whole
+    * pipeline in one query) and each Δ-branch joins a calendar-bounded
+    * delta against one co-partitioned side; AQE broadcasts the delta
+    * side from observed size — no manual hint to mis-size. */
+  def qIvmJoin: Q = (s, dir) => {
+    val cut = to_timestamp(lit("1998-06-01 00:00:00"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val o0 = o.filter(col("o_orderdate") < cut)
+    val dO = o.filter(col("o_orderdate") >= cut)
+    val l0 = l.filter(col("l_shipdate") < cut)
+    val dL = l.filter(col("l_shipdate") >= cut)
+    def pairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .select(col("o_orderpriority"), col("cents"))
+    val inc = pairs(o0, l0).withColumn("base", lit(1L))
+      .unionByName(pairs(dO, l0).withColumn("base", lit(0L)))
+      .unionByName(pairs(o0, dL).withColumn("base", lit(0L)))
+      .unionByName(pairs(dO, dL).withColumn("base", lit(0L)))
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("base") === 1L, col("cents")).otherwise(0L)).as("rev_base"),
+        sum(when(col("base") === 0L, col("cents")).otherwise(0L)).as("rev_delta"),
+        sum("cents").as("rev_incremental"))
+    val full = pairs(o, l).groupBy("o_orderpriority")
+      .agg(sum("cents").as("rev_full"))
+    inc.join(full, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("rev_base"), lit(0L)).as("rev_base"),
+        coalesce(col("rev_delta"), lit(0L)).as("rev_delta"),
+        coalesce(col("rev_incremental"), lit(0L)).as("rev_incremental"),
+        coalesce(col("rev_full"), lit(0L)).as("rev_full"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qIvmJoinSql: String =
+    """WITH o AS (
+      | SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+      |), l AS (
+      | SELECT l_orderkey, l_shipdate,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM lineitem
+      |), u AS (
+      | SELECT o.o_orderpriority, l.cents, 1 AS base FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00' AND l.l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+      | UNION ALL
+      | SELECT o.o_orderpriority, l.cents, 0 FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00' AND l.l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+      | UNION ALL
+      | SELECT o.o_orderpriority, l.cents, 0 FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00' AND l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      | UNION ALL
+      | SELECT o.o_orderpriority, l.cents, 0 FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00' AND l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      |), inc AS (
+      | SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN base = 1 THEN cents ELSE 0 END) AS BIGINT) AS rev_base,
+      |  CAST(sum(CASE WHEN base = 0 THEN cents ELSE 0 END) AS BIGINT) AS rev_delta,
+      |  CAST(sum(cents) AS BIGINT) AS rev_incremental
+      | FROM u GROUP BY 1
+      |), f AS (
+      | SELECT o.o_orderpriority, CAST(sum(l.cents) AS BIGINT) AS rev_full
+      | FROM o JOIN l ON l.l_orderkey = o.o_orderkey GROUP BY 1
+      |)
+      |SELECT COALESCE(inc.o_orderpriority, f.o_orderpriority) AS o_orderpriority,
+      | COALESCE(inc.rev_base, 0) AS rev_base,
+      | COALESCE(inc.rev_delta, 0) AS rev_delta,
+      | COALESCE(inc.rev_incremental, 0) AS rev_incremental,
+      | COALESCE(f.rev_full, 0) AS rev_full
+      |FROM inc FULL OUTER JOIN f ON f.o_orderpriority = inc.o_orderpriority
+      |ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_ks_drift" -> qKsDrift,
+    "q_ivm_join" -> qIvmJoin,
     "q_window_pct" -> qWindowPct,
     "q_window_pct_scaled" -> qWindowPctScaled,
     "q_bitmap_distinct" -> qBitmapDistinct,
@@ -2711,6 +2877,8 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ks_drift" -> qKsDriftSql,
+    "q_ivm_join" -> qIvmJoinSql,
     "q_window_pct" -> qWindowPctSql,
     "q_window_pct_scaled" -> qWindowPctScaledSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
