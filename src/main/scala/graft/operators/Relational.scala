@@ -2437,6 +2437,11 @@ object Relational {
     * oracle — rand() could never hash-match. */
   def qWindowPctScaled: Q = (s, dir) => {
     val thresh = (1L << 40) / 4 // 25% deterministic sample
+    // a segment with NO rows in the sample has NULL cutoffs — those
+    // rows get an explicit 'unsampled' band (r10; silently banding the
+    // whole segment 'top10' was consistent cross-engine but
+    // semantically wrong), the honest answer sampled cutoffs can give
+    // for a segment the sample never saw
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
@@ -2454,7 +2459,7 @@ object Relational {
         max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("c90"))
     base.join(broadcast(cut), Seq("o_orderstatus"), "left_outer")
       .select(col("o_orderstatus"), col("cents"),
-        when(col("c50").isNull, "top10")
+        when(col("c50").isNull, "unsampled")
           .when(col("cents") >= col("c90"), "top10")
           .when(col("cents") >= col("c50"), "upper")
           .otherwise("lower").as("band"))
@@ -2489,7 +2494,7 @@ object Relational {
        | FROM r GROUP BY o_orderstatus
        |)
        |SELECT base.o_orderstatus,
-       | CASE WHEN cut.c50 IS NULL THEN 'top10'
+       | CASE WHEN cut.c50 IS NULL THEN 'unsampled'
        |      WHEN base.cents >= cut.c90 THEN 'top10'
        |      WHEN base.cents >= cut.c50 THEN 'upper'
        |      ELSE 'lower' END AS band,
@@ -2554,10 +2559,9 @@ object Relational {
     * oracle — the q_quantile_sampled discipline; also exactly how real
     * experiment systems bucket), conversion = user ever purchased.
     * Conversion = the user's purchase count exceeds the corpus MEDIAN
-    * purchase count (exact rank selection, the q_percentile idiom, on
-    * the user-grain frame — users ≪ events, so the total-order window
-    * runs on the reduced frame; "ever purchased" is degenerate here:
-    * every user has) — self-calibrating at any SF, and under a true
+    * purchase count, rank-selected from the bounded purchase-count
+    * HISTOGRAM ("ever purchased" is degenerate here: every user has)
+    * — self-calibrating at any SF, and under a true
     * null (the md5 split is independent of behavior) the op honestly
     * reports non-significance. z² in the q_chi2 exactness contract:
     * all products DECIMAL(38,0) ((ca·nb − cb·na)² ≤ 10¹⁶ at sf0.1
@@ -2565,8 +2569,9 @@ object Relational {
     * end — no float-summation order anywhere. significant = z²_micro >
     * 3841459 (the χ²₁ 95% critical value 3.841459 as an exact
     * integer-micro compare). Plan: one user-grain aggregate (map-side
-    * combinable) + median window on the user frame + one 1-row
-    * conditional aggregate. */
+    * combinable) + median rank-selected from the bounded
+    * purchase-count histogram (no corpus-sized window anywhere) + one
+    * 1-row conditional aggregate. */
   def qAbTest: Q = (s, dir) => {
     val D38 = DecimalType(38, 0)
     val cnts = t(s, dir, "events")
@@ -2574,15 +2579,20 @@ object Relational {
       .groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("pc"))
-    // median as a grouping-free AGGREGATE over the ranked frame (not a
-    // filter) so the planner KNOWS the frame is scalar — the
-    // q_window_pct_scaled cutoff idiom
-    val med = cnts
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("pc"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
-      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("pc")))
+    // median RANK-SELECTED from the purchase-count HISTOGRAM (r10; was
+    // a row_number over the whole user frame — an un-partitioned
+    // corpus-sized sort at open-world scale). Purchase counts are
+    // small integers, so the histogram is tiny BY CONSTRUCTION at any
+    // corpus size: the only window runs over |distinct pc| rows — the
+    // q_ks_drift 1024-bin discipline. min pc with cum ≥ (n+1) div 2
+    // is provably the (pc, user_id)-ordered rank-(n+1)/2 value, since
+    // that rank's pc is determined by pc alone.
+    val hist = cnts.groupBy("pc").agg(count(lit(1)).as("c"))
+    val med = hist
+      .withColumn("cum", sum("c").over(Window.orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy(lit(1))))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("pc")))
         .as("med"))
     val users = cnts.crossJoin(broadcast(med))
       .select(col("user_id"),
@@ -2612,11 +2622,14 @@ object Relational {
        | SELECT user_id,
        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc
        | FROM events GROUP BY user_id
+       |), h AS (
+       | SELECT pc, count(*) AS c FROM pc GROUP BY pc
        |), med AS (
-       | SELECT pc AS med FROM (
-       |  SELECT pc, row_number() OVER (ORDER BY pc, user_id) AS rn,
-       |   count(*) OVER () AS n
-       |  FROM pc) WHERE rn = (n + 1) // 2
+       | SELECT min(pc) AS med FROM (
+       |  SELECT pc,
+       |   sum(c) OVER (ORDER BY pc ROWS UNBOUNDED PRECEDING) AS cum,
+       |   sum(c) OVER () AS n
+       |  FROM h) WHERE cum >= (n + 1) // 2
        |), u AS (
        | SELECT user_id,
        |  CASE WHEN pc.pc > med.med THEN 1 ELSE 0 END AS conv,
@@ -2661,10 +2674,16 @@ object Relational {
     * total-order window over a corpus-sized frame — the q_ntile
     * anti-pattern; here the only window runs on ≤ 1024 rows BY
     * CONSTRUCTION at any corpus size. Exactness contract: D_num =
-    * max |cumA·N_B − cumB·N_A| in BIGINTs (≤ N_A·N_B·10⁶ ≈ 2.3·10¹⁶
-    * at sf0.1 — DECIMAL(38,0) upgrade documented past sf10),
-    * d_at_bin = lowest bin attaining the max (deterministic struct
-    * argmax), d_ppm one integer division. */
+    * max |cumA·N_B − cumB·N_A| accumulated UNCONDITIONALLY in
+    * DECIMAL(38,0) (r10 — the BIGINT product wrapped past sf10;
+    * DuckDB's HUGEINT window sums were already 128-bit exact, so the
+    * decimal upgrade aligns the engines at every SF), d_at_bin =
+    * lowest bin attaining the max (deterministic struct argmax),
+    * d_ppm one integer division with the empty-cohort 0-guard
+    * (Spark div returns NULL on 0 where DuckDB // raises — the guard
+    * removes the cross-engine divergence on degenerate data); final
+    * outputs cast to BIGINT (d_num ≤ N_A·N_B fits to sf~4000; d_ppm
+    * ≤ 10⁶ always). */
   val ksBins = 1024L
 
   def qKsDrift: Q = (s, dir) => {
@@ -2687,13 +2706,17 @@ object Relational {
       .withColumn("na", sum("ca").over(Window.partitionBy(lit(1))))
       .withColumn("nb", sum("cb").over(Window.partitionBy(lit(1))))
       .select(col("bin"), col("na"), col("nb"),
-        expr("abs(cuma * nb - cumb * na)").as("dnum"))
+        expr("abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)")
+          .as("dnum"))
       .agg(max("na").as("n_a"), max("nb").as("n_b"),
         max(struct(col("dnum"), (-col("bin")).as("negbin"))).as("mx"))
       .select(col("n_a"), col("n_b"),
-        col("mx.dnum").as("d_num"),
+        col("mx.dnum").cast("long").as("d_num"),
         (-col("mx.negbin")).as("d_at_bin"),
-        expr("(mx.dnum * 1000000) div (n_a * n_b)").as("d_ppm"))
+        expr("""CASE WHEN n_a * n_b = 0 THEN CAST(0 AS BIGINT)
+               | ELSE CAST((mx.dnum * 1000000)
+               |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+               | END""".stripMargin).as("d_ppm"))
   }
 
   val qKsDriftSql: String =
@@ -2719,7 +2742,8 @@ object Relational {
        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
        | CAST(max(dnum) AS BIGINT) AS d_num,
        | CAST(min(CASE WHEN dnum = (SELECT max(dnum) FROM d) THEN bin END) AS BIGINT) AS d_at_bin,
-       | CAST((max(dnum) * 1000000) // (max(na) * max(nb)) AS BIGINT) AS d_ppm
+       | CAST(CASE WHEN max(na) * max(nb) = 0 THEN 0
+       |  ELSE (max(dnum) * 1000000) // (max(na) * max(nb)) END AS BIGINT) AS d_ppm
        |FROM d""".stripMargin
 
   // ------------------------------------------------------------ q_ivm_join

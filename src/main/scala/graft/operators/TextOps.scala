@@ -1758,9 +1758,17 @@ object TextOps {
     * groupBy where raw and target counts ride the SAME aggregate
     * (count + filtered count, one pass — not two scans), scoring is a
     * broadcast join against the B-row score table, per-doc mean is one
-    * partial-agged groupBy. The selection window is a global order over
-    * doc-level rows — at corpus scale the cutoff comes from the
-    * sampled-rank trick (t_ccnet_bucket_scaled); BIGINT headroom:
+    * partial-agged groupBy. Selection (r10 — was a corpus-wide
+    * un-partitioned row_number, the q_ntile anti-pattern): the
+    * dsirKeep-th (dsir_ppm desc, doc_id) cutoff is RANK-SELECTED from
+    * the SCORE HISTOGRAM (one partial-agged groupBy on dsir_ppm; the
+    * only un-partitioned window runs over distinct integer scores,
+    * orders smaller than docs and quantizable at will), broadcast as a
+    * 1-row frame, and every doc flags by comparison; the doc_id
+    * tiebreak at the boundary VALUE is resolved by ranking only the
+    * ≤ tie-group boundary slice and broadcasting the ≤ dsirKeep
+    * winners — output is the IDENTICAL exact top-dsirKeep set, so the
+    * oracle keeps its row_number form. BIGINT headroom:
     * (ct+1)·10⁶ ≤ 2⁶³ up to ~9·10¹² target-bigram occurrences. */
   val dsirB = 256L
   val dsirKeep = 100
@@ -1791,9 +1799,28 @@ object TextOps {
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         coalesce(col("dsir_ppm"), lit(0L)).as("dsir_ppm"))
-    val w = Window.orderBy(col("dsir_ppm").desc, col("doc_id"))
-    full.withColumn("selected",
-      when(row_number().over(w) <= dsirKeep, 1L).otherwise(0L))
+    val hist = full.groupBy("dsir_ppm").agg(count(lit(1)).as("c"))
+    val wh = Window.orderBy(col("dsir_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cut_ppm = the kth doc's score (highest score whose desc-cum ≥ k);
+    // n_at_cut = how many boundary-score docs still fit under k. NULL
+    // struct (corpus < k) ⇒ every doc selected.
+    val cutRow = hist.withColumn("cum", sum("c").over(wh))
+      .agg(max(when(col("cum") >= dsirKeep,
+        struct(col("dsir_ppm").as("cut_ppm"),
+          (lit(dsirKeep.toLong) - (col("cum") - col("c"))).as("n_at_cut"))))
+        .as("mx"))
+    val withCut = full.crossJoin(broadcast(cutRow))
+    val boundary = withCut
+      .filter(col("mx").isNotNull && col("dsir_ppm") === col("mx.cut_ppm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("dsir_ppm").orderBy("doc_id")))
+      .filter(col("rn") <= col("mx.n_at_cut"))
+      .select(col("doc_id"), lit(1L).as("at_cut_sel"))
+    withCut.join(broadcast(boundary), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_feat"), col("dsir_ppm"),
+        when(col("mx").isNull || col("dsir_ppm") > col("mx.cut_ppm") ||
+          col("at_cut_sel").isNotNull, 1L).otherwise(0L).as("selected"))
       .orderBy("doc_id")
   }
 

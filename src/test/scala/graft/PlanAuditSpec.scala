@@ -379,4 +379,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("source") && !p.contains("lang"),
       s"unused documents columns leaked into the t_code_detect scan:\n$p")
   }
+
+  test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift)") {
+    // an un-partitioned ordered window is fine over an AGGREGATED frame
+    // (histogram / 1024-bin grid — bounded by construction) and a
+    // single-task total sort over the raw corpus otherwise. Assert the
+    // structural property directly on the optimized plan: every Window
+    // with an empty partitionSpec must sit above an Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst { case a: Aggregate => a }.isDefined
+          assert(bounded,
+            s"$name: un-partitioned window over a non-aggregated (corpus-sized) frame:\n$w")
+        case _ =>
+      }
+    audit("t_dsir", graft.operators.TextOps.dsir(spark, sf))
+    audit("q_ab_test", Relational.qAbTest(spark, sf))
+    audit("q_ks_drift", Relational.qKsDrift(spark, sf))
+  }
 }
