@@ -1060,6 +1060,10 @@ object Streams {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, EnrichedFact] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    /** Eviction policy of the fact buffer — TTLConfig.NONE for the
+      * batch-twin-checked base op; the TTL subclass overrides this (and
+      * ONLY this, so eviction is provably the single difference). */
+    protected def bufferTtl: TTLConfig = TTLConfig.NONE
     @transient private var dim:
       org.apache.spark.sql.streaming.ValueState[PendingFact] = _
     @transient private var buffer:
@@ -1068,7 +1072,7 @@ object Streams {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       import implicits._
       dim = getHandle.getValueState[PendingFact]("dim", TTLConfig.NONE)
-      buffer = getHandle.getListState[PendingFact]("buffer", TTLConfig.NONE)
+      buffer = getHandle.getListState[PendingFact]("buffer", bufferTtl)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
@@ -1118,6 +1122,38 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(new BufferedEnrichProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The ORPHANED-FACT EVICTION knob exercised (r10 — TTL was
+    * documented as "the open-world state bound" on every
+    * transformWithState op but never driven): the fact buffer is
+    * created with `TTLConfig(ttl)` under `TimeMode.ProcessingTime`, so
+    * purchases whose dimension never arrives are dropped from state ttl
+    * after their append — the bound a production enrichment join MUST
+    * set, because an unmatched-fact buffer otherwise grows with the
+    * orphan rate forever. The dimension ValueState stays TTLConfig.NONE
+    * (a landed dimension is permanent by this op's contract), and the
+    * processor overrides ONLY the buffer's TTLConfig, so Round10Spec's
+    * two proofs isolate exactly eviction: (a) a long-TTL run emits
+    * byte-identically to the NONE op under ordered splits
+    * (split-invariance survives the TTL plumbing); (b) a short-TTL run
+    * with a forced wall-clock gap EVICTS — the late dimension enriches
+    * only post-gap facts, while the NONE op on the same feed replays
+    * the whole buffer. */
+  class BufferedEnrichTtlProcessor(ttlMs: Long)
+      extends BufferedEnrichProcessor {
+    override protected def bufferTtl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(ttlMs))
+  }
+
+  def bufferedEnrichTtl(events: Dataset[Event], ttlMs: Long):
+      Dataset[EnrichedFact] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BufferedEnrichTtlProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
 }

@@ -121,4 +121,119 @@ class Round10Spec extends AnyFunSuite {
       Seq(3L -> 10L, 12L -> 1L)
     assert(settle(edges).values.toSet === Set(1L))
   }
+
+  // ----------------------------------------------- transformWithState TTL
+  /** The TTLConfig eviction knob, driven for real (r10 — documented on
+    * every transformWithState op since r9, never exercised): the
+    * TTL-enabled enrichment buffer must (a) behave byte-identically to
+    * the TTLConfig.NONE op when the TTL is far away — split-invariance
+    * survives the TTL plumbing — and (b) actually EVICT orphaned facts
+    * once wall-clock passes the TTL, proven by a contrast run of the
+    * NONE op over the same feed and the same sleep. */
+  private def withRocksDb[A](body: => A): A = {
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
+  /** Drives a TimeMode.ProcessingTime query by POLLING, never by
+    * processAllAvailable/AvailableNow: with processing-time TTL the
+    * engine schedules a cleanup batch after every batch
+    * (shouldRunAnotherBatch stays true while TTL state exists), so
+    * "all available" never stabilizes and both draining APIs hang —
+    * measured, a 10-minute spin at thousands of empty micro-batches.
+    * A 250 ms trigger bounds the idle spin; completion is judged by
+    * the memory sink reaching the expected emission count (emissions
+    * are exactly-once per fact by the op's contract). */
+  private def pollUntil(cond: => Boolean, timeoutMs: Long = 90000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(50L)
+  }
+
+  private def runEnrich(name: String, ttlMs: Option[Long],
+      batches: Seq[Seq[graft.streaming.Streams.Event]],
+      expectFinal: Int,
+      sleepAfterFirstMs: Long = 0L): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streams.Event]
+    val ds = ttlMs match {
+      case Some(t) => graft.streaming.Streams.bufferedEnrichTtl(mem.toDS(), t)
+      case None => graft.streaming.Streams.bufferedEnrich(mem.toDS())
+    }
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        if (i == 0 && sleepAfterFirstMs > 0) {
+          // the buffered fact must be IN STATE before the TTL clock
+          // outruns it — wait for the batch to be consumed, then let
+          // wall-clock pass the TTL
+          pollUntil(q.recentProgress.map(_.numInputRows).sum >= b.size)
+          Thread.sleep(sleepAfterFirstMs)
+        }
+      }
+      pollUntil(spark.table(name).count() == expectFinal)
+      spark.table(name).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("cents"), r.getAs[Long]("dim_click_id"),
+          r.getAs[Long]("dim_click_ts"))).toSet
+    } finally q.stop()
+  }
+
+  test("st_buffered_enrich TTL: a far-off TTL is split-invariant and equals the NONE op") {
+    import spark.implicits._
+    withRocksDb {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect().toSeq
+        .sortBy(e => (e.ts, e.event_id))
+      val want = graft.streaming.Streams.bufferedEnrichBatch(events.toDF())
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("cents"), r.getAs[Long]("dim_click_id"),
+          r.getAs[Long]("dim_click_ts"))).toSet
+      assert(want.nonEmpty, "twin must be non-vacuous at sf0.001")
+      val ttl = Some(3600L * 1000L) // one hour: unreachable in-test
+      assert(runEnrich("bet_one", ttl, Seq(events), want.size) == want,
+        "TTL one-shot != batch twin")
+      assert(runEnrich("bet_split", ttl,
+        events.grouped(math.max(1, events.size / 3)).toSeq, want.size) == want,
+        "TTL ordered split != batch twin")
+    }
+  }
+
+  test("st_buffered_enrich TTL: orphaned facts EVICT after the TTL; NONE op keeps them") {
+    withRocksDb {
+      import graft.streaming.Streams.Event
+      // purchase 10 buffers dim-less in batch 1; the feed then sleeps
+      // past the 300 ms TTL before the click lands in batch 2
+      val batches = Seq(
+        Seq(Event(10L, 1000L, 77L, "purchase", 2.5)),
+        Seq(Event(11L, 2000L, 77L, "click", 0.0),
+          Event(12L, 3000L, 77L, "purchase", 1.0)))
+      val evicted = runEnrich("bet_evict", Some(300L), batches,
+        expectFinal = 1, sleepAfterFirstMs = 1500L)
+      assert(evicted == Set((12L, 77L, 100L, 11L, 2000L)),
+        s"TTL run must enrich ONLY the post-gap purchase: $evicted")
+      // contrast: the NONE op over the SAME feed and the SAME sleep
+      // replays the buffered purchase — the single difference between
+      // the two runs is the buffer's TTLConfig
+      val kept = runEnrich("bet_keep", None, batches,
+        expectFinal = 2, sleepAfterFirstMs = 1500L)
+      assert(kept == Set((10L, 77L, 250L, 11L, 2000L),
+        (12L, 77L, 100L, 11L, 2000L)),
+        s"NONE op must replay the buffered fact: $kept")
+    }
+  }
 }
