@@ -2778,6 +2778,15 @@ object Analytics {
       var round = 0
       while (round < matchRounds && esRows > 0) {
         round += 1
+        // r10 cadence audit (the salsa consumed-exactly-once test),
+        // MEASURED AND REJECTED: converting win/pick-style per-round
+        // eager checkpoints to lazy ones regressed this op 5.95 → 7.0-
+        // 8.4 s and g_mst 7.2 → 8.3-8.9 s at sf0.1 — the consumers here
+        // are PAIRS of broadcast builds / self-join stages that the
+        // scheduler runs CONCURRENTLY, so a persist-pending lazy frame
+        // is recomputed by both racers instead of shared; eager
+        // materialization is load-bearing wherever a frame's consumers
+        // are not strictly sequential (salsa's were, these are not).
         // per endpoint: the max (h, ea, eb) among incident candidates —
         // struct max is partial-aggregable and lexicographic, the mst
         // pick discipline
