@@ -2038,6 +2038,53 @@ object Analytics {
        |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
        |FROM m""".stripMargin
 
+  // -------------------------------------------- g_avg_neighbor_degree
+  /** AVERAGE NEIGHBOR DEGREE profile k_nn(k) (Pastor-Satorras et al. —
+    * the degree-correlation CURVE whose slope sign g_assortativity
+    * compresses into one number): per power-of-two degree bucket of
+    * the source endpoint, the mean degree of its neighbors in exact
+    * ppm — rising = assortative mixing, falling = hubs feeding leaves
+    * (the disassortative signature). Shares the session und frame +
+    * degree aggregate with assortativity/degree_dist, both degree
+    * joins gated node-bounded broadcasts onto the a-partitioned cached
+    * edge list (zero edge exchange), one partial-agged groupBy on the
+    * GENERATED bucket (g_degree_dist's integer CASE chain — log2 at
+    * exact powers rounds differently across engines); output is
+    * bucket-bounded (≤ degBuckets rows) at any graph size. */
+  def avgNeighborDegree: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    und
+      .join(gated(deg.toDF("a", "da"), n), Seq("a"))
+      .join(gated(deg.toDF("b", "db"), n), Seq("b"))
+      .select(expr(log2BucketSql("da")).as("bucket"), col("db"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_endpoints"), sum("db").as("sum_nbr_deg"))
+      .withColumn("knn_ppm",
+        expr("(sum_nbr_deg * 1000000) div n_endpoints"))
+      .orderBy("bucket")
+  }
+
+  // lazy: log2BucketSql reads degBuckets, a val defined LATER in this
+  // object — an eager val here would capture the uninitialized 0 and
+  // emit an empty CASE chain (bit us in r10)
+  lazy val avgNeighborDegreeSql: String =
+    s"""$cte, und AS (
+       | SELECT $undSqlPair
+       |), deg AS (
+       | SELECT a AS id, count(*) AS deg FROM und GROUP BY a
+       |)
+       |SELECT ${log2BucketSql("da.deg")} AS bucket,
+       | count(*) AS n_endpoints,
+       | CAST(sum(db.deg) AS BIGINT) AS sum_nbr_deg,
+       | CAST((sum(db.deg) * 1000000) // count(*) AS BIGINT) AS knn_ppm
+       |FROM und u
+       |JOIN deg da ON da.id = u.a
+       |JOIN deg db ON db.id = u.b
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------- g_jaccard_neighbors
   /** Neighbor-set Jaccard similarity for part pairs sharing ≥1 order —
     * the normalized cousin of g_link_predict's raw common-neighbor
@@ -4586,6 +4633,7 @@ object Analytics {
        |ORDER BY nn.comm""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "g_avg_neighbor_degree" -> avgNeighborDegree,
     "g_reciprocity" -> reciprocity,
     "g_conductance" -> conductance,
     "g_core_decomposition" -> coreDecomposition,
@@ -4633,6 +4681,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_avg_neighbor_degree" -> avgNeighborDegreeSql,
     "g_reciprocity" -> reciprocitySql,
     "g_conductance" -> conductanceSql,
     "g_core_decomposition" -> coreDecompositionSql,

@@ -1735,7 +1735,75 @@ object Dedup {
       |  AS dups_unlocked
       |FROM h""".stripMargin
 
+  // --------------------------------------------------------- d_fuzzy_join
+  /** EDIT-DISTANCE SIMILARITY JOIN (the ED-Join / PassJoin partition
+    * family — Li et al.): doc pairs whose 48-char prefixes are within
+    * levenshtein distance ≤ `fuzzyD`, the string-similarity join that
+    * complements the set-similarity family (minhash/jaccard measure
+    * token overlap; edit distance catches char-level noise — OCR
+    * artifacts, typos — that shingles blur). Candidate generation is
+    * the PIGEONHOLE partition filter: the prefix splits into fuzzyD+1
+    * fixed segments, and any two strings within distance fuzzyD under
+    * position-preserving edits (substitutions) must agree on ≥1 whole
+    * segment — candidates are the same-(index, segment) equi-join,
+    * never a cross product (the documented CONTRACT: candidates use
+    * the same-position variant, so position-shifting indels beyond a
+    * matching segment are out of blocking scope — PassJoin's shifted
+    * probes are the recall extension). Verification is both engines'
+    * NATIVE levenshtein (full DP, an independent implementation each —
+    * the q_events_asof oracle-independence pattern). Scale: the
+    * segment join shuffles on 16-char keys, per-bucket size ≈ docs
+    * sharing an exact 16-char run (boilerplate buckets would take the
+    * mhBucketCap treatment); verification cost ∝ candidates, each a
+    * 48×48 DP. */
+  val fuzzyD = 2
+  val fuzzyPrefixLen = 48
+  val fuzzySegLen = fuzzyPrefixLen / (fuzzyD + 1)
+
+  def fuzzyJoin: Q = (s, dir) => {
+    val pfx = docs(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, fuzzyPrefixLen).as("p"))
+    val seg = pfx.select(col("doc_id"), col("p"),
+      explode(expr(s"transform(sequence(1, ${fuzzyD + 1}), i -> " +
+        s"struct(i AS i, substring(p, (i - 1) * $fuzzySegLen + 1, " +
+        s"$fuzzySegLen) AS sg))")).as("e"))
+      .select(col("doc_id"), col("p"), col("e.i").as("i"), col("e.sg").as("sg"))
+      .filter(length(col("sg")) === fuzzySegLen)
+    val cand = seg.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+        col("i"), col("sg"))
+      .join(seg.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+        col("i"), col("sg")), Seq("i", "sg"))
+      .filter(col("doc_b") > col("doc_a"))
+      .select("doc_a", "doc_b", "pa", "pb").distinct()
+    cand.filter(levenshtein(col("pa"), col("pb")) <= fuzzyD)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val fuzzyJoinSql: String = {
+    val segs = (1 to fuzzyD + 1).map(i => s"($i)").mkString(", ")
+    s"""WITH pfx AS (
+       | SELECT doc_id, substr(text, 1, $fuzzyPrefixLen) AS p FROM documents
+       |), seg AS (
+       | SELECT doc_id, p, s.i AS i,
+       |  substr(p, (s.i - 1) * $fuzzySegLen + 1, $fuzzySegLen) AS sg
+       | FROM pfx, (VALUES $segs) s(i)
+       | WHERE length(substr(p, (s.i - 1) * $fuzzySegLen + 1, $fuzzySegLen))
+       |  = $fuzzySegLen
+       |), cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.p AS pa, b.p AS pb
+       | FROM seg a JOIN seg b ON b.i = a.i AND b.sg = a.sg
+       |  AND b.doc_id > a.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(pa, pb) <= $fuzzyD
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_fuzzy_join" -> fuzzyJoin,
     "d_norm_dedup_gain" -> normDedupGain,
     "d_dataset_split" -> datasetSplit,
     "d_dup_distribution" -> dupDistribution,
@@ -1763,6 +1831,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_fuzzy_join" -> fuzzyJoinSql,
     "d_norm_dedup_gain" -> normDedupGainSql,
     "d_dataset_split" -> datasetSplitSql,
     "d_dup_distribution" -> dupDistributionSql,

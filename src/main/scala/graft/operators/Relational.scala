@@ -2835,8 +2835,362 @@ object Relational {
       |FROM inc FULL OUTER JOIN f ON f.o_orderpriority = inc.o_orderpriority
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------ q_theta_intersect
+  /** THETA/KMV SKETCH SET ALGEBRA — the sketch that answers what HLL
+    * cannot: |A ∩ B| (HLL unions losslessly but has no intersection;
+    * the Theta framework — Dasgupta et al., the DataSketches paper —
+    * intersects SAMPLES). Cohorts: 1995 vs 1996 buyers. Per cohort the
+    * sketch is the BOTTOM-thetaK distinct 52-bit md5 key hashes (KMV);
+    * |A| est = (k−1)·2⁵² div h_k (the g_anf estimator, exact when the
+    * cohort is smaller than k); UNION = bottom-k of the merged hash
+    * sets (KMV's lossless merge); INTERSECTION = the theta rule:
+    * θ = min(θ_A, θ_B), estimate = |{h ∈ A∩B sketches : h < θ}| · 2⁵²
+    * div θ. Exact counts for all four set quantities ride along from
+    * the same scan — the driver-checked error columns ARE the sketch-
+    * accuracy adjudication (the d_lsh_tuning discipline). Scale: the
+    * sketch input is one distinct + rank-filter; row_number ≤ k
+    * executes as WindowGroupLimit (partial bottom-k BEFORE the
+    * shuffle, so the single ordered reducer sees ≤ partitions·k rows
+    * at any corpus size), every later frame is ≤ 2k rows by
+    * construction, and the sketches themselves are mergeable across
+    * ingestion batches — the production path for cross-segment
+    * audience overlap at 100 TB. */
+  val thetaK = 256L
+  private val theta52 = 1L << 52
+
+  def qThetaIntersect: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .distinct()
+    // exact set quantities (one pass over the distinct cohort frame)
+    val exact = o.agg(
+      countDistinct(when(col("y") === 1995, col("k"))).as("n_a_exact"),
+      countDistinct(when(col("y") === 1996, col("k"))).as("n_b_exact"),
+      countDistinct(col("k")).as("n_union_exact"))
+    val interExact = o.groupBy("k")
+      .agg(count(lit(1)).as("ny")).filter(col("ny") === 2)
+      .agg(count(lit(1)).as("n_inter_exact"))
+    // bottom-k sketches (WindowGroupLimit bounds the per-cohort sort)
+    val hashed = o.select(col("y"),
+      graft.functions.VectorExprs.hexSlice(
+        md5(col("k").cast("string")), 1, 13).as("h"))
+    val sk = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("y").orderBy("h")))
+      .filter(col("rn") <= thetaK)
+      .select("y", "h")
+      .localCheckpoint(eager = true)
+    try {
+      def cohortStats(yv: Int, a: String, b: String): DataFrame =
+        sk.filter(col("y") === yv)
+          .agg(count(lit(1)).as(a), max("h").as(b))
+      val sa = cohortStats(1995, "ns_a", "hk_a")
+      val sb = cohortStats(1996, "ns_b", "hk_b")
+      // KMV union merge: bottom-k of the deduped hash union (≤ 2k rows)
+      val su = sk.select("h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .filter(col("rn") <= thetaK)
+        .agg(count(lit(1)).as("ns_u"), max("h").as("hk_u"))
+      // common sketch hashes (≤ k rows each side)
+      val common = sk.filter(col("y") === 1995).select("h")
+        .join(sk.filter(col("y") === 1996).select("h"), Seq("h"))
+      val cm = common.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("theta", expr(
+          s"""least(CASE WHEN ns_a >= $thetaK THEN hk_a ELSE $theta52 END,
+             |      CASE WHEN ns_b >= $thetaK THEN hk_b ELSE $theta52 END)"""
+            .stripMargin))
+        .agg(max("theta").as("theta"),
+          sum(when(col("h") < col("theta"), 1L).otherwise(0L))
+            .as("n_common_lt"))
+      def est(ns: String, hk: String): Column = expr(
+        s"CASE WHEN $ns < $thetaK THEN $ns" +
+          s" ELSE ((${thetaK - 1} * CAST($theta52 AS BIGINT)) div $hk) END")
+      exact.crossJoin(broadcast(interExact))
+        .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(su)).crossJoin(broadcast(cm))
+        .select(col("n_a_exact"), est("ns_a", "hk_a").as("n_a_est"),
+          col("n_b_exact"), est("ns_b", "hk_b").as("n_b_est"),
+          col("n_union_exact"), est("ns_u", "hk_u").as("n_union_est"),
+          col("n_inter_exact"),
+          expr(s"""CASE WHEN theta >= $theta52 THEN n_common_lt
+                  | ELSE (n_common_lt * CAST($theta52 AS BIGINT)) div theta
+                  | END""".stripMargin).as("n_inter_est"))
+        // eager: the returned plan must not reference sk's blocks after
+        // the finally below frees them (the reciprocity pattern)
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(sk)
+  }
+
+  val qThetaIntersectSql: String = {
+    val h13 = graft.operators.OracleSql.hexToLong(
+      "md5(CAST(k AS VARCHAR))", 1, 13)
+    s"""WITH o AS (
+       | SELECT DISTINCT o_custkey AS k, year(o_orderdate) AS y
+       | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+       |), exact AS (
+       | SELECT count(DISTINCT CASE WHEN y = 1995 THEN k END) AS n_a_exact,
+       |  count(DISTINCT CASE WHEN y = 1996 THEN k END) AS n_b_exact,
+       |  count(DISTINCT k) AS n_union_exact
+       | FROM o
+       |), ie AS (
+       | SELECT count(*) AS n_inter_exact FROM (
+       |  SELECT k FROM o GROUP BY k HAVING count(*) = 2)
+       |), hashed AS (
+       | SELECT y, CAST($h13 AS BIGINT) AS h FROM o
+       |), sk AS (
+       | SELECT y, h FROM (
+       |  SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn
+       |  FROM hashed) WHERE rn <= $thetaK
+       |), sa AS (
+       | SELECT count(*) AS ns_a, max(h) AS hk_a FROM sk WHERE y = 1995
+       |), sb AS (
+       | SELECT count(*) AS ns_b, max(h) AS hk_b FROM sk WHERE y = 1996
+       |), su AS (
+       | SELECT count(*) AS ns_u, max(h) AS hk_u FROM (
+       |  SELECT h FROM (
+       |   SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |   FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= $thetaK)
+       |), cm AS (
+       | SELECT max(theta) AS theta,
+       |  sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS n_common_lt
+       | FROM (
+       |  SELECT a.h,
+       |   least(CASE WHEN sa.ns_a >= $thetaK THEN sa.hk_a ELSE $theta52 END,
+       |         CASE WHEN sb.ns_b >= $thetaK THEN sb.hk_b ELSE $theta52 END)
+       |    AS theta
+       |  FROM (SELECT h FROM sk WHERE y = 1995) a
+       |  JOIN (SELECT h FROM sk WHERE y = 1996) b ON b.h = a.h, sa, sb)
+       |)
+       |SELECT CAST(exact.n_a_exact AS BIGINT) AS n_a_exact,
+       | CAST(CASE WHEN sa.ns_a < $thetaK THEN sa.ns_a
+       |  ELSE ((${thetaK - 1} * CAST($theta52 AS BIGINT)) // sa.hk_a)
+       |  END AS BIGINT) AS n_a_est,
+       | CAST(exact.n_b_exact AS BIGINT) AS n_b_exact,
+       | CAST(CASE WHEN sb.ns_b < $thetaK THEN sb.ns_b
+       |  ELSE ((${thetaK - 1} * CAST($theta52 AS BIGINT)) // sb.hk_b)
+       |  END AS BIGINT) AS n_b_est,
+       | CAST(exact.n_union_exact AS BIGINT) AS n_union_exact,
+       | CAST(CASE WHEN su.ns_u < $thetaK THEN su.ns_u
+       |  ELSE ((${thetaK - 1} * CAST($theta52 AS BIGINT)) // su.hk_u)
+       |  END AS BIGINT) AS n_union_est,
+       | CAST(ie.n_inter_exact AS BIGINT) AS n_inter_exact,
+       | CAST(CASE WHEN cm.theta >= $theta52 THEN COALESCE(cm.n_common_lt, 0)
+       |  ELSE (COALESCE(cm.n_common_lt, 0) * CAST($theta52 AS BIGINT)) // cm.theta
+       |  END AS BIGINT) AS n_inter_est
+       |FROM exact, ie, sa, sb, su, cm""".stripMargin
+  }
+
+  // ------------------------------------------------------ q_ams_join_size
+  /** AMS/COUNT-SKETCH JOIN-SIZE ESTIMATION (Alon–Matias–Szegedy 1996;
+    * the F₂/inner-product estimator every cost-based optimizer
+    * descends from): |A ⋈ B| = Σ_k c_A(k)·c_B(k) is estimated from two
+    * m-bucket count-sketches S[j] = Σ_{h(k)=j} c(k)·s(k) (md5 bucket
+    * hash, md5-parity ±1 sign) as Σ_j S_A[j]·S_B[j] — each sketch is
+    * one map-side-combinable groupBy(j) (≤ m rows shuffled, mergeable
+    * across ingestion batches), so the estimate costs two thin scans
+    * and a 1024-row zip where the true join would shuffle both
+    * corpora. The EXACT join size rides along (per-key count join —
+    * affordable at bench scale, the quantity being estimated), and
+    * err_ppm is the driver-checked adjudication column. One
+    * deterministic hash pair instead of the paper's median-of-means:
+    * replay-stable and oracle-matchable; the estimator's variance
+    * bound (F₂(A)·F₂(B)/m) is the documented trade. Products
+    * accumulate in DECIMAL(38,0) unconditionally — per-bucket masses
+    * reach ~F₁/m and their products overflow BIGINT long before
+    * 100 TB (the q_ks_drift lesson). */
+  val amsM = 1024L
+
+  def qAmsJoinSize: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    def keyed(table: String, key: String): DataFrame =
+      t(s, dir, table).select(col(key).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+    def sketch(df: DataFrame, out: String): DataFrame =
+      df.select(col("c"),
+        (graft.functions.VectorExprs.hexSlice(
+          md5(col("k").cast("string")), 1, 8) % amsM).as("j"),
+        when(graft.functions.VectorExprs.hexSlice(
+          md5(concat(lit("s:"), col("k").cast("string"))), 1, 1) % 2 === 0,
+          1L).otherwise(-1L).as("sgn"))
+        .groupBy("j").agg(sum(col("c") * col("sgn")).cast(D38).as(out))
+    val a = keyed("orders", "o_orderkey")
+    val b = keyed("lineitem", "l_orderkey")
+    val est = sketch(a, "sa").join(sketch(b, "sb"), Seq("j"), "full_outer")
+      .agg(sum(coalesce(col("sa"), lit(0).cast(D38)) *
+        coalesce(col("sb"), lit(0).cast(D38))).as("e"))
+    val exact = a.join(b.toDF("k", "cb"), Seq("k"))
+      .agg(sum((col("c") * col("cb")).cast(D38)).as("x"))
+    exact.crossJoin(broadcast(est))
+      .select(col("x").cast("long").as("join_size_exact"),
+        col("e").cast("long").as("join_size_est"),
+        expr("CASE WHEN x = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST((abs(e - x) * 1000000) div x AS BIGINT) END")
+          .as("err_ppm"))
+  }
+
+  val qAmsJoinSizeSql: String = {
+    val hj = graft.operators.OracleSql.hexToLong(
+      "md5(CAST(k AS VARCHAR))", 1, 8)
+    val hs = graft.operators.OracleSql.hexToLong(
+      "md5('s:' || CAST(k AS VARCHAR))", 1, 1)
+    s"""WITH a AS (
+       | SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1
+       |), b AS (
+       | SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+       |), sa AS (
+       | SELECT CAST(($hj) % $amsM AS BIGINT) AS j,
+       |  CAST(sum(c * (CASE WHEN ($hs) % 2 = 0 THEN 1 ELSE -1 END))
+       |   AS HUGEINT) AS sa
+       | FROM a GROUP BY 1
+       |), sb AS (
+       | SELECT CAST(($hj) % $amsM AS BIGINT) AS j,
+       |  CAST(sum(c * (CASE WHEN ($hs) % 2 = 0 THEN 1 ELSE -1 END))
+       |   AS HUGEINT) AS sb
+       | FROM b GROUP BY 1
+       |), est AS (
+       | SELECT sum(COALESCE(sa.sa, 0) * COALESCE(sb.sb, 0)) AS e
+       | FROM sa FULL OUTER JOIN sb ON sb.j = sa.j
+       |), exact AS (
+       | SELECT sum(CAST(a.c AS HUGEINT) * b.c) AS x
+       | FROM a JOIN b ON b.k = a.k
+       |)
+       |SELECT CAST(x AS BIGINT) AS join_size_exact,
+       | CAST(e AS BIGINT) AS join_size_est,
+       | CAST(CASE WHEN x = 0 THEN 0
+       |  ELSE (abs(e - x) * 1000000) // x END AS BIGINT) AS err_ppm
+       |FROM exact, est""".stripMargin
+  }
+
+  // ------------------------------------------------------- q_window_funnel
+  /** WINDOWED FUNNEL DEPTH (ClickHouse's windowFunnel, re-expressed):
+    * per user, the deepest prefix of the view → click → purchase
+    * funnel completed INSIDE a 2-hour window anchored at the view —
+    * level 3 needs view < click < purchase with both follow-ups
+    * within W of the view; q_events_funnel's flat click→purchase
+    * interval join cannot express the anchored-chain semantics.
+    * Output is the level census (level, n_users) — bounded at 4 rows.
+    * Plan: per-step frames join on user_id (equi) with range
+    * predicates as join filters — per-user event counts bound the
+    * pair frames (the q_events_funnel argument), distincts collapse
+    * each level to user grain before the next join, and the census is
+    * one partial-agged groupBy. Exact integer µs arithmetic; no
+    * timestamps cross engines. */
+  val funnelWindowUs = 7200000000L // 2 hours
+
+  def qWindowFunnel: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val users = ev.select("user_id").distinct()
+    def step(et: String, c: String): DataFrame =
+      ev.filter(col("event_type") === et)
+        .select(col("user_id"), col("us").as(c))
+    val v = step("view", "vus")
+    val vc = v.join(step("click", "cus"), Seq("user_id"))
+      .filter(col("cus") > col("vus") &&
+        col("cus") <= col("vus") + funnelWindowUs)
+    val l1 = v.select("user_id").distinct().withColumn("s1", lit(1))
+    val l2 = vc.select("user_id").distinct().withColumn("s2", lit(1))
+    val l3 = vc.join(step("purchase", "pus"), Seq("user_id"))
+      .filter(col("pus") > col("cus") &&
+        col("pus") <= col("vus") + funnelWindowUs)
+      .select("user_id").distinct().withColumn("s3", lit(1))
+    users
+      .join(l1, Seq("user_id"), "left_outer")
+      .join(l2, Seq("user_id"), "left_outer")
+      .join(l3, Seq("user_id"), "left_outer")
+      .select(when(col("s3").isNotNull, 3L)
+        .when(col("s2").isNotNull, 2L)
+        .when(col("s1").isNotNull, 1L)
+        .otherwise(0L).as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  val qWindowFunnelSql: String =
+    s"""WITH ev AS (
+       | SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |), v AS (SELECT user_id, us AS vus FROM ev WHERE event_type = 'view'
+       |), c AS (SELECT user_id, us AS cus FROM ev WHERE event_type = 'click'
+       |), p AS (SELECT user_id, us AS pus FROM ev WHERE event_type = 'purchase'
+       |), vc AS (
+       | SELECT v.user_id, v.vus, c.cus FROM v JOIN c ON c.user_id = v.user_id
+       | WHERE c.cus > v.vus AND c.cus <= v.vus + $funnelWindowUs
+       |), l1 AS (SELECT DISTINCT user_id FROM v
+       |), l2 AS (SELECT DISTINCT user_id FROM vc
+       |), l3 AS (
+       | SELECT DISTINCT vc.user_id FROM vc JOIN p ON p.user_id = vc.user_id
+       | WHERE p.pus > vc.cus AND p.pus <= vc.vus + $funnelWindowUs
+       |)
+       |SELECT level, count(*) AS n_users FROM (
+       | SELECT u.user_id,
+       |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+       |       WHEN l2.user_id IS NOT NULL THEN 2
+       |       WHEN l1.user_id IS NOT NULL THEN 1
+       |       ELSE 0 END AS level
+       | FROM (SELECT DISTINCT user_id FROM ev) u
+       | LEFT JOIN l1 ON l1.user_id = u.user_id
+       | LEFT JOIN l2 ON l2.user_id = u.user_id
+       | LEFT JOIN l3 ON l3.user_id = u.user_id
+       |) GROUP BY level ORDER BY level""".stripMargin
+
+  // ------------------------------------------------------ q_session_native
+  /** Spark's NATIVE `session_window` aggregation (the batch face of
+    * Structured Streaming's session windows — one groupBy, the engine
+    * merges overlapping [ts, ts+gap) intervals internally) beside
+    * q_events_sessionize's hand-rolled lag/cumsum islands: the
+    * Spark-first answer when the engine HAS the operator — no window
+    * function pass, no island arithmetic to get wrong, and the same
+    * physical shape (one user-keyed exchange) at any scale. 15-min gap
+    * (the sessionize op uses 30 — different grain, both oracle-checked).
+    * The oracle is the CLASSIC islands formulation — an independent
+    * derivation of the same semantics (the q_events_asof pattern):
+    * merge iff successive-event delta < gap, session end = last event
+    * + gap (session_window's half-open [start, last+gap) contract).
+    * Output in exact epoch µs — no timestamp crosses engines. */
+  val sessNativeGapUs = 900000000L // 15 minutes
+
+  def qSessionNative: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+    ev.groupBy(col("user_id"), session_window(col("ets"), "15 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val qSessionNativeSql: String =
+    s"""WITH ev AS (
+       | SELECT user_id, epoch_us(ts) AS us FROM events
+       |), o AS (
+       | SELECT user_id, us,
+       |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+       |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+       |       >= $sessNativeGapUs THEN 1 ELSE 0 END AS brk
+       | FROM ev
+       |), g AS (
+       | SELECT user_id, us,
+       |  sum(brk) OVER (PARTITION BY user_id ORDER BY us
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       | FROM o
+       |)
+       |SELECT user_id,
+       | CAST(min(us) AS BIGINT) AS session_start_us,
+       | CAST(max(us) + $sessNativeGapUs AS BIGINT) AS session_end_us,
+       | count(*) AS n_events
+       |FROM g GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_session_native" -> qSessionNative,
+    "q_theta_intersect" -> qThetaIntersect,
+    "q_ams_join_size" -> qAmsJoinSize,
+    "q_window_funnel" -> qWindowFunnel,
     "q_ks_drift" -> qKsDrift,
     "q_ivm_join" -> qIvmJoin,
     "q_window_pct" -> qWindowPct,
@@ -2901,6 +3255,10 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_session_native" -> qSessionNativeSql,
+    "q_theta_intersect" -> qThetaIntersectSql,
+    "q_ams_join_size" -> qAmsJoinSizeSql,
+    "q_window_funnel" -> qWindowFunnelSql,
     "q_ks_drift" -> qKsDriftSql,
     "q_ivm_join" -> qIvmJoinSql,
     "q_window_pct" -> qWindowPctSql,

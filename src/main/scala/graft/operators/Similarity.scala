@@ -53,6 +53,7 @@ object Similarity {
   private[graft] def warmShared(s: SparkSession, dir: String): Unit = {
     lshBands(s, dir).cache().count()
     ivfAssign(s, dir).count()
+    pqCodes(s, dir).count()
     kmeansAssign(s, dir).count()
     binarySig(s, dir).count(): Unit
   }
@@ -736,29 +737,46 @@ object Similarity {
   val pqSub = 16
   val pqK = 8
 
-  def annPq: Q = (s, dir) => {
+  /** (vec_id, m, svec): the M sub-vectors of every vector. */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame = {
     val q = quantized(s, dir)
-    // (vec_id, m, svec): the M sub-vectors of every vector
-    val sub = q.select(col("vec_id"), explode(array(
+    q.select(col("vec_id"), explode(array(
       (0 until pqM).map { m =>
         struct(lit(m).as("m"),
           slice(col("qe"), m * pqSub + 1, pqSub).as("svec"))
       }: _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.svec").as("svec"))
-    // per-subspace codebook: sub-slices of the first pqK vectors
-    val cb = broadcast(sub.filter(col("vec_id") < pqK)
+  }
+
+  /** Per-subspace codebook: sub-slices of the first pqK vectors. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    broadcast(pqSubs(s, dir).filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").as("cid"), col("svec").as("cvec")))
-    def l2(a: Column, b: Column): Column =
-      dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
-    // assignment (the compress step): nearest centroid per (vector,
-    // subspace) — n×M×K integer L2s, map-side vs the broadcast codebook
+
+  private def l2(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
+
+  /** PQ code table (vec_id, m, code) — the compressed index. CACHED:
+    * the n×M×K assignment scan is the expensive build step, shared by
+    * s_ann_pq and s_ivf_pq (parameter-free plan → one session entry;
+    * in production this is the offline index artifact). */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSubs(s, dir)
+    val cb = pqCodebook(s, dir)
     val wA = Window.partitionBy("vec_id", "m")
       .orderBy(col("d2").asc, col("cid"))
-    val codes = sub.join(cb, "m")
+    sub.join(cb, "m")
       .select(col("vec_id"), col("m"), col("cid"),
         l2(col("svec"), col("cvec")).as("d2"))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .cache()
+  }
+
+  def annPq: Q = (s, dir) => {
+    val sub = pqSubs(s, dir)
+    val cb = pqCodebook(s, dir)
+    val codes = pqCodes(s, dir)
     val probes = broadcast(sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("m"), col("svec")))
     // ADC: per (probe, cand, subspace) look the centroid up by code,
@@ -806,6 +824,116 @@ object Similarity {
        | JOIN asg a ON a.m = p.m AND a.vec_id <> p.vec_id
        | JOIN cb c ON c.m = a.m AND c.cid = a.code
        | WHERE p.vec_id < 10
+       | GROUP BY 1, 2
+       |)
+       |SELECT probe_id, rn, cand_id, CAST(adist AS BIGINT) AS adist FROM (
+       | SELECT probe_id, cand_id, adist, row_number() OVER (
+       |   PARTITION BY probe_id ORDER BY adist ASC, cand_id) AS rn
+       | FROM adc
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s_ivf_pq
+  /** IVF-PQ (IVFADC — Jégou et al.'s full production composition and
+    * the FAISS default at 10⁹ vectors): the IVF coarse quantizer prunes
+    * the search to the probe's `ivfNprobe` nearest cells (the
+    * partition-pruned read — at 100 TB cells are storage partitions
+    * and this is the ONLY data touched), then candidates inside those
+    * cells are ranked by PQ ADC distance over the compressed code
+    * table (1/16th the bytes of the raw vectors) — coarse prune ×
+    * compressed scan is the whole trick, and both halves are the
+    * SESSION-SHARED index artifacts the standalone ops already build
+    * (ivfAssign cells, pqCodes codes, one codebook — this op adds
+    * query-time composition, no new index). Deterministic everywhere:
+    * integer centroid scores with lowest-cid ties (cell ranking),
+    * integer L2 codes, ADC sums in BIGINT; top-annK per probe by
+    * (adist asc, cand_id). s_ann_recall's exact baseline adjudicates
+    * the standalone indexes; here the oracle re-derives the identical
+    * composed pipeline. */
+  def ivfPq: Q = (s, dir) => {
+    val asg = ivfAssign(s, dir).select(col("vec_id").as("cand_id"), col("cid"))
+    val codes = pqCodes(s, dir)
+    val cb = pqCodebook(s, dir)
+    val sub = pqSubs(s, dir)
+    val q = quantizedWithNorm(s, dir)
+    val cents = broadcast(q.filter(col("vec_id") < ivfK)
+      .toDF("cid", "qc", "cnb"))
+    val p0 = q.filter(col("vec_id") < 10).toDF("probe_id", "qp", "pnb")
+      .crossJoin(cents)
+      .select(col("probe_id"), col("cid"),
+        dot(col("qp"), col("qc")).as("dp"), col("cnb").as("nb"))
+      .select(col("probe_id"), col("cid"), expr(scoreExpr).as("cs"))
+    val wp = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("cid"))
+    val pcells = broadcast(p0.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= ivfNprobe).select("probe_id", "cid"))
+    // the IVF prune: candidates only from the probed cells
+    val cand = pcells.join(asg, Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id")
+    val probes = broadcast(sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("m"), col("svec")))
+    val adc = cand.join(codes.toDF("cand_id", "m", "code"), Seq("cand_id"))
+      .join(cb.toDF("m", "code", "cvec"), Seq("m", "code"))
+      .join(probes, Seq("probe_id", "m"))
+      .select(col("probe_id"), col("cand_id"),
+        l2(col("svec"), col("cvec")).as("pd"))
+      .groupBy("probe_id", "cand_id").agg(sum("pd").as("adist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("cand_id"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("adist"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val ivfPqSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    def l2s(a: String, b: String) =
+      s"(CAST(list_dot_product($a, $a) AS BIGINT) + CAST(list_dot_product($b, $b) AS BIGINT)" +
+        s" - 2 * CAST(list_dot_product($a, $b) AS BIGINT))"
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), cents AS (
+       | SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < $ivfK
+       |), asg0 AS (
+       | SELECT v.vec_id, v.qe, c.cid,
+       |  CAST(list_dot_product(v.qe, c.qc) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qc, c.qc) AS BIGINT) AS nb
+       | FROM q v, cents c
+       |), asg1 AS (
+       | SELECT vec_id, qe, cid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY $score DESC, cid) AS rn
+       | FROM asg0
+       |), asg AS (
+       | SELECT vec_id, cid FROM asg1 WHERE rn = 1
+       |), pr AS (
+       | SELECT vec_id AS probe_id, cid FROM asg1
+       | WHERE vec_id < 10 AND rn <= $ivfNprobe
+       |), sub AS (
+       | SELECT vec_id, m.m AS m, qe[m.m * $pqSub + 1 : m.m * $pqSub + $pqSub] AS svec
+       | FROM q, (SELECT unnest(range($pqM)) AS m) m
+       |), cb AS (
+       | SELECT m, vec_id AS cid, svec AS cvec FROM sub WHERE vec_id < $pqK
+       |), pqasg AS (
+       | SELECT vec_id, m, cid AS code FROM (
+       |  SELECT s.vec_id, s.m, c.cid, row_number() OVER (
+       |    PARTITION BY s.vec_id, s.m
+       |    ORDER BY ${l2s("s.svec", "c.cvec")} ASC, c.cid) AS rn
+       |  FROM sub s JOIN cb c ON c.m = s.m
+       | ) WHERE rn = 1
+       |), cand AS (
+       | SELECT DISTINCT p.probe_id, a.vec_id AS cand_id
+       | FROM pr p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+       |), adc AS (
+       | SELECT c.probe_id, c.cand_id, sum(${l2s("p.svec", "k.cvec")}) AS adist
+       | FROM cand c
+       | JOIN pqasg a ON a.vec_id = c.cand_id
+       | JOIN cb k ON k.m = a.m AND k.cid = a.code
+       | JOIN sub p ON p.vec_id = c.probe_id AND p.m = a.m
        | GROUP BY 1, 2
        |)
        |SELECT probe_id, rn, cand_id, CAST(adist AS BIGINT) AS adist FROM (
@@ -2245,6 +2373,7 @@ object Similarity {
     "s_ivf_multiprobe" -> ivfMultiprobe,
     "s_hybrid_search" -> hybridSearch,
     "s_ann_pq" -> annPq,
+    "s_ivf_pq" -> ivfPq,
     "s_knn_join" -> knnJoin,
     "s_ann_recall" -> annRecall,
     "s_dim_truncate_eval" -> dimTruncateEval,
@@ -2272,6 +2401,7 @@ object Similarity {
     "s_ivf_multiprobe" -> ivfMultiprobeSql,
     "s_hybrid_search" -> hybridSearchSql,
     "s_ann_pq" -> annPqSql,
+    "s_ivf_pq" -> ivfPqSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_recall" -> annRecallSql,
     "s_dim_truncate_eval" -> dimTruncateEvalSql,

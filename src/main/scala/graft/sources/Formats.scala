@@ -894,7 +894,55 @@ object Formats {
       |FROM lineitem WHERE l_orderkey % 13 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------- src_parquet_bloom
+  /** PARQUET BLOOM FILTER INDEX — the point-lookup companion to footer
+    * min/max stats (src_sorted_minmax): min/max prunes only when the
+    * layout is SORTED by the filter column; a bloom filter skips row
+    * groups for an arbitrary high-cardinality key on ANY layout (the
+    * reader tests the key against each group's bloom before touching
+    * data pages — Parquet's SBBF, one setting at write time). The
+    * write enables `parquet.bloom.filter.enabled#o_custkey` with an
+    * expected-NDV sizing hint; the read is an IN point-lookup whose
+    * predicate reaches the scan as PushedFilters (PlanAuditSpec
+    * asserts it — pushdown is what hands the keys to the bloom).
+    * Values are layout-independent (the oracle reads the original
+    * table), which is the invariant that makes the index SAFE: blooms
+    * have no false negatives, so a skip can never drop a matching
+    * row. Keys chosen ≢ 0 mod 3 (TPC-H leaves those custkeys
+    * orderless) and ≤ the smallest SF's key space. */
+  def parquetBloom: Q = (s, dir) => {
+    val path = scratch(s, dir, "bloomidx")
+    Tables(s, dir, "orders")
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "25000")
+      .parquet(path)
+    bloomScan(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("long").as("sum_cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** The bloom-indexed point lookup, exposed for PlanAuditSpec (the IN
+    * predicate must reach the reader as PushedFilters). Assumes
+    * parquetBloom already wrote the directory. */
+  private[graft] def bloomScan(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "bloomidx")
+    s.read.parquet(path)
+      .filter(col("o_custkey").isin(1L, 7L, 19L, 23L, 43L))
+  }
+
+  val parquetBloomSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_custkey IN (1, 7, 19, 23, 43)
+      |GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_parquet_bloom" -> parquetBloom,
     "src_delete_vectors" -> deleteVectors,
     "src_rowgroup_stats" -> rowgroupStats,
     "src_compaction" -> compaction,
@@ -914,6 +962,7 @@ object Formats {
     "src_manifest_vacuum" -> manifestVacuum)
 
   val oracleSql: Map[String, String] = Map(
+    "src_parquet_bloom" -> parquetBloomSql,
     "src_compaction" -> compactionSql,
     "src_delete_vectors" -> deleteVectorsSql,
     "src_rowgroup_stats" -> rowgroupStatsSql,

@@ -380,6 +380,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unused documents columns leaked into the t_code_detect scan:\n$p")
   }
 
+  test("bloom-indexed point lookup pushes the IN predicate to the parquet reader") {
+    // pushdown is what hands the keys to the row-group bloom test —
+    // a post-scan-only Filter would read every data page
+    graft.sources.Formats.parquetBloom(spark, sf).collect()
+    val p = plan(graft.sources.Formats.bloomScan(spark, sf))
+    assert(p.contains("PushedFilters: [In(o_custkey"),
+      s"custkey IN did not push to the bloom-indexed scan:\n$p")
+  }
+
   test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift)") {
     // an un-partitioned ordered window is fine over an AGGREGATED frame
     // (histogram / 1024-bin grid — bounded by construction) and a

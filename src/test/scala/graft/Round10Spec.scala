@@ -122,6 +122,74 @@ class Round10Spec extends AnyFunSuite {
     assert(settle(edges).values.toSet === Set(1L))
   }
 
+  // ------------------------------------------------------ r10 batch ops
+  test("d_fuzzy_join: every pair verified by an independent in-memory edit-distance DP") {
+    val D = graft.operators.Dedup
+    val pfx = graft.model.Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").take(D.fuzzyPrefixLen)).toMap
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val rows = D.fuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty, "fuzzy join vacuous at sf0.001")
+    rows.foreach { r =>
+      val (a, b, d) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))
+      assert(a < b, "pair not canonical")
+      assert(ed(pfx(a), pfx(b)) == d && d <= D.fuzzyD,
+        s"pair ($a,$b): reported $d, replay ${ed(pfx(a), pfx(b))}")
+    }
+  }
+
+  test("q_window_funnel: level census equals the in-memory anchored-chain replay") {
+    val R = graft.operators.Relational
+    val W = R.funnelWindowUs
+    val evs = graft.model.Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us")))
+    val byUser = evs.groupBy(_._1)
+    val want = byUser.view.mapValues { es =>
+      val v = es.filter(_._2 == "view").map(_._3)
+      val c = es.filter(_._2 == "click").map(_._3)
+      val p = es.filter(_._2 == "purchase").map(_._3)
+      val chains = for {
+        vt <- v; ct <- c if ct > vt && ct <= vt + W
+      } yield (vt, ct)
+      val l3 = chains.exists { case (vt, ct) =>
+        p.exists(pt => pt > ct && pt <= vt + W) }
+      if (l3) 3L else if (chains.nonEmpty) 2L
+      else if (v.nonEmpty) 1L else 0L
+    }.toMap.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = R.qWindowFunnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("level") -> r.getAs[Long]("n_users")).toMap
+    assert(got == want.filter(_._2 > 0), s"funnel census: got $got want $want")
+  }
+
+  test("q_theta_intersect: estimates land within 25% of exact on every set quantity") {
+    // deterministic sketch => a fixed accuracy assertion is stable; a
+    // gross miss here means the estimator arithmetic broke, not noise
+    val r = graft.operators.Relational.qThetaIntersect(spark, sf).collect()(0)
+    for ((e, est) <- Seq("n_a" -> "n_a_est", "n_b" -> "n_b_est",
+        "n_union" -> "n_union_est", "n_inter" -> "n_inter_est")) {
+      val exact = r.getAs[Long](e + "_exact").max(1L)
+      val v = r.getAs[Long](est)
+      assert(math.abs(v - exact) * 4 <= exact,
+        s"$est=$v vs exact=$exact — off by more than 25%")
+    }
+  }
+
   // ----------------------------------------------- transformWithState TTL
   /** The TTLConfig eviction knob, driven for real (r10 — documented on
     * every transformWithState op since r9, never exercised): the
