@@ -1692,6 +1692,105 @@ object Analytics {
       .select("label", "key", "score").orderBy("label", "key")
   }
 
+  // ---------------------------------------------- g_influence_spread
+  /** INDEPENDENT-CASCADE influence spread (Kempe–Kleinberg–Tardos —
+    * the spread function σ(S) every influence-maximization greedy
+    * evaluates): each undirected pair is LIVE with probability icP%
+    * — decided by one DETERMINISTIC md5 coin per unordered pair, the
+    * "live-edge graph" formulation of IC (KKT's proof device, used
+    * directly: a cascade from S reaches exactly what S reaches in the
+    * live subgraph). Deterministic world ⇒ replay-stable and
+    * oracle-matchable where a Monte-Carlo average could never
+    * hash-match; production estimates average many worlds — that is
+    * this op with `icSalt` varied, embarrassingly parallel. Seeds =
+    * the 25 nations; output per (seed, hop ≤ icHops): NEW nodes
+    * reached — the spread curve. Same multi-source distinct-frontier
+    * BFS shape as nationBfs, edge frame pre-filtered map-side to ~icP%
+    * before any join. */
+  val icP = 30L
+  val icHops = 4
+  val icSeeds = 10L // pivot budget: per-seed cost is constant (the
+                    // betweennessPivots argument), 25 seeds measured 10 s
+                    // at sf0.1 vs 4 s for 10 — the curve is the product,
+                    // not the seed census
+  val icSalt = "w0"
+
+  def influenceSpread: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val live = undW.select("a", "b")
+      .filter(graft.functions.VectorExprs.hexSlice(
+        md5(concat(lit(icSalt + ":"),
+          least(col("a"), col("b")).cast("string"), lit(":"),
+          greatest(col("a"), col("b")).cast("string"))), 1, 8)
+        % 100 < icP)
+    val seeds = nodes.filter(col("label") === "nation" &&
+        col("key") < icSeeds)
+      .select(col("id").as("seed"), col("id").as("node"), lit(0).as("d"))
+      .localCheckpoint(eager = true)
+    var vis = seeds
+    var frontier = seeds
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      for (i <- 1 to icHops) {
+        val next = live.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+          .select(col("seed"), col("b").as("node")).distinct()
+          .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
+          .withColumn("d", lit(i))
+          .localCheckpoint(eager = false)
+        vis = vis.unionByName(next).localCheckpoint(eager = false)
+        levels += next
+        levels += vis
+        frontier = next
+      }
+      val out = vis.filter(col("d") > 0)
+        .groupBy(col("seed"), col("d").cast("long").as("hop"))
+        .agg(count(lit(1)).as("n_new"))
+      nodes.join(out, col("id") === col("seed"))
+        .select(col("key").as("seed_key"), col("hop"), col("n_new"))
+        .orderBy("seed_key", "hop")
+        .localCheckpoint(eager = true)
+    } finally {
+      levels.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+      graft.model.PropertyGraph.freeLocalCheckpoint(seeds)
+    }
+  }
+
+  val influenceSpreadSql: String = {
+    val coin = graft.operators.OracleSql.hexToLong(
+      s"md5('$icSalt:' || CAST(least(a, b) AS VARCHAR) || ':' || " +
+        "CAST(greatest(a, b) AS VARCHAR))", 1, 8)
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")} FROM edges
+             |), live AS (
+             | SELECT a, b FROM und WHERE ($coin) % 100 < $icP
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), v0 AS (
+             | SELECT id AS seed, id AS node, 0 AS d FROM ids
+             | WHERE label = 'nation' AND key < $icSeeds
+             |)""".stripMargin
+    for (i <- 1 to icHops) {
+      val seen = (0 until i).map(j => s"SELECT seed, node FROM v$j")
+        .mkString(" UNION ALL ")
+      b ++= s""", v$i AS (
+               | SELECT DISTINCT f.seed, u.b AS node, $i AS d
+               | FROM live u JOIN v${i - 1} f ON u.a = f.node
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.seed = f.seed AND s.node = u.b)
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.key AS seed_key, CAST(v.d AS BIGINT) AS hop,
+             | count(*) AS n_new
+             |FROM (${(1 to icHops).map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")}) v
+             |JOIN ids i ON i.id = v.seed
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
   // ---------------------------------------------------- g_eccentricity
   /** Bounded-hop ECCENTRICITY of the nation seeds: the max BFS distance
     * reached within `closenessHops` hops, plus how many nodes the seed
@@ -4633,6 +4732,7 @@ object Analytics {
        |ORDER BY nn.comm""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "g_influence_spread" -> influenceSpread,
     "g_avg_neighbor_degree" -> avgNeighborDegree,
     "g_reciprocity" -> reciprocity,
     "g_conductance" -> conductance,
@@ -4681,6 +4781,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_influence_spread" -> influenceSpreadSql,
     "g_avg_neighbor_degree" -> avgNeighborDegreeSql,
     "g_reciprocity" -> reciprocitySql,
     "g_conductance" -> conductanceSql,

@@ -3185,8 +3185,142 @@ object Relational {
        |FROM g GROUP BY user_id, sid
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ----------------------------------------------------- q_bitmap_intersect
+  /** BITMAP SET ALGEBRA — the EXACT twin of q_theta_intersect's sketch
+    * answer on the same cohorts (1995 ∩/∪ 1996 buyers), by bitwise
+    * AND/OR of per-word customer bitmaps (q_bitmap_distinct's words:
+    * key → word = k div 32, bit = k mod 32): one groupBy(word) builds
+    * BOTH cohort masks via conditional bit_or (associative ⇒ map-side-
+    * combinable AND mergeable across ingestion batches), then
+    * intersection = Σ bit_count(mA & mB), union = Σ bit_count(mA | mB),
+    * symmetric difference = Σ bit_count(xor) — set algebra as pure
+    * word-wise integer ops, the roaring-bitmap query pattern. Exact at
+    * ≤ |keyspace|/32 shuffled words per cohort; the theta sketch is
+    * the path when even the bitmap is too wide — shipping BOTH, driver-
+    * checked against each other (this op's n_inter equals
+    * q_theta_intersect's n_inter_exact by construction), is the
+    * cross-validation. */
+  def qBitmapIntersect: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .distinct()
+    o.select(expr("k div 32").as("word"),
+        expr("CAST(k % 32 AS INT)").as("bit"), col("y"))
+      .groupBy("word")
+      .agg(
+        expr("bit_or(CASE WHEN y = 1995 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END)").as("ma"),
+        expr("bit_or(CASE WHEN y = 1996 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END)").as("mb"))
+      .agg(sum(expr("bit_count(ma)")).as("n_a"),
+        sum(expr("bit_count(mb)")).as("n_b"),
+        sum(expr("bit_count(ma & mb)")).as("n_inter"),
+        sum(expr("bit_count(ma | mb)")).as("n_union"),
+        sum(expr("bit_count(ma ^ mb)")).as("n_symdiff"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"),
+        col("n_symdiff").cast("long").as("n_symdiff"))
+  }
+
+  val qBitmapIntersectSql: String =
+    """WITH o AS (
+      | SELECT DISTINCT o_custkey AS k, year(o_orderdate) AS y
+      | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      |), w AS (
+      | SELECT k // 32 AS word,
+      |  bit_or(CASE WHEN y = 1995 THEN (CAST(1 AS BIGINT) << (k % 32)) ELSE 0 END) AS ma,
+      |  bit_or(CASE WHEN y = 1996 THEN (CAST(1 AS BIGINT) << (k % 32)) ELSE 0 END) AS mb
+      | FROM o GROUP BY 1
+      |)
+      |SELECT CAST(sum(bit_count(ma)) AS BIGINT) AS n_a,
+      | CAST(sum(bit_count(mb)) AS BIGINT) AS n_b,
+      | CAST(sum(bit_count(ma & mb)) AS BIGINT) AS n_inter,
+      | CAST(sum(bit_count(ma | mb)) AS BIGINT) AS n_union,
+      | CAST(sum(bit_count(xor(ma, mb))) AS BIGINT) AS n_symdiff
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------- q_count_min
+  /** COUNT-MIN SKETCH frequency estimation (Cormode–Muthukrishnan) —
+    * the bounded-memory per-key counter: d=4 hash rows × w=512
+    * counters; est(k) = min over rows of counter[row][h_row(k)],
+    * always ≥ true count (one-sided error — the CMS guarantee, made
+    * VISIBLE by the driver-checked `over` column which must be ≥ 0).
+    * Each row's counter table is one map-side-combinable
+    * groupBy(row, bucket) — d·w BIGINTs total, mergeable across
+    * batches (the streaming state bound t_heavy_hitters documents CMS
+    * for). Evaluated on the top-20 exact-count users: exact, est, and
+    * the overestimate — the collision-bias table that sizes w.
+    * Deterministic md5 row hashes (row id salts the hash), integer
+    * everywhere. */
+  val cmD = 4
+  val cmW = 512L
+
+  def qCountMin: Q = (s, dir) => {
+    val cnt = t(s, dir, "events").groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("c"))
+    def bucket(row: Int): Column =
+      graft.functions.VectorExprs.hexSlice(
+        md5(concat(lit(s"r$row:"), col("k").cast("string"))), 1, 8) % cmW
+    // the d×w counter table: one groupBy over the exploded (row,
+    // bucket) pairs — ≤ d·w rows out, partial-agged in
+    val pairs = (0 until cmD).map(r =>
+      cnt.select(lit(r).as("row"), bucket(r).as("bucket"), col("c")))
+      .reduce(_.unionByName(_))
+    val counters = pairs.groupBy("row", "bucket")
+      .agg(sum("c").as("cnt"))
+    val top = cnt
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("k"))))
+      .filter(col("rn") <= 20)
+    // probe the sketch: each top key reads its d counters, est = min
+    val probes = (0 until cmD).map(r =>
+      top.select(col("k"), col("c"), lit(r).as("row"),
+        bucket(r).as("bucket")))
+      .reduce(_.unionByName(_))
+    probes.join(broadcast(counters), Seq("row", "bucket"))
+      .groupBy("k", "c").agg(min("cnt").as("est"))
+      .select(col("k").as("user_id"), col("c").as("n_exact"),
+        col("est").as("n_est"), (col("est") - col("c")).as("over"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val qCountMinSql: String = {
+    def bucket(r: Int) = "(" + graft.operators.OracleSql.hexToLong(
+      s"md5('r$r:' || CAST(k AS VARCHAR))", 1, 8) + s") % $cmW"
+    val pairRows = (0 until cmD).map(r =>
+      s"SELECT $r AS row, CAST(${bucket(r)} AS BIGINT) AS bucket, c FROM cnt")
+      .mkString("\n UNION ALL ")
+    val probeRows = (0 until cmD).map(r =>
+      s"SELECT k, c, $r AS row, CAST(${bucket(r)} AS BIGINT) AS bucket FROM top")
+      .mkString("\n UNION ALL ")
+    s"""WITH cnt AS (
+       | SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+       |), pairs AS (
+       |$pairRows
+       |), counters AS (
+       | SELECT row, bucket, CAST(sum(c) AS BIGINT) AS cnt
+       | FROM pairs GROUP BY 1, 2
+       |), top AS (
+       | SELECT k, c FROM (
+       |  SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn
+       |  FROM cnt) WHERE rn <= 20
+       |), probes AS (
+       |$probeRows
+       |)
+       |SELECT p.k AS user_id, CAST(max(p.c) AS BIGINT) AS n_exact,
+       | CAST(min(ct.cnt) AS BIGINT) AS n_est,
+       | CAST(min(ct.cnt) - max(p.c) AS BIGINT) AS over
+       |FROM probes p JOIN counters ct
+       |  ON ct.row = p.row AND ct.bucket = p.bucket
+       |GROUP BY p.k
+       |ORDER BY n_exact DESC, user_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_bitmap_intersect" -> qBitmapIntersect,
+    "q_count_min" -> qCountMin,
     "q_session_native" -> qSessionNative,
     "q_theta_intersect" -> qThetaIntersect,
     "q_ams_join_size" -> qAmsJoinSize,
@@ -3255,6 +3389,8 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_bitmap_intersect" -> qBitmapIntersectSql,
+    "q_count_min" -> qCountMinSql,
     "q_session_native" -> qSessionNativeSql,
     "q_theta_intersect" -> qThetaIntersectSql,
     "q_ams_join_size" -> qAmsJoinSizeSql,
