@@ -3065,7 +3065,7 @@ object Relational {
   // ------------------------------------------------------- q_window_funnel
   /** WINDOWED FUNNEL DEPTH (ClickHouse's windowFunnel, re-expressed):
     * per user, the deepest prefix of the view → click → purchase
-    * funnel completed INSIDE a 2-hour window anchored at the view —
+    * funnel completed INSIDE a 24-hour window anchored at the view —
     * level 3 needs view < click < purchase with both follow-ups
     * within W of the view; q_events_funnel's flat click→purchase
     * interval join cannot express the anchored-chain semantics.
@@ -3076,7 +3076,7 @@ object Relational {
     * each level to user grain before the next join, and the census is
     * one partial-agged groupBy. Exact integer µs arithmetic; no
     * timestamps cross engines. */
-  val funnelWindowUs = 7200000000L // 2 hours
+  val funnelWindowUs = 86400000000L // 24 hours (2 h never completes level 3 on this corpus — measured)
 
   def qWindowFunnel: Q = (s, dir) => {
     val ev = t(s, dir, "events")

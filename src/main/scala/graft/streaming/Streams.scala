@@ -1125,6 +1125,82 @@ object Streams {
         OutputMode.Update())
   }
 
+  // ---------------------------------------------------------- st_funnel
+  /** st_funnel: STREAMING WINDOWED-FUNNEL DEPTH — the stateful twin of
+    * q_window_funnel's anchored view→click→purchase chain (level 3
+    * needs c ∈ (v, v+W] and p ∈ (c, v+W] for ONE anchor view v).
+    * Per-user ValueState carries (level, live view anchors, live
+    * chains): a view opens an anchor; a click inside some anchor's
+    * window opens a chain carrying the LATEST-expiring valid anchor's
+    * deadline (the chain that maximizes a future purchase's chance —
+    * any other valid anchor is dominated, so one deadline per click is
+    * lossless); a purchase inside (cts, deadline] of any live chain
+    * settles level 3. Levels are MONOTONE, so the final emission per
+    * user is the answer whatever the micro-batch split (the
+    * st_user_counters argument); within-batch fold in (ts, event_id)
+    * order under the ordered-feeding contract. State is BOUNDED BY THE
+    * WINDOW: anchors/chains prune as their v+W deadline passes the
+    * fold's event time — the watermark-style horizon every windowed
+    * join documents, here enforced inside the state itself. */
+  val funnelWindowUs = 86400000000L // mirrors Relational.funnelWindowUs
+
+  final case class FunnelSt(level: Int, views: Seq[Long],
+                            chainCts: Seq[Long], chainDl: Seq[Long])
+  final case class FunnelUpd(user_id: Long, level: Int)
+
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, FunnelUpd] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[FunnelSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[FunnelSt]("funnel", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelUpd] = {
+      var s = if (st.exists()) st.get()
+              else FunnelSt(0, Seq.empty, Seq.empty, Seq.empty)
+      rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val us = e.ts / 1000
+        // horizon prune: an anchor/chain whose v+W passed can never
+        // complete — the state bound
+        val views = s.views.filter(_ + funnelWindowUs >= us)
+        val keep = s.chainCts.indices.filter(i => s.chainDl(i) >= us)
+        var (cts, dls) = (keep.map(s.chainCts), keep.map(s.chainDl))
+        var level = s.level
+        e.event_type match {
+          case "view" =>
+            s = FunnelSt(math.max(level, 1), views :+ us, cts, dls)
+          case "click" =>
+            val dl = views.filter(_ < us).map(_ + funnelWindowUs)
+              .filter(_ >= us).sorted.lastOption
+            dl.foreach { d => level = math.max(level, 2)
+              cts :+= us; dls :+= d }
+            s = FunnelSt(level, views, cts, dls)
+          case "purchase" =>
+            if (cts.indices.exists(i => cts(i) < us && us <= dls(i)))
+              level = math.max(level, 3)
+            s = FunnelSt(level, views, cts, dls)
+          case _ => s = FunnelSt(level, views, cts, dls)
+        }
+      }
+      st.update(s)
+      Iterator.single(FunnelUpd(key, s.level))
+    }
+  }
+
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelUpd] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** The ORPHANED-FACT EVICTION knob exercised (r10 — TTL was
     * documented as "the open-world state bound" on every
     * transformWithState op but never driven): the fact buffer is

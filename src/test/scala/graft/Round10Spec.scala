@@ -190,6 +190,60 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("st_funnel: final per-user level equals the anchored-chain replay under any ordered split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val W = graft.streaming.Streams.funnelWindowUs
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect().toSeq
+        .sortBy(e => (e.ts, e.event_id))
+      val want: Map[Long, Int] = events.groupBy(_.user_id).map { case (u, es) =>
+        val v = es.filter(_.event_type == "view").map(_.ts / 1000)
+        val c = es.filter(_.event_type == "click").map(_.ts / 1000)
+        val p = es.filter(_.event_type == "purchase").map(_.ts / 1000)
+        val chains = for { vt <- v; ct <- c if ct > vt && ct <= vt + W }
+          yield (vt, ct)
+        val l3 = chains.exists { case (vt, ct) =>
+          p.exists(pt => pt > ct && pt <= vt + W) }
+        u -> (if (l3) 3 else if (chains.nonEmpty) 2
+              else if (v.nonEmpty) 1 else 0)
+      }
+      def run(name: String,
+          batches: Seq[Seq[graft.streaming.Streams.Event]]): Map[Long, Int] = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.Streams.Event]
+        val q = graft.streaming.Streams.funnelStream(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          // levels are monotone — the final standing is the max emitted
+          spark.table(name).collect()
+            .groupBy(_.getAs[Long]("user_id"))
+            .map { case (u, rs) => u -> rs.map(_.getAs[Int]("level")).max }
+        } finally q.stop()
+      }
+      assert(run("fn_one", Seq(events)) == want,
+        "one-shot stream != anchored-chain replay")
+      assert(run("fn_split",
+        events.grouped(math.max(1, events.size / 5)).toSeq) == want,
+        "ordered split != anchored-chain replay")
+      // non-vacuity: the full chain must complete for someone AND not
+      // for everyone (at sf0.001 every viewer reaches level 2 — the
+      // interesting boundary is 2 vs 3)
+      assert(want.values.toSet.contains(3) && want.values.toSet.size >= 2,
+        s"funnel depths degenerate: ${want.values.toSet}")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   // ----------------------------------------------- transformWithState TTL
   /** The TTLConfig eviction knob, driven for real (r10 — documented on
     * every transformWithState op since r9, never exercised): the
