@@ -368,6 +368,65 @@ object Dedup {
           .reduce(_ + _).as("n_match"))
   }
 
+  // ----------------------------------------------------- d_minhash_b_bit
+  /** b-BIT MINWISE HASHING adjudication (Li & König 2010): store only
+    * the LOWEST BIT of each minhash — 1/60th of the signature bytes,
+    * the storage trick that makes billion-doc signature tables fit in
+    * memory — and estimate J from the bit-match rate with the b=1
+    * unbiased correction Ĵ = 2·(m/k) − 1 (a random bit agrees half
+    * the time, so raw agreement overestimates; the correction floors
+    * at 0 in integer ppm). One row per blocked-truth pair: exact
+    * Jaccard, the full-width 9-hash estimate, the 1-bit estimate, and
+    * both absolute errors — the driver-checked table that prices the
+    * 60× compression in estimator variance (Li–König: b=1 needs ~3×
+    * the hashes for matched accuracy at J ≈ ½ — visible here as the
+    * larger err column). Reuses the session signature cache and the
+    * blocked-Jaccard truth memo; cost on top is one projection. */
+  def minhashBBit: Q = (s, dir) => {
+    val truth = jaccardPairs(s, dir)
+    val sig = signatures(s, dir).cache()
+    val sa = sig.toDF("doc_a" +: (0 until mhSeeds).map(k => s"a$k"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until mhSeeds).map(k => s"b$k"): _*)
+    truth.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(inter * 1000000) div uni").as("exact_ppm"),
+        (0 until mhSeeds).map(k =>
+          when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_full"),
+        (0 until mhSeeds).map(k =>
+          when(col(s"a$k") % 2 === col(s"b$k") % 2, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_bit"))
+      .select(col("doc_a"), col("doc_b"), col("exact_ppm"),
+        expr(s"(n_full * 1000000) div $mhSeeds").as("est_full_ppm"),
+        expr(s"greatest(CAST(0 AS BIGINT)," +
+          s" (2 * n_bit * 1000000) div $mhSeeds - 1000000)").as("est_b1_ppm"))
+      .withColumn("err_full_ppm", abs(col("est_full_ppm") - col("exact_ppm")))
+      .withColumn("err_b1_ppm", abs(col("est_b1_ppm") - col("exact_ppm")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private lazy val mhBitMatchSql: String = (0 until mhSeeds).map(k =>
+    s"CASE WHEN sa.mh$k % 2 = sb.mh$k % 2 THEN 1 ELSE 0 END").mkString(" + ")
+
+  // lazy: jaccardPairsSqlCte is a val defined LATER in this object —
+  // an eager val here would interpolate null (the avgNeighborDegreeSql
+  // lesson, same round)
+  lazy val minhashBBitSql: String =
+    s"""WITH $minhashBandCtesSql,
+       |$jaccardPairsSqlCte
+       |SELECT jp.doc_a, jp.doc_b,
+       | CAST((jp.inter * 1000000) // jp.uni AS BIGINT) AS exact_ppm,
+       | CAST((($mhMatchSql) * 1000000) // $mhSeeds AS BIGINT) AS est_full_ppm,
+       | CAST(greatest(0, (2 * ($mhBitMatchSql) * 1000000) // $mhSeeds
+       |   - 1000000) AS BIGINT) AS est_b1_ppm,
+       | CAST(abs((($mhMatchSql) * 1000000) // $mhSeeds
+       |   - (jp.inter * 1000000) // jp.uni) AS BIGINT) AS err_full_ppm,
+       | CAST(abs(greatest(0, (2 * ($mhBitMatchSql) * 1000000) // $mhSeeds
+       |   - 1000000) - (jp.inter * 1000000) // jp.uni) AS BIGINT) AS err_b1_ppm
+       |FROM jp JOIN sig sa ON sa.doc_id = jp.doc_a
+       |        JOIN sig sb ON sb.doc_id = jp.doc_b
+       |ORDER BY jp.doc_a, jp.doc_b""".stripMargin
+
   // ------------------------------------------------ d_dedup_incremental
   /** INCREMENTAL minhash dedup — the append-only production shape: only
     * the NEW batch is checked, against the corpus AND against itself,
@@ -1803,6 +1862,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d_minhash_b_bit" -> minhashBBit,
     "d_fuzzy_join" -> fuzzyJoin,
     "d_norm_dedup_gain" -> normDedupGain,
     "d_dataset_split" -> datasetSplit,
@@ -1831,6 +1891,7 @@ object Dedup {
     "d_dedup_embedding" -> dedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
+    "d_minhash_b_bit" -> minhashBBitSql,
     "d_fuzzy_join" -> fuzzyJoinSql,
     "d_norm_dedup_gain" -> normDedupGainSql,
     "d_dataset_split" -> datasetSplitSql,

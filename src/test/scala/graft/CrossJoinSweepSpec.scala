@@ -35,6 +35,10 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "s_ivf_probe_curve", // the same probe×centroid ranking cross as
                          // s_ivf_multiprobe, swept once across the nprobe
                          // configs; candidate scans stay cid-keyed equi-joins.
+    "s_ivf_pq",          // the same probe×centroid cell-ranking cross as
+                         // s_ivf_multiprobe (10 probes × k=8 broadcast
+                         // centroids); the candidate scan is cid-pruned and
+                         // the ADC joins are (cand_id)/(m, code) equi-joins.
     "s_kmeanspp_seed",   // farthest-first rounds = O(n·k) crossJoin against
                          // the ≤4 BROADCAST chosen-seed constants — the same
                          // linear d_kmeans_eval assignment shape; each round's
