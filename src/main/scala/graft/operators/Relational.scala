@@ -3317,8 +3317,100 @@ object Relational {
        |ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // -------------------------------------------------------- q_ivm_delete
+  /** IVM with DELETES — the half of the delta algebra q_ivm_join's
+    * append-only split doesn't reach (Blakeley's full counting form;
+    * DBSP's negative multiplicities): deleting ΔdA from A and ΔdB
+    * from B removes from V = γ(A ⋈ B) exactly
+    * γ(ΔdA⋈B) + γ(A⋈ΔdB) − γ(ΔdA⋈ΔdB) — the inclusion–exclusion
+    * fold, executed as three filter-pushed branches with +1/+1/−1
+    * signs folded by ONE partial-aggregable signed sum (a pair with
+    * both sides deleted is subtracted twice and added back once).
+    * Delete sets are deterministic modular predicates on BOTH sides
+    * (orderkey % 50, partkey % 71 — independent, so all three terms
+    * are non-trivial). `rev_after_full` — the from-scratch recompute
+    * on the post-delete state — rides along; driver-checked
+    * rev_after_incremental = rev_after_full IS the proof the delete
+    * algebra loses nothing. Refresh cost ∝ |Δd| joins, never a
+    * re-join of the surviving 100 TB. */
+  def qIvmDelete: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val dO = o.filter(col("o_orderkey") % 50 === 0)
+    val dL = l.filter(col("l_partkey") % 71 === 0)
+    val oKeep = o.filter(col("o_orderkey") % 50 =!= 0)
+    val lKeep = l.filter(col("l_partkey") % 71 =!= 0)
+    def pairs(a: DataFrame, b: DataFrame, sign: Long): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .select(col("o_orderpriority"), (col("cents") * sign).as("scents"))
+    val base = pairs(o, l, 1L).groupBy("o_orderpriority")
+      .agg(sum("scents").as("rev_base"))
+    val removed = pairs(dO, l, 1L)
+      .unionByName(pairs(o, dL, 1L))
+      .unionByName(pairs(dO, dL, -1L))
+      .groupBy("o_orderpriority")
+      .agg(sum("scents").as("rev_removed"))
+    val full = pairs(oKeep, lKeep, 1L).groupBy("o_orderpriority")
+      .agg(sum("scents").as("rev_after_full"))
+    base.join(removed, Seq("o_orderpriority"), "full_outer")
+      .join(full, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("rev_base"), lit(0L)).as("rev_base"),
+        coalesce(col("rev_removed"), lit(0L)).as("rev_removed"),
+        (coalesce(col("rev_base"), lit(0L)) -
+          coalesce(col("rev_removed"), lit(0L))).as("rev_after_incremental"),
+        coalesce(col("rev_after_full"), lit(0L)).as("rev_after_full"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qIvmDeleteSql: String =
+    """WITH o AS (
+      | SELECT o_orderkey, o_orderpriority FROM orders
+      |), l AS (
+      | SELECT l_orderkey, l_partkey,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM lineitem
+      |), base AS (
+      | SELECT o.o_orderpriority, CAST(sum(l.cents) AS BIGINT) AS rev_base
+      | FROM o JOIN l ON l.l_orderkey = o.o_orderkey GROUP BY 1
+      |), rem AS (
+      | SELECT o_orderpriority, CAST(sum(scents) AS BIGINT) AS rev_removed
+      | FROM (
+      |  SELECT o.o_orderpriority, l.cents AS scents
+      |  FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey % 50 = 0
+      |  UNION ALL
+      |  SELECT o.o_orderpriority, l.cents
+      |  FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_partkey % 71 = 0
+      |  UNION ALL
+      |  SELECT o.o_orderpriority, -l.cents
+      |  FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey % 50 = 0 AND l.l_partkey % 71 = 0
+      | ) GROUP BY 1
+      |), f AS (
+      | SELECT o.o_orderpriority, CAST(sum(l.cents) AS BIGINT) AS rev_after_full
+      | FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      | WHERE o.o_orderkey % 50 <> 0 AND l.l_partkey % 71 <> 0
+      | GROUP BY 1
+      |)
+      |SELECT base.o_orderpriority,
+      | COALESCE(base.rev_base, 0) AS rev_base,
+      | COALESCE(rem.rev_removed, 0) AS rev_removed,
+      | COALESCE(base.rev_base, 0) - COALESCE(rem.rev_removed, 0)
+      |  AS rev_after_incremental,
+      | COALESCE(f.rev_after_full, 0) AS rev_after_full
+      |FROM base
+      |LEFT JOIN rem ON rem.o_orderpriority = base.o_orderpriority
+      |LEFT JOIN f ON f.o_orderpriority = base.o_orderpriority
+      |ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_ivm_delete" -> qIvmDelete,
     "q_bitmap_intersect" -> qBitmapIntersect,
     "q_count_min" -> qCountMin,
     "q_session_native" -> qSessionNative,
@@ -3389,6 +3481,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ivm_delete" -> qIvmDeleteSql,
     "q_bitmap_intersect" -> qBitmapIntersectSql,
     "q_count_min" -> qCountMinSql,
     "q_session_native" -> qSessionNativeSql,
