@@ -3317,6 +3317,118 @@ object Relational {
        |ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // --------------------------------------------------------- q_hll_tuning
+  /** HLL REGISTER-COUNT SWEEP — "what m do I ship" as a table (the
+    * d_lsh_tuning discipline applied to q_hll_distinct's sketch): the
+    * SAME scan estimates the distinct-buyer count at m ∈ {16, 64, 256}
+    * registers via one map-side explode of (config, register) pairs —
+    * the shuffle carries partial maxes, ≤ Σm rows after combine — with
+    * per-m alpha and per-m linear-counting tables generated once in
+    * Scala into BOTH engines (no cross-engine libm; the
+    * q_hll_distinct contract, parameterized). Exact count + err_ppm
+    * per row: the standard-error ~1.04/√m column a capacity plan
+    * reads (halving error costs 4× registers). j8 % m is uniform for
+    * every m dividing 256. */
+  val hllTuneMs = Seq(16, 64, 256)
+
+  private def hllAlphaLit(m: Int): String = {
+    val a = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.toPlainString
+  }
+
+  private def hllLinTableFor(m: Int): String =
+    (1 to m).map { v =>
+      val e = BigDecimal(m * math.log(m.toDouble / v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+      s"WHEN $v THEN CAST($e AS DOUBLE)"
+    }.mkString(" ")
+
+  private lazy val hllTuneRawExpr: String = hllTuneMs.map(m =>
+    s"WHEN mc = $m THEN (CAST(${hllAlphaLit(m)} AS DOUBLE) * ${m.toLong * m}" +
+      s" * 2199023255552.0) / CAST(s_pow AS DOUBLE)")
+    .mkString("CASE ", " ", " END")
+
+  private lazy val hllTuneEstExpr: String = hllTuneMs.map(m =>
+    s"WHEN mc = $m THEN (CASE WHEN raw <= ${2.5 * m} AND v_empty > 0" +
+      s" THEN round(CASE v_empty ${hllLinTableFor(m)} END, 6)" +
+      s" ELSE round(raw, 6) END)")
+    .mkString("CASE ", " ", " END")
+
+  def qHllTuning: Q = (s, dir) => {
+    val h = md5(col("o_custkey").cast("string"))
+    val base = t(s, dir, "orders").select(
+      graft.functions.VectorExprs.hexSlice(h, 1, 2).as("j8"),
+      graft.functions.VectorExprs.hexSlice(h, 3, 10).as("w"))
+    val rows = base.select(explode(array(hllTuneMs.map(m =>
+        struct(lit(m.toLong).as("mc"), (col("j8") % m).as("j"))): _*)).as("x"),
+        col("w"))
+      .select(col("x.mc").as("mc"), col("x.j").as("j"),
+        expr("CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END").as("rho"))
+    val regs = rows.groupBy("mc", "j").agg(max("rho").as("mr"))
+    val dense = hllTuneMs.map(m => s.range(m).toDF("j")
+        .select(lit(m.toLong).as("mc"), col("j")))
+      .reduce(_.unionByName(_))
+    val sk = dense.join(regs, Seq("mc", "j"), "left_outer")
+      .select(col("mc"), coalesce(col("mr"), lit(0L)).as("m"))
+      .groupBy("mc").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m AS INT))"))
+          .as("s_pow"),
+        count(when(col("m") === 0, 1)).as("v_empty"))
+    val exact = t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    sk.crossJoin(broadcast(exact))
+      .withColumn("raw", expr(hllTuneRawExpr))
+      .select(col("mc").as("m_registers"), col("n_exact"), col("v_empty"),
+        expr(hllTuneEstExpr).as("est_hll"))
+      .withColumn("err_ppm", expr(
+        "CAST(round(abs(est_hll - n_exact) * 1000000.0 / n_exact, 0) AS BIGINT)"))
+      .orderBy("m_registers")
+  }
+
+  lazy val qHllTuningSql: String = {
+    val j8 = graft.operators.OracleSql.hexToLong("h", 1, 2)
+    val w = graft.operators.OracleSql.hexToLong("h", 3, 10)
+    val cfgs = hllTuneMs.map(m => s"($m)").mkString(", ")
+    s"""WITH hs AS (
+       | SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+       |), jw AS (
+       | SELECT CAST($j8 AS BIGINT) AS j8, CAST($w AS BIGINT) AS w FROM hs
+       |), rws AS (
+       | SELECT CAST(c.mc AS BIGINT) AS mc, j8 % c.mc AS j,
+       |  CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS rho
+       | FROM jw, (VALUES $cfgs) c(mc)
+       |), regs AS (
+       | SELECT mc, j, max(rho) AS mr FROM rws GROUP BY 1, 2
+       |), dense AS (
+       | SELECT CAST(c.mc AS BIGINT) AS mc, r.range AS j
+       | FROM (VALUES $cfgs) c(mc) JOIN range(256) r ON r.range < c.mc
+       |), fr AS (
+       | SELECT d.mc, COALESCE(regs.mr, 0) AS m
+       | FROM dense d LEFT JOIN regs ON regs.mc = d.mc AND regs.j = d.j
+       |), sk AS (
+       | SELECT mc,
+       |  CAST(sum(1::BIGINT << CAST(41 - m AS INTEGER)) AS BIGINT) AS s_pow,
+       |  CAST(count(CASE WHEN m = 0 THEN 1 END) AS BIGINT) AS v_empty
+       | FROM fr GROUP BY mc
+       |), ex AS (
+       | SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
+       |), rw AS (
+       | SELECT mc, n_exact, v_empty, s_pow, $hllTuneRawExpr AS raw
+       | FROM sk, ex
+       |)
+       |SELECT mc AS m_registers, n_exact, v_empty,
+       | $hllTuneEstExpr AS est_hll,
+       | CAST(round(abs(($hllTuneEstExpr) - n_exact) * 1000000.0 / n_exact, 0)
+       |  AS BIGINT) AS err_ppm
+       |FROM rw ORDER BY m_registers""".stripMargin
+  }
+
   // -------------------------------------------------------- q_ivm_delete
   /** IVM with DELETES — the half of the delta algebra q_ivm_join's
     * append-only split doesn't reach (Blakeley's full counting form;
@@ -3410,6 +3522,7 @@ object Relational {
 
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_hll_tuning" -> qHllTuning,
     "q_ivm_delete" -> qIvmDelete,
     "q_bitmap_intersect" -> qBitmapIntersect,
     "q_count_min" -> qCountMin,
@@ -3481,6 +3594,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_hll_tuning" -> qHllTuningSql,
     "q_ivm_delete" -> qIvmDeleteSql,
     "q_bitmap_intersect" -> qBitmapIntersectSql,
     "q_count_min" -> qCountMinSql,

@@ -836,6 +836,62 @@ object TextOps {
     b.toString
   }
 
+  // ----------------------------------------------------- t_bpe_fertility
+  /** TOKENIZER FERTILITY by language — BPE tokens per whitespace word
+    * in exact ppm, plus chars per token: the tokenizer-equity table
+    * every multilingual training run reads (a language whose fertility
+    * is 2× pays 2× the sequence length for the same text — it is
+    * systematically undertrained at a fixed token budget, the
+    * documented motivation for per-language vocab balancing). Reuses
+    * the SAME trained merge table as t_bpe_apply (one vocab, measured
+    * per lang — the real deployment question: how does MY tokenizer
+    * treat each language), out-of-vocab words fall back to
+    * char-per-symbol exactly as the apply op does. One explode +
+    * vocab join + lang-keyed partial-agged groupBy. */
+  def bpeFertility: Q = (s, dir) => {
+    val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val (_, words) = bpeMergeRounds(s, dir, interim)
+      val vocab = words.select(col("wd"),
+        size(split(col("w"), " ")).cast("long").as("n_sym"))
+      docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("wd"))
+        .join(vocab, Seq("wd"), "left_outer")
+        .groupBy("lang").agg(count(lit(1)).as("n_words"),
+          sum(length(col("wd")).cast("long")).as("n_chars"),
+          sum(coalesce(col("n_sym"), length(col("wd")).cast("long")))
+            .as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"),
+          expr("(n_chars * 1000000) div n_bpe_tokens")
+            .as("chars_per_token_ppm"))
+        .orderBy("lang")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  lazy val bpeFertilitySql: String = {
+    val b = new StringBuilder(s"WITH $bpeChainSqlCtes")
+    b ++= s""", vocab AS (
+             | SELECT wd, CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+             | FROM w$bpeIters
+             |), tok AS (
+             | SELECT lang, unnest(string_split(text, ' ')) AS wd
+             | FROM documents
+             |), agg AS (
+             | SELECT t.lang, count(*) AS n_words,
+             |  CAST(sum(length(t.wd)) AS BIGINT) AS n_chars,
+             |  CAST(sum(COALESCE(v.n_sym, length(t.wd))) AS BIGINT) AS n_bpe_tokens
+             | FROM tok t LEFT JOIN vocab v ON v.wd = t.wd
+             | GROUP BY t.lang
+             |)
+             |SELECT lang, n_words, n_bpe_tokens,
+             | (n_bpe_tokens * 1000000) // n_words AS fertility_ppm,
+             | (n_chars * 1000000) // n_bpe_tokens AS chars_per_token_ppm
+             |FROM agg ORDER BY lang""".stripMargin
+    b.toString
+  }
+
   // --------------------------------------------------- t_content_chunking
   /** CONTENT-DEFINED CHUNKING (the LBFS/venti/restic storage-dedup
     * primitive): chunk boundaries are set WHERE THE CONTENT says so —
@@ -2423,6 +2479,7 @@ object TextOps {
     "t_dsir" -> dsir,
     "t_dsir_eval" -> dsirEval,
     "t_bpe_apply" -> bpeApply,
+    "t_bpe_fertility" -> bpeFertility,
     "t_content_chunking" -> contentChunking,
     "t_rule_ablation" -> ruleAblation,
     "t_clean_normalize" -> cleanNormalize,
@@ -2466,6 +2523,7 @@ object TextOps {
     "t_dsir" -> dsirSql,
     "t_dsir_eval" -> dsirEvalSql,
     "t_bpe_apply" -> bpeApplySql,
+    "t_bpe_fertility" -> bpeFertilitySql,
     "t_content_chunking" -> contentChunkingSql,
     "t_bpe_train" -> bpeTrainSql,
     "t_quality_calibration" -> qualityCalibrationSql,
