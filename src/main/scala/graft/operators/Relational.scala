@@ -3317,6 +3317,54 @@ object Relational {
        |ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // ---------------------------------------------------- q_join_skew_report
+  /** JOIN-SKEW DIAGNOSTIC — the table that DECIDES salting (the
+    * q_skew_salted_join knob) or AQE skew-join thresholds before a
+    * cluster burns on one straggler: per join key (l_partkey, the
+    * many-many fan key), the self-join output contribution c(k)² —
+    * the rows a partkey-keyed join would emit — with its share of
+    * F₂ = Σc² in exact ppm (the same second moment q_ams_join_size
+    * sketches; here the exact per-key decomposition). Top-20 by
+    * (contribution desc, key): a flat table means hash-join fine; one
+    * dominant key means salt it. Plan: one map-side-combinable
+    * groupBy, a 1-row F₂ aggregate broadcast, top-k via
+    * WindowGroupLimit (partial before the shuffle); DECIMAL(38,0)
+    * squares (c² at 100 TB overflows BIGINT exactly when skew is the
+    * problem). */
+  def qJoinSkewReport: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val c = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("l_partkey"), col("n_rows"),
+        (col("n_rows").cast(D38) * col("n_rows")).as("contrib"))
+    val f2 = c.agg(sum("contrib").as("f2"))
+    c.crossJoin(broadcast(f2))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("contrib").desc, col("l_partkey"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank").cast("long").as("rank"), col("l_partkey"),
+        col("n_rows"), col("contrib").cast("long").as("contrib"),
+        expr("CAST((contrib * 1000000) div f2 AS BIGINT)").as("share_ppm"))
+      .orderBy("rank")
+  }
+
+  val qJoinSkewReportSql: String =
+    """WITH c AS (
+      | SELECT l_partkey, count(*) AS n_rows,
+      |  CAST(count(*) AS HUGEINT) * count(*) AS contrib
+      | FROM lineitem GROUP BY 1
+      |), f2 AS (SELECT sum(contrib) AS f2 FROM c
+      |)
+      |SELECT CAST(rank AS BIGINT) AS rank, l_partkey,
+      | CAST(n_rows AS BIGINT) AS n_rows,
+      | CAST(contrib AS BIGINT) AS contrib,
+      | CAST((contrib * 1000000) // f2.f2 AS BIGINT) AS share_ppm
+      |FROM (
+      | SELECT l_partkey, n_rows, contrib, row_number() OVER (
+      |   ORDER BY contrib DESC, l_partkey) AS rank
+      | FROM c), f2
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   // --------------------------------------------------------- q_hll_tuning
   /** HLL REGISTER-COUNT SWEEP — "what m do I ship" as a table (the
     * d_lsh_tuning discipline applied to q_hll_distinct's sketch): the
@@ -3522,6 +3570,7 @@ object Relational {
 
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "q_join_skew_report" -> qJoinSkewReport,
     "q_hll_tuning" -> qHllTuning,
     "q_ivm_delete" -> qIvmDelete,
     "q_bitmap_intersect" -> qBitmapIntersect,
@@ -3594,6 +3643,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_skew_report" -> qJoinSkewReportSql,
     "q_hll_tuning" -> qHllTuningSql,
     "q_ivm_delete" -> qIvmDeleteSql,
     "q_bitmap_intersect" -> qBitmapIntersectSql,

@@ -943,6 +943,113 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
   }
 
+  // ------------------------------------------------------- s_ivf_filtered
+  /** FILTERED VECTOR SEARCH on the IVF index — the pre-filter vs
+    * post-filter decision every production vector store exposes
+    * (Qdrant/Milvus/Vespa filtered ANN): the query carries a metadata
+    * predicate (label = 0, s_ann_filtered's predicate on the INDEXED
+    * path), and the engine either (a) PRE-FILTERS — applies the
+    * predicate to the probed cells' candidates BEFORE ranking, always
+    * returning k matching results — or (b) POST-FILTERS — ranks the
+    * unfiltered top-k then drops non-matching rows, cheaper but
+    * returning k·selectivity results in expectation (the famous
+    * filtered-recall cliff). This op runs BOTH from ONE scored frame
+    * (the probed-cell scan priced once): output is the pre-filtered
+    * top-k per probe with `n_post_survivors` riding along — the
+    * per-probe table that decides the strategy (selectivity ~1/3 here
+    * ⇒ post-filter keeps ~k/3). Same deterministic integer scores,
+    * cells and ties as the rest of the IVF family; at 100 TB the
+    * pre-filter is a predicate-pushdown scan of 2 cell partitions. */
+  def ivfFiltered: Q = (s, dir) => {
+    val asg = ivfAssign(s, dir)
+    val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val q = quantizedWithNorm(s, dir)
+    val cents = broadcast(q.filter(col("vec_id") < ivfK)
+      .toDF("cid", "qc", "cnb"))
+    val p0 = q.filter(col("vec_id") < 10).toDF("probe_id", "qp", "pnb")
+      .crossJoin(cents)
+      .select(col("probe_id"), col("qp"), col("cid"),
+        dot(col("qp"), col("qc")).as("dp"), col("cnb").as("nb"))
+      .select(col("probe_id"), col("qp"), col("cid"),
+        expr(scoreExpr).as("cs"))
+    val wp = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("cid"))
+    val pcells = broadcast(p0.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= ivfNprobe).select("probe_id", "qp", "cid"))
+    val scored = pcells.join(asg.toDF("cand_id", "qc", "nb", "cid"), "cid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    // (a) pre-filter: predicate BEFORE the rank — k matching results
+    val pre = scored
+      .join(lbl.filter(col("label") === 0).select(col("vec_id").as("cand_id")),
+        Seq("cand_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+    // (b) post-filter: rank first, then drop — survivors ≤ k
+    val post = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= annK)
+      .join(lbl.toDF("cand_id", "label"), Seq("cand_id"))
+      .groupBy("probe_id")
+      .agg(count(when(col("label") === 0, 1)).as("n_post_survivors"))
+    pre.join(post, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("rn"), col("cand_id"), col("score"),
+        coalesce(col("n_post_survivors"), lit(0L)).as("n_post_survivors"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val ivfFilteredSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    s"""WITH q AS (
+       | SELECT vec_id, label, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), cents AS (
+       | SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < $ivfK
+       |), asg0 AS (
+       | SELECT v.vec_id, v.qe, v.label, c.cid,
+       |  CAST(list_dot_product(v.qe, c.qc) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qc, c.qc) AS BIGINT) AS nb
+       | FROM q v, cents c
+       |), asg1 AS (
+       | SELECT vec_id, qe, label, cid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY $score DESC, cid) AS rn
+       | FROM asg0
+       |), asg AS (
+       | SELECT vec_id, qe, label, cid FROM asg1 WHERE rn = 1
+       |), pr AS (
+       | SELECT vec_id AS probe_id, qe, cid FROM asg1
+       | WHERE vec_id < 10 AND rn <= $ivfNprobe
+       |), sc0 AS (
+       | SELECT p.probe_id, c.vec_id AS cand_id, c.label,
+       |  CAST(list_dot_product(p.qe, c.qe) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qe, c.qe) AS BIGINT) AS nb
+       | FROM pr p JOIN asg c ON c.cid = p.cid AND c.vec_id <> p.probe_id
+       |), scored AS (
+       | SELECT probe_id, cand_id, label, $score AS score FROM sc0
+       |), pre AS (
+       | SELECT probe_id, cand_id, score, row_number() OVER (
+       |   PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM scored WHERE label = 0
+       |), post AS (
+       | SELECT probe_id,
+       |  count(CASE WHEN label = 0 THEN 1 END) AS n_post_survivors
+       | FROM (
+       |  SELECT probe_id, label, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       |  FROM scored) WHERE rn <= $annK GROUP BY probe_id
+       |)
+       |SELECT pre.probe_id, pre.rn, pre.cand_id, pre.score,
+       | CAST(COALESCE(post.n_post_survivors, 0) AS BIGINT) AS n_post_survivors
+       |FROM pre LEFT JOIN post ON post.probe_id = pre.probe_id
+       |WHERE pre.rn <= $annK
+       |ORDER BY pre.probe_id, pre.rn""".stripMargin
+  }
+
   // ----------------------------------------------------------- s_ann_recall
   /** ANN RECALL REPORT — "measure, don't guess" as an operator: every
     * ANN deployment ships with a recall harness that scores the
@@ -2374,6 +2481,7 @@ object Similarity {
     "s_hybrid_search" -> hybridSearch,
     "s_ann_pq" -> annPq,
     "s_ivf_pq" -> ivfPq,
+    "s_ivf_filtered" -> ivfFiltered,
     "s_knn_join" -> knnJoin,
     "s_ann_recall" -> annRecall,
     "s_dim_truncate_eval" -> dimTruncateEval,
@@ -2402,6 +2510,7 @@ object Similarity {
     "s_hybrid_search" -> hybridSearchSql,
     "s_ann_pq" -> annPqSql,
     "s_ivf_pq" -> ivfPqSql,
+    "s_ivf_filtered" -> ivfFilteredSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_recall" -> annRecallSql,
     "s_dim_truncate_eval" -> dimTruncateEvalSql,

@@ -941,7 +941,64 @@ object Formats {
       |FROM orders WHERE o_custkey IN (1, 7, 19, 23, 43)
       |GROUP BY 1 ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------ src_csv_malformed
+  /** MALFORMED-RECORD HANDLING at the ingestion boundary — real feeds
+    * carry broken rows, and silently dropping (or crashing on) them is
+    * how corpora lose data unaudited. Deterministically corrupted CSV
+    * (every o_orderkey % 13 = 0 row renders as an unparseable line)
+    * read back in PERMISSIVE mode with an explicit
+    * `columnNameOfCorruptRecord`: corrupt rows land with the raw line
+    * preserved and NULL typed columns — never lost, never aborting the
+    * read (DROPMALFORMED/FAILFAST are the documented alternatives).
+    * Output: per-priority integrity stats over the GOOD rows plus a
+    * `_corrupt` census row; the oracle recomputes both from the
+    * ORIGINAL table with the corruption predicate — green means
+    * PERMISSIVE classified every row exactly and the good rows
+    * round-tripped value-exact. Money rides as integer cents in the
+    * CSV (no decimal-formatting parity risk). The parsed frame is
+    * cached: Spark disallows corrupt-record-only queries on the raw
+    * read (the internal-column restriction). */
+  def csvMalformed: Q = (s, dir) => {
+    val path = scratch(s, dir, "malformed_csv")
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    o.select(
+        when(col("o_orderkey") % 13 === 0,
+          concat(lit("CORRUPT#"), col("o_orderkey").cast("string"), lit(",x")))
+          .otherwise(concat_ws(",", col("o_orderkey"),
+            col("o_orderpriority"), col("cents"))).as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("cents", LongType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).cache()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .groupBy(col("o_orderpriority").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("_corrupt").as("bucket"), col("n_rows"),
+        lit(0L).as("sum_cents"))
+    good.unionByName(bad).orderBy("bucket")
+  }
+
+  val csvMalformedSql: String =
+    """SELECT o_orderpriority AS bucket, count(*) AS n_rows,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey % 13 <> 0 GROUP BY 1
+      |UNION ALL
+      |SELECT '_corrupt', count(*), 0 FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src_csv_malformed" -> csvMalformed,
     "src_parquet_bloom" -> parquetBloom,
     "src_delete_vectors" -> deleteVectors,
     "src_rowgroup_stats" -> rowgroupStats,
@@ -962,6 +1019,7 @@ object Formats {
     "src_manifest_vacuum" -> manifestVacuum)
 
   val oracleSql: Map[String, String] = Map(
+    "src_csv_malformed" -> csvMalformedSql,
     "src_parquet_bloom" -> parquetBloomSql,
     "src_compaction" -> compactionSql,
     "src_delete_vectors" -> deleteVectorsSql,

@@ -35,6 +35,9 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "s_ivf_probe_curve", // the same probe×centroid ranking cross as
                          // s_ivf_multiprobe, swept once across the nprobe
                          // configs; candidate scans stay cid-keyed equi-joins.
+    "s_ivf_filtered",    // the same probe×centroid cell-ranking cross as
+                         // s_ivf_multiprobe; pre/post-filter paths are both
+                         // windows over the cid-pruned scored frame.
     "s_ivf_pq",          // the same probe×centroid cell-ranking cross as
                          // s_ivf_multiprobe (10 probes × k=8 broadcast
                          // centroids); the candidate scan is cid-pruned and
