@@ -1692,6 +1692,76 @@ object Analytics {
       .select("label", "key", "score").orderBy("label", "key")
   }
 
+  // -------------------------------------------------------------- g_katz
+  /** TRUNCATED KATZ CENTRALITY (Katz 1953) — the attenuated-walk-count
+    * member of the centrality family (pagerank normalizes by
+    * out-degree, eigencentrality renormalizes globally; Katz counts
+    * ALL inbound walks, each hop damped by α): x_{l+1}(v) = β +
+    * (Σ_{u→v} x_l(u)) div 8 — α = 1/8 as ONE exact integer floor
+    * division per node per round (per-edge floors would quantize
+    * differently), β = 10⁶, `katzRounds` = 3 synchronous rounds = the
+    * walk-length-≤3 truncation (the fixed-iteration contract that
+    * keeps the unrolled oracle exact; full Katz requires α < 1/λ_max
+    * and iteration to convergence). BIGINT headroom: x ≤
+    * β·(1 + d_max/8)³ — safe past d_max ~ 10⁵; DECIMAL(38,0) is the
+    * documented upgrade beyond. Per round one edge join on the shared
+    * directed frame + a partial-agged sum, the CC cost shape; the
+    * n-row vector rides `gated` broadcasts under the cap and falls
+    * back to shuffle above it. */
+  val katzRounds = 3
+  val katzBeta = 1000000L
+
+  def katz: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val n = nodes.count()
+    val ed = directedNum(s, dir)
+    var x = nodes.select(col("id"), lit(katzBeta).as("x"))
+      .localCheckpoint(eager = true)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](x)
+    try {
+      for (_ <- 1 to katzRounds) {
+        val sums = ed.join(gated(x.toDF("a", "xa"), n), Seq("a"))
+          .groupBy(col("b").as("id")).agg(sum("xa").as("sin"))
+        x = nodes.select("id").join(sums, Seq("id"), "left_outer")
+          .select(col("id"),
+            (lit(katzBeta) + expr("coalesce(sin, CAST(0 AS BIGINT)) div 8"))
+              .as("x"))
+          .localCheckpoint(eager = true)
+        interim += x
+      }
+      nodes.join(x, Seq("id"))
+        .select(col("label"), col("key"), col("x").as("katz"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val katzSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", dir AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), x0 AS (
+             | SELECT id, CAST($katzBeta AS BIGINT) AS x FROM ids
+             |)""".stripMargin
+    for (r <- 1 to katzRounds) {
+      b ++= s""", x$r AS MATERIALIZED (
+               | SELECT i.id,
+               |  CAST($katzBeta + COALESCE(s.sin, 0) // 8 AS BIGINT) AS x
+               | FROM ids i LEFT JOIN (
+               |  SELECT d.b AS id, sum(p.x) AS sin
+               |  FROM dir d JOIN x${r - 1} p ON p.id = d.a GROUP BY d.b
+               | ) s ON s.id = i.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, x$katzRounds.x AS katz
+             |FROM ids i JOIN x$katzRounds ON x$katzRounds.id = i.id
+             |ORDER BY 1, 2""".stripMargin
+    b.toString
+  }
+
   // ---------------------------------------------- g_influence_spread
   /** INDEPENDENT-CASCADE influence spread (Kempe–Kleinberg–Tardos —
     * the spread function σ(S) every influence-maximization greedy
@@ -4732,6 +4802,7 @@ object Analytics {
        |ORDER BY nn.comm""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "g_katz" -> katz,
     "g_influence_spread" -> influenceSpread,
     "g_avg_neighbor_degree" -> avgNeighborDegree,
     "g_reciprocity" -> reciprocity,
@@ -4781,6 +4852,7 @@ object Analytics {
     "g_modularity" -> modularity)
 
   val oracleSql: Map[String, String] = Map(
+    "g_katz" -> katzSql,
     "g_influence_spread" -> influenceSpreadSql,
     "g_avg_neighbor_degree" -> avgNeighborDegreeSql,
     "g_reciprocity" -> reciprocitySql,

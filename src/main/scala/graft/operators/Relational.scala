@@ -3317,6 +3317,73 @@ object Relational {
        |ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q_lorenz
+  /** REVENUE-CONCENTRATION (Lorenz/80-20) TABLE — "what share of
+    * customers produce what share of revenue", the curve behind every
+    * whale-accounts / long-tail decision: customers aggregate to
+    * lifetime cents, bucket into power-of-two spend bands (the
+    * g_degree_dist generated-CASE discipline — no float log), and the
+    * bands carry CUMULATIVE customer and revenue shares from the top
+    * band down, in exact ppm. The only window runs over ≤ 41
+    * band rows BY CONSTRUCTION at any corpus size (the q_ks_drift
+    * argument — per-customer quantiles would need the corpus sort this
+    * table exists to avoid). Reading the output: the row where
+    * cum_revenue_ppm ≈ 800000 tells you which spend band the "80%"
+    * boundary lives in. */
+  private val lorenzBuckets = 40
+
+  private def lorenzBucketSql(v: String): String =
+    (lorenzBuckets to 1 by -1).map(b => s"WHEN $v >= ${1L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  def qLorenz: Q = (s, dir) => {
+    val cust = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val hist = cust
+      .select(expr(lorenzBucketSql("cents")).as("bucket"), col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("revenue_cents"))
+    val wc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_n", sum("n_customers").over(wc))
+      .withColumn("cum_rev", sum("revenue_cents").over(wc))
+      .withColumn("tot_n",
+        sum("n_customers").over(Window.partitionBy(lit(1))))
+      .withColumn("tot_rev",
+        sum("revenue_cents").over(Window.partitionBy(lit(1))))
+      .select(col("bucket"), col("n_customers"), col("revenue_cents"),
+        expr("(cum_n * 1000000) div tot_n").as("cum_customers_ppm"),
+        expr("(cum_rev * 1000000) div tot_rev").as("cum_revenue_ppm"))
+      .orderBy(col("bucket").desc)
+  }
+
+  val qLorenzSql: String =
+    s"""WITH cust AS (
+       | SELECT o_custkey,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+       | FROM orders GROUP BY 1
+       |), hist AS (
+       | SELECT ${lorenzBucketSql("cents")} AS bucket,
+       |  count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS revenue_cents
+       | FROM cust GROUP BY 1
+       |), c AS (
+       | SELECT bucket, n_customers, revenue_cents,
+       |  sum(n_customers) OVER (ORDER BY bucket DESC
+       |    ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |  sum(revenue_cents) OVER (ORDER BY bucket DESC
+       |    ROWS UNBOUNDED PRECEDING) AS cum_rev,
+       |  sum(n_customers) OVER () AS tot_n,
+       |  sum(revenue_cents) OVER () AS tot_rev
+       | FROM hist
+       |)
+       |SELECT bucket, n_customers, revenue_cents,
+       | CAST((cum_n * 1000000) // tot_n AS BIGINT) AS cum_customers_ppm,
+       | CAST((cum_rev * 1000000) // tot_rev AS BIGINT) AS cum_revenue_ppm
+       |FROM c ORDER BY bucket DESC""".stripMargin
+
   // ---------------------------------------------------- q_join_skew_report
   /** JOIN-SKEW DIAGNOSTIC — the table that DECIDES salting (the
     * q_skew_salted_join knob) or AQE skew-join thresholds before a
@@ -3571,6 +3638,7 @@ object Relational {
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_join_skew_report" -> qJoinSkewReport,
+    "q_lorenz" -> qLorenz,
     "q_hll_tuning" -> qHllTuning,
     "q_ivm_delete" -> qIvmDelete,
     "q_bitmap_intersect" -> qBitmapIntersect,
@@ -3644,6 +3712,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_join_skew_report" -> qJoinSkewReportSql,
+    "q_lorenz" -> qLorenzSql,
     "q_hll_tuning" -> qHllTuningSql,
     "q_ivm_delete" -> qIvmDeleteSql,
     "q_bitmap_intersect" -> qBitmapIntersectSql,
