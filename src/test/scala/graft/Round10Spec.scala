@@ -287,6 +287,100 @@ class Round10Spec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  test("g_katz: 3-round attenuated walk DP replayed in memory on every node") {
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val edges = g.edges.collect().map(r =>
+      (nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key")),
+        nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))))
+    val nodes = g.nodes.collect()
+      .map(r => nid(r.getAs[String]("label"), r.getAs[Long]("key")))
+    val beta = graft.operators.Analytics.katzBeta
+    var x = nodes.map(_ -> beta).toMap
+    for (_ <- 1 to graft.operators.Analytics.katzRounds) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => x(e._1)).sum }
+      x = nodes.map(v => v -> (beta + in.getOrElse(v, 0L) / 8)).toMap
+    }
+    val got = graft.operators.Analytics.katz(spark, sf).collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("katz")).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(v => assert(got(v) == x(v), s"katz($v): ${got(v)} != ${x(v)}"))
+    // non-vacuity: attenuated walks must actually rank hubs above leaves
+    assert(x.values.toSet.size > 3, "katz degenerate: everything equal")
+  }
+
+  test("q_lorenz: cumulative shares replay + Lorenz-curve invariants") {
+    val rows = graft.operators.Relational.qLorenz(spark, sf).collect()
+      .sortBy(-_.getAs[Number]("bucket").longValue)
+    // monotone cumulative shares ending exactly at 10^6 / 10^6
+    val (lastN, lastR) = (rows.last.getAs[Long]("cum_customers_ppm"),
+      rows.last.getAs[Long]("cum_revenue_ppm"))
+    assert(lastN == 1000000L && lastR == 1000000L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_customers_ppm") <= b.getAs[Long]("cum_customers_ppm"))
+      assert(a.getAs[Long]("cum_revenue_ppm") <= b.getAs[Long]("cum_revenue_ppm"))
+      // concentration: scanning from the TOP band, revenue share must
+      // always be >= customer share (the Lorenz inequality)
+      assert(a.getAs[Long]("cum_revenue_ppm") >= a.getAs[Long]("cum_customers_ppm"),
+        s"Lorenz inequality violated at bucket ${a.getAs[Number]("bucket")}")
+      case _ =>
+    }
+  }
+
+  test("q_count_min: one-sided error on every probe (est >= exact, over >= 0)") {
+    val rows = graft.operators.Relational.qCountMin(spark, sf).collect()
+    // sf0.001 has only 15 users — top-20 caps at the user census
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS underestimated ${r.getAs[Long]("user_id")} — impossible")
+      assert(r.getAs[Long]("over") >= 0L)
+    }
+  }
+
+  test("g_influence_spread: live-edge BFS replayed in memory per seed and hop") {
+    val A = graft.operators.Analytics
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    def coin(a: Long, b: Long): Boolean = {
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${A.icSalt}:$lo:$hi".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100 < A.icP
+    }
+    val und = g.edges.collect().flatMap { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      Seq((a, b), (b, a))
+    }
+    val live = und.filter { case (a, b) => coin(a, b) }
+    val adj = live.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).distinct.toSeq }
+    val want = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (seedKey <- 0L until A.icSeeds) {
+      val seed = nid("nation", seedKey)
+      var vis = Set(seed); var frontier = Set(seed)
+      for (h <- 1 to A.icHops) {
+        val next = frontier.flatMap(v =>
+          adj.getOrElse(v, Seq.empty[Long])) -- vis
+        if (next.nonEmpty) want((seedKey, h.toLong)) = next.size.toLong
+        vis ++= next; frontier = next
+      }
+    }
+    val got = A.influenceSpread(spark, sf).collect().map(r =>
+      (r.getAs[Long]("seed_key"), r.getAs[Long]("hop")) ->
+        r.getAs[Long]("n_new")).toMap
+    assert(got == want.toMap,
+      s"spread mismatch: got ${got.size} cells, want ${want.size}")
+  }
+
   // ----------------------------------------------- transformWithState TTL
   /** The TTLConfig eviction knob, driven for real (r10 — documented on
     * every transformWithState op since r9, never exercised): the
