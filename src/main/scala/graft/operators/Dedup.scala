@@ -1801,20 +1801,22 @@ object Dedup {
     * complements the set-similarity family (minhash/jaccard measure
     * token overlap; edit distance catches char-level noise — OCR
     * artifacts, typos — that shingles blur). Candidate generation is
-    * the PIGEONHOLE partition filter: the prefix splits into fuzzyD+1
-    * fixed segments, and any two strings within distance fuzzyD under
-    * position-preserving edits (substitutions) must agree on ≥1 whole
-    * segment — candidates are the same-(index, segment) equi-join,
-    * never a cross product (the documented CONTRACT: candidates use
-    * the same-position variant, so position-shifting indels beyond a
-    * matching segment are out of blocking scope — PassJoin's shifted
-    * probes are the recall extension). Verification is both engines'
-    * NATIVE levenshtein (full DP, an independent implementation each —
-    * the q_events_asof oracle-independence pattern). Scale: the
-    * segment join shuffles on 16-char keys, per-bucket size ≈ docs
-    * sharing an exact 16-char run (boilerplate buckets would take the
-    * mhBucketCap treatment); verification cost ∝ candidates, each a
-    * 48×48 DP. */
+    * the PassJoin SHIFTED-PROBE partition scheme (r10 upgrade from the
+    * same-position variant): the index side splits the prefix into
+    * fuzzyD+1 fixed segments; the probe side extracts, per segment
+    * position, every length-L substring starting within ±fuzzyD of it
+    * (2·fuzzyD+1 probes per segment — 15 rows/doc at d=2). COMPLETE
+    * for ed ≤ d on full-length prefixes: ≤ d edits leave ≥1 segment
+    * un-edited by pigeonhole, and un-edited characters shift position
+    * by at most d — so every true pair shares an (index-position,
+    * probe-substring) key; Round10Spec proves completeness by
+    * brute-forcing ALL prefix pairs in memory. Still never a cross
+    * product: candidates join on 16-char substring keys (boilerplate
+    * buckets would take the mhBucketCap treatment). Verification is
+    * both engines' NATIVE levenshtein (full DP, an independent
+    * implementation each — the q_events_asof oracle-independence
+    * pattern). Docs shorter than the prefix are out of blocking scope
+    * (documented; the corpus floor is above it). */
   val fuzzyD = 2
   val fuzzyPrefixLen = 48
   val fuzzySegLen = fuzzyPrefixLen / (fuzzyD + 1)
@@ -1822,18 +1824,35 @@ object Dedup {
   def fuzzyJoin: Q = (s, dir) => {
     val pfx = docs(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, fuzzyPrefixLen).as("p"))
+    // index side: the d+1 fixed segments
     val seg = pfx.select(col("doc_id"), col("p"),
       explode(expr(s"transform(sequence(1, ${fuzzyD + 1}), i -> " +
         s"struct(i AS i, substring(p, (i - 1) * $fuzzySegLen + 1, " +
         s"$fuzzySegLen) AS sg))")).as("e"))
       .select(col("doc_id"), col("p"), col("e.i").as("i"), col("e.sg").as("sg"))
       .filter(length(col("sg")) === fuzzySegLen)
-    val cand = seg.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+    // probe side: per segment position, substrings shifted by -d..+d
+    val probe = pfx.select(col("doc_id"), col("p"),
+      explode(expr(
+        s"flatten(transform(sequence(1, ${fuzzyD + 1}), i -> " +
+          s"transform(sequence(-$fuzzyD, $fuzzyD), sh -> " +
+          s"struct(i AS i, substring(p, (i - 1) * $fuzzySegLen + 1 + sh, " +
+          s"$fuzzySegLen) AS sg, sh AS sh))))")).as("e"))
+      .filter(expr(s"(e.i - 1) * $fuzzySegLen + 1 + e.sh >= 1"))
+      .select(col("doc_id"), col("p"), col("e.i").as("i"), col("e.sg").as("sg"))
+      .filter(length(col("sg")) === fuzzySegLen)
+    // ordered pairs both ways canonicalize through least/greatest —
+    // whichever doc plays index vs probe, the pair lands once
+    val cand = seg.select(col("doc_id").as("ia"), col("p").as("pa"),
         col("i"), col("sg"))
-      .join(seg.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+      .join(probe.select(col("doc_id").as("ib"), col("p").as("pb"),
         col("i"), col("sg")), Seq("i", "sg"))
-      .filter(col("doc_b") > col("doc_a"))
-      .select("doc_a", "doc_b", "pa", "pb").distinct()
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"),
+        when(col("ia") < col("ib"), col("pa")).otherwise(col("pb")).as("pa"),
+        when(col("ia") < col("ib"), col("pb")).otherwise(col("pa")).as("pb"))
+      .distinct()
     cand.filter(levenshtein(col("pa"), col("pb")) <= fuzzyD)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
@@ -1842,6 +1861,7 @@ object Dedup {
 
   val fuzzyJoinSql: String = {
     val segs = (1 to fuzzyD + 1).map(i => s"($i)").mkString(", ")
+    val shifts = (-fuzzyD to fuzzyD).map(v => s"($v)").mkString(", ")
     s"""WITH pfx AS (
        | SELECT doc_id, substr(text, 1, $fuzzyPrefixLen) AS p FROM documents
        |), seg AS (
@@ -1850,11 +1870,20 @@ object Dedup {
        | FROM pfx, (VALUES $segs) s(i)
        | WHERE length(substr(p, (s.i - 1) * $fuzzySegLen + 1, $fuzzySegLen))
        |  = $fuzzySegLen
+       |), probe AS (
+       | SELECT doc_id, p, s.i AS i,
+       |  substr(p, (s.i - 1) * $fuzzySegLen + 1 + h.sh, $fuzzySegLen) AS sg
+       | FROM pfx, (VALUES $segs) s(i), (VALUES $shifts) h(sh)
+       | WHERE (s.i - 1) * $fuzzySegLen + 1 + h.sh >= 1
+       |  AND length(substr(p, (s.i - 1) * $fuzzySegLen + 1 + h.sh,
+       |   $fuzzySegLen)) = $fuzzySegLen
        |), cand AS (
-       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  a.p AS pa, b.p AS pb
-       | FROM seg a JOIN seg b ON b.i = a.i AND b.sg = a.sg
-       |  AND b.doc_id > a.doc_id
+       | SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  CASE WHEN a.doc_id < b.doc_id THEN a.p ELSE b.p END AS pa,
+       |  CASE WHEN a.doc_id < b.doc_id THEN b.p ELSE a.p END AS pb
+       | FROM seg a JOIN probe b ON b.i = a.i AND b.sg = a.sg
+       |  AND b.doc_id <> a.doc_id
        |)
        |SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
        |FROM cand WHERE levenshtein(pa, pb) <= $fuzzyD

@@ -150,6 +150,21 @@ class Round10Spec extends AnyFunSuite {
       assert(ed(pfx(a), pfx(b)) == d && d <= D.fuzzyD,
         s"pair ($a,$b): reported $d, replay ${ed(pfx(a), pfx(b))}")
     }
+    // COMPLETENESS (the PassJoin shifted-probe guarantee): every
+    // full-prefix pair within distance d must be found — brute-forced
+    // over ALL pairs, no blocking
+    val gotPairs = rows
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ids = pfx.filter(_._2.length == D.fuzzyPrefixLen).keys.toSeq.sorted
+    var nTrue = 0
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      if (ed(pfx(ids(i)), pfx(ids(j))) <= D.fuzzyD) {
+        nTrue += 1
+        assert(gotPairs((ids(i), ids(j))),
+          s"blocking MISSED true pair (${ids(i)}, ${ids(j)})")
+      }
+    }
+    assert(nTrue > 0, "brute force found no true pairs — vacuous")
   }
 
   test("q_window_funnel: level census equals the in-memory anchored-chain replay") {
