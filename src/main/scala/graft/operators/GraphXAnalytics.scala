@@ -300,4 +300,34 @@ object GraphXAnalytics {
     nodes.join(xs, Seq("id"))
       .select("label", "key", "x").orderBy("label", "key")
   }
+
+  /** Truncated Katz on GraphX with the SAME contract as
+    * `Analytics.katz` (β + floor(Σ inbound / 8), `katzRounds`
+    * synchronous rounds, exact BIGINT): one `aggregateMessages` along
+    * in-edges + one `outerJoinVertices` per round — a no-message
+    * vertex resets to β exactly like the DataFrame op's left join.
+    * Equivalence-tested in Round10Spec (identical integers). */
+  def katzGraphX(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graph = PropertyGraph.load(s, dir)
+    val sid = Analytics.nodeIdCol(col("src_label"), col("src_key"))
+    val did = Analytics.nodeIdCol(col("dst_label"), col("dst_key"))
+    val nodes = graph.nodes.select(col("label"), col("key"),
+      Analytics.nodeIdCol(col("label"), col("key")).as("id"))
+    val vertices = nodes.select("id").rdd
+      .map(r => (r.getLong(0), Analytics.katzBeta))
+    val gxEdges = graph.edges.select(sid.as("a"), did.as("b")).rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+    var g = GXGraph(vertices, gxEdges)
+    for (_ <- 1 to Analytics.katzRounds) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
+      g = g.outerJoinVertices(msgs) {
+        (_, _, m) => Analytics.katzBeta + m.getOrElse(0L) / 8
+      }
+    }
+    val xs = g.vertices.toDF("id", "katz")
+    nodes.join(xs, Seq("id"))
+      .select("label", "key", "katz").orderBy("label", "key")
+  }
 }

@@ -328,6 +328,18 @@ class Round10Spec extends AnyFunSuite {
     assert(x.values.toSet.size > 3, "katz degenerate: everything equal")
   }
 
+  test("g_katz: GraphX twin produces identical integers on every node") {
+    val df = graft.operators.Analytics.katz(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("katz")).toMap
+    val gx = graft.operators.GraphXAnalytics.katzGraphX(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("katz")).toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (k, v) =>
+      assert(gx(k) == v, s"katz twin mismatch at $k: df $v vs gx ${gx(k)}") }
+  }
+
   test("q_lorenz: cumulative shares replay + Lorenz-curve invariants") {
     val rows = graft.operators.Relational.qLorenz(spark, sf).collect()
       .sortBy(-_.getAs[Number]("bucket").longValue)
