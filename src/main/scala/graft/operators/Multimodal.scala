@@ -716,6 +716,60 @@ object Multimodal {
        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // -------------------------------------------------------- m_shard_index
+  /** PER-MEMBER OFFSET INDEX over the WebDataset shard manifest — the
+    * random-access table a tar-backed dataloader needs (WebDataset's
+    * .idx sidecar: seek(offset), read(n_bytes) without scanning the
+    * shard): each member's byte offset WITHIN its shard, derived from
+    * the SAME per-writer running sum the packer computes — offset =
+    * cum_before − min(cum_before) over the shard, so no second sort
+    * exists (one more shard-bounded window over the already-shaped
+    * frame). Index rows are (doc, shard, offset, len) — enough to read
+    * any single sample in one ranged GET at any corpus size; windows
+    * stay writer-/shard-partitioned (the pack_sequences discipline —
+    * nothing corpus-wide). */
+  def shardIndex: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("writer").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = mediaTable(s, dir).toDF()
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shardWriters)).as("writer"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .withColumn("shard_id",
+        col("writer") * 1000000L + expr(s"cum_before div $shardBudget"))
+    val wS = Window.partitionBy("shard_id")
+    assigned
+      .withColumn("shard_base", min("cum_before").over(wS))
+      .select(col("doc_id"), col("shard_id"),
+        (col("cum_before") - col("shard_base")).as("offset_bytes"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val shardIndexSql: String =
+    s"""WITH m AS (
+       | SELECT doc_id, doc_id % $shardWriters AS writer,
+       |  CAST(length(text) AS BIGINT) AS n_bytes
+       | FROM documents
+       |), c AS (
+       | SELECT doc_id, writer, n_bytes,
+       |  CAST(COALESCE(sum(n_bytes) OVER (PARTITION BY writer ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       | FROM m
+       |), a AS (
+       | SELECT doc_id, n_bytes, cum_before,
+       |  writer * 1000000 + (cum_before // $shardBudget) AS shard_id
+       | FROM c
+       |)
+       |SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       | CAST(cum_before - min(cum_before) OVER (PARTITION BY shard_id)
+       |  AS BIGINT) AS offset_bytes,
+       | n_bytes
+       |FROM a ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ m_shard_balance
   /** DATALOADER-BALANCE audit over the WebDataset shard manifest: per
     * writer — shard count, item count, byte mass, and load share in
@@ -945,6 +999,7 @@ object Multimodal {
     "m_video_dedup" -> videoDedup,
     "m_audio_vad" -> audioVadQ,
     "m_shard_pack" -> shardPack,
+    "m_shard_index" -> shardIndex,
     "m_shard_balance" -> shardBalance,
     "m_phash_dedup" -> phashDedup,
     "m_phash_eval" -> phashEval,
@@ -959,6 +1014,7 @@ object Multimodal {
     "m_video_dedup" -> videoDedupSql,
     "m_audio_vad" -> audioVadSql,
     "m_shard_pack" -> shardPackSql,
+    "m_shard_index" -> shardIndexSql,
     "m_shard_balance" -> shardBalanceSql,
     "m_phash_dedup" -> phashDedupSql,
     "m_phash_eval" -> phashEvalSql,
