@@ -2913,7 +2913,13 @@ object Relational {
           col("n_b_exact"), est("ns_b", "hk_b").as("n_b_est"),
           col("n_union_exact"), est("ns_u", "hk_u").as("n_union_est"),
           col("n_inter_exact"),
-          expr(s"""CASE WHEN theta >= $theta52 THEN n_common_lt
+          // theta IS NULL ⇔ the sketches share no hash at all (empty
+          // common frame → NULL aggregates): the estimate is honestly 0
+          // — guarded identically in the oracle (the q_ks_drift
+          // degenerate-data lesson: unguarded NULL arithmetic is where
+          // engines diverge)
+          expr(s"""CASE WHEN theta IS NULL THEN CAST(0 AS BIGINT)
+                  | WHEN theta >= $theta52 THEN n_common_lt
                   | ELSE (n_common_lt * CAST($theta52 AS BIGINT)) div theta
                   | END""".stripMargin).as("n_inter_est"))
         // eager: the returned plan must not reference sk's blocks after
@@ -2975,7 +2981,8 @@ object Relational {
        |  ELSE ((${thetaK - 1} * CAST($theta52 AS BIGINT)) // su.hk_u)
        |  END AS BIGINT) AS n_union_est,
        | CAST(ie.n_inter_exact AS BIGINT) AS n_inter_exact,
-       | CAST(CASE WHEN cm.theta >= $theta52 THEN COALESCE(cm.n_common_lt, 0)
+       | CAST(CASE WHEN cm.theta IS NULL THEN 0
+       |  WHEN cm.theta >= $theta52 THEN COALESCE(cm.n_common_lt, 0)
        |  ELSE (COALESCE(cm.n_common_lt, 0) * CAST($theta52 AS BIGINT)) // cm.theta
        |  END AS BIGINT) AS n_inter_est
        |FROM exact, ie, sa, sb, su, cm""".stripMargin
