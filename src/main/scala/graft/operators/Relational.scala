@@ -3324,6 +3324,58 @@ object Relational {
        |ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q_dau_wau
+  /** DAU/WAU STICKINESS — the product-engagement ratio every growth
+    * dashboard leads with (avg daily actives over weekly actives;
+    * 1.0 = every weekly user shows up daily): weeks and days are pure
+    * epoch-µs integer arithmetic (day = us div 86400·10⁶, week =
+    * day div 7 — no calendar/timezone formatting crosses engines),
+    * activity reduces to the distinct (user, day) frame ONCE and both
+    * grains aggregate from it; stickiness_ppm = (Σdau · 10⁶) div
+    * (n_days · wau), exact integers end to end. Plan: one distinct +
+    * two partial-agged groupBys joined on the ≤ weeks-sized frame —
+    * nothing corpus-sorted; the distinct is the only shuffle that
+    * scales with the corpus. */
+  def qDauWau: Q = (s, dir) => {
+    val active = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val dau = active.groupBy("day")
+      .agg(countDistinct("user_id").as("dau"))
+      .select(expr("day div 7").as("week"), col("dau"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val wau = active
+      .select(expr("day div 7").as("week"), col("user_id"))
+      .distinct()
+      .groupBy("week").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("week"))
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("(sum_dau * 1000000) div (n_days * wau)").as("stickiness_ppm"))
+      .orderBy("week")
+  }
+
+  val qDauWauSql: String =
+    """WITH active AS (
+      | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      | FROM events
+      |), dau AS (
+      | SELECT day // 7 AS week, count(DISTINCT user_id) AS dau
+      | FROM active GROUP BY day
+      |), dw AS (
+      | SELECT week, count(*) AS n_days, CAST(sum(dau) AS BIGINT) AS sum_dau
+      | FROM dau GROUP BY week
+      |), wau AS (
+      | SELECT day // 7 AS week, count(DISTINCT user_id) AS wau
+      | FROM active GROUP BY 1
+      |)
+      |SELECT dw.week, dw.n_days, dw.sum_dau, CAST(wau.wau AS BIGINT) AS wau,
+      | CAST((dw.sum_dau * 1000000) // (dw.n_days * wau.wau) AS BIGINT)
+      |  AS stickiness_ppm
+      |FROM dw JOIN wau ON wau.week = dw.week
+      |ORDER BY dw.week""".stripMargin
+
   // -------------------------------------------------------------- q_lorenz
   /** REVENUE-CONCENTRATION (Lorenz/80-20) TABLE — "what share of
     * customers produce what share of revenue", the curve behind every
@@ -3646,6 +3698,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_join_skew_report" -> qJoinSkewReport,
     "q_lorenz" -> qLorenz,
+    "q_dau_wau" -> qDauWau,
     "q_hll_tuning" -> qHllTuning,
     "q_ivm_delete" -> qIvmDelete,
     "q_bitmap_intersect" -> qBitmapIntersect,
@@ -3720,6 +3773,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_join_skew_report" -> qJoinSkewReportSql,
     "q_lorenz" -> qLorenzSql,
+    "q_dau_wau" -> qDauWauSql,
     "q_hll_tuning" -> qHllTuningSql,
     "q_ivm_delete" -> qIvmDeleteSql,
     "q_bitmap_intersect" -> qBitmapIntersectSql,
