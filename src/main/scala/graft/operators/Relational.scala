@@ -1099,12 +1099,20 @@ object Relational {
     * divisor is chosen so the sample fits a single task at the target
     * scale (at 100 TB you raise qsDiv until it does; the estimate
     * quality degrades as √sample, measured by this very op). The EXACT
-    * side is the verification harness that makes the sample's error a
-    * checked number — it is NOT a production path at 100 TB (a global
-    * exact quantile needs the two-pass histogram-refine shape); ship
-    * the sample column, keep the exact column for harness runs. */
+    * side (r11) IS the production two-pass histogram-refine shape: pass
+    * 1 aggregates an equi-width histogram on cents (one partial-agged
+    * shuffle; cumulative counts over the bounded bucket frame locate
+    * the bucket holding each target rank and the count below it), pass
+    * 2 rank-selects WITHIN the located buckets only — the row_number
+    * partitions by target, each partition one bucket's rows, never the
+    * corpus. Global rank of a row = below(bucket) + rank-in-bucket
+    * because the bucket key is cents div width, consistent with the
+    * (cents, o_orderkey) order; so the selected value is exactly the
+    * old global-sort answer (the oracle keeps the one-sort form and
+    * proves it). */
   val qsDiv = 32
   val qsThresh: Long = (1L << 40) / qsDiv
+  val qsBucketCents = 100000L // $1k histogram bins for the exact refine
 
   def qQuantileSampled: Q = (s, dir) => {
     // 40-bit sample hash via the codegen'd hexSlice — the composed
@@ -1126,7 +1134,34 @@ object Relational {
           max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("cents")))
             .as(s"p90_$tag"))
     }
-    sel(o, "exact").crossJoin(sel(o.filter(col("h") < qsThresh), "sample"))
+    // exact leg, two-pass: histogram locates each target's bucket …
+    val oq = o.withColumn("qb", expr(s"cents div $qsBucketCents"))
+    val wc = Window.orderBy(col("qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = oq.groupBy("qb").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val targets = Seq(("p50", 50), ("p90", 90)).map { case (tag, p) =>
+      // first bucket whose cumulative count reaches the target rank;
+      // min(struct) keys on qb, so one aggregate row per target
+      cum.filter(col("cum") >= expr(s"(n * $p + 99) div 100"))
+        .agg(min(struct(col("qb"), (col("cum") - col("c")).as("below"),
+          expr(s"(n * $p + 99) div 100").as("k"), col("n"))).as("t"))
+        .select(lit(tag).as("tag"), col("t.qb").as("qb"),
+          col("t.below").as("below"), col("t.k").as("k"), col("t.n").as("n"))
+    }.reduce(_ unionAll _)
+    // … then rank-select inside the located buckets only: the window
+    // partitions by target and each partition holds one bucket's rows
+    val exact = oq.join(broadcast(targets), Seq("qb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tag").orderBy(col("cents"), col("o_orderkey"))))
+      .filter(col("rn") === col("k") - col("below"))
+      .agg(max("n").as("n_exact"),
+        max(when(col("tag") === "p50", col("cents"))).as("p50_exact"),
+        max(when(col("tag") === "p90", col("cents"))).as("p90_exact"))
+    exact.crossJoin(sel(o.filter(col("h") < qsThresh), "sample"))
   }
 
   val qQuantileSampledSql: String = {
@@ -1439,13 +1474,22 @@ object Relational {
     * frontier iff its y strictly exceeds the running y-max of all
     * points with higher x — plus the x-tie group's y-max rows
     * (equal-x points can't dominate each other unless y differs).
-    * Implemented as max(y) over the UNBOUNDED-PRECEDING-to-1-PRECEDING
-    * frame on the (x desc, y desc) order with deterministic custkey
-    * tiebreak; integer cents throughout. At 100 TB a single global
-    * window serializes — the production path partitions by an x range
-    * (each partition's skyline computed locally, then the partials
-    * merged by the same rule — skyline is distributive); this op is
-    * the per-partition kernel of that plan. */
+    * Implemented DISTRIBUTIVELY (r11 — skyline is distributive, and
+    * the pre-r11 single global window serialized at 100 TB): stage 1
+    * buckets x into fixed-width ranges (acctbal's domain is bounded,
+    * so buckets stay balanced at any corpus size; at 100 TB narrow
+    * the width) and runs the strictly-higher-x running y-max INSIDE
+    * each bucket; stage 2 aggregates one max-y row per bucket
+    * (bounded frame) and takes the suffix max over strictly-higher
+    * buckets — a point survives iff it beats both the local running
+    * max and the higher-bucket suffix max, and ties on x only through
+    * the x-group y-max. Bucket monotonicity gives exactness: x' div W
+    * > x div W ⟹ x' > x, so local+suffix together see precisely the
+    * strictly-higher-x points the single window saw; integer cents
+    * throughout, output identical to the one-window form (the oracle
+    * keeps that form and proves it). */
+  val skyBucketCents = 25000L // $250 ⇒ ≤ 44 buckets over acctbal's domain
+
   def qSkyline: Q = (s, dir) => {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
@@ -1457,15 +1501,28 @@ object Relational {
       .select(col("c_custkey"), col("bal_cents"),
         coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
     // RANGE frame: ymax over points with STRICTLY higher x (desc order,
-    // integer grid ⇒ "1 preceding" == x > current); x-ties can only
-    // dominate through a strictly larger y, handled by the group max —
-    // exact duplicate points correctly BOTH survive (neither dominates)
-    val wh = Window.orderBy(col("bal_cents").desc)
+    // integer grid ⇒ "1 preceding" == x > current), now PER X-BUCKET;
+    // x-ties can only dominate through a strictly larger y, handled by
+    // the group max — exact duplicate points correctly BOTH survive
+    // (neither dominates). `div` truncates but is still monotone, so
+    // bucket membership respects the x order even across the sign flip.
+    val pb = pts.withColumn("xb", expr(s"bal_cents div $skyBucketCents"))
+    val whL = Window.partitionBy(col("xb")).orderBy(col("bal_cents").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val wg = Window.partitionBy(col("bal_cents"))
-    pts.withColumn("ymax", max("spend_cents").over(wh))
+    // stage 2: one row per bucket (≤ 44 — bounded by the domain, not
+    // the corpus), suffix max over strictly-higher buckets; the
+    // un-partitioned window runs over the AGGREGATED frame only
+    val bmax = pb.groupBy("xb").agg(max("spend_cents").as("bspend"))
+    val ws = Window.orderBy(col("xb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suffix = bmax.withColumn("hi_ymax", max("bspend").over(ws))
+      .select("xb", "hi_ymax")
+    pb.withColumn("ymax", max("spend_cents").over(whL))
       .withColumn("gmax", max("spend_cents").over(wg))
+      .join(broadcast(suffix), Seq("xb"))
       .filter((col("ymax").isNull || col("spend_cents") > col("ymax")) &&
+        (col("hi_ymax").isNull || col("spend_cents") > col("hi_ymax")) &&
         col("spend_cents") === col("gmax"))
       .select("c_custkey", "bal_cents", "spend_cents")
       .orderBy("c_custkey")

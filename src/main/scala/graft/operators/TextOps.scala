@@ -1855,6 +1855,13 @@ object TextOps {
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         coalesce(col("dsir_ppm"), lit(0L)).as("dsir_ppm"))
+      // materialized ONCE: three consumers (histogram, boundary slice,
+      // final output) otherwise each re-run the explode→perDoc chain —
+      // measured 2.24 s vs 0.25 s pre-rewrite at sf0.1, mostly this
+      // recomputation. Eager (not lazy) checkpoint: the frame is one
+      // row per doc, and the g_matching cadence audit showed lazy
+      // persist racing concurrent broadcast builds into recomputes.
+      .localCheckpoint()
     val hist = full.groupBy("dsir_ppm").agg(count(lit(1)).as("c"))
     val wh = Window.orderBy(col("dsir_ppm").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1871,7 +1878,15 @@ object TextOps {
       .filter(col("mx").isNotNull && col("dsir_ppm") === col("mx.cut_ppm"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("dsir_ppm").orderBy("doc_id")))
-      .filter(col("rn") <= col("mx.n_at_cut"))
+      // the tie group at the cut is usually small, but in the
+      // degenerate case (fewer than dsirKeep positive scores ⇒ cutoff
+      // lands on dsir_ppm=0) it is the ENTIRE zero-score mass. The
+      // literal rn ≤ dsirKeep conjunct lets InferWindowGroupLimit
+      // rewrite the rank to a per-partition top-dsirKeep
+      // (WindowGroupLimit), so even that case never sorts or
+      // broadcasts an unbounded frame; it drops nothing because
+      // n_at_cut = dsirKeep − (docs above the cut) ≤ dsirKeep always.
+      .filter(col("rn") <= lit(dsirKeep) && col("rn") <= col("mx.n_at_cut"))
       .select(col("doc_id"), lit(1L).as("at_cut_sel"))
     withCut.join(broadcast(boundary), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_feat"), col("dsir_ppm"),

@@ -1142,7 +1142,10 @@ object Streams {
     * WINDOW: anchors/chains prune as their v+W deadline passes the
     * fold's event time — the watermark-style horizon every windowed
     * join documents, here enforced inside the state itself. */
-  val funnelWindowUs = 86400000000L // mirrors Relational.funnelWindowUs
+  // SAME binding as the batch twin, not a mirrored literal: the spec
+  // replays against this constant, so an independent copy could drift
+  // from qWindowFunnel without failing the twin test (r11 advisor)
+  val funnelWindowUs: Long = graft.operators.Relational.funnelWindowUs
 
   final case class FunnelSt(level: Int, views: Seq[Long],
                             chainCts: Seq[Long], chainDl: Seq[Long])

@@ -389,23 +389,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"custkey IN did not push to the bloom-indexed scan:\n$p")
   }
 
-  test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift)") {
+  test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift, q_skyline, q_quantile_sampled)") {
     // an un-partitioned ordered window is fine over an AGGREGATED frame
     // (histogram / 1024-bin grid — bounded by construction) and a
     // single-task total sort over the raw corpus otherwise. Assert the
     // structural property directly on the optimized plan: every Window
-    // with an empty partitionSpec must sit above an Aggregate.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+    // with an empty partitionSpec must sit above an Aggregate — reached
+    // through ROW-PRESERVING/NARROWING nodes only (r11: a collectFirst
+    // over the whole subtree accepted an Aggregate on one side of a
+    // join beneath a corpus-sized window).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Filter => LFilter, LogicalPlan, Project, Sort, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case pr: Project => bounded(pr.child)
+      case f: LFilter => bounded(f.child)
+      case so: Sort => bounded(so.child)
+      case w: LWindow => bounded(w.child)
+      case _ => false
+    }
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+        allow: LWindow => Boolean = _ => false): Unit =
       df.queryExecution.optimizedPlan.foreach {
         case w: LWindow if w.partitionSpec.isEmpty =>
-          val bounded = w.child.collectFirst { case a: Aggregate => a }.isDefined
-          assert(bounded,
+          assert(bounded(w.child) || allow(w),
             s"$name: un-partitioned window over a non-aggregated (corpus-sized) frame:\n$w")
         case _ =>
       }
     audit("t_dsir", graft.operators.TextOps.dsir(spark, sf))
     audit("q_ab_test", Relational.qAbTest(spark, sf))
     audit("q_ks_drift", Relational.qKsDrift(spark, sf))
+    audit("q_skyline", Relational.qSkyline(spark, sf))
+    // q_quantile_sampled: the SAMPLE leg's global rank runs over the
+    // hash-sampled frame by declared design (divisor-bounded, the op
+    // measures that sample's error) — allow exactly the windows that
+    // sit above the sample-threshold filter; the exact leg must pass
+    // the aggregate-bounded rule like everyone else
+    val overSample = (w: LWindow) => w.collectFirst {
+      case f: LFilter
+        if f.condition.toString.contains(Relational.qsThresh.toString) => f
+    }.isDefined
+    audit("q_quantile_sampled", Relational.qQuantileSampled(spark, sf),
+      overSample)
   }
 }
