@@ -2271,20 +2271,27 @@ object Similarity {
   val gBeam = 4  // beam width
   val gHops = 3  // fixed search depth (oracle-exact)
 
-  private[graft] def graphAnnAdj(s: SparkSession, dir: String): DataFrame = {
+  /** Banded candidate pairs with the exact integer score — the shared
+    * edge-generation stage of the flat NSW adjacency AND the HNSW
+    * layer adjacencies (LSH buckets bound pair generation; never
+    * all-pairs). */
+  private def bandedScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = lshBands(s, dir).cache() // session-shared entry
     val pairs = bands.toDF("a", "band", "sig")
       .join(bands.toDF("b", "band", "sig"), Seq("band", "sig"))
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
     val q = quantized(s, dir)
-    val scored = pairs
+    pairs
       .join(q.toDF("a", "qa"), "a")
       .join(quantizedWithNorm(s, dir).toDF("b", "qb", "nb"), "b")
       .select(col("a"), col("b"), dot(col("qa"), col("qb")).as("dp"), col("nb"))
       .select(col("a"), col("b"), expr(scoreExpr).as("score"))
+  }
+
+  private[graft] def graphAnnAdj(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("a").orderBy(col("score").desc, col("b"))
-    scored.withColumn("rn", row_number().over(w))
+    bandedScoredPairs(s, dir).withColumn("rn", row_number().over(w))
       .filter(col("rn") <= gK)
       .select(col("a").as("node"), col("b").as("nbr"))
       .cache() // parameter-free plan: one session-wide entry
@@ -2379,6 +2386,264 @@ object Similarity {
        |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s_hnsw
+  /** HIERARCHICAL NSW — the coarse-to-fine descent s_graph_ann was
+    * missing (Malkov–Yashunin 2018 §4, the piece that makes a graph
+    * index log-navigable at 10⁹ vectors): nodes draw a GEOMETRIC level
+    * (P[lvl ≥ L] = 4⁻ᴸ), upper layers are sparse subgraphs over the
+    * level-≥L nodes, and a query GREEDILY descends — entering at the
+    * top layer's fixed entry point, taking `hLevHops` best-neighbor
+    * steps per layer — so the base-layer beam starts near the answer
+    * instead of at a global entry. Derandomized like everything here:
+    * the level is md5-geometric (h%4ᴸ == 0 — nested by construction,
+    * the deterministic analogue of ⌊−ln U/ln M⌋), so the DuckDB oracle
+    * replays the exact hierarchy. Layer adjacencies reuse the SAME
+    * LSH-banded scored pairs as the base graph, restricted to layer
+    * members — pair generation stays bucket-bounded at every level.
+    * The base beam is seeded by the descent result AND the flat walk's
+    * global entry, so the hierarchy ADDS navigation without ever
+    * discarding the flat op's seed; recall vs flat NSW is adjudicated
+    * by s_hnsw_recall. At 100 TB the upper layers are ~n/4, n/16 …
+    * rows — index metadata co-partitioned with the base adjacency. */
+  val hLevHops = 2 // greedy best-neighbor steps per upper layer
+
+  /** Deterministic geometric level per vector: 2 if h%16==0, 1 if
+    * h%4==0, else 0 (nested: %16 ⇒ %4). */
+  private def hnswLevels(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).select(col("vec_id"),
+        graft.functions.VectorExprs.hexSlice(
+          md5(concat(lit("hnsw|"), col("vec_id").cast("string"))), 1, 8)
+          .as("h"))
+      .select(col("vec_id"),
+        when(col("h") % 16 === 0, 2L).when(col("h") % 4 === 0, 1L)
+          .otherwise(0L).as("lvl"))
+
+  /** Layer-L adjacency: top-gK banded candidates among level-≥L nodes
+    * (both endpoints in the layer). Cached: s_hnsw + s_hnsw_recall. */
+  private def hnswAdj(s: SparkSession, dir: String, minLvl: Int): DataFrame = {
+    val members = hnswLevels(s, dir).filter(col("lvl") >= minLvl)
+      .select("vec_id")
+    val w = Window.partitionBy("a").orderBy(col("score").desc, col("b"))
+    bandedScoredPairs(s, dir)
+      .join(members.toDF("a"), Seq("a"), "left_semi")
+      .join(members.toDF("b"), Seq("b"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= gK)
+      .select(col("a").as("node"), col("b").as("nbr"))
+      .cache()
+  }
+
+  def hnsw: Q = (s, dir) => {
+    val probes = broadcast(quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp"))
+    val cands = quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
+    def score(frame: DataFrame): DataFrame = frame
+      .join(cands, "cand_id").join(probes, "probe_id")
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val levels = hnswLevels(s, dir)
+    // top-of-hierarchy entry: min id in the top layer; corpus min if
+    // that layer is empty (tiny-corpus guard) — a 1-row scalar
+    val entry = levels.agg(coalesce(
+      min(when(col("lvl") >= 2, col("vec_id"))),
+      min(col("vec_id"))).as("cand_id"))
+    // greedy = beam width 1: keep only the best-so-far each hop (it
+    // rides the union, so the walk is monotone in score)
+    def greedy(start: DataFrame, adj: DataFrame): DataFrame = {
+      var cur = start
+      for (_ <- 1 to hLevHops) {
+        val expand = cur.select(col("probe_id"), col("cand_id").as("node"))
+          .join(adj, "node")
+          .select(col("probe_id"), col("nbr").as("cand_id")).distinct()
+        cur = cur.union(score(expand))
+          .groupBy("probe_id", "cand_id").agg(max("score").as("score"))
+          .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+            .orderBy(col("score").desc, col("cand_id"))))
+          .filter(col("rn") <= 1)
+          .select("probe_id", "cand_id", "score")
+      }
+      cur
+    }
+    val seed2 = greedy(score(probes.select("probe_id").crossJoin(entry)),
+      hnswAdj(s, dir, 2))
+    val seed1 = greedy(seed2, hnswAdj(s, dir, 1))
+    // base layer: the s_graph_ann beam, seeded by the descent result
+    // PLUS the flat global entry (the hierarchy never loses the flat seed)
+    val flatEntry = cands.agg(min(col("cand_id")).as("cand_id"))
+    var walked = seed1
+      .union(score(probes.select("probe_id").crossJoin(flatEntry)))
+      .groupBy("probe_id", "cand_id").agg(max("score").as("score"))
+    val adj0 = graphAnnAdj(s, dir)
+    for (_ <- 1 to gHops) {
+      val beam = walked
+        .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+        .filter(col("rn") <= gBeam)
+        .select(col("probe_id"), col("cand_id").as("node"))
+      val expand = beam.join(adj0, "node")
+        .select(col("probe_id"), col("nbr").as("cand_id")).distinct()
+      walked = walked.union(score(expand))
+        .groupBy("probe_id", "cand_id").agg(max("score").as("score"))
+    }
+    walked.filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rn") <= annK)
+      .select("probe_id", "rn", "cand_id", "score")
+      .orderBy("probe_id", "rn")
+  }
+
+  val hnswSql: String = {
+    def sc(p: String, c: String): String =
+      s"""CASE WHEN CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) >= 0
+         |   THEN (CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * 1000)
+         |        // CAST(list_dot_product($c.qe, $c.qe) AS BIGINT)
+         |   ELSE -((CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * 1000)
+         |        // CAST(list_dot_product($c.qe, $c.qe) AS BIGINT))
+         |  END""".stripMargin
+    val h8 = OracleSql.hexToLong("md5('hnsw|' || CAST(vec_id AS VARCHAR))", 1, 8)
+    def layerAdj(name: String, lv: Int): String =
+      s"""$name AS (
+         | SELECT a AS node, b AS nbr FROM (
+         |  SELECT a, b, row_number() OVER (
+         |    PARTITION BY a ORDER BY score DESC, b) AS rn
+         |  FROM adjscore
+         |  WHERE a IN (SELECT vec_id FROM lvl WHERE lvl >= $lv)
+         |    AND b IN (SELECT vec_id FROM lvl WHERE lvl >= $lv)
+         | ) WHERE rn <= $gK
+         |)""".stripMargin
+    // one greedy step: best-so-far ∪ scored out-neighbors, keep rank 1
+    def ghop(prev: String, next: String, adj: String): String =
+      s"""$next AS (
+         | SELECT probe_id, cand_id, score FROM (
+         |  SELECT probe_id, cand_id, score, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |  FROM (
+         |   SELECT probe_id, cand_id, score FROM $prev
+         |   UNION ALL
+         |   SELECT g.probe_id, a.nbr AS cand_id, ${sc("p", "c")} AS score
+         |   FROM $prev g JOIN $adj a ON a.node = g.cand_id
+         |    JOIN probes p ON p.probe_id = g.probe_id
+         |    JOIN q c ON c.vec_id = a.nbr
+         |  )
+         | ) WHERE rn = 1
+         |)""".stripMargin
+    // one base-layer beam hop (the s_graph_ann hop shape)
+    def hop(prev: String, next: String): String =
+      s"""b$next AS (
+         | SELECT probe_id, cand_id FROM (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |  FROM $prev) WHERE rn <= $gBeam
+         |), e$next AS (
+         | SELECT DISTINCT b.probe_id, adj.nbr AS cand_id
+         | FROM b$next b JOIN adj ON adj.node = b.cand_id
+         |), $next AS (
+         | SELECT probe_id, cand_id, max(score) AS score FROM (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT e.probe_id, e.cand_id, ${sc("p", "c")} AS score
+         |  FROM e$next e JOIN probes p ON p.probe_id = e.probe_id
+         |               JOIN q c ON c.vec_id = e.cand_id
+         | ) GROUP BY probe_id, cand_id
+         |)""".stripMargin
+    s"""WITH $lshBandsSqlCte, pairs AS (
+       | SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+       | FROM bk a JOIN bk b ON b.band = a.band AND b.sig = a.sig
+       |  AND b.vec_id <> a.vec_id
+       |), adjscore AS (
+       | SELECT pr.a, pr.b, ${sc("pa", "pb")} AS score
+       | FROM pairs pr JOIN q pa ON pa.vec_id = pr.a
+       |               JOIN q pb ON pb.vec_id = pr.b
+       |), lvl AS (
+       | SELECT vec_id,
+       |  CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+       | FROM (SELECT vec_id, CAST($h8 AS BIGINT) AS h FROM q)
+       |), adj AS (
+       | SELECT a AS node, b AS nbr FROM (
+       |  SELECT a, b, row_number() OVER (
+       |    PARTITION BY a ORDER BY score DESC, b) AS rn
+       |  FROM adjscore) WHERE rn <= $gK
+       |),
+       |${layerAdj("adj2", 2)},
+       |${layerAdj("adj1", 1)},
+       |probes AS (
+       | SELECT vec_id AS probe_id, qe FROM q WHERE vec_id < 10
+       |), hentry AS (
+       | SELECT coalesce(min(CASE WHEN lvl >= 2 THEN vec_id END),
+       |   min(vec_id)) AS e
+       | FROM lvl
+       |), fentry AS (SELECT min(vec_id) AS e FROM q),
+       |g20 AS (
+       | SELECT p.probe_id, c.vec_id AS cand_id, ${sc("p", "c")} AS score
+       | FROM probes p, hentry JOIN q c ON c.vec_id = hentry.e
+       |),
+       |${ghop("g20", "g21", "adj2")},
+       |${ghop("g21", "g22", "adj2")},
+       |${ghop("g22", "g11", "adj1")},
+       |${ghop("g11", "g12", "adj1")},
+       |w0 AS (
+       | SELECT probe_id, cand_id, max(score) AS score FROM (
+       |  SELECT probe_id, cand_id, score FROM g12
+       |  UNION ALL
+       |  SELECT p.probe_id, c.vec_id AS cand_id, ${sc("p", "c")} AS score
+       |  FROM probes p, fentry JOIN q c ON c.vec_id = fentry.e
+       | ) GROUP BY probe_id, cand_id
+       |),
+       |${hop("w0", "w1")},
+       |${hop("w1", "w2")},
+       |${hop("w2", "w3")}
+       |SELECT probe_id, rn, cand_id, score FROM (
+       | SELECT probe_id, cand_id, score, row_number() OVER (
+       |   PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       | FROM w3 WHERE cand_id <> probe_id
+       |) WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+  }
+
+  // --------------------------------------------------------- s_hnsw_recall
+  /** HNSW vs flat-NSW adjudication — the descent's VALUE as a table:
+    * per probe, |exact top-k ∩ flat NSW| next to |exact top-k ∩ HNSW|
+    * (left-semi set intersections, the s_ann_recall pattern). Because
+    * the HNSW base beam keeps the flat seed and adds the descent seed,
+    * hits_hnsw ≥ hits_nsw is the expected reading; this table is what
+    * makes that a measured claim instead of an assumption. Composes
+    * three oracle-checked pipelines over the shared cached adjacency. */
+  def hnswRecall: Q = (s, dir) => {
+    val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
+    val nsw = graphAnn(s, dir).select(col("probe_id"), col("cand_id"))
+    val hn = hnsw(s, dir).select(col("probe_id"), col("cand_id"))
+    val hitNsw = ex.join(nsw, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits_nsw"))
+    val hitHnsw = ex.join(hn, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits_hnsw"))
+    ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hitNsw, Seq("probe_id"), "left_outer")
+      .join(hitHnsw, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("hits_nsw"), lit(0L)).as("hits_nsw"),
+        coalesce(col("hits_hnsw"), lit(0L)).as("hits_hnsw"))
+      .orderBy("probe_id")
+  }
+
+  val hnswRecallSql: String =
+    s"""WITH exh AS (
+       |$annTopkSql
+       |), nsw0 AS (
+       |$graphAnnSql
+       |), hn0 AS (
+       |$hnswSql
+       |)
+       |SELECT e.probe_id, count(*) AS n_exact,
+       | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM nsw0 n
+       |   WHERE n.probe_id = e.probe_id AND n.cand_id = e.cand_id)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_nsw,
+       | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM hn0 h
+       |   WHERE h.probe_id = e.probe_id AND h.cand_id = e.cand_id)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS hits_hnsw
+       |FROM exh e GROUP BY e.probe_id
+       |ORDER BY probe_id""".stripMargin
+
   // -------------------------------------------------------- s_kmeanspp_seed
   /** DETERMINISTIC k-means seeding — farthest-first traversal
     * (Gonzalez 1985; the D²-greedy backbone that k-means++ randomizes,
@@ -2459,6 +2724,8 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s_graph_ann" -> graphAnn,
+    "s_hnsw" -> hnsw,
+    "s_hnsw_recall" -> hnswRecall,
     "s_kmeanspp_seed" -> kmeansppSeed,
     "s_ndcg_eval" -> ndcgEval,
     "s_ivf_probe_curve" -> ivfProbeCurve,
@@ -2488,6 +2755,8 @@ object Similarity {
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
     "s_graph_ann" -> graphAnnSql,
+    "s_hnsw" -> hnswSql,
+    "s_hnsw_recall" -> hnswRecallSql,
     "s_kmeanspp_seed" -> kmeansppSeedSql,
     "s_ndcg_eval" -> ndcgEvalSql,
     "s_ivf_probe_curve" -> ivfProbeCurveSql,

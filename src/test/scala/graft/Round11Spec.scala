@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 operators. s_hnsw gets the house gold standard: a full
+  * in-memory replay of the hierarchy build (md5-geometric levels,
+  * per-layer LSH-banded adjacencies) and the greedy-descent + beam
+  * search, compared row-for-row — the oracle proves cross-engine
+  * parity of the formulation; this proves the formulation IS the
+  * hierarchical walk it claims to be.
+  */
+class Round11Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ---------------------------------------------------------------- s_hnsw
+  test("s_hnsw: full in-memory hierarchy replay; aggregate recall >= flat NSW") {
+    import graft.operators.Similarity
+    val vecs = graft.model.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    def score(p: Long, c: Long): Long = {
+      val dp = dot(vecs(p), vecs(c)); val nb = dot(vecs(c), vecs(c))
+      val m = dp * dp * 1000 / nb
+      if (dp >= 0) m else -m
+    }
+    // banded candidate pairs — the Round9Spec graph-ANN build
+    val sigs = vecs.keys.toSeq.sorted.flatMap { v =>
+      (0 until Similarity.lshNumBands).map { b =>
+        val sig = (0 until Similarity.lshRowsPerBand).map { j =>
+          val pl = Similarity.planeMatrix(b * Similarity.lshRowsPerBand + j)
+          if (vecs(v).indices.map(i => vecs(v)(i) * pl(i)).sum >= 0) 1L << j
+          else 0L
+        }.sum
+        (b, sig) -> v
+      }
+    }
+    val pairs = sigs.groupBy(_._1).values.flatMap { bucket =>
+      val ids = bucket.map(_._2)
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    }.toSet
+    // deterministic md5-geometric level (h = first 8 hex chars of
+    // md5("hnsw|id"), exactly the op's hexSlice)
+    def lvl(v: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hnsw|$v".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 16 == 0) 2 else if (h % 4 == 0) 1 else 0
+    }
+    def adjAtLevel(minL: Int): Map[Long, Seq[Long]] =
+      pairs.filter { case (a, b) => lvl(a) >= minL && lvl(b) >= minL }
+        .groupBy(_._1).map { case (a, ps) =>
+          a -> ps.toSeq.map(_._2).distinct
+            .sortBy(b => (-score(a, b), b)).take(Similarity.gK)
+        }.withDefaultValue(Seq())
+    val adj0 = adjAtLevel(0)
+    val adj1 = adjAtLevel(1)
+    val adj2 = adjAtLevel(2)
+    val entryTop = {
+      val l2 = vecs.keys.filter(lvl(_) >= 2)
+      if (l2.nonEmpty) l2.min else vecs.keys.min
+    }
+    val entryFlat = vecs.keys.min
+    def greedy(p: Long, start: (Long, Long),
+        adj: Map[Long, Seq[Long]]): (Long, Long) = {
+      var cur = start // (cand, score); best-so-far rides each hop
+      for (_ <- 1 to Similarity.hLevHops) {
+        val cands = Seq(cur) ++ adj(cur._1).map(c => c -> score(p, c))
+        cur = cands.minBy { case (c, sc) => (-sc, c) }
+      }
+      cur
+    }
+    def search(p: Long): Seq[(Int, Long, Long)] = {
+      val s2 = greedy(p, entryTop -> score(p, entryTop), adj2)
+      val s1 = greedy(p, s2, adj1)
+      var walked = Map(entryFlat -> score(p, entryFlat)) + s1
+      for (_ <- 1 to Similarity.gHops) {
+        val beam = walked.toSeq.sortBy { case (c, sc) => (-sc, c) }
+          .take(Similarity.gBeam).map(_._1)
+        val expand = beam.flatMap(adj0).distinct
+        walked = walked ++ expand.filterNot(walked.contains)
+          .map(c => c -> score(p, c))
+      }
+      walked.toSeq.filter(_._1 != p).sortBy { case (c, sc) => (-sc, c) }
+        .take(Similarity.annK).zipWithIndex
+        .map { case ((c, sc), i) => (i + 1, c, sc) }
+    }
+    val want = (0L until 10L).flatMap(p => search(p).map {
+      case (rn, c, sc) => (p, rn, c, sc) }).toSet
+    val got = Similarity.hnsw(spark, sf).collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("score"))).toSet
+    assert(got == want, s"HNSW walk != in-memory replay " +
+      s"(got ${got.size}, want ${want.size}; diff ${(got diff want).take(3)})")
+    // hierarchy non-vacuity at sf0.001: upper layers exist and carry
+    // edges — otherwise the descent tests nothing
+    assert(vecs.keys.count(lvl(_) >= 1) > 0, "no level-1 nodes")
+    assert(adj1.nonEmpty, "layer-1 adjacency empty — descent vacuous")
+    // AGGREGATE recall ≥ flat NSW: the base beam keeps the flat seed
+    // and adds the descent seed. Per-probe monotonicity does NOT hold
+    // (both seeds' frontiers compete for the same fixed beam width),
+    // which is why the claim is summed over the probe set.
+    val rec = Similarity.hnswRecall(spark, sf).collect()
+    val hn = rec.map(_.getAs[Long]("hits_hnsw")).sum
+    val nsw = rec.map(_.getAs[Long]("hits_nsw")).sum
+    assert(hn >= nsw, s"HNSW aggregate recall $hn < flat NSW $nsw")
+    assert(hn > 0, "HNSW found no exact-top-k member at all")
+  }
+}
