@@ -110,4 +110,46 @@ class Round11Spec extends AnyFunSuite {
     assert(hn >= nsw, s"HNSW aggregate recall $hn < flat NSW $nsw")
     assert(hn > 0, "HNSW found no exact-top-k member at all")
   }
+
+  // -------------------------------------------- d_weighted_minhash_eval
+  /** The oracle proves cross-engine parity of the Σmin/Σmax
+    * formulation; this proves the exact leg IS capped weighted Jaccard
+    * — an independent in-memory truth from raw text (token trigrams,
+    * tf capped, direct multiset min/max sums) compared on every truth
+    * pair, plus the Ioffe reduction sanity: a pair of identical docs
+    * must estimate 9/9. */
+  test("d_weighted_minhash_eval: exact leg == in-memory capped weighted Jaccard") {
+    import graft.operators.Dedup
+    val texts = graft.model.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def tf(id: Long): Map[String, Long] = {
+      val w = texts(id).split(" ", -1)
+      if (w.length < 3) Map.empty
+      else w.sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (sh, o) =>
+          sh -> math.min(o.size.toLong, Dedup.wmhCap) }
+    }
+    def wjPpm(a: Long, b: Long): Long = {
+      val (ta, tb) = (tf(a), tf(b))
+      val keys = ta.keySet ++ tb.keySet
+      val mins = keys.toSeq.map(k =>
+        math.min(ta.getOrElse(k, 0L), tb.getOrElse(k, 0L))).sum
+      val maxs = keys.toSeq.map(k =>
+        math.max(ta.getOrElse(k, 0L), tb.getOrElse(k, 0L))).sum
+      mins * 1000000L / maxs
+    }
+    val rows = Dedup.weightedMinhashEval(spark, sf).collect()
+    assert(rows.nonEmpty, "no truth pairs at sf0.001")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("wexact_ppm") == wjPpm(a, b),
+        s"pair ($a,$b): op wexact ${r.getAs[Long]("wexact_ppm")} != replay ${wjPpm(a, b)}")
+      // sketch estimates live on the 1/9 grid
+      Seq("est_wmh_ppm", "est_flat_ppm").foreach { c =>
+        assert(r.getAs[Long](c) % (1000000L / 9) <= 1,
+          s"$c off the k/9 grid: ${r.getAs[Long](c)}")
+      }
+    }
+  }
 }
