@@ -652,6 +652,53 @@ object Relational {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  // ------------------------------------------------- q_events_funnel_outer
+  /** LEFT-OUTER funnel — qEventsFunnel's frame with the UNCONVERTED
+    * clicks kept: every click emits, matched once per purchase within
+    * the hour, unmatched with NULL purchase/delay — the "click with no
+    * purchase" complement a conversion report actually needs. Batch
+    * twin and oracle carrier for st_outer_join, whose streaming side
+    * null-pads exactly when the watermark closes the click's join
+    * window. The interval predicate lives IN the join condition (a
+    * post-join filter would drop the null rows); same single
+    * user-keyed shuffle as the inner form. */
+  def qEventsFunnelOuter: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_us") > col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(3600000000L),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("delay_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val qEventsFunnelOuterSql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), c AS (
+      | SELECT user_id, event_id AS click_id, us AS click_us
+      | FROM ev WHERE event_type = 'click'
+      |), p AS (
+      | SELECT user_id, event_id AS purchase_id, us AS purchase_us
+      | FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |       p.purchase_us - c.click_us AS delay_us
+      |FROM c LEFT JOIN p ON p.user_id = c.user_id
+      | AND p.purchase_us > c.click_us
+      | AND p.purchase_us <= c.click_us + 3600000000
+      |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin
+
   // ---------------------------------------------------------- q_events_asof
   /** As-of join — each purchase matched to the MOST RECENT strictly-
     * earlier click of the same user. Spark has no ASOF operator; the
@@ -3817,6 +3864,7 @@ object Relational {
     "q_events_window" -> qEventsWindow,
     "q_window_nav" -> qWindowNav,
     "q_events_funnel" -> qEventsFunnel,
+    "q_events_funnel_outer" -> qEventsFunnelOuter,
     "q_events_asof" -> qEventsAsof,
     "q_cube" -> qCube,
     "q_percentile" -> qPercentile,
@@ -3892,6 +3940,7 @@ object Relational {
     "q_events_window" -> qEventsWindowSql,
     "q_window_nav" -> qWindowNavSql,
     "q_events_funnel" -> qEventsFunnelSql,
+    "q_events_funnel_outer" -> qEventsFunnelOuterSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_cube" -> qCubeSql,
     "q_percentile" -> qPercentileSql,

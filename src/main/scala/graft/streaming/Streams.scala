@@ -95,6 +95,36 @@ object Streams {
         (unix_micros(col("p_ets")) - unix_micros(col("c_ets"))).as("delay_us"))
   }
 
+  /** st_outer_join: stream-stream LEFT OUTER interval join — the
+    * "click with no purchase" live complement of streamJoin. Matched
+    * pairs emit as they join; an UNMATCHED click emits exactly once,
+    * null-padded, when the watermark closes its one-hour join window
+    * and the engine can prove no purchase can still arrive — which is
+    * WHY the watermark is mandatory here: without it unmatched rows
+    * could never be finalized on an unbounded stream. Same interval
+    * condition and state bound as the inner form; batch twin:
+    * Relational.qEventsFunnelOuter carries the DuckDB oracle. */
+  def streamOuterJoin(events: DataFrame): DataFrame = {
+    val ev = withEventTime(events)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ets").as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ets") > col("c_ets") &&
+        col("p_ets") <= col("c_ets") + expr("interval 1 hour"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        when(col("p_ets").isNotNull,
+          unix_micros(col("p_ets")) - unix_micros(col("c_ets")))
+          .as("delay_us"))
+  }
+
   /** st_sessionize: gap-based sessions (30 min inactivity) via
     * flatMapGroupsWithState — the custom-state primitive. Keyed by
     * user; state = (session start, last seen, count); emits a session

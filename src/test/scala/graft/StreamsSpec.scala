@@ -217,6 +217,72 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_outer_join: unmatched click null-pads exactly once when the watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamOuterJoin(mem.toDF())
+      .writeStream.format("memory").queryName("outer_funnel")
+      .outputMode("append").start()
+    try {
+      val base = 86400L * 1000 * 1000
+      mem.addData(
+        ev(1, base, user = 1, typ = "click"),
+        ev(2, base + 600L * 1000 * 1000, user = 1, typ = "purchase"), // pairs
+        ev(3, base, user = 2, typ = "click"))                         // never converts
+      q.processAllAvailable()
+      // matched pair emits in-stream; the unmatched click must NOT
+      // have null-padded yet (its window is still open)
+      val early = spark.table("outer_funnel").collect()
+      assert(early.count(_.getAs[Any]("purchase_id") == null) == 0,
+        s"null-padded before the watermark closed the window: ${early.mkString(";")}")
+      // advance BOTH sides' watermarks far past base+1h+1h (the global
+      // watermark is their min), then one more batch to flush eviction;
+      // clicks and purchases ride DIFFERENT users so the advancing
+      // events can never pair with anything
+      mem.addData(ev(4, base + 6 * hourUs, user = 8, typ = "click"),
+        ev(5, base + 6 * hourUs, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      mem.addData(ev(6, base + 7 * hourUs, user = 8, typ = "click"),
+        ev(7, base + 7 * hourUs, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("outer_funnel").collect()
+      val matched = out.filter(_.getAs[Any]("purchase_id") != null)
+      assert(matched.length == 1 &&
+        matched.head.getAs[Long]("click_id") == 1L &&
+        matched.head.getAs[Long]("purchase_id") == 2L &&
+        matched.head.getAs[Long]("delay_us") == 600L * 1000 * 1000,
+        s"matched pair wrong: ${out.mkString(";")}")
+      val padded = out.filter(_.getAs[Any]("purchase_id") == null)
+        .filter(_.getAs[Long]("user_id") == 2L)
+      assert(padded.length == 1 &&
+        padded.head.getAs[Long]("click_id") == 3L &&
+        padded.head.getAs[Any]("delay_us") == null,
+        s"expected exactly one null-padded row for click 3: ${out.mkString(";")}")
+      // the matched click must never ALSO null-pad
+      assert(!out.exists(r => r.getAs[Long]("click_id") == 1L &&
+        r.getAs[Any]("purchase_id") == null),
+        "matched click also emitted a null-padded row")
+      // exactly-once: a further watermark advance must not re-emit
+      mem.addData(ev(8, base + 9 * hourUs, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("outer_funnel").collect()
+        .count(r => r.getAs[Any]("purchase_id") == null &&
+          r.getAs[Long]("user_id") == 2L) == 1,
+        "unmatched click re-emitted after a later watermark advance")
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: streamOuterJoin on static frame matches q_events_funnel_outer") {
+    val events = graft.model.Tables(spark, sf, "events")
+    val streamShaped = Streams.streamOuterJoin(events)
+      .select("user_id", "click_id", "purchase_id", "delay_us")
+    val twin = SparkEntry.queries("q_events_funnel_outer")(spark, sf)
+      .select("user_id", "click_id", "purchase_id", "delay_us")
+    assert(streamShaped.except(twin).count() == 0)
+    assert(twin.except(streamShaped).count() == 0)
+  }
+
   test("batch twin equivalence: streamJoin on static frame matches q_events_funnel") {
     val events = graft.model.Tables(spark, sf, "events")
     val streamShaped = Streams.streamJoin(events)
