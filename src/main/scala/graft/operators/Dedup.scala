@@ -961,6 +961,57 @@ object Dedup {
     clusterAssignSqlCtes +
       s"\nSELECT id AS doc_id, canon_id FROM c$clusterIters ORDER BY doc_id"
 
+  // ---------------------------------------------------- d_dedup_keep_best
+  /** CANONICAL-COPY SELECTION BY QUALITY — the policy step a real
+    * pipeline runs after clustering: per multi-member near-dup
+    * cluster, KEEP the highest-quality member (t_quality_score's
+    * composite, doc_id tiebreak) instead of the arbitrary min-id
+    * canon. Output: one row per multi-member cluster — kept doc, its
+    * quality, member count, and whether the quality policy OVERTURNED
+    * the min-id default (`kept_ne_canon`) — the audit a curator reads
+    * to see what the policy actually changed. Cost on top of the
+    * memoized cluster assignment: one join to the per-doc quality
+    * frame and a per-cluster argmax via max(struct) — map-side
+    * combinable, no window, nothing corpus². */
+  def dedupKeepBest: Q = (s, dir) => {
+    val cl = clusterAssign(s, dir)
+    val q = graft.operators.TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val multi = cl.groupBy("canon_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    cl.join(multi, "canon_id")
+      .join(q, "doc_id")
+      .groupBy("canon_id", "n_members")
+      // argmax (quality desc, doc_id asc): max quality first, then the
+      // negated id turns the min-id tiebreak into a max
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("canon_id"), col("n_members"),
+        (-col("best.negid")).as("kept_doc_id"),
+        col("best.quality").as("kept_quality"),
+        (col("canon_id") =!= -col("best.negid")).as("kept_ne_canon"))
+      .orderBy("canon_id")
+  }
+
+  lazy val dedupKeepBestSql: String =
+    clusterAssignSqlCtes +
+      s""", qx AS (
+         |${graft.operators.TextOps.qualityScoreSql}
+         |), cl AS (
+         | SELECT id AS doc_id, canon_id FROM c$clusterIters
+         |), multi AS (
+         | SELECT canon_id, count(*) AS n_members
+         | FROM cl GROUP BY 1 HAVING count(*) >= 2
+         |), best AS (
+         | SELECT cl.canon_id, multi.n_members, cl.doc_id, qx.quality,
+         |  row_number() OVER (PARTITION BY cl.canon_id
+         |    ORDER BY qx.quality DESC, cl.doc_id) AS rn
+         | FROM cl JOIN multi USING (canon_id)
+         |         JOIN qx ON qx.doc_id = cl.doc_id
+         |)
+         |SELECT canon_id, n_members, doc_id AS kept_doc_id,
+         | quality AS kept_quality, canon_id <> doc_id AS kept_ne_canon
+         |FROM best WHERE rn = 1 ORDER BY canon_id""".stripMargin
+
   // -------------------------------------------------------- d_soft_dedup
   /** SoftDeDup — REWEIGHT duplicates instead of dropping them (the
     * training-mixture alternative to hard removal): every document gets
@@ -2098,6 +2149,7 @@ object Dedup {
     "d_dedup_span_rewrite" -> dedupSpanRewrite,
     "d_dedup_minhash" -> dedupMinhash,
     "d_weighted_minhash" -> weightedMinhash,
+    "d_dedup_keep_best" -> dedupKeepBest,
     "d_weighted_minhash_eval" -> weightedMinhashEval,
     "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -2129,6 +2181,7 @@ object Dedup {
     "d_dedup_span_rewrite" -> dedupSpanRewriteSql,
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_weighted_minhash" -> weightedMinhashSql,
+    "d_dedup_keep_best" -> dedupKeepBestSql,
     "d_weighted_minhash_eval" -> weightedMinhashEvalSql,
     "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

@@ -1636,6 +1636,219 @@ object Relational {
       | CAST(max(run_len) AS BIGINT) AS longest_run
       |FROM islands GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------- q_market_basket
+  /** MARKET-BASKET co-occurrence with LIFT (Agrawal et al. association
+    * rules, the pair case): part pairs ordered together, support ≥
+    * `basketMinSup`, ranked by lift = P(ab)/(P(a)P(b)) in exact ppm.
+    * Pair generation is PER-ORDER bounded (≤ C(items,2) per order — an
+    * equi self-join on the order key, never parts²), the per-part and
+    * pair counts are partial-agged shuffles, the order total is a
+    * 1-row broadcast scalar, and the ranking is TakeOrdered top-k on
+    * the (lift desc, pair) total order — no global sort. At 100 TB the
+    * only growth is linear in lineitems; the support floor is what
+    * keeps the pair table sparse. */
+  val basketMinSup = 3L
+  val basketTopK = 100
+
+  def qMarketBasket: Q = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val totals = op.agg(countDistinct("ok").cast("long").as("n_orders"))
+    val pf = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = op.toDF("ok", "pa").join(op.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= basketMinSup)
+    pairs
+      .join(pf.toDF("pa", "n_a"), "pa")
+      .join(pf.toDF("pb", "n_b"), "pb")
+      .crossJoin(broadcast(totals))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+      .limit(basketTopK)
+      .orderBy("pa", "pb")
+  }
+
+  val qMarketBasketSql: String =
+    s"""WITH op AS (
+       | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), tot AS (
+       | SELECT count(DISTINCT ok) AS n_orders FROM op
+       |), pf AS (
+       | SELECT pk, count(*) AS n_p FROM op GROUP BY 1
+       |), pr AS (
+       | SELECT x.pk AS pa, y.pk AS pb, count(*) AS n_ab
+       | FROM op x JOIN op y ON y.ok = x.ok AND x.pk < y.pk
+       | GROUP BY 1, 2 HAVING count(*) >= $basketMinSup
+       |), ranked AS (
+       | SELECT pr.pa, pr.pb, pr.n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+       |  (pr.n_ab * tot.n_orders * 1000000) // (fa.n_p * fb.n_p) AS lift_ppm
+       | FROM pr JOIN pf fa ON fa.pk = pr.pa
+       |         JOIN pf fb ON fb.pk = pr.pb, tot
+       | ORDER BY lift_ppm DESC, pa, pb LIMIT $basketTopK
+       |)
+       |SELECT pa, pb, n_ab, n_a, n_b, CAST(lift_ppm AS BIGINT) AS lift_ppm
+       |FROM ranked ORDER BY pa, pb""".stripMargin
+
+  // ---------------------------------------------------------------- q_rfm
+  /** RFM SEGMENTATION — recency / frequency / monetary quartile scores
+    * (the classic CRM segmentation), made scale-safe and oracle-exact:
+    * quartile cutoffs are VALUE thresholds rank-selected from bounded
+    * histograms (recency in days — bounded domain; frequency — small
+    * ints; monetary quantized to $100 buckets), never an ntile over
+    * the corpus (rank-based ntile splits ties arbitrarily AND
+    * serializes — the q_skyline lesson). score = 1 + #cutoffs strictly
+    * exceeded, so ties share a bucket deterministically in both
+    * engines; r_score 1 = most recent. Output: customer counts per
+    * (r,f,m) cell — the ≤ 64-row segmentation table. */
+  val rfmMonQuant = 10000L // $100 buckets for the monetary histogram
+
+  def qRfm: Q = (s, dir) => {
+    val base0 = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("freq"),
+        max(expr("CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT)"))
+          .as("lastday"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val maxd = base0.agg(max("lastday").as("maxday"))
+    val base = base0.crossJoin(broadcast(maxd))
+      .select(col("c"), col("freq"),
+        (col("maxday") - col("lastday")).as("rec"),
+        expr(s"cents div $rfmMonQuant").as("mon"))
+      // four consumers (three histogram chains + the scoring pass)
+      .localCheckpoint()
+    def cuts(metric: String): DataFrame = {
+      val wc = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = base.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      cum.agg(
+        min(when(col("cum") >= expr("(n * 25 + 99) div 100"), col("v")))
+          .as(s"${metric}_c25"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("v")))
+          .as(s"${metric}_c50"),
+        min(when(col("cum") >= expr("(n * 75 + 99) div 100"), col("v")))
+          .as(s"${metric}_c75"))
+    }
+    val cut = broadcast(cuts("rec").crossJoin(cuts("freq")).crossJoin(cuts("mon")))
+    def score(metric: String): Column =
+      lit(1L) + when(col(metric) > col(s"${metric}_c25"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"${metric}_c50"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"${metric}_c75"), 1L).otherwise(0L)
+    base.crossJoin(cut)
+      .select(score("rec").as("r_score"), score("freq").as("f_score"),
+        score("mon").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val qRfmSql: String = {
+    def cutsSql(m: String): String =
+      s"""${m}h AS (
+         | SELECT $m AS v, count(*) AS cnt FROM b GROUP BY 1
+         |), ${m}c AS (
+         | SELECT v, sum(cnt) OVER (ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(cnt) OVER () AS n
+         | FROM ${m}h
+         |), ${m}x AS (
+         | SELECT min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS ${m}_c25,
+         |        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS ${m}_c50,
+         |        min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS ${m}_c75
+         | FROM ${m}c
+         |)""".stripMargin
+    def scoreSql(m: String): String =
+      s"CAST(1 + (CASE WHEN $m > ${m}_c25 THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN $m > ${m}_c50 THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN $m > ${m}_c75 THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH b0 AS (
+       | SELECT o_custkey AS c, count(*) AS freq,
+       |  max(epoch_us(o_orderdate) // 86400000000) AS lastday,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+       | FROM orders GROUP BY 1
+       |), mx AS (SELECT max(lastday) AS maxday FROM b0),
+       |b AS (
+       | SELECT c, freq, mx.maxday - lastday AS rec,
+       |  cents // $rfmMonQuant AS mon
+       | FROM b0, mx
+       |),
+       |${cutsSql("rec")},
+       |${cutsSql("freq")},
+       |${cutsSql("mon")}
+       |SELECT r_score, f_score, m_score, count(*) AS n_customers FROM (
+       | SELECT ${scoreSql("rec")} AS r_score, ${scoreSql("freq")} AS f_score,
+       |        ${scoreSql("mon")} AS m_score
+       | FROM b, recx, freqx, monx
+       |) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ------------------------------------------------------------ q_autocorr
+  /** AUTOCORRELATION of the daily-revenue series at lags 1–7 days —
+    * the seasonality instrument (a weekly cycle shows as a lag-7
+    * peak). The series is the AGGREGATED per-day revenue frame
+    * (bounded by the calendar, not the corpus); lag pairs come from an
+    * equi self-join on day − k (calendar alignment — a row-lag would
+    * misalign across date gaps), and each lag's Pearson r uses the
+    * q_corr discipline: exact DECIMAL(38,0) moments, one deterministic
+    * float expression at the end, round 6. One partial-agged shuffle
+    * builds the series; everything after is bounded. */
+  def qAutocorr: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(expr("CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT)")
+        .as("day"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast(DecimalType(38, 0))
+        .as("rev"))
+    val lags = t(s, dir, "orders").sparkSession.range(1, 8)
+      .select(col("id").as("lag_days"))
+    val m = daily.crossJoin(broadcast(lags))
+      .join(daily.toDF("pday", "prev"),
+        col("pday") === col("day") - col("lag_days"))
+      .select(col("lag_days"), col("rev").as("x"), col("prev").as("y"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("lag_days"), col("n").cast("long").as("n_pairs"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("autocorr"))
+      .orderBy("lag_days")
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      | SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |   AS DECIMAL(38,0)) AS rev
+      | FROM orders GROUP BY 1
+      |), lags AS (
+      | SELECT unnest(range(1, 8)) AS lag_days
+      |), px AS (
+      | SELECT l.lag_days, d.rev AS x, p.rev AS y
+      | FROM daily d CROSS JOIN lags l
+      |  JOIN daily p ON p.day = d.day - l.lag_days
+      |), m AS (
+      | SELECT lag_days, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  sum(x) AS sx, sum(y) AS sy,
+      |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      | FROM px GROUP BY 1
+      |)
+      |SELECT CAST(lag_days AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+      | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+      |FROM m ORDER BY lag_days""".stripMargin
+
   // ----------------------------------------------------------------- q_corr
   /** Pearson correlation of quantity vs extended price over lineitem —
     * computed from EXACT integer moments, not the engines' float corr()
@@ -3843,6 +4056,9 @@ object Relational {
     "q_skyline" -> qSkyline,
     "q_mom_yoy" -> qMomYoy,
     "q_corr" -> qCorr,
+    "q_market_basket" -> qMarketBasket,
+    "q_rfm" -> qRfm,
+    "q_autocorr" -> qAutocorr,
     "q_intersect_except" -> qIntersectExcept,
     "q_json_extract" -> qJsonExtract,
     "q_bag_ops" -> qBagOps,
@@ -3919,6 +4135,9 @@ object Relational {
     "q_skyline" -> qSkylineSql,
     "q_mom_yoy" -> qMomYoySql,
     "q_corr" -> qCorrSql,
+    "q_market_basket" -> qMarketBasketSql,
+    "q_rfm" -> qRfmSql,
+    "q_autocorr" -> qAutocorrSql,
     "q_intersect_except" -> qIntersectExceptSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_bag_ops" -> qBagOpsSql,

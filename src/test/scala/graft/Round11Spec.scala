@@ -152,4 +152,98 @@ class Round11Spec extends AnyFunSuite {
       }
     }
   }
+
+  // -------------------------------------------------------- q_market_basket
+  test("q_market_basket: full in-memory support/lift replay") {
+    import graft.operators.Relational
+    val li = graft.model.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .toSet
+    val byOrder = li.groupBy(_._1).map { case (o, ps) => o -> ps.map(_._2).toSeq.sorted }
+    val n = byOrder.size.toLong // distinct ordering orders
+    val partOrders = li.groupBy(_._2).map { case (p, os) => p -> os.size.toLong }
+    val pairCounts = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (pr, o) => pr -> o.size.toLong }
+      .filter(_._2 >= Relational.basketMinSup)
+    val want = pairCounts.toSeq.map { case ((a, b), nab) =>
+      val (na, nb) = (partOrders(a), partOrders(b))
+      (a, b, nab, na, nb, nab * n * 1000000L / (na * nb))
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(Relational.basketTopK)
+      .sortBy { case (a, b, _, _, _, _) => (a, b) }
+    val got = Relational.qMarketBasket(spark, sf).collect().map(r =>
+      (r.getAs[Long]("pa"), r.getAs[Long]("pb"), r.getAs[Long]("n_ab"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("lift_ppm")))
+      .toSeq
+    assert(got == want,
+      s"basket mismatch: got ${got.size} want ${want.size}; " +
+        s"first diff ${(got zip want).find(t => t._1 != t._2)}")
+    assert(want.nonEmpty, "no pair reached the support floor at sf0.001")
+  }
+
+  // ------------------------------------------------------------------ q_rfm
+  test("q_rfm: in-memory cutoff + scoring replay") {
+    import graft.operators.Relational
+    val rows = graft.model.Tables(spark, sf, "orders")
+      .selectExpr("o_custkey",
+        "CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT) AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("day"),
+        r.getAs[Long]("cents")))
+    val byCust = rows.groupBy(_._1)
+    val maxDay = rows.map(_._2).max
+    val base = byCust.map { case (c, os) =>
+      (c, os.size.toLong, maxDay - os.map(_._2).max,
+        Math.floorDiv(os.map(_._3).sum, Relational.rfmMonQuant))
+    }.toSeq
+    def cuts(vs: Seq[Long]): (Long, Long, Long) = {
+      val sorted = vs.sorted
+      val n = sorted.size.toLong
+      def cut(p: Long) = sorted(((n * p + 99) / 100 - 1).toInt)
+      (cut(25), cut(50), cut(75))
+    }
+    val (rc, fc, mc) =
+      (cuts(base.map(_._3)), cuts(base.map(_._2)), cuts(base.map(_._4)))
+    def score(v: Long, c: (Long, Long, Long)): Long =
+      1L + (if (v > c._1) 1 else 0) + (if (v > c._2) 1 else 0) +
+        (if (v > c._3) 1 else 0)
+    val want = base.groupBy { case (_, f, r, m) =>
+      (score(r, rc), score(f, fc), score(m, mc))
+    }.map { case (k, g) => (k._1, k._2, k._3, g.size.toLong) }
+      .toSeq.sorted
+    val got = Relational.qRfm(spark, sf).collect().map(r =>
+      (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"), r.getAs[Long]("n_customers"))).toSeq.sorted
+    assert(got == want, s"RFM mismatch:\n got $got\nwant $want")
+    // non-vacuity: more than one populated cell
+    assert(want.size > 1, "RFM collapsed to a single segment")
+  }
+
+  // ------------------------------------------------------ d_dedup_keep_best
+  test("d_dedup_keep_best: kept doc is the quality argmax of its cluster") {
+    import graft.operators.{Dedup, TextOps}
+    val clusters = Dedup.dedupCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id"))
+    val quality = TextOps.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val members = clusters.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq.sorted).toMap
+      .filter(_._2.size >= 2)
+    val got = Dedup.dedupKeepBest(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("canon_id")).toSet == members.keySet,
+      "one row per multi-member cluster expected")
+    got.foreach { r =>
+      val cid = r.getAs[Long]("canon_id")
+      val best = members(cid).minBy(d => (-quality(d), d))
+      assert(r.getAs[Long]("kept_doc_id") == best,
+        s"cluster $cid: kept ${r.getAs[Long]("kept_doc_id")} != argmax $best")
+      assert(r.getAs[Long]("n_members") == members(cid).size.toLong)
+      assert(r.getAs[Boolean]("kept_ne_canon") == (best != cid))
+      assert(r.getAs[Double]("kept_quality") == quality(best))
+    }
+    assert(got.nonEmpty, "no multi-member clusters at sf0.001")
+  }
 }
