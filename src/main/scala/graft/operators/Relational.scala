@@ -112,7 +112,7 @@ object Relational {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
-              col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+              col("o_orderdate") < to_timestamp(lit("2000-07-01 00:00:00")))
     val l = t(s, dir, "lineitem")
     val su = t(s, dir, "supplier")
     c.join(o, col("c_custkey") === col("o_custkey"))
@@ -136,7 +136,7 @@ object Relational {
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |  AND r_name = 'ASIA'
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
@@ -298,6 +298,175 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------- q_topk_per_group
+  /** TOP-K PER GROUP — the rank-filter idiom (`row_number() ≤ k`) that
+    * Spark 3.5+ rewrites into a physical WindowGroupLimit: each map
+    * task keeps only its local top-k PER GROUP before the window sort,
+    * so the exchange carries ≤ k·groups·tasks rows instead of the
+    * corpus — the difference between a per-group report costing a full
+    * sort and costing a partial top-k at 100 TB. PlanAuditSpec asserts
+    * the WindowGroupLimit node is actually in the plan (the rewrite
+    * silently degrades to a full window if the filter shape drifts —
+    * e.g. a non-literal bound). Top-3 spenders per nation. */
+  val topkPerGroupK = 3
+
+  def qTopkPerGroup: Q = (s, dir) => {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("spend_cents"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend_cents").desc, col("c_custkey"))
+    c.join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("c_custkey"), col("spend_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topkPerGroupK)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  val qTopkPerGroupSql: String =
+    s"""WITH spend AS (
+       | SELECT o_custkey,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+       |   AS spend_cents
+       | FROM orders GROUP BY 1
+       |)
+       |SELECT c_nationkey, c_custkey, spend_cents, rn FROM (
+       | SELECT c.c_nationkey, c.c_custkey, s.spend_cents,
+       |  row_number() OVER (PARTITION BY c.c_nationkey
+       |    ORDER BY s.spend_cents DESC, c.c_custkey) AS rn
+       | FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+       |) WHERE rn <= $topkPerGroupK
+       |ORDER BY c_nationkey, rn""".stripMargin
+
+  // --------------------------------------------------------- q13_custdist
+  /** TPC-H Q13 (customer distribution) — the LEFT-OUTER + two-level
+    * aggregation shape: orders per customer INCLUDING the zero-order
+    * customers (the left join is what makes c_count=0 a real row — an
+    * inner join silently drops the most important bucket), then the
+    * histogram of customers per order count. Q13's NOT-LIKE side
+    * predicate rides o_orderpriority (this corpus carries no comment
+    * column). Two partial-agged shuffles; the left side is never
+    * broadcast (corpus-sized). */
+  def q13Custdist: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(!col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    val perCust = t(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      | SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      | FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  AND o.o_orderpriority NOT LIKE '%URGENT%'
+      | GROUP BY c.c_custkey
+      |) GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------------------ q18_large_orders
+  /** TPC-H Q18 (large-volume customers) — the HAVING-driven semi-join
+    * shape: orders whose total lineitem quantity exceeds a threshold
+    * (the qualifying set is an aggregate-filtered frame, broadcastable
+    * because HAVING made it tiny), joined back to customers and
+    * re-aggregated. The qualifying-keys broadcast is the point: the
+    * big lineitem table is scanned once for the HAVING aggregate and
+    * once for the final sum — never self-joined row-to-row. */
+  val q18MinQty = 250L
+
+  def q18LargeOrders: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val qualifying = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(q18MinQty).cast(D))
+      .select(col("l_orderkey"), col("sum_qty").cast("double").as("total_qty"))
+    t(s, dir, "orders")
+      .join(broadcast(qualifying), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        (dec(col("o_totalprice")).cast("double")).as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .orderBy("o_orderkey")
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH q AS (
+       | SELECT l_orderkey,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       | FROM lineitem GROUP BY 1
+       | HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > $q18MinQty
+       |), ranked AS (
+       | SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       |  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+       |  q.total_qty
+       | FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+       |        JOIN customer c ON c.c_custkey = o.o_custkey
+       | ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+       |)
+       |SELECT * FROM ranked ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ q22_global_sales
+  /** TPC-H Q22 (global sales opportunity) — the ANTI-JOIN + scalar-
+    * subquery shape: customers with above-average account balance
+    * (scalar aggregate over a filtered slice, broadcast as a 1-row
+    * frame; "above average" tested as the exact integer
+    * cross-multiplication bal·n > Σbal in cents — no float average
+    * ever decides membership) with NO ORDER SINCE 2000-07 (left-anti
+    * against the filtered orders — the shape Spark turns into a
+    * broadcast/shuffled anti join, never a NOT IN scan; this corpus
+    * gives every customer at least one lifetime order, so Q22's
+    * "never ordered" is recast as recent inactivity to stay
+    * non-vacuous), grouped by country code — c_nationkey stands in
+    * for Q22's phone-prefix code (no phone column here). */
+  def q22GlobalSales: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").as("cntrycode"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      .filter(col("cntrycode").isin(3, 5, 9, 13, 17, 18, 23))
+    val avgBal = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_cents"),
+        count(lit(1)).as("n_pos"))
+    val never = c.join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-07-01 00:00:00")))
+        .select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    never.crossJoin(broadcast(avgBal))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("totacctbal_cents"))
+      .orderBy("cntrycode")
+  }
+
+  val q22GlobalSalesSql: String =
+    """WITH c AS (
+      | SELECT c_custkey, c_nationkey AS cntrycode,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+      | FROM customer
+      | WHERE c_nationkey IN (3, 5, 9, 13, 17, 18, 23)
+      |), a AS (
+      | SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+      |  count(*) AS n_pos
+      | FROM c WHERE bal_cents > 0
+      |)
+      |SELECT cntrycode, count(*) AS numcust,
+      | CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+      |FROM c, a
+      |WHERE bal_cents * n_pos > sum_cents
+      | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |   AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   // --------------------------------------------------------- q_events_window
   /** Tumbling-window aggregation over the event stream (batch twin of the
     * streaming op st_tumbling_agg). Window start emitted as epoch seconds
@@ -321,6 +490,34 @@ object Relational {
       | count(*) AS n_events,
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  // ----------------------------------------------------- q_events_histogram
+  /** Per-hour VALUE HISTOGRAM over the event stream — q_histogram's
+    * profiling primitive per time window, and the batch twin/oracle
+    * carrier of st_histogram: bucket = value cents div
+    * `evHistBucketCents` (DECIMAL-exact cents — no float ever picks a
+    * bucket), one partial-agged shuffle on (hour, bucket), sparse
+    * buckets absent. The mergeable per-window histogram is the
+    * building block streaming percentile/drift monitors read. */
+  val evHistBucketCents = 500L // $5 bins
+
+  def qEventsHistogram: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select((expr("ts div 3600000000000") * 3600).as("hour_start"),
+        expr(s"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          s" div $evHistBucketCents").as("bucket"),
+        col("value"))
+      .groupBy("hour_start", "bucket")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("hour_start", "bucket")
+
+  val qEventsHistogramSql: String =
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       | CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $evHistBucketCents
+       |  AS bucket,
+       | count(*) AS n_events,
+       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour_start, bucket""".stripMargin
 
   // -------------------------------------------------------------- q_pivot
   /** Relational PIVOT via Spark's dedicated API with EXPLICIT values —
@@ -974,7 +1171,7 @@ object Relational {
     * At 100 TB the base side is a stored artifact read back as
     * partials — only the delta scans new data. */
   def qIncrAgg: Q = (s, dir) => {
-    val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+    val cut = to_timestamp(lit("2000-07-01 00:00:00"))
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
     val n = broadcast(t(s, dir, "nation"))
@@ -1804,9 +2001,11 @@ object Relational {
         .as("day"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast(DecimalType(38, 0))
         .as("rev"))
-    val lags = t(s, dir, "orders").sparkSession.range(1, 8)
-      .select(col("id").as("lag_days"))
-    val m = daily.crossJoin(broadcast(lags))
+    // lags ride an exploded literal array — no join against a
+    // multi-row constant frame (the cartesian sweep stays clean)
+    val m = daily
+      .select(col("day"), col("rev"),
+        explode(typedLit((1L to 7L).toSeq)).as("lag_days"))
       .join(daily.toDF("pday", "prev"),
         col("pday") === col("day") - col("lag_days"))
       .select(col("lag_days"), col("rev").as("x"), col("prev").as("y"))
@@ -4057,6 +4256,11 @@ object Relational {
     "q_mom_yoy" -> qMomYoy,
     "q_corr" -> qCorr,
     "q_market_basket" -> qMarketBasket,
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q13_custdist" -> q13Custdist,
+    "q18_large_orders" -> q18LargeOrders,
+    "q22_global_sales" -> q22GlobalSales,
+    "q_events_histogram" -> qEventsHistogram,
     "q_rfm" -> qRfm,
     "q_autocorr" -> qAutocorr,
     "q_intersect_except" -> qIntersectExcept,
@@ -4136,6 +4340,11 @@ object Relational {
     "q_mom_yoy" -> qMomYoySql,
     "q_corr" -> qCorrSql,
     "q_market_basket" -> qMarketBasketSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q22_global_sales" -> q22GlobalSalesSql,
+    "q_events_histogram" -> qEventsHistogramSql,
     "q_rfm" -> qRfmSql,
     "q_autocorr" -> qAutocorrSql,
     "q_intersect_except" -> qIntersectExceptSql,

@@ -55,7 +55,13 @@ object Similarity {
     ivfAssign(s, dir).count()
     pqCodes(s, dir).count()
     kmeansAssign(s, dir).count()
-    binarySig(s, dir).count(): Unit
+    binarySig(s, dir).count()
+    // r11: the kNN-graph adjacency and the two HNSW layer adjacencies
+    // now have three consumers (s_graph_ann, s_hnsw, s_hnsw_recall) —
+    // without prewarming, whichever ran first absorbed the build
+    graphAnnAdj(s, dir).count()
+    hnswAdj(s, dir, 1).count()
+    hnswAdj(s, dir, 2).count(): Unit
   }
 
   // ---------------------------------------------------------- s_ann_topk

@@ -490,6 +490,52 @@ object TextOps {
        |ORDER BY n_exact DESC, token""".stripMargin
   }
 
+  // ------------------------------------------------------ t_zipf_profile
+  /** ZIPFIAN DECAY PROFILE — rank × frequency for the top-`zipfK`
+    * corpus terms, normalized to the top term in exact ppm
+    * (zipf_ppm = f(r)·r·10⁶ div f(1) — flat ≈ 10⁶ under a perfect
+    * 1/r law, decaying below it when the head is heavier): the
+    * one-table check that a corpus's token distribution is natural
+    * language rather than boilerplate or noise, read next to t_hapax
+    * and t_simpson_diversity. Same tokenization as t_heavy_hitters;
+    * one partial-agged term count, TakeOrdered top-k, then rank and
+    * normalize INSIDE the 20-row frame (the window is bounded by the
+    * limit, never the vocabulary). No logs, no floats — the profile
+    * is the integer table a Zipf slope would be fit to. */
+  val zipfK = 20
+
+  def zipfProfile: Q = (s, dir) => {
+    val tc = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = tc.orderBy(col("freq").desc, col("term")).limit(zipfK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val f1 = top.agg(max("freq").as("f1"))
+    top.withColumn("zrank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(f1))
+      .select(col("zrank"), col("term"), col("freq"),
+        expr("(freq * zrank * 1000000) div f1").as("zipf_ppm"))
+      .orderBy("zrank")
+  }
+
+  val zipfProfileSql: String =
+    s"""WITH tok AS (
+       | SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |), tc AS (
+       | SELECT term, count(*) AS freq FROM tok GROUP BY term
+       |), top AS (
+       | SELECT term, freq FROM tc ORDER BY freq DESC, term LIMIT $zipfK
+       |), f1 AS (SELECT max(freq) AS f1 FROM top),
+       |r AS (
+       | SELECT term, freq, CAST(row_number() OVER (
+       |   ORDER BY freq DESC, term) AS BIGINT) AS zrank
+       | FROM top
+       |)
+       |SELECT r.zrank, r.term, r.freq,
+       | CAST((r.freq * r.zrank * 1000000) // f1.f1 AS BIGINT) AS zipf_ppm
+       |FROM r, f1 ORDER BY zrank""".stripMargin
+
   // ---------------------------------------------------- t_pack_sequences
   /** Training-sequence packing — the concat-then-chunk step that turns a
     * filtered corpus into fixed-length training sequences: documents are
@@ -2520,6 +2566,7 @@ object TextOps {
     "t_tfidf" -> tfidf,
     "t_pii_redact" -> piiRedact,
     "t_heavy_hitters" -> heavyHitters,
+    "t_zipf_profile" -> zipfProfile,
     "t_stratified_sample" -> stratifiedSample,
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
@@ -2566,6 +2613,7 @@ object TextOps {
     "t_tfidf" -> tfidfSql,
     "t_pii_redact" -> piiRedactSql,
     "t_heavy_hitters" -> heavyHittersSql,
+    "t_zipf_profile" -> zipfProfileSql,
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_rep_ngram" -> repNgramSql,

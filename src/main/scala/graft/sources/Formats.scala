@@ -220,6 +220,50 @@ object Formats {
       .filter(col("lang").isin("en", "de"))
   }
 
+  // ------------------------------------------------- src_dynamic_overwrite
+  /** DYNAMIC PARTITION OVERWRITE — INSERT-OVERWRITE scoped to the
+    * partitions PRESENT in the incoming batch
+    * (spark.sql.sources.partitionOverwriteMode=dynamic): the table is
+    * written partitioned by lang, then ONLY the 'en' partition is
+    * replaced by a transformed half-slice; every other partition must
+    * come back untouched (static mode would have wiped them — the
+    * difference between an idempotent daily re-load and a table
+    * truncation). This is the reload primitive at 100 TB: replacing
+    * one day/lang partition never rewrites the table. The op reads the
+    * final table back and aggregates per lang; the oracle recomputes
+    * the expected post-overwrite state from the base table alone. */
+  def dynamicOverwrite: Q = (s, dir) => {
+    val path = scratch(s, dir, "dynov")
+    val docsT = Tables(s, dir, "documents")
+    docsT.write.mode("overwrite").partitionBy("lang").parquet(path)
+    // incoming batch: the even half of 'en', visibly transformed so an
+    // accidental no-op write can't pass
+    val batch = docsT.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000000L)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.write.mode("overwrite").partitionBy("lang").parquet(path)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      .orderBy("lang")
+  }
+
+  val dynamicOverwriteSql: String =
+    """WITH final AS (
+      | SELECT lang, text, n_chars FROM documents WHERE lang <> 'en'
+      | UNION ALL
+      | SELECT lang, text, n_chars + 1000000 AS n_chars FROM documents
+      | WHERE lang = 'en' AND doc_id % 2 = 0
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | count(DISTINCT md5(text)) AS n_uniq
+      |FROM final GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- src_sorted_minmax
   /** SORTED LAYOUT + row-group min/max pruning — the other half of the
     * pruning story next to src_partition_prune's directory pruning:
@@ -1013,6 +1057,7 @@ object Formats {
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_text_roundtrip" -> textRoundtrip,
     "src_partition_prune" -> partitionPrune,
+    "src_dynamic_overwrite" -> dynamicOverwrite,
     "src_sorted_minmax" -> sortedMinmax,
     "src_zorder" -> zorder,
     "src_manifest_snapshot" -> manifestSnapshot,
@@ -1034,6 +1079,7 @@ object Formats {
     "src_orc_roundtrip" -> integritySql,
     "src_text_roundtrip" -> integritySql,
     "src_partition_prune" -> partitionPruneSql,
+    "src_dynamic_overwrite" -> dynamicOverwriteSql,
     "src_sorted_minmax" -> sortedMinmaxSql,
     "src_zorder" -> zorderSql,
     "src_manifest_snapshot" -> manifestSnapshotSql,

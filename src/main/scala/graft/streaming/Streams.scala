@@ -64,6 +64,25 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** st_histogram: per-hour equi-width VALUE histogram — the q_histogram
+    * profiling primitive as a stream: bucket = DECIMAL-exact value
+    * cents div the batch twin's SAME width constant, windowed groupBy
+    * on (window, bucket) — per-bucket partial counts are mergeable
+    * across micro-batches exactly like any windowed agg, state bounded
+    * by the watermark × populated buckets (sparse). Batch twin:
+    * Relational.qEventsHistogram carries the DuckDB oracle. */
+  def histogramStream(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .withColumn("bucket",
+        expr(s"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          s" div ${graft.operators.Relational.evHistBucketCents}"))
+      .groupBy(window(col("ets"), "1 hour"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("bucket"), col("n_events"), col("total_value"))
+
   /** st_stateful_dedup: exactly-once event ids within the watermark
     * horizon — state per event_id, dropped once the watermark passes. */
   def statefulDedup(events: DataFrame): DataFrame =

@@ -374,6 +374,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"register max is not a partial (map-side) aggregate:\n$p")
   }
 
+  test("q_topk_per_group rank filter compiles to a WindowGroupLimit") {
+    // the rn <= literal-k filter must become the physical per-group
+    // partial top-k — if the rewrite silently degrades (non-literal
+    // bound, non-rank function), the exchange carries the corpus again
+    val p = plan(Relational.qTopkPerGroup(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not rewrite to WindowGroupLimit:\n$p")
+  }
+
   test("t_code_detect scans only doc_id and text") {
     val p = plan(graft.operators.TextOps.codeDetect(spark, sf))
     assert(!p.contains("source") && !p.contains("lang"),

@@ -217,6 +217,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_histogram: per-window buckets, watermark-closed, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.histogramStream(mem.toDF())
+      .writeStream.format("memory").queryName("ev_hist")
+      .outputMode("append").start()
+    try {
+      // hour 0: $3.00 and $4.99 → bucket 0 ($5 bins), $7.50 → bucket 1
+      mem.addData(ev(1, 10, v = 3.00), ev(2, 20, v = 4.99),
+        ev(3, 30, v = 7.50))
+      q.processAllAvailable()
+      assert(spark.table("ev_hist").isEmpty,
+        "nothing may emit before the watermark closes the window")
+      mem.addData(ev(4, 3 * hourUs, v = 1.0)) // pushes watermark past hour 0
+      q.processAllAvailable()
+      val out = spark.table("ev_hist").filter(col("hour_start") === 0L)
+        .collect().sortBy(_.getAs[Long]("bucket"))
+      assert(out.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+        .sameElements(Array((0L, 2L, 7.99), (1L, 1L, 7.5))),
+        s"hour-0 histogram wrong: ${out.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: histogramStream on static frame matches q_events_histogram") {
+    val events = graft.model.Tables(spark, sf, "events")
+    val streamShaped = Streams.histogramStream(events)
+      .select("hour_start", "bucket", "n_events", "total_value")
+    val twin = SparkEntry.queries("q_events_histogram")(spark, sf)
+      .select("hour_start", "bucket", "n_events", "total_value")
+    assert(streamShaped.except(twin).count() == 0)
+    assert(twin.except(streamShaped).count() == 0)
+  }
+
   test("st_outer_join: unmatched click null-pads exactly once when the watermark closes its window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
