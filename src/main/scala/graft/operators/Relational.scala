@@ -1359,15 +1359,17 @@ object Relational {
   val qsBucketCents = 100000L // $1k histogram bins for the exact refine
 
   def qQuantileSampled: Q = (s, dir) => {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
     // 40-bit sample hash via the codegen'd hexSlice — the composed
     // instr/substr nibble chain this replaced measured 2× slower on
-    // minhash (10 interpreted string scans per row vs one pass)
-    val h40 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 10)
-    val o = t(s, dir, "orders")
-      .select(col("o_orderkey"),
-        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
-        md5(col("o_orderkey").cast("string")).as("h32"))
-      .withColumn("h", h40)
+    // minhash (10 interpreted string scans per row vs one pass). The
+    // hash rides ONLY the sample leg: the exact two-pass chain scans
+    // `base` and never pays the md5.
+    val o = base
+      .withColumn("h", graft.functions.VectorExprs.hexSlice(
+        md5(col("o_orderkey").cast("string")), 1, 10))
     def sel(df: DataFrame, tag: String): DataFrame = {
       val w = Window.orderBy(col("cents"), col("o_orderkey"))
       df.withColumn("rn", row_number().over(w))
@@ -1379,7 +1381,7 @@ object Relational {
             .as(s"p90_$tag"))
     }
     // exact leg, two-pass: histogram locates each target's bucket …
-    val oq = o.withColumn("qb", expr(s"cents div $qsBucketCents"))
+    val oq = base.withColumn("qb", expr(s"cents div $qsBucketCents"))
     val wc = Window.orderBy(col("qb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = oq.groupBy("qb").agg(count(lit(1)).as("c"))
