@@ -383,6 +383,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank filter did not rewrite to WindowGroupLimit:\n$p")
   }
 
+  test("t_dsir boundary tie-group rank rides a WindowGroupLimit") {
+    // the literal rn <= dsirKeep conjunct exists exactly so the
+    // degenerate all-zero-scores tie group ranks <= dsirKeep rows per
+    // task instead of sorting the whole zero-score mass — assert the
+    // rewrite actually fired
+    val p = plan(graft.operators.TextOps.dsir(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"t_dsir boundary rank did not rewrite to WindowGroupLimit:\n$p")
+  }
+
   test("t_code_detect scans only doc_id and text") {
     val p = plan(graft.operators.TextOps.codeDetect(spark, sf))
     assert(!p.contains("source") && !p.contains("lang"),
