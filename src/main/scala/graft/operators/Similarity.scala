@@ -2678,6 +2678,159 @@ object Similarity {
        |FROM exh e GROUP BY e.probe_id
        |ORDER BY probe_id""".stripMargin
 
+  // ----------------------------------------------------------- s_beam_curve
+  /** BEAM-WIDTH (ef-search) RECALL CURVE — the graph index's serving
+    * knob priced, completing the knob-curve family (s_ivf_probe_curve
+    * prices nprobe, s_dim_truncate_eval prices dimensions,
+    * d_lsh_tuning prices bands): the SAME flat NSW walk at beam
+    * 2 / 4 / 8, each walk's top-k intersected with the exact baseline
+    * — one (beam, n_exact, hits) row per setting, the table that says
+    * what another millisecond of beam actually buys. Walk
+    * intermediates ride the s_hnsw pin discipline (each frame is
+    * referenced twice by the next round; lazy, the chain re-executes
+    * its prefix per round). */
+  val beamSweep = Seq(2, 4, 8)
+
+  private def nswWalkPinned(s: SparkSession, dir: String,
+      beamW: Int): DataFrame = {
+    val probes = broadcast(quantized(s, dir)
+      .filter(col("vec_id") < 10).toDF("probe_id", "qp"))
+    val cands = quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
+    val adj = graphAnnAdj(s, dir)
+    val entry = cands.agg(min(col("cand_id")).as("cand_id"))
+    def score(frame: DataFrame): DataFrame = frame
+      .join(cands, "cand_id").join(probes, "probe_id")
+      .select(col("probe_id"), col("cand_id"),
+        dot(col("qp"), col("qc")).as("dp"), col("nb"))
+      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.localCheckpoint(eager = true); steps += p; p
+    }
+    try {
+      var walked = pin(score(probes.select("probe_id").crossJoin(entry)))
+      for (_ <- 1 to gHops) {
+        val beam = walked
+          .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+            .orderBy(col("score").desc, col("cand_id"))))
+          .filter(col("rn") <= beamW)
+          .select(col("probe_id"), col("cand_id").as("node"))
+        val expand = beam.join(adj, "node")
+          .select(col("probe_id"), col("nbr").as("cand_id")).distinct()
+        walked = pin(walked.union(score(expand))
+          .groupBy("probe_id", "cand_id").agg(max("score").as("score")))
+      }
+      walked.filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+        .filter(col("rn") <= annK)
+        .select("probe_id", "cand_id")
+        .localCheckpoint(eager = true)
+    } finally steps.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  def beamCurve: Q = (s, dir) => {
+    val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
+      .localCheckpoint(eager = true)
+    val walks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      beamSweep.map { b =>
+        val wk = nswWalkPinned(s, dir, b)
+        walks += wk
+        val hits = ex.join(wk, Seq("probe_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        ex.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hits)
+          .select(lit(b.toLong).as("beam"), col("n_exact"), col("hits"))
+      }.reduce(_ unionAll _).orderBy("beam")
+        .localCheckpoint(eager = true) // materialize before frees below
+    } finally (walks :+ ex)
+      .foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val beamCurveSql: String = {
+    def sc(p: String, c: String): String =
+      s"""CASE WHEN CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) >= 0
+         |   THEN (CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * 1000)
+         |        // CAST(list_dot_product($c.qe, $c.qe) AS BIGINT)
+         |   ELSE -((CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * CAST(list_dot_product($p.qe, $c.qe) AS BIGINT) * 1000)
+         |        // CAST(list_dot_product($c.qe, $c.qe) AS BIGINT))
+         |  END""".stripMargin
+    def hop(prev: String, next: String, beamW: Int): String =
+      s"""b$next AS (
+         | SELECT probe_id, cand_id FROM (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |  FROM $prev) WHERE rn <= $beamW
+         |), e$next AS (
+         | SELECT DISTINCT b.probe_id, adj.nbr AS cand_id
+         | FROM b$next b JOIN adj ON adj.node = b.cand_id
+         |), $next AS (
+         | SELECT probe_id, cand_id, max(score) AS score FROM (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT e.probe_id, e.cand_id, ${sc("p", "c")} AS score
+         |  FROM e$next e JOIN probes p ON p.probe_id = e.probe_id
+         |               JOIN q c ON c.vec_id = e.cand_id
+         | ) GROUP BY probe_id, cand_id
+         |)""".stripMargin
+    def walk(prefix: String, beamW: Int): String =
+      s"""${prefix}w0 AS (
+         | SELECT p.probe_id, c.vec_id AS cand_id, ${sc("p", "c")} AS score
+         | FROM probes p, entry JOIN q c ON c.vec_id = entry.e
+         |),
+         |${hop(s"${prefix}w0", s"${prefix}w1", beamW)},
+         |${hop(s"${prefix}w1", s"${prefix}w2", beamW)},
+         |${hop(s"${prefix}w2", s"${prefix}w3", beamW)},
+         |${prefix}top AS (
+         | SELECT probe_id, cand_id FROM (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |  FROM ${prefix}w3 WHERE cand_id <> probe_id
+         | ) WHERE rn <= $annK
+         |)""".stripMargin
+    val rows = beamSweep.map(b =>
+      s"""SELECT CAST($b AS BIGINT) AS beam,
+         | (SELECT count(*) FROM exq) AS n_exact,
+         | (SELECT count(*) FROM exq e JOIN beam${b}top t
+         |   ON t.probe_id = e.probe_id AND t.cand_id = e.cand_id) AS hits""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $lshBandsSqlCte, pairs AS (
+       | SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+       | FROM bk a JOIN bk b ON b.band = a.band AND b.sig = a.sig
+       |  AND b.vec_id <> a.vec_id
+       |), adjscore AS (
+       | SELECT pr.a, pr.b, ${sc("pa", "pb")} AS score
+       | FROM pairs pr JOIN q pa ON pa.vec_id = pr.a
+       |               JOIN q pb ON pb.vec_id = pr.b
+       |), adj AS (
+       | SELECT a AS node, b AS nbr FROM (
+       |  SELECT a, b, row_number() OVER (
+       |    PARTITION BY a ORDER BY score DESC, b) AS rn
+       |  FROM adjscore) WHERE rn <= $gK
+       |), probes AS (
+       | SELECT vec_id AS probe_id, qe FROM q WHERE vec_id < 10
+       |), entry AS (SELECT min(vec_id) AS e FROM q),
+       |exq AS (
+       | -- the exact brute baseline inlined against the SHARED q CTE
+       | -- (nesting annTopkSql would redefine q — DuckDB rejects the
+       | -- duplicate alias); same expression, identical values
+       | SELECT probe_id, cand_id FROM (
+       |  SELECT probe_id, cand_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+       |  FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${sc("p", "c")} AS score
+       |   FROM q p, q c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |  )
+       | ) WHERE rn <= $annK
+       |),
+       |${beamSweep.map(b => walk(s"beam$b", b)).mkString(",\n")}
+       |SELECT beam, n_exact, hits FROM (
+       |$rows
+       |) ORDER BY beam""".stripMargin
+  }
+
   // -------------------------------------------------------- s_kmeanspp_seed
   /** DETERMINISTIC k-means seeding — farthest-first traversal
     * (Gonzalez 1985; the D²-greedy backbone that k-means++ randomizes,
@@ -2760,6 +2913,7 @@ object Similarity {
     "s_graph_ann" -> graphAnn,
     "s_hnsw" -> hnsw,
     "s_hnsw_recall" -> hnswRecall,
+    "s_beam_curve" -> beamCurve,
     "s_kmeanspp_seed" -> kmeansppSeed,
     "s_ndcg_eval" -> ndcgEval,
     "s_ivf_probe_curve" -> ivfProbeCurve,
@@ -2791,6 +2945,7 @@ object Similarity {
     "s_graph_ann" -> graphAnnSql,
     "s_hnsw" -> hnswSql,
     "s_hnsw_recall" -> hnswRecallSql,
+    "s_beam_curve" -> beamCurveSql,
     "s_kmeanspp_seed" -> kmeansppSeedSql,
     "s_ndcg_eval" -> ndcgEvalSql,
     "s_ivf_probe_curve" -> ivfProbeCurveSql,
