@@ -803,6 +803,34 @@ object Analytics {
     out
   }
 
+  // ------------------------------------------------------ g_transitivity
+  /** GLOBAL TRANSITIVITY — 3·triangles / wedges over the co-purchase
+    * projection, the one-row corpus companion to the per-node local
+    * coefficient (the two famously disagree when degree is skewed:
+    * lcc averages per node, transitivity weights hubs by their wedge
+    * mass — reading them together is the point). Composes the
+    * oracle-checked clusteringCoef frame: Σ per-node corner counts =
+    * 3T, Σ d(d−1)/2 = wedges (exact — d(d−1) is even), ratio in
+    * integer ppm. One aggregate over an already-computed frame. */
+  def transitivity: Q = (s, dir) =>
+    clusteringCoef(s, dir)
+      .agg(sum("n_tri").as("ct"),
+        sum(expr("degree * (degree - 1) div 2")).as("nw"))
+      .select(expr("ct div 3").as("n_triangles"), col("nw").as("n_wedges"),
+        when(col("nw") > 0, expr("(ct * 1000000) div nw"))
+          .otherwise(lit(0L)).as("transitivity_ppm"))
+
+  lazy val transitivitySql: String =
+    s"""WITH lcc AS (
+       |$clusteringCoefSql
+       |)
+       |SELECT CAST(sum(n_tri) // 3 AS BIGINT) AS n_triangles,
+       | CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+       | CAST(CASE WHEN sum(degree * (degree - 1) // 2) > 0
+       |  THEN (sum(n_tri) * 1000000) // sum(degree * (degree - 1) // 2)
+       |  ELSE 0 END AS BIGINT) AS transitivity_ppm
+       |FROM lcc""".stripMargin
+
   val clusteringCoefSql: String =
     s"""$cte, hp AS (
        | SELECT src_key AS o, dst_key AS p FROM edges WHERE elabel = 'HAS_PART'
@@ -4846,6 +4874,7 @@ object Analytics {
     "g_connected_components" -> connectedComponents,
     "g_triangles" -> triangles,
     "g_clustering_coef" -> clusteringCoef,
+    "g_transitivity" -> transitivity,
     "g_bfs_depth" -> bfsDepth,
     "g_sssp_weighted" -> ssspWeighted,
     "g_label_propagation" -> labelPropagation,
@@ -4896,6 +4925,7 @@ object Analytics {
     "g_connected_components" -> connectedComponentsSql,
     "g_triangles" -> trianglesSql,
     "g_clustering_coef" -> clusteringCoefSql,
+    "g_transitivity" -> transitivitySql,
     "g_bfs_depth" -> bfsDepthSql,
     "g_sssp_weighted" -> ssspWeightedSql,
     "g_label_propagation" -> labelPropagationSql,

@@ -153,6 +153,19 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- g_transitivity
+  test("g_transitivity: T equals g_triangles' census count") {
+    import graft.operators.Analytics
+    val t3 = Analytics.triangles(spark, sf).collect()
+      .head.getAs[Long]("n_triangles")
+    val row = Analytics.transitivity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_triangles") == t3,
+      s"transitivity T ${row.getAs[Long]("n_triangles")} != census $t3")
+    val (tt, w) = (row.getAs[Long]("n_triangles"), row.getAs[Long]("n_wedges"))
+    assert(w >= 3 * tt, "every triangle contributes three wedges")
+    assert(row.getAs[Long]("transitivity_ppm") == 3 * tt * 1000000L / w)
+  }
+
   // -------------------------------------------------------- q_market_basket
   test("q_market_basket: full in-memory support/lift replay") {
     import graft.operators.Relational
