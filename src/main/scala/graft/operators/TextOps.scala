@@ -712,6 +712,95 @@ object TextOps {
       | range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])""".stripMargin
 
+  // ---------------------------------------------------------- t_kmv_merge
+  /** KMV MERGEABILITY, proven on real data — the property that makes
+    * sketches work across 1000 executors and across ingestion batches:
+    * bottom-k of the UNION of per-source bottom-k sketches is exactly
+    * the corpus bottom-k (any global bottom-k hash is in its source's
+    * bottom-k), so merged and direct sketches agree hash-for-hash.
+    * One row: the corpus sketch beside the merge of the per-source
+    * sketches, estimates from both, and the `merge_exact` flag — a
+    * THEOREM, but here a driver-checked measurement (a buggy merge —
+    * re-hashing, truncating before the union — breaks the flag). The
+    * per-source bottom-k rides a rank-filter (WindowGroupLimit: each
+    * task keeps k per source); the merge touches ≤ k·sources rows. */
+  def kmvMerge: Q = (s, dir) => {
+    val words = col("words")
+    val shingles = when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    val h40 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 10)
+    val perSrc = docs(s, dir)
+      .select(col("source"), split(col("text"), " ").as("words"))
+      .select(col("source"), explode(shingles).as("sh"))
+      .select(col("source"), md5(col("sh")).as("h32"))
+      .select(col("source"), h40.as("h")).distinct()
+      .cache() // feeds the per-source sketches AND the direct sketch
+    val w = Window.partitionBy("source").orderBy("h")
+    val sketches = perSrc
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= kmvK)
+    def aggOf(bk: DataFrame, tag: String): DataFrame =
+      bk.agg(count(lit(1)).cast("long").as(s"k_$tag"),
+        max("h").as(s"hk_$tag"))
+    val merged = aggOf(sketches.select("h").distinct()
+      .orderBy("h").limit(kmvK), "merged")
+    val corpus = aggOf(perSrc.select("h").distinct()
+      .orderBy("h").limit(kmvK), "corpus")
+    def est(tag: String): Column = expr(
+      s"CASE WHEN k_$tag < $kmvK THEN k_$tag" +
+        s" WHEN hk_$tag > 0 THEN ((k_$tag - 1) * $kmvScale) div hk_$tag" +
+        s" ELSE k_$tag END")
+    perSrc.agg(countDistinct("source").as("n_sources"))
+      .crossJoin(corpus).crossJoin(merged)
+      .select(col("n_sources"),
+        col("k_corpus"), col("hk_corpus"), est("corpus").as("est_corpus"),
+        col("k_merged"), col("hk_merged"), est("merged").as("est_merged"),
+        (col("k_corpus") === col("k_merged") &&
+          col("hk_corpus") === col("hk_merged")).as("merge_exact"))
+  }
+
+  val kmvMergeSql: String = {
+    val nib = (0 until 10).map { i =>
+      s"(strpos('0123456789abcdef', substr(h32, ${i + 1}, 1)) - 1) * ${math.pow(16, 9 - i).toLong}"
+    }.mkString("\n   + ")
+    def estSql(tag: String): String =
+      s"""CASE WHEN k_$tag < $kmvK THEN k_$tag
+         | WHEN hk_$tag > 0 THEN ((k_$tag - 1) * $kmvScale) // hk_$tag
+         | ELSE k_$tag END""".stripMargin
+    s"""WITH ps AS (
+       | SELECT DISTINCT source, CAST($nib AS BIGINT) AS h
+       | FROM (SELECT source, md5(sh) AS h32 FROM (
+       |  SELECT source, unnest($shingleKmvSqlExpr) AS sh FROM documents))
+       |), sk AS (
+       | SELECT h FROM (
+       |  SELECT h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM ps
+       | ) WHERE rn <= $kmvK
+       |), mg AS (
+       | SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT $kmvK
+       |), cp AS (
+       | SELECT h FROM (SELECT DISTINCT h FROM ps) ORDER BY h LIMIT $kmvK
+       |), ma AS (
+       | SELECT CAST(count(*) AS BIGINT) AS k_merged, max(h) AS hk_merged
+       | FROM mg
+       |), ca AS (
+       | SELECT CAST(count(*) AS BIGINT) AS k_corpus, max(h) AS hk_corpus
+       | FROM cp
+       |), ns AS (
+       | SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       | FROM documents
+       |)
+       |SELECT ns.n_sources, ca.k_corpus, ca.hk_corpus,
+       | CAST(${estSql("corpus")} AS BIGINT) AS est_corpus,
+       | ma.k_merged, ma.hk_merged,
+       | CAST(${estSql("merged")} AS BIGINT) AS est_merged,
+       | ca.k_corpus = ma.k_merged AND ca.hk_corpus = ma.hk_merged
+       |  AS merge_exact
+       |FROM ns, ca, ma""".stripMargin
+  }
+
   // --------------------------------------------------------- t_bpe_train
   /** BPE TOKENIZER TRAINING, the first `bpeIters` merge rounds — the
     * "train a tokenizer on the corpus" step every LLM pipeline runs
@@ -2567,6 +2656,7 @@ object TextOps {
     "t_pii_redact" -> piiRedact,
     "t_heavy_hitters" -> heavyHitters,
     "t_zipf_profile" -> zipfProfile,
+    "t_kmv_merge" -> kmvMerge,
     "t_stratified_sample" -> stratifiedSample,
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
@@ -2614,6 +2704,7 @@ object TextOps {
     "t_pii_redact" -> piiRedactSql,
     "t_heavy_hitters" -> heavyHittersSql,
     "t_zipf_profile" -> zipfProfileSql,
+    "t_kmv_merge" -> kmvMergeSql,
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_rep_ngram" -> repNgramSql,
