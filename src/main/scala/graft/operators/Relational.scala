@@ -491,6 +491,40 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // ---------------------------------------------------- q_new_vs_returning
+  /** NEW vs RETURNING daily actives — the growth metric every product
+    * dashboard leads with, next to q_dau_wau's stickiness: per day,
+    * how many active users are seen for the FIRST time vs returning.
+    * First-seen day is one partial-agged min per user (the same
+    * distinct (user, day) frame q_dau_wau reads); classification is a
+    * user-keyed equi-join back — two shuffles total, both on keys that
+    * scale with users, never a window over the event log. */
+  def qNewVsReturning: Q = (s, dir) => {
+    val active = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val first = active.groupBy("user_id").agg(min("day").as("first_day"))
+    active.join(first, "user_id")
+      .groupBy("day")
+      .agg(count(when(col("day") === col("first_day"), 1)).as("n_new"),
+        count(when(col("day") > col("first_day"), 1)).as("n_returning"))
+      .orderBy("day")
+  }
+
+  val qNewVsReturningSql: String =
+    """WITH active AS (
+      | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      | FROM events
+      |), fst AS (
+      | SELECT user_id, min(day) AS first_day FROM active GROUP BY 1
+      |)
+      |SELECT a.day,
+      | count(CASE WHEN a.day = f.first_day THEN 1 END) AS n_new,
+      | count(CASE WHEN a.day > f.first_day THEN 1 END) AS n_returning
+      |FROM active a JOIN fst f ON f.user_id = a.user_id
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   // ----------------------------------------------------- q_events_histogram
   /** Per-hour VALUE HISTOGRAM over the event stream — q_histogram's
     * profiling primitive per time window, and the batch twin/oracle
@@ -4263,6 +4297,7 @@ object Relational {
     "q18_large_orders" -> q18LargeOrders,
     "q22_global_sales" -> q22GlobalSales,
     "q_events_histogram" -> qEventsHistogram,
+    "q_new_vs_returning" -> qNewVsReturning,
     "q_rfm" -> qRfm,
     "q_autocorr" -> qAutocorr,
     "q_intersect_except" -> qIntersectExcept,
@@ -4347,6 +4382,7 @@ object Relational {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q22_global_sales" -> q22GlobalSalesSql,
     "q_events_histogram" -> qEventsHistogramSql,
+    "q_new_vs_returning" -> qNewVsReturningSql,
     "q_rfm" -> qRfmSql,
     "q_autocorr" -> qAutocorrSql,
     "q_intersect_except" -> qIntersectExceptSql,

@@ -2678,6 +2678,59 @@ object Similarity {
        |FROM exh e GROUP BY e.probe_id
        |ORDER BY probe_id""".stripMargin
 
+  // ------------------------------------------------- s_centroid_balance
+  /** IVF CELL-BALANCE AUDIT — the partition-skew table an ANN operator
+    * reads before shipping an index: per cell its population and
+    * corpus share in exact ppm, plus the global max-over-mean
+    * imbalance ratio. At 10⁹ vectors IVF cells ARE the storage
+    * partitions — a hot cell is a hot partition, and nprobe multiplies
+    * every read by it; this table is what says whether the centroids
+    * need re-seeding (read beside s_kmeanspp_seed). One partial-agged
+    * groupBy over the session-cached assignment + a 1-row broadcast. */
+  def centroidBalance: Q = (s, dir) => {
+    val sizes = ivfAssign(s, dir).groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum("n_vecs").as("total"),
+      max("n_vecs").as("mx"), count(lit(1)).as("k_cells"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div total").as("share_ppm"),
+        expr("(mx * k_cells * 1000000) div total").as("imbalance_ppm"))
+      .orderBy("cid")
+  }
+
+  val centroidBalanceSql: String = {
+    val score = "CASE WHEN dp >= 0 THEN (dp * dp * 1000) // nb" +
+      " ELSE -((dp * dp * 1000) // nb) END"
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       | FROM embeddings
+       |), cents AS (
+       | SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < $ivfK
+       |), asg0 AS (
+       | SELECT v.vec_id, c.cid,
+       |  CAST(list_dot_product(v.qe, c.qc) AS BIGINT) AS dp,
+       |  CAST(list_dot_product(c.qc, c.qc) AS BIGINT) AS nb
+       | FROM q v, cents c
+       |), asg1 AS (
+       | SELECT vec_id, cid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY $score DESC, cid) AS rn
+       | FROM asg0
+       |), sizes AS (
+       | SELECT cid, count(*) AS n_vecs FROM asg1 WHERE rn = 1 GROUP BY 1
+       |), tot AS (
+       | SELECT CAST(sum(n_vecs) AS BIGINT) AS total, max(n_vecs) AS mx,
+       |  count(*) AS k_cells
+       | FROM sizes
+       |)
+       |SELECT s.cid, s.n_vecs,
+       | CAST((s.n_vecs * 1000000) // t.total AS BIGINT) AS share_ppm,
+       | CAST((t.mx * t.k_cells * 1000000) // t.total AS BIGINT)
+       |  AS imbalance_ppm
+       |FROM sizes s, tot t ORDER BY s.cid""".stripMargin
+  }
+
   // ----------------------------------------------------------- s_beam_curve
   /** BEAM-WIDTH (ef-search) RECALL CURVE — the graph index's serving
     * knob priced, completing the knob-curve family (s_ivf_probe_curve
@@ -2914,6 +2967,7 @@ object Similarity {
     "s_hnsw" -> hnsw,
     "s_hnsw_recall" -> hnswRecall,
     "s_beam_curve" -> beamCurve,
+    "s_centroid_balance" -> centroidBalance,
     "s_kmeanspp_seed" -> kmeansppSeed,
     "s_ndcg_eval" -> ndcgEval,
     "s_ivf_probe_curve" -> ivfProbeCurve,
@@ -2946,6 +3000,7 @@ object Similarity {
     "s_hnsw" -> hnswSql,
     "s_hnsw_recall" -> hnswRecallSql,
     "s_beam_curve" -> beamCurveSql,
+    "s_centroid_balance" -> centroidBalanceSql,
     "s_kmeanspp_seed" -> kmeansppSeedSql,
     "s_ndcg_eval" -> ndcgEvalSql,
     "s_ivf_probe_curve" -> ivfProbeCurveSql,
