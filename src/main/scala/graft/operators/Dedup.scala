@@ -1012,6 +1012,49 @@ object Dedup {
          | quality AS kept_quality, canon_id <> doc_id AS kept_ne_canon
          |FROM best WHERE rn = 1 ORDER BY canon_id""".stripMargin
 
+  // ----------------------------------------------------- d_dedup_len_bias
+  /** DEDUP LENGTH-BIAS AUDIT — does deduplication skew the surviving
+    * corpus's length distribution? Three rows: docs untouched by any
+    * near-dup cluster (`unique`), cluster canons (`kept`), and cluster
+    * members the min-id policy would drop (`dropped`) — each with
+    * count and exact mean length. A `dropped` mean far from `kept`
+    * means the dedup step is also an (unintended) length filter; a
+    * `unique` mean far from both says duplicated content is itself
+    * length-skewed (boilerplate is short, mirrored articles are long).
+    * One join against the memoized cluster assignment + a 3-group
+    * aggregate — nothing beyond the already-bounded pair machinery. */
+  def dedupLenBias: Q = (s, dir) => {
+    val cl = clusterAssign(s, dir)
+    val sz = cl.groupBy("canon_id").agg(count(lit(1)).as("csz"))
+    docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .join(cl, "doc_id").join(sz, "canon_id")
+      .select(when(col("csz") === 1, "unique")
+        .when(col("doc_id") === col("canon_id"), "kept")
+        .otherwise("dropped").as("fate"), col("n_chars"))
+      .groupBy("fate")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+      .orderBy("fate")
+  }
+
+  lazy val dedupLenBiasSql: String =
+    clusterAssignSqlCtes +
+      s""", cl AS (
+         | SELECT id AS doc_id, canon_id FROM c$clusterIters
+         |), csz AS (
+         | SELECT canon_id, count(*) AS csz FROM cl GROUP BY 1
+         |)
+         |SELECT fate, count(*) AS n_docs,
+         | CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+         |FROM (
+         | SELECT CASE WHEN csz.csz = 1 THEN 'unique'
+         |   WHEN cl.doc_id = cl.canon_id THEN 'kept'
+         |   ELSE 'dropped' END AS fate, d.n_chars
+         | FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+         |   JOIN csz ON csz.canon_id = cl.canon_id
+         |)
+         |GROUP BY fate ORDER BY fate""".stripMargin
+
   // -------------------------------------------------------- d_soft_dedup
   /** SoftDeDup — REWEIGHT duplicates instead of dropping them (the
     * training-mixture alternative to hard removal): every document gets
@@ -2150,6 +2193,7 @@ object Dedup {
     "d_dedup_minhash" -> dedupMinhash,
     "d_weighted_minhash" -> weightedMinhash,
     "d_dedup_keep_best" -> dedupKeepBest,
+    "d_dedup_len_bias" -> dedupLenBias,
     "d_weighted_minhash_eval" -> weightedMinhashEval,
     "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -2182,6 +2226,7 @@ object Dedup {
     "d_dedup_minhash" -> dedupMinhashSql,
     "d_weighted_minhash" -> weightedMinhashSql,
     "d_dedup_keep_best" -> dedupKeepBestSql,
+    "d_dedup_len_bias" -> dedupLenBiasSql,
     "d_weighted_minhash_eval" -> weightedMinhashEvalSql,
     "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
