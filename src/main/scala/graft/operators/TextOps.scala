@@ -712,6 +712,49 @@ object TextOps {
       | range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       | i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])""".stripMargin
 
+  // ---------------------------------------------------------- t_ttr_curve
+  /** TYPE-TOKEN RATIO vs LENGTH — lexical diversity confounds with
+    * document length (TTR falls mechanically as docs grow — Herdan/
+    * Heaps), so a single corpus TTR is uninterpretable; this is the
+    * CURVE: docs bucketed by ⌊log₂ word-count⌋ (computed as binary-
+    * string length − 1 — an integer picks the bucket, never a float
+    * log whose last-ulp error flips power-of-two boundaries between
+    * engines), per bucket the pooled TTR (Σtypes/Σtokens) and the
+    * mean per-doc TTR in exact ppm. Reading diversity WITHIN a length
+    * band is how t_hapax/t_simpson_diversity style signals become
+    * comparable across corpora with different length mixes. One
+    * partial-agged shuffle on ≤ ~16 buckets. */
+  def ttrCurve: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    docs(s, dir).select(
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_types"))
+      .filter(col("n_words") > 0)
+      .withColumn("len_bucket", expr("length(bin(n_words)) - 1").cast("long"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(sum(n_types) * 1000000) div sum(n_words)")
+          .as("pooled_ttr_ppm"),
+        expr("sum((n_types * 1000000) div n_words) div count(1)")
+          .as("mean_doc_ttr_ppm"))
+      .orderBy("len_bucket")
+  }
+
+  val ttrCurveSql: String =
+    """WITH w AS (
+      | SELECT len(string_split(text, ' ')) AS n_words,
+      |  len(list_distinct(string_split(text, ' '))) AS n_types
+      | FROM documents
+      |)
+      |SELECT CAST(length(bin(n_words)) - 1 AS BIGINT) AS len_bucket,
+      | count(*) AS n_docs,
+      | CAST((sum(n_types) * 1000000) // sum(n_words) AS BIGINT)
+      |  AS pooled_ttr_ppm,
+      | CAST(sum((n_types * 1000000) // n_words) // count(*) AS BIGINT)
+      |  AS mean_doc_ttr_ppm
+      |FROM w WHERE n_words > 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- t_kmv_merge
   /** KMV MERGEABILITY, proven on real data — the property that makes
     * sketches work across 1000 executors and across ingestion batches:
@@ -2657,6 +2700,7 @@ object TextOps {
     "t_heavy_hitters" -> heavyHitters,
     "t_zipf_profile" -> zipfProfile,
     "t_kmv_merge" -> kmvMerge,
+    "t_ttr_curve" -> ttrCurve,
     "t_stratified_sample" -> stratifiedSample,
     "t_pack_sequences" -> packSequences,
     "t_rep_ngram" -> repNgram,
@@ -2705,6 +2749,7 @@ object TextOps {
     "t_heavy_hitters" -> heavyHittersSql,
     "t_zipf_profile" -> zipfProfileSql,
     "t_kmv_merge" -> kmvMergeSql,
+    "t_ttr_curve" -> ttrCurveSql,
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_rep_ngram" -> repNgramSql,

@@ -408,7 +408,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"custkey IN did not push to the bloom-indexed scan:\n$p")
   }
 
-  test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift, q_skyline, q_quantile_sampled)") {
+  test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift, q_skyline, q_quantile_sampled, q_rfm, q_autocorr, t_zipf_profile)") {
     // an un-partitioned ordered window is fine over an AGGREGATED frame
     // (histogram / 1024-bin grid — bounded by construction) and a
     // single-task total sort over the raw corpus otherwise. Assert the
@@ -418,9 +418,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // over the whole subtree accepted an Aggregate on one side of a
     // join beneath a corpus-sized window).
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
-      Filter => LFilter, LogicalPlan, Project, Sort, Window => LWindow}
+      Filter => LFilter, GlobalLimit, LocalLimit, LogicalPlan, Project,
+      Sort, Window => LWindow}
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => true
+      // a Limit bounds the frame by construction (zipf's rank window
+      // runs over a top-k frame, not the vocabulary)
+      case _: GlobalLimit | _: LocalLimit => true
       case pr: Project => bounded(pr.child)
       case f: LFilter => bounded(f.child)
       case so: Sort => bounded(so.child)
@@ -439,6 +443,9 @@ class PlanAuditSpec extends AnyFunSuite {
     audit("q_ab_test", Relational.qAbTest(spark, sf))
     audit("q_ks_drift", Relational.qKsDrift(spark, sf))
     audit("q_skyline", Relational.qSkyline(spark, sf))
+    audit("q_rfm", Relational.qRfm(spark, sf))
+    audit("q_autocorr", Relational.qAutocorr(spark, sf))
+    audit("t_zipf_profile", graft.operators.TextOps.zipfProfile(spark, sf))
     // q_quantile_sampled: the SAMPLE leg's global rank runs over the
     // hash-sampled frame by declared design (divisor-bounded, the op
     // measures that sample's error) — allow exactly the windows that
