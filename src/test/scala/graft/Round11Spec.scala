@@ -166,6 +166,54 @@ class Round11Spec extends AnyFunSuite {
     assert(row.getAs[Long]("transitivity_ppm") == 3 * tt * 1000000L / w)
   }
 
+  // ------------------------------------------------------------ q_autocorr
+  /** Independent in-memory Pearson per lag from raw orders: BigInt
+    * moments (no Spark, no DuckDB), the same one-float-expression
+    * finish and HALF_UP round-6 — the gold standard for the one r11
+    * op whose correctness otherwise rests on cross-engine parity of
+    * the same declarative formulation. */
+  test("q_autocorr: in-memory exact-moment Pearson replay at every lag") {
+    import graft.operators.Relational
+    val daily = graft.model.Tables(spark, sf, "orders")
+      .selectExpr(
+        "CAST(to_unix_timestamp(o_orderdate) div 86400 AS BIGINT) AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect().groupBy(_.getAs[Long]("day"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("cents")).sum }
+    def corr(k: Int): Option[(Long, Double)] = {
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d - k).map(y => (BigInt(x), BigInt(y)))
+      }
+      if (pairs.isEmpty) None
+      else {
+        val n = BigInt(pairs.size)
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val r = (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble))
+        val rounded = BigDecimal(r)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((pairs.size.toLong, rounded))
+      }
+    }
+    val got = Relational.qAutocorr(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag_days") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("autocorr"))).toMap
+    (1 to 7).foreach { k =>
+      (corr(k), got.get(k.toLong)) match {
+        case (Some((n, r)), Some((gn, gr))) =>
+          assert(gn == n, s"lag $k: n_pairs $gn != replay $n")
+          assert(gr == r, s"lag $k: autocorr $gr != replay $r")
+        case (None, None) => // lag absent in both — consistent
+        case (w, g) => fail(s"lag $k: presence mismatch replay=$w op=$g")
+      }
+    }
+    assert(got.nonEmpty, "no lags at sf0.001")
+  }
+
   // -------------------------------------------------------- q_market_basket
   test("q_market_basket: full in-memory support/lift replay") {
     import graft.operators.Relational
