@@ -241,6 +241,66 @@ object Streams {
       }
   }
 
+  // -------------------------------------------------- st_new_vs_returning
+  final case class NvrOut(user_id: Long, day: Long, is_new: Boolean)
+
+  /** firstDay/lastFin == Long.MinValue ⇔ none yet; buf = distinct
+    * buffered days not yet past the watermark. */
+  final case class NvrState(firstDay: Long, lastFin: Long, buf: Seq[Long])
+
+  private val nvrDayUs = 86400000000L
+
+  /** st_new_vs_returning: per (user, day) first-seen classification —
+    * the growth-metric primitive streamed (batch twin:
+    * Relational.qNewVsReturning carries the oracle over the aggregated
+    * day counts). WATERMARK-CORRECT like streamAsof: a day finalizes
+    * only once the watermark reaches its START — every admissible
+    * event of an EARLIER day has then arrived, so finalizing buffered
+    * days in ascending order decides is_new exactly as the batch
+    * twin's min(day) does, for any arrival order the watermark admits
+    * (a re-arriving event of an already-finalized day is dropped by
+    * the lastFin guard — exactly-once per (user, day)). First-seen
+    * state is permanent BY CONTRACT — one long per user, the state
+    * bound is users, not events; evicting an idle user would
+    * misclassify their return as new, which the batch twin never
+    * does. */
+  def newVsReturningStream(events: Dataset[Event]): Dataset[NvrOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .as[(Long, Long, Long, String, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._3) // user_id
+      .flatMapGroupsWithState[NvrState, NvrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[NvrState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val prev = state.getOption
+            .getOrElse(NvrState(Long.MinValue, Long.MinValue, Seq.empty))
+          val days = (prev.buf ++ rows.map(_._6 / nvrDayUs))
+            .distinct.sorted
+          val (finAll, keep) = days.partition(_ * nvrDayUs <= wmUs)
+          // admissible events satisfy ts > wm ≥ lastFin's start, so a
+          // sub-lastFin day is impossible; == lastFin is a re-arrival
+          val fin = finAll.filter(_ > prev.lastFin)
+          var first = prev.firstDay
+          val out = fin.map { d =>
+            val isNew = first == Long.MinValue
+            if (isNew) first = d
+            NvrOut(user, d, isNew)
+          }
+          val lastFin =
+            if (fin.nonEmpty) fin.last else prev.lastFin
+          state.update(NvrState(first, lastFin, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(keep.head * nvrDayUs / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** st_session_native: gap-based sessions via Spark's NATIVE
     * session_window aggregation — the declarative twin of the
     * flatMapGroupsWithState sessionizer (st_sessionize). Same 30-min

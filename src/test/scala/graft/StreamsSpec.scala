@@ -217,6 +217,81 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st_new_vs_returning: out-of-order day arrival classified like the batch twin, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.newVsReturningStream(mem.toDS())
+      .writeStream.format("memory").queryName("nvr")
+      .outputMode("append").start()
+    try {
+      val dayUs = 86400L * 1000 * 1000
+      // batch 1: user 1 active on day 4 (00:20)
+      mem.addData(ev(1, 4 * dayUs + 20 * 60 * 1000000L, user = 1))
+      q.processAllAvailable()
+      // batch 2: user 1's day-3 event arrives LATE but inside the 1-h
+      // watermark (23:50 vs the 00:20 that set wm to 23:20) — the
+      // batch twin calls day 3 the NEW day; the stream must agree
+      mem.addData(ev(2, 4 * dayUs - 10 * 60 * 1000000L, user = 1))
+      q.processAllAvailable()
+      // the watermark (day-3 23:20, set by batch 1) already covers
+      // day 3's START, so day 3 finalizes right here — as NEW, even
+      // though day 4 arrived first; day 4 must still be pending (its
+      // start is past the watermark)
+      val mid = spark.table("nvr").collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Boolean]("is_new")))
+      assert(mid.sameElements(Array((3L, true))),
+        s"expected only day 3 (new) finalized: ${mid.mkString(",")}")
+      // advance the watermark far past both days, then flush timeouts
+      mem.addData(ev(3, 40 * dayUs, user = 9))
+      q.processAllAvailable()
+      mem.addData(ev(4, 41 * dayUs, user = 9))
+      q.processAllAvailable()
+      val u1 = spark.table("nvr").filter(col("user_id") === 1L).collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Boolean]("is_new"))).sorted
+      assert(u1.sameElements(Array((3L, true), (4L, false))),
+        s"expected day 3 new / day 4 returning: ${u1.mkString(",")}")
+      // exactly-once: a re-arrival of an already-finalized day (same
+      // day as the watermark frontier) must not re-emit
+      mem.addData(ev(5, 41 * dayUs + 1000000L, user = 9))
+      q.processAllAvailable()
+      assert(spark.table("nvr").filter(col("user_id") === 1L).count() == 2)
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: newVsReturningStream replay matches q_new_vs_returning") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.model.Tables(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event].collect()
+    val maxUs = events.map(_.ts / 1000).max
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.newVsReturningStream(mem.toDS())
+      .writeStream.format("memory").queryName("nvr_twin")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sentinel pushes the watermark past every corpus day start,
+      // then one more batch flushes the armed timeouts
+      mem.addData(Streams.Event(-1, (maxUs + 40L * 86400000000L) * 1000,
+        -999L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(-2, (maxUs + 41L * 86400000000L) * 1000,
+        -999L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("nvr_twin")
+        .filter(col("user_id") >= 0)
+        .groupBy("day")
+        .agg(count(when(col("is_new"), 1)).as("n_new"),
+          count(when(!col("is_new"), 1)).as("n_returning"))
+      val twin = SparkEntry.queries("q_new_vs_returning")(spark, sf)
+      assert(streamed.except(twin).count() == 0)
+      assert(twin.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("st_histogram: per-window buckets, watermark-closed, exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
