@@ -553,7 +553,7 @@ object Dedup {
 
   /** Non-distinct trigram shingles with capped term frequency —
     * the weighted analogue of docShingles. */
-  private def docShingleTf(s: SparkSession, dir: String): DataFrame =
+  private def docShingleTfRaw(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(when(size(col("words")) >= 3,
@@ -564,9 +564,22 @@ object Dedup {
       .groupBy("doc_id", "sh")
       .agg(least(count(lit(1)), lit(wmhCap)).as("tf"))
 
+  /** tf frame memo — the weighted signature build and the eval's
+    * exact-weighted-truth leg both start here. Memoized + cached ONCE
+    * per (session, dir) (r11 advisor: the two ops each built and
+    * cache()d their own copy, so reuse hung on CacheManager
+    * plan-matching — any plan drift between the construction paths
+    * would silently double the sketch build and the memory). */
+  private val wTfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def docShingleTf(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(wTfMemo, (s, dir))(
+      docShingleTfRaw(s, dir).cache())
+
   /** Weighted signatures — same column names as the flat `signatures`
     * so cappedBandRows/scorePairs are reused verbatim. */
-  private def wSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def wSignaturesRaw(s: SparkSession, dir: String): DataFrame = {
     val h60 = graft.functions.VectorExprs.hexSlice(col("h32"), 1, 15)
     docShingleTf(s, dir)
       .select(col("doc_id"), col("sh"),
@@ -581,10 +594,18 @@ object Dedup {
             .as(s"mh$k")): _*)
   }
 
+  /** Signature memo — feeds the band explode + both score sides here
+    * AND the eval op in the same session; one build per (session, dir)
+    * by construction, not by plan-cache coincidence. */
+  private val wSigMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def wSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(wSigMemo, (s, dir))(
+      wSignaturesRaw(s, dir).cache())
+
   def weightedMinhash: Q = (s, dir) => {
-    // cache: feeds the band explode and both score sides (the flat
-    // dedupMinhash discipline), plus the eval op in the same session
-    val sig = wSignatures(s, dir).cache()
+    val sig = wSignatures(s, dir)
     val br = cappedBandRows(sig)
     val cand = br.alias("x").join(br.alias("y"),
         col("x.c") === col("y.c") && col("x.k0") === col("y.k0") &&
@@ -662,14 +683,14 @@ object Dedup {
     * where flat minhash suffices; a corpus that repeats content within
     * documents is where err_flat detaches from err_wmh. */
   def weightedMinhashEval: Q = (s, dir) => {
-    val tf = docShingleTf(s, dir).cache() // three consumers below
+    val tf = docShingleTf(s, dir) // memoized+cached; three consumers below
     val jp = jaccardPairs(s, dir).select("doc_a", "doc_b")
     val winter = jp.join(tf.toDF("doc_a", "sh", "tfa"), "doc_a")
       .join(tf.toDF("doc_b", "sh", "tfb"), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(least(col("tfa"), col("tfb"))).as("winter"))
     val wsz = tf.groupBy("doc_id").agg(sum("tf").as("wn"))
-    val wEst = scorePairs(wSignatures(s, dir).cache(), jp)
+    val wEst = scorePairs(wSignatures(s, dir), jp)
       .withColumnRenamed("n_match", "n_wmh")
     val fEst = scorePairs(signatures(s, dir).cache(), jp)
       .withColumnRenamed("n_match", "n_flat")

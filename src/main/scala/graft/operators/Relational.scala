@@ -467,6 +467,77 @@ object Relational {
       |   AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  // ------------------------------------------------- q21_waiting_suppliers
+  /** TPC-H Q21 (suppliers who kept waiting) — the DOUBLE-correlated
+    * EXISTS / NOT-EXISTS shape, the last of the hard TPC-H optimizer
+    * shapes (Q13/Q18/Q22 landed r11): for each LATE lineitem of a
+    * finished order, EXISTS another supplier on the same order (it was
+    * a multi-supplier order) AND NOT EXISTS another supplier who was
+    * ALSO late — this supplier alone kept the order waiting. The shape
+    * that breaks naive planners is the same fact table correlated
+    * TWICE at different aliases; here both correlations are planned as
+    * self equi-joins on l_orderkey over ONE late-flagged fact frame —
+    * a LEFT SEMI (exists) then a LEFT ANTI (not exists), each with the
+    * suppkey inequality riding as a join-condition residual, never a
+    * re-scan-per-row subquery (PlanAuditSpec asserts the physical
+    * semi + anti pair and no cartesian). The synthetic schema carries
+    * no commit/receipt dates, so Q21's "received late" is recast as
+    * ship-lag — l_shipdate > o_orderdate + 60 days — preserving the
+    * correlation structure and the plan shape. At 100 TB: the fact
+    * frame flags lateness via one orders join (same-key shuffle reused
+    * across the three aliases by AQE), supplier and nation are
+    * broadcast dims, and the top-100 is TakeOrderedAndProject — no
+    * global sort. Ordering (numwait DESC, s_name) is total because
+    * s_name is unique, so the limit-100 cut is deterministic. */
+  def q21WaitingSuppliers: Q = (s, dir) => {
+    val lag = expr("INTERVAL 60 DAYS")
+    val L = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + lag).as("late"))
+    val l2 = L.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = L.filter(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    val blamed = L.filter(col("late"))
+      .join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+    blamed.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    """WITH L AS (
+      | SELECT l.l_orderkey, l.l_suppkey,
+      |  CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |   THEN 1 ELSE 0 END AS late
+      | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      | WHERE o.o_orderstatus = 'F'
+      |)
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM L l1
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE n.n_name = 'NATION_9' AND l1.late = 1
+      | AND EXISTS (SELECT 1 FROM L l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |   AND l2.l_suppkey <> l1.l_suppkey)
+      | AND NOT EXISTS (SELECT 1 FROM L l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |   AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   // --------------------------------------------------------- q_events_window
   /** Tumbling-window aggregation over the event stream (batch twin of the
     * streaming op st_tumbling_agg). Window start emitted as epoch seconds
@@ -4295,6 +4366,7 @@ object Relational {
     "q_topk_per_group" -> qTopkPerGroup,
     "q13_custdist" -> q13Custdist,
     "q18_large_orders" -> q18LargeOrders,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q22_global_sales" -> q22GlobalSales,
     "q_events_histogram" -> qEventsHistogram,
     "q_new_vs_returning" -> qNewVsReturning,
@@ -4380,6 +4452,7 @@ object Relational {
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q13_custdist" -> q13CustdistSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "q22_global_sales" -> q22GlobalSalesSql,
     "q_events_histogram" -> qEventsHistogramSql,
     "q_new_vs_returning" -> qNewVsReturningSql,

@@ -240,10 +240,13 @@ object Formats {
     // accidental no-op write can't pass
     val batch = docsT.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
       .withColumn("n_chars", col("n_chars") + 1000000L)
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.write.mode("overwrite").partitionBy("lang").parquet(path)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // per-WRITE option, not s.conf.set: mutating the session conf
+    // around the write leaks dynamic mode to any concurrent overwrite
+    // in the same session (and the finally-restore races with it);
+    // the DataFrameWriter option scopes the mode to this one write
+    batch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(path)
     s.read.parquet(path)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

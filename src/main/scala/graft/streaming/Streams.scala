@@ -270,15 +270,22 @@ object Streams {
       .withColumn("us", expr("ts div 1000"))
       .withColumn("ets", timestamp_micros(col("us")))
       .withWatermark("ets", "1 hour")
-      .as[(Long, Long, Long, String, Double, Long, java.sql.Timestamp)]
-      .groupByKey(_._3) // user_id
+      // select BY NAME before the typed view (r11 advisor): the
+      // previous full-row positional tuple picked user_id/us as
+      // _._3/_._6, so any Event column reorder would silently shift
+      // the key instead of failing to compile; a name-based select
+      // breaks loudly on a schema change (ets is retained, so the
+      // watermark column survives the projection)
+      .select(col("user_id"), col("us"), col("ets"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1) // user_id
       .flatMapGroupsWithState[NvrState, NvrOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[NvrState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val prev = state.getOption
             .getOrElse(NvrState(Long.MinValue, Long.MinValue, Seq.empty))
-          val days = (prev.buf ++ rows.map(_._6 / nvrDayUs))
+          val days = (prev.buf ++ rows.map(_._2 / nvrDayUs))
             .distinct.sorted
           val (finAll, keep) = days.partition(_ * nvrDayUs <= wmUs)
           // admissible events satisfy ts > wm ≥ lastFin's start, so a

@@ -383,6 +383,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank filter did not rewrite to WindowGroupLimit:\n$p")
   }
 
+  test("q21 double-correlation compiles to left-semi + left-anti equi-joins") {
+    // the exists / not-exists pair must plan as one semi + one anti
+    // self-join on l_orderkey (suppkey inequality as a residual) —
+    // never a per-row subquery re-scan or a cartesian
+    val p = plan(Relational.q21WaitingSuppliers(spark, sf))
+    assert(p.contains("LeftSemi"), s"exists side is not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"not-exists side is not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlation degenerated to a cartesian:\n$p")
+  }
+
   test("t_dsir boundary tie-group rank rides a WindowGroupLimit") {
     // the literal rn <= dsirKeep conjunct exists exactly so the
     // degenerate all-zero-scores tie group ranks <= dsirKeep rows per
