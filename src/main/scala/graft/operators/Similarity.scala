@@ -2738,46 +2738,65 @@ object Similarity {
     * d_lsh_tuning prices bands): the SAME flat NSW walk at beam
     * 2 / 4 / 8, each walk's top-k intersected with the exact baseline
     * — one (beam, n_exact, hits) row per setting, the table that says
-    * what another millisecond of beam actually buys. Walk
+    * what another millisecond of beam actually buys. r12: the three
+    * walks COLLAPSED into one config-column walk (the d_lsh_tuning
+    * single-explode discipline) — `beam` rides every frame, the
+    * frontier is a per-(beam, probe) rank filtered by the column
+    * (rn ≤ beam), and all three configs share each round's scoring
+    * join and checkpoint instead of paying 3 × gHops pinned rounds;
+    * since beam-2/4/8 frontiers share their expansion prefix, the
+    * per-round frame is far smaller than 3 disjoint walks. Walk
     * intermediates ride the s_hnsw pin discipline (each frame is
     * referenced twice by the next round; lazy, the chain re-executes
     * its prefix per round). */
   val beamSweep = Seq(2, 4, 8)
 
-  private def nswWalkPinned(s: SparkSession, dir: String,
-      beamW: Int): DataFrame = {
+  /** One flat-NSW walk carrying every beamSweep config in a `beam`
+    * column; returns (beam, probe_id, cand_id) — each config's final
+    * top-annK, identical rows to a per-config walk at that width. */
+  private def nswWalkAllBeams(s: SparkSession, dir: String): DataFrame = {
     val probes = broadcast(quantized(s, dir)
       .filter(col("vec_id") < 10).toDF("probe_id", "qp"))
     val cands = quantizedWithNorm(s, dir).toDF("cand_id", "qc", "nb")
     val adj = graphAnnAdj(s, dir)
     val entry = cands.agg(min(col("cand_id")).as("cand_id"))
+    // score() preserves the beam column: frames are (beam, probe_id,
+    // cand_id) and the rescore is identical across configs by
+    // construction (same probe, same candidate)
     def score(frame: DataFrame): DataFrame = frame
       .join(cands, "cand_id").join(probes, "probe_id")
-      .select(col("probe_id"), col("cand_id"),
+      .select(col("beam"), col("probe_id"), col("cand_id"),
         dot(col("qp"), col("qc")).as("dp"), col("nb"))
-      .select(col("probe_id"), col("cand_id"), expr(scoreExpr).as("score"))
+      .select(col("beam"), col("probe_id"), col("cand_id"),
+        expr(scoreExpr).as("score"))
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       val p = df.localCheckpoint(eager = true); steps += p; p
     }
     try {
-      var walked = pin(score(probes.select("probe_id").crossJoin(entry)))
+      // seed: probes × configs via explode (never a multi-row join)
+      val seed = probes.select(col("probe_id"),
+          explode(array(beamSweep.map(b => lit(b.toLong)): _*)).as("beam"))
+        .crossJoin(entry) // 1-row scalar
+      var walked = pin(score(seed))
+      val wBeam = Window.partitionBy("beam", "probe_id")
+        .orderBy(col("score").desc, col("cand_id"))
       for (_ <- 1 to gHops) {
-        val beam = walked
-          .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
-            .orderBy(col("score").desc, col("cand_id"))))
-          .filter(col("rn") <= beamW)
-          .select(col("probe_id"), col("cand_id").as("node"))
-        val expand = beam.join(adj, "node")
-          .select(col("probe_id"), col("nbr").as("cand_id")).distinct()
+        val front = walked
+          .withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= col("beam"))
+          .select(col("beam"), col("probe_id"), col("cand_id").as("node"))
+        val expand = front.join(adj, "node")
+          .select(col("beam"), col("probe_id"), col("nbr").as("cand_id"))
+          .distinct()
         walked = pin(walked.union(score(expand))
-          .groupBy("probe_id", "cand_id").agg(max("score").as("score")))
+          .groupBy("beam", "probe_id", "cand_id")
+          .agg(max("score").as("score")))
       }
       walked.filter(col("cand_id") =!= col("probe_id"))
-        .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
-          .orderBy(col("score").desc, col("cand_id"))))
+        .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= annK)
-        .select("probe_id", "cand_id")
+        .select("beam", "probe_id", "cand_id")
         .localCheckpoint(eager = true)
     } finally steps.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
@@ -2785,19 +2804,23 @@ object Similarity {
   def beamCurve: Q = (s, dir) => {
     val ex = annTopk(s, dir).select(col("probe_id"), col("cand_id"))
       .localCheckpoint(eager = true)
-    val walks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val walk = nswWalkAllBeams(s, dir)
     try {
-      beamSweep.map { b =>
-        val wk = nswWalkPinned(s, dir, b)
-        walks += wk
-        val hits = ex.join(wk, Seq("probe_id", "cand_id"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        ex.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(hits)
-          .select(lit(b.toLong).as("beam"), col("n_exact"), col("hits"))
-      }.reduce(_ unionAll _).orderBy("beam")
+      val hits = walk
+        .join(ex, Seq("probe_id", "cand_id"), "left_semi")
+        .groupBy("beam").agg(count(lit(1)).as("hits"))
+      // left join from the config spine: a beam whose walk missed the
+      // exact set entirely still emits its row (hits = 0)
+      ex.sparkSession.range(0, 1)
+        .select(explode(array(beamSweep.map(b => lit(b.toLong)): _*))
+          .as("beam"))
+        .crossJoin(ex.agg(count(lit(1)).as("n_exact"))) // 1-row scalar
+        .join(hits, Seq("beam"), "left_outer")
+        .select(col("beam"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("beam")
         .localCheckpoint(eager = true) // materialize before frees below
-    } finally (walks :+ ex)
+    } finally Seq(walk, ex)
       .foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 

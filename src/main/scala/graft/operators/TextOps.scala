@@ -1988,38 +1988,62 @@ object TextOps {
     * B = `dsirB` buckets (the paper's hashed n-gram trick — the model
     * is B-bounded regardless of vocabulary, the property that lets the
     * importance model BROADCAST at 100 TB). Plan: one corpus bigram
-    * explode (cached — feeds model build + scoring), one B-bounded
-    * groupBy where raw and target counts ride the SAME aggregate
-    * (count + filtered count, one pass — not two scans), scoring is a
-    * broadcast join against the B-row score table, per-doc mean is one
-    * partial-agged groupBy. Selection (r10 — was a corpus-wide
-    * un-partitioned row_number, the q_ntile anti-pattern): the
-    * dsirKeep-th (dsir_ppm desc, doc_id) cutoff is RANK-SELECTED from
-    * the SCORE HISTOGRAM (one partial-agged groupBy on dsir_ppm; the
-    * only un-partitioned window runs over distinct integer scores,
-    * orders smaller than docs and quantizable at will), broadcast as a
-    * 1-row frame, and every doc flags by comparison; the doc_id
-    * tiebreak at the boundary VALUE is resolved by ranking only the
-    * ≤ tie-group boundary slice and broadcasting the ≤ dsirKeep
-    * winners — output is the IDENTICAL exact top-dsirKeep set, so the
-    * oracle keeps its row_number form. BIGINT headroom:
+    * explode (cached compactly — lang collapsed to a tinyint flag
+    * before the explode multiplies it; feeds model build + scoring),
+    * one B-bounded groupBy where raw and target counts ride the SAME
+    * aggregate (count + filtered count, one pass — not two scans),
+    * scoring is a broadcast join against the B-row score table,
+    * per-doc mean is one partial-agged groupBy. Selection (r12 — was
+    * a corpus-wide un-partitioned row_number in r9, then a 3-job
+    * histogram-cut + boundary-tie machinery in r10/r11): the exact
+    * top-dsirKeep set under the total order (dsir_ppm desc, doc_id)
+    * is ONE TakeOrderedAndProject — per-task local top-k, driver
+    * merge of k·p rows, the distributive rank-select that is
+    * scale-safe at any corpus size — broadcast back over the
+    * checkpointed per-doc frame; output is the IDENTICAL exact
+    * top-dsirKeep set, so the oracle keeps its row_number form.
+    * BIGINT headroom:
     * (ct+1)·10⁶ ≤ 2⁶³ up to ~9·10¹² target-bigram occurrences. */
   val dsirB = 256L
   val dsirKeep = 100
 
-  def dsir: Q = (s, dir) => {
+  /** Session-memoized (the hnsw pattern): t_dsir_eval consumes the
+    * whole frame again — without the memo each consumer re-runs the
+    * explode→model→score chain (~1.4 s of pure job latency at sf0.1;
+    * the data itself is small). */
+  private val dsirMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def dsir: Q = (s, dir) =>
+    graft.model.SessionMemo.getOrBuild(dsirMemo, (s, dir))(dsirBuild(s, dir))
+      .orderBy("doc_id")
+
+  private def dsirBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = bigramPairsCol(col("words"))
+    // r12 note: a fold of the model build into a per-(doc, bucket)
+    // pre-aggregate was MEASURED WORSE (0.78 → 3.3 s at sf0.1, 32
+    // threads): (doc, b) is nearly occurrence-cardinality on this
+    // corpus, so the "compaction" added a full-corpus shuffle + cache
+    // the cached-explode shape never pays. Kept shape: one explode
+    // cached COMPACTLY — the per-doc lang string is collapsed to a
+    // tinyint flag BEFORE the explode multiplies it corpus-wide —
+    // feeding the B-bounded model aggregate (map-side combine, no
+    // corpus shuffle) and the broadcast-scored per-doc mean (the one
+    // corpus shuffle, keyed by doc).
     val occ = docs(s, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(1)).otherwise(lit(0))
+          .cast("tinyint").as("en"),
+        split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("en"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("en"),
         (graft.functions.VectorExprs.hexSlice(
           md5(concat(col("p.w1"), lit(" "), col("p.w2"))), 1, 8) % dsirB)
           .as("b"))
       .cache()
     val model = occ.groupBy("b").agg(
       count(lit(1)).as("cr"),
-      count(when(col("lang") === "en", 1)).as("ct"))
+      count(when(col("en") === 1, 1)).as("ct"))
     val tot = model.agg((sum("cr") + dsirB).as("r_tot"),
       (sum("ct") + dsirB).as("t_tot"))
     val scored = model.crossJoin(broadcast(tot))
@@ -2040,37 +2064,33 @@ object TextOps {
       // row per doc, and the g_matching cadence audit showed lazy
       // persist racing concurrent broadcast builds into recomputes.
       .localCheckpoint()
-    val hist = full.groupBy("dsir_ppm").agg(count(lit(1)).as("c"))
-    val wh = Window.orderBy(col("dsir_ppm").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // cut_ppm = the kth doc's score (highest score whose desc-cum ≥ k);
-    // n_at_cut = how many boundary-score docs still fit under k. NULL
-    // struct (corpus < k) ⇒ every doc selected.
-    val cutRow = hist.withColumn("cum", sum("c").over(wh))
-      .agg(max(when(col("cum") >= dsirKeep,
-        struct(col("dsir_ppm").as("cut_ppm"),
-          (lit(dsirKeep.toLong) - (col("cum") - col("c"))).as("n_at_cut"))))
-        .as("mx"))
-    val withCut = full.crossJoin(broadcast(cutRow))
-    val boundary = withCut
-      .filter(col("mx").isNotNull && col("dsir_ppm") === col("mx.cut_ppm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("dsir_ppm").orderBy("doc_id")))
-      // the tie group at the cut is usually small, but in the
-      // degenerate case (fewer than dsirKeep positive scores ⇒ cutoff
-      // lands on dsir_ppm=0) it is the ENTIRE zero-score mass. The
-      // literal rn ≤ dsirKeep conjunct lets InferWindowGroupLimit
-      // rewrite the rank to a per-partition top-dsirKeep
-      // (WindowGroupLimit), so even that case never sorts or
-      // broadcasts an unbounded frame; it drops nothing because
-      // n_at_cut = dsirKeep − (docs above the cut) ≤ dsirKeep always.
-      .filter(col("rn") <= lit(dsirKeep) && col("rn") <= col("mx.n_at_cut"))
-      .select(col("doc_id"), lit(1L).as("at_cut_sel"))
-    withCut.join(broadcast(boundary), Seq("doc_id"), "left_outer")
+    // selection (r12 — was a 3-job histogram-cut + boundary-tie
+    // machinery, itself the r10 fix for a corpus-wide un-partitioned
+    // row_number): the exact top-dsirKeep set under the total order
+    // (dsir_ppm desc, doc_id) is ONE TakeOrderedAndProject — each task
+    // keeps its local top-k, the driver merges k·p rows — the
+    // distributive rank-select shape that is scale-safe at any corpus
+    // size and costs one job instead of three. The ≤ dsirKeep-row
+    // result broadcasts back over the checkpointed frame; the oracle
+    // keeps its row_number formulation (identical set by the shared
+    // total order).
+    val out = dsirSelect(full)
+      .localCheckpoint(eager = true) // the memoized frame
+    occ.unpersist(blocking = false)
+    graft.model.PropertyGraph.freeLocalCheckpoint(full)
+    out
+  }
+
+  /** The selection step on its own (PlanAuditSpec asserts its
+    * TakeOrderedAndProject shape directly — the memoized checkpoint
+    * hides the build plan from the registry sweeps). */
+  private[graft] def dsirSelect(full: DataFrame): DataFrame = {
+    val topSel = full
+      .orderBy(col("dsir_ppm").desc, col("doc_id")).limit(dsirKeep)
+      .select(col("doc_id"), lit(1L).as("sel"))
+    full.join(broadcast(topSel), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_feat"), col("dsir_ppm"),
-        when(col("mx").isNull || col("dsir_ppm") > col("mx.cut_ppm") ||
-          col("at_cut_sel").isNotNull, 1L).otherwise(0L).as("selected"))
-      .orderBy("doc_id")
+        when(col("sel").isNotNull, 1L).otherwise(0L).as("selected"))
   }
 
   val dsirSql: String = {

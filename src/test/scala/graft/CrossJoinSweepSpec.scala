@@ -1,19 +1,38 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter,
+  GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation,
+  Project, Sort, Union, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Global 100 TB-safety sweep: an unconditioned Join (cross product)
-  * in ANY registered query is a scale bug unless (a) one side is a
-  * scalar — a grouping-key-free Aggregate or a plan the optimizer
-  * knows is ≤1 row — i.e. the "broadcast one corpus total to every
-  * row" idiom, or (b) the operator's CONTRACT is brute-force and says
-  * so (the exact baselines that anchor the LSH/IVF/PQ scale paths).
-  * Per-op plan audits live in PlanAuditSpec; this is the net under
-  * all 164 of them so a future operator can't quietly ship a
-  * cartesian. */
+/** Global 100 TB-safety sweeps over EVERY registered query (the two
+  * structural anti-patterns a correct-at-sf0.01 operator can smuggle
+  * past per-op audits):
+  *
+  *  1. an unconditioned Join (cross product) — a scale bug unless one
+  *     side is a scalar (the "broadcast one corpus total to every
+  *     row" idiom) or the operator's CONTRACT is brute-force and says
+  *     so (the exact baselines that anchor the LSH/IVF/PQ scale
+  *     paths);
+  *  2. an un-partitioned ordered Window over a corpus-sized frame —
+  *     a single-task total sort at scale, fine only above an
+  *     AGGREGATED/LIMITED frame (histogram, top-k, 1-row totals) or
+  *     under a documented verification-scale contract that ships a
+  *     scaled twin.
+  *
+  * Per-op plan audits live in PlanAuditSpec; these sweeps are the net
+  * under all of them so a future operator can't quietly reintroduce
+  * either anti-pattern. Both tests read ONE shared lazily-built
+  * optimized-plan map (building a plan executes the eager-checkpoint
+  * ops, so the registry is planned exactly once per suite run). */
 class CrossJoinSweepSpec extends AnyFunSuite {
   import TestSession._
+
+  /** name → optimized plan for every registered query, built once. */
+  private lazy val optimized: Seq[(String, LogicalPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn(spark, sf).queryExecution.optimizedPlan)
+    }
 
   /** Deliberate brute-force contracts (each documents its scale path). */
   private val bruteForce = Set(
@@ -61,10 +80,9 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     })
 
   test("no registered query cross-joins two non-scalar sides (brute-force baselines excepted)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = optimized.flatMap {
       case (name, _) if bruteForce(name) => None
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.optimizedPlan
+      case (name, plan) =>
         val bad = plan.collect {
           case j: Join if j.condition.isEmpty
             && !isScalar(j.left) && !isScalar(j.right) => j
@@ -73,5 +91,68 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unconditioned cross joins outside the brute-force whitelist:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  /** A frame is BOUNDED (smaller-than-corpus by construction) when it
+    * is an Aggregate or a Limit, reached through row-preserving or
+    * narrowing nodes only — the same structural rule the r11 per-op
+    * audit used (a collectFirst over the whole subtree would accept an
+    * Aggregate on one side of a join BENEATH a corpus-sized window).
+    * A join of two bounded sides is bounded (histogram ⋈ totals). */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case pr: Project => bounded(pr.child)
+    case f: LFilter => bounded(f.child)
+    case so: Sort => bounded(so.child)
+    case w: LWindow => bounded(w.child)
+    case j: Join => bounded(j.left) && bounded(j.right)
+    // a union of bounded branches is bounded (the per-round-aggregate
+    // trajectory tables d_kmeans_eval / g_neighborhood_function lag over)
+    case u: Union => u.children.forall(bounded)
+    case _ => false
+  }
+
+  /** Documented verification-scale contracts: ops whose un-partitioned
+    * window over a raw frame is the DECLARED design, each with its
+    * scale story next to it. An entry here must name either a scaled
+    * twin or a structural bound the rule above can't see. */
+  private val windowContract: Map[String, LWindow => Boolean] = {
+    // q_quantile_sampled: the SAMPLE leg's global rank runs over the
+    // hash-sampled frame by declared design (divisor-bounded; the op
+    // measures that sample's error) — allow exactly the windows that
+    // sit above the sample-threshold filter; the exact leg must pass
+    // the aggregate-bounded rule like everyone else.
+    val overSample = (w: LWindow) => w.collectFirst {
+      case f: LFilter
+        if f.condition.toString.contains(
+          graft.operators.Relational.qsThresh.toString) => f
+    }.isDefined
+    Map(
+      "q_quantile_sampled" -> overSample,
+      // corpus-window percentiles by declared verification-scale
+      // contract; q_window_pct_scaled is the shipped scale twin
+      // (per-key pre-agg + broadcast cutpoints)
+      "q_window_pct" -> ((_: LWindow) => true),
+      // corpus perplexity-bucket rank by declared contract;
+      // t_ccnet_bucket_scaled is the shipped scale twin (sampled
+      // cutoffs + broadcast compare)
+      "t_ccnet_bucket" -> ((_: LWindow) => true)
+    )
+  }
+
+  test("no registered query runs an un-partitioned window over a corpus-sized frame (contract ops excepted)") {
+    val offenders = optimized.flatMap { case (name, plan) =>
+      val allow = windowContract.getOrElse(name, (_: LWindow) => false)
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty
+          && !bounded(w.child) && !allow(w) => w
+      }
+      if (bad.isEmpty) None
+      else Some(s"$name (${bad.size} corpus-frame un-partitioned window(s))")
+    }
+    assert(offenders.isEmpty,
+      s"un-partitioned windows over corpus-sized frames outside the contract whitelist:\n  ${offenders.mkString("\n  ")}")
   }
 }

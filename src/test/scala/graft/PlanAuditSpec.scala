@@ -395,14 +395,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"correlation degenerated to a cartesian:\n$p")
   }
 
-  test("t_dsir boundary tie-group rank rides a WindowGroupLimit") {
-    // the literal rn <= dsirKeep conjunct exists exactly so the
-    // degenerate all-zero-scores tie group ranks <= dsirKeep rows per
-    // task instead of sorting the whole zero-score mass — assert the
-    // rewrite actually fired
-    val p = plan(graft.operators.TextOps.dsir(spark, sf))
-    assert(p.contains("WindowGroupLimit"),
-      s"t_dsir boundary rank did not rewrite to WindowGroupLimit:\n$p")
+  test("t_dsir selection compiles to a TakeOrderedAndProject, never a corpus sort") {
+    // r12: the selection is a single top-dsirKeep under the total
+    // order (dsir_ppm desc, doc_id) — the distributive per-task top-k.
+    // The registered query returns the memoized checkpoint (opaque to
+    // plan audits), so assert on the selection step itself over a
+    // representative frame.
+    // parquet-backed frame (a local relation would constant-fold the
+    // whole selection away at optimize time)
+    val fake = graft.model.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "doc_id as n_feat", "doc_id as dsir_ppm")
+    val p = plan(graft.operators.TextOps.dsirSelect(fake))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t_dsir selection is not a TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), s"t_dsir selection still windows:\n$p")
   }
 
   test("t_code_detect scans only doc_id and text") {
@@ -420,54 +426,9 @@ class PlanAuditSpec extends AnyFunSuite {
       s"custkey IN did not push to the bloom-indexed scan:\n$p")
   }
 
-  test("no un-partitioned window runs over a corpus-sized frame (t_dsir, q_ab_test, q_ks_drift, q_skyline, q_quantile_sampled, q_rfm, q_autocorr, t_zipf_profile)") {
-    // an un-partitioned ordered window is fine over an AGGREGATED frame
-    // (histogram / 1024-bin grid — bounded by construction) and a
-    // single-task total sort over the raw corpus otherwise. Assert the
-    // structural property directly on the optimized plan: every Window
-    // with an empty partitionSpec must sit above an Aggregate — reached
-    // through ROW-PRESERVING/NARROWING nodes only (r11: a collectFirst
-    // over the whole subtree accepted an Aggregate on one side of a
-    // join beneath a corpus-sized window).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
-      Filter => LFilter, GlobalLimit, LocalLimit, LogicalPlan, Project,
-      Sort, Window => LWindow}
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      // a Limit bounds the frame by construction (zipf's rank window
-      // runs over a top-k frame, not the vocabulary)
-      case _: GlobalLimit | _: LocalLimit => true
-      case pr: Project => bounded(pr.child)
-      case f: LFilter => bounded(f.child)
-      case so: Sort => bounded(so.child)
-      case w: LWindow => bounded(w.child)
-      case _ => false
-    }
-    def audit(name: String, df: org.apache.spark.sql.DataFrame,
-        allow: LWindow => Boolean = _ => false): Unit =
-      df.queryExecution.optimizedPlan.foreach {
-        case w: LWindow if w.partitionSpec.isEmpty =>
-          assert(bounded(w.child) || allow(w),
-            s"$name: un-partitioned window over a non-aggregated (corpus-sized) frame:\n$w")
-        case _ =>
-      }
-    audit("t_dsir", graft.operators.TextOps.dsir(spark, sf))
-    audit("q_ab_test", Relational.qAbTest(spark, sf))
-    audit("q_ks_drift", Relational.qKsDrift(spark, sf))
-    audit("q_skyline", Relational.qSkyline(spark, sf))
-    audit("q_rfm", Relational.qRfm(spark, sf))
-    audit("q_autocorr", Relational.qAutocorr(spark, sf))
-    audit("t_zipf_profile", graft.operators.TextOps.zipfProfile(spark, sf))
-    // q_quantile_sampled: the SAMPLE leg's global rank runs over the
-    // hash-sampled frame by declared design (divisor-bounded, the op
-    // measures that sample's error) — allow exactly the windows that
-    // sit above the sample-threshold filter; the exact leg must pass
-    // the aggregate-bounded rule like everyone else
-    val overSample = (w: LWindow) => w.collectFirst {
-      case f: LFilter
-        if f.condition.toString.contains(Relational.qsThresh.toString) => f
-    }.isDefined
-    audit("q_quantile_sampled", Relational.qQuantileSampled(spark, sf),
-      overSample)
-  }
+  // The un-partitioned-window audit (r10/r11: an enumerated 8-op list
+  // here) moved to CrossJoinSweepSpec in r12, where it now sweeps EVERY
+  // SparkEntry.queries entry off the shared optimized-plan map — a new
+  // op can no longer silently reintroduce the corpus-window
+  // anti-pattern by not being on a list.
 }
