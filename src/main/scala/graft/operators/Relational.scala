@@ -1541,6 +1541,137 @@ object Relational {
        |SELECT * FROM ex, sm""".stripMargin
   }
 
+  // --------------------------------------------------------- q_quantile_kll
+  /** MERGEABLE quantile sketch — the missing member of the sketch
+    * family (HLL counts distincts, KMV/theta does set algebra, CMS
+    * frequencies; this one does RANKS): a derandomized KLL (Karnin,
+    * Lang & Liberty, FOCS 2016). KLL's compactor cascade keeps each
+    * item at level ℓ with an independent coin flip when the level
+    * overflows; derandomized per the house discipline, the coin for
+    * compaction ℓ is BIT ℓ of the item's 40-bit md5 — so an item
+    * survives ℓ compactions iff its low ℓ hash bits are all zero, and
+    * the top buffer after L=5 levels is exactly {h ≡ 0 mod 2⁵}, each
+    * survivor weighing 2⁵ = 32. Replacing the per-overflow coin with a
+    * per-ITEM hash bit is what buys ORDER-INDEPENDENCE: the sketch is
+    * a pure function of the input SET, so two shards' sketches merge
+    * by plain union, hash-for-hash — union(sketch(A), sketch(B)) ==
+    * sketch(A ∪ B) by construction, not approximately (Round12Spec
+    * proves it on real shards, the t_kmv_merge discipline). That
+    * identity is what lets 1000 executors sketch locally and merge
+    * map-side, the q_hll_distinct register discipline applied to
+    * ranks. The compactor cascade is left OBSERVABLE: n_lvl3/n_lvl4
+    * count the level-3/4 survivor buffers (≈ 2× and 4× the top
+    * buffer — the geometric decay IS the cascade), oracle-checked.
+    *
+    * Output per order-priority: exact selection p50/p90/p99 (the
+    * q_percentile contract, per-group window — partitioned, bounded
+    * groups) beside the sketch estimates (selection at the scaled rank
+    * inside the ≤ n/32 survivor buffer), adjudicated by err⟨p⟩_ppm =
+    * |rank(est) − target_rank| · 10⁶ div n — an INTEGER rank error
+    * (exact conditional count vs integer target), never a float
+    * comparison. Expected error is O(√(2ᴸ/n)) in rank — the measured
+    * column shows it. At 100 TB: survivors are n/32 rows built by a
+    * stateless filter (no shuffle), the buffer rank-select shuffles
+    * only survivors, and L is the knob — raise it until the buffer
+    * fits wherever the quantile is consumed. */
+  val kllLevels = 5
+  val kllWeight: Long = 1L << kllLevels // 32: survivor h % 32 == 0
+
+  def qQuantileKll: Q = (s, dir) => {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .withColumn("h", graft.functions.VectorExprs.hexSlice(
+        md5(col("o_orderkey").cast("string")), 1, 10))
+    // selection at integer rank targets inside a per-pri frame — the
+    // q_percentile shape, reused for both the full frame (exact) and
+    // the survivor buffer (estimate, ranks scaled to the buffer size)
+    def sel(df: DataFrame, cnt: String, tag: String): DataFrame = {
+      val wr = Window.partitionBy("pri").orderBy(col("cents"), col("o_orderkey"))
+      df.withColumn("rn", row_number().over(wr))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("pri")))
+        .groupBy("pri")
+        .agg(max("m").as(cnt),
+          max(when(col("rn") === expr("(m * 50 + 99) div 100"), col("cents")))
+            .as(s"p50_$tag"),
+          max(when(col("rn") === expr("(m * 90 + 99) div 100"), col("cents")))
+            .as(s"p90_$tag"),
+          max(when(col("rn") === expr("(m * 99 + 99) div 100"), col("cents")))
+            .as(s"p99_$tag"))
+    }
+    val est = sel(base.filter(col("h") % kllWeight === 0), "m_sketch", "est")
+    val exact = sel(base, "n_exact", "exact")
+    // adjudication pass: the TRUE rank of each estimate (exact count of
+    // rows ≤ est, per pri) vs the integer target rank; the level-3/4
+    // buffer counts ride the same scan (cascade observability)
+    val er = base.join(broadcast(est), Seq("pri"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("h") % 8 === 0, 1L).otherwise(0L)).as("n_lvl3"),
+        sum(when(col("h") % 16 === 0, 1L).otherwise(0L)).as("n_lvl4"),
+        sum(when(col("cents") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("cents") <= col("p90_est"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("cents") <= col("p99_est"), 1L).otherwise(0L)).as("le99"))
+    exact.join(est, Seq("pri")).join(er, Seq("pri"))
+      .select(col("pri"), col("n_exact"), col("m_sketch"),
+        col("n_lvl3"), col("n_lvl4"),
+        col("p50_exact"), col("p50_est"),
+        expr("(abs(le50 - (n * 50 + 99) div 100) * 1000000) div n")
+          .as("err50_ppm"),
+        col("p90_exact"), col("p90_est"),
+        expr("(abs(le90 - (n * 90 + 99) div 100) * 1000000) div n")
+          .as("err90_ppm"),
+        col("p99_exact"), col("p99_est"),
+        expr("(abs(le99 - (n * 99 + 99) div 100) * 1000000) div n")
+          .as("err99_ppm"))
+      .orderBy("pri")
+  }
+
+  val qQuantileKllSql: String = {
+    val h = graft.operators.OracleSql.hexToLong(
+      "md5(CAST(o_orderkey AS VARCHAR))", 1, 10)
+    def sel(src: String, cnt: String, tag: String) =
+      s"""SELECT pri, max(m) AS $cnt,
+         | max(CASE WHEN rn = (m * 50 + 99) // 100 THEN cents END) AS p50_$tag,
+         | max(CASE WHEN rn = (m * 90 + 99) // 100 THEN cents END) AS p90_$tag,
+         | max(CASE WHEN rn = (m * 99 + 99) // 100 THEN cents END) AS p99_$tag
+         |FROM (
+         | SELECT pri, cents,
+         |  row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS rn,
+         |  count(*) OVER (PARTITION BY pri) AS m
+         | FROM $src
+         |) GROUP BY pri""".stripMargin
+    s"""WITH base AS (
+       | SELECT o_orderpriority AS pri,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |  o_orderkey, CAST($h AS BIGINT) AS h
+       | FROM orders
+       |), est AS (
+       |${sel(s"(SELECT * FROM base WHERE h % $kllWeight = 0)", "m_sketch", "est")}
+       |), ex AS (
+       |${sel("base", "n_exact", "exact")}
+       |), er AS (
+       | SELECT b.pri, count(*) AS n,
+       |  sum(CASE WHEN b.h % 8 = 0 THEN 1 ELSE 0 END) AS n_lvl3,
+       |  sum(CASE WHEN b.h % 16 = 0 THEN 1 ELSE 0 END) AS n_lvl4,
+       |  sum(CASE WHEN b.cents <= e.p50_est THEN 1 ELSE 0 END) AS le50,
+       |  sum(CASE WHEN b.cents <= e.p90_est THEN 1 ELSE 0 END) AS le90,
+       |  sum(CASE WHEN b.cents <= e.p99_est THEN 1 ELSE 0 END) AS le99
+       | FROM base b JOIN est e ON b.pri = e.pri GROUP BY b.pri
+       |)
+       |SELECT ex.pri AS pri, n_exact, m_sketch,
+       | CAST(n_lvl3 AS BIGINT) AS n_lvl3, CAST(n_lvl4 AS BIGINT) AS n_lvl4,
+       | p50_exact, p50_est,
+       | CAST((abs(le50 - (n * 50 + 99) // 100) * 1000000) // n AS BIGINT) AS err50_ppm,
+       | p90_exact, p90_est,
+       | CAST((abs(le90 - (n * 90 + 99) // 100) * 1000000) // n AS BIGINT) AS err90_ppm,
+       | p99_exact, p99_est,
+       | CAST((abs(le99 - (n * 99 + 99) // 100) * 1000000) // n AS BIGINT) AS err99_ppm
+       |FROM ex JOIN est ON ex.pri = est.pri JOIN er ON ex.pri = er.pri
+       |ORDER BY ex.pri""".stripMargin
+  }
+
   // ------------------------------------------------------------ q_histogram
   /** Equi-width HISTOGRAM — the profiling primitive behind every query
     * optimizer statistic and data-quality dashboard: order totalprice
@@ -4377,6 +4508,7 @@ object Relational {
     "q_bag_ops" -> qBagOps,
     "q_histogram" -> qHistogram,
     "q_quantile_sampled" -> qQuantileSampled,
+    "q_quantile_kll" -> qQuantileKll,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -4463,6 +4595,7 @@ object Relational {
     "q_bag_ops" -> qBagOpsSql,
     "q_histogram" -> qHistogramSql,
     "q_quantile_sampled" -> qQuantileSampledSql,
+    "q_quantile_kll" -> qQuantileKllSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
     "q_skew_salted_join" -> qSkewSaltedJoinSql,

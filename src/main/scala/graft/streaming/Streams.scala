@@ -607,6 +607,120 @@ object Streams {
     s.read.parquet(files: _*)
   }
 
+  // -------------------------------------------------------- st_ivm_join
+  /** st_ivm_join: STREAMING incremental maintenance of a join-aggregate
+    * view — the live composition of q_ivm_join's delta algebra with
+    * st_manifest_commit's exactly-once publication: the streaming
+    * materialized view real pipelines run. The input is an insert-only
+    * two-table changelog (side 'o' = an orders row, side 'l' = a
+    * lineitem row, arriving interleaved in ANY order — a lineitem may
+    * precede its order); each micro-batch applies
+    *
+    *   ΔV = γ( ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB )
+    *
+    * (Blakeley et al. 1986 — see Relational.qIvmJoin for the batch
+    * proof of the algebra) and folds ΔV into the stored view by
+    * re-summing partials — refresh cost scales with |Δ| · matched
+    * base rows, NEVER |A| + |B|: the base sides are only ever probed
+    * through the delta joins, and the view update touches the
+    * ≤ |group-space| aggregate rows. Base sides A₀/B₀ are read from
+    * the PREVIOUS manifest's file list (never by re-listing
+    * directories — a stray file in an old batch dir must not join
+    * into future deltas; the reader-plans-from-manifests principle
+    * applied to the maintainer). Each batch lands three sections under
+    * its batch dir — o/ and l/ (this batch's delta rows, appended to
+    * the base for future batches) and view/ (the post-batch aggregate,
+    * replacing the previous version's) — then publishes
+    * manifest-⟨id⟩ with section-tagged lines via the hard-link CAS of
+    * manifestCommitSink. The manifest IS the commit marker: an
+    * at-least-once replay that finds it published SKIPS entirely, so
+    * the view never double-counts a delta (the spec replays batch 1
+    * and diffs manifests byte-for-byte). Readers pin a version:
+    * ivmViewRead(v) is the view exactly as of batch v, isolated from
+    * later batches.
+    *
+    * 100 TB posture: the view is one partial-agged shuffle per batch
+    * over |Δ⋈| rows; the delta-side joins shard on the join key like
+    * any equi-join, and the stored base grows append-only as immutable
+    * parquet — compaction (src_compaction) applies unchanged. Deletes
+    * would enter as signed multiplicities (q_ivm_delete's batch
+    * algebra); the changelog here is insert-only by contract. */
+  final case class IvmDelta(side: String, key: Long, pri: String, cents: Long)
+
+  private def ivmManifestFiles(outDir: String, version: Long,
+      section: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$outDir/manifest-$version")
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").filter(_.startsWith(s"$section|"))
+      .map(_.substring(section.length + 1)).toSeq
+  }
+
+  def ivmJoinSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
+    val s = batch.sparkSession
+    def readOrEmpty(files: Seq[String], schema: String): DataFrame =
+      if (files.nonEmpty) s.read.parquet(files: _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val dA = batch.filter(col("side") === "o")
+      .select(col("key").as("o_orderkey"), col("pri").as("o_orderpriority"))
+    val dB = batch.filter(col("side") === "l")
+      .select(col("key").as("l_orderkey"), col("cents"))
+    val a0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "o"),
+      "o_orderkey BIGINT, o_orderpriority STRING")
+    val b0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "l"),
+      "l_orderkey BIGINT, cents BIGINT")
+    val v0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "view"),
+      "o_orderpriority STRING, rev_cents BIGINT, n_pairs BIGINT")
+    def pairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .select(col("o_orderpriority"), col("cents"))
+    val dV = pairs(dA, b0).unionByName(pairs(a0, dB))
+      .unionByName(pairs(dA, dB))
+      .groupBy("o_orderpriority")
+      .agg(sum("cents").as("rev_cents"), count(lit(1)).as("n_pairs"))
+    val v1 = v0.unionByName(dV)
+      .groupBy("o_orderpriority")
+      .agg(sum("rev_cents").as("rev_cents"), sum("n_pairs").as("n_pairs"))
+    dA.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/o")
+    dB.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/l")
+    v1.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId/view")
+    def fresh(section: String): Seq[String] = {
+      val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"$section|${f.getPath}").sorted.toSeq
+    }
+    // o/l sections accumulate (they are the base for batch k+1); the
+    // view section is REPLACED (v1 already folds v0)
+    val lines =
+      ivmManifestFiles(outDir, batchId - 1, "o").map(f => s"o|$f") ++
+      ivmManifestFiles(outDir, batchId - 1, "l").map(f => s"l|$f") ++
+      fresh("o") ++ fresh("l") ++ fresh("view")
+    // hard-link CAS publish — the manifestCommitSink protocol verbatim
+    // (unique tmp per attempt; exactly one link wins; EEXIST = already
+    // committed, safe because batch content is deterministic)
+    val tmp = java.nio.file.Paths.get(
+      s"$outDir/.manifest-$batchId.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    val target = java.nio.file.Paths.get(s"$outDir/manifest-$batchId")
+    try java.nio.file.Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case e: java.nio.file.FileSystemException =>
+        if (!java.nio.file.Files.exists(target)) throw e
+    } finally
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+  }
+
+  /** The maintained view AT a published version (pinned, isolated). */
+  def ivmViewRead(s: SparkSession, outDir: String, version: Long): DataFrame = {
+    val files = ivmManifestFiles(outDir, version, "view")
+    s.read.parquet(files: _*)
+  }
+
   // ---------------------------------------------------- st_user_counters
   final case class UserCounters(user_id: Long, n_events: Long,
                                 sum_cents: Long, max_cents: Long)
@@ -1054,6 +1168,117 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
       .transformWithState(new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  // ------------------------------------------------------ st_quantile_kll
+  /** st_quantile_kll: STREAMING rank sketch — q_quantile_kll's
+    * derandomized-KLL buffer held as per-event_type state, closing the
+    * sketch family's streaming side (st_hll counts distincts, this
+    * ranks). The state is the level-5 survivor buffer: an event joins
+    * iff the low 5 bits of its 40-bit md5(event_id) are zero (the
+    * per-ITEM compaction coin — a pure function of the input SET), so
+    * the buffer is split-invariant by construction: any micro-batch
+    * partition of the stream appends exactly the same survivor set,
+    * which is the same order-independence that lets the batch sketch
+    * merge across 1000 executors. Survivors append O(1) via ListState
+    * (the st_buffered_enrich discipline — never a read-modify-write of
+    * the whole buffer); the exact running count n rides a ValueState.
+    * Each batch emits the CURRENT estimates — selection at the scaled
+    * integer ranks inside the sorted buffer, the batch op's exact
+    * arithmetic — so the final emission per key equals the batch twin
+    * (Round12Spec: one-shot == split == kllSketchBatch). State per key
+    * is n/32 (cents, id) pairs: bounded by the SKETCH, not the stream
+    * — the entire reason a quantile estimate over an unbounded stream
+    * is affordable; raising L trades error for state like the batch
+    * knob. The per-batch buffer re-sort costs O(|buf| log |buf|) — at
+    * production rates swap the ListState for a ValueState holding the
+    * buffer pre-sorted in compactor-level chunks (merge per batch);
+    * kept flat here because the contract is the SET, measured at spec
+    * scale. */
+  final case class KllItem(cents: Long, event_id: Long)
+  final case class KllOut(event_type: String, n_events: Long,
+                          m_sketch: Long, p50_est: Long, p90_est: Long,
+                          p99_est: Long)
+
+  class KllProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, KllOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[KllItem] = _
+    @transient private var nState:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var md: java.security.MessageDigest = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      buf = getHandle.getListState[KllItem]("kll_buf", TTLConfig.NONE)
+      nState = getHandle.getValueState[Long]("kll_n", TTLConfig.NONE)
+      md = java.security.MessageDigest.getInstance("MD5")
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[KllOut] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        md.reset()
+        val hex = md.digest(e.event_id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 10), 16)
+        if (h % graft.operators.Relational.kllWeight == 0)
+          buf.appendValue(KllItem(math.round(e.value * 100), e.event_id))
+      }
+      nState.update(n)
+      // estimate from the CURRENT buffer — sorted by (cents, id), the
+      // batch op's total order, selection at the scaled integer rank
+      val sorted = buf.get().toArray.sortBy(i => (i.cents, i.event_id))
+      val m = sorted.length.toLong
+      def sel(p: Long): Long =
+        if (m == 0) 0L else sorted(((m * p + 99) / 100 - 1).toInt).cents
+      Iterator.single(KllOut(key, n, m, sel(50), sel(90), sel(99)))
+    }
+  }
+
+  /** BATCH twin — the q_quantile_kll selection arithmetic per
+    * event_type over the SAME survivor filter (hexSlice md5 % 32). */
+  def kllSketchBatch(events: DataFrame): DataFrame = {
+    val w = graft.operators.Relational.kllWeight
+    val base = events.select(col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+      col("event_id"))
+      .withColumn("h", graft.functions.VectorExprs.hexSlice(
+        md5(col("event_id").cast("string")), 1, 10))
+    val n = base.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    val est = base.filter(col("h") % w === 0)
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("m").as("m_sketch"),
+        max(when(col("rn") === expr("(m * 50 + 99) div 100"), col("cents")))
+          .as("p50_est"),
+        max(when(col("rn") === expr("(m * 90 + 99) div 100"), col("cents")))
+          .as("p90_est"),
+        max(when(col("rn") === expr("(m * 99 + 99) div 100"), col("cents")))
+          .as("p99_est"))
+    n.join(est, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("m_sketch"), lit(0L)).as("m_sketch"),
+        coalesce(col("p50_est"), lit(0L)).as("p50_est"),
+        coalesce(col("p90_est"), lit(0L)).as("p90_est"),
+        coalesce(col("p99_est"), lit(0L)).as("p99_est"))
+  }
+
+  /** The transformWithState plan keyed by event_type (Update mode). */
+  def kllStream(events: Dataset[Event]): Dataset[KllOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new KllProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
