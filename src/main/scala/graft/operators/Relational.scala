@@ -538,6 +538,162 @@ object Relational {
       |   AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------ q7_volume_shipping
+  /** TPC-H Q7 (volume shipping) — the TWO-DIMENSION-TABLE-ALIAS shape:
+    * the SAME nation dim joins the fact twice under different roles
+    * (supplier's nation via supplier, customer's nation via
+    * orders→customer), with a DIRECTIONAL pair filter ((N3→N7) ∪
+    * (N7→N3)) that a naive planner turns into a union of two 6-way
+    * joins — here it is ONE join tree with the pair predicate applied
+    * after both role joins. Plan shape at 100 TB: the year filter
+    * pushes to the lineitem scan; supplier+nation and customer+nation
+    * are broadcast dims (nation twice under different aliases —
+    * alias-local broadcasts, no self-join of the fact); one shuffle
+    * for the 2×2-group aggregate. Revenue is the exact DECIMAL
+    * discount sum (q5 discipline). */
+  def q7VolumeShipping: Q = (s, dir) => {
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+    val su = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val cu = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("volume"))
+    li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("snk"))
+      .join(n2, col("c_nationkey") === col("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("volume").cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------- q15_top_supplier
+  /** TPC-H Q15 (top supplier) — the VIEW-THEN-MAX-OVER-VIEW shape: a
+    * revenue view (per-supplier quarter revenue) is consumed TWICE, as
+    * the ranking frame and as the source of its own global max, and
+    * the answer is every supplier ACHIEVING the max (ties kept — the
+    * reason this is not a LIMIT 1). The view materializes once
+    * (cache — ≤ |suppliers| rows after one partial-agged shuffle); the
+    * max is a 1-row aggregate broadcast crossed back (the scalar
+    * cross-join idiom), and the equality filter is EXACT because
+    * revenue stays DECIMAL end to end — a float revenue would make
+    * "== max" engine-dependent at the ulp and the tie set
+    * nondeterministic. At 100 TB the view is supplier-cardinality
+    * (bounded), so the scalar-max pattern never re-touches the fact. */
+  def q15TopSupplier: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("total"))
+      .cache()
+    val mx = rev.agg(max("total").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      | SELECT l_suppkey,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+      |FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total = (SELECT max(total) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------ q17_small_quantity
+  /** TPC-H Q17 (small-quantity-order revenue) — the CORRELATED SCALAR
+    * AGGREGATE shape: each (brand-filtered) lineitem compares its
+    * quantity against 0.2 × avg(quantity) OF ITS OWN PART — a
+    * per-group scalar that naive planners re-compute per probe row.
+    * Planned as decorrelation-by-hand: ONE per-part aggregate
+    * (sum_qc, cnt over the brand's lineitems — pruning to the brand
+    * first is lossless because the correlation key equals the join
+    * key), broadcast back onto the same rows, filter, aggregate. The
+    * 0.2·avg compare is EXACT integer cross-multiplication:
+    * qty < sum/(5·cnt)  ⟺  5·qc·cnt < sum_qc in quantity-cents —
+    * no float ever decides the boundary (the q_chi2 discipline), and
+    * the oracle runs the SAME integer form so the boundary cannot
+    * diverge across engines. avg_yearly = revenue/7 is the single
+    * final IEEE division, identical operands both sides. At 100 TB:
+    * part is a broadcast dim, the per-part stats frame is
+    * |brand parts| rows (broadcast back), and the fact is scanned
+    * once for stats + once for the probe — AQE reuses the same
+    * partkey shuffle. */
+  def q17SmallQuantity: Q = (s, dir) => {
+    val parts = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+    val li = t(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        (dec(col("l_quantity")) * 100).cast("long").as("qc"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val stats = li.groupBy(col("l_partkey").as("sk"))
+      .agg(sum("qc").as("sum_qc"), count(lit(1)).as("cnt"))
+    li.join(broadcast(stats), col("l_partkey") === col("sk"))
+      .filter(col("qc") * 5 * col("cnt") < col("sum_qc"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum("cents").cast("double") / 700).as("avg_yearly"))
+  }
+
+  val q17SmallQuantitySql: String =
+    """WITH li AS (
+      | SELECT l_partkey,
+      |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM lineitem JOIN part ON p_partkey = l_partkey
+      | WHERE p_brand = 'Brand#23'
+      |), stats AS (
+      | SELECT l_partkey AS sk, CAST(sum(qc) AS BIGINT) AS sum_qc,
+      |  count(*) AS cnt
+      | FROM li GROUP BY 1
+      |)
+      |SELECT count(*) AS n_small,
+      | CAST(sum(cents) AS DOUBLE) / 700 AS avg_yearly
+      |FROM li JOIN stats ON sk = l_partkey
+      |WHERE qc * 5 * cnt < sum_qc""".stripMargin
+
   // --------------------------------------------------------- q_events_window
   /** Tumbling-window aggregation over the event stream (batch twin of the
     * streaming op st_tumbling_agg). Window start emitted as epoch seconds
@@ -4499,6 +4655,9 @@ object Relational {
     "q18_large_orders" -> q18LargeOrders,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q22_global_sales" -> q22GlobalSales,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_quantity" -> q17SmallQuantity,
     "q_events_histogram" -> qEventsHistogram,
     "q_new_vs_returning" -> qNewVsReturning,
     "q_rfm" -> qRfm,
@@ -4586,6 +4745,9 @@ object Relational {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "q22_global_sales" -> q22GlobalSalesSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_quantity" -> q17SmallQuantitySql,
     "q_events_histogram" -> qEventsHistogramSql,
     "q_new_vs_returning" -> qNewVsReturningSql,
     "q_rfm" -> qRfmSql,
