@@ -426,6 +426,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"custkey IN did not push to the bloom-indexed scan:\n$p")
   }
 
+  test("q7 role dims broadcast; the fact is never self-joined or crossed") {
+    // both nation aliases, supplier, and the joined-back dims must ride
+    // broadcast hash joins — a shuffled nation join or a cartesian
+    // between the two role aliases is the naive-planner failure mode
+    val p = plan(Relational.q7VolumeShipping(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"role-pair filter degenerated to a cartesian:\n$p")
+    assert(p.contains("l_shipdate"), "year filter column present")
+  }
+
+  test("q15 max-over-view is a 1-row broadcast; the view is reused, not rebuilt") {
+    val p = plan(Relational.q15TopSupplier(spark, sf))
+    // the scalar max crosses back via a broadcast nested loop over ONE
+    // row (the whitelisted scalar idiom); the view itself must come
+    // from the cache both times, not two lineitem scans
+    assert(p.contains("InMemoryTableScan"),
+      s"revenue view not cached (fact scanned twice):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar max compare is a real cartesian:\n$p")
+  }
+
+  test("q17 per-part stats broadcast back; part dim is broadcast") {
+    val p = plan(Relational.q17SmallQuantity(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats/part joins are not broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated-average compare degenerated:\n$p")
+  }
+
+  test("q_quantile_kll estimate frame broadcasts onto the fact; windows stay pri-partitioned") {
+    val p = plan(Relational.qQuantileKll(spark, sf))
+    // the 5-row estimate frame joins the fact by broadcast (the
+    // adjudication pass), and no window in the plan is un-partitioned
+    // (the sweep enforces this globally; asserted here as the op's own
+    // contract too)
+    assert(p.contains("BroadcastHashJoin"),
+      s"estimate join is not a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"adjudication join degenerated:\n$p")
+  }
+
   // The un-partitioned-window audit (r10/r11: an enumerated 8-op list
   // here) moved to CrossJoinSweepSpec in r12, where it now sweeps EVERY
   // SparkEntry.queries entry off the shared optimized-plan map — a new
