@@ -1283,6 +1283,72 @@ object Streams {
         OutputMode.Update())
   }
 
+  // ----------------------------------------------------------------- st_cms
+  /** st_cms: STREAMING count-min sketch — q_count_min's d×w counter
+    * table held as streaming state: the fixed-size frequency counter
+    * st_heavy_hitters has documented as its corpus-scale upgrade since
+    * r5, now implemented (its exact per-window count map grows with
+    * users-per-window; this never grows). Sharding: each event
+    * flat-maps to its d=4 (row, bucket) updates BEFORE the keyed
+    * grouping, and the state key is the ROW — d parallel state cells,
+    * each one ValueState[Seq[Long]] of exactly w=512 counters, so the
+    * whole sketch is d·w BIGINTs no matter how many distinct users the
+    * stream carries (the entire point of CMS as streaming state).
+    * Counter addition is associative + commutative ⇒ the final table
+    * is split-invariant by construction; hashes are the batch op's
+    * exact md5 arithmetic (row-salted 32-bit slice % w), so the
+    * streamed table IS the oracle-checked q_count_min table and a
+    * probe's min-over-rows estimate matches the driver-checked `n_est`
+    * column row for row (Round12Spec proves both). Emits the row's
+    * full counter vector per batch (Update mode — last emission per
+    * row is the sketch); at production w, emit deltas or probe
+    * server-side instead of shipping the vector. */
+  final case class CmsUpd(row: Int, bucket: Int)
+  final case class CmsOut(row: Int, counters: Seq[Long])
+
+  private[graft] def cmsBucket(row: Int, userId: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"r$row:$userId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) %
+      graft.operators.Relational.cmW).toInt
+  }
+
+  class CmsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, CmsUpd, CmsOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Seq[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[Seq[Long]]("cms", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[CmsUpd],
+        timers: TimerValues): Iterator[CmsOut] = {
+      val counters =
+        (if (state.exists()) state.get()
+         else Seq.fill(graft.operators.Relational.cmW.toInt)(0L)).toArray
+      rows.foreach(u => counters(u.bucket) += 1L)
+      state.update(counters.toSeq)
+      Iterator.single(CmsOut(key, counters.toSeq))
+    }
+  }
+
+  /** The transformWithState plan: events fan out to their d row
+    * updates, grouped by row (Update mode). */
+  def cmsStream(events: Dataset[Event]): Dataset[CmsOut] = {
+    import events.sparkSession.implicits._
+    events.flatMap(e => (0 until graft.operators.Relational.cmD)
+        .map(r => CmsUpd(r, cmsBucket(r, e.user_id))))
+      .groupByKey(_.row)
+      .transformWithState(new CmsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ------------------------------------------------------ st_topk_mapstate
   /** st_topk_mapstate: per-key streaming TOP-K via `MapState` — the
     * MapState member of the transformWithState family (ValueState:

@@ -172,4 +172,65 @@ class Round12Spec extends AnyFunSuite {
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
+
+  // ----------------------------------------------------------------- st_cms
+  test("st_cms: streamed counter table == in-memory sketch under any " +
+      "split; probe estimates match q_count_min row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val Relational = graft.operators.Relational
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.Event].collect().toSeq
+      // in-memory gold standard: the d×w table from first principles
+      val w = Relational.cmW.toInt
+      val gold = Array.fill(Relational.cmD, w)(0L)
+      events.foreach { e =>
+        (0 until Relational.cmD).foreach { r =>
+          gold(r)(Streams.cmsBucket(r, e.user_id)) += 1L
+        }
+      }
+      def run(name: String,
+          batches: Seq[Seq[Streams.Event]]): Map[Int, Seq[Long]] = {
+        val mem = MemoryStream[Streams.Event]
+        val q = Streams.cmsStream(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect().zipWithIndex
+            .groupBy(_._1.getAs[Int]("row"))
+            .map { case (r, rs) =>
+              val last = rs.maxBy(_._2)._1
+              r -> last.getSeq[Long](last.fieldIndex("counters")).toSeq }
+        } finally q.stop()
+      }
+      val oneShot = run("cms_one", Seq(events))
+      val split = run("cms_split",
+        events.grouped(math.max(1, events.size / 7)).toSeq)
+      (0 until Relational.cmD).foreach { r =>
+        assert(oneShot(r) == gold(r).toSeq, s"one-shot row $r != gold")
+        assert(split(r) == gold(r).toSeq,
+          s"split row $r != gold (counter merge not split-invariant?)")
+      }
+      // probe parity: min-over-rows from the STREAMED table must equal
+      // the driver-checked q_count_min estimates, row for row
+      Relational.qCountMin(spark, sf).collect().foreach { row =>
+        val u = row.getAs[Long]("user_id")
+        val est = (0 until Relational.cmD)
+          .map(r => oneShot(r)(Streams.cmsBucket(r, u))).min
+        assert(est == row.getAs[Long]("n_est"),
+          s"user $u: streamed est $est != batch ${row.getAs[Long]("n_est")}")
+      }
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
 }
