@@ -1828,6 +1828,98 @@ object Relational {
        |ORDER BY ex.pri""".stripMargin
   }
 
+  // --------------------------------------------------------- q_bootstrap_ci
+  /** POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012 — the
+    * scale-out bootstrap: classical resampling needs n draws WITH
+    * replacement from a corpus no worker holds; the Poisson trick
+    * replaces it with an independent per-row replica multiplier
+    * m ~ Poisson(1), which is embarrassingly parallel) — error bars
+    * for the mean order price, the thing every pipeline dashboard
+    * shows without them. Derandomized per the house discipline: the
+    * multiplier for (row, replica b) comes from a 12-bit md5 slice of
+    * the b-salted key against the Poisson(1) CDF quantized to
+    * 1/4096ths (builder-generated literal thresholds in BOTH engines —
+    * no runtime libm; the m ≥ 5 tail, p ≈ 0.4%, truncates to 4,
+    * documented). Each of B=200 replicas is one partial-aggregable
+    * conditional sum over the ×B exploded frame — at 100 TB the
+    * explode never materializes: map-side partials reduce to B rows
+    * per task before the B-group shuffle. Replica means are exact
+    * integer micro-cents ((Σ·10⁶) div n); the 95% CI is SELECTION at
+    * integer ranks 5/196 of the 200 sorted replica means (the
+    * q_percentile discipline — the rank window sits above a 200-row
+    * aggregate, bounded by construction). Output all BIGINT. */
+  val bootB = 200
+  private val poisCdf4096 = Seq(1507L, 3014L, 3767L, 4018L) // P(m≤k)·4096
+
+  def qBootstrapCi: Q = (s, dir) => {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0), lit(bootB - 1))))
+      .withColumn("h", graft.functions.VectorExprs.hexSlice(
+        md5(concat(col("b").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))), 1, 3))
+      .withColumn("m", // Poisson(1) multiplier from the 12-bit slice
+        when(col("h") < poisCdf4096(0), 0L)
+          .when(col("h") < poisCdf4096(1), 1L)
+          .when(col("h") < poisCdf4096(2), 2L)
+          .when(col("h") < poisCdf4096(3), 3L).otherwise(4L))
+    val reps = base.groupBy("b")
+      .agg(sum(col("m") * col("cents")).as("rsum"), sum("m").as("rn"))
+      .select(expr("(rsum * 1000000) div rn").as("mean_mc"))
+    val wr = Window.orderBy(col("mean_mc"))
+    val ci = reps.withColumn("rk", row_number().over(wr))
+      .agg( // ranks ceil(B·2.5%)=5 and ceil(B·97.5%)=195 of B=200
+        max(when(col("rk") === (bootB * 25 + 999) / 1000, col("mean_mc")))
+          .as("ci_lo_mc"),
+        max(when(col("rk") === (bootB * 975 + 999) / 1000, col("mean_mc")))
+          .as("ci_hi_mc"))
+    val overall = t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("csum"))
+      .select(col("n_orders"),
+        expr("(csum * 1000000) div n_orders").as("mean_mc"))
+    overall.crossJoin(broadcast(ci))
+      .select(col("n_orders"), col("mean_mc"), col("ci_lo_mc"),
+        col("ci_hi_mc"), (col("ci_hi_mc") - col("ci_lo_mc")).as("ci_width_mc"))
+  }
+
+  val qBootstrapCiSql: String = {
+    val h = graft.operators.OracleSql.hexToLong(
+      "md5(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))", 1, 3)
+    s"""WITH base AS (
+       | SELECT o_orderkey,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |  b, CAST($h AS BIGINT) AS h
+       | FROM orders CROSS JOIN range($bootB) r(b)
+       |), mult AS (
+       | SELECT cents, b,
+       |  CASE WHEN h < ${poisCdf4096(0)} THEN 0 WHEN h < ${poisCdf4096(1)} THEN 1
+       |   WHEN h < ${poisCdf4096(2)} THEN 2 WHEN h < ${poisCdf4096(3)} THEN 3
+       |   ELSE 4 END AS m
+       | FROM base
+       |), reps AS (
+       | SELECT (CAST(sum(m * cents) AS BIGINT) * 1000000)
+       |   // CAST(sum(m) AS BIGINT) AS mean_mc
+       | FROM mult GROUP BY b
+       |), ranked AS (
+       | SELECT mean_mc, row_number() OVER (ORDER BY mean_mc) AS rk FROM reps
+       |), ci AS (
+       | SELECT
+       |  max(CASE WHEN rk = ${(bootB * 25 + 999) / 1000} THEN mean_mc END) AS ci_lo_mc,
+       |  max(CASE WHEN rk = ${(bootB * 975 + 999) / 1000} THEN mean_mc END) AS ci_hi_mc
+       | FROM ranked
+       |), overall AS (
+       | SELECT count(*) AS n_orders,
+       |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 1000000)
+       |   // count(*) AS mean_mc
+       | FROM orders
+       |)
+       |SELECT n_orders, mean_mc, ci_lo_mc, ci_hi_mc,
+       | ci_hi_mc - ci_lo_mc AS ci_width_mc
+       |FROM overall, ci""".stripMargin
+  }
+
   // ------------------------------------------------------------ q_histogram
   /** Equi-width HISTOGRAM — the profiling primitive behind every query
     * optimizer statistic and data-quality dashboard: order totalprice
@@ -4668,6 +4760,7 @@ object Relational {
     "q_histogram" -> qHistogram,
     "q_quantile_sampled" -> qQuantileSampled,
     "q_quantile_kll" -> qQuantileKll,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -4758,6 +4851,7 @@ object Relational {
     "q_histogram" -> qHistogramSql,
     "q_quantile_sampled" -> qQuantileSampledSql,
     "q_quantile_kll" -> qQuantileKllSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
     "q_skew_salted_join" -> qSkewSaltedJoinSql,

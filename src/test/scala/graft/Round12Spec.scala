@@ -65,6 +65,20 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------- q_bootstrap_ci
+  test("q_bootstrap_ci: the interval brackets the mean at sane width") {
+    val r = graft.operators.Relational.qBootstrapCi(spark, sf).head()
+    val (mean, lo, hi) = (r.getAs[Long]("mean_mc"),
+      r.getAs[Long]("ci_lo_mc"), r.getAs[Long]("ci_hi_mc"))
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] does not bracket the point estimate $mean")
+    // at n ≈ 1.5k the 95% halfwidth is ~2·sd/√n ≈ 3% of the mean —
+    // a zero width (degenerate replicas) or >20% (broken multiplier)
+    // both fail
+    assert(hi > lo, "degenerate zero-width interval")
+    assert(hi - lo < mean / 5, s"implausibly wide CI: ${hi - lo} vs $mean")
+  }
+
   // ----------------------------------------------------------- st_ivm_join
   test("st_ivm_join: view at each version == batch recompute from all " +
       "deltas fed; versions isolate; replay is a no-op") {
