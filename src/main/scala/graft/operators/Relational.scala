@@ -1258,6 +1258,149 @@ object Relational {
       | min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // -------------------------------------------------------- q_concurrency_peak
+  /** SWEEP-LINE interval-overlap counting — peak concurrency per day
+    * (how many 15-min event-activity windows are open at once), the
+    * capacity-planning primitive sessionization cannot answer: each
+    * interval becomes a +1 boundary at its start and a −1 at its
+    * half-open end, the running sum of boundaries in time order IS the
+    * concurrency step function, and the per-day peak is its max. The
+    * distributed problem is that one global sweep is one global sort —
+    * so intervals are SPLIT AT MIDNIGHT: a window crossing into day
+    * d+1 closes at d's midnight and RE-ENTERS d+1 as a +1 at 00:00,
+    * making every day's sweep self-contained — the partition-by-day
+    * window is exact, not approximate, and days sweep in parallel
+    * (the interval-splitting trick that makes sweep-lines
+    * partitionable at any granularity; 15-min windows cross at most
+    * one midnight). Half-open [s, e): −1 sorts before +1 at the same
+    * instant (d ascending in the order key), event_id totalizes the
+    * order, so the running value at every row — and the argmax — is
+    * deterministic. Peak attained earliest wins the at_us tiebreak
+    * (max-struct on (run, −t)). At 100 TB: 2 boundary rows per
+    * interval, one shuffle on day, per-day frames bounded by the day's
+    * traffic — finer split keys (hour) bound them harder. */
+  val sweepWinUs = 900000000L  // 15-min activity window per event
+  val sweepDayUs = 86400000000L
+
+  def qConcurrencyPeak: Q = (s, dir) => {
+    val D = sweepDayUs
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("e", col("us") + sweepWinUs)
+    val same = ev.filter(expr(s"us div $D = e div $D"))
+    val cross = ev.filter(expr(s"us div $D <> e div $D"))
+    def b(src: DataFrame, day: String, tEx: String, d: Long): DataFrame =
+      src.select(expr(day).as("day"), expr(tEx).as("t"),
+        lit(d).as("d"), col("event_id"))
+    val bounds =
+      b(same, s"us div $D", "us", 1L)
+        .unionByName(b(same, s"us div $D", "e", -1L))
+        .unionByName(b(cross, s"us div $D", "us", 1L))
+        .unionByName(b(cross, s"us div $D", s"(us div $D + 1) * $D", -1L))
+        .unionByName(b(cross, s"e div $D", s"(e div $D) * $D", 1L))
+        .unionByName(b(cross, s"e div $D", "e", -1L))
+    val w = Window.partitionBy("day")
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("run", sum("d").over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_boundaries"),
+        max(struct(col("run"), (-col("t")).as("negt"))).as("mx"))
+      .select(col("day"), col("n_boundaries"),
+        col("mx.run").as("peak_concurrency"),
+        (-col("mx.negt")).as("at_us"))
+      .orderBy("day")
+  }
+
+  val qConcurrencyPeakSql: String = {
+    val D = sweepDayUs
+    s"""WITH ev AS (
+       | SELECT event_id, epoch_us(ts) AS us,
+       |  epoch_us(ts) + $sweepWinUs AS e
+       | FROM events
+       |), b AS (
+       | SELECT us // $D AS day, us AS t, 1 AS d, event_id FROM ev WHERE us // $D = e // $D
+       | UNION ALL SELECT us // $D, e, -1, event_id FROM ev WHERE us // $D = e // $D
+       | UNION ALL SELECT us // $D, us, 1, event_id FROM ev WHERE us // $D <> e // $D
+       | UNION ALL SELECT us // $D, (us // $D + 1) * $D, -1, event_id FROM ev WHERE us // $D <> e // $D
+       | UNION ALL SELECT e // $D, (e // $D) * $D, 1, event_id FROM ev WHERE us // $D <> e // $D
+       | UNION ALL SELECT e // $D, e, -1, event_id FROM ev WHERE us // $D <> e // $D
+       |), r AS (
+       | SELECT day, t,
+       |  sum(d) OVER (PARTITION BY day ORDER BY t, d, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS run
+       | FROM b
+       |), r2 AS (
+       | SELECT day, t, run, max(run) OVER (PARTITION BY day) AS pk FROM r
+       |)
+       |SELECT day, count(*) AS n_boundaries,
+       | CAST(max(run) AS BIGINT) AS peak_concurrency,
+       | min(CASE WHEN run = pk THEN t END) AS at_us
+       |FROM r2 GROUP BY day ORDER BY day""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q_cohort_ltv
+  /** COHORT LTV TRIANGLE — q_retention's revenue sibling and the other
+    * half of every growth dashboard: per first-active-week cohort, the
+    * revenue contributed at each week of age AND its running cumulative
+    * (the lifetime-value curve whose plateau prices an acquisition).
+    * Weeks are the same pure integer epoch-µs arithmetic as
+    * q_retention (no calendar truncation — engines agree by
+    * construction); revenue is DECIMAL-exact cents; the per-user
+    * column is integer micro-cents ((cum·10⁶) div cohort_size — no
+    * float average). Shape: one user-keyed aggregate for cohorts, one
+    * (cohort, age) aggregate for the triangle, a cumulative window
+    * ABOVE the aggregate (per-cohort frames bounded by the week
+    * horizon, not the corpus), cohort sizes broadcast back. At 100 TB
+    * every shuffle is user- or cohort-keyed; nothing re-touches the
+    * event log after the first aggregate. */
+  def qCohortLtv: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000) div 7").as("week"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    val tri = ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val wc = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.withColumn("cum_rev_cents", sum("rev_cents").over(wc))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_size"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("(cum_rev_cents * 1000000) div cohort_size").as("ltv_mc"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH ev AS (
+      | SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM events
+      |), coh AS (
+      | SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+      |), sizes AS (
+      | SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1
+      |), tri AS (
+      | SELECT cohort_week, week - cohort_week AS age_weeks,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents
+      | FROM ev JOIN coh USING (user_id)
+      | GROUP BY 1, 2
+      |), cum AS (
+      | SELECT cohort_week, age_weeks, rev_cents,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      | FROM tri
+      |)
+      |SELECT cohort_week, age_weeks, cohort_size, rev_cents, cum_rev_cents,
+      | (cum_rev_cents * 1000000) // cohort_size AS ltv_mc
+      |FROM cum JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, age_weeks""".stripMargin
+
   // -------------------------------------------------------------- q_retention
   /** COHORT RETENTION — the product-analytics matrix: users grouped by
     * first-active week (cohort), then for each later week the count and
@@ -4729,6 +4872,8 @@ object Relational {
     "q_multi_distinct" -> qMultiDistinct,
     "q_dq_checks" -> qDqChecks,
     "q_retention" -> qRetention,
+    "q_cohort_ltv" -> qCohortLtv,
+    "q_concurrency_peak" -> qConcurrencyPeak,
     "q_seq_pattern" -> qSeqPattern,
     "q_unpivot" -> qUnpivot,
     "q_profile" -> qProfile,
@@ -4820,6 +4965,8 @@ object Relational {
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_dq_checks" -> qDqChecksSql,
     "q_retention" -> qRetentionSql,
+    "q_cohort_ltv" -> qCohortLtvSql,
+    "q_concurrency_peak" -> qConcurrencyPeakSql,
     "q_seq_pattern" -> qSeqPatternSql,
     "q_unpivot" -> qUnpivotSql,
     "q_profile" -> qProfileSql,
