@@ -695,13 +695,23 @@ object Streams {
     }
     // o/l sections accumulate (they are the base for batch k+1); the
     // view section is REPLACED (v1 already folds v0)
-    val lines =
+    publishManifest(outDir, batchId,
       ivmManifestFiles(outDir, batchId - 1, "o").map(f => s"o|$f") ++
       ivmManifestFiles(outDir, batchId - 1, "l").map(f => s"l|$f") ++
-      fresh("o") ++ fresh("l") ++ fresh("view")
-    // hard-link CAS publish — the manifestCommitSink protocol verbatim
-    // (unique tmp per attempt; exactly one link wins; EEXIST = already
-    // committed, safe because batch content is deterministic)
+      fresh("o") ++ fresh("l") ++ fresh("view"))
+  }
+
+  /** The maintained view AT a published version (pinned, isolated). */
+  def ivmViewRead(s: SparkSession, outDir: String, version: Long): DataFrame = {
+    val files = ivmManifestFiles(outDir, version, "view")
+    s.read.parquet(files: _*)
+  }
+
+  /** Hard-link CAS manifest publish — the manifestCommitSink protocol
+    * (unique tmp per attempt; exactly one link wins; EEXIST = already
+    * committed, safe because batch content is deterministic). */
+  private def publishManifest(outDir: String, batchId: Long,
+      lines: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(
       s"$outDir/.manifest-$batchId.${java.util.UUID.randomUUID()}.tmp")
     java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
@@ -715,10 +725,72 @@ object Streams {
       java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 
-  /** The maintained view AT a published version (pinned, isolated). */
-  def ivmViewRead(s: SparkSession, outDir: String, version: Long): DataFrame = {
-    val files = ivmManifestFiles(outDir, version, "view")
-    s.read.parquet(files: _*)
+  // ------------------------------------------------------ st_ivm_signed
+  /** st_ivm_signed: streaming IVM under RETRACTIONS — st_ivm_join's
+    * changelog generalized from insert-only to signed multiplicities
+    * (sign +1 = insert, −1 = delete: the Z-set/DBSP representation,
+    * and the batch algebra q_ivm_delete proves): a joined PAIR
+    * contributes sign(a)·sign(b) — the bag-convolution product — so
+    * the same three delta terms maintain the view under ANY interleave
+    * of inserts and deletes on EITHER side, including a delete
+    * arriving before its insert (a "pending retraction" the next
+    * insert annihilates: net multiplicity algebra needs no ordering).
+    * Stored base sides keep their signed rows verbatim (append-only
+    * parquet — a delete is a new −1 row, never an update-in-place;
+    * compaction may later cancel ± pairs); the view folds signed
+    * partials, so a group whose pairs all cancel shows
+    * n_pairs = 0 (and is dropped from the published view — the
+    * retract-to-empty case the spec exercises). Manifest commit,
+    * replay-no-op, and version isolation are inherited verbatim from
+    * st_ivm_join (shared publish helper). */
+  final case class IvmSDelta(side: String, key: Long, pri: String,
+                             cents: Long, sign: Long)
+
+  def ivmSignedSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
+    val s = batch.sparkSession
+    def readOrEmpty(files: Seq[String], schema: String): DataFrame =
+      if (files.nonEmpty) s.read.parquet(files: _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val dA = batch.filter(col("side") === "o")
+      .select(col("key").as("o_orderkey"), col("pri").as("o_orderpriority"),
+        col("sign").as("sa"))
+    val dB = batch.filter(col("side") === "l")
+      .select(col("key").as("l_orderkey"), col("cents"), col("sign").as("sb"))
+    val a0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "o"),
+      "o_orderkey BIGINT, o_orderpriority STRING, sa BIGINT")
+    val b0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "l"),
+      "l_orderkey BIGINT, cents BIGINT, sb BIGINT")
+    val v0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "view"),
+      "o_orderpriority STRING, rev_cents BIGINT, n_pairs BIGINT")
+    def pairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .select(col("o_orderpriority"),
+          (col("sa") * col("sb")).as("m"), col("cents"))
+    val dV = pairs(dA, b0).unionByName(pairs(a0, dB))
+      .unionByName(pairs(dA, dB))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("m") * col("cents")).as("rev_cents"),
+        sum("m").as("n_pairs"))
+    val v1 = v0.unionByName(dV)
+      .groupBy("o_orderpriority")
+      .agg(sum("rev_cents").as("rev_cents"), sum("n_pairs").as("n_pairs"))
+      .filter(col("n_pairs") =!= 0L || col("rev_cents") =!= 0L)
+    dA.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/o")
+    dB.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/l")
+    v1.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId/view")
+    def fresh(section: String): Seq[String] = {
+      val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"$section|${f.getPath}").sorted.toSeq
+    }
+    publishManifest(outDir, batchId,
+      ivmManifestFiles(outDir, batchId - 1, "o").map(f => s"o|$f") ++
+      ivmManifestFiles(outDir, batchId - 1, "l").map(f => s"l|$f") ++
+      fresh("o") ++ fresh("l") ++ fresh("view"))
   }
 
   // ---------------------------------------------------- st_user_counters

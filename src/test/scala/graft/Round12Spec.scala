@@ -138,6 +138,67 @@ class Round12Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---------------------------------------------------------- st_ivm_signed
+  test("st_ivm_signed: retractions maintain the view under any interleave; " +
+      "delete-before-insert annihilates; retract-to-empty drops the group") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("ivms").toString
+    val mem = MemoryStream[Streams.IvmSDelta]
+    val q = mem.toDF().writeStream
+      .foreachBatch(Streams.ivmSignedSink(dir) _)
+      .outputMode("append").start()
+    def o(k: Long, p: String, sg: Long) = Streams.IvmSDelta("o", k, p, 0L, sg)
+    def l(k: Long, c: Long, sg: Long) = Streams.IvmSDelta("l", k, "", c, sg)
+    // b0 carries a PENDING retraction (l(2,7,−1) before any insert);
+    // b1's insert annihilates it (net 0 ⇒ group B never appears);
+    // b2 deletes a joined lineitem; b3 deletes order 1 itself and the
+    // last lineitem — the whole view retracts to empty
+    val batches = Seq(
+      Seq(o(1, "A", 1), l(1, 10, 1), l(2, 7, -1)),
+      Seq(o(2, "B", 1), l(2, 7, 1), l(1, 5, 1)),
+      Seq(l(1, 10, -1), o(3, "A", 1), l(3, 4, 1)),
+      Seq(o(1, "A", -1), l(3, 4, -1)))
+    def viewAt(v: Long): Set[(String, Long, Long)] =
+      Streams.ivmViewRead(spark, dir, v).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    var fed = Seq.empty[Streams.IvmSDelta]
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*); q.processAllAvailable()
+        fed ++= b
+        // net-multiplicity recompute from scratch: every (order row ×
+        // lineitem row) pair contributes sign(a)·sign(b)
+        val as = fed.filter(_.side == "o")
+        val bs = fed.filter(_.side == "l")
+        val expect = (for {
+          a <- as; bb <- bs if a.key == bb.key
+        } yield (a.pri, a.sign * bb.sign, bb.cents))
+          .groupBy(_._1)
+          .map { case (p, xs) =>
+            (p, xs.map(x => x._2 * x._3).sum, xs.map(_._2).sum) }
+          .filter { case (_, rev, n) => rev != 0L || n != 0L }
+          .toSet
+        assert(viewAt(i.toLong) == expect,
+          s"version $i: ${viewAt(i.toLong)} != $expect")
+      }
+      assert(viewAt(3).isEmpty, "retract-to-empty left view rows behind")
+      // replay of batch 2 is a no-op (a re-applied signed delta would
+      // double-retract)
+      val m2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-2")), "UTF-8")
+      val v2 = viewAt(2)
+      Streams.ivmSignedSink(dir)(batches(2).toDF(), 2L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-2")), "UTF-8") == m2,
+        "replay changed the published manifest")
+      assert(viewAt(2) == v2 && viewAt(3).isEmpty,
+        "replay changed a reader-visible view version")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- st_quantile_kll
   test("st_quantile_kll: streaming buffer estimates == batch twin under " +
       "any split") {
