@@ -1421,6 +1421,89 @@ object Streams {
         OutputMode.Update())
   }
 
+  // ------------------------------------------------------- st_bootstrap
+  /** st_bootstrap: STREAMING Poisson-bootstrap replica sums —
+    * q_bootstrap_ci's resampling held live, so the dashboard metric
+    * carries its error bars at every micro-batch instead of waiting
+    * for a batch job. Each event fans out to its B=200 per-replica
+    * multiplier updates (m from the SAME 12-bit replica-salted md5
+    * against the same quantized Poisson(1) CDF — JVM arithmetic
+    * mirrors the batch op's column expressions bit for bit; m = 0
+    * updates are dropped at the source, ~37% of the fan-out); state
+    * key = the REPLICA, state = one (Σ m·cents, Σ m) pair — 2 BIGINTs
+    * × 200 replicas TOTAL, regardless of stream length (the st_cms
+    * sharding applied to resampling). Sums are associative +
+    * commutative ⇒ every replica's running pair is split-invariant by
+    * construction; the CI assembled from the final emissions equals
+    * the batch replica table (Round12Spec: one-shot == split ==
+    * bootstrapRepsBatch). */
+  final case class BootUpd(b: Int, m: Long, cents: Long)
+  final case class BootOut(b: Int, rsum: Long, rn: Long)
+
+  private[graft] def bootMult(b: Int, eventId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$b:$eventId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 3), 16)
+    if (h < 1507L) 0L else if (h < 3014L) 1L
+    else if (h < 3767L) 2L else if (h < 4018L) 3L else 4L
+  }
+
+  class BootProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, BootUpd, BootOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[(Long, Long)]("boot", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[BootUpd],
+        timers: TimerValues): Iterator[BootOut] = {
+      var (rsum, rn) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { u => rsum += u.m * u.cents; rn += u.m }
+      state.update((rsum, rn))
+      Iterator.single(BootOut(key, rsum, rn))
+    }
+  }
+
+  /** BATCH twin — the q_bootstrap_ci replica table over events
+    * (event_id-salted multipliers, DECIMAL-exact cents). */
+  def bootstrapRepsBatch(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0),
+        lit(graft.operators.Relational.bootB - 1))))
+      .withColumn("h", graft.functions.VectorExprs.hexSlice(
+        md5(concat(col("b").cast("string"), lit(":"),
+          col("event_id").cast("string"))), 1, 3))
+      .withColumn("m",
+        when(col("h") < 1507L, 0L).when(col("h") < 3014L, 1L)
+          .when(col("h") < 3767L, 2L).when(col("h") < 4018L, 3L)
+          .otherwise(4L))
+    base.groupBy("b")
+      .agg(sum(col("m") * col("cents")).as("rsum"), sum("m").as("rn"))
+  }
+
+  /** The transformWithState plan: events fan out to their nonzero
+    * replica updates, grouped by replica (Update mode). */
+  def bootstrapStream(events: Dataset[Event]): Dataset[BootOut] = {
+    import events.sparkSession.implicits._
+    events.flatMap { e =>
+      val cents = math.round(e.value * 100)
+      (0 until graft.operators.Relational.bootB).flatMap { b =>
+        val m = bootMult(b, e.event_id)
+        if (m == 0L) None else Some(BootUpd(b, m, cents))
+      }
+    }.groupByKey(_.b)
+      .transformWithState(new BootProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ------------------------------------------------------ st_topk_mapstate
   /** st_topk_mapstate: per-key streaming TOP-K via `MapState` — the
     * MapState member of the transformWithState family (ValueState:

@@ -248,6 +248,51 @@ class Round12Spec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  // ------------------------------------------------------------ st_bootstrap
+  test("st_bootstrap: streaming replica sums == batch twin under any split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.Event].collect().toSeq
+      val want = Streams.bootstrapRepsBatch(events.toDF()).collect()
+        .map(r => r.getAs[Int]("b") ->
+          ((r.getAs[Long]("rsum"), r.getAs[Long]("rn")))).toMap
+      def run(name: String,
+          batches: Seq[Seq[Streams.Event]]): Map[Int, (Long, Long)] = {
+        val mem = MemoryStream[Streams.Event]
+        val q = Streams.bootstrapStream(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect().zipWithIndex
+            .groupBy(_._1.getAs[Int]("b"))
+            .map { case (k, rs) =>
+              val last = rs.maxBy(_._2)._1
+              k -> ((last.getAs[Long]("rsum"), last.getAs[Long]("rn")))
+            }
+        } finally q.stop()
+      }
+      val oneShot = run("boot_one", Seq(events))
+      val split = run("boot_split",
+        events.grouped(math.max(1, events.size / 5)).toSeq)
+      assert(want.size == graft.operators.Relational.bootB,
+        s"batch twin produced ${want.size} replicas")
+      assert(oneShot == want, "one-shot stream != batch twin")
+      assert(split == want, "split stream != batch twin (sums not split-invariant?)")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   // ----------------------------------------------------------------- st_cms
   test("st_cms: streamed counter table == in-memory sketch under any " +
       "split; probe estimates match q_count_min row for row") {
