@@ -71,4 +71,28 @@ class PartitionStabilitySpec extends AnyFunSuite {
       graft.operators.Analytics.randomWalk(spark, sf)
     }
   }
+
+  test("KLL sketch is partition-stable (hash survivors + rank selection)") {
+    stable("q_quantile_kll") {
+      graft.operators.Relational.qQuantileKll(spark, sf)
+    }
+  }
+
+  test("bootstrap CI is partition-stable (hash multipliers + rank selection)") {
+    stable("q_bootstrap_ci") {
+      graft.operators.Relational.qBootstrapCi(spark, sf)
+    }
+  }
+
+  test("concurrency sweep is partition-stable (running sum over a total order)") {
+    stable("q_concurrency_peak") {
+      graft.operators.Relational.qConcurrencyPeak(spark, sf)
+    }
+  }
+
+  test("top-supplier ties are partition-stable (DECIMAL max equality)") {
+    stable("q15_top_supplier") {
+      graft.operators.Relational.q15TopSupplier(spark, sf)
+    }
+  }
 }
