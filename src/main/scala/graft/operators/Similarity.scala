@@ -2985,7 +2985,67 @@ object Similarity {
     b.toString
   }
 
+  // ------------------------------------------------------ d_embed_integrity
+  /** EMBEDDING-CORPUS INTEGRITY AUDIT — the referential + vector-sanity
+    * gate every doc⇄vector store needs before an index build trusts it
+    * (the q_dq_checks discipline applied to the multimodal side): docs
+    * with no vector and orphaned vectors (two anti-joins — at 100 TB
+    * both shuffle on the id, or vanish under id-bucketed storage),
+    * duplicate vec_ids (an index would silently keep one), dimension
+    * drift (count of distinct lengths — a 63-dim vector poisons every
+    * dot product), zero-norm vectors (cosine undefined), and the
+    * integer-milli² norm range (quantized exactly as the ANN family
+    * scores, so "norm" here is the same number the indexes divide by).
+    * One row out; every count BIGINT; norms via the codegen'd dot. */
+  def embedIntegrity: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val q = quantized(s, dir)
+      .withColumn("n2", graft.functions.VectorExprs.dotL(col("qe"), col("qe")))
+      .select(col("vec_id"), col("n2"), size(col("qe")).as("dim"))
+    val missing = docs.join(q, col("doc_id") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs_missing_vec"))
+    val orphan = q.join(docs, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_vecs_orphaned"))
+    val dups = q.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n_dup_vec_id"))
+    val stats = q.agg(count(lit(1)).as("n_vecs"),
+      countDistinct(col("dim")).as("n_dims"),
+      sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+      min("n2").as("min_norm2"), max("n2").as("max_norm2"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    nd.crossJoin(stats).crossJoin(missing).crossJoin(orphan).crossJoin(dups)
+      .select(col("n_docs"), col("n_vecs"), col("n_docs_missing_vec"),
+        col("n_vecs_orphaned"), col("n_dup_vec_id"), col("n_dims"),
+        col("n_zero_norm"), col("min_norm2"), col("max_norm2"))
+  }
+
+  val embedIntegritySql: String =
+    """WITH q AS (
+      | SELECT vec_id,
+      |  CAST(list_dot_product(qe, qe) AS BIGINT) AS n2, len(qe) AS dim
+      | FROM (SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      |  FROM embeddings)
+      |)
+      |SELECT
+      | (SELECT count(*) FROM documents) AS n_docs,
+      | (SELECT count(*) FROM q) AS n_vecs,
+      | (SELECT count(*) FROM documents d
+      |   WHERE NOT EXISTS (SELECT 1 FROM q WHERE vec_id = d.doc_id))
+      |   AS n_docs_missing_vec,
+      | (SELECT count(*) FROM q
+      |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = vec_id))
+      |   AS n_vecs_orphaned,
+      | (SELECT count(*) FROM (SELECT vec_id FROM q GROUP BY 1
+      |   HAVING count(*) > 1)) AS n_dup_vec_id,
+      | (SELECT count(DISTINCT dim) FROM q) AS n_dims,
+      | (SELECT CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |   FROM q) AS n_zero_norm,
+      | (SELECT min(n2) FROM q) AS min_norm2,
+      | (SELECT max(n2) FROM q) AS max_norm2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d_embed_integrity" -> embedIntegrity,
     "s_graph_ann" -> graphAnn,
     "s_hnsw" -> hnsw,
     "s_hnsw_recall" -> hnswRecall,
@@ -3019,6 +3079,7 @@ object Similarity {
     "s_dim_truncate_eval" -> dimTruncateEval,
     "d_dedup_embedding_lsh" -> dedupEmbeddingLsh)
   val oracleSql: Map[String, String] = Map(
+    "d_embed_integrity" -> embedIntegritySql,
     "s_graph_ann" -> graphAnnSql,
     "s_hnsw" -> hnswSql,
     "s_hnsw_recall" -> hnswRecallSql,
