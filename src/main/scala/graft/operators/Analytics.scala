@@ -3863,6 +3863,66 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------- g_effective_diameter
+  /** EFFECTIVE DIAMETER from the neighborhood function — the headline
+    * number N(h) exists to produce (Palmer et al.; "90% of connected
+    * pairs are within h hops"): per hop, coverage of the final curve
+    * value in ppm, and the flag marking the FIRST hop reaching 90%.
+    * Exact-integer division (n_pairs_est·10⁶ div N(hmax) — BIGINT-safe
+    * to ~9·10¹² estimated pairs; beyond that promote the numerator to
+    * DECIMAL(38,0)); the curve is non-decreasing so "value at max hop"
+    * is the struct-argmax, no extra pass. Output is hop-bounded
+    * (anfRounds rows) and rides the SAME per-round KMV sketch frames
+    * as g_anf/g_neighborhood_function — the curve is already the
+    * one-look summary; this op is the decision made from it, kept as
+    * its own driver-checked row because it is the number papers and
+    * dashboards actually quote. */
+  def effectiveDiameter: Q = (s, dir) => {
+    val nf = neighborhoodFunction(s, dir).select(col("hop"), col("n_pairs_est"))
+    val mx = nf.agg(max(struct(col("hop"), col("n_pairs_est"))).as("m"))
+      .select(col("m.n_pairs_est").as("npmax"))
+    val cov = nf.crossJoin(broadcast(mx))
+      .withColumn("coverage_ppm",
+        expr("(n_pairs_est * 1000000) div npmax"))
+    val eff = cov.filter(col("coverage_ppm") >= 900000L)
+      .agg(min("hop").as("hop_eff"))
+    cov.crossJoin(broadcast(eff))
+      .select(col("hop"), col("n_pairs_est"), col("coverage_ppm"),
+        when(col("hop") === col("hop_eff"), 1L).otherwise(0L)
+          .as("is_effective"))
+      .orderBy("hop")
+  }
+
+  val effectiveDiameterSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= anfSketchCtesSql
+    for (r <- 1 to anfRounds) {
+      b ++= s""", est$r AS (
+               | SELECT CAST($r AS BIGINT) AS hop,
+               |  CAST(sum(CASE WHEN n_sketch < $anfK THEN n_sketch
+               |   ELSE ${(anfK - 1).toLong * anfM} // greatest(1, hk) END)
+               |   AS BIGINT) AS n_pairs_est
+               | FROM (SELECT id, count(*) AS n_sketch, max(h) AS hk
+               |       FROM sk$r GROUP BY id)
+               |)""".stripMargin
+    }
+    b ++= s""", curve AS (
+             |${(1 to anfRounds).map(r => s" SELECT hop, n_pairs_est FROM est$r").mkString(" UNION ALL\n")}
+             |), cov AS (
+             | SELECT hop, n_pairs_est,
+             |  CAST((n_pairs_est * 1000000) //
+             |   (SELECT n_pairs_est FROM curve ORDER BY hop DESC LIMIT 1)
+             |   AS BIGINT) AS coverage_ppm
+             | FROM curve
+             |)
+             |SELECT hop, n_pairs_est, coverage_ppm,
+             | CAST(CASE WHEN hop = (SELECT min(hop) FROM cov
+             |   WHERE coverage_ppm >= 900000) THEN 1 ELSE 0 END AS BIGINT)
+             |   AS is_effective
+             |FROM cov ORDER BY hop""".stripMargin
+    b.toString
+  }
+
   // ---------------------------------------------------------------- g_mst
   /** MINIMUM SPANNING FOREST via BORŮVKA — the canonical parallel MST
     * algorithm (every distributed MST in the literature is Borůvka at
@@ -4845,6 +4905,7 @@ object Analytics {
     "g_mst" -> mst,
     "g_anf" -> anf,
     "g_neighborhood_function" -> neighborhoodFunction,
+    "g_effective_diameter" -> effectiveDiameter,
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
     "g_louvain" -> louvain,
@@ -4896,6 +4957,7 @@ object Analytics {
     "g_mst" -> mstSql,
     "g_anf" -> anfSql,
     "g_neighborhood_function" -> neighborhoodFunctionSql,
+    "g_effective_diameter" -> effectiveDiameterSql,
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
     "g_louvain" -> louvainSql,
