@@ -1258,6 +1258,102 @@ object Relational {
       | min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------ q_abc_analysis
+  /** ABC / PARETO CLASSIFICATION — the 80/15/5 inventory-analytics
+    * staple: parts ranked by revenue, classified by CUMULATIVE share
+    * (A ≤ 80%, B ≤ 95%, C the tail), reported as three class rows
+    * (n_parts, revenue, share). The cumulative window rides ABOVE the
+    * per-part aggregate — the frame is |parts|, never |lineitem| — and
+    * the (rev desc, partkey) order is total, so every row's cumulative
+    * share and therefore the class boundaries are deterministic
+    * under ties. Share arithmetic is DECIMAL(38,0) cross-multiplied
+    * (cum·10⁶ overflows BIGINT at sf ≥ ~0.05 — same fix as q_ks_drift)
+    * with one integer div; no float picks a class. At 100 TB the
+    * part-revenue aggregate is the only fact-sized pass. */
+  def qAbcAnalysis: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev"))
+    val wr = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum("rev").as("tot"))
+    rev.withColumn("cum", sum("rev").over(wr))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_ppm",
+        expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)"))
+      .withColumn("cls",
+        when(col("cum_ppm") <= 800000L, "A")
+          .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").cast("long").as("rev_cents"), max("tot").as("tot"))
+      .select(col("cls"), col("n_parts"), col("rev_cents"),
+        expr("CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("cls")
+  }
+
+  val qAbcAnalysisSql: String =
+    """WITH rev AS (
+      | SELECT l_partkey,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      | FROM lineitem GROUP BY 1
+      |), c AS (
+      | SELECT l_partkey, rev,
+      |  sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+      |  sum(rev) OVER () AS tot
+      | FROM rev
+      |), k AS (
+      | SELECT rev, tot,
+      |  CASE WHEN (cum * 1000000) // tot <= 800000 THEN 'A'
+      |   WHEN (cum * 1000000) // tot <= 950000 THEN 'B' ELSE 'C' END AS cls
+      | FROM c
+      |)
+      |SELECT cls, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_cents,
+      | CAST((sum(rev) * 1000000) // max(tot) AS BIGINT) AS share_ppm
+      |FROM k GROUP BY cls ORDER BY cls""".stripMargin
+
+  // --------------------------------------------------------- q_fulfillment_lag
+  /** FULFILLMENT LAG histogram — order placement → LAST line shipped,
+    * in whole days, bucketed by week per order priority: the
+    * operations dashboard's "how long do orders take, and does
+    * priority actually matter" view. The per-order max-shipdate is one
+    * partial-aggregable pass over lineitem (the only fact-sized cost);
+    * the day difference is DATE arithmetic at midnight-aligned
+    * timestamps (both engines count calendar days — no epoch division,
+    * so DST/leap handling is the calendar's, identical by
+    * construction); histogram = one (priority, week-bucket) groupBy,
+    * sparse. */
+  def qFulfillmentLag: Q = (s, dir) => {
+    val last = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    last.join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        datediff(col("last_ship").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("lag_days"))
+      .groupBy(col("pri"), expr("lag_days div 7").as("lag_weeks"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("lag_days").as("min_days"), max("lag_days").as("max_days"))
+      .orderBy("pri", "lag_weeks")
+  }
+
+  val qFulfillmentLagSql: String =
+    """WITH last AS (
+      | SELECT l_orderkey, max(l_shipdate) AS last_ship
+      | FROM lineitem GROUP BY 1
+      |), lag AS (
+      | SELECT o_orderpriority AS pri,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |    CAST(last_ship AS DATE)) AS BIGINT) AS lag_days
+      | FROM last JOIN orders ON o_orderkey = l_orderkey
+      |)
+      |SELECT pri, lag_days // 7 AS lag_weeks, count(*) AS n_orders,
+      | min(lag_days) AS min_days, max(lag_days) AS max_days
+      |FROM lag GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------- q_concurrency_peak
   /** SWEEP-LINE interval-overlap counting — peak concurrency per day
     * (how many 15-min event-activity windows are open at once), the
@@ -4874,6 +4970,8 @@ object Relational {
     "q_retention" -> qRetention,
     "q_cohort_ltv" -> qCohortLtv,
     "q_concurrency_peak" -> qConcurrencyPeak,
+    "q_abc_analysis" -> qAbcAnalysis,
+    "q_fulfillment_lag" -> qFulfillmentLag,
     "q_seq_pattern" -> qSeqPattern,
     "q_unpivot" -> qUnpivot,
     "q_profile" -> qProfile,
@@ -4967,6 +5065,8 @@ object Relational {
     "q_retention" -> qRetentionSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_concurrency_peak" -> qConcurrencyPeakSql,
+    "q_abc_analysis" -> qAbcAnalysisSql,
+    "q_fulfillment_lag" -> qFulfillmentLagSql,
     "q_seq_pattern" -> qSeqPatternSql,
     "q_unpivot" -> qUnpivotSql,
     "q_profile" -> qProfileSql,
