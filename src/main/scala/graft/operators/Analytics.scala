@@ -3863,6 +3863,51 @@ object Analytics {
     b.toString
   }
 
+  // --------------------------------------------- g_degree_centralization
+  /** FREEMAN DEGREE CENTRALIZATION — the graph-level "how star-like"
+    * index (Freeman 1978): C = Σ_v (deg_max − deg_v) / ((n−1)(n−2)),
+    * 1 for a star, 0 for any regular graph. The sum collapses to
+    * SCALAR arithmetic — Σ(max − deg) = n·max − Σdeg, and Σdeg = 2m —
+    * so beyond the node-keyed degree count (one partial-agged shuffle,
+    * isolated nodes enter through n, not a join) the whole index is
+    * one 1-row expression in exact integers, reported in ppm via a
+    * single BIGINT division (n·max ≤ n·n keeps the ×10⁶ product
+    * BIGINT-safe to ~10⁶ max-degree·10⁶ nodes). */
+  def degreeCentralization: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val deg = undW.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val mx = deg.agg(max("deg").as("max_deg"), sum("deg").as("deg_sum"))
+    nodes.agg(count(lit(1)).as("n_nodes")).crossJoin(broadcast(mx))
+      .select(col("n_nodes"),
+        expr("deg_sum div 2").as("n_edges"), col("max_deg"),
+        expr("""((n_nodes * max_deg - deg_sum) * 1000000)
+               | div ((n_nodes - 1) * (n_nodes - 2))""".stripMargin)
+          .as("centralization_ppm"))
+  }
+
+  val degreeCentralizationSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")} FROM edges
+             |), deg AS (
+             | SELECT a, count(*) AS deg FROM und GROUP BY a
+             |), mx AS (
+             | SELECT CAST(max(deg) AS BIGINT) AS max_deg,
+             |  CAST(sum(deg) AS BIGINT) AS deg_sum
+             | FROM deg
+             |), nn AS (
+             | SELECT count(*) AS n_nodes FROM nodes
+             |)
+             |SELECT n_nodes, deg_sum // 2 AS n_edges, max_deg,
+             | CAST(((n_nodes * max_deg - deg_sum) * 1000000)
+             |  // ((n_nodes - 1) * (n_nodes - 2)) AS BIGINT)
+             |  AS centralization_ppm
+             |FROM nn, mx""".stripMargin
+    b.toString
+  }
+
   // ------------------------------------------------- g_effective_diameter
   /** EFFECTIVE DIAMETER from the neighborhood function — the headline
     * number N(h) exists to produce (Palmer et al.; "90% of connected
@@ -4906,6 +4951,7 @@ object Analytics {
     "g_anf" -> anf,
     "g_neighborhood_function" -> neighborhoodFunction,
     "g_effective_diameter" -> effectiveDiameter,
+    "g_degree_centralization" -> degreeCentralization,
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
     "g_louvain" -> louvain,
@@ -4958,6 +5004,7 @@ object Analytics {
     "g_anf" -> anfSql,
     "g_neighborhood_function" -> neighborhoodFunctionSql,
     "g_effective_diameter" -> effectiveDiameterSql,
+    "g_degree_centralization" -> degreeCentralizationSql,
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
     "g_louvain" -> louvainSql,

@@ -1110,6 +1110,54 @@ object Relational {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  // --------------------------------------------------------- q_ttc_histogram
+  /** TIME-TO-CONVERT distribution — the funnel's missing third number:
+    * q_events_funnel tells you WHO converted, q_window_funnel how DEEP;
+    * this tells you HOW FAST (the histogram a conversion-latency SLA
+    * reads). Same user-keyed interval join as the funnel (one shuffle,
+    * predicate map-side), then delays bucket by integer 5-minute
+    * division — ≤ 12 buckets by construction (the 1-hour funnel window
+    * bounds the domain), so the output is FIXED-size at any scale, with
+    * per-bucket share in exact ppm of total conversions (1-row
+    * broadcast total). */
+  def qTtcHistogram: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("purchase_us"))
+    val delays = clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") > col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(3600000000L))
+      .select((col("purchase_us") - col("click_us")).as("delay_us"))
+    val tot = delays.agg(count(lit(1)).as("tot"))
+    delays.groupBy(expr("delay_us div 300000000").as("bucket_5min"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("delay_us").as("min_us"), max("delay_us").as("max_us"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_5min"), col("n_pairs"),
+        expr("(n_pairs * 1000000) div tot").as("share_ppm"),
+        col("min_us"), col("max_us"))
+      .orderBy("bucket_5min")
+  }
+
+  val qTtcHistogramSql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), d AS (
+      | SELECT p.us - c.us AS delay_us
+      | FROM (SELECT user_id, us FROM ev WHERE event_type = 'click') c
+      | JOIN (SELECT user_id, us FROM ev WHERE event_type = 'purchase') p
+      |   USING (user_id)
+      | WHERE p.us > c.us AND p.us <= c.us + 3600000000
+      |)
+      |SELECT delay_us // 300000000 AS bucket_5min, count(*) AS n_pairs,
+      | CAST((count(*) * 1000000) // (SELECT count(*) FROM d) AS BIGINT)
+      |   AS share_ppm,
+      | min(delay_us) AS min_us, max(delay_us) AS max_us
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- q_events_funnel_outer
   /** LEFT-OUTER funnel — qEventsFunnel's frame with the UNCONVERTED
     * clicks kept: every click emits, matched once per purchase within
@@ -5020,6 +5068,7 @@ object Relational {
     "q_events_window" -> qEventsWindow,
     "q_window_nav" -> qWindowNav,
     "q_events_funnel" -> qEventsFunnel,
+    "q_ttc_histogram" -> qTtcHistogram,
     "q_events_funnel_outer" -> qEventsFunnelOuter,
     "q_events_asof" -> qEventsAsof,
     "q_cube" -> qCube,
@@ -5115,6 +5164,7 @@ object Relational {
     "q_events_window" -> qEventsWindowSql,
     "q_window_nav" -> qWindowNavSql,
     "q_events_funnel" -> qEventsFunnelSql,
+    "q_ttc_histogram" -> qTtcHistogramSql,
     "q_events_funnel_outer" -> qEventsFunnelOuterSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_cube" -> qCubeSql,
