@@ -1549,6 +1549,77 @@ object TextOps {
        |ORDER BY m.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ t_vocab_overlap
+  /** PAIRWISE VOCABULARY OVERLAP between sources — the lexical
+    * similarity matrix a corpus-mixing decision reads (two sources
+    * whose top vocabularies are near-identical add redundancy, not
+    * coverage — the complement of d_source_overlap's duplicate-mass
+    * view, which sees shared DOCUMENTS, not shared LANGUAGE): per
+    * source, the top-`vocabK` terms by document frequency (total
+    * (df desc, term) order ⇒ the rank-k cut is deterministic under
+    * ties), then Jaccard of each source pair's sets in exact ppm.
+    * Scale shape: the df aggregate is the map-side-combined wordcount,
+    * the top-k window partitions by source (frames = per-source vocab,
+    * never the corpus), and everything after operates on
+    * |sources|·k rows — pair generation is a term-keyed equi-join on
+    * that reduced frame, NEVER source × source × corpus. All-pairs
+    * completeness via the 20-row source-dim self-join (zero-overlap
+    * pairs report 0, not absence). */
+  val vocabK = 50
+
+  def vocabOverlap: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val df = d.select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("df").desc, col("term"))
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= vocabK).select("source", "term")
+    val inter = top.select(col("source").as("src_a"), col("term"))
+      .join(top.select(col("source").as("src_b"), col("term")), Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    val srcs = d.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left_outer")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard_ppm",
+        expr(s"(n_inter * 1000000) div (${2 * vocabK} - n_inter)"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val vocabOverlapSql: String =
+    s"""WITH df AS (
+       | SELECT source, term, count(*) AS df FROM (
+       |  SELECT DISTINCT doc_id, source,
+       |   unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       | ) GROUP BY 1, 2
+       |), top AS (
+       | SELECT source, term FROM (
+       |  SELECT source, term,
+       |   row_number() OVER (PARTITION BY source
+       |     ORDER BY df DESC, term) AS rn
+       |  FROM df
+       | ) WHERE rn <= $vocabK
+       |), inter AS (
+       | SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       | FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+       | GROUP BY 1, 2
+       |), srcs AS (SELECT DISTINCT source FROM documents
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       | CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+       | CAST((COALESCE(n_inter, 0) * 1000000)
+       |  // (${2 * vocabK} - COALESCE(n_inter, 0)) AS BIGINT) AS jaccard_ppm
+       |FROM srcs a JOIN srcs b ON a.source < b.source
+       |LEFT JOIN inter ON src_a = a.source AND src_b = b.source
+       |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------- t_df_prune
   /** Vocabulary pruning by DOCUMENT FREQUENCY — the step that sizes an
     * LM tokenizer/feature vocabulary: terms appearing in exactly one
@@ -2703,6 +2774,7 @@ object TextOps {
     "t_mixture_resample" -> mixtureResample,
     "t_langid_eval" -> langidEval,
     "t_df_prune" -> dfPrune,
+    "t_vocab_overlap" -> vocabOverlap,
     "t_mad_outliers" -> madOutliers,
     "t_bigram_cond" -> bigramCond,
     "t_ccnet_bucket" -> ccnetBucket,
@@ -2752,6 +2824,7 @@ object TextOps {
     "t_mixture_resample" -> mixtureResampleSql,
     "t_langid_eval" -> langidEvalSql,
     "t_df_prune" -> dfPruneSql,
+    "t_vocab_overlap" -> vocabOverlapSql,
     "t_mad_outliers" -> madOutliersSql,
     "t_bigram_cond" -> bigramCondSql,
     "t_ccnet_bucket" -> ccnetBucketSql,
