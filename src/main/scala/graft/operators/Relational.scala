@@ -1361,6 +1361,102 @@ object Relational {
       | CAST((sum(rev) * 1000000) // max(tot) AS BIGINT) AS share_ppm
       |FROM k GROUP BY cls ORDER BY cls""".stripMargin
 
+  // ------------------------------------------------------ q_hhi_concentration
+  /** SUPPLIER-CONCENTRATION HHI — the Herfindahl–Hirschman index per
+    * part (Σ shareᵢ² over its suppliers; 10⁶·ppm² units: 10¹² =
+    * single-source, 10¹²/k = k equal suppliers), bucketed into the
+    * antitrust bands (unconcentrated < 0.15·10¹², moderate < 0.25·10¹²,
+    * concentrated above) — the supply-chain-risk census ("how many of
+    * my parts die with one supplier"). Shares are exact integer ppm of
+    * the part's line count; the square stays BIGINT (ppm² ≤ 10¹²,
+    * × ≤ suppliers-per-part summands). Shape: one (part, supplier)
+    * partial-agged count, one per-part fold, one 3-band histogram —
+    * every shuffle part-keyed. */
+  def qHhiConcentration: Q = (s, dir) => {
+    val ps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    val hhi = ps.groupBy("l_partkey")
+      .agg(sum("c").as("tot"), count(lit(1)).as("n_supp"),
+        // Σ c² first — shares need tot, so square counts then scale:
+        // HHI = Σ(c·10⁶/tot)² = 10¹²·Σc²/tot² (one exact div at the end)
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("l_partkey"), col("n_supp"),
+        // DECIMAL(38,0): c2·10¹² overflows BIGINT once a part carries
+        // ≳10³ lines — the q_ks_drift cross-multiplication fix
+        expr("""CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000000000)
+               | div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"""
+          .stripMargin).as("hhi_pm2"))
+    hhi.groupBy(
+        when(col("hhi_pm2") < 150000000000L, "1_unconcentrated")
+          .when(col("hhi_pm2") < 250000000000L, "2_moderate")
+          .otherwise("3_concentrated").as("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        min("hhi_pm2").as("min_hhi"), max("hhi_pm2").as("max_hhi"),
+        sum(when(col("n_supp") === 1, 1L).otherwise(0L))
+          .as("n_single_source"))
+      .orderBy("band")
+  }
+
+  val qHhiConcentrationSql: String =
+    """WITH ps AS (
+      | SELECT l_partkey, l_suppkey, count(*) AS c
+      | FROM lineitem GROUP BY 1, 2
+      |), hhi AS (
+      | SELECT l_partkey, count(*) AS n_supp,
+      |  CAST((sum(c * c) * 1000000000000) // (sum(c) * sum(c)) AS BIGINT)
+      |   AS hhi_pm2
+      | FROM ps GROUP BY 1
+      |)
+      |SELECT CASE WHEN hhi_pm2 < 150000000000 THEN '1_unconcentrated'
+      |  WHEN hhi_pm2 < 250000000000 THEN '2_moderate'
+      |  ELSE '3_concentrated' END AS band,
+      | count(*) AS n_parts, min(hhi_pm2) AS min_hhi, max(hhi_pm2) AS max_hhi,
+      | CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_single_source
+      |FROM hhi GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------- q_seasonality
+  /** DAY-OF-WEEK SEASONALITY profile — order volume and revenue by
+    * weekday with exact ppm shares: the first chart every ops review
+    * opens. Weekday is ENGINE-NEUTRAL integer arithmetic — calendar
+    * days since 1970-01-01 mod 7 (day 0 = Thursday, documented) —
+    * because calendar weekday functions disagree on numbering across
+    * engines (Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday),
+    * and a convention mismatch is exactly the silent off-by-one an
+    * integer formulation removes; DATE-level datediff avoids any
+    * epoch/timezone dependence entirely. One partial-agged 7-group
+    * shuffle; shares vs 1-row broadcast totals. */
+  def qSeasonality: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(pmod(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)).cast("long").as("weekday"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val tot = o.agg(count(lit(1)).as("tn"), sum("cents").as("tc"))
+    o.groupBy("weekday")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("weekday"), col("n_orders"), col("rev_cents"),
+        expr("(n_orders * 1000000) div tn").as("order_share_ppm"),
+        expr("CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div tc AS BIGINT)")
+          .as("rev_share_ppm"))
+      .orderBy("weekday")
+  }
+
+  val qSeasonalitySql: String =
+    """WITH o AS (
+      | SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |   CAST(o_orderdate AS DATE)) % 7 AS BIGINT) AS weekday,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM orders
+      |), tot AS (SELECT count(*) AS tn, sum(cents) AS tc FROM o
+      |)
+      |SELECT weekday, count(*) AS n_orders,
+      | CAST(sum(cents) AS BIGINT) AS rev_cents,
+      | CAST((count(*) * 1000000) // max(tn) AS BIGINT) AS order_share_ppm,
+      | CAST((sum(cents) * 1000000) // max(tc) AS BIGINT) AS rev_share_ppm
+      |FROM o, tot GROUP BY weekday ORDER BY weekday""".stripMargin
+
   // --------------------------------------------------------- q_fulfillment_lag
   /** FULFILLMENT LAG histogram — order placement → LAST line shipped,
     * in whole days, bucketed by week per order priority: the
@@ -5019,6 +5115,8 @@ object Relational {
     "q_cohort_ltv" -> qCohortLtv,
     "q_concurrency_peak" -> qConcurrencyPeak,
     "q_abc_analysis" -> qAbcAnalysis,
+    "q_hhi_concentration" -> qHhiConcentration,
+    "q_seasonality" -> qSeasonality,
     "q_fulfillment_lag" -> qFulfillmentLag,
     "q_seq_pattern" -> qSeqPattern,
     "q_unpivot" -> qUnpivot,
@@ -5115,6 +5213,8 @@ object Relational {
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_concurrency_peak" -> qConcurrencyPeakSql,
     "q_abc_analysis" -> qAbcAnalysisSql,
+    "q_hhi_concentration" -> qHhiConcentrationSql,
+    "q_seasonality" -> qSeasonalitySql,
     "q_fulfillment_lag" -> qFulfillmentLagSql,
     "q_seq_pattern" -> qSeqPatternSql,
     "q_unpivot" -> qUnpivotSql,
