@@ -925,6 +925,212 @@ object Analytics {
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
+  // --------------------------------------------------------------- g_mis
+  /** MAXIMAL INDEPENDENT SET — Luby's algorithm (1986), THE distributed
+    * symmetry-breaking primitive (coloring and matching are its
+    * cousins; MIS itself was the missing member): each round, an
+    * undecided node joins the MIS iff its priority beats every
+    * undecided neighbor's; winners and their neighbors retire. Luby
+    * re-randomizes per round — derandomized here per the repo
+    * discipline: round r's priority for node v is the 40-bit slice of
+    * md5("r:label:key") (tie-broken by (label, key) — total order), a
+    * pure function of (round, node), so the run is replayable and the
+    * oracle unrolls the SAME rounds. Expected O(log n) rounds; 8 fixed
+    * (early exit on empty), both engines compute exactly 8 so parity
+    * holds even if the graph were not cleared. Per round: one
+    * neighbor-min aggregate over the undecided subgraph (map-side
+    * combinable min of (h, tiebreak)), two anti-joins to retire — the
+    * frames SHRINK geometrically (Luby's theorem: half the EDGES
+    * retire per round in expectation), which is what bounds the loop
+    * at 100 TB. Output: every node with in_mis and round_joined;
+    * independence + maximality are spec-asserted (Round12bSpec). */
+  val misRounds = 8
+
+  private def misPrio(r: Int, label: Column, key: Column): Column =
+    graft.functions.VectorExprs.hexSlice(
+      md5(concat_ws(":", lit(r.toString), label, key.cast("string"))), 1, 10)
+
+  def mis: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    var undecided = nodes.select("id", "label", "key")
+      .localCheckpoint(eager = true)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](undecided)
+    val winners = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      var round = 0
+      var uRows = n
+      while (round < misRounds && uRows > 0) {
+        round += 1
+        val pri = undecided
+          .select(col("id"), misPrio(round, col("label"), col("key")).as("h"),
+            col("label"), col("key"))
+        // per undecided node: the minimum (h, label, key) among its
+        // UNDECIDED neighbors — struct min is map-side combinable
+        val nbrMin = und
+          .join(gated(pri.select(col("id").as("a"), col("h").as("ha"),
+            col("label").as("la"), col("key").as("ka")), uRows), Seq("a"))
+          .join(gated(pri.select(col("id").as("b"), col("h").as("hb"),
+            col("label").as("lb"), col("key").as("kb")), uRows), Seq("b"))
+          .groupBy(col("a").as("id"))
+          .agg(min(struct(col("hb"), col("lb"), col("kb"))).as("m"))
+        val win = pri.join(gated(nbrMin, uRows), Seq("id"), "left_outer")
+          .filter(col("m").isNull ||
+            struct(col("h"), col("label"), col("key")) < col("m"))
+          .select(col("id"), col("label"), col("key"),
+            lit(round.toLong).as("round_joined"))
+          .localCheckpoint(eager = true)
+        interim += win
+        winners += win
+        val retired = und
+          .join(gated(win.select(col("id").as("a")), uRows), Seq("a"),
+            "left_semi")
+          .select(col("b").as("id")).distinct()
+        undecided = undecided
+          .join(win.select("id"), Seq("id"), "left_anti")
+          .join(retired, Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        interim += undecided
+        uRows = undecided.count()
+      }
+      val misSet = winners.reduceOption(_.unionByName(_)) match {
+        case Some(w) => w
+        case None => nodes.select("id", "label", "key")
+          .withColumn("round_joined", lit(0L)).limit(0)
+      }
+      nodes.select("id", "label", "key")
+        .join(misSet.select(col("id"), col("round_joined")), Seq("id"),
+          "left_outer")
+        .select(col("label"), col("key"),
+          when(col("round_joined").isNotNull, 1L).otherwise(0L).as("in_mis"),
+          coalesce(col("round_joined"), lit(0L)).as("round_joined"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val misSql: String = {
+    def prio(r: Int, tbl: String): String =
+      OracleSql.hexToLong(
+        s"md5('$r:' || $tbl.label || ':' || CAST($tbl.key AS VARCHAR))", 1, 10)
+    val b = new StringBuilder(cte)
+    b ++= """, und AS (
+            | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk FROM edges
+            | UNION ALL
+            | SELECT dst_label, dst_key, src_label, src_key FROM edges
+            |), u0 AS (SELECT label, key FROM nodes)""".stripMargin
+    for (r <- 1 to misRounds) {
+      b ++= s""", h$r AS (
+               | SELECT u.label, u.key, CAST(${prio(r, "u")} AS BIGINT) AS h
+               | FROM u${r - 1} u
+               |), w$r AS (
+               | SELECT n.label, n.key FROM h$r n
+               | WHERE NOT EXISTS (
+               |  SELECT 1 FROM und e JOIN h$r m ON m.label = e.bl AND m.key = e.bk
+               |  WHERE e.al = n.label AND e.ak = n.key
+               |   AND (m.h < n.h OR (m.h = n.h AND (m.label < n.label
+               |     OR (m.label = n.label AND m.key < n.key))))
+               | )
+               |), u$r AS (
+               | SELECT label, key FROM u${r - 1}
+               | EXCEPT SELECT label, key FROM w$r
+               | EXCEPT SELECT e.bl, e.bk FROM und e
+               |  JOIN w$r w ON e.al = w.label AND e.ak = w.key
+               |)""".stripMargin
+    }
+    val wins = (1 to misRounds)
+      .map(r => s"SELECT label, key, $r AS round_joined FROM w$r")
+      .mkString(" UNION ALL ")
+    b ++= s"""
+             |, mis AS ($wins)
+             |SELECT n.label, n.key,
+             | CAST(CASE WHEN m.round_joined IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_mis,
+             | CAST(COALESCE(m.round_joined, 0) AS BIGINT) AS round_joined
+             |FROM nodes n LEFT JOIN mis m ON m.label = n.label AND m.key = n.key
+             |ORDER BY n.label, n.key""".stripMargin
+    b.toString
+  }
+
+  // --------------------------------------------------- g_bipartite_check
+  /** BIPARTITENESS audit (2-colorability) of the 6-hop ball around
+    * region:0 — the odd-cycle detector: 2-color by BFS parity (depth
+    * mod 2), then an edge whose endpoints share a parity certifies an
+    * odd cycle (König). Whole-graph answer on THIS corpus is known —
+    * HAS_PART/SUPPLIED_BY triangles exist — so the op's value is the
+    * census: how many conflict edges, how far from bipartite the
+    * mixed-label graph is (a schema-drift canary: a supposedly
+    * bipartite export growing same-side edges fails loudly here).
+    * Rides the EXACT bfsDepth frontier loop (one shuffle per level,
+    * ball-bounded contract shared with g_closeness); classification
+    * is one pass over the directed edge list joined twice against the
+    * node-bounded depth frame — multi-edges count multiply, self-loops
+    * are odd cycles, both by contract and identical in the oracle.
+    * At 100 TB: the depth frame is node-bounded, edges classify in
+    * one equi-join pass, output is 1 row. */
+  def bipartiteCheck: Q = (s, dir) => {
+    val d = bfsDepth(s, dir)
+    val parities = d.agg(count(lit(1)).as("n_reached"),
+      sum(expr("CASE WHEN depth % 2 = 0 THEN 1 ELSE 0 END")).as("n_even"),
+      sum(expr("CASE WHEN depth % 2 = 1 THEN 1 ELSE 0 END")).as("n_odd"))
+    val da = d.select(col("label").as("al"), col("key").as("ak"),
+      col("depth").as("pa"))
+    val db = d.select(col("label").as("bl"), col("key").as("bk"),
+      col("depth").as("pb"))
+    val ec = g(s, dir).edges
+      .select(col("src_label"), col("src_key"),
+        col("dst_label"), col("dst_key"))
+      .join(da, col("src_label") === col("al") && col("src_key") === col("ak"))
+      .join(db, col("dst_label") === col("bl") && col("dst_key") === col("bk"))
+      .agg(count(lit(1)).as("n_edges_classified"),
+        sum(expr("CASE WHEN (pa + pb) % 2 = 0 THEN 1 ELSE 0 END"))
+          .as("n_conflict_edges"))
+    parities.crossJoin(ec)
+      .select(col("n_reached"), col("n_even"), col("n_odd"),
+        col("n_edges_classified"), col("n_conflict_edges"),
+        expr("CAST(CASE WHEN n_conflict_edges = 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("is_bipartite_ball"))
+  }
+
+  val bipartiteCheckSql: String = {
+    // the bfsDepth unrolled chain, reused verbatim up to the dist union
+    val b = new StringBuilder(cte)
+    b ++= """, und AS (
+            | SELECT src_label AS al, src_key AS ak, dst_label AS bl, dst_key AS bk FROM edges
+            | UNION ALL
+            | SELECT dst_label, dst_key, src_label, src_key FROM edges
+            |), d0 AS (
+            | SELECT label, key, 0 AS depth FROM nodes WHERE label = 'region' AND key = 0
+            |)""".stripMargin
+    for (i <- 1 to bfsIters) {
+      val seen = (0 until i).map(j => s"SELECT label, key FROM d$j").mkString(" UNION ALL ")
+      b ++= s""", d$i AS (
+               | SELECT DISTINCT u.bl AS label, u.bk AS key, $i AS depth
+               | FROM und u JOIN d${i - 1} f ON u.al = f.label AND u.ak = f.key
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.label = u.bl AND s.key = u.bk)
+               |)""".stripMargin
+    }
+    b ++= ", dist AS (" +
+      (0 to bfsIters).map(i => s"SELECT * FROM d$i").mkString(" UNION ALL ") +
+      ")"
+    b ++= """
+            |, ec AS (
+            | SELECT da.depth AS pa, db.depth AS pb
+            | FROM edges e
+            | JOIN dist da ON da.label = e.src_label AND da.key = e.src_key
+            | JOIN dist db ON db.label = e.dst_label AND db.key = e.dst_key
+            |)
+            |SELECT (SELECT count(*) FROM dist) AS n_reached,
+            | (SELECT CAST(sum(CASE WHEN depth % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dist) AS n_even,
+            | (SELECT CAST(sum(CASE WHEN depth % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM dist) AS n_odd,
+            | count(*) AS n_edges_classified,
+            | CAST(sum(CASE WHEN (pa + pb) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict_edges,
+            | CAST(CASE WHEN sum(CASE WHEN (pa + pb) % 2 = 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bipartite_ball
+            |FROM ec""".stripMargin
+    b.toString
+  }
+
   /** Last bfsDepth physical plan BEFORE result materialization, per
     * (session, dir) — keyed like the other session memos so concurrent
     * runs can't clobber each other's audit (the r5 advisor's nit on the
@@ -4983,6 +5189,8 @@ object Analytics {
     "g_clustering_coef" -> clusteringCoef,
     "g_transitivity" -> transitivity,
     "g_bfs_depth" -> bfsDepth,
+    "g_bipartite_check" -> bipartiteCheck,
+    "g_mis" -> mis,
     "g_sssp_weighted" -> ssspWeighted,
     "g_label_propagation" -> labelPropagation,
     "g_modularity" -> modularity)
@@ -5036,6 +5244,8 @@ object Analytics {
     "g_clustering_coef" -> clusteringCoefSql,
     "g_transitivity" -> transitivitySql,
     "g_bfs_depth" -> bfsDepthSql,
+    "g_bipartite_check" -> bipartiteCheckSql,
+    "g_mis" -> misSql,
     "g_sssp_weighted" -> ssspWeightedSql,
     "g_label_propagation" -> labelPropagationSql,
     "g_modularity" -> modularitySql)

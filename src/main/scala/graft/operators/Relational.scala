@@ -694,6 +694,372 @@ object Relational {
       |FROM li JOIN stats ON sk = l_partkey
       |WHERE qc * 5 * cnt < sum_qc""".stripMargin
 
+  // ------------------------------------------------------ q6_forecast_revenue
+  /** TPC-H Q6 (forecasting revenue change) — the PURE-SCAN shape: one
+    * table, three band predicates, one conditional sum, zero joins.
+    * Its entire point is pushdown hygiene: all three predicates reach
+    * the parquet scan (shipdate year prunes row groups via min/max
+    * stats, discount and quantity bands prune pages), and the
+    * aggregate is a single map-side-combinable DECIMAL sum — the
+    * revenue is Σ extprice·discount EXACT (the "what would we have
+    * earned without these discounts" number). The discount band is
+    * tested on the RAW double column (pushable) with the boundary
+    * values representable exactly; the sum itself goes through
+    * DECIMAL. At 100 TB this is the query that reads ~2% of the fact
+    * and nothing else — if .explain shows a post-scan Filter, the
+    * plan is wrong. */
+  def q6ForecastRevenue: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("2001-01-01 00:00:00")) &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24.0)
+      .agg(count(lit(1)).as("n_lines"),
+        sum((dec(col("l_extendedprice")) * pct(col("l_discount")) * 10000)
+          .cast("long")).as("revenue_e4"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT count(*) AS n_lines,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |   * CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) AS BIGINT)
+      |  AS revenue_e4
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------ q9_profit
+  /** TPC-H Q9 (product-type profit) — the LIKE-FILTER + 6-WAY JOIN +
+    * TWO-DIMENSION GROUPING shape: profit per (supplier nation, order
+    * year) over parts whose NAME matches a substring (the predicate
+    * that cannot use an index and prunes only at the scan —
+    * StringContains pushes to parquet as a row-group dictionary/stats
+    * test). The synthetic schema has no partsupp, so Q9's
+    * ps_supplycost·qty is recast as 0.8·retailprice·qty — preserving
+    * the join tree (part + supplier + nation dims broadcast, one
+    * orderkey shuffle for the year) and the mixed-sign aggregate.
+    * Profit is EXACT in 10⁻⁵-dollar units: rev_e5 = discPrice·10⁵
+    * (scale-4 decimal, exact ×10), cost_e5 = 8·retail_cents·qty_cents
+    * (0.8·retail·qty·10⁵ = 8·rc·qc identically — no division, no
+    * truncation anywhere). */
+  def q9Profit: Q = (s, dir) => {
+    val pt = broadcast(t(s, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("rc")))
+    val sn = broadcast(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    t(s, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("nation"),
+        ((discPrice(col("l_extendedprice"), col("l_discount")) * 100000)
+          .cast("long") -
+         lit(8L) * col("rc") * (dec(col("l_quantity")) * 100).cast("long"))
+          .as("profit_e5"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(count(lit(1)).as("n_lines"), sum("profit_e5").as("profit_e5"))
+      .orderBy("nation", "o_year")
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n.n_name AS nation,
+      | CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      | count(*) AS n_lines,
+      | CAST(sum(
+      |  CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) * 100000 AS BIGINT)
+      |  - 8 * CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      * CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+      | ) AS BIGINT) AS profit_e5
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE p.p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------ q4_priority_count
+  /** TPC-H Q4 (order-priority checking) — the plain correlated-EXISTS
+    * shape, the simplest member of the family whose double-correlated
+    * extreme is q21: count a quarter's orders per priority where SOME
+    * lineitem shipped late (EXISTS, not a count — one late line
+    * qualifies the order once no matter how many are late, which is
+    * why this must plan as a LEFT SEMI and a plain join would
+    * double-count). The correlation carries a cross-table residual
+    * (l_shipdate > o_orderdate + 30 days needs BOTH sides), so the
+    * semi join keys on l_orderkey with the lag test riding as the
+    * join-condition residual — never a per-row re-scan. The schema
+    * has no commit/receipt dates; "committed late" is recast as
+    * ship-lag > 30 days (the q21 recast, shorter lag so the quarter
+    * keeps all five priorities non-empty). At 100 TB: the quarter
+    * filter prunes the orders scan, the semi join shuffles both
+    * sides on orderkey once, and the output is ≤ 5 rows. */
+  def q4PriorityCount: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("2000-04-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PriorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------- q8_market_share
+  /** TPC-H Q8 (national market share) — the CONDITIONAL-SHARE-OF-A-
+    * 7-TABLE-JOIN shape: one nation's slice of the revenue that a
+    * region's customers spent on a part type, per year. Both Q8
+    * hazards are planned away: (a) the numerator and denominator ride
+    * the SAME join tree as a conditional aggregate (sum(case when
+    * supplier-nation = target)) — a naive plan runs the 7-way join
+    * twice; (b) nation appears in two roles (customer's region
+    * membership, supplier's identity) as alias-local broadcast dims —
+    * the q7 lesson. Share is exact integer ppm via DECIMAL(38,0)
+    * cross-multiplication (the q_abc_analysis discipline: revenue in
+    * 10⁻⁴-dollar units so the 2-dec price × 2-dec discount product
+    * stays integral; ×10⁶ overflows BIGINT at scale). At 100 TB:
+    * part/supplier/nation/region broadcast; the only fact-sized
+    * shuffle is lineitem⋈orders on orderkey; 2 output rows. */
+  def q8MarketShare: Q = (s, dir) => {
+    val economy = broadcast(t(s, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+    val eurNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey"))
+    val eurCust = t(s, dir, "customer")
+      .join(broadcast(eurNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("2001-01-01 00:00:00")))
+      .join(eurCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val suppNation = broadcast(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    t(s, dir, "lineitem")
+      .join(economy, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("n_name") === "NATION_3", col("rev_e4"))
+          .otherwise(0L)).as("nat_rev_e4"),
+        sum(col("rev_e4")).as("tot_rev_e4"))
+      .select(col("o_year"), col("nat_rev_e4"), col("tot_rev_e4"),
+        expr("CAST((CAST(nat_rev_e4 AS DECIMAL(38,0)) * 1000000) div tot_rev_e4 AS BIGINT)")
+          .as("mkt_share_ppm"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH f AS (
+      | SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS rev_e4,
+      |  n2.n_name AS supp_nation
+      | FROM lineitem l
+      | JOIN part p ON p.p_partkey = l.l_partkey
+      | JOIN orders o ON o.o_orderkey = l.l_orderkey
+      | JOIN customer c ON c.c_custkey = o.o_custkey
+      | JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      | JOIN region r ON r.r_regionkey = n1.n_regionkey
+      | JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      | JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      | WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+      |  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      |)
+      |SELECT o_year,
+      | CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nat_rev_e4,
+      | CAST(sum(rev_e4) AS BIGINT) AS tot_rev_e4,
+      | CAST((sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END) * 1000000) // sum(rev_e4) AS BIGINT) AS mkt_share_ppm
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ q10_returned_items
+  /** TPC-H Q10 (returned-item reporting) — the FACT-FILTER + TOP-K-
+    * CUSTOMERS shape: revenue lost to returns ('R' lines) in a
+    * quarter's orders, per customer, top 20. The scale-bearing
+    * choices: the returnflag filter and the quarter filter both push
+    * to their scans BEFORE the orderkey join; customer+nation are
+    * broadcast dims joined AFTER the custkey aggregate (|customers|
+    * rows, not |lineitem|); and the cut is TakeOrderedAndProject on
+    * (revenue DESC, c_custkey) where revenue is exact DECIMAL cents —
+    * a float revenue would make the rank-20 boundary ulp-dependent
+    * (the q15 tie lesson). Output re-sorted by custkey so the result
+    * set is a deterministic SET, not a ranking. */
+  def q10ReturnedItems: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("2000-04-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lost = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum("rev_e4").as("lost_e4"))
+    lost.join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("lost_e4"))
+      .orderBy(col("lost_e4").desc, col("c_custkey"))
+      .limit(20)
+      .orderBy("c_custkey")
+  }
+
+  val q10ReturnedItemsSql: String =
+    """WITH lost AS (
+      | SELECT o.o_custkey,
+      |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS lost_e4
+      | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      | WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+      | GROUP BY 1
+      |), ranked AS (
+      | SELECT c.c_custkey, c.c_name, n.n_name, lost.lost_e4
+      | FROM lost JOIN customer c ON c.c_custkey = lost.o_custkey
+      |           JOIN nation n ON n.n_nationkey = c.c_nationkey
+      | ORDER BY lost.lost_e4 DESC, c.c_custkey LIMIT 20
+      |)
+      |SELECT * FROM ranked ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------- q14_promo_share
+  /** TPC-H Q14 (promotion effect) — the CONDITIONAL-SHARE-OF-A-MONTH
+    * shape: what fraction of a month's revenue came from PROMO-type
+    * parts. One pass, one broadcast dim, numerator and denominator as
+    * conditional sums of the same exact-integer revenue (naive form:
+    * two scans). Share in exact ppm via the DECIMAL(38,0) cross-
+    * multiplication — Q14's published form divides two floats and
+    * multiplies by 100, which is ulp-unstable across engines; here no
+    * float exists until there is nothing left to decide. At 100 TB
+    * the month filter prunes the lineitem scan to ~1/84 of the fact
+    * and part is broadcast; output is 1 row. */
+  def q14PromoShare: Q = (s, dir) => {
+    val pt = broadcast(t(s, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-03-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("2000-04-01 00:00:00")))
+      .select(col("l_partkey"),
+        (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("is_promo"), col("rev_e4")).otherwise(0L))
+          .as("promo_rev_e4"),
+        sum("rev_e4").as("tot_rev_e4"))
+      .select(col("promo_rev_e4"), col("tot_rev_e4"),
+        expr("CAST((CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000) div tot_rev_e4 AS BIGINT)")
+          .as("promo_share_ppm"))
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT
+      | CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN r.rev_e4 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+      | CAST(sum(r.rev_e4) AS BIGINT) AS tot_rev_e4,
+      | CAST((sum(CASE WHEN p.p_type = 'PROMO' THEN r.rev_e4 ELSE 0 END) * 1000000) // sum(r.rev_e4) AS BIGINT) AS promo_share_ppm
+      |FROM (
+      | SELECT l_partkey,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS rev_e4
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+      |) r JOIN part p ON p.p_partkey = r.l_partkey""".stripMargin
+
+  // -------------------------------------------------------- q19_disjunctive
+  /** TPC-H Q19 (discounted revenue) — the DISJUNCTIVE-PREDICATE-
+    * PUSHDOWN shape: an OR of three (brand ∧ size-band ∧ quantity-
+    * band) conjunctions spanning BOTH join sides. Evaluated as
+    * written, nothing pushes below the join (the predicate mentions
+    * both tables) and the join degenerates toward a filtered
+    * cartesian. The optimizer lesson Q19 exists to teach is factoring
+    * the per-side IMPLIED disjunctions out: part keeps
+    * ∨(brandᵢ ∧ sizeᵢ), lineitem keeps qty ∈ [min, max] of all bands
+    * — each pushable to its scan — while the exact 3-way OR runs
+    * after the (now tiny) join. This plan writes that factoring
+    * explicitly; PlanAuditSpec asserts the part-side Or reaches the
+    * parquet PushedFilters. Branches keyed by brand are disjoint, so
+    * per-branch rows are well-defined. The schema has no p_container;
+    * Q19's container lists are recast as size bands. */
+  def q19Disjunctive: Q = (s, dir) => {
+    val pt = broadcast(t(s, dir, "part")
+      .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 25)) ||
+              (col("p_brand") === "Brand#23" && col("p_size").between(1, 35)) ||
+              (col("p_brand") === "Brand#5" && col("p_size").between(1, 50)))
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    t(s, dir, "lineitem")
+      // implied hull on the RAW column — a dec()-cast predicate cannot
+      // push to parquet (pushdown needs a bare attribute); the exact
+      // band decisions below re-test through DECIMAL
+      .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)
+      .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+        (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .withColumn("branch",
+        when(col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+          col("qty").between(1, 20), "B1")
+        .when(col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
+          col("qty").between(15, 35), "B2")
+        .when(col("p_brand") === "Brand#5" && col("p_size").between(1, 50) &&
+          col("qty").between(30, 50), "B3"))
+      .filter(col("branch").isNotNull)
+      .groupBy("branch")
+      .agg(count(lit(1)).as("n_lines"), sum("rev_e4").as("rev_e4"))
+      .orderBy("branch")
+  }
+
+  val q19DisjunctiveSql: String =
+    """WITH f AS (
+      | SELECT CASE
+      |   WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+      |    AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 1 AND 20 THEN 'B1'
+      |   WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+      |    AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 15 AND 35 THEN 'B2'
+      |   WHEN p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 50
+      |    AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 30 AND 50 THEN 'B3'
+      |  END AS branch,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS rev_e4
+      | FROM lineitem JOIN part ON p_partkey = l_partkey
+      |)
+      |SELECT branch, count(*) AS n_lines, CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+      |FROM f WHERE branch IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------- q_events_window
   /** Tumbling-window aggregation over the event stream (batch twin of the
     * streaming op st_tumbling_agg). Window start emitted as epoch seconds
@@ -1689,6 +2055,262 @@ object Relational {
       | r.n_users * 1000000 // s.cohort_size AS retained_ppm
       |FROM ret r JOIN sz s ON r.cohort_week = s.cohort_week
       |ORDER BY r.cohort_week, r.week_offset""".stripMargin
+
+  // ------------------------------------------------------ q_growth_accounting
+  /** GROWTH ACCOUNTING (the Social-Capital "accounting for growth"
+    * decomposition) — the standard WAU ledger beside q_retention's
+    * cohort view and q_new_vs_returning's two-way split: every active
+    * (user, week) is exactly one of NEW (first week ever), RETAINED
+    * (also active the previous week), or RESURRECTED (active before,
+    * but not last week); CHURNED is charged to the week AFTER a
+    * user's activity gap starts (active w, silent w+1), censored at
+    * the corpus horizon (no churn is claimed past the last observed
+    * week — beyond it "not yet returned" and "gone" are
+    * indistinguishable). The identity WAU(w) = WAU(w−1) + new +
+    * resurrected − churned(w) holds exactly; net = new + resurrected
+    * − churned is the number the growth review reads. All classes
+    * come from ONE window pass (lag/lead over each user's distinct
+    * weeks — frames bounded per user, the q_retention shuffle), the
+    * horizon is a 1-row broadcast, and weeks are pure integer
+    * epoch-µs arithmetic. */
+  def qGrowthAccounting: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000) div 7").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val marked = ev
+      .withColumn("prev", lag("week", 1).over(w))
+      .withColumn("next", lead("week", 1).over(w))
+    val classes = marked.groupBy("week")
+      .agg(sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("week") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("week") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val horizon = ev.agg(max("week").as("max_week"))
+    val churned = marked
+      .filter(col("next").isNull || col("next") > col("week") + 1)
+      .select((col("week") + 1).as("week"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("week") <= col("max_week"))
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    classes.join(churned, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("net",
+        col("n_new") + col("n_resurrected") - col("n_churned"))
+      .orderBy("week")
+  }
+
+  val qGrowthAccountingSql: String =
+    """WITH ev AS (
+      | SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) // 7 AS week
+      | FROM events
+      |), m AS (
+      | SELECT user_id, week,
+      |  lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+      |  lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+      | FROM ev
+      |), cls AS (
+      | SELECT week,
+      |  sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+      |  sum(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END) AS n_retained,
+      |  sum(CASE WHEN prev IS NOT NULL AND prev < week - 1 THEN 1 ELSE 0 END)
+      |    AS n_resurrected
+      | FROM m GROUP BY week
+      |), ch AS (
+      | SELECT week + 1 AS week, count(*) AS n_churned
+      | FROM m
+      | WHERE (nxt IS NULL OR nxt > week + 1)
+      |   AND week + 1 <= (SELECT max(week) FROM ev)
+      | GROUP BY week + 1
+      |)
+      |SELECT COALESCE(c.week, h.week) AS week,
+      | CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+      | CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+      | CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      | CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+      | CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0)
+      |   - COALESCE(n_churned, 0) AS BIGINT) AS net
+      |FROM cls c FULL OUTER JOIN ch h ON c.week = h.week
+      |ORDER BY week""".stripMargin
+
+  // ------------------------------------------------------------ q_attribution
+  /** MARKETING ATTRIBUTION — first-touch vs last-touch credit for each
+    * purchase: among the user's touch events (click/view/signup) in
+    * the hour before the purchase, the earliest gets first-touch
+    * credit, the latest gets last-touch credit; a purchase with no
+    * touch in its window credits `direct`. The argmin/argmax per
+    * purchase are map-side-combinable min/max(struct((us, event_id),
+    * channel)) — the g_mst argmin discipline, never a rank window over
+    * the join — and (us, event_id) is a total order so credit is
+    * tie-deterministic. Revenue credited in exact cents. The interval
+    * join is user-keyed with a 1-hour band (the q_events_funnel
+    * contract: per-user frames bounded by the window, shards freely).
+    * Output: one row per channel × {first, last} with conversions and
+    * credited revenue — the two ends of the multi-touch spectrum; any
+    * position-weighted model interpolates between these. */
+  def qAttribution: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("us").as("t_us"), col("event_type").as("channel"))
+    // the window predicate rides the JOIN CONDITION, not a post-filter:
+    // a left-outer + post-filter would drop purchases whose user has
+    // touches only OUTSIDE the window instead of crediting them direct
+    val credited = purchases.join(touches,
+        col("user_id") === col("t_user") &&
+        col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - 3600000000L, "left_outer")
+      .groupBy("p_id")
+      .agg(max("cents").as("cents"),
+        min(when(col("t_us").isNotNull,
+          struct(col("t_us"), col("t_id"), col("channel")))).as("ft"),
+        max(when(col("t_us").isNotNull,
+          struct(col("t_us"), col("t_id"), col("channel")))).as("lt"))
+      .select(col("p_id"), col("cents"),
+        coalesce(col("ft.channel"), lit("direct")).as("first_touch"),
+        coalesce(col("lt.channel"), lit("direct")).as("last_touch"))
+    credited.select(col("first_touch").as("channel"), lit("first").as("model"),
+        col("cents"))
+      .unionByName(credited.select(col("last_touch").as("channel"),
+        lit("last").as("model"), col("cents")))
+      .groupBy("channel", "model")
+      .agg(count(lit(1)).as("n_conversions"), sum("cents").as("rev_cents"))
+      .orderBy("channel", "model")
+  }
+
+  val qAttributionSql: String =
+    """WITH p AS (
+      | SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM events WHERE event_type = 'purchase'
+      |), t AS (
+      | SELECT user_id, event_id AS t_id, epoch_us(ts) AS t_us,
+      |  event_type AS channel
+      | FROM events WHERE event_type IN ('click', 'view', 'signup')
+      |), j AS (
+      | SELECT p.p_id, p.cents, t.channel, t.t_us, t.t_id,
+      |  row_number() OVER (PARTITION BY p.p_id
+      |    ORDER BY t.t_us ASC NULLS LAST, t.t_id ASC) AS rf,
+      |  row_number() OVER (PARTITION BY p.p_id
+      |    ORDER BY t.t_us DESC NULLS LAST, t.t_id DESC) AS rl
+      | FROM p LEFT JOIN t ON t.user_id = p.user_id
+      |  AND t.t_us < p.p_us AND t.t_us >= p.p_us - 3600000000
+      |), c AS (
+      | SELECT p_id, max(cents) AS cents,
+      |  COALESCE(max(CASE WHEN rf = 1 THEN channel END), 'direct') AS first_touch,
+      |  COALESCE(max(CASE WHEN rl = 1 THEN channel END), 'direct') AS last_touch
+      | FROM j GROUP BY p_id
+      |), u AS (
+      | SELECT first_touch AS channel, 'first' AS model, cents FROM c
+      | UNION ALL
+      | SELECT last_touch, 'last', cents FROM c
+      |)
+      |SELECT channel, model, count(*) AS n_conversions,
+      | CAST(sum(cents) AS BIGINT) AS rev_cents
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- q_calendar_gaps
+  /** CALENDAR-COVERAGE audit per feed — the data-freshness check a
+    * pipeline runs before trusting its inputs: for each event_type
+    * (each upstream feed), the covered day span, days present, days
+    * MISSING inside the span, and the longest zero-day run
+    * (q_gaps_islands inverts this per customer; this is the
+    * corpus-global complement). One row per feed ALWAYS — a clean feed
+    * reports n_days_missing = 0 rather than vanishing, so the audit's
+    * absence-of-evidence failure mode (an empty report read as "no
+    * problems") cannot occur. The per-(type, day) frame is
+    * calendar-bounded, so everything past the one fact-sized
+    * aggregate — the lead() gap derivation included, partitioned by
+    * feed — is free. */
+  def qCalendarGaps: Q = (s, dir) => {
+    val days = t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    days.select(col("event_type"), col("day"),
+        (lead("day", 1).over(w) - col("day") - 1).as("gap_after"))
+      .groupBy("event_type")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        count(lit(1)).as("n_days_present"),
+        (max("day") - min("day") + 1 - count(lit(1))).as("n_days_missing"),
+        coalesce(max("gap_after"), lit(0L)).as("max_gap_days"))
+      .orderBy("event_type")
+  }
+
+  val qCalendarGapsSql: String =
+    """WITH days AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      | FROM events GROUP BY 1, 2
+      |), nx AS (
+      | SELECT event_type, day,
+      |  lead(day) OVER (PARTITION BY event_type ORDER BY day) - day - 1
+      |   AS gap_after
+      | FROM days
+      |)
+      |SELECT event_type, min(day) AS first_day, max(day) AS last_day,
+      | count(*) AS n_days_present,
+      | max(day) - min(day) + 1 - count(*) AS n_days_missing,
+      | CAST(COALESCE(max(gap_after), 0) AS BIGINT) AS max_gap_days
+      |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ q12_ship_lag
+  /** TPC-H Q12 (shipping modes and order priority) — the TWO-WAY
+    * CONDITIONAL COUNT over a join: per lag class, how many CRITICAL
+    * (1-URGENT/2-HIGH) vs non-critical orders shipped there. The
+    * schema has no l_shipmode, so Q12's mode list is recast as
+    * ship-lag classes (fast ≤ 30 days < slow ≤ 90 < stale) — the
+    * shape (band classification on the fact + priority CASE-counts
+    * from the joined dim) is what matters: both counts ride ONE
+    * orderkey join, the lag classes are decided by exact DATE
+    * arithmetic, and the output is 3 rows. Q12's planner lesson: the
+    * CASE-sums replace two filtered re-scans of the join. */
+  def q12ShipLag: Q = (s, dir) => {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("2001-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(lag <= 30, "1_fast").when(lag <= 90, "2_slow")
+          .otherwise("3_stale").as("lag_class"),
+        col("o_orderpriority"))
+      .groupBy("lag_class")
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("lag_class")
+  }
+
+  val q12ShipLagSql: String =
+    """SELECT CASE
+      |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '1_fast'
+      |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN '2_slow'
+      |  ELSE '3_stale' END AS lag_class,
+      | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------ q_seq_pattern
   /** EVENT-SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE re-expressed): each
@@ -3550,6 +4172,109 @@ object Relational {
       |  AS is_peak
       |FROM cs ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------ q_mann_kendall
+  /** MANN–KENDALL TREND TEST on the daily event-count series — the
+    * standard nonparametric "is this metric drifting" monitor (no
+    * linearity or normality assumed, robust to outliers — the reason
+    * ops dashboards prefer it to q_linreg's slope): S = Σ_{i<j}
+    * sign(x_j − x_i), variance with the tie correction Var·18 =
+    * n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), both EXACT integers; the only
+    * float is the final continuity-corrected z, computed from
+    * identical integer operands in both engines (IEEE sqrt is
+    * correctly-rounded, so bit-identical — the q_linreg discipline).
+    * The pair join is quadratic IN DAYS, which is bounded by the
+    * CALENDAR, not the data — at 100 TB the day aggregate is the one
+    * fact-sized pass and the n² lives on a ~10³-row frame (same
+    * contract as q_autocorr). */
+  def qMannKendall: Q = (s, dir) => {
+    val days = t(s, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = days.select(col("day").as("di"), col("x").as("xi"))
+      .join(days.select(col("day").as("dj"), col("x").as("xj")),
+        col("di") < col("dj"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+    val ties = days.groupBy("x").agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).as("tie18"))
+    val n = days.agg(count(lit(1)).as("n_days"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18").as("var18"),
+        signum(col("s_stat")).cast("long").as("trend"))
+      .withColumn("z4", when(col("var18") > 0,
+          round((col("s_stat") - signum(col("s_stat"))) /
+            sqrt(col("var18") / 18.0), 4)).otherwise(lit(0.0)))
+  }
+
+  val qMannKendallSql: String =
+    """WITH days AS (
+      | SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+      | FROM events GROUP BY 1
+      |), s AS (
+      | SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |   WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      | FROM days a JOIN days b ON a.day < b.day
+      |), ties AS (
+      | SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18
+      | FROM (SELECT x, count(*) AS tc FROM days GROUP BY x)
+      |), n AS (SELECT count(*) AS n_days FROM days)
+      |SELECT n.n_days, s.s_stat,
+      | n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie18 AS var18,
+      | CAST(CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1
+      |   ELSE 0 END AS BIGINT) AS trend,
+      | CASE WHEN n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie18 > 0
+      |  THEN round((s.s_stat - (CASE WHEN s.s_stat > 0 THEN 1
+      |    WHEN s.s_stat < 0 THEN -1 ELSE 0 END))
+      |   / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie18)
+      |     / 18.0), 4)
+      |  ELSE 0.0 END AS z4
+      |FROM s, ties, n""".stripMargin
+
+  // -------------------------------------------------------------- q_ewma_trend
+  /** DYADIC EWMA smoothing of the daily event counts — exponential
+    * smoothing with α = 1/2 over a 20-day horizon, made EXACT: weight
+    * for lag ℓ is the integer 2^(19−ℓ), so the smoothed value is
+    * num/denom of two BIGINTs and ships as an exact integer milli
+    * (floats never accumulate — a recursive float EWMA diverges
+    * cross-engine after enough steps; the 20-lag truncation bounds
+    * the tail at 2⁻²⁰ ≈ 1e-6 of the weight mass). Missing days are
+    * SKIPPED, not zero-filled: weights key on CALENDAR distance and
+    * the denominator sums only present days — the gap behavior a
+    * monitoring EWMA wants. The band self-join runs on the
+    * calendar-bounded day frame (the q_mann_kendall contract); at
+    * 100 TB the day aggregate is the only fact-sized pass. */
+  def qEwmaTrend: Q = (s, dir) => {
+    val days = t(s, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    days.select(col("day").as("dt"), col("x").as("xt"))
+      .join(days.select(col("day").as("ds"), col("x").as("xs")),
+        col("ds") >= col("dt") - 19 && col("ds") <= col("dt"))
+      .groupBy(col("dt").as("day"))
+      .agg(max(when(col("ds") === col("dt"), col("xs"))).as("n_events"),
+        sum(expr("xs * shiftleft(CAST(1 AS BIGINT), CAST(19 - (dt - ds) AS INT))"))
+          .as("num"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(19 - (dt - ds) AS INT))"))
+          .as("denom"))
+      .select(col("day"), col("n_events"),
+        expr("(num * 1000) div denom").as("ewma_milli"))
+      .orderBy("day")
+  }
+
+  val qEwmaTrendSql: String =
+    """WITH days AS (
+      | SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+      | FROM events GROUP BY 1
+      |)
+      |SELECT a.day AS day,
+      | max(CASE WHEN b.day = a.day THEN b.x END) AS n_events,
+      | CAST((sum(b.x * (1::BIGINT << CAST(19 - (a.day - b.day) AS INT))) * 1000)
+      |  // sum(1::BIGINT << CAST(19 - (a.day - b.day) AS INT)) AS BIGINT)
+      |  AS ewma_milli
+      |FROM days a JOIN days b
+      |  ON b.day >= a.day - 19 AND b.day <= a.day
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   // --------------------------------------------------------------- q_benford
   /** Benford's-law first-digit audit on order totals — the classic
     * fraud/synthetic-data detector: natural multiplicative quantities
@@ -5104,6 +5829,8 @@ object Relational {
     "q_benford" -> qBenford,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_changepoint" -> qChangepoint,
+    "q_mann_kendall" -> qMannKendall,
+    "q_ewma_trend" -> qEwmaTrend,
     "q_hll_distinct" -> qHllDistinct,
     "q_chi2" -> qChi2,
     "q_time_decay" -> qTimeDecay,
@@ -5112,6 +5839,10 @@ object Relational {
     "q_multi_distinct" -> qMultiDistinct,
     "q_dq_checks" -> qDqChecks,
     "q_retention" -> qRetention,
+    "q_growth_accounting" -> qGrowthAccounting,
+    "q_attribution" -> qAttribution,
+    "q_calendar_gaps" -> qCalendarGaps,
+    "q12_ship_lag" -> q12ShipLag,
     "q_cohort_ltv" -> qCohortLtv,
     "q_concurrency_peak" -> qConcurrencyPeak,
     "q_abc_analysis" -> qAbcAnalysis,
@@ -5139,6 +5870,13 @@ object Relational {
     "q7_volume_shipping" -> q7VolumeShipping,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_quantity" -> q17SmallQuantity,
+    "q4_priority_count" -> q4PriorityCount,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q9_profit" -> q9Profit,
+    "q8_market_share" -> q8MarketShare,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q14_promo_share" -> q14PromoShare,
+    "q19_disjunctive" -> q19Disjunctive,
     "q_events_histogram" -> qEventsHistogram,
     "q_new_vs_returning" -> qNewVsReturning,
     "q_rfm" -> qRfm,
@@ -5202,6 +5940,8 @@ object Relational {
     "q_benford" -> qBenfordSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_changepoint" -> qChangepointSql,
+    "q_mann_kendall" -> qMannKendallSql,
+    "q_ewma_trend" -> qEwmaTrendSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_chi2" -> qChi2Sql,
     "q_time_decay" -> qTimeDecaySql,
@@ -5210,6 +5950,10 @@ object Relational {
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_dq_checks" -> qDqChecksSql,
     "q_retention" -> qRetentionSql,
+    "q_growth_accounting" -> qGrowthAccountingSql,
+    "q_attribution" -> qAttributionSql,
+    "q_calendar_gaps" -> qCalendarGapsSql,
+    "q12_ship_lag" -> q12ShipLagSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_concurrency_peak" -> qConcurrencyPeakSql,
     "q_abc_analysis" -> qAbcAnalysisSql,
@@ -5237,6 +5981,13 @@ object Relational {
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_quantity" -> q17SmallQuantitySql,
+    "q4_priority_count" -> q4PriorityCountSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q9_profit" -> q9ProfitSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q14_promo_share" -> q14PromoShareSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
     "q_events_histogram" -> qEventsHistogramSql,
     "q_new_vs_returning" -> qNewVsReturningSql,
     "q_rfm" -> qRfmSql,

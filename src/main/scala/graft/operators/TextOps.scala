@@ -2753,7 +2753,107 @@ object TextOps {
        |FROM sh s JOIN fo USING (sh)
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  // ------------------------------------------------------ t_template_detect
+  /** TEMPLATE DETECTION — clusters of documents sharing their opening
+    * (first 8 tokens): the boilerplate/templated-spam signal that
+    * near-dup similarity misses when bodies diverge after a shared
+    * header (form letters, scraped page frames, generated report
+    * shells). The prefix is a FIXED-length key, so clustering is one
+    * exact groupBy — no pair generation, no bands, no candidate join
+    * (contrast d_dedup_minhash, which this complements: prefix
+    * collisions catch structured templates cheaply; minhash catches
+    * shuffled near-dups the prefix misses). n_distinct_texts beside
+    * n_docs separates "same template, different fill" from exact
+    * duplication (d_dedup_exact's domain). At 100 TB: the map side
+    * reduces each doc to (8-token prefix, source, fp) before the one
+    * key-hashed shuffle; output is bounded by the cluster count and
+    * the ≥2 filter. Short docs (< 8 tokens) key on their full text —
+    * identical semantics in both engines (slice past the end
+    * truncates). */
+  def templateDetect: Q = (s, dir) => {
+    val prefix = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        prefix.as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix")
+  }
+
+  val templateDetectSql: String =
+    """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+      |   AS prefix,
+      | count(*) AS n_docs,
+      | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      | CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY prefix""".stripMargin
+
+  // ----------------------------------------------------- t_term_burstiness
+  /** TERM BURSTINESS (Church–Gale) — does a term spread evenly across
+    * documents or clump into a few? The variance-to-mean ratio of
+    * per-document counts over the WHOLE corpus (zeros included —
+    * which is why the closed form matters: materializing zero rows
+    * for every (term, doc) pair is |vocab|×|corpus|): VMR = Var/mean
+    * = (N·Σx² − cf²) / (N·cf) in exact integer ppm via DECIMAL(38,0)
+    * cross-multiplication (cf²·10⁶ overflows BIGINT at corpus scale),
+    * where the only inputs are the per-term aggregates df, cf, Σx² —
+    * one explode pass, one (doc,term) count, one term-keyed partial-
+    * agged shuffle. VMR ≈ 1 is Poisson (function words); VMR ≫ 1 is
+    * bursty content terms — the signal topical-sampling and stopword
+    * induction read. Beside it, mean occurrences per CONTAINING doc
+    * (cf/df, exact milli) — Church's original burstiness. Output cut
+    * to the top 30 terms by (cf DESC, term) — a total order, so the
+    * cut is deterministic and scale-independent. */
+  def termBurstiness: Q = (s, dir) => {
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("x"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("x").as("cf"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("cf"), col("sum_x2"),
+        expr("CAST(((CAST(n_docs AS DECIMAL(38,0)) * sum_x2 - CAST(cf AS DECIMAL(38,0)) * cf) * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * cf) AS BIGINT)")
+          .as("vmr_ppm"),
+        expr("(cf * 1000) div df").as("per_doc_milli"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(30)
+      .orderBy("term")
+  }
+
+  val termBurstinessSql: String =
+    """WITH pd AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      | FROM documents
+      |), cnt AS (
+      | SELECT doc_id, term, count(*) AS x FROM pd GROUP BY 1, 2
+      |), n AS (SELECT count(*) AS n_docs FROM documents
+      |), agg AS (
+      | SELECT term, count(*) AS df, CAST(sum(x) AS BIGINT) AS cf,
+      |  CAST(sum(x * x) AS BIGINT) AS sum_x2
+      | FROM cnt GROUP BY term
+      |), ranked AS (
+      | SELECT term, df, cf, sum_x2,
+      |  CAST(((n.n_docs * sum_x2 - cf * cf) * 1000000)
+      |    // (n.n_docs * cf) AS BIGINT) AS vmr_ppm,
+      |  (cf * 1000) // df AS per_doc_milli
+      | FROM agg, n
+      | ORDER BY cf DESC, term LIMIT 30
+      |)
+      |SELECT * FROM ranked ORDER BY term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t_template_detect" -> templateDetect,
+    "t_term_burstiness" -> termBurstiness,
     "t_ngram_novelty" -> ngramNovelty,
     "t_vocab_coverage" -> vocabCoverage,
     "t_code_detect" -> codeDetect,
@@ -2802,6 +2902,8 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_template_detect" -> templateDetectSql,
+    "t_term_burstiness" -> termBurstinessSql,
     "t_ngram_novelty" -> ngramNoveltySql,
     "t_vocab_coverage" -> vocabCoverageSql,
     "t_code_detect" -> codeDetectSql,

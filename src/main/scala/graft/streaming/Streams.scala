@@ -308,6 +308,91 @@ object Streams {
       }
   }
 
+  // ----------------------------------------------- st_growth_accounting
+  final case class GaOut(user_id: Long, week: Long, cls: String)
+
+  /** firstWeek/lastActive/lastFin == Long.MinValue ⇔ none yet;
+    * churnedUpTo = last week w for which churn-at-w was emitted;
+    * buf = active weeks not yet past the watermark. */
+  final case class GaState(firstWeek: Long, lastActive: Long, lastFin: Long,
+                           churnedUpTo: Long, buf: Seq[Long])
+
+  private val gaWeekUs = 7L * 86400000000L
+
+  /** st_growth_accounting: the LIVE growth ledger —
+    * q_growth_accounting's four-way classification streamed
+    * (st_new_vs_returning extended with the resurrected and churned
+    * classes). Watermark-ordered like NvR: an active week finalizes
+    * when the watermark reaches its START (all prior-week events have
+    * arrived ⇒ new/retained/resurrected decide exactly as the batch
+    * twin; lastFin guard makes emission exactly-once per (user,
+    * week)). CHURN needs the FOLLOWING week observed: churn-at-(w+1)
+    * emits either when a later active week finalizes revealing the gap
+    * (wm ≥ start of that week ≥ start of w+2 — already decidable), or
+    * via an event-time TIMER at start(lastActive+2) when the user
+    * stays silent — the watermark passing that point proves week
+    * lastActive+1 had no admissible events, the streaming analogue of
+    * the batch twin's horizon censoring (a churn row never precedes
+    * the evidence). churnedUpTo makes the two emission paths mutually
+    * exclusive. State per user: four longs + the in-flight week buffer
+    * — the NvR bound. */
+  def growthAccountingStream(events: Dataset[Event]): Dataset[GaOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), col("us"), col("ets"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GaState, GaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[GaState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val prev = state.getOption.getOrElse(GaState(Long.MinValue,
+            Long.MinValue, Long.MinValue, Long.MinValue, Seq.empty))
+          val weeks = (prev.buf ++ rows.map(_._2 / gaWeekUs))
+            .distinct.sorted
+          val (finAll, keep) = weeks.partition(_ * gaWeekUs <= wmUs)
+          val fin = finAll.filter(_ > prev.lastFin)
+          var first = prev.firstWeek
+          var last = prev.lastActive
+          var churned = prev.churnedUpTo
+          val out = scala.collection.mutable.ArrayBuffer[GaOut]()
+          fin.foreach { w =>
+            // the finalizing week proves the gap after lastActive (its
+            // own start is ≥ start(last+2)) — emit the pending churn
+            // BEFORE the resurrect row so the ledger reads in order
+            if (last != Long.MinValue && w > last + 1 && churned < last + 1) {
+              out += GaOut(user, last + 1, "churned"); churned = last + 1
+            }
+            val cls =
+              if (first == Long.MinValue) { first = w; "new" }
+              else if (w == last + 1) "retained"
+              else "resurrected"
+            out += GaOut(user, w, cls)
+            last = w
+          }
+          val lastFin = if (fin.nonEmpty) fin.last else prev.lastFin
+          // trailing churn: with nothing buffered, silence through week
+          // lastActive+1 becomes PROVEN once wm ≥ start(lastActive+2)
+          if (last != Long.MinValue && keep.isEmpty && churned < last + 1 &&
+              wmUs >= (last + 2) * gaWeekUs) {
+            out += GaOut(user, last + 1, "churned"); churned = last + 1
+          }
+          state.update(GaState(first, last, lastFin, churned, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(keep.head * gaWeekUs / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+          else if (last != Long.MinValue && churned < last + 1)
+            state.setTimeoutTimestamp(
+              math.max((last + 2) * gaWeekUs / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** st_session_native: gap-based sessions via Spark's NATIVE
     * session_window aggregation — the declarative twin of the
     * flatMapGroupsWithState sessionizer (st_sessionize). Same 30-min
@@ -1417,6 +1502,106 @@ object Streams {
         .map(r => CmsUpd(r, cmsBucket(r, e.user_id))))
       .groupByKey(_.row)
       .transformWithState(new CmsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  // ------------------------------------------------------------- st_kmv
+  /** st_kmv: STREAMING KMV (bottom-k) distinct sketch — t_distinct_kmv's
+    * bottom-k hash buffer as per-event_type state, the THETA-SKETCH
+    * side of the streaming family (st_hll estimates the same quantity
+    * with fixed registers; KMV's buffer additionally supports the set
+    * algebra q_theta_intersect runs on the batch side — union/
+    * intersection estimates compose from bottom-k buffers, registers
+    * don't). The state is the sorted bottom-k of DISTINCT 40-bit
+    * md5(user_id) slices: a pure function of the input SET (insert is
+    * idempotent, min-k is associative + commutative), so the buffer is
+    * split-invariant by construction — any micro-batch partition
+    * yields byte-identical state, the same property t_kmv_merge proves
+    * hash-for-hash across executor shards on the batch side. State per
+    * key is ≤ k longs FOREVER (the bounded-sketch profile); the
+    * read-modify-write of the whole buffer per batch is fine precisely
+    * because it is capped at k (contrast the growing KLL buffer, which
+    * appends via ListState). Emits (k_used, hk, est) per touched key
+    * per batch with the batch op's exact integer estimator — LAST
+    * emission per key equals the batch twin (Round12bSpec: one-shot ==
+    * split == kmvSketchBatch). */
+  val kmvStreamK = 128
+
+  final case class KmvBuf(hashes: Seq[Long])
+  final case class KmvOut(event_type: String, k_used: Long, hk: Long,
+                          est_distinct: Long)
+
+  private[graft] def kmvEstimate(key: String, sorted: Seq[Long]): KmvOut = {
+    val kUsed = sorted.length.toLong
+    val hk = if (sorted.isEmpty) 0L else sorted.last
+    val est =
+      if (kUsed < kmvStreamK) kUsed
+      else if (hk > 0) (kUsed - 1) * graft.operators.TextOps.kmvScale / hk
+      else kUsed
+    KmvOut(key, kUsed, hk, est)
+  }
+
+  class KmvProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, KmvOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[KmvBuf] = _
+    @transient private var md: java.security.MessageDigest = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[KmvBuf]("kmv", TTLConfig.NONE)
+      md = java.security.MessageDigest.getInstance("MD5")
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[KmvOut] = {
+      val cur = scala.collection.mutable.SortedSet.empty[Long]
+      if (state.exists()) cur ++= state.get().hashes
+      rows.foreach { e =>
+        md.reset()
+        val hex = md.digest(e.user_id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 10), 16)
+        // insert only if it would enter the bottom-k (cheap reject for
+        // the common case on a saturated sketch)
+        if (cur.size < kmvStreamK || h < cur.last) {
+          cur += h
+          if (cur.size > kmvStreamK) cur -= cur.last
+        }
+      }
+      val sorted = cur.toSeq
+      state.update(KmvBuf(sorted))
+      Iterator.single(kmvEstimate(key, sorted))
+    }
+  }
+
+  /** BATCH twin — per-event_type bottom-k over the SAME 40-bit
+    * md5(user_id) slice (hexSlice), estimator arithmetic identical to
+    * t_distinct_kmv's. */
+  def kmvSketchBatch(events: DataFrame): DataFrame = {
+    val h40 = graft.functions.VectorExprs.hexSlice(
+      md5(col("user_id").cast("string")), 1, 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+    events.select(col("event_type"), h40.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kmvStreamK)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k_used"), max("h").as("hk"))
+      .select(col("event_type"), col("k_used"), col("hk"),
+        expr(s"CASE WHEN k_used < $kmvStreamK THEN k_used" +
+          s" WHEN hk > 0 THEN ((k_used - 1) * ${graft.operators.TextOps.kmvScale}) div hk" +
+          " ELSE k_used END").as("est_distinct"))
+  }
+
+  /** The transformWithState plan keyed by event_type (Update mode). */
+  def kmvStream(events: Dataset[Event]): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }

@@ -458,6 +458,59 @@ class PlanAuditSpec extends AnyFunSuite {
       s"correlated-average compare degenerated:\n$p")
   }
 
+  test("q4 exists-correlation compiles to one left-semi equi-join") {
+    // EXISTS must be a semi join keyed on orderkey with the ship-lag
+    // test as a residual — a plain inner join would double-count
+    // multi-late orders, a per-row subquery would re-scan the fact
+    val p = plan(Relational.q4PriorityCount(spark, sf))
+    assert(p.contains("LeftSemi"), s"exists side is not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlation degenerated to a cartesian:\n$p")
+  }
+
+  test("q8 numerator and denominator share one join tree; dims broadcast") {
+    val p = plan(Relational.q8MarketShare(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$p")
+    // the conditional-sum plan must scan lineitem ONCE — a second scan
+    // means the naive numerator/denominator double-join came back
+    val scans = "ReadSchema:.*l_extendedprice".r.findAllIn(p).size
+    assert(scans <= 1, s"lineitem scanned $scans times:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"role joins degenerated:\n$p")
+  }
+
+  test("q10 cut is a TakeOrderedAndProject; dims join after the aggregate") {
+    val p = plan(Relational.q10ReturnedItems(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 cut is a global sort, not TakeOrdered:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter did not push to the lineitem scan:\n$p")
+  }
+
+  test("q14 month filter pushes to the lineitem scan; part is broadcast") {
+    val p = plan(Relational.q14PromoShare(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"month window did not push down:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
+  test("q19 per-side disjunctions reach both scans as pushed filters") {
+    // the Q19 lesson made physical: the part-side OR-of-ANDs and the
+    // lineitem-side quantity hull must BOTH appear in PushedFilters —
+    // if either stays above its join the scan reads the whole table
+    val p = plan(Relational.q19Disjunctive(spark, sf))
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#12)"),
+      s"part-side disjunction did not push to the part scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      p.contains("GreaterThanOrEqual(l_quantity,1.00)"),
+      s"quantity hull did not push to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive join degenerated:\n$p")
+  }
+
   test("q_quantile_kll estimate frame broadcasts onto the fact; windows stay pri-partitioned") {
     val p = plan(Relational.qQuantileKll(spark, sf))
     // the 5-row estimate frame joins the fact by broadcast (the
