@@ -2221,6 +2221,71 @@ object Relational {
       | CAST(sum(cents) AS BIGINT) AS rev_cents
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ q_pit_features
+  /** POINT-IN-TIME FEATURE MATRIX — the leakage-free training-join
+    * shape every feature store exists to get right: for each label
+    * event (a purchase), the user's per-channel activity counts over
+    * the trailing 7 days STRICTLY BEFORE the label instant. The
+    * strictness is the entire point — a half-open window that included
+    * the label time would leak the label into its own features, the
+    * classic training/serving skew bug; here the cutoff is an integer
+    * µs comparison in the JOIN CONDITION (t_us < p_us), so no row at
+    * or after the label can ever contribute. Features come back as
+    * conditional sums of ONE user-keyed interval join (never one join
+    * per feature column), per-user frames bounded by the 7-day window.
+    * Output: one row per label with the feature vector and the label
+    * value — the frame a trainer reads directly. */
+  def qPitFeatures: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"),
+        col("us").as("p_us"),
+        (dec(col("value")) * 100).cast("long").as("label_cents"))
+    val hist = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("h_user"), col("us").as("t_us"),
+        col("event_type").as("ch"))
+    labels.join(hist,
+        col("user_id") === col("h_user") &&
+        col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - 604800000000L, "left_outer")
+      .groupBy("label_id")
+      .agg(max("user_id").as("user_id"), max("p_us").as("p_us"),
+        max("label_cents").as("label_cents"),
+        sum(when(col("ch") === "click", 1L).otherwise(0L)).as("n_click_7d"),
+        sum(when(col("ch") === "view", 1L).otherwise(0L)).as("n_view_7d"),
+        sum(when(col("ch") === "signup", 1L).otherwise(0L)).as("n_signup_7d"),
+        sum(when(col("ch") === "error", 1L).otherwise(0L)).as("n_error_7d"),
+        max(when(col("ch").isNotNull, col("t_us"))).as("last_touch_us"))
+      .select(col("label_id"), col("user_id"), col("p_us"),
+        col("label_cents"), col("n_click_7d"), col("n_view_7d"),
+        col("n_signup_7d"), col("n_error_7d"),
+        coalesce(col("p_us") - col("last_touch_us"), lit(-1L))
+          .as("recency_us"))
+      .orderBy("label_id")
+  }
+
+  val qPitFeaturesSql: String =
+    """WITH l AS (
+      | SELECT user_id, event_id AS label_id, epoch_us(ts) AS p_us,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS label_cents
+      | FROM events WHERE event_type = 'purchase'
+      |), h AS (
+      | SELECT user_id AS h_user, epoch_us(ts) AS t_us, event_type AS ch
+      | FROM events WHERE event_type <> 'purchase'
+      |)
+      |SELECT l.label_id, max(l.user_id) AS user_id, max(l.p_us) AS p_us,
+      | max(l.label_cents) AS label_cents,
+      | CAST(sum(CASE WHEN h.ch = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click_7d,
+      | CAST(sum(CASE WHEN h.ch = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view_7d,
+      | CAST(sum(CASE WHEN h.ch = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_7d,
+      | CAST(sum(CASE WHEN h.ch = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error_7d,
+      | COALESCE(max(l.p_us) - max(h.t_us), -1) AS recency_us
+      |FROM l LEFT JOIN h ON h.h_user = l.user_id
+      | AND h.t_us < l.p_us AND h.t_us >= l.p_us - 604800000000
+      |GROUP BY l.label_id ORDER BY l.label_id""".stripMargin
+
   // ---------------------------------------------------------- q_calendar_gaps
   /** CALENDAR-COVERAGE audit per feed — the data-freshness check a
     * pipeline runs before trusting its inputs: for each event_type
@@ -5841,6 +5906,7 @@ object Relational {
     "q_retention" -> qRetention,
     "q_growth_accounting" -> qGrowthAccounting,
     "q_attribution" -> qAttribution,
+    "q_pit_features" -> qPitFeatures,
     "q_calendar_gaps" -> qCalendarGaps,
     "q12_ship_lag" -> q12ShipLag,
     "q_cohort_ltv" -> qCohortLtv,
@@ -5952,6 +6018,7 @@ object Relational {
     "q_retention" -> qRetentionSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_attribution" -> qAttributionSql,
+    "q_pit_features" -> qPitFeaturesSql,
     "q_calendar_gaps" -> qCalendarGapsSql,
     "q12_ship_lag" -> q12ShipLagSql,
     "q_cohort_ltv" -> qCohortLtvSql,

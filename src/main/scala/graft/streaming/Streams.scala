@@ -393,6 +393,78 @@ object Streams {
       }
   }
 
+  // -------------------------------------------------- st_attribution
+  final case class AttrOut(user_id: Long, p_id: Long, cents: Long,
+                           first_touch: String, last_touch: String)
+
+  /** buf = touches (t_us, t_id, channel) inside the pruning horizon;
+    * pending = purchases (p_us, p_id, cents) not yet past the wm. */
+  final case class AttrState(buf: Seq[(Long, Long, String)],
+                             pending: Seq[(Long, Long, Long)])
+
+  /** st_attribution: STREAMING first/last-touch credit —
+    * q_attribution's per-purchase argmin/argmax held live. A
+    * purchase's credit is decidable exactly when the watermark reaches
+    * its OWN instant: its window [p−1h, p) then admits no further
+    * events, so the buffered-touch argmin/argmax equal the batch
+    * twin's for any admitted arrival order (the NvR finalize-on-
+    * watermark argument applied to an interval instead of a day).
+    * Pruning keeps state bounded WITHOUT a correctness trade: an
+    * undecided purchase has p > wm, so its window's lower bound
+    * p − 1h > wm − 1h — a touch older than wm − 1h can never serve an
+    * undecided purchase and drops; state per user = one hour of
+    * touches + the watermark-lag's worth of purchases. An event-time
+    * timer at the earliest pending purchase guarantees emission for
+    * users that go quiet (credit never waits for the NEXT event). */
+  def attributionStream(events: Dataset[Event]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    val winUs = 3600000000L
+    events.toDF()
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("us"), col("value"), col("ets"))
+      .as[(Long, Long, String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[AttrState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val prev = state.getOption.getOrElse(AttrState(Seq.empty, Seq.empty))
+          var buf = prev.buf
+          var pending = prev.pending
+          rows.foreach {
+            case (_, id, "purchase", us, v, _) =>
+              pending +:= ((us, id, math.round(v * 100)))
+            case (_, id, ch, us, _, _)
+                if ch == "click" || ch == "view" || ch == "signup" =>
+              buf +:= ((us, id, ch))
+            case _ => // other event types carry no credit
+          }
+          val (ready, stillPending) = pending.partition(_._1 <= wmUs)
+          // deterministic credit order (p_us, p_id) — emission order is
+          // not part of the contract but keeps replay diffs readable
+          val out = ready.sortBy(p => (p._1, p._2)).map { case (pUs, pId, cents) =>
+            val inWin = buf.filter(t => t._1 < pUs && t._1 >= pUs - winUs)
+            def ch(t: (Long, Long, String)) = t._3
+            val first = if (inWin.isEmpty) "direct"
+              else ch(inWin.minBy(t => (t._1, t._2)))
+            val last = if (inWin.isEmpty) "direct"
+              else ch(inWin.maxBy(t => (t._1, t._2)))
+            AttrOut(user, pId, cents, first, last)
+          }
+          // prune: touches older than wm − 1h serve no undecided purchase
+          val kept = buf.filter(_._1 >= wmUs - winUs)
+          state.update(AttrState(kept, stillPending))
+          if (stillPending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(stillPending.map(_._1).min / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** st_session_native: gap-based sessions via Spark's NATIVE
     * session_window aggregation — the declarative twin of the
     * flatMapGroupsWithState sessionizer (st_sessionize). Same 30-min

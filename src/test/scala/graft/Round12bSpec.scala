@@ -85,6 +85,58 @@ class Round12bSpec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
 
+  // ------------------------------------------------------ st_attribution
+  test("st_attribution: every watermark-decidable purchase is credited " +
+      "exactly once and exactly as the batch computation; split-invariant") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val events = graft.model.Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().toSeq
+    val winUs = 3600000000L
+    val wmUs = events.map(_.ts / 1000).max - 3600000000L
+    // gold: batch credit for exactly the purchases with p_us <= wm
+    val touches = events
+      .filter(e => Set("click", "view", "signup")(e.event_type))
+      .groupBy(_.user_id)
+    val gold = events.filter(_.event_type == "purchase")
+      .filter(_.ts / 1000 <= wmUs).map { p =>
+        val pUs = p.ts / 1000
+        val inWin = touches.getOrElse(p.user_id, Seq.empty)
+          .map(t => (t.ts / 1000, t.event_id, t.event_type))
+          .filter(t => t._1 < pUs && t._1 >= pUs - winUs)
+        val first = if (inWin.isEmpty) "direct"
+          else inWin.minBy(t => (t._1, t._2))._3
+        val last = if (inWin.isEmpty) "direct"
+          else inWin.maxBy(t => (t._1, t._2))._3
+        (p.user_id, p.event_id, math.round(p.value * 100), first, last)
+      }.toSet
+    def run(name: String, batches: Seq[Seq[Streams.Event]]) = {
+      val mem = MemoryStream[Streams.Event]
+      val q = Streams.attributionStream(mem.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table(name).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("p_id"),
+            r.getAs[Long]("cents"), r.getAs[String]("first_touch"),
+            r.getAs[String]("last_touch")))
+        assert(rows.length == rows.distinct.length,
+          s"$name: duplicate credit emission")
+        rows.toSet
+      } finally q.stop()
+    }
+    val sorted = events.sortBy(_.ts)
+    assert(run("attr_one", Seq(sorted)) == gold, "one-shot != batch gold")
+    assert(run("attr_split",
+      sorted.grouped(math.max(1, sorted.size / 7)).toSeq) == gold,
+      "split != gold (credit not split-invariant)")
+  }
+
   // ---------------------------------------------- st_growth_accounting
   test("st_growth_accounting: streamed ledger == watermark-semantics gold " +
       "under any split; classes match batch semantics; churn never " +
