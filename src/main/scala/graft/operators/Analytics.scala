@@ -383,6 +383,9 @@ object Analytics {
     // sketches / co-projection: a pure graph derivative, persisted at
     // production scale)
     coloringPrio(s, dir): Unit
+    // the BFS depth frame (g_bfs_depth + g_bipartite_check's parity
+    // classification) — r12 memo, same two-consumer contract
+    bfsDepth(s, dir): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by
@@ -879,7 +882,21 @@ object Analytics {
     */
   val bfsIters = 6
 
-  def bfsDepth: Q = (s, dir) => {
+  /** Session memo for the BFS depth frame — two consumers (g_bfs_depth
+    * itself and g_bipartite_check's parity classification) share one
+    * frontier-loop run, the s_graph_ann/s_hnsw adjacency-memo
+    * discipline; the memoized frame is an eager localCheckpoint, so
+    * the second consumer reads materialized rows, not a replayed
+    * lineage. */
+  private val bfsDepthCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def bfsDepth: Q = (s, dir) =>
+    graft.model.SessionMemo.getOrBuild(bfsDepthCache, (s, dir)) {
+      bfsDepthBuild(s, dir)
+    }
+
+  private def bfsDepthBuild(s: SparkSession, dir: String): DataFrame = {
     // Frontier-driven in NUMERIC-ID space: each level joins only the
     // NEW nodes against the shared edge cache (total work ≈ Σ frontier
     // sizes ≈ N); per-level distinct + visited anti-join hash a single

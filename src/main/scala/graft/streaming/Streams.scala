@@ -465,6 +465,70 @@ object Streams {
       }
   }
 
+  // ------------------------------------------------- st_pit_features
+  final case class PitOut(label_id: Long, user_id: Long, p_us: Long,
+                          label_cents: Long, n_click_7d: Long,
+                          n_view_7d: Long, n_signup_7d: Long,
+                          n_error_7d: Long, recency_us: Long)
+
+  final case class PitState(buf: Seq[(Long, String)],
+                            pending: Seq[(Long, Long, Long)])
+
+  /** st_pit_features: ONLINE feature serving with training parity —
+    * q_pit_features' trailing-7-day feature vector computed live at
+    * each label instant. The training/serving-skew guarantee is
+    * structural: the spec proves the streamed vector EQUALS the batch
+    * backfill row for every watermark-decidable label, because both
+    * sides implement the same strict-cutoff window ([p−7d, p), integer
+    * µs) and the stream finalizes a label only when the watermark
+    * reaches its instant (the st_attribution argument — nothing
+    * admissible can still enter the window). State per user = 7 days
+    * of history events + watermark-lag labels; the prune at wm − 7d is
+    * correctness-free for the same reason as st_attribution's. This is
+    * the op pair ("offline backfill == online serving, proven") that a
+    * feature platform's parity test suite exists to approximate. */
+  def pitFeaturesStream(events: Dataset[Event]): Dataset[PitOut] = {
+    import events.sparkSession.implicits._
+    val winUs = 604800000000L
+    events.toDF()
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("us"), col("value"), col("ets"))
+      .as[(Long, Long, String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PitState, PitOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[PitState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val prev = state.getOption.getOrElse(PitState(Seq.empty, Seq.empty))
+          var buf = prev.buf
+          var pending = prev.pending
+          rows.foreach {
+            case (_, id, "purchase", us, v, _) =>
+              pending +:= ((us, id, math.round(v * 100)))
+            case (_, _, ch, us, _, _) => buf +:= ((us, ch))
+          }
+          val (ready, stillPending) = pending.partition(_._1 <= wmUs)
+          val out = ready.sortBy(p => (p._1, p._2)).map {
+            case (pUs, pId, cents) =>
+              val w = buf.filter(t => t._1 < pUs && t._1 >= pUs - winUs)
+              def n(c: String) = w.count(_._2 == c).toLong
+              PitOut(pId, user, pUs, cents, n("click"), n("view"),
+                n("signup"), n("error"),
+                if (w.isEmpty) -1L else pUs - w.map(_._1).max)
+          }
+          state.update(PitState(buf.filter(_._1 >= wmUs - winUs),
+            stillPending))
+          if (stillPending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(stillPending.map(_._1).min / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** st_session_native: gap-based sessions via Spark's NATIVE
     * session_window aggregation — the declarative twin of the
     * flatMapGroupsWithState sessionizer (st_sessionize). Same 30-min

@@ -137,6 +137,50 @@ class Round12bSpec extends AnyFunSuite {
       "split != gold (credit not split-invariant)")
   }
 
+  // ----------------------------------------------------- st_pit_features
+  test("st_pit_features: streamed feature vectors equal the driver-checked " +
+      "batch rows for every watermark-decidable label (training/serving " +
+      "parity), under any split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val events = graft.model.Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().toSeq.sortBy(_.ts)
+    val wmUs = events.map(_.ts / 1000).max - 3600000000L
+    // the BATCH op is the gold — the exact frame the DuckDB oracle
+    // checks — restricted to labels the stream can finalize
+    val batch = graft.operators.Relational.qPitFeatures(spark, sf).collect()
+      .map(r => (r.getAs[Long]("label_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("p_us"), r.getAs[Long]("label_cents"),
+        r.getAs[Long]("n_click_7d"), r.getAs[Long]("n_view_7d"),
+        r.getAs[Long]("n_signup_7d"), r.getAs[Long]("n_error_7d"),
+        r.getAs[Long]("recency_us")))
+      .filter(_._3 <= wmUs).toSet
+    def run(name: String, batches: Seq[Seq[Streams.Event]]) = {
+      val mem = MemoryStream[Streams.Event]
+      val q = Streams.pitFeaturesStream(mem.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getAs[Long]("label_id"), r.getAs[Long]("user_id"),
+            r.getAs[Long]("p_us"), r.getAs[Long]("label_cents"),
+            r.getAs[Long]("n_click_7d"), r.getAs[Long]("n_view_7d"),
+            r.getAs[Long]("n_signup_7d"), r.getAs[Long]("n_error_7d"),
+            r.getAs[Long]("recency_us"))).toSet
+      } finally q.stop()
+    }
+    assert(run("pit_one", Seq(events)) == batch,
+      "one-shot stream != batch backfill (training/serving skew)")
+    assert(run("pit_split",
+      events.grouped(math.max(1, events.size / 7)).toSeq) == batch,
+      "split stream != batch backfill")
+  }
+
   // ---------------------------------------------- st_growth_accounting
   test("st_growth_accounting: streamed ledger == watermark-semantics gold " +
       "under any split; classes match batch semantics; churn never " +
