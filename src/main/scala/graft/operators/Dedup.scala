@@ -982,6 +982,83 @@ object Dedup {
     clusterAssignSqlCtes +
       s"\nSELECT id AS doc_id, canon_id FROM c$clusterIters ORDER BY doc_id"
 
+  // ---------------------------------------------------- d_cross_shard_dup
+  /** CROSS-SHARD DUPLICATE audit — the measurement that decides
+    * whether shard-LOCAL dedup (each worker dedups only its own
+    * WebDataset shard — embarrassingly parallel, no global shuffle)
+    * is good enough, or whether the global band-join pipeline is
+    * actually required: per multi-member near-dup cluster, how many
+    * shards (m_shard_pack's packing) do its members land in, and how
+    * many duplicate PAIRS are shard-local (Σ per-shard C(mₛ,2) —
+    * visible to a local dedup) vs cross-shard (invisible). Exact
+    * integer pair counting per span; output is a ≤|max-span|-row
+    * histogram. Because the packer assigns doc-id-hashed writers,
+    * near-dup members scatter — the audit typically shows most pairs
+    * CROSS shards, which is precisely the argument for global dedup
+    * before packing (run it after a doc-id-correlated packing to see
+    * the opposite). Cost on top of the memoized cluster assignment:
+    * one join to the (doc, shard) frame and two bounded aggregates. */
+  def crossShardDup: Q = (s, dir) => {
+    val sw = Multimodal.shardWriters
+    val sb = Multimodal.shardBudget
+    val w = Window.partitionBy("writer").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shards = docs(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(sw)).as("writer"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .select(col("doc_id"),
+        (col("writer") * 1000000L + expr(s"cum_before div $sb"))
+          .as("shard_id"))
+    val cl = clusterAssign(s, dir)
+    val multi = cl.groupBy("canon_id").agg(count(lit(1)).as("mm"))
+      .filter(col("mm") >= 2).select("canon_id")
+    val perShard = cl.join(multi, "canon_id").join(shards, "doc_id")
+      .groupBy("canon_id", "shard_id").agg(count(lit(1)).as("ms"))
+    perShard.groupBy("canon_id")
+      .agg(sum("ms").as("m"), count(lit(1)).as("n_shards"),
+        sum(expr("ms * (ms - 1) div 2")).as("local_pairs"))
+      .select(col("canon_id"), col("m"), col("n_shards"),
+        expr("m * (m - 1) div 2").as("pairs"), col("local_pairs"))
+      .groupBy("n_shards")
+      .agg(count(lit(1)).as("n_clusters"), sum("m").as("n_docs"),
+        sum("pairs").as("n_pairs"),
+        sum(col("pairs") - col("local_pairs")).as("n_cross_pairs"))
+      .orderBy("n_shards")
+  }
+
+  lazy val crossShardDupSql: String =
+    clusterAssignSqlCtes +
+      s""", sh AS (
+         | SELECT doc_id,
+         |  (doc_id % ${Multimodal.shardWriters}) * 1000000
+         |   + (CAST(COALESCE(sum(CAST(length(text) AS BIGINT)) OVER (
+         |       PARTITION BY doc_id % ${Multimodal.shardWriters}
+         |       ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      // ${Multimodal.shardBudget}) AS shard_id
+         | FROM documents
+         |), multi AS (
+         | SELECT canon_id FROM c$clusterIters GROUP BY canon_id
+         | HAVING count(*) >= 2
+         |), ps AS (
+         | SELECT c.canon_id, sh.shard_id, count(*) AS ms
+         | FROM c$clusterIters c
+         | JOIN multi USING (canon_id)
+         | JOIN sh ON sh.doc_id = c.id
+         | GROUP BY 1, 2
+         |), pc AS (
+         | SELECT canon_id, CAST(sum(ms) AS BIGINT) AS m,
+         |  count(*) AS n_shards,
+         |  CAST(sum(ms * (ms - 1) // 2) AS BIGINT) AS local_pairs
+         | FROM ps GROUP BY canon_id
+         |)
+         |SELECT n_shards, count(*) AS n_clusters,
+         | CAST(sum(m) AS BIGINT) AS n_docs,
+         | CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs,
+         | CAST(sum(m * (m - 1) // 2 - local_pairs) AS BIGINT) AS n_cross_pairs
+         |FROM pc GROUP BY n_shards ORDER BY n_shards""".stripMargin
+
   // ---------------------------------------------------- d_dedup_keep_best
   /** CANONICAL-COPY SELECTION BY QUALITY — the policy step a real
     * pipeline runs after clustering: per multi-member near-dup
@@ -2219,6 +2296,7 @@ object Dedup {
     "d_dedup_incremental" -> dedupIncremental,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_dedup_cluster" -> dedupCluster,
+    "d_cross_shard_dup" -> crossShardDup,
     "d_soft_dedup" -> softDedup,
     "d_dedup_simhash" -> dedupSimhash,
     "d_simhash_eval" -> simhashEval,
@@ -2252,6 +2330,7 @@ object Dedup {
     "d_dedup_incremental" -> dedupIncrementalSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_dedup_cluster" -> dedupClusterSql,
+    "d_cross_shard_dup" -> crossShardDupSql,
     "d_soft_dedup" -> softDedupSql,
     "d_dedup_simhash" -> dedupSimhashSql,
     "d_simhash_eval" -> simhashEvalSql,
