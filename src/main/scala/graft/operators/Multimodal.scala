@@ -770,6 +770,54 @@ object Multimodal {
        | n_bytes
        |FROM a ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- m_epoch_plan
+  /** DATALOADER EPOCH PLAN — the reproducible shard-order schedule a
+    * multi-epoch training run reads: for each epoch, a DIFFERENT but
+    * fully deterministic permutation of the packed shards (epoch-
+    * salted md5 rank — the derandomized Fisher-Yates the repo's
+    * sampling ops use), so a rerun of epoch e visits shards in the
+    * same order on any cluster, and no two epochs share an order
+    * (the property that matters: with a repeated order, inter-shard
+    * curriculum effects correlate across epochs). The permutation is
+    * over the SHARD MANIFEST (m_shard_pack's output — thousands of
+    * rows at petabyte scale, never the corpus), so planning cost is
+    * nil; position is a rank over (md5(epoch:shard), shard_id) — a
+    * total order. Shard-level (not doc-level) shuffling is the
+    * WebDataset trade: sequential reads inside a shard, randomness
+    * across shards; t_global_shuffle is the doc-level complement. */
+  val epochCount = 3
+
+  def epochPlan: Q = (s, dir) => {
+    val shards = shardPack(s, dir).select("shard_id", "n_items")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch").orderBy("h", "shard_id")
+    shards
+      .withColumn("epoch", explode(expr(s"sequence(1, $epochCount)")))
+      .withColumn("h", graft.functions.VectorExprs.hexSlice(
+        md5(concat_ws(":", col("epoch"), col("shard_id"))), 1, 10))
+      .select(col("epoch").cast("long").as("epoch"),
+        row_number().over(w).cast("long").as("position"),
+        col("shard_id"), col("n_items"))
+      .orderBy("epoch", "position")
+  }
+
+  lazy val epochPlanSql: String = {
+    val rank = OracleSql.hexToLong(
+      "md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(s.shard_id AS VARCHAR))",
+      1, 10)
+    s"""WITH pack AS (
+       |$shardPackSql
+       |), sm AS (
+       | SELECT shard_id, n_items FROM pack
+       |), e AS (SELECT unnest(range(1, ${epochCount + 1})) AS epoch)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch,
+       | CAST(row_number() OVER (PARTITION BY e.epoch
+       |   ORDER BY CAST($rank AS BIGINT), s.shard_id) AS BIGINT) AS position,
+       | s.shard_id, s.n_items
+       |FROM sm s, e
+       |ORDER BY epoch, position""".stripMargin
+  }
+
   // ------------------------------------------------------ m_shard_balance
   /** DATALOADER-BALANCE audit over the WebDataset shard manifest: per
     * writer — shard count, item count, byte mass, and load share in
@@ -999,6 +1047,7 @@ object Multimodal {
     "m_video_dedup" -> videoDedup,
     "m_audio_vad" -> audioVadQ,
     "m_shard_pack" -> shardPack,
+    "m_epoch_plan" -> epochPlan,
     "m_shard_index" -> shardIndex,
     "m_shard_balance" -> shardBalance,
     "m_phash_dedup" -> phashDedup,
@@ -1014,6 +1063,7 @@ object Multimodal {
     "m_video_dedup" -> videoDedupSql,
     "m_audio_vad" -> audioVadSql,
     "m_shard_pack" -> shardPackSql,
+    "m_epoch_plan" -> epochPlanSql,
     "m_shard_index" -> shardIndexSql,
     "m_shard_balance" -> shardBalanceSql,
     "m_phash_dedup" -> phashDedupSql,

@@ -2094,6 +2094,71 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ------------------------------------------------------ s_vector_drift
+  /** EMBEDDING-DISTRIBUTION DRIFT monitor — q_ks_drift's question asked
+    * of the vector store: has the embedding distribution moved between
+    * two slices of the corpus (here: even vs odd vec_id, the stand-in
+    * for before/after a model or pipeline change)? Per dimension, the
+    * slice means over the SAME milli-quantized components the ANN
+    * family scores with (drift measured in the index's own metric
+    * space — a drift invisible after quantization cannot affect
+    * retrieval), reported as exact integer micro-unit mean difference
+    * (milli sums × 1000 div n — one integer division per slice, no
+    * float accumulates). Top-8 dimensions by (|drift| DESC, dim) —
+    * total order, deterministic cut. At 100 TB: one explode pass, one
+    * dim-keyed partial-agged shuffle of 64 groups; slices are column
+    * predicates, never separate scans. The follow-up when drift fires
+    * is s_dim_truncate_eval / re-training the IVF centroids
+    * (s_centroid_balance shows the symptom on the index side). */
+  def vectorDrift: Q = (s, dir) => {
+    val el = quantized(s, dir)
+      .select(col("vec_id"), posexplode(col("qe")).as(Seq("dim", "v")))
+    el.groupBy("dim")
+      .agg(sum(when(col("vec_id") % 2 === 0, col("v")).otherwise(0L))
+          .as("sum_a"),
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, col("v")).otherwise(0L))
+          .as("sum_b"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("dim").cast("long").as("dim"), col("sum_a"), col("n_a"),
+        col("sum_b"), col("n_b"),
+        // non-negative-shifted floor means (the s_scalar_quant fix):
+        // Spark div and DuckDB // agree only on non-negative operands,
+        // and component sums CAN be negative
+        expr("((sum_a + n_a * 1048576) * 1000) div n_a" +
+          " - ((sum_b + n_b * 1048576) * 1000) div n_b").as("drift_micro"))
+      .orderBy(abs(col("drift_micro")).desc, col("dim"))
+      .limit(8)
+      .orderBy("dim")
+  }
+
+  val vectorDriftSql: String =
+    """WITH q AS (
+      | SELECT vec_id, list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      | FROM embeddings
+      |), el AS (
+      | SELECT vec_id, unnest(qe) AS v,
+      |  CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim
+      | FROM q
+      |), a AS (
+      | SELECT dim,
+      |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_a,
+      |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+      |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      | FROM el GROUP BY dim
+      |), d AS (
+      | SELECT dim, sum_a, n_a, sum_b, n_b,
+      |  ((sum_a + n_a * 1048576) * 1000) // n_a
+      |   - ((sum_b + n_b * 1048576) * 1000) // n_b AS drift_micro
+      | FROM a
+      | ORDER BY abs(((sum_a + n_a * 1048576) * 1000) // n_a
+      |   - ((sum_b + n_b * 1048576) * 1000) // n_b) DESC, dim
+      | LIMIT 8
+      |)
+      |SELECT * FROM d ORDER BY dim""".stripMargin
+
   // -------------------------------------------------------- s_pca_power
   /** Dominant principal direction of the embedding corpus — power
     * iteration v ← G·v on the EXACT integer Gram matrix G = ΣᵥqᵥqᵥᵀV
@@ -3055,6 +3120,7 @@ object Similarity {
     "s_ndcg_eval" -> ndcgEval,
     "s_ivf_probe_curve" -> ivfProbeCurve,
     "s_pca_power" -> pcaPower,
+    "s_vector_drift" -> vectorDrift,
     "s_ann_rerank" -> annRerank,
     "s_range_search" -> rangeSearch,
     "s_range_recall" -> rangeRecall,
@@ -3089,6 +3155,7 @@ object Similarity {
     "s_ndcg_eval" -> ndcgEvalSql,
     "s_ivf_probe_curve" -> ivfProbeCurveSql,
     "s_pca_power" -> pcaPowerSql,
+    "s_vector_drift" -> vectorDriftSql,
     "s_ann_rerank" -> annRerankSql,
     "s_range_search" -> rangeSearchSql,
     "s_range_recall" -> rangeRecallSql,
