@@ -95,4 +95,34 @@ class PartitionStabilitySpec extends AnyFunSuite {
       graft.operators.Relational.q15TopSupplier(spark, sf)
     }
   }
+
+  test("returned-items top-20 cut is partition-stable (exact-integer rank boundary)") {
+    stable("q10_returned_items") {
+      graft.operators.Relational.q10ReturnedItems(spark, sf)
+    }
+  }
+
+  test("attribution credit is partition-stable (min/max-struct argselect)") {
+    stable("q_attribution") {
+      graft.operators.Relational.qAttribution(spark, sf)
+    }
+  }
+
+  test("burstiness top-30 cut is partition-stable (total-order rank)") {
+    stable("t_term_burstiness") {
+      graft.operators.TextOps.termBurstiness(spark, sf)
+    }
+  }
+
+  test("MIS is partition-stable (per-round md5 priorities + struct min)") {
+    stable("g_mis") {
+      graft.operators.Analytics.mis(spark, sf)
+    }
+  }
+
+  test("epoch plan is partition-stable (salted rank over the manifest)") {
+    stable("m_epoch_plan") {
+      graft.operators.Multimodal.epochPlan(spark, sf)
+    }
+  }
 }
