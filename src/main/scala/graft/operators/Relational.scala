@@ -3650,6 +3650,208 @@ object Relational {
       |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
       |FROM m""".stripMargin
 
+  // -------------------------------------------------------------- q_cuped
+  /** CUPED variance reduction (Deng et al. 2013) — the modern
+    * experimentation readout beside q_ab_test's χ²: each user's
+    * post-period metric Y is adjusted by their PRE-period activity X
+    * (Yadj = Y − θ(X − X̄), θ = cov(X,Y)/var(X)), shrinking the
+    * variance of the group means by exactly r²(X,Y) without biasing
+    * the treatment difference (X predates assignment, so E[X|A] =
+    * E[X|B]). Everything that decides anything is an exact
+    * DECIMAL(38,0) moment from ONE pass over the per-user frame
+    * (pooled θ, per-group conditional sums ride the same aggregate —
+    * the q_corr_matrix one-scan discipline); θ, the adjusted means,
+    * and the realized-r² ppm are final IEEE operations on those
+    * identical integers (the q_ab_test z² precedent for wide values).
+    * Pre/post split at the corpus midpoint day (1-row broadcast);
+    * groups by the md5 hash-split q_ab_test uses. The r2_ppm column
+    * IS the measured variance reduction — the number that decides
+    * whether CUPED is worth wiring into a given experiment. */
+  def qCuped: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L))
+          .cast(D38).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .cast(D38).as("y"))
+      .withColumn("grp", graft.functions.VectorExprs.hexSlice(
+        md5(col("user_id").cast("string")), 1, 1) % 2)
+    val m = perUser.agg(
+      count(lit(1)).cast(D38).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(D38).as("n0"),
+      sum(when(col("grp") === 0, col("x")).otherwise(lit(0).cast(D38)))
+        .as("sx0"),
+      sum(when(col("grp") === 0, col("y")).otherwise(lit(0).cast(D38)))
+        .as("sy0"))
+    m.select(col("n").cast("long").as("n_users"),
+        col("n0").cast("long").as("n_a"),
+        (col("n") - col("n0")).cast("long").as("n_b"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("cov"),
+        expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("vx"),
+        expr("CAST(n * syy - sy * sy AS DOUBLE)").as("vy"),
+        expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mx"),
+        expr("CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)").as("my0"),
+        expr("CAST(sy - sy0 AS DOUBLE) / CAST(n - n0 AS DOUBLE)").as("my1"),
+        expr("CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)").as("mx0"),
+        expr("CAST(sx - sx0 AS DOUBLE) / CAST(n - n0 AS DOUBLE)").as("mx1"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        round(when(col("vx") > 0, col("cov") / col("vx")).otherwise(0.0), 6)
+          .as("theta6"),
+        round(col("my0"), 2).as("mean_y_a"),
+        round(col("my1"), 2).as("mean_y_b"),
+        round(when(col("vx") > 0,
+            col("my0") - (col("cov") / col("vx")) * (col("mx0") - col("mx")))
+          .otherwise(col("my0")), 2).as("mean_y_adj_a"),
+        round(when(col("vx") > 0,
+            col("my1") - (col("cov") / col("vx")) * (col("mx1") - col("mx")))
+          .otherwise(col("my1")), 2).as("mean_y_adj_b"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("cov") * col("cov") / (col("vx") * col("vy")) * 1e6, 0)
+            .cast("long")).otherwise(0L).as("r2_ppm"))
+  }
+
+  val qCupedSql: String =
+    """WITH ev AS (
+      | SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM events
+      |), mid AS (
+      | SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev
+      |), pu AS (
+      | SELECT user_id,
+      |  CAST(sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS x,
+      |  CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS y,
+      |  (STRPOS('0123456789abcdef',
+      |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS grp
+      | FROM ev, mid GROUP BY user_id
+      |), m AS (
+      | SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |  sum(y * y) AS syy, sum(x * y) AS sxy,
+      |  CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n0,
+      |  sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS sx0,
+      |  sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS sy0
+      | FROM pu
+      |), d AS (
+      | SELECT CAST(n AS BIGINT) AS n_users, CAST(n0 AS BIGINT) AS n_a,
+      |  CAST(n - n0 AS BIGINT) AS n_b,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+      |  CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+      |  CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+      |  CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS my0,
+      |  CAST(sy - sy0 AS DOUBLE) / CAST(n - n0 AS DOUBLE) AS my1,
+      |  CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mx0,
+      |  CAST(sx - sx0 AS DOUBLE) / CAST(n - n0 AS DOUBLE) AS mx1
+      | FROM m
+      |)
+      |SELECT n_users, n_a, n_b,
+      | round(CASE WHEN vx > 0 THEN cov / vx ELSE 0.0 END, 6) AS theta6,
+      | round(my0, 2) AS mean_y_a, round(my1, 2) AS mean_y_b,
+      | round(CASE WHEN vx > 0 THEN my0 - (cov / vx) * (mx0 - mx)
+      |   ELSE my0 END, 2) AS mean_y_adj_a,
+      | round(CASE WHEN vx > 0 THEN my1 - (cov / vx) * (mx1 - mx)
+      |   ELSE my1 END, 2) AS mean_y_adj_b,
+      | CASE WHEN vx > 0 AND vy > 0
+      |  THEN CAST(round(cov * cov / (vx * vy) * 1000000.0, 0) AS BIGINT)
+      |  ELSE 0 END AS r2_ppm
+      |FROM d""".stripMargin
+
+  // -------------------------------------------------------- q_corr_matrix
+  /** PAIRWISE CORRELATION MATRIX over (quantity, price, discount, tax)
+    * — q_corr's multivariate extension, and the shape that matters at
+    * scale: ALL moments (4 sums, 4 squares, 6 cross-products) ride ONE
+    * scan and one 1-row aggregate, and every pairwise r derives from
+    * that single row — a naive profiler runs one corr() scan per pair
+    * (6 scans here, k²/2 in general). Moments are exact DECIMAL(38,0)
+    * over integer-unit columns (cents / percent-cents), so partial-agg
+    * order cannot move them; the only floats are the final per-pair
+    * divisions from identical integer operands (IEEE sqrt/div —
+    * bit-identical, the q_corr discipline), rounded to 6. Constant
+    * columns (zero variance) emit NULL rather than a 0/0 artifact. */
+  private val corrMatrixVars =
+    Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+
+  def qCorrMatrix: Q = (s, dir) => {
+    val base = t(s, dir, "lineitem").select(corrMatrixVars.map {
+      case (a, c) =>
+        expr(s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").as(a)
+    }: _*)
+    val names = corrMatrixVars.map(_._1)
+    val sums = names.map(v => sum(col(v)).as(s"s_$v")) ++
+      names.map(v => sum(col(v) * col(v)).as(s"s_${v}_$v")) ++
+      names.combinations(2).map { case Seq(a, b) =>
+        sum(col(a) * col(b)).as(s"s_${a}_$b")
+      }.toSeq
+    val m = base.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sums: _*)
+    // all 6 pairs EXPLODE out of the single moment row — a union of 6
+    // selects over `m` would rebuild the aggregate subtree per branch
+    // (one fact scan per pair unless exchange reuse happens to fire);
+    // the explode makes one-pass structural, not an optimizer favor
+    val pairStructs = names.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        when(col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a") > 0 &&
+             col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b") > 0,
+          round((col("n") * col(s"s_${a}_$b") -
+              col(s"s_$a") * col(s"s_$b")).cast("double") /
+            (sqrt((col("n") * col(s"s_${a}_$a") -
+              col(s"s_$a") * col(s"s_$a")).cast("double")) *
+             sqrt((col("n") * col(s"s_${b}_$b") -
+              col(s"s_$b") * col(s"s_$b")).cast("double"))), 6))
+          .as("corr6"))
+    }.toSeq
+    m.select(col("n").cast("long").as("n_rows"),
+        explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("n_rows"), col("p.corr6").as("corr6"))
+      .orderBy("var_a", "var_b")
+  }
+
+  val qCorrMatrixSql: String = {
+    val cols = corrMatrixVars.map { case (a, c) =>
+      s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS $a"
+    }.mkString(",\n |  ")
+    val names = corrMatrixVars.map(_._1)
+    val sums = (names.map(v => s"sum($v) AS s_$v") ++
+      names.map(v => s"sum($v * $v) AS s_${v}_$v") ++
+      names.combinations(2).map { case Seq(a, b) =>
+        s"sum($a * $b) AS s_${a}_$b"
+      }).mkString(",\n |  ")
+    val pairSelects = names.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS var_a, '$b' AS var_b, CAST(n AS BIGINT) AS n_rows,
+         | CASE WHEN n * s_${a}_$a - s_$a * s_$a > 0
+         |   AND n * s_${b}_$b - s_$b * s_$b > 0
+         |  THEN round(CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |   (sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE)) *
+         |    sqrt(CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE))), 6)
+         | END AS corr6
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       | SELECT $cols
+       | FROM lineitem
+       |), m AS (
+       | SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+       |  $sums
+       | FROM v
+       |)
+       |SELECT * FROM (
+       |$pairSelects
+       |) ORDER BY var_a, var_b""".stripMargin
+  }
+
   // ----------------------------------------------------- q_intersect_except
   /** Set operators INTERSECT / EXCEPT (distinct semantics) on the
     * customer-key sets ordering in 1995 vs 1996 — retained / churned /
@@ -5927,6 +6129,8 @@ object Relational {
     "q_skyline" -> qSkyline,
     "q_mom_yoy" -> qMomYoy,
     "q_corr" -> qCorr,
+    "q_corr_matrix" -> qCorrMatrix,
+    "q_cuped" -> qCuped,
     "q_market_basket" -> qMarketBasket,
     "q_topk_per_group" -> qTopkPerGroup,
     "q13_custdist" -> q13Custdist,
@@ -6039,6 +6243,8 @@ object Relational {
     "q_skyline" -> qSkylineSql,
     "q_mom_yoy" -> qMomYoySql,
     "q_corr" -> qCorrSql,
+    "q_corr_matrix" -> qCorrMatrixSql,
+    "q_cuped" -> qCupedSql,
     "q_market_basket" -> qMarketBasketSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q13_custdist" -> q13CustdistSql,

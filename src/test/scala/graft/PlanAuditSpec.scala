@@ -511,6 +511,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"disjunctive join degenerated:\n$p")
   }
 
+  test("q_corr_matrix derives all 6 pairs from ONE fact scan") {
+    // the one-pass claim is the op's reason to exist — a union-of-
+    // selects shape would rebuild the moment aggregate per pair
+    val p = plan(Relational.qCorrMatrix(spark, sf))
+    val scans = "ReadSchema:.*l_quantity".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scanned $scans times (one-pass lost):\n$p")
+  }
+
   test("q_quantile_kll estimate frame broadcasts onto the fact; windows stay pri-partitioned") {
     val p = plan(Relational.qQuantileKll(spark, sf))
     // the 5-row estimate frame joins the fact by broadcast (the
