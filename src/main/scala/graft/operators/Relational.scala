@@ -3767,6 +3767,169 @@ object Relational {
       |  ELSE 0 END AS r2_ppm
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- q_did
+  /** DIFFERENCE-IN-DIFFERENCES — the third member of the
+    * experimentation family (q_ab_test tests, q_cuped sharpens, this
+    * DEBIASES): when assignment isn't random-at-period-start, the
+    * treatment effect is estimated as (B_post − B_pre) − (A_post −
+    * A_pre), which cancels both the level difference between groups
+    * and the common time trend (the parallel-trends identification).
+    * The user panel is FIXED (every user contributes to both periods,
+    * zeros included — a churn-correlated panel would reintroduce the
+    * bias DiD removes), cells come from ONE pass of conditional
+    * DECIMAL(38,0) sums over the per-user frame, and the four means +
+    * the DiD are final IEEE divisions of identical integers (round 2).
+    * Same corpus-midpoint split and md5 hash groups as q_cuped, so
+    * the two read as one experiment report. */
+  def qDid: Q = (s, dir) => {
+    val D38 = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+          .cast(D38).as("pre"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .cast(D38).as("post"))
+      .withColumn("grp", graft.functions.VectorExprs.hexSlice(
+        md5(col("user_id").cast("string")), 1, 1) % 2)
+    perUser.agg(
+        count(lit(1)).cast(D38).as("n"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(D38).as("n0"),
+        sum(when(col("grp") === 0, col("pre")).otherwise(lit(0).cast(D38)))
+          .as("pre0"),
+        sum(when(col("grp") === 0, col("post")).otherwise(lit(0).cast(D38)))
+          .as("post0"),
+        sum(when(col("grp") === 1, col("pre")).otherwise(lit(0).cast(D38)))
+          .as("pre1"),
+        sum(when(col("grp") === 1, col("post")).otherwise(lit(0).cast(D38)))
+          .as("post1"))
+      .select(col("n").cast("long").as("n_users"),
+        col("n0").cast("long").as("n_a"),
+        (col("n") - col("n0")).cast("long").as("n_b"),
+        round(expr("CAST(pre0 AS DOUBLE) / CAST(n0 AS DOUBLE)"), 2)
+          .as("pre_a"),
+        round(expr("CAST(post0 AS DOUBLE) / CAST(n0 AS DOUBLE)"), 2)
+          .as("post_a"),
+        round(expr("CAST(pre1 AS DOUBLE) / CAST(n - n0 AS DOUBLE)"), 2)
+          .as("pre_b"),
+        round(expr("CAST(post1 AS DOUBLE) / CAST(n - n0 AS DOUBLE)"), 2)
+          .as("post_b"),
+        round(expr(
+          "(CAST(post1 AS DOUBLE) / CAST(n - n0 AS DOUBLE)" +
+          " - CAST(pre1 AS DOUBLE) / CAST(n - n0 AS DOUBLE))" +
+          " - (CAST(post0 AS DOUBLE) / CAST(n0 AS DOUBLE)" +
+          " - CAST(pre0 AS DOUBLE) / CAST(n0 AS DOUBLE))"), 2).as("did"))
+  }
+
+  val qDidSql: String =
+    """WITH ev AS (
+      | SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM events
+      |), mid AS (
+      | SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev
+      |), pu AS (
+      | SELECT user_id,
+      |  CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS pre,
+      |  CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS post,
+      |  (STRPOS('0123456789abcdef',
+      |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS grp
+      | FROM ev, mid GROUP BY user_id
+      |), m AS (
+      | SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n0,
+      |  sum(CASE WHEN grp = 0 THEN pre ELSE 0 END) AS pre0,
+      |  sum(CASE WHEN grp = 0 THEN post ELSE 0 END) AS post0,
+      |  sum(CASE WHEN grp = 1 THEN pre ELSE 0 END) AS pre1,
+      |  sum(CASE WHEN grp = 1 THEN post ELSE 0 END) AS post1
+      | FROM pu
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_users, CAST(n0 AS BIGINT) AS n_a,
+      | CAST(n - n0 AS BIGINT) AS n_b,
+      | round(CAST(pre0 AS DOUBLE) / CAST(n0 AS DOUBLE), 2) AS pre_a,
+      | round(CAST(post0 AS DOUBLE) / CAST(n0 AS DOUBLE), 2) AS post_a,
+      | round(CAST(pre1 AS DOUBLE) / CAST(n - n0 AS DOUBLE), 2) AS pre_b,
+      | round(CAST(post1 AS DOUBLE) / CAST(n - n0 AS DOUBLE), 2) AS post_b,
+      | round((CAST(post1 AS DOUBLE) / CAST(n - n0 AS DOUBLE)
+      |   - CAST(pre1 AS DOUBLE) / CAST(n - n0 AS DOUBLE))
+      |  - (CAST(post0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |   - CAST(pre0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 2) AS did
+      |FROM m""".stripMargin
+
+  // -------------------------------------------------------------- q_power
+  /** EXPERIMENT POWER PLANNING — "how many users per arm before this
+    * lift is detectable": the two-proportion sample-size formula
+    * n = (z₀.₉₇₅ + z₀.₈)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₂ − p₁)² at
+    * α = 5% two-sided, 80% power, evaluated for a ladder of relative
+    * lifts over the corpus's OWN baseline conversion (purchasing
+    * users / all users — exact integers). The z quantiles are
+    * builder-generated literals baked into both engines' SQL (the
+    * Benford constant discipline — no cross-engine Φ⁻¹ call exists);
+    * the formula itself is final IEEE arithmetic on identical
+    * operands; ceil lands back in BIGINT. feasible = whether the
+    * corpus's own user count could populate both arms — the
+    * "can we even run this here" column. One user-frame pass; the
+    * lift ladder explodes from the single baseline row. */
+  val powerLiftsPpm: Seq[Long] = Seq(10000L, 20000L, 50000L, 100000L)
+  val powerZsum: Double = 1.959964 + 0.841621 // z_{0.975} + z_{0.80}
+
+  def qPower: Q = (s, dir) => {
+    val users = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("pc"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("pc") > 0, 1L).otherwise(0L)).as("n_conv"))
+    users.select(col("n_users"), col("n_conv"),
+        explode(lit(powerLiftsPpm.toArray)).as("lift_ppm"))
+      .select(col("n_users"), col("n_conv"), col("lift_ppm"),
+        expr("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)").as("p1"),
+        expr("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)" +
+          " * (1.0 + CAST(lift_ppm AS DOUBLE) / 1000000.0)").as("p2"))
+      .select(col("lift_ppm"), col("n_users"), col("n_conv"),
+        round(col("p1"), 6).as("p1_6"), round(col("p2"), 6).as("p2_6"),
+        expr(s"CAST(ceil($powerZsum * $powerZsum" +
+          " * (p1 * (1.0 - p1) + p2 * (1.0 - p2))" +
+          " / ((p2 - p1) * (p2 - p1))) AS BIGINT)").as("n_per_arm"))
+      .withColumn("feasible",
+        (col("n_per_arm") * 2 <= col("n_users")).cast("long"))
+      .orderBy("lift_ppm")
+  }
+
+  val qPowerSql: String = {
+    val lifts = powerLiftsPpm.mkString(", ")
+    s"""WITH u AS (
+       | SELECT user_id,
+       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+       | FROM events GROUP BY user_id
+       |), base AS (
+       | SELECT count(*) AS n_users,
+       |  CAST(sum(CASE WHEN pc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+       | FROM u
+       |), lifts AS (SELECT unnest([$lifts]) AS lift_ppm
+       |), p AS (
+       | SELECT lift_ppm, n_users, n_conv,
+       |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1,
+       |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |   * (1.0 + CAST(lift_ppm AS DOUBLE) / 1000000.0) AS p2
+       | FROM base, lifts
+       |)
+       |SELECT CAST(lift_ppm AS BIGINT) AS lift_ppm, n_users, n_conv,
+       | round(p1, 6) AS p1_6, round(p2, 6) AS p2_6,
+       | CAST(ceil($powerZsum * $powerZsum
+       |   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       |   / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
+       | CAST(CASE WHEN CAST(ceil($powerZsum * $powerZsum
+       |   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       |   / ((p2 - p1) * (p2 - p1))) AS BIGINT) * 2 <= n_users
+       |  THEN 1 ELSE 0 END AS BIGINT) AS feasible
+       |FROM p ORDER BY lift_ppm""".stripMargin
+  }
+
   // -------------------------------------------------------- q_corr_matrix
   /** PAIRWISE CORRELATION MATRIX over (quantity, price, discount, tax)
     * — q_corr's multivariate extension, and the shape that matters at
@@ -6131,6 +6294,8 @@ object Relational {
     "q_corr" -> qCorr,
     "q_corr_matrix" -> qCorrMatrix,
     "q_cuped" -> qCuped,
+    "q_did" -> qDid,
+    "q_power" -> qPower,
     "q_market_basket" -> qMarketBasket,
     "q_topk_per_group" -> qTopkPerGroup,
     "q13_custdist" -> q13Custdist,
@@ -6245,6 +6410,8 @@ object Relational {
     "q_corr" -> qCorrSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_cuped" -> qCupedSql,
+    "q_did" -> qDidSql,
+    "q_power" -> qPowerSql,
     "q_market_basket" -> qMarketBasketSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q13_custdist" -> q13CustdistSql,
