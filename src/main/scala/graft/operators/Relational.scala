@@ -787,6 +787,253 @@ object Relational {
       |WHERE p.p_name LIKE '%red%'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- derived partsupp
+  /** DERIVED PARTSUPP — the synthetic schema ships no partsupp table,
+    * so the four TPC-H shapes that need one (Q2/Q11/Q16/Q20) run over
+    * the OBSERVED part-supplier relation: every (part, supplier) pair
+    * that ever traded, with availqty := total quantity shipped (flow
+    * as stock proxy) and supplycost := the minimum unit price seen
+    * (milli-dollars per unit, exact integer (ec·1000) div qc — qty ≥ 1
+    * so the divisor is never 0). A derived dimension like this is
+    * itself a standard warehouse pattern (the "observed catalog").
+    * Session-memoized: four consumers, one |pairs|-row build. */
+  private val partsuppCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(partsuppCache, (s, dir)) {
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (dec(col("l_quantity")) * 100).cast("long").as("qc"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("ec"))
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(sum("qc").as("ps_availqty_c"),
+          min(expr("(ec * 1000) div qc")).as("ps_supplycost_milli"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** Oracle twin of the derived-partsupp frame (CTE body, no WITH). */
+  private val partsuppSqlCte: String =
+    """ps AS (
+      | SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS ps_availqty_c,
+      |  min((CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000)
+      |    // CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS ps_supplycost_milli
+      | FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+
+  // --------------------------------------------------- q2_min_cost_supplier
+  /** TPC-H Q2 (minimum-cost supplier) — the CORRELATED-SCALAR-MIN
+    * shape: for each qualifying part, the EUROPE suppliers achieving
+    * the minimum supply cost FOR THAT PART (the subquery re-correlates
+    * on the outer part key — the shape that separates decorrelating
+    * planners from re-executing ones). Decorrelated by hand: one
+    * per-part MIN over the Europe-filtered derived partsupp, joined
+    * back by exact integer equality — ties KEPT (integer cost, so
+    * "== min" is deterministic; Q15's float-tie lesson again).
+    * Dims (supplier→nation→region) broadcast; output bounded by
+    * qualifying parts × achieving suppliers. */
+  def q2MinCostSupplier: Q = (s, dir) => {
+    val eurSupp = broadcast(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name")))
+    val parts = broadcast(t(s, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    val eurPs = partsupp(s, dir)
+      .join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+    val minCost = eurPs.groupBy(col("ps_partkey").as("mk"))
+      .agg(min("ps_supplycost_milli").as("min_cost_milli"))
+    eurPs.join(broadcast(minCost),
+        col("ps_partkey") === col("mk") &&
+        col("ps_supplycost_milli") === col("min_cost_milli"))
+      .select(col("ps_partkey").as("p_partkey"), col("p_brand"),
+        col("p_size"), col("min_cost_milli"),
+        col("ps_suppkey").as("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  val q2MinCostSupplierSql: String =
+    s"""WITH $partsuppSqlCte, eur AS (
+       | SELECT s.s_suppkey, s.s_name, n.n_name
+       | FROM supplier s
+       | JOIN nation n ON n.n_nationkey = s.s_nationkey
+       | JOIN region r ON r.r_regionkey = n.n_regionkey
+       | WHERE r.r_name = 'EUROPE'
+       |), eps AS (
+       | SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_milli,
+       |  e.s_name, e.n_name, p.p_brand, p.p_size
+       | FROM ps
+       | JOIN eur e ON e.s_suppkey = ps.ps_suppkey
+       | JOIN part p ON p.p_partkey = ps.ps_partkey
+       | WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 1 AND 15
+       |)
+       |SELECT o.ps_partkey AS p_partkey, o.p_brand, o.p_size,
+       | o.ps_supplycost_milli AS min_cost_milli,
+       | o.ps_suppkey AS s_suppkey, o.s_name, o.n_name
+       |FROM eps o
+       |WHERE o.ps_supplycost_milli = (
+       |  SELECT min(i.ps_supplycost_milli) FROM eps i
+       |  WHERE i.ps_partkey = o.ps_partkey)
+       |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  // ----------------------------------------------------- q11_important_stock
+  /** TPC-H Q11 (important stock identification) — the HAVING-VS-GLOBAL-
+    * SCALAR shape: parts whose inventory value (Σ cost·qty over one
+    * nation's suppliers) exceeds a FRACTION of the total inventory
+    * value — the aggregate filtered against an aggregate of itself.
+    * Planned as one grouped aggregate + a 1-row broadcast of its own
+    * total, with the fraction test as exact integer cross-
+    * multiplication (value·10⁴ > tot ⟺ share > 0.01% — no float
+    * threshold; q22's discipline applied to HAVING). Top-50 by
+    * (value DESC, partkey) — exact integers, deterministic cut. */
+  def q11ImportantStock: Q = (s, dir) => {
+    val natSupp = broadcast(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey")))
+    val vals = partsupp(s, dir)
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("ps_partkey"))
+      .agg(sum(expr("CAST(ps_supplycost_milli AS DECIMAL(38,0)) * ps_availqty_c"))
+        .as("value_u"))
+    val tot = vals.agg(sum("value_u").as("tot"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("value_u") * 10000 > col("tot"))
+      .select(col("ps_partkey").as("p_partkey"),
+        col("value_u").cast("double").as("value_units"))
+      .orderBy(col("value_units").desc, col("p_partkey"))
+      .limit(50)
+      .orderBy("p_partkey")
+  }
+
+  val q11ImportantStockSql: String =
+    s"""WITH $partsuppSqlCte, v AS (
+       | SELECT ps.ps_partkey,
+       |  sum(CAST(ps.ps_supplycost_milli AS DECIMAL(38,0)) * ps.ps_availqty_c)
+       |   AS value_u
+       | FROM ps
+       | WHERE EXISTS (SELECT 1 FROM supplier s JOIN nation n
+       |   ON n.n_nationkey = s.s_nationkey
+       |   WHERE s.s_suppkey = ps.ps_suppkey
+       |    AND n.n_name IN ('NATION_3', 'NATION_8'))
+       | GROUP BY 1
+       |), ranked AS (
+       | SELECT ps_partkey AS p_partkey, CAST(value_u AS DOUBLE) AS value_units
+       | FROM v
+       | WHERE value_u * 10000 > (SELECT sum(value_u) FROM v)
+       | ORDER BY value_u DESC, ps_partkey LIMIT 50
+       |)
+       |SELECT * FROM ranked ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------- q16_parts_supplier_cnt
+  /** TPC-H Q16 (parts/supplier relationship) — the COUNT-DISTINCT-
+    * AFTER-ANTI-JOIN shape: how many DISTINCT suppliers offer each
+    * (brand, type, size-band) combination, excluding a blacklist of
+    * suppliers (Q16's complaint-comment suppliers recast as negative
+    * account balance — no comment column exists). The blacklist is a
+    * LEFT ANTI against the derived partsupp BEFORE the distinct-count
+    * aggregate (filtering after would need the supplier carried
+    * through the group-by), and the exclusion predicate lives on a
+    * broadcast dim. Output ordered by (supplier_cnt DESC, brand,
+    * type, size-band) — total order. */
+  def q16PartsSupplierCnt: Q = (s, dir) => {
+    val excluded = broadcast(t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+    val pt = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        expr("CAST((p_size - 1) div 10 AS BIGINT)").as("size_band")))
+    partsupp(s, dir)
+      .join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("ps_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "size_band")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("size_band"))
+  }
+
+  val q16PartsSupplierCntSql: String =
+    s"""WITH $partsuppSqlCte
+       |SELECT p.p_brand, p.p_type,
+       | CAST((p.p_size - 1) // 10 AS BIGINT) AS size_band,
+       | CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+       |WHERE p.p_brand <> 'Brand#12' AND p.p_type <> 'PROMO'
+       | AND ps.ps_suppkey NOT IN (
+       |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, size_band""".stripMargin
+
+  // ----------------------------------------------- q20_excess_availability
+  /** TPC-H Q20 (potential part promotion) — the NESTED-IN-WITH-
+    * CORRELATED-AGGREGATE shape: suppliers (in one nation) holding
+    * EXCESS availability of name-matched parts, where "excess" compares
+    * each pair's availqty against an aggregate correlated on BOTH keys
+    * (that pair's own recent shipments — here: availqty > 3× the
+    * pair's year-2001 quantity, i.e. recent flow is a small slice of
+    * historical). The two nested INs and the double-correlated scalar
+    * all decorrelate to: per-pair recent-qty aggregate (left outer —
+    * zero recent shipments is the MOST excess), integer compare,
+    * left-semi up to suppliers, broadcast nation filter. Output:
+    * qualifying suppliers with their excess-pair count. */
+  def q20ExcessAvailability: Q = (s, dir) => {
+    val redParts = broadcast(t(s, dir, "part")
+      .filter(col("p_name").contains("red")).select(col("p_partkey")))
+    val recent = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+      .groupBy(col("l_partkey").as("rk"), col("l_suppkey").as("rs"))
+      .agg(sum((dec(col("l_quantity")) * 100).cast("long")).as("recent_qc"))
+    val excess = partsupp(s, dir)
+      .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(recent, col("ps_partkey") === col("rk") &&
+        col("ps_suppkey") === col("rs"), "left_outer")
+      .filter(col("ps_availqty_c") >
+        coalesce(col("recent_qc"), lit(0L)) * 3)
+    val bySupp = excess.groupBy(col("ps_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+    bySupp.join(broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("ps_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20ExcessAvailabilitySql: String =
+    s"""WITH $partsuppSqlCte, recent AS (
+       | SELECT l_partkey AS rk, l_suppkey AS rs,
+       |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS recent_qc
+       | FROM lineitem
+       | WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+       | GROUP BY 1, 2
+       |), excess AS (
+       | SELECT ps.ps_suppkey, count(*) AS n_excess_parts
+       | FROM ps
+       | LEFT JOIN recent r ON r.rk = ps.ps_partkey AND r.rs = ps.ps_suppkey
+       | WHERE ps.ps_partkey IN (
+       |   SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+       |  AND ps.ps_availqty_c > COALESCE(r.recent_qc, 0) * 3
+       | GROUP BY 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, e.n_excess_parts
+       |FROM excess e
+       |JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |WHERE n.n_name = 'NATION_3'
+       |ORDER BY s.s_suppkey""".stripMargin
+
   // ------------------------------------------------------ q4_priority_count
   /** TPC-H Q4 (order-priority checking) — the plain correlated-EXISTS
     * shape, the simplest member of the family whose double-correlated
@@ -6306,6 +6553,10 @@ object Relational {
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_quantity" -> q17SmallQuantity,
     "q4_priority_count" -> q4PriorityCount,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q11_important_stock" -> q11ImportantStock,
+    "q16_parts_supplier_cnt" -> q16PartsSupplierCnt,
+    "q20_excess_availability" -> q20ExcessAvailability,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q9_profit" -> q9Profit,
     "q8_market_share" -> q8MarketShare,
@@ -6422,6 +6673,10 @@ object Relational {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_quantity" -> q17SmallQuantitySql,
     "q4_priority_count" -> q4PriorityCountSql,
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q11_important_stock" -> q11ImportantStockSql,
+    "q16_parts_supplier_cnt" -> q16PartsSupplierCntSql,
+    "q20_excess_availability" -> q20ExcessAvailabilitySql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q9_profit" -> q9ProfitSql,
     "q8_market_share" -> q8MarketShareSql,
