@@ -511,6 +511,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"disjunctive join degenerated:\n$p")
   }
 
+  test("q2 correlated min decorrelates to a broadcast; no cartesian") {
+    val p = plan(Relational.q2MinCostSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-part min did not broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated min degenerated:\n$p")
+  }
+
+  test("q16 blacklist is an anti join BEFORE the distinct-count aggregate") {
+    val p = plan(Relational.q16PartsSupplierCnt(spark, sf))
+    assert(p.contains("LeftAnti"), s"NOT IN is not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"blacklist degenerated:\n$p")
+  }
+
+  test("q20 pair-correlated aggregate decorrelates to outer+semi equi-joins") {
+    val p = plan(Relational.q20ExcessAvailability(spark, sf))
+    assert(p.contains("LeftSemi") || p.contains("LeftOuter"),
+      s"nested-IN chain lost its semi/outer joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated aggregate degenerated:\n$p")
+  }
+
   test("q_corr_matrix derives all 6 pairs from ONE fact scan") {
     // the one-pass claim is the op's reason to exist — a union-of-
     // selects shape would rebuild the moment aggregate per pair
