@@ -1005,7 +1005,11 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val shards = docs(s, dir)
       .select(col("doc_id"), pmod(col("doc_id"), lit(sw)).as("writer"),
-        length(col("text")).cast("long").as("n_bytes"))
+        // BYTE length of the UTF-8 payload — m_shard_pack packs by
+        // length(encode(text,'UTF-8')); re-deriving with character
+        // length would silently mis-assign shards on non-ASCII text
+        // and the audit would no longer describe the actual manifest
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
       .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
       .select(col("doc_id"),
         (col("writer") * 1000000L + expr(s"cum_before div $sb"))
@@ -1032,7 +1036,7 @@ object Dedup {
       s""", sh AS (
          | SELECT doc_id,
          |  (doc_id % ${Multimodal.shardWriters}) * 1000000
-         |   + (CAST(COALESCE(sum(CAST(length(text) AS BIGINT)) OVER (
+         |   + (CAST(COALESCE(sum(CAST(octet_length(encode(text)) AS BIGINT)) OVER (
          |       PARTITION BY doc_id % ${Multimodal.shardWriters}
          |       ORDER BY doc_id
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)

@@ -702,7 +702,7 @@ object Multimodal {
   val shardPackSql: String =
     s"""WITH m AS (
        | SELECT doc_id, doc_id % $shardWriters AS writer,
-       |  CAST(length(text) AS BIGINT) AS n_bytes
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
        | FROM documents
        |), c AS (
        | SELECT doc_id, writer, n_bytes,
@@ -751,7 +751,7 @@ object Multimodal {
   val shardIndexSql: String =
     s"""WITH m AS (
        | SELECT doc_id, doc_id % $shardWriters AS writer,
-       |  CAST(length(text) AS BIGINT) AS n_bytes
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
        | FROM documents
        |), c AS (
        | SELECT doc_id, writer, n_bytes,

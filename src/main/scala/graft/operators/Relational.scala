@@ -909,10 +909,14 @@ object Relational {
     val tot = vals.agg(sum("value_u").as("tot"))
     vals.crossJoin(broadcast(tot))
       .filter(col("value_u") * 10000 > col("tot"))
+      // the rank-50 cut orders by the EXACT decimal — value_u can exceed
+      // 2^53 where distinct decimals collapse to one double and the
+      // boundary set would diverge from the oracle's decimal-ordered
+      // ranked CTE; the double cast happens only AFTER the cut
+      .orderBy(col("value_u").desc, col("ps_partkey"))
+      .limit(50)
       .select(col("ps_partkey").as("p_partkey"),
         col("value_u").cast("double").as("value_units"))
-      .orderBy(col("value_units").desc, col("p_partkey"))
-      .limit(50)
       .orderBy("p_partkey")
   }
 
@@ -1271,8 +1275,12 @@ object Relational {
     t(s, dir, "lineitem")
       // implied hull on the RAW column — a dec()-cast predicate cannot
       // push to parquet (pushdown needs a bare attribute); the exact
-      // band decisions below re-test through DECIMAL
-      .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)
+      // band decisions below re-test through DECIMAL(12,2), which
+      // rounds half-up, so the hull is widened past the rounding
+      // boundary (0.995 rounds INTO band 1; 50.004 rounds into 50) —
+      // the raw-column hull must never exclude a row the decimal
+      // re-test would count
+      .filter(col("l_quantity") >= 0.99 && col("l_quantity") <= 50.01)
       .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
         (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
           .cast("long").as("rev_e4"))
@@ -4135,13 +4143,21 @@ object Relational {
         explode(lit(powerLiftsPpm.toArray)).as("lift_ppm"))
       .select(col("n_users"), col("n_conv"), col("lift_ppm"),
         expr("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)").as("p1"),
-        expr("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)" +
-          " * (1.0 + CAST(lift_ppm AS DOUBLE) / 1000000.0)").as("p2"))
+        // p2 clamped to 1.0 — a high baseline × lift is not a
+        // probability; unclamped it feeds a negative variance term
+        expr("least(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)" +
+          " * (1.0 + CAST(lift_ppm AS DOUBLE) / 1000000.0), 1.0)").as("p2"))
       .select(col("lift_ppm"), col("n_users"), col("n_conv"),
         round(col("p1"), 6).as("p1_6"), round(col("p2"), 6).as("p2_6"),
-        expr(s"CAST(ceil($powerZsum * $powerZsum" +
+        // guard: n_conv = 0 makes p1 = p2 = 0 and the formula 0/0 —
+        // Spark would CAST(ceil(NaN)) silently while DuckDB errors, so
+        // both engines publish NULL ("no detectable-lift plan exists")
+        // for a purchase-free corpus; p1 = 1 (p2 clamps onto it) is the
+        // same degenerate divide
+        expr(s"CASE WHEN n_conv > 0 AND p2 > p1 THEN" +
+          s" CAST(ceil($powerZsum * $powerZsum" +
           " * (p1 * (1.0 - p1) + p2 * (1.0 - p2))" +
-          " / ((p2 - p1) * (p2 - p1))) AS BIGINT)").as("n_per_arm"))
+          " / ((p2 - p1) * (p2 - p1))) AS BIGINT) END").as("n_per_arm"))
       .withColumn("feasible",
         (col("n_per_arm") * 2 <= col("n_users")).cast("long"))
       .orderBy("lift_ppm")
@@ -4161,20 +4177,22 @@ object Relational {
        |), p AS (
        | SELECT lift_ppm, n_users, n_conv,
        |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1,
-       |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
-       |   * (1.0 + CAST(lift_ppm AS DOUBLE) / 1000000.0) AS p2
+       |  least(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |   * (1.0 + CAST(lift_ppm AS DOUBLE) / 1000000.0), 1.0) AS p2
        | FROM base, lifts
+       |), sized AS (
+       | SELECT lift_ppm, n_users, n_conv, p1, p2,
+       |  CASE WHEN n_conv > 0 AND p2 > p1 THEN
+       |   CAST(ceil($powerZsum * $powerZsum
+       |    * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       |    / ((p2 - p1) * (p2 - p1))) AS BIGINT) END AS n_per_arm
+       | FROM p
        |)
        |SELECT CAST(lift_ppm AS BIGINT) AS lift_ppm, n_users, n_conv,
-       | round(p1, 6) AS p1_6, round(p2, 6) AS p2_6,
-       | CAST(ceil($powerZsum * $powerZsum
-       |   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-       |   / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
-       | CAST(CASE WHEN CAST(ceil($powerZsum * $powerZsum
-       |   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-       |   / ((p2 - p1) * (p2 - p1))) AS BIGINT) * 2 <= n_users
-       |  THEN 1 ELSE 0 END AS BIGINT) AS feasible
-       |FROM p ORDER BY lift_ppm""".stripMargin
+       | round(p1, 6) AS p1_6, round(p2, 6) AS p2_6, n_per_arm,
+       | CAST(CASE WHEN n_per_arm * 2 <= n_users THEN 1
+       |  WHEN n_per_arm * 2 > n_users THEN 0 END AS BIGINT) AS feasible
+       |FROM sized ORDER BY lift_ppm""".stripMargin
   }
 
   // -------------------------------------------------------- q_corr_matrix

@@ -2843,8 +2843,9 @@ object TextOps {
       | FROM cnt GROUP BY term
       |), ranked AS (
       | SELECT term, df, cf, sum_x2,
-      |  CAST(((n.n_docs * sum_x2 - cf * cf) * 1000000)
-      |    // (n.n_docs * cf) AS BIGINT) AS vmr_ppm,
+      |  CAST(((CAST(n.n_docs AS HUGEINT) * sum_x2
+      |      - CAST(cf AS HUGEINT) * cf) * 1000000)
+      |    // (CAST(n.n_docs AS HUGEINT) * cf) AS BIGINT) AS vmr_ppm,
       |  (cf * 1000) // df AS per_doc_milli
       | FROM agg, n
       | ORDER BY cf DESC, term LIMIT 30

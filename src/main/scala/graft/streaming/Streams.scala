@@ -2118,4 +2118,54 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
+
+  /** THE streaming inventory — the authoritative registry the batch
+    * side has in SparkEntry.queries. Every streaming op ships three
+    * artifacts kept in sync by InventorySyncSpec's three-way gate:
+    * a row here, a SURVEY §2 block-E row, and at least one spec test
+    * whose name starts `st_<op>:` (the scan is how "N streaming ops"
+    * is COUNTED — r12 shipped a hand-counted "40" for 39 actual ops,
+    * which is exactly the drift a registry exists to prevent). Values
+    * are the one-line contract the §2 row summarizes. */
+  val registry: Map[String, String] = Map(
+    "st_tumbling_agg" -> "1h tumbling windows, watermark-closed, append",
+    "st_sliding_agg" -> "1h windows sliding 15min; event lands in 4",
+    "st_stateful_dedup" -> "dropDuplicates within watermark horizon",
+    "st_stream_join" -> "stream-stream inner join, bounded state",
+    "st_stream_asof" -> "as-of join via flatMapGroupsWithState",
+    "st_outer_join" -> "stream-stream left outer, null-pad at close",
+    "st_sessionize" -> "30-min-gap sessions via mapGroupsWithState",
+    "st_session_native" -> "session_window native sessionization",
+    "st_new_vs_returning" -> "first-seen classification, exactly once",
+    "st_histogram" -> "per-window value-bucket histogram",
+    "st_heavy_hitters" -> "per-window ranked top-k with late counts",
+    "st_growth_accounting" -> "new/retained/resurrected/churned ledger",
+    "st_attribution" -> "last-touch credit at watermark decidability",
+    "st_pit_features" -> "online point-in-time features == backfill",
+    "st_embed_batch" -> "shared batch-inference transform streams",
+    "st_chunk" -> "shared chunker streams unchanged",
+    "st_scene_detect" -> "shared scene splitter streams unchanged",
+    "st_corpus_filter" -> "shared quality gate streams unchanged",
+    "st_pii_redact" -> "shared scrubber streams unchanged",
+    "st_band_index" -> "MinHash band index maintained incrementally",
+    "st_dedup_probe" -> "new-batch probe against the historical index",
+    "st_exactly_once_sink" -> "idempotent batch-id sink, replay-safe",
+    "st_manifest_commit" -> "versioned manifest publication (CAS)",
+    "st_ivm_join" -> "incremental join view: dA*B0 + A0*dB + dA*dB",
+    "st_ivm_signed" -> "Z-set signed retractions, order-free",
+    "st_cdc_apply" -> "upsert/delete CDC apply == batch MERGE",
+    "st_user_counters" -> "transformWithState running counters",
+    "st_topk_mapstate" -> "MapState top-k standings",
+    "st_idle_timeout" -> "event-time timers finalize idle sessions",
+    "st_rate_limit" -> "token-bucket admission, replayable fold",
+    "st_bloom_dedup" -> "bloom-gated dedup, no false negatives",
+    "st_buffered_enrich" -> "ListState fact buffer until dim lands",
+    "st_buffered_enrich_ttl" -> "fact buffer with TTL eviction bound",
+    "st_funnel" -> "anchored funnel level per user",
+    "st_hll" -> "HLL registers as streaming state",
+    "st_kmv" -> "KMV bottom-k distinct sketch as state",
+    "st_cms" -> "count-min sketch counter table as state",
+    "st_quantile_kll" -> "mergeable quantile buffer as state",
+    "st_bootstrap" -> "derandomized Poisson bootstrap replicas",
+  )
 }

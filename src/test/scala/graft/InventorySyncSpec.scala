@@ -29,10 +29,48 @@ class InventorySyncSpec extends AnyFunSuite {
       s"queries with no §2 row (add them to SURVEY.md): ${missing.toSeq.sorted.mkString(", ")}")
   }
 
-  test("every batch §2 row is a registered query (streaming st_* rows are spec-only by design)") {
+  test("every batch §2 row is a registered query") {
     val ghosts = surveyOps.filterNot(_.startsWith("st_")) -- SparkEntry.queries.keySet
     assert(ghosts.isEmpty,
       s"§2 rows with no implementation (remove or implement): ${ghosts.toSeq.sorted.mkString(", ")}")
+  }
+
+  // Streaming rows can't be driver-checked (DuckDB can't run a
+  // stream), so until r12 they were EXEMPT from the reverse gate — a
+  // ghost st_ row would have passed silently, and the op count was
+  // hand-maintained (r12 shipped "40" for 39 actual ops). The
+  // streaming registry + a scan of spec test names close both gaps:
+  // §2 block E ⇄ Streams.registry ⇄ an actual `st_<op>:` spec test.
+  private val specTestedStreamOps: Set[String] = {
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val pat = java.util.regex.Pattern.compile("test\\(\"(st_[a-z0-9_]+)[ :]")
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val m = pat.matcher(new String(java.nio.file.Files.readAllBytes(p)))
+        Iterator.continually(m).takeWhile(_.find()).map(_.group(1))
+      }.toSet
+  }
+
+  test("every §2 streaming row is in Streams.registry, and vice versa") {
+    val surveyed = surveyOps.filter(_.startsWith("st_"))
+    val ghosts = surveyed -- graft.streaming.Streams.registry.keySet
+    val missing = graft.streaming.Streams.registry.keySet -- surveyed
+    assert(ghosts.isEmpty && missing.isEmpty,
+      s"ghost §2 st_ rows: ${ghosts.toSeq.sorted.mkString(", ")}; " +
+        s"registry ops with no §2 row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every Streams.registry op has a spec test named st_<op>:") {
+    val untested = graft.streaming.Streams.registry.keySet -- specTestedStreamOps
+    assert(untested.isEmpty,
+      s"registered streaming ops with no st_<op>: spec test: ${untested.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every st_<op>: spec test covers a registered streaming op") {
+    val orphans = specTestedStreamOps -- graft.streaming.Streams.registry.keySet
+    assert(orphans.isEmpty,
+      s"spec tests for unregistered streaming ops (register or rename): ${orphans.toSeq.sorted.mkString(", ")}")
   }
 
   test("no query name is defined by two modules (Map ++ would silently drop one)") {

@@ -476,7 +476,7 @@ class Round10Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("st_buffered_enrich TTL: a far-off TTL is split-invariant and equals the NONE op") {
+  test("st_buffered_enrich_ttl: a far-off TTL is split-invariant and equals the NONE op") {
     import spark.implicits._
     withRocksDb {
       val events = graft.model.Tables(spark, sf, "events")
@@ -499,7 +499,7 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
-  test("st_buffered_enrich TTL: orphaned facts EVICT after the TTL; NONE op keeps them") {
+  test("st_buffered_enrich_ttl: orphaned facts EVICT after the TTL; NONE op keeps them") {
     withRocksDb {
       import graft.streaming.Streams.Event
       // purchase 10 buffers dim-less in batch 1; the feed then sleeps

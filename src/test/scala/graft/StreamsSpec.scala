@@ -502,7 +502,7 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("batch twin equivalence: slidingAgg on static frame matches q_events_sliding") {
+  test("st_sliding_agg: slidingAgg on static frame matches q_events_sliding") {
     val events = graft.model.Tables(spark, sf, "events")
     val streamShaped = Streams.slidingAgg(events)
       .select(unix_timestamp(col("win_start")).as("win_start"),
