@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 operators: the true KLL compactor (error-class statement
+  * measured against the equal-space sample + the deterministic bound)
+  * and streaming incremental connected components (per-version
+  * equality against an independent union-find gold).
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ------------------------------------------------------ q_kll_compactor
+  test("q_kll_compactor: compactor-class error beats the equal-space " +
+      "sample in aggregate and respects the deterministic bound") {
+    val rows = graft.operators.Relational.qKllCompactor(spark, sf).collect()
+    assert(rows.length == 5)
+    val S = graft.operators.Relational.kllShards
+    var kllSum = 0L; var sampleSum = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // deterministic compactor bound: the bias-corrected merged
+      // estimate is off by ≤ 15.5·S ranks (per-shard count rounding)
+      // + 16 (target-to-position rounding) + 32 (position-to-value) —
+      // 176 ranks at S=8; sampling-class error CANNOT promise this
+      val boundPpm = (16L * S + 48L) * 1000000L / n + 1
+      Seq("err50_kll_ppm", "err90_kll_ppm", "err99_kll_ppm").foreach { c =>
+        val e = r.getAs[Long](c)
+        assert(e >= 0 && e <= boundPpm,
+          s"${r.getString(0)} $c = $e exceeds deterministic bound $boundPpm")
+        kllSum += e
+      }
+      Seq("err50_sample_ppm", "err90_sample_ppm", "err99_sample_ppm")
+        .foreach(c => sampleSum += r.getAs[Long](c))
+      assert(r.getAs[Long]("m_kll") > 0 && r.getAs[Long]("m_sample") > 0)
+    }
+    // the compactor-beats-sampling statement, measured on this corpus
+    // (aggregate: a single lucky sample cell may win, the class does not)
+    assert(kllSum < sampleSum,
+      s"compactor aggregate error $kllSum !< sample aggregate $sampleSum")
+  }
+
+  test("q_kll_compactor: per-shard survivors are exactly the closed-form " +
+      "arithmetic progression (count check, independent of the op)") {
+    val Relational = graft.operators.Relational
+    val S = Relational.kllShards
+    val w = Relational.kllWeight
+    // group sizes per (pri, shard) from the raw table
+    val sizes = graft.model.Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("pri"),
+        (col("o_orderkey") % S).as("shard"))
+      .agg(count(lit(1)).as("ns"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // survivor counts per (pri, shard) re-derived the way the op does
+    val base = graft.model.Tables(spark, sf, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"),
+        col("o_orderkey"), (col("o_orderkey") % S).as("shard"))
+    val wsh = org.apache.spark.sql.expressions.Window
+      .partitionBy("pri", "shard").orderBy(col("cents"), col("o_orderkey"))
+    val offCase = Relational.kllShardOffsets.zipWithIndex
+      .map { case (a, i) => s"WHEN $i THEN $a" }
+      .mkString("CASE shard ", " ", " END")
+    val got = base.withColumn("rs", row_number().over(wsh))
+      .withColumn("a", expr(offCase))
+      .filter(expr(s"(rs - a) % $w = 0"))
+      .groupBy("pri", "shard").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // closed form: local ranks A_s, A_s+32, ... ≤ n_s ⇒ count =
+    // ⌊(n_s − A_s)/32⌋ + 1 (0 when n_s < A_s) — survivors ARE the
+    // L=5 full-buffer compaction of the shard's sorted run
+    sizes.foreach { case ((pri, sh), ns) =>
+      val a = Relational.kllShardOffsets(sh.toInt)
+      val expect = if (ns < a) 0L else (ns - a) / w + 1
+      assert(got.getOrElse((pri, sh), 0L) == expect,
+        s"($pri, $sh): got ${got.getOrElse((pri, sh), 0L)}, expect $expect")
+    }
+  }
+
+  // ---------------------------------------------------- st_cc_incremental
+  test("st_cc_incremental: labels at each version == union-find gold; " +
+      "versions isolate; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("ccinc").toString
+    val mem = MemoryStream[Streams.CcEdge]
+    val q = mem.toDF().writeStream
+      .foreachBatch(Streams.ccIncSink(dir) _)
+      .outputMode("append").start()
+    def e(a: Long, b: Long) = Streams.CcEdge(a, b)
+    // batch 2's (4,10) + (21,1) chain forces a MULTI-ROUND super-graph
+    // fixpoint (three prior components merge through two super-edges)
+    val batches = Seq(
+      Seq(e(1, 2), e(3, 4), e(10, 11)),
+      Seq(e(2, 3), e(20, 21)),
+      Seq(e(4, 10), e(21, 1), e(40, 41)))
+    // independent gold: union-find over all edges fed so far, label =
+    // component minimum (the min-label fixpoint contract)
+    def gold(upTo: Int): Set[(Long, Long)] = {
+      val es = batches.take(upTo + 1).flatten
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { ed =>
+        val (ra, rb) = (find(ed.a), find(ed.b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toSet
+    }
+    def labelsAt(v: Long): Set[(Long, Long)] =
+      Streams.ccLabelsRead(spark, dir, v).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*); q.processAllAvailable()
+        assert(labelsAt(i.toLong) == gold(i),
+          s"version $i: ${labelsAt(i.toLong)} != ${gold(i)}")
+      }
+      // ISOLATION: version 0 re-read after batch 2 landed — unchanged
+      assert(labelsAt(0) == gold(0),
+        "a later batch leaked into a pinned label version")
+      // the decisive row: 41 (new in batch 2) must share component 1
+      // with node 11 (merged through the super-chain)? no — 40/41 are
+      // their own component; 11 must have been relabeled 10 → 1
+      assert(labelsAt(2).contains((11L, 1L)) &&
+        labelsAt(2).contains((21L, 1L)) && labelsAt(2).contains((41L, 40L)))
+      // at-least-once REPLAY of batch 1: manifest is the commit marker
+      val m1 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-1")), "UTF-8")
+      val v2 = labelsAt(2)
+      Streams.ccIncSink(dir)(batches(1).toDF(), 1L)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-1")), "UTF-8") == m1,
+        "replay changed the published manifest")
+      assert(labelsAt(1) == gold(1) && labelsAt(2) == v2,
+        "replay changed a reader-visible label version")
+    } finally q.stop()
+  }
+}
