@@ -3842,6 +3842,150 @@ object Analytics {
     b.toString
   }
 
+  // ----------------------------------------------- g_louvain_hierarchy
+  /** FULL LOUVAIN HIERARCHY (r12 verdict #6) — g_louvain's two-level
+    * machinery looped: per level, one synchronous best-positive-gain
+    * move round (louvainBestMove), hook + 2-cycle + pointer-jump
+    * resolution (louvainLevel), then CONTRACTION of the ORIGINAL edge
+    * frame through the composed community map — repeated until no
+    * strictly-positive modularity gain remains (best-move frame empty),
+    * capped at L=5 with a LOUD abort if positive gains survive past the
+    * cap (an approximate hierarchy must not publish silently; the cap
+    * is a plan-depth bound, not a quality knob). The oracle unrolls a
+    * FIXED 5 levels — convergence makes the extra levels provable
+    * no-ops (empty best ⇒ identity hooks ⇒ identical contraction), so
+    * early exit on the Spark side cannot break parity. Modularity is
+    * monotone level over level (each resolved move set has strictly
+    * positive total gain; Round13Spec measures Q per level in an
+    * in-memory replay of the same recurrence and asserts both
+    * monotonicity and final-partition equality). Cost telescopes: each
+    * level's move phase runs on a graph smaller by the merge factor,
+    * and every shuffle is keyed on node/community id (the CC layout).
+    * 2m is invariant under contraction — ONE scalar serves all levels.
+    * Overflow contract as g_louvain_move: Σw < 3·10⁹. */
+  val louvainMaxLevels = 5
+
+  def louvainHierarchy: Q = (s, dir) => {
+    val (nodes, und0) = numericGraph(s, dir)
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      var comm = nodes.select(col("id"), col("id").as("comm"))
+        .localCheckpoint(eager = true)
+      interim += comm
+      var g = und0.select("a", "b", "w")
+      var level = 0
+      var moved = true
+      while (moved && level < louvainMaxLevels) {
+        level += 1
+        val best = (if (level == 1) louvainBestMoveL1(s, dir)
+          else louvainBestMove(g).localCheckpoint(eager = true))
+        if (level > 1) interim += best
+        val nBest = best.count()
+        if (nBest == 0) moved = false
+        else {
+          val ids = comm.select(col("comm").as("id")).distinct()
+          val roots = louvainLevel(ids, best, n, interim).toDF("cid", "root")
+          comm = comm
+            .join(gated(roots, n), comm("comm") === roots("cid"), "left_outer")
+            .select(col("id"), coalesce(col("root"), col("comm")).as("comm"))
+            .localCheckpoint(eager = true)
+          interim += comm
+          // contract the ORIGINAL frame through the composed map (one
+          // edge pass per level; self-loop rows keep internal weight in
+          // the super-degree — the Louvain k convention)
+          g = und0
+            .join(gated(comm.toDF("a", "ca"), n), "a")
+            .join(gated(comm.toDF("b", "cb"), n), "b")
+            .groupBy(col("ca").as("a"), col("cb").as("b"))
+            .agg(sum("w").as("w"))
+            .localCheckpoint(eager = true)
+          interim += g
+        }
+      }
+      if (moved && louvainBestMove(g).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"louvainHierarchy: positive-gain moves remain after " +
+            s"$louvainMaxLevels levels — raise the cap; refusing to " +
+            "publish a silently-truncated hierarchy")
+      nodes.join(comm, Seq("id"))
+        .select(col("label"), col("key"), col("comm"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val louvainHierarchySql: String = {
+    // per level ℓ: contract through c(ℓ−1) → move stats → best → hook
+    // (ids = distinct comm of c(ℓ−1)) → resolve → composed map cℓ.
+    // A converged level's best CTE is empty and every downstream CTE
+    // is the identity — unrolling past convergence is a no-op.
+    def resolve(p: String): String = {
+      val b = new StringBuilder(
+        s""", ${p}hk AS (
+           | SELECT h.id, CASE WHEN h2.ptr = h.id THEN least(h.id, h.ptr)
+           |  ELSE h.ptr END AS ptr
+           | FROM ${p}hook h JOIN ${p}hook h2 ON h2.id = h.ptr
+           |), ${p}r0 AS (SELECT id, ptr FROM ${p}hk)""".stripMargin)
+      for (j <- 1 to louvainJumps)
+        b ++= s""", ${p}r$j AS (
+                 | SELECT a.id, b.ptr FROM ${p}r${j - 1} a
+                 | JOIN ${p}r${j - 1} b ON b.id = a.ptr
+                 |)""".stripMargin
+      b.toString
+    }
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPairW
+             |), m2 AS (
+             | SELECT CAST(sum(w) AS BIGINT) AS m2 FROM undp
+             |), hc0 AS (SELECT id, id AS comm FROM ids)""".stripMargin
+    for (l <- 1 to louvainMaxLevels) {
+      val p = s"h$l"
+      b ++= s""", ${p}g AS (
+               | SELECT x.comm AS a, y.comm AS b, CAST(sum(u.w) AS BIGINT) AS w
+               | FROM undp u
+               | JOIN hc${l - 1} x ON x.id = u.a
+               | JOIN hc${l - 1} y ON y.id = u.b
+               | GROUP BY 1, 2
+               |), ${p}k AS (
+               | SELECT a AS id, CAST(sum(w) AS BIGINT) AS k FROM ${p}g GROUP BY a
+               |), ${p}kin AS (
+               | SELECT a, b, CAST(sum(w) AS BIGINT) AS kin FROM ${p}g
+               | WHERE a <> b GROUP BY a, b
+               |), ${p}best AS (
+               | SELECT a AS id, c FROM (
+               |  SELECT kin.a, kin.b AS c, row_number() OVER (
+               |    PARTITION BY kin.a
+               |    ORDER BY m2.m2 * kin.kin - ka.k * kc.k DESC, kin.b) AS rn
+               |  FROM ${p}kin kin
+               |  JOIN ${p}k ka ON ka.id = kin.a
+               |  JOIN ${p}k kc ON kc.id = kin.b
+               |  CROSS JOIN m2
+               |  WHERE m2.m2 * kin.kin - ka.k * kc.k > 0
+               | ) WHERE rn = 1
+               |), ${p}hook AS (
+               | SELECT s.id, COALESCE(${p}best.c, s.id) AS ptr
+               | FROM (SELECT DISTINCT comm AS id FROM hc${l - 1}) s
+               | LEFT JOIN ${p}best ON ${p}best.id = s.id
+               |)""".stripMargin
+      b ++= resolve(p)
+      b ++= s""", hc$l AS (
+               | SELECT c.id, COALESCE(r.ptr, c.comm) AS comm
+               | FROM hc${l - 1} c
+               | LEFT JOIN ${p}r$louvainJumps r ON r.id = c.comm
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT ids.label, ids.key,
+             | CAST(hc$louvainMaxLevels.comm AS BIGINT) AS comm
+             |FROM ids JOIN hc$louvainMaxLevels ON hc$louvainMaxLevels.id = ids.id
+             |ORDER BY label, key""".stripMargin
+    b.toString
+  }
+
   // ----------------------------------------------- g_triangle_estimate
   /** DOULION (Tsourakakis et al. 2009) sampled triangle ESTIMATION
     * beside the exact census — the graph-estimation adjudication row
@@ -5178,6 +5322,7 @@ object Analytics {
     "g_triangle_estimate" -> triangleEstimate,
     "g_louvain_move" -> louvainMove,
     "g_louvain" -> louvain,
+    "g_louvain_hierarchy" -> louvainHierarchy,
     "g_cc_incremental" -> ccIncremental,
     "g_coloring" -> coloring,
     "g_matching" -> matching,
@@ -5233,6 +5378,7 @@ object Analytics {
     "g_triangle_estimate" -> triangleEstimateSql,
     "g_louvain_move" -> louvainMoveSql,
     "g_louvain" -> louvainSql,
+    "g_louvain_hierarchy" -> louvainHierarchySql,
     "g_cc_incremental" -> ccIncrementalSql,
     "g_coloring" -> coloringSql,
     "g_matching" -> matchingSql,

@@ -107,6 +107,13 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     case f: LFilter => bounded(f.child)
     case so: Sort => bounded(so.child)
     case w: LWindow => bounded(w.child)
+    // InferWindowGroupLimit inserts this LOGICAL top-k node under
+    // rank-filter windows — row-narrowing, recurse (its absence made
+    // the r13 bounded-domain sweep false-flag every top-k-per-group op)
+    case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+      bounded(wgl.child)
+    case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+      bounded(r.child)
     case j: Join => bounded(j.left) && bounded(j.right)
     // a union of bounded branches is bounded (the per-round-aggregate
     // trajectory tables d_kmeans_eval / g_neighborhood_function lag over)
@@ -154,5 +161,135 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"un-partitioned windows over corpus-sized frames outside the contract whitelist:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  // ---- bounded-DOMAIN partition keys (r12 verdict #5): a window
+  // partitioned by a key whose domain is provably bounded (a 5-value
+  // catalog enum, a literal CASE output, a mod-by-literal) over a
+  // corpus-sized child is a |domain|-task corpus sort at scale — the
+  // exact shape the un-partitioned sweep above cannot see, because the
+  // partitionSpec is non-empty.
+
+  /** Catalog columns whose domain is fixed by the SCHEMA, not the
+    * scale factor (TPC-H enums + the synthetic tables' category
+    * columns). A key tracing only to these cannot grow with the data. */
+  private val enumCols = Set(
+    "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
+    "p_brand", "p_type", "p_size", "c_mktsegment", "n_name", "r_name",
+    "event_type", "lang", "source", "label")
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+    AttributeReference, CaseWhen, Cast, ExprId, Expression, If, Literal,
+    Pmod, Remainder}
+
+  /** exprId → defining expression, collected from every Alias in the
+    * plan — lets the domain rule see THROUGH renames (pri ←
+    * o_orderpriority) and derived keys (shard ← key % 8). */
+  private def aliasMap(p: LogicalPlan): Map[ExprId, Expression] =
+    p.collect {
+      case pr: Project => pr.projectList
+      case a: Aggregate => a.aggregateExpressions
+      case w: LWindow => w.windowExpressions
+    }.flatten.collect {
+      case al: Alias => al.exprId -> al.child
+    }.toMap
+
+  /** Provably bounded domain: literals; schema-enum catalog columns;
+    * CASE/IF whose outputs are all bounded; mod-by-literal; any
+    * composition of bounded parts (concat of two enums is still an
+    * enum). Unknown leaves (ids, text, hashes of text) are unbounded. */
+  private def boundedDomain(e: Expression, am: Map[ExprId, Expression],
+      depth: Int = 0): Boolean =
+    if (depth > 24) false else e match {
+      case _: Literal => true
+      case a: AttributeReference =>
+        am.get(a.exprId).map(boundedDomain(_, am, depth + 1))
+          .getOrElse(enumCols(a.name))
+      case al: Alias => boundedDomain(al.child, am, depth + 1)
+      case c: Cast => boundedDomain(c.child, am, depth + 1)
+      case cw: CaseWhen =>
+        (cw.branches.map(_._2) ++ cw.elseValue)
+          .forall(boundedDomain(_, am, depth + 1))
+      case i: If =>
+        boundedDomain(i.trueValue, am, depth + 1) &&
+          boundedDomain(i.falseValue, am, depth + 1)
+      case Pmod(_, Literal(_, _), _) => true
+      case Remainder(_, Literal(_, _), _) => true
+      case other => other.children.nonEmpty &&
+        other.children.forall(boundedDomain(_, am, depth + 1))
+    }
+
+  /** Documented bounded-domain-window contracts — the COMPLETE list of
+    * structurally-flagged ops (rebuild with SWEEP_NO_WHITELIST=1), each
+    * entry one of three declared classes:
+    *
+    * (a) EXACT ADJUDICATION LEGS — per-enum-group exact selection that
+    *     exists to grade an estimator published beside it; the
+    *     estimator is the 100 TB path:
+    *     q_percentile, q_quantile_sampled (exact leg; sample leg is the
+    *     path), q_quantile_kll (exact + lvl legs; buffer is the path),
+    *     q_kll_compactor (exact-leg windows; its per-shard sort is
+    *     class (c)), q_ntile (the op IS the exact distribution table),
+    *     q_window_pct / q_window_pct_scaled (exact percentile legs;
+    *     _scaled's pre-agg + broadcast-cutpoint estimate is the path),
+    *     t_ccnet_bucket / t_ccnet_bucket_scaled (exact bucket legs;
+    *     _scaled's sampled cutoffs are the path),
+    *     t_mad_outliers (exact median/MAD per source — the
+    *     quantile-sketch family is the scale path),
+    *     t_mixture_resample (exact per-source admission rank grading
+    *     the hash-threshold resampler).
+    *
+    * (b) designed SHARD/WRITER paths — the window partitions by
+    *     id-mod-W where W (writer/shard count) is the parallelism
+    *     knob that GROWS with the corpus, keeping each partition
+    *     executor-sized; the mod-literal W here is verification scale:
+    *     m_shard_pack, m_shard_index, m_shard_balance, m_epoch_plan,
+    *     d_cross_shard_dup (audits m_shard_pack's packing, same
+    *     writer windows), t_global_shuffle, t_pack_sequences.
+    *
+    * (c) per-shard LOCAL sorts that ARE the distributed algorithm:
+    *     q_kll_compactor (each shard compacts its own sorted run;
+    *     S scales with the corpus).
+    */
+  private val boundedKeyContract: Set[String] = Set(
+    "q_percentile", "q_quantile_sampled", "q_quantile_kll",
+    "q_kll_compactor", "q_ntile", "q_window_pct", "q_window_pct_scaled",
+    "t_ccnet_bucket", "t_ccnet_bucket_scaled", "t_mad_outliers",
+    "t_mixture_resample",
+    "m_shard_pack", "m_shard_index", "m_shard_balance", "m_epoch_plan",
+    "d_cross_shard_dup", "t_global_shuffle", "t_pack_sequences")
+
+  /** A window whose child is a WindowGroupLimit is NOT a corpus sort:
+    * InferWindowGroupLimit has already turned the rank filter into a
+    * keep-k-per-group scan (the TakeOrdered shape), and with a
+    * bounded-domain key the surviving frame is ≤ |domain|·k rows. */
+  private def isGroupLimited(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => true
+    case so: Sort => isGroupLimited(so.child)
+    case pr: Project => isGroupLimited(pr.child)
+    case _ => false
+  }
+
+  test("no registered query windows a corpus-sized frame by a bounded-domain key (contract ops excepted)") {
+    // SWEEP_NO_WHITELIST=1 runs the sweep bare — the audit mode that
+    // prints every structurally-flagged op so the whitelist can be
+    // rebuilt from evidence instead of memory
+    val contract =
+      if (sys.env.contains("SWEEP_NO_WHITELIST")) Set.empty[String]
+      else boundedKeyContract
+    val offenders = optimized.flatMap {
+      case (name, _) if contract(name) => None
+      case (name, plan) =>
+        val am = aliasMap(plan)
+        val bad = plan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty
+            && w.partitionSpec.forall(boundedDomain(_, am))
+            && !bounded(w.child) && !isGroupLimited(w.child) => w
+        }
+        if (bad.isEmpty) None
+        else Some(s"$name (${bad.size} bounded-domain-key window(s) over a corpus frame: ${bad.map(_.partitionSpec.mkString(",")).mkString("; ")})")
+    }
+    assert(offenders.isEmpty,
+      s"bounded-domain partition keys over corpus-sized frames outside the contract whitelist:\n  ${offenders.mkString("\n  ")}")
   }
 }

@@ -81,6 +81,95 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------- g_louvain_hierarchy
+  test("g_louvain_hierarchy: in-memory replay agrees; modularity is " +
+      "monotone level over level; the loop converges within the cap") {
+    val labelCode = Map("region" -> 0L, "nation" -> 1L, "customer" -> 2L,
+      "supplier" -> 3L, "part" -> 4L, "order" -> 5L)
+    def nid(l: String, k: Long) = labelCode(l) * 10000000000000L + k
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val kin = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    g.edges.collect().foreach { r =>
+      val a = nid(r.getAs[String]("src_label"), r.getAs[Long]("src_key"))
+      val b = nid(r.getAs[String]("dst_label"), r.getAs[Long]("dst_key"))
+      val w = r.getAs[Long]("weight")
+      kin((a, b)) += w; kin((b, a)) += w
+    }
+    val nodes = g.nodes.collect().map(r =>
+      nid(r.getAs[String]("label"), r.getAs[Long]("key")))
+    val k0 = kin.toSeq.groupBy(_._1._1)
+      .map { case (i, es) => i -> es.map(_._2).sum }.withDefaultValue(0L)
+    val m2 = kin.values.sum
+
+    // one hierarchy level on an (a,b)->w adjacency (self rows feed k,
+    // never candidates) — the louvainLevel recurrence (Round7Spec's
+    // level(), reused for the looped hierarchy)
+    def level(adj: collection.Map[(Long, Long), Long],
+              ids: Seq[Long]): (Map[Long, Long], Boolean) = {
+      val kk = adj.toSeq.groupBy(_._1._1)
+        .map { case (i, es) => i -> es.map(_._2).sum }.withDefaultValue(0L)
+      var any = false
+      val hook = ids.map { i =>
+        val cands = adj.collect { case ((a, c), w) if a == i && c != i =>
+          c -> (BigInt(m2) * w - BigInt(kk(i)) * kk(c)) }.filter(_._2 > 0)
+        val c =
+          if (cands.isEmpty) i
+          else { any = true
+            cands.toSeq.sortBy { case (cc, gain) => (-gain, cc) }.head._1 }
+        i -> c
+      }.toMap
+      var ptr = hook.map { case (i, p) =>
+        i -> (if (hook(p) == i) math.min(i, p) else p) }
+      for (_ <- 1 to graft.operators.Analytics.louvainJumps)
+        ptr = ptr.map { case (i, p) => i -> ptr(p) }
+      (ptr, any)
+    }
+    def qScaled(comm: Map[Long, Long]): BigInt = {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      kin.foreach { case ((a, b), w) =>
+        if (comm(a) == comm(b)) in(comm(a)) += w }
+      val tot = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      nodes.foreach(i => tot(comm(i)) += k0(i))
+      BigInt(m2) * in.values.map(BigInt(_)).sum -
+        tot.values.map(t => BigInt(t) * t).sum
+    }
+
+    // the full loop: contract the ORIGINAL adjacency through the
+    // composed map each level, stop when a level proposes no move
+    var comm = nodes.map(i => i -> i).toMap
+    var qs = List(qScaled(comm))
+    var moved = true
+    var levels = 0
+    while (moved && levels < graft.operators.Analytics.louvainMaxLevels) {
+      levels += 1
+      val adj = scala.collection.mutable.Map[(Long, Long), Long]()
+        .withDefaultValue(0L)
+      kin.foreach { case ((a, b), w) => adj((comm(a), comm(b))) += w }
+      val (roots, any) = level(adj, comm.values.toSeq.distinct)
+      if (!any) { moved = false; levels -= 1 }
+      else {
+        comm = comm.map { case (i, c) => i -> roots.getOrElse(c, c) }
+        qs ::= qScaled(comm)
+      }
+    }
+    assert(!moved,
+      s"replay still moving after ${graft.operators.Analytics.louvainMaxLevels} levels — the op would abort on this graph")
+    assert(levels >= 2, "graph converged trivially — test not probative")
+    // measured MONOTONE modularity: every level strictly improves
+    qs.reverse.sliding(2).foreach { case List(a, b) =>
+      assert(b > a, s"modularity not monotone: $a -> $b")
+    }
+    // final partition equality with the operator
+    val rows = graft.operators.Analytics.louvainHierarchy(spark, sf).collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val i = nid(r.getAs[String]("label"), r.getAs[Long]("key"))
+      assert(r.getAs[Long]("comm") == comm(i),
+        s"node $i got ${r.getAs[Long]("comm")}, replay says ${comm(i)}")
+    }
+  }
+
   // ---------------------------------------------------- st_cc_incremental
   test("st_cc_incremental: labels at each version == union-find gold; " +
       "versions isolate; replay is a no-op") {
