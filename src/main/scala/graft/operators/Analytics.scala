@@ -2160,6 +2160,71 @@ object Analytics {
     b.toString
   }
 
+  // --------------------------------------------------- g_radius_diameter
+  /** BOUNDED-HOP RADIUS / DIAMETER summary — the one-row center/
+    * periphery digest of the eccentricity table (radius = min ecc,
+    * diameter = max ecc over the nation seed set, plus how many seeds
+    * sit at each extreme and the seed census). Rides the SAME
+    * session-memoized multi-source BFS frame as g_closeness /
+    * g_eccentricity (nationBfs) — the marginal cost of this op is one
+    * 25-row aggregate, the memo-reuse discipline that keeps the
+    * centrality family one BFS wide. Bounded-hop is the 100 TB
+    * contract (true diameter is all-pairs); with ecc capped at k the
+    * diameter is reported AS CAPPED — a seed whose BFS never stopped
+    * growing shows ecc = k, which is exactly what the bounded
+    * neighborhood-function family (g_anf, g_effective_diameter)
+    * exists to refine. */
+  def radiusDiameter: Q = (s, dir) => {
+    val ecc = nationBfs(s, dir).groupBy(col("seed"))
+      .agg(max(col("d")).as("ecc"))
+    val ext = ecc.agg(min("ecc").as("radius"), max("ecc").as("diam"))
+    ecc.crossJoin(broadcast(ext)) // 1-row extremes broadcast
+      .agg(count(lit(1)).as("n_seeds"),
+        max(col("radius")).cast("long").as("radius_k"),
+        max(col("diam")).cast("long").as("diameter_k"),
+        sum(when(col("ecc") === col("radius"), 1L).otherwise(0L))
+          .as("n_central"),
+        sum(when(col("ecc") === col("diam"), 1L).otherwise(0L))
+          .as("n_peripheral"))
+  }
+
+  val radiusDiameterSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", und AS (
+             | SELECT ${nodeIdSqlOf("src")} AS a, ${nodeIdSqlOf("dst")} AS b FROM edges
+             | UNION ALL
+             | SELECT ${nodeIdSqlOf("dst")}, ${nodeIdSqlOf("src")} FROM edges
+             |), ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), v0 AS (
+             | SELECT id AS seed, id AS node, 0 AS d FROM ids WHERE label = 'nation'
+             |)""".stripMargin
+    for (i <- 1 to closenessHops) {
+      val seen = (0 until i).map(j => s"SELECT seed, node FROM v$j")
+        .mkString(" UNION ALL ")
+      b ++= s""", v$i AS (
+               | SELECT DISTINCT f.seed, u.b AS node, $i AS d
+               | FROM und u JOIN v${i - 1} f ON u.a = f.node
+               | WHERE NOT EXISTS (SELECT 1 FROM ($seen) s
+               |                   WHERE s.seed = f.seed AND s.node = u.b)
+               |)""".stripMargin
+    }
+    b ++= s""", ecc AS (
+             | SELECT seed, max(d) AS ecc
+             | FROM (${(0 to closenessHops).map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")})
+             | GROUP BY seed
+             |), ext AS (SELECT min(ecc) AS radius, max(ecc) AS diam FROM ecc)
+             |SELECT count(*) AS n_seeds,
+             | CAST(max(radius) AS BIGINT) AS radius_k,
+             | CAST(max(diam) AS BIGINT) AS diameter_k,
+             | CAST(sum(CASE WHEN ecc = radius THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_central,
+             | CAST(sum(CASE WHEN ecc = diam THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_peripheral
+             |FROM ecc, ext""".stripMargin
+    b.toString
+  }
+
   val closenessSql: String = {
     val b = new StringBuilder(cte)
     b ++= s""", und AS (
@@ -5323,6 +5388,7 @@ object Analytics {
     "g_louvain_move" -> louvainMove,
     "g_louvain" -> louvain,
     "g_louvain_hierarchy" -> louvainHierarchy,
+    "g_radius_diameter" -> radiusDiameter,
     "g_cc_incremental" -> ccIncremental,
     "g_coloring" -> coloring,
     "g_matching" -> matching,
@@ -5379,6 +5445,7 @@ object Analytics {
     "g_louvain_move" -> louvainMoveSql,
     "g_louvain" -> louvainSql,
     "g_louvain_hierarchy" -> louvainHierarchySql,
+    "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_incremental" -> ccIncrementalSql,
     "g_coloring" -> coloringSql,
     "g_matching" -> matchingSql,

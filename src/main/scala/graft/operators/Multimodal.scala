@@ -666,6 +666,142 @@ object Multimodal {
        |SELECT doc_a, doc_b, hamming FROM php
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------ m_aspect_bucket
+  /** ASPECT-RATIO BUCKETING — the SDXL-style dataloader prep step:
+    * variable-aspect images batch together only if they share a
+    * target aspect, so each decoded (w, h) is snapped to the NEAREST
+    * of a fixed ratio ladder (1:2, 3:4, 1:1, 4:3, 2:1) and the op
+    * reports, per (format, bucket), the member count and the total
+    * PADDING WASTE the snap costs (the fraction of pixels letterboxed
+    * when resizing into the bucket) — the number that decides whether
+    * the ladder needs more rungs. Aspect and waste are exact integers:
+    * a = (w·1000) div h; nearest-rung selection is a midpoint CASE on
+    * 2a (no float ever compares); waste_ppm = 10⁶ − (10⁶·min(a,rung))
+    * div max(a,rung). Rides decodeMeta's mapPartitions batch loop (the
+    * real-decoder seam), aggregates map-side; output ≤ formats ×
+    * rungs rows at any scale. */
+  val aspectRungsMilli: Seq[Long] = Seq(500L, 750L, 1000L, 1333L, 2000L)
+
+  /** Midpoint CASE on 2a — shared verbatim by both engines. */
+  private val aspectBucketCase: String = {
+    val mids = aspectRungsMilli.sliding(2)
+      .map { case Seq(x, y) => x + y }.toSeq // 2·midpoint
+    mids.zip(aspectRungsMilli).map { case (m, r) =>
+      s"WHEN 2 * a_milli < $m THEN $r"
+    }.mkString("CASE ", " ", s" ELSE ${aspectRungsMilli.last} END")
+  }
+
+  def aspectBucket: Q = (s, dir) => {
+    decodeMeta(mediaTable(s, dir)).toDF()
+      .filter(col("ok"))
+      .select(col("format"),
+        expr("CAST(width AS BIGINT) * 1000 div CAST(height AS BIGINT)")
+          .as("a_milli"))
+      .select(col("format"), col("a_milli"),
+        expr(aspectBucketCase).as("bucket_milli"))
+      .select(col("format"), col("bucket_milli"),
+        expr("""1000000 - (1000000 * least(a_milli, bucket_milli))
+          div greatest(a_milli, bucket_milli)""").as("waste_ppm"))
+      .groupBy("format", "bucket_milli")
+      .agg(count(lit(1)).as("n_items"),
+        sum("waste_ppm").as("sum_waste_ppm"),
+        max("waste_ppm").as("max_waste_ppm"))
+      .orderBy("format", "bucket_milli")
+  }
+
+  val aspectBucketSql: String =
+    s"""WITH meta AS (
+       | SELECT ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INTEGER) + 1]
+       |   AS format,
+       |  CAST(64 + ascii(substr(text, 1, 1)) % 128 AS BIGINT) AS w,
+       |  CAST(64 + ascii(substr(text, length(text) // 2 + 1, 1)) % 128
+       |   AS BIGINT) AS h
+       | FROM documents WHERE length(text) > 0
+       |), a AS (
+       | SELECT format, (w * 1000) // h AS a_milli FROM meta
+       |), b AS (
+       | SELECT format, a_milli, $aspectBucketCase AS bucket_milli FROM a
+       |), wst AS (
+       | SELECT format, bucket_milli,
+       |  1000000 - (1000000 * least(a_milli, bucket_milli))
+       |   // greatest(a_milli, bucket_milli) AS waste_ppm
+       | FROM b
+       |)
+       |SELECT format, bucket_milli, count(*) AS n_items,
+       | CAST(sum(waste_ppm) AS BIGINT) AS sum_waste_ppm,
+       | CAST(max(waste_ppm) AS BIGINT) AS max_waste_ppm
+       |FROM wst GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- m_mm_pack
+  /** INTERLEAVED MULTIMODAL SEQUENCE PACKING — t_pack_sequences'
+    * context packer generalized to mixed token costs: a multimodal
+    * training example spends text tokens (whitespace word count) PLUS
+    * vision tokens (frames × `mmTokensPerFrame`, frames from the
+    * m_frame_sample byte arithmetic), and the packer fills
+    * `mmCtxTokens`-token contexts per hash-split writer (the
+    * m_shard_pack no-global-order shape: each writer packs its own
+    * doc_id-ordered stream with one bounded window; writer count is
+    * the scale knob). An item is assigned to the context where its
+    * running token offset starts (items may straddle — fill_ppm > 10⁶
+    * marks the straddle, the dataloader's truncate-or-wrap decision
+    * point). Output per context: doc count, text/vision token split,
+    * fill ratio — the table that says whether vision tokens are
+    * starving text packing. */
+  val mmCtxTokens = 512L
+  val mmTokensPerFrame = 4L
+  // declared HERE, not borrowed from m_shard_pack's shardWriters below:
+  // a Scala val read before its declaration point in object init is 0,
+  // and "% 0" is NULL in DuckDB — the first cut shipped exactly that
+  val mmWriters = 8
+
+  def mmPack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("writer").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaTable(s, dir).toDF()
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(mmWriters)).as("writer"),
+        size(split(decode(col("payload"), "UTF-8"), " ")).cast("long")
+          .as("text_tok"),
+        (expr(s"CAST((octet_length(payload) + ${frameBytes - 1}) div $frameBytes AS BIGINT)")
+          * mmTokensPerFrame).as("img_tok"))
+      .withColumn("tok", col("text_tok") + col("img_tok"))
+      .withColumn("cum_before", coalesce(sum("tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("text_tok"), col("img_tok"), col("tok"),
+        (col("writer") * 1000000L + expr(s"cum_before div $mmCtxTokens"))
+          .as("ctx_id"))
+      .groupBy("ctx_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("text_tok").as("text_tokens"), sum("img_tok").as("img_tokens"),
+        expr(s"(sum(tok) * 1000000) div $mmCtxTokens").as("fill_ppm"))
+      .orderBy("ctx_id")
+  }
+
+  val mmPackSql: String =
+    s"""WITH m AS (
+       | SELECT doc_id, doc_id % $mmWriters AS writer,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tok,
+       |  CAST((octet_length(encode(text)) + ${frameBytes - 1}) // $frameBytes
+       |   AS BIGINT) * $mmTokensPerFrame AS img_tok
+       | FROM documents
+       |), t AS (
+       | SELECT doc_id, writer, text_tok, img_tok,
+       |  text_tok + img_tok AS tok
+       | FROM m
+       |), c AS (
+       | SELECT doc_id, text_tok, img_tok, tok,
+       |  writer * 1000000 + (CAST(COALESCE(sum(tok) OVER (
+       |    PARTITION BY writer ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |   // $mmCtxTokens) AS ctx_id
+       | FROM t
+       |)
+       |SELECT ctx_id, count(*) AS n_docs,
+       | CAST(sum(text_tok) AS BIGINT) AS text_tokens,
+       | CAST(sum(img_tok) AS BIGINT) AS img_tokens,
+       | CAST((sum(tok) * 1000000) // $mmCtxTokens AS BIGINT) AS fill_ppm
+       |FROM c GROUP BY 1 ORDER BY ctx_id""".stripMargin
+
   // -------------------------------------------------------- m_shard_pack
   /** WebDataset-style SHARD PACKING: media items are assigned to
     * size-bounded shards (`shardBudget` bytes) for sequential-read
@@ -1047,6 +1183,8 @@ object Multimodal {
     "m_video_dedup" -> videoDedup,
     "m_audio_vad" -> audioVadQ,
     "m_shard_pack" -> shardPack,
+    "m_aspect_bucket" -> aspectBucket,
+    "m_mm_pack" -> mmPack,
     "m_epoch_plan" -> epochPlan,
     "m_shard_index" -> shardIndex,
     "m_shard_balance" -> shardBalance,
@@ -1063,6 +1201,8 @@ object Multimodal {
     "m_video_dedup" -> videoDedupSql,
     "m_audio_vad" -> audioVadSql,
     "m_shard_pack" -> shardPackSql,
+    "m_aspect_bucket" -> aspectBucketSql,
+    "m_mm_pack" -> mmPackSql,
     "m_epoch_plan" -> epochPlanSql,
     "m_shard_index" -> shardIndexSql,
     "m_shard_balance" -> shardBalanceSql,

@@ -3988,6 +3988,326 @@ object Relational {
        |) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_moments
+  /** HIGHER-MOMENT PROFILE (skewness, excess kurtosis) of order value
+    * per priority — the distribution-shape columns a data-quality
+    * dashboard puts beside mean/stddev (a pipeline that only watches
+    * first moments misses a fat tail until it breaks a downstream
+    * join). ONE scan, one partial-agged shuffle: raw power sums
+    * Σx..Σx⁴ in exact DECIMAL(38,0) (cents ≤ 5·10⁷ ⇒ x⁴ ≤ 6·10³⁰;
+    * headroom to ~10⁷ rows per group at 38 digits — scale the unit
+    * down past that, the g_louvain_move overflow discipline), central
+    * moments and the skew/kurt ratios as ONE final IEEE expression
+    * from identical integer operands (the q_corr discipline). Partial
+    * aggregation makes the moment sums map-side combinable — the
+    * 100 TB shape for any moment statistic. */
+  def qMoments: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("x"))
+      .groupBy("pri")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("s1"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("x"))
+          .cast(DecimalType(38, 0))).as("s2"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("x") * col("x"))
+          .cast(DecimalType(38, 0))).as("s3"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("x") * col("x") * col("x"))
+          .cast(DecimalType(38, 0))).as("s4"))
+      .select(col("pri"), col("n").cast("long").as("n_rows"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * CAST(s3 AS DOUBLE)
+            - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+          / pow((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 1.5), 6)""")
+          .as("skew_6"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * CAST(s4 AS DOUBLE)
+            - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+            + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+          / pow((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 2.0) - 3.0, 6)""")
+          .as("kurt_6"))
+      .orderBy("pri")
+  }
+
+  val qMomentsSql: String =
+    """WITH m AS (
+      | SELECT o_orderpriority AS pri, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  sum(CAST(x AS DECIMAL(38,0))) AS s1,
+      |  sum(CAST(x AS DECIMAL(38,0)) * x) AS s2,
+      |  sum(CAST(x AS DECIMAL(38,0)) * x * x) AS s3,
+      |  sum(CAST(x AS DECIMAL(38,0)) * x * x * x) AS s4
+      | FROM (SELECT o_orderpriority,
+      |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM orders)
+      | GROUP BY 1
+      |)
+      |SELECT pri, CAST(n AS BIGINT) AS n_rows,
+      | round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+      |   - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |   + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |  / pow((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 1.5), 6) AS skew_6,
+      | round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |    * CAST(s4 AS DOUBLE)
+      |   - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+      |   + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |  / pow((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 2.0) - 3.0, 6) AS kurt_6
+      |FROM m ORDER BY pri""".stripMargin
+
+  // --------------------------------------------------------------- q_anova
+  /** ONE-WAY ANOVA — does order value differ across the 5 priorities
+    * more than within them? The F statistic from exact per-group
+    * moments: SSB = Σ n_g·(m_g − m)², SSW = Σ (Σx²_g − n_g·m_g²),
+    * F = (SSB/(k−1)) / (SSW/(n−k)). TWO bounded aggregates: the
+    * per-group (n, Σx, Σx²) frame is 5 rows, and every downstream
+    * term derives from it — at 100 TB the corpus is touched once,
+    * map-side combined. Sums exact DECIMAL(38,0); the F ratio and
+    * η² = SSB/SST are the only floats, computed from identical
+    * integer operands in both engines (the q_corr discipline). */
+  def qAnova: Q = (s, dir) => {
+    val g = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("x"))
+      .groupBy("pri")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("ng"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sg"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("x"))
+          .cast(DecimalType(38, 0))).as("qg"))
+    g.agg(count(lit(1)).as("k"),
+        sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
+        // Σ s_g²/n_g exactly as a double sum of exact per-group ratios
+        // would break integer discipline — instead carry Σ over groups
+        // of (s_g² · LCM-free) via double from exact decimals per group
+        sum(expr("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)"))
+          .as("sq_over_n"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("n").cast("long").as("n_rows"),
+        expr("""round(((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(k AS DOUBLE) - 1.0))
+          / ((CAST(q AS DOUBLE) - sq_over_n)
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)""").as("f_4"),
+        expr("""round((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)""")
+          .as("eta2_6"))
+  }
+
+  val qAnovaSql: String =
+    """WITH g AS (
+      | SELECT o_orderpriority AS pri, CAST(count(*) AS DECIMAL(38,0)) AS ng,
+      |  sum(CAST(x AS DECIMAL(38,0))) AS sg,
+      |  sum(CAST(x AS DECIMAL(38,0)) * x) AS qg
+      | FROM (SELECT o_orderpriority,
+      |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM orders)
+      | GROUP BY 1
+      |), t AS (
+      | SELECT CAST(count(*) AS DECIMAL(38,0)) AS k,
+      |  sum(ng) AS n, sum(sg) AS s, sum(qg) AS q,
+      |  sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |   AS sq_over_n
+      | FROM g
+      |)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+      | round(((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |   / (CAST(k AS DOUBLE) - 1.0))
+      |  / ((CAST(q AS DOUBLE) - sq_over_n)
+      |   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4) AS f_4,
+      | round((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |  / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |  AS eta2_6
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------------- q_welch_ttest
+  /** WELCH'S TWO-SAMPLE T — the unequal-variance comparison every A/B
+    * readout needs when arms differ in size/spread (q_ab_test publishes
+    * the arms; this is the test statistic): urgent vs low-priority
+    * order values. t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂) with the
+    * Welch–Satterthwaite df. One scan of the two groups (predicate
+    * pushed to the priority column), exact DECIMAL(38,0) moments,
+    * final IEEE from identical operands. The conditional aggregation
+    * makes both arms' moments ride ONE partial-agged reduce — no
+    * per-arm scan. */
+  def qWelchTtest: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").as("a"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("x"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).cast(DecimalType(38, 0)).as("n1"),
+        sum(when(col("a"), col("x")).otherwise(0L))
+          .cast(DecimalType(38, 0)).as("s1"),
+        sum(when(col("a"), col("x").cast(DecimalType(38, 0)) * col("x"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).cast(DecimalType(38, 0)).as("n2"),
+        sum(when(!col("a"), col("x")).otherwise(0L))
+          .cast(DecimalType(38, 0)).as("s2"),
+        sum(when(!col("a"), col("x").cast(DecimalType(38, 0)) * col("x"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q2"))
+      .select(col("n1").cast("long").as("n_urgent"),
+        col("n2").cast("long").as("n_low"),
+        expr("CAST(s1 div n1 AS BIGINT)").as("mean_urgent_c"),
+        expr("CAST(s2 div n2 AS BIGINT)").as("mean_low_c"),
+        expr("""round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+            + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)), 4)""")
+          .as("t_4"),
+        expr("""round(pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+            + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE), 2.0)
+          / (pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE), 2.0)
+             / (CAST(n1 AS DOUBLE) - 1.0)
+            + pow((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE), 2.0)
+             / (CAST(n2 AS DOUBLE) - 1.0)), 2)""").as("df_2"))
+  }
+
+  val qWelchTtestSql: String =
+    """WITH m AS (
+      | SELECT
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n1,
+      |  CAST(sum(CASE WHEN a THEN x ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+      |  sum(CASE WHEN a THEN CAST(x AS DECIMAL(38,0)) * x
+      |   ELSE CAST(0 AS DECIMAL(38,0)) END) AS q1,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS n2,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE x END) AS DECIMAL(38,0)) AS s2,
+      |  sum(CASE WHEN a THEN CAST(0 AS DECIMAL(38,0))
+      |   ELSE CAST(x AS DECIMAL(38,0)) * x END) AS q2
+      | FROM (SELECT o_orderpriority = '1-URGENT' AS a,
+      |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+      | CAST(CAST(s1 AS HUGEINT) // CAST(n1 AS HUGEINT) AS BIGINT)
+      |  AS mean_urgent_c,
+      | CAST(CAST(s2 AS HUGEINT) // CAST(n2 AS HUGEINT) AS BIGINT)
+      |  AS mean_low_c,
+      | round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |  / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+      |    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |      / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)), 4) AS t_4,
+      | round(pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+      |    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |      / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE), 2.0)
+      |  / (pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE), 2.0)
+      |     / (CAST(n1 AS DOUBLE) - 1.0)
+      |    + pow((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |      / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE), 2.0)
+      |     / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS df_2
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------- q_topk_sketch
+  /** MERGEABLE TOP-K (heavy hitters) with DETERMINISTIC error bounds —
+    * the frequency-rank member of the sketch family run the way
+    * executors would: each of S=8 shards keeps only its local top-k'
+    * counters (k'=32) plus its RESIDUAL CEILING (the largest count it
+    * dropped); the merged estimate for a key is
+    * [Σ kept counts, Σ kept + Σ_{absent shards} residual_s] — the
+    * classic TA/top-k-merge bound, deterministic (no coin anywhere,
+    * unlike Misra-Gries whose state is arrival-order-dependent and
+    * therefore hostile to distributed merge — the q_quantile_kll
+    * lesson applied to frequencies). Output: top-10 customers by
+    * lower bound beside their EXACT corpus count (the adjudication
+    * leg) and in_bounds — the spec-visible statement that the exact
+    * count sits inside [lo, hi] for every published row, by
+    * construction. At 100 TB the corpus groupBy is per-shard local
+    * (shard = key-hash partition), state is S·k' counters, and the
+    * exact leg is the verification-scale contract. */
+  val tksShards = 8
+  val tksK = 32
+
+  def qTopkSketch: Q = (s, dir) => {
+    val counts = t(s, dir, "orders")
+      .groupBy((col("o_custkey") % tksShards).as("shard"),
+        col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("cnt").desc, col("c"))
+    val ranked = counts.withColumn("rn", row_number().over(w))
+    val kept = ranked.filter(col("rn") <= tksK)
+    // residual ceiling per shard: the largest DROPPED count (0 when the
+    // shard kept everything) — what an absent key could hide below
+    val resid = ranked.groupBy("shard")
+      .agg(max(when(col("rn") > tksK, col("cnt")).otherwise(0L)).as("r"))
+    val residTot = resid.agg(sum("r").as("r_all"),
+      count(lit(1)).as("n_shards"))
+    val est = kept.groupBy("c").agg(sum("cnt").as("lo"))
+    // hi = lo + residual of every shard that did NOT report the key;
+    // computed as lo + (Σ all residuals − Σ residuals of reporting
+    // shards) — one broadcastable S-row frame, no per-key S-way join
+    val repResid = kept.join(broadcast(resid), Seq("shard"))
+      .groupBy("c").agg(sum("r").as("r_rep"))
+    val exact = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c")).agg(count(lit(1)).as("exact"))
+    est.join(repResid, Seq("c"))
+      .crossJoin(broadcast(residTot))
+      .select(col("c").as("o_custkey"), col("lo"),
+        (col("lo") + col("r_all") - col("r_rep")).as("hi"))
+      .join(exact, col("o_custkey") === exact("c"))
+      .select(col("o_custkey"), col("lo"), col("hi"), col("exact"),
+        (col("exact") >= col("lo") && col("exact") <= col("hi"))
+          .cast("long").as("in_bounds"))
+      .orderBy(col("lo").desc, col("o_custkey"))
+      .limit(10)
+      .orderBy("o_custkey")
+  }
+
+  val qTopkSketchSql: String =
+    s"""WITH counts AS (
+       | SELECT o_custkey % $tksShards AS shard, o_custkey AS c,
+       |  count(*) AS cnt
+       | FROM orders GROUP BY 1, 2
+       |), ranked AS (
+       | SELECT shard, c, cnt, row_number() OVER (
+       |   PARTITION BY shard ORDER BY cnt DESC, c) AS rn
+       | FROM counts
+       |), kept AS (SELECT * FROM ranked WHERE rn <= $tksK
+       |), resid AS (
+       | SELECT shard,
+       |  CAST(max(CASE WHEN rn > $tksK THEN cnt ELSE 0 END) AS BIGINT) AS r
+       | FROM ranked GROUP BY shard
+       |), rt AS (SELECT CAST(sum(r) AS BIGINT) AS r_all FROM resid
+       |), est AS (
+       | SELECT c, CAST(sum(cnt) AS BIGINT) AS lo FROM kept GROUP BY c
+       |), rep AS (
+       | SELECT kept.c, CAST(sum(resid.r) AS BIGINT) AS r_rep
+       | FROM kept JOIN resid ON resid.shard = kept.shard GROUP BY kept.c
+       |), exact AS (
+       | SELECT o_custkey AS c, count(*) AS exact FROM orders GROUP BY 1
+       |), top AS (
+       | SELECT est.c AS o_custkey, lo, lo + rt.r_all - rep.r_rep AS hi,
+       |  exact.exact
+       | FROM est JOIN rep ON rep.c = est.c CROSS JOIN rt
+       | JOIN exact ON exact.c = est.c
+       | ORDER BY lo DESC, est.c LIMIT 10
+       |)
+       |SELECT o_custkey, lo, hi, exact,
+       | CAST(CASE WHEN exact >= lo AND exact <= hi THEN 1 ELSE 0 END AS BIGINT)
+       |  AS in_bounds
+       |FROM top ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------------------ q_autocorr
   /** AUTOCORRELATION of the daily-revenue series at lags 1–7 days —
     * the seasonality instrument (a weekly cycle shows as a lag-7
@@ -6784,6 +7104,10 @@ object Relational {
     "q_quantile_sampled" -> qQuantileSampled,
     "q_quantile_kll" -> qQuantileKll,
     "q_kll_compactor" -> qKllCompactor,
+    "q_moments" -> qMoments,
+    "q_anova" -> qAnova,
+    "q_welch_ttest" -> qWelchTtest,
+    "q_topk_sketch" -> qTopkSketch,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
@@ -6905,6 +7229,10 @@ object Relational {
     "q_quantile_sampled" -> qQuantileSampledSql,
     "q_quantile_kll" -> qQuantileKllSql,
     "q_kll_compactor" -> qKllCompactorSql,
+    "q_moments" -> qMomentsSql,
+    "q_anova" -> qAnovaSql,
+    "q_welch_ttest" -> qWelchTtestSql,
+    "q_topk_sketch" -> qTopkSketchSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,

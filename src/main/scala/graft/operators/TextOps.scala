@@ -328,6 +328,80 @@ object TextOps {
        |SELECT bigram, count(*) AS n FROM bg
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $ngramTopK""".stripMargin
 
+  // --------------------------------------------------------------- t_pmi
+  /** POINTWISE MUTUAL INFORMATION for the top bigrams — the
+    * collocation detector tokenizer/phrase-mining pipelines run before
+    * merging frequent pairs into vocabulary units. PMI is
+    * log(P(ab)/(P(a)P(b))); the LOG never crosses the engine boundary
+    * (libm parity is not a contract anyone should sign) — published
+    * instead is the exact integer RATIO in ppm:
+    * ratio_ppm = (c(ab)·N_uni²·10⁶) div (N_bi·c(a)·c(b)) via
+    * DECIMAL(38,0) cross-multiplication (N_uni² ≤ 10²⁴ at 10¹²
+    * tokens; ×c(ab)·10⁶ stays under 38 digits for c(ab) ≤ 10⁸ —
+    * document the unit scale-down past that). ratio > 10⁶ ⇔ PMI > 0
+    * (attraction), monotone in PMI, so ranking/thresholding reads the
+    * same. Candidates = the top-`pmiTopK` bigrams by count
+    * (deterministic cut); unigram counts attach by two broadcast-side
+    * joins of the tiny candidate frame against the word-keyed
+    * aggregate — the corpus is scanned twice (unigrams, bigrams), both
+    * map-side-combinable wordcounts, nothing else scales with data. */
+  val pmiTopK = 30
+
+  def pmi: Q = (s, dir) => {
+    val words = col("words")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    val wds = docs(s, dir).select(split(col("text"), " ").as("words"))
+    val uni = wds.select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nUni = uni.agg(sum("cw").as("n_uni"))
+    val bi = wds.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+    val nBi = bi.agg(sum("cab").as("n_bi"))
+    val top = bi.orderBy(col("cab").desc, col("bigram")).limit(pmiTopK)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    top
+      .join(uni.toDF("w1", "c1"), Seq("w1"))
+      .join(uni.toDF("w2", "c2"), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("cab"), col("c1"), col("c2"),
+        expr("""CAST((CAST(cab AS DECIMAL(38,0)) * n_uni * n_uni * 1000000)
+          div (CAST(n_bi AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)""")
+          .as("pmi_ratio_ppm"))
+      .orderBy("bigram")
+  }
+
+  val pmiSql: String =
+    s"""WITH w AS (
+       | SELECT string_split(text, ' ') AS words FROM documents
+       |), uni AS (
+       | SELECT unnest(words) AS w FROM w
+       |), uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w
+       |), nu AS (SELECT CAST(sum(cw) AS HUGEINT) AS n_uni FROM uc
+       |), bg AS (
+       | SELECT unnest(list_transform(
+       |   range(1, greatest(len(words) - 1, 0) + 1),
+       |   i -> words[i] || ' ' || words[i+1])) AS bigram
+       | FROM w
+       |), bc AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY bigram
+       |), nb AS (SELECT CAST(sum(cab) AS HUGEINT) AS n_bi FROM bc
+       |), top AS (
+       | SELECT bigram, cab,
+       |  string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+       | FROM bc ORDER BY cab DESC, bigram LIMIT $pmiTopK
+       |)
+       |SELECT t.bigram, t.cab, u1.cw AS c1, u2.cw AS c2,
+       | CAST((CAST(t.cab AS HUGEINT) * nu.n_uni * nu.n_uni * 1000000)
+       |  // (nb.n_bi * u1.cw * u2.cw) AS BIGINT) AS pmi_ratio_ppm
+       |FROM top t
+       |JOIN uc u1 ON u1.w = t.w1
+       |JOIN uc u2 ON u2.w = t.w2
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY t.bigram""".stripMargin
+
   // -------------------------------------------------------- t_pii_redact
   /** PII-pattern redaction — the pipeline's scrubbing gate, run over
     * `events.props` (the corpus' only free-text-with-digits column):
@@ -2888,6 +2962,7 @@ object TextOps {
     "t_token_count" -> tokenCount,
     "t_corpus_filter" -> corpusFilter,
     "t_ngram_stats" -> ngramStats,
+    "t_pmi" -> pmi,
     "t_tfidf" -> tfidf,
     "t_pii_redact" -> piiRedact,
     "t_heavy_hitters" -> heavyHitters,
@@ -2940,6 +3015,7 @@ object TextOps {
     "t_token_count" -> tokenCountSql,
     "t_corpus_filter" -> corpusFilterSql,
     "t_ngram_stats" -> ngramStatsSql,
+    "t_pmi" -> pmiSql,
     "t_tfidf" -> tfidfSql,
     "t_pii_redact" -> piiRedactSql,
     "t_heavy_hitters" -> heavyHittersSql,

@@ -257,7 +257,8 @@ class CrossJoinSweepSpec extends AnyFunSuite {
     "t_ccnet_bucket", "t_ccnet_bucket_scaled", "t_mad_outliers",
     "t_mixture_resample",
     "m_shard_pack", "m_shard_index", "m_shard_balance", "m_epoch_plan",
-    "d_cross_shard_dup", "t_global_shuffle", "t_pack_sequences")
+    "d_cross_shard_dup", "t_global_shuffle", "t_pack_sequences",
+    "m_mm_pack")
 
   /** A window whose child is a WindowGroupLimit is NOT a corpus sort:
     * InferWindowGroupLimit has already turned the rank filter into a
