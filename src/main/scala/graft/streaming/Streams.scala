@@ -1186,6 +1186,75 @@ object Streams {
         OutputMode.Update())
   }
 
+  // -------------------------------------------------- st_running_moments
+  /** st_running_moments: per-event-type RUNNING second-moment state —
+    * the streaming side of the q_moments/q_anova exact-moment
+    * discipline: state = (n, Σx, Σx²) in exact integer cents (three
+    * longs — commutative, associative, so the state is a pure function
+    * of the input SET and the emission is split-invariant by
+    * construction). Each batch emits the updated (n, mean_c, var_c2):
+    * mean = Σx div n; variance = (n·Σx² − (Σx)²) div n² computed
+    * through BigInt at EMISSION time only (the cross-multiplication
+    * overflows a long at ~10⁹ rows; the stored sums do not — Σx² ≤
+    * 10⁹·(33k cents)² ≈ 10¹⁸ documented headroom, unit scale-down
+    * past). The last emission per key equals the batch moment
+    * aggregate over the same frame under ANY split — the q_user_
+    * counters equivalence statement lifted to second moments, which is
+    * what a streaming drift monitor (mean/variance per slice) actually
+    * stores. */
+  final case class MomentState(n: Long, s1: Long, s2: Long)
+  final case class MomentOut(event_type: String, n: Long,
+                             mean_c: Long, var_c2: Long)
+
+  class RunningMomentsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, MomentOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[MomentState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[MomentState]("moments", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[MomentOut] = {
+      val prev = if (state.exists()) state.get() else MomentState(0L, 0L, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        val c = math.round(e.value * 100)
+        MomentState(acc.n + 1, acc.s1 + c, acc.s2 + c * c)
+      }
+      state.update(next)
+      val bn = BigInt(next.n)
+      val varC2 = ((bn * next.s2 - BigInt(next.s1) * next.s1) / (bn * bn))
+        .toLong
+      Iterator.single(MomentOut(key, next.n, next.s1 / next.n, varC2))
+    }
+  }
+
+  /** Batch twin: the exact-integer moment aggregate the LAST emission
+    * per key must equal under any micro-batch split. */
+  def runningMomentsBatch(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .select(col("event_type"), col("n"),
+        expr("CAST(s1 div n AS BIGINT)").as("mean_c"),
+        expr("CAST((n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("var_c2"))
+
+  def runningMoments(events: Dataset[Event]): Dataset[MomentOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new RunningMomentsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ------------------------------------------------------ st_idle_timeout
   /** st_idle_timeout: session FINALIZATION by EVENT-TIME TIMER — the
     * emit-once-when-idle output no windowed aggregation or Update-mode
@@ -2257,6 +2326,7 @@ object Streams {
     "st_cc_incremental" -> "streaming CC view: contract deltas, relabel",
     "st_cdc_apply" -> "upsert/delete CDC apply == batch MERGE",
     "st_user_counters" -> "transformWithState running counters",
+    "st_running_moments" -> "running (n, sum, sumsq) per key; exact mean/var",
     "st_topk_mapstate" -> "MapState top-k standings",
     "st_idle_timeout" -> "event-time timers finalize idle sessions",
     "st_rate_limit" -> "token-bucket admission, replayable fold",

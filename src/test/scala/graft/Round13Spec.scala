@@ -170,6 +170,65 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------- st_running_moments
+  test("st_running_moments: last emission per key == exact batch moment " +
+      "aggregate under ordered AND shuffled splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.model.Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.Event].collect().toSeq
+      // the batch twin (shared transform, integer-cents contract)
+      val want = Streams.runningMomentsBatch(events.toDF())
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("mean_c"),
+            r.getAs[Long]("var_c2")))).toMap
+      // independent gold: BigInt arithmetic straight from the rows
+      val gold = events.groupBy(_.event_type).map { case (t, es) =>
+        val cs = es.map(e => math.round(e.value * 100))
+        val n = BigInt(cs.size); val s1 = cs.map(BigInt(_)).sum
+        val s2 = cs.map(c => BigInt(c) * c).sum
+        t -> ((cs.size.toLong, (s1 / n).toLong,
+          ((n * s2 - s1 * s1) / (n * n)).toLong))
+      }
+      assert(want == gold.toMap, "shared batch twin != BigInt gold")
+      def run(name: String, batches: Seq[Seq[Streams.Event]]): Map[String, (Long, Long, Long)] = {
+        val mem = MemoryStream[Streams.Event]
+        val q = Streams.runningMoments(mem.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+            .zipWithIndex.groupBy(_._1.getAs[String]("event_type"))
+            .map { case (t, rs) =>
+              val last = rs.maxBy(_._2)._1
+              t -> ((last.getAs[Long]("n"), last.getAs[Long]("mean_c"),
+                last.getAs[Long]("var_c2")))
+            }
+        } finally q.stop()
+      }
+      val oneShot = run("rm_one", Seq(events))
+      val ordered = run("rm_ord", events.grouped(
+        math.max(1, events.size / 3)).toSeq)
+      val shuffled = run("rm_shuf",
+        events.sortBy(_.event_id.hashCode()).grouped(
+          math.max(1, events.size / 4)).toSeq)
+      assert(oneShot == want, "single-batch run != batch twin")
+      assert(ordered == want, "ordered split != batch twin")
+      assert(shuffled == want, "shuffled split != batch twin (state not a pure function of the set)")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   // ---------------------------------------------------- st_cc_incremental
   test("st_cc_incremental: labels at each version == union-find gold; " +
       "versions isolate; replay is a no-op") {
