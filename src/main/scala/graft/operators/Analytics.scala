@@ -386,6 +386,10 @@ object Analytics {
     // the BFS depth frame (g_bfs_depth + g_bipartite_check's parity
     // classification) — r12 memo, same two-consumer contract
     bfsDepth(s, dir): Unit
+    // the nation multi-source BFS frame — THREE consumers since r13
+    // (closeness, eccentricity, radius_diameter); warming keeps the
+    // bench attribution steady whichever runs first
+    nationBfs(s, dir): Unit
   }
 
   /** Distinct undirected (a, b) pair view — session-shared by

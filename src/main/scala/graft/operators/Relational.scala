@@ -4218,6 +4218,101 @@ object Relational {
       |     / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS df_2
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------- q_decile_lift
+  /** DECILE LIFT TABLE (the marketing-analytics standard: rank
+    * customers by spend, cut into 10 bands, show each band's share —
+    * "the top decile carries X% of revenue") — built the 100 TB way:
+    * q_ntile's exact corpus rank is replaced by SAMPLED cutpoints
+    * (deterministic 40-bit md5 sample of customers, ~3.1%) selected by
+    * rank INSIDE the sample (a window over the already-aggregated
+    * per-customer frame), then broadcast as ONE row of 9 cut values;
+    * band assignment is 9 integer comparisons per row — no corpus
+    * sort, no corpus window (the q_window_pct_scaled discipline
+    * applied to banding). Because bands come from sampled cutpoints,
+    * band POPULATIONS deviate from n/10 by the sample's rank error —
+    * published per band (n_customers vs the exact n div 10) so the
+    * error is the measured quantity. Shares and cumulative shares are
+    * exact integer ppm over the banded aggregate (10-row frame). */
+  val dlSampleMod = 32L
+
+  def qDecileLift: Q = (s, dir) => {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val sample = spend.filter(graft.functions.VectorExprs.hexSlice(
+      md5(col("c").cast("string")), 1, 10) % dlSampleMod === 0)
+    val ws = Window.orderBy(col("cents"), col("c"))
+    val cutCols = (1 to 9).map(d =>
+      max(when(col("rn") === expr(s"(m * $d + 9) div 10"), col("cents")))
+        .as(s"c$d"))
+    val cuts = sample
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val assigned = spend.crossJoin(broadcast(cuts))
+      .select(col("c"), col("cents"),
+        (lit(1) + (1 to 9).map(d =>
+          when(col("cents") > col(s"c$d"), 1).otherwise(0).cast("long"))
+          .reduce(_ + _)).as("decile"))
+    val tot = spend.agg(sum("cents").as("tot"), count(lit(1)).as("n_all"))
+    val banded = assigned.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("band_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        expr("n_all div 10").as("n_even"), col("band_cents"),
+        col("min_cents"), col("max_cents"),
+        expr("(band_cents * 1000000) div tot").as("share_ppm"))
+    banded
+      .withColumn("cum_share_ppm",
+        sum("share_ppm").over(Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("decile")
+  }
+
+  val qDecileLiftSql: String = {
+    val h = graft.operators.OracleSql.hexToLong("md5(CAST(c AS VARCHAR))", 1, 10)
+    val cutCols = (1 to 9).map(d =>
+      s"max(CASE WHEN rn = (m * $d + 9) // 10 THEN cents END) AS c$d")
+      .mkString(",\n | ")
+    val decileExpr = "1 + " + (1 to 9).map(d =>
+      s"(CASE WHEN cents > c$d THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH spend AS (
+       | SELECT o_custkey AS c,
+       |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+       |   AS BIGINT) AS cents
+       | FROM orders GROUP BY 1
+       |), samp AS (
+       | SELECT cents, c FROM spend WHERE ($h) % $dlSampleMod = 0
+       |), ranked AS (
+       | SELECT cents, row_number() OVER (ORDER BY cents, c) AS rn,
+       |  count(*) OVER () AS m
+       | FROM samp
+       |), cuts AS (
+       | SELECT $cutCols
+       | FROM ranked
+       |), assigned AS (
+       | SELECT c, cents, CAST($decileExpr AS BIGINT) AS decile
+       | FROM spend CROSS JOIN cuts
+       |), tot AS (
+       | SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n_all
+       | FROM spend
+       |), banded AS (
+       | SELECT decile, count(*) AS n_customers,
+       |  CAST(max(n_all) // 10 AS BIGINT) AS n_even,
+       |  CAST(sum(cents) AS BIGINT) AS band_cents,
+       |  min(cents) AS min_cents, max(cents) AS max_cents,
+       |  CAST((sum(cents) * 1000000) // max(tot) AS BIGINT) AS share_ppm
+       | FROM assigned CROSS JOIN tot GROUP BY decile
+       |)
+       |SELECT decile, n_customers, n_even, band_cents, min_cents,
+       | max_cents, share_ppm,
+       | CAST(sum(share_ppm) OVER (ORDER BY decile DESC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |  AS cum_share_ppm
+       |FROM banded ORDER BY decile""".stripMargin
+  }
+
   // --------------------------------------------------------- q_topk_sketch
   /** MERGEABLE TOP-K (heavy hitters) with DETERMINISTIC error bounds —
     * the frequency-rank member of the sketch family run the way
@@ -7108,6 +7203,7 @@ object Relational {
     "q_anova" -> qAnova,
     "q_welch_ttest" -> qWelchTtest,
     "q_topk_sketch" -> qTopkSketch,
+    "q_decile_lift" -> qDecileLift,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
@@ -7233,6 +7329,7 @@ object Relational {
     "q_anova" -> qAnovaSql,
     "q_welch_ttest" -> qWelchTtestSql,
     "q_topk_sketch" -> qTopkSketchSql,
+    "q_decile_lift" -> qDecileLiftSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,

@@ -503,8 +503,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Relational.q19Disjunctive(spark, sf))
     assert(p.contains("Or(And(EqualTo(p_brand,Brand#12)"),
       s"part-side disjunction did not push to the part scan:\n$p")
-    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
-      p.contains("GreaterThanOrEqual(l_quantity,1.00)"),
+    // hull constants widened past the DECIMAL(12,2) rounding boundary
+    // in r13 (0.99/50.01 — the advisor's rounding-edge fix); the audit
+    // tracks the op's actual constants
+    assert(p.contains("GreaterThanOrEqual(l_quantity,0.99)"),
       s"quantity hull did not push to the lineitem scan:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
@@ -562,4 +564,38 @@ class PlanAuditSpec extends AnyFunSuite {
   // SparkEntry.queries entry off the shared optimized-plan map — a new
   // op can no longer silently reintroduce the corpus-window
   // anti-pattern by not being on a list.
+
+  test("q_topk_sketch: per-shard rank filter plans as WindowGroupLimit; merge joins broadcast") {
+    val p = plan(Relational.qTopkSketch(spark, sf))
+    // rn <= k over (shard) must become the keep-k-per-group scan, not
+    // a full per-shard sort retained to the filter
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not push into a group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the S-row residual/extremes frames did not broadcast:\n$p")
+  }
+
+  test("q_kll_compactor windows stay (pri,shard)/(pri)-partitioned; adjudication broadcasts") {
+    val p = plan(Relational.qKllCompactor(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"estimate frames did not broadcast onto the fact:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"adjudication join degenerated:\n$p")
+  }
+
+  test("q_moments: one fact scan, partial-agged (two HashAggregate levels)") {
+    val p = plan(Relational.qMoments(spark, sf))
+    val scans = "ReadSchema:.*o_totalprice".r.findAllIn(p).size
+    assert(scans == 1, s"orders scanned $scans times:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"moment sums not map-side combined:\n$p")
+  }
+
+  test("q_decile_lift: cutpoints/total ride 1-row broadcasts; no sort-merge join") {
+    val p = plan(Relational.qDecileLift(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row cut/total frames did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"band assignment degenerated to a shuffle join:\n$p")
+  }
 }
