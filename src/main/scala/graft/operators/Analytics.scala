@@ -3934,6 +3934,24 @@ object Analytics {
     * Overflow contract as g_louvain_move: Σw < 3·10⁹. */
   val louvainMaxLevels = 5
 
+  /** Break the STATISTICS lineage across loop levels. localCheckpoint
+    * truncates the execution lineage but REWRITES the child plan's
+    * stats onto the LogicalRDD (ExistingRDD.rewriteStatsAndConstraints)
+    * — so an iterative self-join loop compounds sizeInBytes
+    * MULTIPLICATIVELY through its checkpoints: each pointer jump
+    * squares it, each level multiplies the squares, and by level 5 at
+    * sf0.1 the planner spends tens of minutes inside
+    * SizeInBytesOnlyStatsPlanVisitor doing ToomCook multiplies on a
+    * ~10⁶-digit BigInt (measured — the main thread pinned in
+    * BigInteger.multiply during a plain localCheckpoint). Re-wrapping
+    * the already-materialized RDD in a FRESH LogicalRDD resets stats
+    * to the default leaf size; the loop's joins carry explicit gated()
+    * broadcast hints, so no planning decision depended on the
+    * snowballed numbers. The conversion is one Row pass over a
+    * node-count frame — noise next to the level's joins. */
+  private def resetStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def louvainHierarchy: Q = (s, dir) => {
     val (nodes, und0) = numericGraph(s, dir)
     val n = nodes.count()
@@ -3955,21 +3973,23 @@ object Analytics {
         else {
           val ids = comm.select(col("comm").as("id")).distinct()
           val roots = louvainLevel(ids, best, n, interim).toDF("cid", "root")
-          comm = comm
+          val commCp = comm
             .join(gated(roots, n), comm("comm") === roots("cid"), "left_outer")
             .select(col("id"), coalesce(col("root"), col("comm")).as("comm"))
             .localCheckpoint(eager = true)
-          interim += comm
+          interim += commCp
+          comm = resetStats(commCp)
           // contract the ORIGINAL frame through the composed map (one
           // edge pass per level; self-loop rows keep internal weight in
           // the super-degree — the Louvain k convention)
-          g = und0
+          val gCp = und0
             .join(gated(comm.toDF("a", "ca"), n), "a")
             .join(gated(comm.toDF("b", "cb"), n), "b")
             .groupBy(col("ca").as("a"), col("cb").as("b"))
             .agg(sum("w").as("w"))
             .localCheckpoint(eager = true)
-          interim += g
+          interim += gCp
+          g = resetStats(gCp)
         }
       }
       if (moved && louvainBestMove(g).limit(1).count() > 0)

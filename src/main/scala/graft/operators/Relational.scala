@@ -4218,6 +4218,60 @@ object Relational {
       |     / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS df_2
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------- q_column_stats
+  /** ANALYZE-style COLUMN STATISTICS — the (n, ndv, min, max, mean)
+    * table a cost-based planner consults for join ordering and
+    * broadcast decisions, computed exactly for the three lineitem
+    * measure columns in ONE pass: the columns MELT into (col, value)
+    * rows (an in-plan Expand — 3× row volume but one scan, the
+    * grouping-sets shape), then a single partial-agged groupBy(col)
+    * carries count / min / max / sum and an exact count(DISTINCT
+    * value). Values in exact integer units (cents / percent-cents);
+    * mean as integer floor division. NDV here is exact — the sketch
+    * estimate at corpus scale is q_hll_distinct's job, and comparing
+    * that against this op's exact column is precisely how an ANALYZE
+    * pipeline calibrates its sketches. */
+  def qColumnStats: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .select(explode(array(
+        struct(lit("l_quantity").as("c"),
+          (dec(col("l_quantity")) * 100).cast("long").as("v")),
+        struct(lit("l_extendedprice").as("c"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("v")),
+        struct(lit("l_discount").as("c"),
+          (dec(col("l_discount")) * 100).cast("long").as("v"))))
+        .as("m"))
+      .select(col("m.c").as("column_name"), col("m.v").as("v"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"),
+        min("v").as("min_u"), max("v").as("max_u"),
+        sum(col("v").cast(DecimalType(38, 0))).as("s"))
+      .select(col("column_name"), col("n"), col("ndv"),
+        col("min_u"), col("max_u"),
+        expr("CAST(s div n AS BIGINT)").as("mean_u"))
+      .orderBy("column_name")
+  }
+
+  val qColumnStatsSql: String =
+    """WITH m AS (
+      | SELECT 'l_quantity' AS column_name,
+      |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'l_extendedprice',
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'l_discount',
+      |  CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+      | FROM lineitem
+      |)
+      |SELECT column_name, count(*) AS n, count(DISTINCT v) AS ndv,
+      | min(v) AS min_u, max(v) AS max_u,
+      | CAST(CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT)
+      |  // CAST(count(*) AS HUGEINT) AS BIGINT) AS mean_u
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------- q_decile_lift
   /** DECILE LIFT TABLE (the marketing-analytics standard: rank
     * customers by spend, cut into 10 bands, show each band's share —
@@ -7204,6 +7258,7 @@ object Relational {
     "q_welch_ttest" -> qWelchTtest,
     "q_topk_sketch" -> qTopkSketch,
     "q_decile_lift" -> qDecileLift,
+    "q_column_stats" -> qColumnStats,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
@@ -7330,6 +7385,7 @@ object Relational {
     "q_welch_ttest" -> qWelchTtestSql,
     "q_topk_sketch" -> qTopkSketchSql,
     "q_decile_lift" -> qDecileLiftSql,
+    "q_column_stats" -> qColumnStatsSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
