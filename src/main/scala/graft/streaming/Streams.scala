@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1114,6 +1115,95 @@ object Streams {
   /** The component-label table AT a published version. */
   def ccLabelsRead(s: SparkSession, outDir: String, version: Long): DataFrame =
     s.read.parquet(ivmManifestFiles(outDir, version, "labels"): _*)
+
+  // ------------------------------------------------------ st_topk_sketch
+  /** st_topk_sketch: STREAMING heavy hitters under BOUNDED state — the
+    * Misra-Gries summary maintained per hash shard through the
+    * manifest-versioned sink, using the MERGE rule of Agarwal et al.
+    * ("Mergeable Summaries", PODS 2012): fold the stored ≤k counters
+    * with the batch's exact counts by per-key addition, then subtract
+    * the (k+1)-th largest value from every counter and drop the
+    * non-positives — back to ≤k counters, with the shard's CUMULATIVE
+    * DECREMENT tracked as one long. Invariant (the spec's per-version
+    * assertion): for every stored key, exact ∈ [cnt, cnt + dec], and
+    * for every ABSENT key, exact ≤ dec — valid at EVERY version under
+    * ANY batch split. Unlike q_topk_sketch's local-top-k + residual
+    * (a one-shot scan algebra), MG counter VALUES are merge-order-
+    * dependent; what is order-independent is the GUARANTEE, which is
+    * why the spec asserts bound validity under one-shot vs split
+    * feeds rather than byte equality — the honest contract of this
+    * sketch family. State: S shards × ≤k counters + S decrement longs
+    * — bytes, not keyspace; the shard count is the scale knob. The
+    * exact per-key recompute is the spec's gold, never the op's
+    * runtime cost. */
+  val mgShards = 4
+  val mgK = 8
+
+  final case class HHItem(k: Long)
+
+  def topkSketchSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
+    val s = batch.sparkSession
+    def readOrEmpty(files: Seq[String], schema: String): DataFrame =
+      if (files.nonEmpty) s.read.parquet(files: _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val c0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "counters"),
+      "shard BIGINT, key BIGINT, cnt BIGINT")
+    val d0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "dec"),
+      "shard BIGINT, dec BIGINT")
+    val bc = batch.select(pmod(col("k"), lit(mgShards)).as("shard"),
+        col("k").as("key"))
+      .groupBy("shard", "key").agg(count(lit(1)).as("cnt"))
+    val merged = c0.unionByName(bc)
+      .groupBy("shard", "key").agg(sum("cnt").as("cnt"))
+    val w = Window.partitionBy("shard").orderBy(col("cnt").desc, col("key"))
+    val ranked = merged.withColumn("rn", row_number().over(w)).cache()
+    // the (k+1)-th largest IS the MG decrement; shards holding ≤ k
+    // keys decrement by 0 (left join + coalesce)
+    val dk = ranked.filter(col("rn") === mgK + 1)
+      .select(col("shard"), col("cnt").as("d"))
+    val c1 = ranked.join(dk, Seq("shard"), "left_outer")
+      .select(col("shard"), col("key"),
+        (col("cnt") - coalesce(col("d"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+    // cumulative decrement per shard — every shard EVER seen keeps its
+    // row (a shard absent from this batch decrements by 0, not by NULL)
+    val shards = d0.select("shard")
+      .union(ranked.select("shard")).distinct()
+    val d1 = shards
+      .join(d0, Seq("shard"), "left_outer")
+      .join(dk, Seq("shard"), "left_outer")
+      .select(col("shard"),
+        (coalesce(col("dec"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .as("dec"))
+    c1.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId/counters")
+    d1.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId/dec")
+    ranked.unpersist()
+    def fresh(section: String): Seq[String] = {
+      val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"$section|${f.getPath}").sorted.toSeq
+    }
+    // both sections are REPLACED each version (the fold already
+    // carries the history)
+    publishManifest(outDir, batchId, fresh("counters") ++ fresh("dec"))
+  }
+
+  /** The sketch AT a version: (shard, key, lo, hi) with the validity
+    * invariant exact ∈ [lo, hi] for stored keys, ≤ hi − lo for absent. */
+  def topkSketchRead(s: SparkSession, outDir: String,
+      version: Long): DataFrame = {
+    val c = s.read.parquet(
+      ivmManifestFiles(outDir, version, "counters"): _*)
+    val d = s.read.parquet(ivmManifestFiles(outDir, version, "dec"): _*)
+    c.join(d, Seq("shard"))
+      .select(col("shard"), col("key"), col("cnt").as("lo"),
+        (col("cnt") + col("dec")).as("hi"))
+  }
 
   // ---------------------------------------------------- st_user_counters
   final case class UserCounters(user_id: Long, n_events: Long,
@@ -2324,6 +2414,7 @@ object Streams {
     "st_ivm_join" -> "incremental join view: dA*B0 + A0*dB + dA*dB",
     "st_ivm_signed" -> "Z-set signed retractions, order-free",
     "st_cc_incremental" -> "streaming CC view: contract deltas, relabel",
+    "st_topk_sketch" -> "Misra-Gries heavy hitters, mergeable fold",
     "st_cdc_apply" -> "upsert/delete CDC apply == batch MERGE",
     "st_user_counters" -> "transformWithState running counters",
     "st_running_moments" -> "running (n, sum, sumsq) per key; exact mean/var",

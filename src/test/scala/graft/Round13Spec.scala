@@ -170,6 +170,69 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ st_topk_sketch
+  test("st_topk_sketch: MG bounds valid at every version under one-shot " +
+      "AND split feeds; state stays <= k per shard; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Streams = graft.streaming.Streams
+    // skewed synthetic stream: key 1 very heavy, 2-4 medium, a long
+    // tail of singletons that must be absorbed by the decrement
+    val items: Seq[Streams.HHItem] =
+      (Seq.fill(60)(1L) ++ Seq.fill(25)(2L) ++ Seq.fill(20)(3L) ++
+        Seq.fill(15)(4L) ++ (100L to 180L)).map(Streams.HHItem)
+    def exactAt(fed: Seq[Streams.HHItem]): Map[(Long, Long), Long] =
+      fed.groupBy(i => (i.k % Streams.mgShards, i.k))
+        .map { case (sk, xs) => sk -> xs.size.toLong }
+    def validate(dir: String, version: Long, fed: Seq[Streams.HHItem]): Unit = {
+      val rows = Streams.topkSketchRead(spark, dir, version).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+      val exact = exactAt(fed)
+      // ≤ k counters per shard — the bounded-state contract
+      rows.keys.groupBy(_._1).foreach { case (sh, ks) =>
+        assert(ks.size <= Streams.mgK, s"v$version shard $sh holds ${ks.size} > k")
+      }
+      val decOf = rows.toSeq.groupBy(_._1._1)
+        .map { case (sh, xs) => sh -> (xs.head._2._2 - xs.head._2._1) }
+        .withDefaultValue(0L)
+      exact.foreach { case ((sh, k), ex) =>
+        rows.get((sh, k)) match {
+          case Some((lo, hi)) => assert(lo <= ex && ex <= hi,
+            s"v$version key $k: exact $ex outside [$lo, $hi]")
+          case None => assert(ex <= decOf(sh),
+            s"v$version absent key $k: exact $ex > shard decrement ${decOf(sh)}")
+        }
+      }
+      // the heavy hitter must SURVIVE every fold
+      assert(rows.contains((1L % Streams.mgShards, 1L)),
+        s"v$version lost the heavy hitter")
+    }
+    def feed(dir: String, batches: Seq[Seq[Streams.HHItem]]): Unit = {
+      val mem = MemoryStream[Streams.HHItem]
+      val q = mem.toDF().writeStream
+        .foreachBatch(Streams.topkSketchSink(dir) _)
+        .outputMode("append").start()
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*); q.processAllAvailable()
+        validate(dir, i.toLong, batches.take(i + 1).flatten)
+      } finally q.stop()
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("hh1").toString
+    feed(d1, Seq(items)) // one shot
+    val d2 = java.nio.file.Files.createTempDirectory("hh2").toString
+    val splits = items.grouped(math.max(1, items.size / 3)).toSeq
+    feed(d2, splits) // split feed — values may differ, the GUARANTEE may not
+    // replay no-op: manifest is the commit marker
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d2/manifest-1")), "UTF-8")
+    Streams.topkSketchSink(d2)(splits(1).toDF(), 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d2/manifest-1")), "UTF-8") == m1,
+      "replay changed the published manifest")
+  }
+
   // --------------------------------------------------- st_running_moments
   test("st_running_moments: last emission per key == exact batch moment " +
       "aggregate under ordered AND shuffled splits") {
