@@ -2164,6 +2164,48 @@ object Analytics {
     b.toString
   }
 
+  // ------------------------------------------------- g_cc_size_histogram
+  /** COMPONENT-SIZE HISTOGRAM — the one-page answer to "is this graph
+    * one giant blob or dust": per component size, how many components
+    * and how many nodes, with each size class's exact node share in
+    * ppm. Computed over the INCREMENTALLY-MAINTAINED label view
+    * (g_cc_incremental's composed output — the production posture: a
+    * live pipeline histograms the maintained view after each merge
+    * batch, never a fresh full recompute), so the marginal cost on top
+    * of the memoized base state is the delta merge + two bounded
+    * aggregates (components, then sizes). The histogram frame is
+    * ≤ distinct-sizes rows — log-ish in the graph, safely tiny at any
+    * scale; the share division is exact integer cross-multiplication
+    * against the 1-row total broadcast. */
+  def ccSizeHistogram: Q = (s, dir) => {
+    val labels = ccIncremental(s, dir)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    val tot = sizes.agg(sum("comp_size").as("n_total"))
+    sizes.groupBy("comp_size")
+      .agg(count(lit(1)).as("n_components"),
+        sum("comp_size").as("n_nodes"))
+      .crossJoin(broadcast(tot))
+      .select(col("comp_size"), col("n_components"), col("n_nodes"),
+        expr("(n_nodes * 1000000) div n_total").as("share_ppm"))
+      .orderBy("comp_size")
+  }
+
+  /** Oracle: the full g_cc_incremental unrolled-CTE query as a
+    * subquery (DuckDB scopes a nested WITH inside the parenthesized
+    * derived table), then the same two bounded aggregates. */
+  lazy val ccSizeHistogramSql: String =
+    s"""SELECT comp_size, count(*) AS n_components,
+       | CAST(sum(comp_size) AS BIGINT) AS n_nodes,
+       | CAST((sum(comp_size) * 1000000)
+       |   // (SELECT count(*) FROM ($ccIncrementalSql)) AS BIGINT)
+       |  AS share_ppm
+       |FROM (
+       | SELECT comp, count(*) AS comp_size
+       | FROM ($ccIncrementalSql)
+       | GROUP BY comp
+       |)
+       |GROUP BY comp_size ORDER BY comp_size""".stripMargin
+
   // --------------------------------------------------- g_radius_diameter
   /** BOUNDED-HOP RADIUS / DIAMETER summary — the one-row center/
     * periphery digest of the eccentricity table (radius = min ecc,
@@ -5413,6 +5455,7 @@ object Analytics {
     "g_louvain" -> louvain,
     "g_louvain_hierarchy" -> louvainHierarchy,
     "g_radius_diameter" -> radiusDiameter,
+    "g_cc_size_histogram" -> ccSizeHistogram,
     "g_cc_incremental" -> ccIncremental,
     "g_coloring" -> coloring,
     "g_matching" -> matching,
@@ -5470,6 +5513,7 @@ object Analytics {
     "g_louvain" -> louvainSql,
     "g_louvain_hierarchy" -> louvainHierarchySql,
     "g_radius_diameter" -> radiusDiameterSql,
+    "g_cc_size_histogram" -> ccSizeHistogramSql,
     "g_cc_incremental" -> ccIncrementalSql,
     "g_coloring" -> coloringSql,
     "g_matching" -> matchingSql,
