@@ -4024,14 +4024,19 @@ object Analytics {
           // contract the ORIGINAL frame through the composed map (one
           // edge pass per level; self-loop rows keep internal weight in
           // the super-degree — the Louvain k convention)
-          val gCp = und0
+          // g needs NO stats reset: its checkpoint stats derive from
+          // (und0, comm-reset²) — a constant-size product per level,
+          // because the only frame that feeds back into the next
+          // level's plan is comm, and comm IS reset. Skipping the
+          // reset avoids a per-level Row conversion over the edge
+          // frame (the node-frame conversion on comm is the cheap one).
+          g = und0
             .join(gated(comm.toDF("a", "ca"), n), "a")
             .join(gated(comm.toDF("b", "cb"), n), "b")
             .groupBy(col("ca").as("a"), col("cb").as("b"))
             .agg(sum("w").as("w"))
             .localCheckpoint(eager = true)
-          interim += gCp
-          g = resetStats(gCp)
+          interim += g
         }
       }
       if (moved && louvainBestMove(g).limit(1).count() > 0)
