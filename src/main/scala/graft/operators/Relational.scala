@@ -6607,6 +6607,126 @@ object Relational {
        | LEFT JOIN l3 ON l3.user_id = u.user_id
        |) GROUP BY level ORDER BY level""".stripMargin
 
+  // --------------------------------------------------------- q_theta_diff
+  /** THETA SET DIFFERENCE — the third operation of the Theta sketch
+    * algebra (q_theta_intersect ships ∩ and ∪; A∖B is the audience
+    * question "who bought in 1995 but not 1996", the churn cut):
+    * θ = min(θ_A, θ_B), estimate = |{h ∈ sketch(A): h < θ ∧
+    * h ∉ sketch(B)}| · 2⁵² div θ — the same bounded frames as the
+    * intersection (≤ k rows a side, anti-join instead of join), with
+    * the identical small-cohort exactness guard (both cohorts under k
+    * ⇒ the sketches are complete and the count is exact at θ = 2⁵²).
+    * Both directions published beside their exact legs (one grouped
+    * pass over the distinct cohort frame) — the error is the measured
+    * quantity, the q_theta_intersect adjudication discipline. */
+  def qThetaDiff: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .distinct()
+    val exact = o.groupBy("k")
+      .agg(max(when(col("y") === 1995, 1).otherwise(0)).as("in_a"),
+        max(when(col("y") === 1996, 1).otherwise(0)).as("in_b"))
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+          .otherwise(0L)).as("n_ab_exact"),
+        sum(when(col("in_b") === 1 && col("in_a") === 0, 1L)
+          .otherwise(0L)).as("n_ba_exact"))
+    val hashed = o.select(col("y"),
+      graft.functions.VectorExprs.hexSlice(
+        md5(col("k").cast("string")), 1, 13).as("h"))
+    val sk = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("y").orderBy("h")))
+      .filter(col("rn") <= thetaK)
+      .select("y", "h")
+      .localCheckpoint(eager = true)
+    try {
+      def cohortStats(yv: Int, a: String, b: String): DataFrame =
+        sk.filter(col("y") === yv)
+          .agg(count(lit(1)).as(a), max("h").as(b))
+      val sa = cohortStats(1995, "ns_a", "hk_a")
+      val sb = cohortStats(1996, "ns_b", "hk_b")
+      val thetaExpr = expr(
+        s"""least(CASE WHEN ns_a >= $thetaK THEN hk_a ELSE $theta52 END,
+           |      CASE WHEN ns_b >= $thetaK THEN hk_b ELSE $theta52 END)"""
+          .stripMargin)
+      // one-direction sketch difference: A's hashes absent from B's
+      // sketch, counted under θ (≤ k rows — anti-join of two bounded
+      // frames)
+      def diffStats(ya: Int, yb: Int, cnt: String): DataFrame =
+        sk.filter(col("y") === ya).select("h")
+          .join(sk.filter(col("y") === yb).select("h"), Seq("h"),
+            "left_anti")
+          .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+          .withColumn("theta", thetaExpr)
+          .agg(max("theta").as(s"theta_$cnt"),
+            sum(when(col("h") < col("theta"), 1L).otherwise(0L))
+              .as(s"n_$cnt"))
+      val da = diffStats(1995, 1996, "ab")
+      val db = diffStats(1996, 1995, "ba")
+      def est(cnt: String): Column = expr(
+        s"""CASE WHEN theta_$cnt IS NULL THEN CAST(0 AS BIGINT)
+           | WHEN theta_$cnt >= $theta52 THEN n_$cnt
+           | ELSE (n_$cnt * CAST($theta52 AS BIGINT)) div theta_$cnt
+           | END""".stripMargin)
+      exact.crossJoin(broadcast(da)).crossJoin(broadcast(db))
+        .select(col("n_ab_exact"), est("ab").as("n_ab_est"),
+          col("n_ba_exact"), est("ba").as("n_ba_est"))
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(sk)
+  }
+
+  val qThetaDiffSql: String = {
+    val h13 = graft.operators.OracleSql.hexToLong(
+      "md5(CAST(k AS VARCHAR))", 1, 13)
+    def diffCte(name: String, ya: Int, yb: Int) =
+      s"""$name AS (
+         | SELECT max(theta) AS theta,
+         |  sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS n
+         | FROM (
+         |  SELECT a.h,
+         |   least(CASE WHEN sa.ns_a >= $thetaK THEN sa.hk_a ELSE $theta52 END,
+         |         CASE WHEN sb.ns_b >= $thetaK THEN sb.hk_b ELSE $theta52 END)
+         |    AS theta
+         |  FROM (SELECT h FROM sk WHERE y = $ya) a, sa, sb
+         |  WHERE NOT EXISTS (
+         |   SELECT 1 FROM sk b WHERE b.y = $yb AND b.h = a.h))
+         |)"""
+    def est(name: String) =
+      s"""CASE WHEN $name.theta IS NULL THEN CAST(0 AS BIGINT)
+         | WHEN $name.theta >= $theta52 THEN CAST($name.n AS BIGINT)
+         | ELSE CAST(($name.n * CAST($theta52 AS BIGINT)) // $name.theta
+         |   AS BIGINT) END"""
+    s"""WITH o AS (
+       | SELECT DISTINCT o_custkey AS k, year(o_orderdate) AS y
+       | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+       |), exact AS (
+       | SELECT
+       |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_ab_exact,
+       |  CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_ba_exact
+       | FROM (
+       |  SELECT k, max(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS in_a,
+       |   max(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS in_b
+       |  FROM o GROUP BY k)
+       |), hashed AS (
+       | SELECT y, CAST($h13 AS BIGINT) AS h FROM o
+       |), sk AS (
+       | SELECT y, h FROM (
+       |  SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn
+       |  FROM hashed) WHERE rn <= $thetaK
+       |), sa AS (
+       | SELECT count(*) AS ns_a, max(h) AS hk_a FROM sk WHERE y = 1995
+       |), sb AS (
+       | SELECT count(*) AS ns_b, max(h) AS hk_b FROM sk WHERE y = 1996
+       |), ${diffCte("da", 1995, 1996)},
+       |${diffCte("db", 1996, 1995)}
+       |SELECT exact.n_ab_exact, ${est("da")} AS n_ab_est,
+       | exact.n_ba_exact, ${est("db")} AS n_ba_est
+       |FROM exact, da, db""".stripMargin
+  }
+
   // ------------------------------------------------------ q_session_native
   /** Spark's NATIVE `session_window` aggregation (the batch face of
     * Structured Streaming's session windows — one groupBy, the engine
@@ -7259,6 +7379,7 @@ object Relational {
     "q_topk_sketch" -> qTopkSketch,
     "q_decile_lift" -> qDecileLift,
     "q_column_stats" -> qColumnStats,
+    "q_theta_diff" -> qThetaDiff,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_range_join" -> qRangeJoin,
     "q_merge_scd" -> qMergeScd,
@@ -7386,6 +7507,7 @@ object Relational {
     "q_topk_sketch" -> qTopkSketchSql,
     "q_decile_lift" -> qDecileLiftSql,
     "q_column_stats" -> qColumnStatsSql,
+    "q_theta_diff" -> qThetaDiffSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_range_join" -> qRangeJoinSql,
     "q_merge_scd" -> qMergeScdSql,
