@@ -1036,85 +1036,230 @@ object Streams {
     * Round13Spec asserts it against an independent union-find gold at
     * each version, plus replay idempotence and version isolation.
     * Sections: `edges` accumulates the changelog (the base for audit /
-    * from-scratch recovery); `labels` is REPLACED each version (the
-    * composed table already folds its predecessor). An unconverged
-    * super-fixpoint ABORTS the batch loudly (the assertConverged
-    * contract): the stream retries rather than publishing approximate
-    * components. */
+    * from-scratch recovery); `labels` accumulates per-version DELTAS —
+    * each version writes ONLY (first-seen nodes + nodes whose component
+    * changed), both delta-bounded frames the contraction already has in
+    * hand, so the per-version WRITE honors the same "∝ |Δ| + touched
+    * components, never |V|" contract as the compute (the r13 verdict
+    * finding: the old full-table `coalesce(1)` publish pushed every
+    * label through one task per micro-batch — at 10¹⁰ nodes that single
+    * task IS the pipeline). Readers compose deltas through the manifest
+    * last-writer-wins per id (`ccLabelsRead`), and every
+    * `ccIncCompactEvery`-th version publishes a compacted full snapshot
+    * (a PARTITIONED write, never one task) and resets the manifest's
+    * label file list, bounding read-side composition depth — the same
+    * posture src_manifest_snapshot/src_compaction demonstrate on the
+    * relational side. An unconverged super-fixpoint ABORTS the batch
+    * loudly (the assertConverged contract): the stream retries rather
+    * than publishing approximate components. */
   final case class CcEdge(a: Long, b: Long)
 
   val ccIncStreamIters = 16
+
+  /** Compaction period for the labels section: versions ≡ 0 (mod this)
+    * publish a full snapshot instead of a delta, so a reader composes
+    * at most `ccIncCompactEvery` delta files over one snapshot. */
+  val ccIncCompactEvery = 4L
+
+  /** Last-writer-wins composition of label delta files: each row
+    * carries the version `v` that wrote it; a node's label is its row
+    * from the latest version. The window is id-partitioned (shards on
+    * the node key — no global sort). */
+  private def composeLabels(raw: DataFrame): DataFrame =
+    raw.withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("v").desc)))
+      .filter(col("rn") === 1).select("id", "comp")
 
   def ccIncSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
     val s = batch.sparkSession
-    def readOrEmpty(files: Seq[String], schema: String): DataFrame =
-      if (files.nonEmpty) s.read.parquet(files: _*)
-      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schema))
-    val l0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "labels"),
-      "id BIGINT, comp BIGINT").cache()
-    val dE = batch.select(col("a"), col("b")).distinct().cache()
-    // contract: endpoints not yet labeled are their own component (a
-    // first-seen node is a singleton until this batch's edges say more)
-    val nodesD = dE.select(col("a").as("id"))
-      .union(dE.select(col("b").as("id"))).distinct()
-    val lab = nodesD.join(l0, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-      .cache()
-    val supE = dE
-      .join(lab.toDF("a", "ca"), Seq("a"))
-      .join(lab.toDF("b", "cb"), Seq("b"))
-      .filter(col("ca") =!= col("cb"))
-      .select(col("ca").as("a"), col("cb").as("b")).distinct()
-    val und = supE.union(supE.select(col("b").as("a"), col("a").as("b")))
-      .cache()
-    // min-label fixpoint on the super-graph — delta-bounded (≤ 2·|ΔE|
-    // nodes), so each round is a small join; eager per-round
-    // materialization via count() caps plan depth (the ccLabels
-    // discipline, inlined because the frame is tiny by construction)
-    var comp = und.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).cache()
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < ccIncStreamIters) {
-      round += 1
-      val m = und.join(comp.withColumnRenamed("id", "a"), Seq("a"))
-        .groupBy(col("b").as("id")).agg(min("comp").as("m"))
-      val merged = comp.join(m, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
-          (col("m") < col("comp")).as("chg"))
-        .cache()
-      changed = merged.filter(col("chg")).count()
-      comp = merged.select("id", "comp")
-    }
-    if (changed > 0) throw new IllegalStateException(
-      s"ccIncSink batch $batchId: super-graph fixpoint not reached in " +
-        s"$ccIncStreamIters rounds — refusing to publish approximate components")
-    // compose: every previously-known node + this batch's new nodes,
-    // patched through the super-root map (delta-bounded left join)
-    val allNodes = l0.unionByName(lab.join(l0, Seq("id"), "left_anti"))
-    val l1 = allNodes
-      .join(comp.toDF("comp", "root"), Seq("comp"), "left_outer")
-      .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
-    dE.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/edges")
-    l1.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/batch_id=$batchId/labels")
-    def fresh(section: String): Seq[String] = {
-      val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => s"$section|${f.getPath}").sorted.toSeq
-    }
-    publishManifest(outDir, batchId,
-      ivmManifestFiles(outDir, batchId - 1, "edges").map(f => s"edges|$f") ++
-      fresh("edges") ++ fresh("labels"))
+    // every cached frame is released at batch end (try/finally): a
+    // long-running stream must not accumulate per-batch cached RDDs
+    // (the r13 advisor leak — LRU eviction saves you from failure,
+    // not from growing memory pressure)
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      def readOrEmpty(files: Seq[String], schema: String): DataFrame =
+        if (files.nonEmpty) s.read.parquet(files: _*)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      val labelFiles = ivmManifestFiles(outDir, batchId - 1, "labels")
+      val l0 = keep(composeLabels(readOrEmpty(labelFiles,
+        "id BIGINT, comp BIGINT, v BIGINT")))
+      val dE = keep(batch.select(col("a"), col("b")).distinct())
+      // contract: endpoints not yet labeled are their own component (a
+      // first-seen node is a singleton until this batch's edges say more)
+      val nodesD = dE.select(col("a").as("id"))
+        .union(dE.select(col("b").as("id"))).distinct()
+      val lab = keep(nodesD.join(l0, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
+      val supE = dE
+        .join(lab.toDF("a", "ca"), Seq("a"))
+        .join(lab.toDF("b", "cb"), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca").as("a"), col("cb").as("b")).distinct()
+      val und = keep(supE.union(
+        supE.select(col("b").as("a"), col("a").as("b"))))
+      // min-label fixpoint on the super-graph — delta-bounded (≤ 2·|ΔE|
+      // nodes), so each round is a small join; eager per-round
+      // materialization via count() caps plan depth (the ccLabels
+      // discipline, inlined because the frame is tiny by construction)
+      var comp = keep(und.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < ccIncStreamIters) {
+        round += 1
+        val m = und.join(comp.withColumnRenamed("id", "a"), Seq("a"))
+          .groupBy(col("b").as("id")).agg(min("comp").as("m"))
+        val merged = keep(comp.join(m, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"),
+            (col("m") < col("comp")).as("chg")))
+        changed = merged.filter(col("chg")).count()
+        comp = merged.select("id", "comp")
+      }
+      if (changed > 0) throw new IllegalStateException(
+        s"ccIncSink batch $batchId: super-graph fixpoint not reached in " +
+          s"$ccIncStreamIters rounds — refusing to publish approximate components")
+      // super-root map restricted to REAL moves (root != comp): its
+      // inner-join image against the stored labels is exactly the set
+      // of nodes whose component changed this version
+      val rootMap = comp.toDF("comp", "root")
+        .filter(col("root") =!= col("comp"))
+      // label DELTA = first-seen nodes (patched through the root map)
+      //             + existing nodes in a touched, re-rooted component
+      val firstSeen = lab.join(l0.select("id"), Seq("id"), "left_anti")
+        .join(rootMap, Seq("comp"), "left_outer")
+        .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
+      val delta = firstSeen.unionByName(
+          l0.join(rootMap, Seq("comp"), "inner")
+            .select(col("id"), col("root").as("comp")))
+        .withColumn("v", lit(batchId))
+      dE.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/edges")
+      val compact = batchId > 0 && batchId % ccIncCompactEvery == 0
+      if (compact) {
+        // periodic compaction: full snapshot as a PARTITIONED write
+        // (the amortized O(|V|) pass that keeps reads shallow); the
+        // manifest then lists ONLY the snapshot for this section
+        l0.join(rootMap, Seq("comp"), "left_outer")
+          .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
+          .unionByName(firstSeen)
+          .withColumn("v", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/labels")
+      } else {
+        delta.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId/labels")
+      }
+      def fresh(section: String): Seq[String] = {
+        val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"$section|${f.getPath}").sorted.toSeq
+      }
+      publishManifest(outDir, batchId,
+        ivmManifestFiles(outDir, batchId - 1, "edges").map(f => s"edges|$f") ++
+        fresh("edges") ++
+        (if (compact) Seq.empty else labelFiles.map(f => s"labels|$f")) ++
+        fresh("labels"))
+    } finally cached.foreach(_.unpersist(false))
   }
 
-  /** The component-label table AT a published version. */
+  /** The component-label table AT a published version — last-writer-
+    * wins composition of the delta files the manifest lists (≤ one
+    * snapshot + ccIncCompactEvery deltas by the compaction contract). */
   def ccLabelsRead(s: SparkSession, outDir: String, version: Long): DataFrame =
-    s.read.parquet(ivmManifestFiles(outDir, version, "labels"): _*)
+    composeLabels(
+      s.read.parquet(ivmManifestFiles(outDir, version, "labels"): _*))
+
+  // --------------------------------------------- st_triangle_incremental
+  /** st_triangle_incremental: STREAMING incremental triangle census —
+    * the second streaming-graph materialized view (r13 verdict #3
+    * next-round item): maintain the exact triangle count of the
+    * graph-so-far under edge-delta micro-batches WITHOUT re-counting
+    * the graph. Per batch: Δtriangles = the distinct triangles closed
+    * by at least one genuinely-new edge — each new canonical edge
+    * (u,v) probes the FULL adjacency (stored ∪ this batch, so the
+    * within-batch pair/triple cases fall out of the same join) for
+    * common neighbors w; triangles with 2 or 3 new edges are found
+    * once per new edge, so the candidate triples are canonicalized
+    * (array_sort) and DISTINCT'd before counting — exact by
+    * construction, never estimated. The adjacency probe is
+    * delta-bounded on the probe side: the stored edge list is
+    * pre-filtered by a broadcast semi-join on the delta's endpoint set
+    * (at scale the stored adjacency is bucketed by node id, so this
+    * filter is partition pruning, not a scan), and the wedge join
+    * shards on node id like any equi-join — per-batch cost ∝
+    * |Δ| · degree, never |E|·|V|. Census composes additively:
+    * count(v) = count(v−1) + Δ, published per version through the
+    * same hard-link-CAS manifest (`edges` accumulates the changelog,
+    * `census` — one row — is replaced); replay that finds the
+    * manifest is a no-op, so a delta can never double-count. Spec
+    * gold: brute-force triangle census over edges-so-far at every
+    * version + replay/isolation (Round14Spec). */
+  def triIncSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
+    val s = batch.sparkSession
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      def readOrEmpty(files: Seq[String], schema: String): DataFrame =
+        if (files.nonEmpty) s.read.parquet(files: _*)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      val e0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "edges"),
+        "a BIGINT, b BIGINT")
+      val c0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "census"),
+        "n_triangles BIGINT")
+      // canonical (a < b), self-loops dropped, within-batch dupes and
+      // already-stored edges removed — only GENUINELY new edges close
+      // new triangles (a replayed or duplicate edge must add zero)
+      val dE = keep(batch
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .join(e0, Seq("a", "b"), "left_anti"))
+      // full adjacency (both directions), pre-pruned to rows incident
+      // to a delta endpoint — both wedge joins probe on a delta
+      // endpoint, so nothing else can participate
+      val ends = dE.select(col("a").as("u"))
+        .union(dE.select(col("b").as("u"))).distinct()
+      val full = e0.unionByName(dE)
+      val und = keep(full.select(col("a").as("u"), col("b").as("w"))
+        .unionByName(full.select(col("b").as("u"), col("a").as("w")))
+        .join(broadcast(ends), Seq("u"), "left_semi"))
+      // wedges closed by each new edge: (u,v) new, w adjacent to both
+      val dTri = dE
+        .join(und.toDF("a", "w"), Seq("a"))
+        .join(und.toDF("b", "w"), Seq("b", "w"))
+        .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
+        .distinct()
+        .agg(count(lit(1)).as("n_triangles"))
+      val c1 = c0.unionByName(dTri)
+        .agg(sum("n_triangles").as("n_triangles"))
+      dE.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/edges")
+      // the census is ONE row — coalesce(1) here is the bounded-
+      // aggregate class (like the ivm view), not a table write
+      c1.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/batch_id=$batchId/census")
+      def fresh(section: String): Seq[String] = {
+        val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"$section|${f.getPath}").sorted.toSeq
+      }
+      publishManifest(outDir, batchId,
+        ivmManifestFiles(outDir, batchId - 1, "edges").map(f => s"edges|$f") ++
+        fresh("edges") ++ fresh("census"))
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  /** The triangle census AT a published version (pinned, isolated). */
+  def triCensusRead(s: SparkSession, outDir: String, version: Long): DataFrame =
+    s.read.parquet(ivmManifestFiles(outDir, version, "census"): _*)
 
   // ------------------------------------------------------ st_topk_sketch
   /** st_topk_sketch: STREAMING heavy hitters under BOUNDED state — the
@@ -2414,6 +2559,7 @@ object Streams {
     "st_ivm_join" -> "incremental join view: dA*B0 + A0*dB + dA*dB",
     "st_ivm_signed" -> "Z-set signed retractions, order-free",
     "st_cc_incremental" -> "streaming CC view: contract deltas, relabel",
+    "st_triangle_incremental" -> "streaming triangle census: close new wedges",
     "st_topk_sketch" -> "Misra-Gries heavy hitters, mergeable fold",
     "st_cdc_apply" -> "upsert/delete CDC apply == batch MERGE",
     "st_user_counters" -> "transformWithState running counters",

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 operators: delta-bounded publication for the streaming CC
+  * view (the r13 verdict's decisive ask — written rows per version must
+  * track the LABEL DIFF, never the node count) and the streaming
+  * incremental triangle census (the second streaming-graph
+  * materialized view, gold = brute-force census over edges-so-far).
+  */
+class Round14Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ---------------------------------------------------- st_cc_incremental
+  test("st_cc_incremental: published label rows per version == the " +
+      "version-over-version label diff (delta-bounded, never |V|); " +
+      "compaction resets the manifest and preserves every equality") {
+    val Streams = graft.streaming.Streams
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccinc14").toString
+    // ccIncCompactEvery = 4, so version 4 is a compaction version
+    assert(Streams.ccIncCompactEvery == 4L,
+      "test assumes the compaction period is 4 — update the batch plan")
+    def e(a: Long, b: Long) = Streams.CcEdge(a, b)
+    val batches = Seq(
+      Seq(e(1, 2), e(3, 4), e(10, 11)), // v0: 6 first-seen
+      Seq(e(2, 3)),                     // v1: merge {1,2}+{3,4} → 3,4 change
+      Seq(e(20, 21)),                   // v2: 2 first-seen
+      Seq(e(4, 10)),                    // v3: 10,11 relabel → 1
+      Seq(e(30, 31)),                   // v4: COMPACTION (full snapshot)
+      Seq(e(21, 1)))                    // v5: 20,21 relabel → 1 (post-compaction delta)
+    // independent gold: union-find over all edges fed so far, label =
+    // component minimum
+    def gold(upTo: Int): Map[Long, Long] = {
+      val es = batches.take(upTo + 1).flatten
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { ed =>
+        val (ra, rb) = (find(ed.a), find(ed.b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    def labelsAt(v: Long): Map[Long, Long] =
+      Streams.ccLabelsRead(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.ccIncSink(dir)(b.toDF(), i.toLong)
+      // composed read == full-recompute gold at EVERY version
+      assert(labelsAt(i.toLong) == gold(i), s"version $i labels != gold")
+      // the delta-boundedness contract: rows WRITTEN this version are
+      // exactly the label diff (first-seen + component-changed nodes)
+      val written = spark.read.parquet(s"$dir/batch_id=$i/labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prev = if (i == 0) Map.empty[Long, Long] else gold(i - 1)
+      val diff = gold(i).filter { case (id, c) => prev.get(id) != Some(c) }
+      if (i.toLong % Streams.ccIncCompactEvery == 0L && i > 0) {
+        // compaction version: the FULL snapshot, and the manifest's
+        // label section lists only this version's files
+        assert(written == gold(i), s"compaction v$i snapshot != gold")
+        val manifest = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/manifest-$i")), "UTF-8")
+        val labelLines = manifest.split("\n").filter(_.startsWith("labels|"))
+        assert(labelLines.nonEmpty &&
+          labelLines.forall(_.contains(s"batch_id=$i/")),
+          s"compaction v$i manifest still references pre-compaction label files")
+      } else {
+        assert(written == diff,
+          s"v$i wrote ${written.size} label rows, expected the " +
+            s"${diff.size}-row diff: written=$written diff=$diff")
+      }
+    }
+    // version isolation across the compaction boundary: v3 (delta
+    // composition) re-read after v5 landed — unchanged
+    assert(labelsAt(3) == gold(3), "a later batch leaked into pinned v3")
+    // replay of a pre-compaction batch after compaction: no-op
+    val m3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-3")), "UTF-8")
+    Streams.ccIncSink(dir)(batches(3).toDF(), 3L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-3")), "UTF-8") == m3 &&
+      labelsAt(5) == gold(5), "replay changed a published version")
+  }
+
+  // ----------------------------------------------- st_triangle_incremental
+  test("st_triangle_incremental: census at every version == brute-force " +
+      "gold over edges-so-far; duplicate edges add zero; replay is a no-op") {
+    val Streams = graft.streaming.Streams
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("triinc14").toString
+    def e(a: Long, b: Long) = Streams.CcEdge(a, b)
+    val batches = Seq(
+      // v0: one triangle entirely WITHIN the first batch (the
+      // pair/triple within-batch case) + a dangling edge
+      Seq(e(1, 2), e(2, 3), e(3, 1), e(4, 5)),
+      // v1: 4-1 and 4-2 close (1,2,4); 5-1 closes (1,4,5) through the
+      // STORED 4-5 (the cross-batch wedge case)
+      Seq(e(4, 1), e(4, 2), e(5, 1)),
+      // v2: duplicate edge (replayed content) + reversed duplicate +
+      // a self-loop — must all add ZERO; plus a fresh triangle
+      // entirely among new nodes (+1 exactly)
+      Seq(e(1, 2), e(3, 2), e(6, 6), e(20, 21), e(21, 22), e(20, 22)),
+      // v3: two new edges sharing a node, closing two triangles that
+      // share edge (2,3): (2,3,6) via 6-2 and 6-3
+      Seq(e(6, 2), e(6, 3)))
+    def goldCount(upTo: Int): Long = {
+      val es = batches.take(upTo + 1).flatten
+        .map(ed => (math.min(ed.a, ed.b), math.max(ed.a, ed.b)))
+        .filter(p => p._1 != p._2).toSet
+      val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+      // simple O(n^3) over the small node set
+      val eset = es
+      var n = 0L
+      for (i <- nodes.indices; j <- i + 1 until nodes.size;
+           k <- j + 1 until nodes.size) {
+        val (a, b, c) = (nodes(i), nodes(j), nodes(k))
+        if (eset((a, b)) && eset((b, c)) && eset((a, c))) n += 1
+      }
+      n
+    }
+    def censusAt(v: Long): Long =
+      Streams.triCensusRead(spark, dir, v).collect()(0).getLong(0)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.triIncSink(dir)(b.toDF(), i.toLong)
+      assert(censusAt(i.toLong) == goldCount(i),
+        s"version $i census ${censusAt(i.toLong)} != gold ${goldCount(i)}")
+    }
+    // the duplicate-edge batch specifically added exactly ONE triangle
+    assert(censusAt(2) == censusAt(1) + 1,
+      "duplicate/reversed/self-loop edges contributed to the census")
+    // version isolation: v1 census re-read after v3 landed
+    assert(censusAt(1) == goldCount(1), "later batch leaked into pinned v1")
+    // at-least-once replay: manifest is the commit marker
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-2")), "UTF-8")
+    Streams.triIncSink(dir)(batches(2).toDF(), 2L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-2")), "UTF-8") == m2 &&
+      censusAt(3) == goldCount(3), "replay changed a published version")
+  }
+}
