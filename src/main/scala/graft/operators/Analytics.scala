@@ -3994,7 +3994,18 @@ object Analytics {
   private def resetStats(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
-  def louvainHierarchy: Q = (s, dir) => {
+  /** Final hierarchy labels, session-memoized: two consumers since r14
+    * (g_louvain_hierarchy itself and g_community_connectivity's audit).
+    * NOT prewarmed — the ~14 s build lands on whichever runs first (the
+    * Bench memo-attribution caveat; family sum is the stable number). */
+  private val louvainHierCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def louvainHierarchy: Q = (s, dir) =>
+    graft.model.SessionMemo.getOrBuild(louvainHierCache, (s, dir))(
+      louvainHierarchyBuild(s, dir))
+
+  private def louvainHierarchyBuild(s: SparkSession, dir: String): DataFrame = {
     val (nodes, und0) = numericGraph(s, dir)
     val n = nodes.count()
     val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -4051,7 +4062,11 @@ object Analytics {
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
-  val louvainHierarchySql: String = {
+  /** The hierarchy's full CTE chain (through hc$louvainMaxLevels),
+    * shared by the g_louvain_hierarchy oracle and the
+    * g_community_connectivity audit oracle — one definition of the
+    * unrolled recurrence so the two can never drift. */
+  private def louvainHierarchyCtes: String = {
     // per level ℓ: contract through c(ℓ−1) → move stats → best → hook
     // (ids = distinct comm of c(ℓ−1)) → resolve → composed map cℓ.
     // A converged level's best CTE is empty and every downstream CTE
@@ -4114,11 +4129,91 @@ object Analytics {
                | LEFT JOIN ${p}r$louvainJumps r ON r.id = c.comm
                |)""".stripMargin
     }
-    b ++= s"""
+    b.toString
+  }
+
+  val louvainHierarchySql: String =
+    louvainHierarchyCtes + s"""
              |SELECT ids.label, ids.key,
              | CAST(hc$louvainMaxLevels.comm AS BIGINT) AS comm
              |FROM ids JOIN hc$louvainMaxLevels ON hc$louvainMaxLevels.id = ids.id
              |ORDER BY label, key""".stripMargin
+
+  // ------------------------------------------ g_community_connectivity
+  /** COMMUNITY-CONNECTIVITY AUDIT of the Louvain hierarchy (r13 verdict
+    * #4) — Louvain's known defect is badly-connected, even
+    * DISCONNECTED, communities (the Leiden paper's motivation, Traag et
+    * al. 2019: a node can be moved away from a community it was the
+    * bridge of, leaving the rest internally disconnected). Per final
+    * hierarchy community: restrict the CC machinery to the INDUCED
+    * subgraph (intra-community edges only — one filter over the shared
+    * undirected frame; induced edges never cross communities, so one
+    * global min-label fixpoint refines every community at once, no
+    * per-community loop) and report nodes, internal component count,
+    * and the connected verdict — worst offenders first. This is both
+    * the audit a hierarchy consumer runs before trusting the partition
+    * and the precondition check for a Leiden-style refinement step.
+    * Output is community-bounded (≤ |final communities| rows); every
+    * shuffle is keyed on node/community id. The hierarchy labels come
+    * from the session memo (shared with g_louvain_hierarchy — the
+    * Bench memo-attribution caveat applies: family sum is the stable
+    * number). Oracle nests the SAME unrolled hierarchy CTE chain
+    * (one definition, louvainHierarchyCtes) plus ccIters unrolled
+    * min-label rounds over the induced edge set. */
+  def communityConnectivity: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val hl = louvainHierarchy(s, dir) // memoized final labels
+      val n = nodes.count()
+      val cid = nodes.join(hl, Seq("label", "key"))
+        .select(col("id"), col("comm"))
+        .localCheckpoint(eager = true)
+      interim += cid
+      val ind = undW
+        .join(gated(cid.toDF("a", "ca"), n), Seq("a"))
+        .join(gated(cid.toDF("b", "cb"), n), Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .select("a", "b")
+      val comp = ccLabels(nodes.select("id"), ind, ccIters, interim)
+      cid.join(comp, Seq("id"))
+        .groupBy("comm")
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct("comp").as("n_components"))
+        .select(col("comm"), col("n_nodes"), col("n_components"),
+          (col("n_components") === 1).cast("long").as("connected"))
+        .orderBy(col("n_components").desc, col("n_nodes").desc, col("comm"))
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val communityConnectivitySql: String = {
+    val hcL = s"hc$louvainMaxLevels"
+    val b = new StringBuilder(louvainHierarchyCtes)
+    b ++= s""", iund AS (
+             | SELECT u.a, u.b FROM undp u
+             | JOIN $hcL x ON x.id = u.a
+             | JOIN $hcL y ON y.id = u.b
+             | WHERE x.comm = y.comm
+             |), ic0 AS (SELECT id, id AS comp FROM ids)""".stripMargin
+    for (i <- 1 to ccIters) {
+      b ++= s""", im$i AS (
+               | SELECT u.b AS id, min(ic${i - 1}.comp) AS m
+               | FROM iund u JOIN ic${i - 1} ON ic${i - 1}.id = u.a GROUP BY u.b
+               |), ic$i AS (
+               | SELECT c.id, least(c.comp, im$i.m) AS comp
+               | FROM ic${i - 1} c LEFT JOIN im$i ON im$i.id = c.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT CAST(h.comm AS BIGINT) AS comm,
+             | count(*) AS n_nodes,
+             | count(DISTINCT ic$ccIters.comp) AS n_components,
+             | CAST(CASE WHEN count(DISTINCT ic$ccIters.comp) = 1
+             |  THEN 1 ELSE 0 END AS BIGINT) AS connected
+             |FROM $hcL h JOIN ic$ccIters ON ic$ccIters.id = h.id
+             |GROUP BY 1
+             |ORDER BY n_components DESC, n_nodes DESC, comm""".stripMargin
     b.toString
   }
 
@@ -5459,6 +5554,7 @@ object Analytics {
     "g_louvain_move" -> louvainMove,
     "g_louvain" -> louvain,
     "g_louvain_hierarchy" -> louvainHierarchy,
+    "g_community_connectivity" -> communityConnectivity,
     "g_radius_diameter" -> radiusDiameter,
     "g_cc_size_histogram" -> ccSizeHistogram,
     "g_cc_incremental" -> ccIncremental,
@@ -5517,6 +5613,7 @@ object Analytics {
     "g_louvain_move" -> louvainMoveSql,
     "g_louvain" -> louvainSql,
     "g_louvain_hierarchy" -> louvainHierarchySql,
+    "g_community_connectivity" -> communityConnectivitySql,
     "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_size_histogram" -> ccSizeHistogramSql,
     "g_cc_incremental" -> ccIncrementalSql,

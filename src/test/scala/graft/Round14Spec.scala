@@ -142,4 +142,51 @@ class Round14Spec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/manifest-2")), "UTF-8") == m2 &&
       censusAt(3) == goldCount(3), "replay changed a published version")
   }
+
+  // ---------------------------------------------- g_community_connectivity
+  test("g_community_connectivity: component counts == independent " +
+      "union-find over the induced intra-community edges; covers every " +
+      "hierarchy community exactly once") {
+    val rows = SparkEntry.queries("g_community_connectivity")(spark, sf)
+      .collect()
+    val byComm = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byComm.size == rows.length, "duplicate community rows")
+    // independent gold: hierarchy labels + raw edges → per-community
+    // union-find over the induced subgraph
+    val hl = graft.operators.Analytics.louvainHierarchy(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val g = graft.model.PropertyGraph.load(spark, sf)
+    val edges = g.edges
+      .select("src_label", "src_key", "dst_label", "dst_key").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getString(2), r.getLong(3))))
+    val parent = scala.collection.mutable.Map.empty[(String, Long), (String, Long)]
+    def find(x: (String, Long)): (String, Long) = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      if (hl(u) == hl(v)) { // induced: intra-community only
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(ru) = rv
+      }
+    }
+    val goldComponents = hl.keys.toSeq
+      .groupBy(hl)
+      .map { case (comm, members) =>
+        comm -> (members.size.toLong, members.map(find).toSet.size.toLong)
+      }
+    assert(byComm.keySet == goldComponents.keySet,
+      "op communities != hierarchy communities")
+    goldComponents.foreach { case (comm, (nN, nC)) =>
+      val (n, c, flag) = byComm(comm)
+      assert(n == nN && c == nC && flag == (if (nC == 1) 1L else 0L),
+        s"comm $comm: op ($n, $c, $flag) != gold ($nN, $nC)")
+    }
+    // worst offenders lead the report
+    val comps = rows.map(_.getLong(2))
+    assert(comps.zip(comps.tail).forall { case (a, b) => a >= b },
+      "rows not ordered by n_components desc")
+  }
 }
