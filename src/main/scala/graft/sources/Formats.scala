@@ -1044,7 +1044,121 @@ object Formats {
       |SELECT '_corrupt', count(*), 0 FROM orders WHERE o_orderkey % 13 = 0
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------- src_manifest_time_travel
+  /** TIME TRAVEL over the manifest-versioned sinks (r13 verdict #5) —
+    * the Delta-style `VERSION AS OF` read a real user does first,
+    * promoted from spec-internal plumbing to a driver-checked query:
+    * drive TWO different sink types (the ivm join-aggregate view and
+    * the incremental-CC label view — one aggregate-shaped, one
+    * entity-shaped with delta-composed reads) through three
+    * deterministic batches derived from the orders/lineitem tables,
+    * then read each view AT each version through its manifest
+    * (`ivmViewRead` / `ccLabelsRead`) and publish per-(sink, version)
+    * summary stats. The DuckDB oracle recomputes the SAME stats from
+    * scratch over each version's batch PREFIX — so the green row IS
+    * the proof that view-at-version-v equals a full recompute over
+    * prefix v, for both sink shapes, through the actual pinned-read
+    * path (manifest file list, never directory listing; the cc side
+    * additionally exercises last-writer-wins delta composition).
+    * Batching: orders by o_orderkey mod 3, lineitem by l_partkey mod
+    * 3 — DIFFERENT keys, so all three ivm delta terms (ΔA⋈B₀, A₀⋈ΔB,
+    * ΔA⋈ΔB) carry pairs; cc edges form customer-order stars bridged
+    * into mod-50 hubs by every 7th order, so later batches RELABEL
+    * earlier nodes (the delta-publication path, not just appends). */
+  def manifestTimeTravel: Q = (s, dir) => {
+    val St = graft.streaming.Streams
+    val ivmPath = scratch(s, dir, "tt_ivm")
+    val ccPath = scratch(s, dir, "tt_cc")
+    val o = Tables(s, dir, "orders")
+    val oD = o.select(lit("o").as("side"), col("o_orderkey").as("key"),
+      col("o_orderpriority").as("pri"), lit(0L).as("cents"),
+      (col("o_orderkey") % 3).as("b"))
+    val lD = Tables(s, dir, "lineitem").select(lit("l").as("side"),
+      col("l_orderkey").as("key"), lit("").as("pri"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"),
+      (col("l_partkey") % 3).as("b"))
+    val ccD = o.select(col("o_custkey").as("a"),
+        (lit(100000000L) + col("o_orderkey")).as("bn"),
+        (col("o_orderkey") % 3).as("b"))
+      .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey").as("a"), (col("o_custkey") % 50).as("bn"),
+          (col("o_orderkey") % 3).as("b")))
+    (0L to 2L).foreach { b =>
+      // the sinks are plain idempotent functions (manifest = commit
+      // marker): a warm re-run finds the manifests and only re-reads
+      St.ivmJoinSink(ivmPath)(
+        oD.filter(col("b") === b).unionByName(lD.filter(col("b") === b))
+          .drop("b"), b)
+      St.ccIncSink(ccPath)(
+        ccD.filter(col("b") === b).select(col("a"), col("bn").as("b")), b)
+    }
+    (0 to 2).map { v =>
+      St.ivmViewRead(s, ivmPath, v.toLong)
+        .agg(count(lit(1)).as("n_rows"), sum("rev_cents").as("m1"),
+          sum("n_pairs").as("m2"))
+        .select(lit("ivm").as("sink"), lit(v.toLong).as("version"),
+          col("n_rows"), col("m1"), col("m2"))
+        .unionByName(St.ccLabelsRead(s, ccPath, v.toLong)
+          .agg(count(lit(1)).as("n_rows"), sum("comp").as("m1"),
+            countDistinct("comp").as("m2"))
+          .select(lit("cc").as("sink"), lit(v.toLong).as("version"),
+            col("n_rows"), col("m1"), col("m2")))
+    }.reduce(_ unionByName _).orderBy("sink", "version")
+  }
+
+  val manifestTimeTravelSql: String = {
+    val ttCcIters = 6
+    val b = new StringBuilder("WITH tl AS (\n")
+    b ++= """ SELECT l_orderkey, l_partkey,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             | FROM lineitem
+             |)""".stripMargin
+    for (v <- 0 to 2) {
+      // cc side: edge prefix, undirected, unrolled min-label rounds
+      b ++= s""", tte$v AS (
+               | SELECT o_custkey AS a, 100000000 + o_orderkey AS b
+               | FROM orders WHERE o_orderkey % 3 <= $v
+               | UNION ALL
+               | SELECT o_custkey, o_custkey % 50 FROM orders
+               | WHERE o_orderkey % 3 <= $v AND o_orderkey % 7 = 0
+               |), ttu$v AS (
+               | SELECT a, b FROM tte$v UNION ALL SELECT b, a FROM tte$v
+               |), ttc${v}_0 AS (
+               | SELECT DISTINCT a AS id, a AS comp FROM ttu$v
+               |)""".stripMargin
+      for (i <- 1 to ttCcIters) {
+        b ++= s""", ttm${v}_$i AS (
+                 | SELECT u.b AS id, min(c.comp) AS m FROM ttu$v u
+                 | JOIN ttc${v}_${i - 1} c ON c.id = u.a GROUP BY u.b
+                 |), ttc${v}_$i AS (
+                 | SELECT c.id, least(c.comp, m.m) AS comp
+                 | FROM ttc${v}_${i - 1} c LEFT JOIN ttm${v}_$i m ON m.id = c.id
+                 |)""".stripMargin
+      }
+    }
+    b ++= "\n" + (0 to 2).map { v =>
+      s"""SELECT 'ivm' AS sink, CAST($v AS BIGINT) AS version,
+         | count(*) AS n_rows, CAST(sum(rev) AS BIGINT) AS m1,
+         | CAST(sum(np) AS BIGINT) AS m2
+         |FROM (
+         | SELECT o.o_orderpriority, sum(l.cents) AS rev, count(*) AS np
+         | FROM orders o JOIN tl l ON l.l_orderkey = o.o_orderkey
+         | WHERE o.o_orderkey % 3 <= $v AND l.l_partkey % 3 <= $v
+         | GROUP BY 1
+         |) g$v
+         |UNION ALL
+         |SELECT 'cc' AS sink, CAST($v AS BIGINT) AS version,
+         | count(*) AS n_rows, CAST(sum(comp) AS BIGINT) AS m1,
+         | CAST(count(DISTINCT comp) AS BIGINT) AS m2
+         |FROM ttc${v}_$ttCcIters""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    b ++= "\nORDER BY sink, version"
+    b.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_manifest_time_travel" -> manifestTimeTravel,
     "src_csv_malformed" -> csvMalformed,
     "src_parquet_bloom" -> parquetBloom,
     "src_delete_vectors" -> deleteVectors,
@@ -1067,6 +1181,7 @@ object Formats {
     "src_manifest_vacuum" -> manifestVacuum)
 
   val oracleSql: Map[String, String] = Map(
+    "src_manifest_time_travel" -> manifestTimeTravelSql,
     "src_csv_malformed" -> csvMalformedSql,
     "src_parquet_bloom" -> parquetBloomSql,
     "src_compaction" -> compactionSql,
