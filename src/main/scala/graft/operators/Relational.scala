@@ -4087,13 +4087,25 @@ object Relational {
         sum(col("x").cast(DecimalType(38, 0))).as("sg"),
         sum((col("x").cast(DecimalType(38, 0)) * col("x"))
           .cast(DecimalType(38, 0))).as("qg"))
-    g.agg(count(lit(1)).as("k"),
-        sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
-        // Σ s_g²/n_g exactly as a double sum of exact per-group ratios
-        // would break integer discipline — instead carry Σ over groups
-        // of (s_g² · LCM-free) via double from exact decimals per group
-        sum(expr("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)"))
-          .as("sq_over_n"))
+    // Σ s_g²/n_g is the one IEEE quantity whose operands are NOT
+    // identical integers in both engines when left to sum(): partial-
+    // aggregate arrival order (Spark) vs scan order (DuckDB) can differ
+    // by an ulp and flip round(...,4|6) at a boundary (r13 advisor).
+    // Fix: pivot the ≤5 per-group exact (ng, sg) ratios into fixed
+    // columns keyed by the priority's leading digit (the TPC-H
+    // priority domain '1-'..'5-') and fold them in ONE parenthesized
+    // expression — identical operands, identical operation order,
+    // deterministic on both engines. sg ≤ ~10¹³ cents is exactly
+    // double-representable, so each ratio is reproducible IEEE.
+    val terms = (1 to 5).map(i =>
+      coalesce(max(when(expr("substr(pri, 1, 1)") === i.toString,
+        expr("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)"))),
+        lit(0.0)).as(s"t$i"))
+    val aggs = Seq(sum("ng").as("n"), sum("sg").as("s"),
+      sum("qg").as("q")) ++ terms
+    g.agg(count(lit(1)).as("k"), aggs: _*)
+      .withColumn("sq_over_n",
+        expr("((((t1 + t2) + t3) + t4) + t5)"))
       .select(col("k").cast("long").as("k_groups"),
         col("n").cast("long").as("n_rows"),
         expr("""round(((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
@@ -4114,12 +4126,18 @@ object Relational {
       |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
       |  FROM orders)
       | GROUP BY 1
-      |), t AS (
+      |), t0 AS (
       | SELECT CAST(count(*) AS DECIMAL(38,0)) AS k,
       |  sum(ng) AS n, sum(sg) AS s, sum(qg) AS q,
-      |  sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
-      |   AS sq_over_n
+      |  COALESCE(max(CASE WHEN substr(pri, 1, 1) = '1' THEN CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) END), 0) AS t1,
+      |  COALESCE(max(CASE WHEN substr(pri, 1, 1) = '2' THEN CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) END), 0) AS t2,
+      |  COALESCE(max(CASE WHEN substr(pri, 1, 1) = '3' THEN CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) END), 0) AS t3,
+      |  COALESCE(max(CASE WHEN substr(pri, 1, 1) = '4' THEN CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) END), 0) AS t4,
+      |  COALESCE(max(CASE WHEN substr(pri, 1, 1) = '5' THEN CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) END), 0) AS t5
       | FROM g
+      |), t AS (
+      | SELECT k, n, s, q, ((((t1 + t2) + t3) + t4) + t5) AS sq_over_n
+      | FROM t0
       |)
       |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
       | round(((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
@@ -4381,15 +4399,22 @@ object Relational {
     * lower bound beside their EXACT corpus count (the adjudication
     * leg) and in_bounds — the spec-visible statement that the exact
     * count sits inside [lo, hi] for every published row, by
-    * construction. At 100 TB the corpus groupBy is per-shard local
-    * (shard = key-hash partition), state is S·k' counters, and the
+    * construction. Sharding is by o_orderkey — a DATA partition,
+    * deliberately independent of the counted key (r13 advisor): under
+    * key-hash sharding every key lands whole in one shard, lo == exact
+    * always and the bound is tautological; under data-partition
+    * sharding (what executors actually see — each holds a slice of
+    * the STREAM, not of the keyspace) a key's counts split across
+    * shards, some shards drop it below their local top-k', and
+    * [lo, hi] is a real, falsifiable TA bound. At 100 TB the shard is
+    * the arriving file/partition, state is S·k' counters, and the
     * exact leg is the verification-scale contract. */
   val tksShards = 8
   val tksK = 32
 
   def qTopkSketch: Q = (s, dir) => {
     val counts = t(s, dir, "orders")
-      .groupBy((col("o_custkey") % tksShards).as("shard"),
+      .groupBy((col("o_orderkey") % tksShards).as("shard"),
         col("o_custkey").as("c"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("shard")
@@ -4425,7 +4450,7 @@ object Relational {
 
   val qTopkSketchSql: String =
     s"""WITH counts AS (
-       | SELECT o_custkey % $tksShards AS shard, o_custkey AS c,
+       | SELECT o_orderkey % $tksShards AS shard, o_custkey AS c,
        |  count(*) AS cnt
        | FROM orders GROUP BY 1, 2
        |), ranked AS (

@@ -143,6 +143,24 @@ class Round14Spec extends AnyFunSuite {
       censusAt(3) == goldCount(3), "replay changed a published version")
   }
 
+  // ------------------------------------------------------- q_topk_sketch
+  test("q_topk_sketch: the [lo, hi] bound is REAL under data-partition " +
+      "sharding (lo < exact occurs) and valid on every published row") {
+    val rows = graft.operators.Relational.qTopkSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, exact, inB) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= exact && exact <= hi && inB == 1L,
+        s"bound violated: lo=$lo exact=$exact hi=$hi")
+    }
+    // the r13 advisor finding: under key-hash sharding lo == exact
+    // ALWAYS (each key whole in one shard) — the falsifiable half of
+    // the TA bound must actually engage under data-partition sharding
+    assert(rows.exists(r => r.getLong(1) < r.getLong(3)),
+      "lo == exact on every row — the merge bound is vacuous again")
+  }
+
   // ---------------------------------------------- g_community_connectivity
   test("g_community_connectivity: component counts == independent " +
       "union-find over the induced intra-community edges; covers every " +
