@@ -4217,6 +4217,168 @@ object Analytics {
     b.toString
   }
 
+  // ----------------------------------------------------- g_community_profile
+  /** PER-COMMUNITY QUALITY PROFILE of the Louvain hierarchy — the
+    * dashboard a community-detection consumer reads next to the
+    * connectivity audit: per final community, volume (incident
+    * edge-rows, the degree sum), cut (rows leaving the community),
+    * internal rows, conductance φ = cut/min(vol, 2m−vol) in exact ppm
+    * (the g_conductance convention, here over the HIERARCHY partition
+    * rather than LPA labels), plus internal DENSITY over the DISTINCT
+    * adjacency (multi-edge rows measure flow; density is a simple-graph
+    * notion — e2d_in ordered intra pairs over n·(n−1)). Two edge
+    * passes (multigraph + distinct view, both session-shared frames),
+    * everything id-keyed, output community-bounded. BIGINT headroom:
+    * n·(n−1)·10⁶ caps at ~10⁹ nodes; DECIMAL(38,0) is the documented
+    * upgrade beyond. */
+  private def communityProfileFrame(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, undW) = numericGraph(s, dir)
+    val und = undW.select("a", "b")
+    val n = nodes.count()
+    val hl = louvainHierarchy(s, dir)
+    val cid = nodes.join(hl, Seq("label", "key"))
+      .select(col("id"), col("comm"))
+    val withA = und.join(gated(cid.toDF("a", "ca"), n), Seq("a"))
+      .join(gated(cid.toDF("b", "cb"), n), Seq("b"))
+    val per = withA.groupBy(col("ca").as("comm"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("cut"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e2_in"))
+    val dIn = simpleUnd(s, dir)
+      .join(gated(cid.toDF("a", "ca"), n), Seq("a"))
+      .join(gated(cid.toDF("b", "cb"), n), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e2d_in"))
+    cid.groupBy("comm").agg(count(lit(1)).as("n_nodes"))
+      .join(per, Seq("comm"), "left_outer")
+      .join(dIn, Seq("comm"), "left_outer")
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        coalesce(col("e2_in"), lit(0L)).as("e2_in"),
+        coalesce(col("e2d_in"), lit(0L)).as("e2d_in"))
+  }
+
+  def communityProfile: Q = (s, dir) => {
+    val u = numericGraph(s, dir)._2.count()
+    communityProfileFrame(s, dir)
+      .withColumn("phi_ppm", expr(
+        s"CASE WHEN least(vol, $u - vol) = 0 THEN CAST(0 AS BIGINT)" +
+          s" ELSE (cut * 1000000) div least(vol, $u - vol) END"))
+      .withColumn("density_ppm", expr(
+        "CASE WHEN n_nodes > 1 THEN (e2d_in * 1000000)" +
+          " div (n_nodes * (n_nodes - 1)) ELSE CAST(0 AS BIGINT) END"))
+      .orderBy("comm")
+  }
+
+  /** Shared oracle CTE chain ending in `cprof(comm, n_nodes, vol, cut,
+    * e2_in, e2d_in)` over the hierarchy partition — one definition for
+    * the profile and scorecard oracles. */
+  private def communityProfileCtes: String = {
+    val hcL = s"hc$louvainMaxLevels"
+    louvainHierarchyCtes + s""", cpid AS (
+       | SELECT ids.id, $hcL.comm FROM ids JOIN $hcL ON $hcL.id = ids.id
+       |), cpw AS (
+       | SELECT x.comm AS ca, y.comm AS cb FROM undp u
+       | JOIN cpid x ON x.id = u.a JOIN cpid y ON y.id = u.b
+       |), cper AS (
+       | SELECT ca AS comm, count(*) AS vol,
+       |  sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS cut,
+       |  sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS e2_in
+       | FROM cpw GROUP BY 1
+       |), cdund AS (SELECT DISTINCT a, b FROM undp
+       |), cdin AS (
+       | SELECT x.comm AS comm, count(*) AS e2d_in
+       | FROM cdund u JOIN cpid x ON x.id = u.a JOIN cpid y ON y.id = u.b
+       | WHERE x.comm = y.comm GROUP BY 1
+       |), cuu AS (SELECT count(*) AS u FROM undp
+       |), cud AS (SELECT count(*) AS ud FROM cdund
+       |), cnn AS (SELECT comm, count(*) AS n_nodes FROM cpid GROUP BY 1
+       |), cprof AS (
+       | SELECT cnn.comm, cnn.n_nodes,
+       |  COALESCE(cper.vol, 0) AS vol, COALESCE(cper.cut, 0) AS cut,
+       |  COALESCE(cper.e2_in, 0) AS e2_in, COALESCE(cdin.e2d_in, 0) AS e2d_in
+       | FROM cnn LEFT JOIN cper ON cper.comm = cnn.comm
+       |          LEFT JOIN cdin ON cdin.comm = cnn.comm
+       |)""".stripMargin
+  }
+
+  val communityProfileSql: String =
+    communityProfileCtes + s"""
+       |SELECT CAST(comm AS BIGINT) AS comm, CAST(n_nodes AS BIGINT) AS n_nodes,
+       | CAST(vol AS BIGINT) AS vol, CAST(cut AS BIGINT) AS cut,
+       | CAST(e2_in AS BIGINT) AS e2_in, CAST(e2d_in AS BIGINT) AS e2d_in,
+       | CAST(CASE WHEN least(vol, (SELECT u FROM cuu) - vol) = 0 THEN 0
+       |  ELSE (cut * 1000000) // least(vol, (SELECT u FROM cuu) - vol)
+       |  END AS BIGINT) AS phi_ppm,
+       | CAST(CASE WHEN n_nodes > 1
+       |  THEN (e2d_in * 1000000) // (n_nodes * (n_nodes - 1))
+       |  ELSE 0 END AS BIGINT) AS density_ppm
+       |FROM cprof ORDER BY comm""".stripMargin
+
+  // ----------------------------------------------------- g_partition_quality
+  /** PARTITION-LEVEL SCORECARD of the hierarchy — the one-row summary
+    * a pipeline gates a partition on (Fortunato's survey metrics, all
+    * exact-integer): modularity q_ppm in the g_modularity two-level
+    * div convention, COVERAGE (fraction of edge rows that are
+    * intra-community), PERFORMANCE (fraction of node PAIRS classified
+    * correctly: intra pairs that are edges + inter pairs that are
+    * non-edges, over n·(n−1) ordered pairs on the distinct adjacency —
+    * the metric that punishes both over-merging and over-splitting),
+    * and the worst per-community conductance (the single number the
+    * connectivity/profile audits roll up to). Computed entirely from
+    * the community-profile frame + three scalars — no third edge
+    * pass. */
+  def partitionQuality: Q = (s, dir) => {
+    val und = numericGraph(s, dir)._2.select("a", "b")
+    val u = und.count()
+    val ud = simpleUnd(s, dir).count()
+    communityProfileFrame(s, dir)
+      .withColumn("phi_ppm", expr(
+        s"CASE WHEN least(vol, $u - vol) = 0 THEN CAST(0 AS BIGINT)" +
+          s" ELSE (cut * 1000000) div least(vol, $u - vol) END"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum("e2_in").as("e2s"),
+        sum(expr(s"vol * ((vol * 1000000) div $u)")).as("dmix"),
+        sum("e2d_in").as("e2d_tot"),
+        sum(expr("n_nodes * (n_nodes - 1)")).as("intra_pairs"),
+        sum("n_nodes").as("n_all"),
+        max("phi_ppm").as("worst_phi_ppm"))
+      .select(lit("louvain_hierarchy").as("partition_name"),
+        col("n_communities"),
+        expr(s"(e2s * 1000000) div $u - dmix div $u").as("q_ppm"),
+        expr(s"(e2s * 1000000) div $u").as("coverage_ppm"),
+        expr(s"((e2d_tot + ((n_all * (n_all - 1) - intra_pairs)" +
+          s" - ($ud - e2d_tot))) * 1000000)" +
+          " div (n_all * (n_all - 1))").as("performance_ppm"),
+        col("worst_phi_ppm"))
+  }
+
+  val partitionQualitySql: String =
+    communityProfileCtes + s"""
+       |, cq AS (
+       | SELECT count(*) AS n_communities,
+       |  sum(e2_in) AS e2s,
+       |  sum(vol * ((vol * 1000000) // (SELECT u FROM cuu))) AS dmix,
+       |  sum(e2d_in) AS e2d_tot,
+       |  sum(n_nodes * (n_nodes - 1)) AS intra_pairs,
+       |  sum(n_nodes) AS n_all,
+       |  max(CASE WHEN least(vol, (SELECT u FROM cuu) - vol) = 0 THEN 0
+       |   ELSE (cut * 1000000) // least(vol, (SELECT u FROM cuu) - vol)
+       |   END) AS worst_phi_ppm
+       | FROM cprof
+       |)
+       |SELECT 'louvain_hierarchy' AS partition_name,
+       | CAST(n_communities AS BIGINT) AS n_communities,
+       | CAST((e2s * 1000000) // (SELECT u FROM cuu)
+       |  - dmix // (SELECT u FROM cuu) AS BIGINT) AS q_ppm,
+       | CAST((e2s * 1000000) // (SELECT u FROM cuu) AS BIGINT) AS coverage_ppm,
+       | CAST(((e2d_tot + ((n_all * (n_all - 1) - intra_pairs)
+       |   - ((SELECT ud FROM cud) - e2d_tot))) * 1000000)
+       |  // (n_all * (n_all - 1)) AS BIGINT) AS performance_ppm,
+       | CAST(worst_phi_ppm AS BIGINT) AS worst_phi_ppm
+       |FROM cq""".stripMargin
+
   // ----------------------------------------------- g_triangle_estimate
   /** DOULION (Tsourakakis et al. 2009) sampled triangle ESTIMATION
     * beside the exact census — the graph-estimation adjudication row
@@ -5555,6 +5717,8 @@ object Analytics {
     "g_louvain" -> louvain,
     "g_louvain_hierarchy" -> louvainHierarchy,
     "g_community_connectivity" -> communityConnectivity,
+    "g_community_profile" -> communityProfile,
+    "g_partition_quality" -> partitionQuality,
     "g_radius_diameter" -> radiusDiameter,
     "g_cc_size_histogram" -> ccSizeHistogram,
     "g_cc_incremental" -> ccIncremental,
@@ -5614,6 +5778,8 @@ object Analytics {
     "g_louvain" -> louvainSql,
     "g_louvain_hierarchy" -> louvainHierarchySql,
     "g_community_connectivity" -> communityConnectivitySql,
+    "g_community_profile" -> communityProfileSql,
+    "g_partition_quality" -> partitionQualitySql,
     "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_size_histogram" -> ccSizeHistogramSql,
     "g_cc_incremental" -> ccIncrementalSql,

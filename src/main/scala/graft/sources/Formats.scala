@@ -1044,6 +1044,87 @@ object Formats {
       |SELECT '_corrupt', count(*), 0 FROM orders WHERE o_orderkey % 13 = 0
       |ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------- src_manifest_branch
+  /** BRANCHED WRITES over the manifest table (write-audit-publish — the
+    * Iceberg/Nessie branch mechanism stripped to its primitive): a
+    * BRANCH is a named manifest chain forked from a main version's file
+    * list; writers land data on the branch (main readers never see it),
+    * an audit reads the branch, and PUBLISH fast-forwards main to the
+    * branch tip — with append-only data files, fast-forward is
+    * publishing the branch's new files onto main's chain (content-
+    * identical to pointing main at the branch snapshot, the documented
+    * simplification). Generations: main v1 = even doc_ids, main v2
+    * adds doc_id≡1 (mod 4); the `audit` branch forks AT v2 and lands
+    * doc_id≡3 (mod 4); main v3 is the fast-forward. The op reads main
+    * @1, @2 (AFTER the branch write — the isolation statement), the
+    * branch tip, and main@3 through their manifests and reports the
+    * manifestSnapshot integrity stats; the oracle recomputes each ref's
+    * stats from the doc_id predicates, so a green row proves both the
+    * isolation (main@2 has no branch rows despite the files sitting in
+    * the same tree) and the fast-forward (main@3 == branch tip). */
+  private[graft] def branchManifestPath(path: String, name: String,
+      v: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$path/manifest-$name-$v")
+
+  def manifestBranch: Q = (s, dir) => {
+    val path = scratch(s, dir, "manifest_branch")
+    // fresh chains per run (both main and branch manifests)
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("manifest-"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    val d = Tables(s, dir, "documents")
+    def dataFiles(gen: String): Seq[String] =
+      new java.io.File(s"$path/$gen").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+        .sorted.toSeq
+    d.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$path/gen1")
+    publishManifest(path, dataFiles("gen1")) // main v1
+    d.filter(col("doc_id") % 4 === 1)
+      .write.mode("overwrite").parquet(s"$path/gen2")
+    publishManifest(path, dataFiles("gen2")) // main v2
+    // branch 'audit' forked at main v2; branch writer lands gen3 —
+    // main's chain has no reference to it until the fast-forward
+    d.filter(col("doc_id") % 4 === 3)
+      .write.mode("overwrite").parquet(s"$path/gen3")
+    java.nio.file.Files.write(branchManifestPath(path, "audit", 1),
+      (readManifestFiles(path, 2) ++ dataFiles("gen3"))
+        .mkString("\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // WAP publish: fast-forward main to the audited branch tip
+    publishManifest(path, dataFiles("gen3")) // main v3
+    def branchFiles(name: String, v: Int): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        branchManifestPath(path, name, v)), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+    def stats(ref: String, v: Int, files: Seq[String]): DataFrame =
+      s.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .select(lit(ref).as("ref"), lit(v.toLong).as("version"),
+          col("n_docs"), col("sum_chars"), col("n_uniq"))
+    stats("audit", 1, branchFiles("audit", 1))
+      .unionByName(stats("main", 1, readManifestFiles(path, 1)))
+      .unionByName(stats("main", 2, readManifestFiles(path, 2)))
+      .unionByName(stats("main", 3, readManifestFiles(path, 3)))
+      .orderBy("ref", "version")
+  }
+
+  val manifestBranchSql: String = {
+    def block(ref: String, v: Int, where: String): String =
+      s"""SELECT '$ref' AS ref, CAST($v AS BIGINT) AS version,
+         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         | count(DISTINCT md5(text)) AS n_uniq
+         |FROM documents$where""".stripMargin
+    Seq(
+      block("audit", 1, ""),
+      block("main", 1, "\nWHERE doc_id % 2 = 0"),
+      block("main", 2, "\nWHERE doc_id % 2 = 0 OR doc_id % 4 = 1"),
+      block("main", 3, "")).mkString("\nUNION ALL\n") +
+      "\nORDER BY ref, version"
+  }
+
   // ---------------------------------------------- src_manifest_time_travel
   /** TIME TRAVEL over the manifest-versioned sinks (r13 verdict #5) —
     * the Delta-style `VERSION AS OF` read a real user does first,
@@ -1159,6 +1240,7 @@ object Formats {
 
   val queries: Map[String, Q] = Map(
     "src_manifest_time_travel" -> manifestTimeTravel,
+    "src_manifest_branch" -> manifestBranch,
     "src_csv_malformed" -> csvMalformed,
     "src_parquet_bloom" -> parquetBloom,
     "src_delete_vectors" -> deleteVectors,
@@ -1182,6 +1264,7 @@ object Formats {
 
   val oracleSql: Map[String, String] = Map(
     "src_manifest_time_travel" -> manifestTimeTravelSql,
+    "src_manifest_branch" -> manifestBranchSql,
     "src_csv_malformed" -> csvMalformedSql,
     "src_parquet_bloom" -> parquetBloomSql,
     "src_compaction" -> compactionSql,

@@ -143,6 +143,36 @@ class Round14Spec extends AnyFunSuite {
       censusAt(3) == goldCount(3), "replay changed a published version")
   }
 
+  // --------------------------------------------------- src_manifest_branch
+  test("src_manifest_branch: main@2 references no branch file; " +
+      "fast-forwarded main@3 == branch tip as a file set; branch rows " +
+      "invisible to main@2 readers") {
+    val F = graft.sources.Formats
+    // run the op (it builds the chains deterministically)
+    val rows = SparkEntry.queries("src_manifest_branch")(spark, sf).collect()
+    assert(rows.length == 4)
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir") + "/graft_sources/" +
+        spark.sparkContext.applicationId +
+        s"/${Integer.toHexString(sf.hashCode)}/manifest_branch").getPath
+    val main2 = F.readManifestFiles(path, 2).toSet
+    val main3 = F.readManifestFiles(path, 3).toSet
+    val branch = new String(java.nio.file.Files.readAllBytes(
+      F.branchManifestPath(path, "audit", 1)), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+    assert(main2.forall(!_.contains("/gen3/")),
+      "main v2 references a branch-landed file")
+    assert(branch.exists(_.contains("/gen3/")) && (main2 -- branch).isEmpty,
+      "branch tip does not extend main v2")
+    assert(main3 == branch,
+      "fast-forwarded main v3 != branch tip as a file set")
+    // data-level isolation: main@2 readers see no doc_id ≡ 3 (mod 4)
+    // even though gen3's files sit in the same tree
+    val m2 = spark.read.parquet(main2.toSeq: _*)
+    assert(m2.filter(col("doc_id") % 4 === 3).count() == 0,
+      "branch rows leaked into the pinned main version")
+  }
+
   // ------------------------------------------------------- q_topk_sketch
   test("q_topk_sketch: the [lo, hi] bound is REAL under data-partition " +
       "sharding (lo < exact occurs) and valid on every published row") {
