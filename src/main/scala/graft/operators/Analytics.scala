@@ -1246,6 +1246,84 @@ object Analytics {
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
+  // ------------------------------------------------------ g_widest_path
+  /** WIDEST PATH (maximum-bottleneck) from region:0 — the MAX-MIN
+    * semiring on the same semi-naive relaxation machinery as
+    * g_sssp_weighted's min-plus (the pair demonstrates the propagation
+    * loop is semiring-generic, the Pregel claim made concrete):
+    * cap(v) = max over ≤k-edge paths of the minimum edge weight along
+    * the path — the "how much flow fits down the best single route"
+    * number (network capacity planning, bottleneck routing). Relaxation
+    * cap'(v) = max(cap(v), max_{(u,v)} least(cap(u), w)); max-min is
+    * monotone (capacities only ever rise) so the delta argument holds
+    * verbatim: only rows whose capacity improved last round can improve
+    * a neighbor this round. The SEED carries the ∞ sentinel
+    * `widestInf` (10¹⁵ — above any real weight, documented in the
+    * output contract: the seed's published cap is the sentinel, every
+    * other node's is a real bottleneck). Fixed `ssspIters` rounds ==
+    * the unrolled oracle; exact BIGINT min/max throughout. */
+  val widestInf = 1000000000000000L
+
+  def widestPath: Q = (s, dir) => {
+    val (nodes, und) = numericGraph(s, dir)
+    var cap = nodes
+      .filter(col("label") === "region" && col("key") === 0L)
+      .select(col("id"), lit(widestInf).as("c"))
+      .localCheckpoint(eager = true)
+    var delta = cap
+    var deltaRows = delta.count()
+    var round = 0
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](cap)
+    try {
+      while (round < ssspIters && deltaRows > 0) {
+        round += 1
+        val cand = und.join(gated(delta.withColumnRenamed("id", "a"), deltaRows), Seq("a"))
+          .groupBy(col("b").as("id")).agg(max(least(col("c"), col("w"))).as("m"))
+        val merged = cap.join(cand, Seq("id"), "full_outer")
+          .select(col("id"),
+            greatest(coalesce(col("c"), col("m")),
+              coalesce(col("m"), col("c"))).as("nc"),
+            coalesce(col("m") > col("c"), col("c").isNull).as("chg"))
+          .localCheckpoint(eager = false)
+        interim += merged
+        delta = merged.filter(col("chg")).select(col("id"), col("nc").as("c"))
+        deltaRows = delta.count()
+        cap = merged.select(col("id"), col("nc").as("c"))
+      }
+      nodes.join(cap, Seq("id"))
+        .select("label", "key", "c").orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val widestPathSql: String = {
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undw AS (
+             | SELECT $undSqlPairW
+             |), w0 AS (
+             | SELECT id, CAST($widestInf AS BIGINT) AS c FROM ids
+             | WHERE label = 'region' AND key = 0
+             |)""".stripMargin
+    for (i <- 1 to ssspIters) {
+      b ++= s""", wc$i AS (
+               | SELECT u.b AS id, max(least(w${i - 1}.c, u.w)) AS m
+               | FROM undw u JOIN w${i - 1} ON w${i - 1}.id = u.a
+               | GROUP BY u.b
+               |), w$i AS (
+               | SELECT COALESCE(p.id, c.id) AS id,
+               |  CAST(greatest(COALESCE(p.c, c.m), COALESCE(c.m, p.c)) AS BIGINT) AS c
+               | FROM w${i - 1} p FULL OUTER JOIN wc$i c ON c.id = p.id
+               |)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT i.label, i.key, w.c
+             |FROM ids i JOIN w$ssspIters w ON w.id = i.id
+             |ORDER BY i.label, i.key""".stripMargin
+    b.toString
+  }
+
   val ssspWeightedSql: String = {
     val b = new StringBuilder(cte)
     b ++= s""", ids AS (
@@ -5719,6 +5797,7 @@ object Analytics {
     "g_community_connectivity" -> communityConnectivity,
     "g_community_profile" -> communityProfile,
     "g_partition_quality" -> partitionQuality,
+    "g_widest_path" -> widestPath,
     "g_radius_diameter" -> radiusDiameter,
     "g_cc_size_histogram" -> ccSizeHistogram,
     "g_cc_incremental" -> ccIncremental,
@@ -5780,6 +5859,7 @@ object Analytics {
     "g_community_connectivity" -> communityConnectivitySql,
     "g_community_profile" -> communityProfileSql,
     "g_partition_quality" -> partitionQualitySql,
+    "g_widest_path" -> widestPathSql,
     "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_size_histogram" -> ccSizeHistogramSql,
     "g_cc_incremental" -> ccIncrementalSql,

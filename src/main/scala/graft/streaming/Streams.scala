@@ -1261,6 +1261,77 @@ object Streams {
   def triCensusRead(s: SparkSession, outDir: String, version: Long): DataFrame =
     s.read.parquet(ivmManifestFiles(outDir, version, "census"): _*)
 
+  // ----------------------------------------------- st_degree_incremental
+  /** st_degree_incremental: STREAMING degree view under SUM-merge
+    * composition — the third member of the streaming-graph family and
+    * the third COMPOSITION ALGEBRA in the manifest-sink catalog:
+    * st_cc_incremental composes label deltas LAST-WRITER-WINS (a
+    * label supersedes), st_topk_sketch composes counters under the
+    * Misra-Gries merge rule (bounded state, bounded error), and degree
+    * deltas compose by plain ADDITION — associative and commutative,
+    * so the read side needs no version ordering at all, just a SUM per
+    * node over whatever delta files the manifest lists. Per batch:
+    * genuinely-new canonical edges (duplicates add zero via the
+    * stored-edge anti-join, the triangle sink's discipline) emit
+    * (endpoint, +1) rows — delta-bounded by construction, never a
+    * node-table rewrite; every `ccIncCompactEvery`-th version writes
+    * the summed table as a partitioned compaction snapshot and resets
+    * the manifest's file list (read-side file count bounded — and
+    * because addition is associative, compaction is provably just
+    * pre-aggregation, not a semantic step). Top-k-by-degree, degree
+    * histograms, and join-skew monitors all read this view. */
+  def degIncSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/manifest-$batchId"))) return
+    val s = batch.sparkSession
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      def readOrEmpty(files: Seq[String], schema: String): DataFrame =
+        if (files.nonEmpty) s.read.parquet(files: _*)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      val e0 = readOrEmpty(ivmManifestFiles(outDir, batchId - 1, "edges"),
+        "a BIGINT, b BIGINT")
+      val degFiles = ivmManifestFiles(outDir, batchId - 1, "deg")
+      val dE = keep(batch
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .join(e0, Seq("a", "b"), "left_anti"))
+      val delta = dE.select(col("a").as("id"))
+        .unionByName(dE.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      dE.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/edges")
+      val compact = batchId > 0 && batchId % ccIncCompactEvery == 0
+      if (compact) {
+        readOrEmpty(degFiles, "id BIGINT, d BIGINT").unionByName(delta)
+          .groupBy("id").agg(sum("d").as("d"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/deg")
+      } else {
+        delta.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId/deg")
+      }
+      def fresh(section: String): Seq[String] = {
+        val d = new java.io.File(s"$outDir/batch_id=$batchId/$section")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"$section|${f.getPath}").sorted.toSeq
+      }
+      publishManifest(outDir, batchId,
+        ivmManifestFiles(outDir, batchId - 1, "edges").map(f => s"edges|$f") ++
+        fresh("edges") ++
+        (if (compact) Seq.empty else degFiles.map(f => s"deg|$f")) ++
+        fresh("deg"))
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  /** The degree table AT a published version — associative SUM over
+    * the manifest's delta files (no version ordering needed). */
+  def degreesRead(s: SparkSession, outDir: String, version: Long): DataFrame =
+    s.read.parquet(ivmManifestFiles(outDir, version, "deg"): _*)
+      .groupBy("id").agg(sum("d").as("d"))
+
   // ------------------------------------------------------ st_topk_sketch
   /** st_topk_sketch: STREAMING heavy hitters under BOUNDED state — the
     * Misra-Gries summary maintained per hash shard through the
@@ -2560,6 +2631,7 @@ object Streams {
     "st_ivm_signed" -> "Z-set signed retractions, order-free",
     "st_cc_incremental" -> "streaming CC view: contract deltas, relabel",
     "st_triangle_incremental" -> "streaming triangle census: close new wedges",
+    "st_degree_incremental" -> "streaming degree view: additive delta merge",
     "st_topk_sketch" -> "Misra-Gries heavy hitters, mergeable fold",
     "st_cdc_apply" -> "upsert/delete CDC apply == batch MERGE",
     "st_user_counters" -> "transformWithState running counters",

@@ -143,6 +143,56 @@ class Round14Spec extends AnyFunSuite {
       censusAt(3) == goldCount(3), "replay changed a published version")
   }
 
+  // ------------------------------------------------ st_degree_incremental
+  test("st_degree_incremental: degrees at every version == brute gold; " +
+      "delta rows == touched endpoints; compaction pre-aggregates; " +
+      "replay is a no-op") {
+    val Streams = graft.streaming.Streams
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("deginc14").toString
+    def e(a: Long, b: Long) = Streams.CcEdge(a, b)
+    val batches = Seq(
+      Seq(e(1, 2), e(2, 3), e(4, 5)),
+      Seq(e(1, 2), e(3, 2), e(6, 6), e(1, 3)), // dupes + self-loop add 0
+      Seq(e(5, 1), e(5, 2)),
+      Seq(e(7, 1)),
+      Seq(e(8, 1), e(2, 4)),                   // v4: COMPACTION
+      Seq(e(9, 2), e(1, 2)))                   // post-compaction delta
+    def gold(upTo: Int): Map[Long, Long] = {
+      val es = batches.take(upTo + 1).flatten
+        .map(ed => (math.min(ed.a, ed.b), math.max(ed.a, ed.b)))
+        .filter(p => p._1 != p._2).toSet
+      es.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    def degAt(v: Long): Map[Long, Long] =
+      Streams.degreesRead(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.degIncSink(dir)(b.toDF(), i.toLong)
+      assert(degAt(i.toLong) == gold(i), s"version $i degrees != gold")
+      val written = spark.read.parquet(s"$dir/batch_id=$i/deg")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+      if (i.toLong % Streams.ccIncCompactEvery == 0L && i > 0)
+        assert(written == gold(i).size, s"compaction v$i != full summed table")
+      else {
+        val touched = gold(i).keySet.filter(k =>
+          gold(i)(k) != gold(math.max(i - 1, 0)).getOrElse(k, 0L) || i == 0)
+        assert(written == touched.size,
+          s"v$i wrote $written delta rows, expected ${touched.size}")
+      }
+    }
+    // version isolation + replay-no-op
+    assert(degAt(2) == gold(2), "later batch leaked into pinned v2")
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-1")), "UTF-8")
+    Streams.degIncSink(dir)(batches(1).toDF(), 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-1")), "UTF-8") == m1 &&
+      degAt(5) == gold(5), "replay changed a published version")
+  }
+
   // --------------------------------------------------- src_manifest_branch
   test("src_manifest_branch: main@2 references no branch file; " +
       "fast-forwarded main@3 == branch tip as a file set; branch rows " +
