@@ -5264,6 +5264,124 @@ object Relational {
        |FROM rw""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_hll_algebra
+  /** HLL SET ALGEBRA on the theta ops' exact cohorts (1995 vs 1996
+    * customers — same cohorts so the two sketch families adjudicate
+    * against the SAME truth): UNION is the register-wise max — exact
+    * mergeability, the union sketch IS the sketch of the union set by
+    * construction (max over A∪B = max(max A, max B) per register), the
+    * property that lets per-day/per-shard HLLs fold without rescan;
+    * INTERSECTION has no such merge and falls back to
+    * inclusion-exclusion est_a + est_b − est_union — the honest HLL
+    * weakness this row makes visible beside q_theta_intersect's DIRECT
+    * intersection estimate on identical cohorts (IE compounds three
+    * estimators' errors and can even go negative on small overlaps;
+    * theta intersects the sketches themselves). All register math
+    * exact BIGINT, the one float per estimate is the shared
+    * hllEstExpr (house no-transcendentals linear-counting table). */
+  def qHllAlgebra: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .distinct()
+    val h = md5(col("k").cast("string"))
+    val regs = o.select(col("y"),
+        (graft.functions.VectorExprs.hexSlice(h, 1, 2) % hllM).as("j"),
+        graft.functions.VectorExprs.hexSlice(h, 3, 10).as("w"))
+      .select(col("y"), col("j"),
+        expr("CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END").as("rho"))
+      .groupBy("y", "j").agg(max("rho").as("mr"))
+      .localCheckpoint(eager = true) // 4 consumers below
+    try {
+      def cohort(y: Int, nm: String) = regs.filter(col("y") === y)
+        .select(col("j"), col("mr").as(nm))
+      def est(frame: DataFrame, name: String): DataFrame = frame
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - m AS INT))"))
+            .as("s_pow"),
+          count(when(col("m") === 0, 1)).as("v_empty"))
+        .withColumn("raw", expr(s"(CAST(0.709 AS DOUBLE) * ${hllM * hllM}" +
+          " * 2199023255552.0) / CAST(s_pow AS DOUBLE)"))
+        .select(expr(hllEstExpr).as(name))
+      def full(y: Int) = s.range(hllM).toDF("j")
+        .join(cohort(y, "mr"), Seq("j"), "left_outer")
+        .select(coalesce(col("mr"), lit(0L)).as("m"))
+      val funion = s.range(hllM).toDF("j")
+        .join(cohort(1995, "ma"), Seq("j"), "left_outer")
+        .join(cohort(1996, "mb"), Seq("j"), "left_outer")
+        .select(greatest(coalesce(col("ma"), lit(0L)),
+          coalesce(col("mb"), lit(0L))).as("m"))
+      val exact = o.agg(
+        countDistinct(when(col("y") === 1995, col("k"))).as("n_a_exact"),
+        countDistinct(when(col("y") === 1996, col("k"))).as("n_b_exact"),
+        countDistinct(col("k")).as("n_union_exact"))
+      val interExact = o.groupBy("k").agg(count(lit(1)).as("ny"))
+        .filter(col("ny") === 2).agg(count(lit(1)).as("n_inter_exact"))
+      exact.crossJoin(broadcast(interExact))
+        .crossJoin(broadcast(est(full(1995), "est_a")))
+        .crossJoin(broadcast(est(full(1996), "est_b")))
+        .crossJoin(broadcast(est(funion, "est_union")))
+        .select(col("n_a_exact"), col("est_a"),
+          col("n_b_exact"), col("est_b"),
+          col("n_union_exact"), col("est_union"), col("n_inter_exact"),
+          round(col("est_a") + col("est_b") - col("est_union"), 6)
+            .as("est_inter_ie"))
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(regs)
+  }
+
+  val qHllAlgebraSql: String = {
+    val j = graft.operators.OracleSql.hexToLong("h", 1, 2)
+    val w = graft.operators.OracleSql.hexToLong("h", 3, 10)
+    def skBlock(src: String, nm: String): String =
+      s"""sk_$nm AS (
+         | SELECT CAST(sum(1::BIGINT << CAST(41 - m AS INTEGER)) AS BIGINT) AS s_pow,
+         |  CAST(count(CASE WHEN m = 0 THEN 1 END) AS BIGINT) AS v_empty
+         | FROM $src
+         |), e_$nm AS (
+         | SELECT $hllEstExpr AS est FROM (
+         |  SELECT s_pow, v_empty,
+         |   (CAST(0.709 AS DOUBLE) * ${hllM * hllM} * 2199023255552.0)
+         |    / CAST(s_pow AS DOUBLE) AS raw
+         |  FROM sk_$nm)
+         |)""".stripMargin
+    s"""WITH o AS (
+       | SELECT DISTINCT o_custkey AS k, year(o_orderdate) AS y
+       | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+       |), jw AS (
+       | SELECT y, CAST($j AS BIGINT) % $hllM AS j, CAST($w AS BIGINT) AS w
+       | FROM (SELECT y, md5(CAST(k AS VARCHAR)) AS h FROM o)
+       |), regs AS (
+       | SELECT y, j, max(CASE WHEN w = 0 THEN 41
+       |   ELSE 41 - length(bin(w)) END) AS mr
+       | FROM jw GROUP BY 1, 2
+       |), fa AS (
+       | SELECT COALESCE(a.mr, 0) AS m FROM range($hllM) r(j)
+       | LEFT JOIN (SELECT j, mr FROM regs WHERE y = 1995) a ON a.j = r.j
+       |), fb AS (
+       | SELECT COALESCE(b.mr, 0) AS m FROM range($hllM) r(j)
+       | LEFT JOIN (SELECT j, mr FROM regs WHERE y = 1996) b ON b.j = r.j
+       |), fu AS (
+       | SELECT greatest(COALESCE(a.mr, 0), COALESCE(b.mr, 0)) AS m
+       | FROM range($hllM) r(j)
+       | LEFT JOIN (SELECT j, mr FROM regs WHERE y = 1995) a ON a.j = r.j
+       | LEFT JOIN (SELECT j, mr FROM regs WHERE y = 1996) b ON b.j = r.j
+       |), ${skBlock("fa", "a")}, ${skBlock("fb", "b")}, ${skBlock("fu", "u")},
+       |ex AS (
+       | SELECT count(DISTINCT CASE WHEN y = 1995 THEN k END) AS n_a_exact,
+       |  count(DISTINCT CASE WHEN y = 1996 THEN k END) AS n_b_exact,
+       |  count(DISTINCT k) AS n_union_exact
+       | FROM o
+       |), ie AS (
+       | SELECT count(*) AS n_inter_exact FROM (
+       |  SELECT k FROM o GROUP BY k HAVING count(*) = 2)
+       |)
+       |SELECT ex.n_a_exact, e_a.est AS est_a,
+       | ex.n_b_exact, e_b.est AS est_b,
+       | ex.n_union_exact, e_u.est AS est_union, ie.n_inter_exact,
+       | round(e_a.est + e_b.est - e_u.est, 6) AS est_inter_ie
+       |FROM ex, ie, e_a, e_b, e_u""".stripMargin
+  }
+
   // ----------------------------------------------------------------- q_chi2
   /** Chi-square test of independence — customer nation × order priority
     * (is ordering urgency uniform across geographies?). Observed counts
@@ -7333,6 +7451,7 @@ object Relational {
     "q_mann_kendall" -> qMannKendall,
     "q_ewma_trend" -> qEwmaTrend,
     "q_hll_distinct" -> qHllDistinct,
+    "q_hll_algebra" -> qHllAlgebra,
     "q_chi2" -> qChi2,
     "q_time_decay" -> qTimeDecay,
     "q_linreg" -> qLinreg,
@@ -7461,6 +7580,7 @@ object Relational {
     "q_mann_kendall" -> qMannKendallSql,
     "q_ewma_trend" -> qEwmaTrendSql,
     "q_hll_distinct" -> qHllDistinctSql,
+    "q_hll_algebra" -> qHllAlgebraSql,
     "q_chi2" -> qChi2Sql,
     "q_time_decay" -> qTimeDecaySql,
     "q_linreg" -> qLinregSql,

@@ -2926,7 +2926,75 @@ object TextOps {
       |)
       |SELECT * FROM ranked ORDER BY term""".stripMargin
 
+  // ------------------------------------------------- t_span_corruption
+  /** SPAN-CORRUPTION PLAN (T5/UL2 denoising objective preprocessing,
+    * Raffel et al. 2020 §3.1.4 derandomized): per document, the
+    * masking plan a span-corruption pretraining run would apply —
+    * which token positions fall in masked spans and how many sentinel
+    * tokens the target sequence needs (one per span — the sentinel
+    * BUDGET is what the op exists to size: targets grow by n_spans,
+    * inputs shrink by n_masked − n_spans). The paper's coin flips are
+    * derandomized the house way: position i starts a span iff 4
+    * md5(doc_id:i) nibbles ≡ 0 (mod 20) — 5% start rate × fixed span
+    * length 3 ≈ the paper's 15% corruption rate, with overlapping
+    * spans merging exactly as the real algorithm merges them (masked =
+    * any start within the trailing window; spans counted at
+    * masked-run heads). Entirely array HOFs inside the row — zero
+    * explodes, zero shuffles before the final sort; the plan is a pure
+    * function of (doc_id, text), so re-runs/re-partitions reproduce
+    * the same corruption — the property a resumable pretraining job
+    * needs from its data pipeline. */
+  def spanCorruption: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("starts", expr(
+        "transform(sequence(1, CAST(n_tokens AS INT)), i -> " +
+          "CASE WHEN hex_slice(md5(concat(CAST(doc_id AS STRING), ':', " +
+          "CAST(i AS STRING))), 1, 4) % 20 = 0 THEN 1 ELSE 0 END)"))
+      .withColumn("masked", expr(
+        "transform(sequence(1, CAST(n_tokens AS INT)), i -> " +
+          "CASE WHEN starts[i-1] = 1 OR (i >= 2 AND starts[i-2] = 1) " +
+          "OR (i >= 3 AND starts[i-3] = 1) THEN 1 ELSE 0 END)"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("aggregate(sequence(1, CAST(n_tokens AS INT)), 0L, (acc, i) -> " +
+          "acc + CASE WHEN masked[i-1] = 1 AND (i = 1 OR masked[i-2] = 0) " +
+          "THEN 1 ELSE 0 END)").as("n_spans"),
+        expr("aggregate(masked, 0L, (acc, x) -> acc + x)").as("n_masked"))
+      .withColumn("mask_ppm", expr(
+        "CASE WHEN n_tokens > 0 THEN (n_masked * 1000000) div n_tokens" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .orderBy("doc_id")
+
+  val spanCorruptionSql: String = {
+    val h4 = graft.operators.OracleSql.hexToLong(
+      "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))", 1, 4)
+    s"""WITH d AS (
+       | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       | FROM documents
+       |), st AS (
+       | SELECT doc_id, n_tokens, list_transform(range(1, n_tokens + 1),
+       |   i -> CASE WHEN ($h4) % 20 = 0 THEN 1 ELSE 0 END) AS starts
+       | FROM d
+       |), mk AS (
+       | SELECT doc_id, n_tokens, list_transform(range(1, n_tokens + 1),
+       |   i -> CASE WHEN starts[i] = 1 OR (i >= 2 AND starts[i-1] = 1)
+       |     OR (i >= 3 AND starts[i-2] = 1) THEN 1 ELSE 0 END) AS masked
+       | FROM st
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       | CAST(COALESCE(list_sum(list_transform(range(1, n_tokens + 1),
+       |   i -> CASE WHEN masked[i] = 1 AND (i = 1 OR masked[i-1] = 0)
+       |    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_spans,
+       | CAST(COALESCE(list_sum(masked), 0) AS BIGINT) AS n_masked,
+       | CAST(CASE WHEN n_tokens > 0
+       |  THEN (COALESCE(list_sum(masked), 0) * 1000000) // n_tokens
+       |  ELSE 0 END AS BIGINT) AS mask_ppm
+       |FROM mk ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_span_corruption" -> spanCorruption,
     "t_template_detect" -> templateDetect,
     "t_term_burstiness" -> termBurstiness,
     "t_ngram_novelty" -> ngramNovelty,
@@ -2978,6 +3046,7 @@ object TextOps {
     "t_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "t_span_corruption" -> spanCorruptionSql,
     "t_template_detect" -> templateDetectSql,
     "t_term_burstiness" -> termBurstinessSql,
     "t_ngram_novelty" -> ngramNoveltySql,
