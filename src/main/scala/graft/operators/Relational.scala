@@ -5382,6 +5382,88 @@ object Relational {
        |FROM ex, ie, e_a, e_b, e_u""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_hll_rollup
+  /** HLL ROLLUP — the production pattern q_hll_algebra's mergeability
+    * exists FOR: distinct-user registers pre-aggregated per DAY (64
+    * BIGINTs per day — the table a pipeline stores), then folded to
+    * weekly WAU by register-wise max WITHOUT rescanning events — the
+    * exact q_dau_wau answer from pre-aggregated state (q_dau_wau is
+    * the exact twin; this is what replaces its week-grain
+    * count-distinct rescan at 100 TB: the fold reads 64 rows/day, not
+    * the fact table). Weeks are epoch-anchored (day div 7 — no
+    * calendar/locale logic, identical in both engines). Sketch math is
+    * the sparse form: present registers always have rho ≥ 1, so
+    * v_empty = m − n_present and Σ2^(41−M) adds (m − n_present)·2⁴¹
+    * for the absent ones — no m-row frame materialized per week.
+    * Exact WAU rides alongside as the adjudication leg. */
+  def qHllRollup: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(
+      expr("ts div 86400000000000").as("day"), col("user_id").as("u"))
+    val h = md5(col("u").cast("string"))
+    val daily = ev.select(col("day"),
+        (graft.functions.VectorExprs.hexSlice(h, 1, 2) % hllM).as("j"),
+        graft.functions.VectorExprs.hexSlice(h, 3, 10).as("w"))
+      .select(col("day"), col("j"),
+        expr("CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END").as("rho"))
+      .groupBy("day", "j").agg(max("rho").as("mr"))
+    val weekly = daily
+      .groupBy(expr("day div 7").as("week"), col("j"))
+      .agg(max("mr").as("mr"))
+    val sk = weekly.groupBy("week").agg(
+        count(lit(1)).as("npres"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - mr AS INT))"))
+          .as("sp_pres"))
+      .select(col("week"),
+        (col("sp_pres") + (lit(hllM.toLong) - col("npres"))
+          * lit(1L << 41)).as("s_pow"),
+        (lit(hllM.toLong) - col("npres")).as("v_empty"))
+      .withColumn("raw", expr(s"(CAST(0.709 AS DOUBLE) * ${hllM * hllM}" +
+        " * 2199023255552.0) / CAST(s_pow AS DOUBLE)"))
+      .select(col("week"), expr(hllEstExpr).as("wau_est"))
+    ev.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct("day").as("n_days"),
+        countDistinct("u").as("wau_exact"))
+      .join(sk, Seq("week"))
+      .select(col("week"), col("n_days"), col("wau_exact"), col("wau_est"))
+      .orderBy("week")
+  }
+
+  val qHllRollupSql: String = {
+    val j = graft.operators.OracleSql.hexToLong("h", 1, 2)
+    val w = graft.operators.OracleSql.hexToLong("h", 3, 10)
+    s"""WITH ev AS (
+       | SELECT epoch_us(ts) // 86400000000 AS day, user_id AS u FROM events
+       |), jw AS (
+       | SELECT day, CAST($j AS BIGINT) % $hllM AS j, CAST($w AS BIGINT) AS w
+       | FROM (SELECT day, md5(CAST(u AS VARCHAR)) AS h FROM ev)
+       |), daily AS (
+       | SELECT day, j, max(CASE WHEN w = 0 THEN 41
+       |   ELSE 41 - length(bin(w)) END) AS mr
+       | FROM jw GROUP BY 1, 2
+       |), weekly AS (
+       | SELECT day // 7 AS week, j, max(mr) AS mr FROM daily GROUP BY 1, 2
+       |), sk AS (
+       | SELECT week,
+       |  CAST(sum(1::BIGINT << CAST(41 - mr AS INTEGER))
+       |   + ($hllM - count(*)) * (1::BIGINT << 41) AS BIGINT) AS s_pow,
+       |  CAST($hllM - count(*) AS BIGINT) AS v_empty
+       | FROM weekly GROUP BY week
+       |), est AS (
+       | SELECT week, $hllEstExpr AS wau_est FROM (
+       |  SELECT week, s_pow, v_empty,
+       |   (CAST(0.709 AS DOUBLE) * ${hllM * hllM} * 2199023255552.0)
+       |    / CAST(s_pow AS DOUBLE) AS raw
+       |  FROM sk)
+       |), ex AS (
+       | SELECT day // 7 AS week, count(DISTINCT day) AS n_days,
+       |  count(DISTINCT u) AS wau_exact
+       | FROM ev GROUP BY 1
+       |)
+       |SELECT ex.week, ex.n_days, ex.wau_exact, est.wau_est
+       |FROM ex JOIN est ON est.week = ex.week
+       |ORDER BY ex.week""".stripMargin
+  }
+
   // ----------------------------------------------------------------- q_chi2
   /** Chi-square test of independence — customer nation × order priority
     * (is ordering urgency uniform across geographies?). Observed counts
@@ -7452,6 +7534,7 @@ object Relational {
     "q_ewma_trend" -> qEwmaTrend,
     "q_hll_distinct" -> qHllDistinct,
     "q_hll_algebra" -> qHllAlgebra,
+    "q_hll_rollup" -> qHllRollup,
     "q_chi2" -> qChi2,
     "q_time_decay" -> qTimeDecay,
     "q_linreg" -> qLinreg,
@@ -7581,6 +7664,7 @@ object Relational {
     "q_ewma_trend" -> qEwmaTrendSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_hll_algebra" -> qHllAlgebraSql,
+    "q_hll_rollup" -> qHllRollupSql,
     "q_chi2" -> qChi2Sql,
     "q_time_decay" -> qTimeDecaySql,
     "q_linreg" -> qLinregSql,
