@@ -575,6 +575,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the S-row residual/extremes frames did not broadcast:\n$p")
   }
 
+  test("t_span_corruption plans with no hash exchange (in-row HOFs; only the output sort moves data)") {
+    val p = plan(graft.operators.TextOps.spanCorruption(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the masking plan should be computable inside the row:\n$p")
+  }
+
   test("q_kll_compactor windows stay (pri,shard)/(pri)-partitioned; adjudication broadcasts") {
     val p = plan(Relational.qKllCompactor(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
