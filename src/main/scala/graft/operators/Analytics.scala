@@ -1430,6 +1430,34 @@ object Analytics {
 
   /** Shared CTE chain ending in l$lpaIters(id, lbl) — reused by
     * g_label_propagation and g_modularity. */
+  /** The LPA recurrence CTEs alone, parameterized on the ids/edge CTE
+    * names and a CTE-name prefix — ONE definition of the unrolled
+    * recurrence whether it runs standalone (lpaSqlChain, prefix "")
+    * or composed after another chain that already owns `ids`/`und`
+    * (g_partition_agreement nests it after the hierarchy CTEs with
+    * prefix "pa" over `undp`). Ends in `<p>l$lpaIters(id, lbl)`. */
+  private def lpaSqlChainOn(ids: String, und: String, p: String): String = {
+    val b = new StringBuilder()
+    b ++= s", ${p}l0 AS (SELECT id, id AS lbl FROM $ids)"
+    for (i <- 1 to lpaIters) {
+      b ++= s""", ${p}cnt$i AS (
+               | SELECT u.b AS id, ${p}l${i - 1}.lbl, count(*) AS n
+               | FROM $und u JOIN ${p}l${i - 1} ON ${p}l${i - 1}.id = u.a
+               | GROUP BY u.b, ${p}l${i - 1}.lbl
+               |), ${p}md$i AS (
+               | SELECT id, lbl AS m FROM (
+               |  SELECT id, lbl, row_number() OVER (
+               |    PARTITION BY id ORDER BY n DESC, lbl) AS rn
+               |  FROM ${p}cnt$i
+               | ) WHERE rn = 1
+               |), ${p}l$i AS (
+               | SELECT l.id, COALESCE(${p}md$i.m, l.lbl) AS lbl
+               | FROM ${p}l${i - 1} l LEFT JOIN ${p}md$i ON ${p}md$i.id = l.id
+               |)""".stripMargin
+    }
+    b.toString
+  }
+
   private def lpaSqlChain: String = {
     val b = new StringBuilder(cte)
     b ++= s""", ids AS (
@@ -1442,23 +1470,8 @@ object Analytics {
              | SELECT (CASE WHEN dst_label = 'region' THEN 0 WHEN dst_label = 'nation' THEN 1 WHEN dst_label = 'customer' THEN 2 WHEN dst_label = 'supplier' THEN 3 WHEN dst_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + dst_key,
              |        (CASE WHEN src_label = 'region' THEN 0 WHEN src_label = 'nation' THEN 1 WHEN src_label = 'customer' THEN 2 WHEN src_label = 'supplier' THEN 3 WHEN src_label = 'part' THEN 4 ELSE 5 END) * 10000000000000 + src_key
              | FROM edges
-             |), l0 AS (SELECT id, id AS lbl FROM ids)""".stripMargin
-    for (i <- 1 to lpaIters) {
-      b ++= s""", cnt$i AS (
-               | SELECT u.b AS id, l${i - 1}.lbl, count(*) AS n
-               | FROM und u JOIN l${i - 1} ON l${i - 1}.id = u.a
-               | GROUP BY u.b, l${i - 1}.lbl
-               |), md$i AS (
-               | SELECT id, lbl AS m FROM (
-               |  SELECT id, lbl, row_number() OVER (
-               |    PARTITION BY id ORDER BY n DESC, lbl) AS rn
-               |  FROM cnt$i
-               | ) WHERE rn = 1
-               |), l$i AS (
-               | SELECT l.id, COALESCE(md$i.m, l.lbl) AS lbl
-               | FROM l${i - 1} l LEFT JOIN md$i ON md$i.id = l.id
-               |)""".stripMargin
-    }
+             |)""".stripMargin
+    b ++= lpaSqlChainOn("ids", "und", "")
     b.toString
   }
 
@@ -4457,6 +4470,84 @@ object Analytics {
        | CAST(worst_phi_ppm AS BIGINT) AS worst_phi_ppm
        |FROM cq""".stripMargin
 
+  // ---------------------------------------------- g_partition_agreement
+  /** PARTITION AGREEMENT (Rand index, exact pair counting) between the
+    * engine's two community detectors — LPA labels and the Louvain
+    * hierarchy's final partition: of the C(n,2) node pairs, how many
+    * do the two partitions CLASSIFY identically (same community in
+    * both, or different in both)? Everything is closed-form over the
+    * CONTINGENCY table (one |classes|×|communities|-bounded groupBy —
+    * never a pair join): same_both = Σ C(n_ij,2), same per side from
+    * the marginals, diff_both by inclusion-exclusion, rand_ppm =
+    * (same_both + diff_both)·10⁶ div C(n,2). Exact integers throughout
+    * (n·(n−1) div 2 is exact — the product is even). The number that
+    * says whether the cheap detector (LPA, one pass family) can stand
+    * in for the expensive one (full hierarchy) on this graph. Both
+    * label frames are session memos — this op adds two bounded
+    * aggregates, no graph pass. */
+  def partitionAgreement: Q = (s, dir) => {
+    val (nodes, _) = numericGraph(s, dir)
+    val lpa = lpaLabels(s, dir)
+    val hid = nodes.join(louvainHierarchy(s, dir), Seq("label", "key"))
+      .select(col("id"), col("comm"))
+    val ct = lpa.join(hid, Seq("id"))
+      .groupBy(col("lbl"), col("comm")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // three bounded consumers below
+    try {
+      val t1 = ct.agg(sum("n").as("n_all"),
+        sum(expr("n * (n - 1) div 2")).as("same_both"))
+      val rsum = ct.groupBy("lbl").agg(sum("n").as("nn"))
+        .agg(sum(expr("nn * (nn - 1) div 2")).as("same_lpa"))
+      val csum = ct.groupBy("comm").agg(sum("n").as("nn"))
+        .agg(sum(expr("nn * (nn - 1) div 2")).as("same_hier"))
+      t1.crossJoin(broadcast(rsum)).crossJoin(broadcast(csum))
+        .select(col("n_all").as("n_nodes"),
+          expr("n_all * (n_all - 1) div 2").as("n_pairs"),
+          col("same_both"), col("same_lpa"), col("same_hier"))
+        .withColumn("diff_both",
+          expr("n_pairs - same_lpa - same_hier + same_both"))
+        .withColumn("rand_ppm", expr(
+          "CASE WHEN n_pairs > 0 THEN ((same_both + diff_both) * 1000000)" +
+            " div n_pairs ELSE CAST(0 AS BIGINT) END"))
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(ct)
+  }
+
+  val partitionAgreementSql: String = {
+    val hcL = s"hc$louvainMaxLevels"
+    val b = new StringBuilder(louvainHierarchyCtes)
+    b ++= lpaSqlChainOn("ids", "undp", "pa")
+    b ++= s""", pct AS (
+       | SELECT l.lbl, h.comm, count(*) AS n
+       | FROM pal$lpaIters l JOIN $hcL h ON h.id = l.id
+       | GROUP BY 1, 2
+       |), pt1 AS (
+       | SELECT CAST(sum(n) AS BIGINT) AS n_all,
+       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS same_both
+       | FROM pct
+       |), prs AS (
+       | SELECT CAST(sum(nn * (nn - 1) // 2) AS BIGINT) AS same_lpa
+       | FROM (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pct GROUP BY lbl)
+       |), pcs AS (
+       | SELECT CAST(sum(nn * (nn - 1) // 2) AS BIGINT) AS same_hier
+       | FROM (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pct GROUP BY comm)
+       |), pout AS (
+       | SELECT n_all AS n_nodes,
+       |  CAST(n_all * (n_all - 1) // 2 AS BIGINT) AS n_pairs,
+       |  same_both, same_lpa, same_hier
+       | FROM pt1, prs, pcs
+       |)
+       |SELECT n_nodes, n_pairs, same_both, same_lpa, same_hier,
+       | CAST(n_pairs - same_lpa - same_hier + same_both AS BIGINT)
+       |  AS diff_both,
+       | CAST(CASE WHEN n_pairs > 0
+       |  THEN ((same_both + (n_pairs - same_lpa - same_hier + same_both))
+       |   * 1000000) // n_pairs
+       |  ELSE 0 END AS BIGINT) AS rand_ppm
+       |FROM pout""".stripMargin
+    b.toString
+  }
+
   // ----------------------------------------------- g_triangle_estimate
   /** DOULION (Tsourakakis et al. 2009) sampled triangle ESTIMATION
     * beside the exact census — the graph-estimation adjudication row
@@ -5797,6 +5888,7 @@ object Analytics {
     "g_community_connectivity" -> communityConnectivity,
     "g_community_profile" -> communityProfile,
     "g_partition_quality" -> partitionQuality,
+    "g_partition_agreement" -> partitionAgreement,
     "g_widest_path" -> widestPath,
     "g_radius_diameter" -> radiusDiameter,
     "g_cc_size_histogram" -> ccSizeHistogram,
@@ -5859,6 +5951,7 @@ object Analytics {
     "g_community_connectivity" -> communityConnectivitySql,
     "g_community_profile" -> communityProfileSql,
     "g_partition_quality" -> partitionQualitySql,
+    "g_partition_agreement" -> partitionAgreementSql,
     "g_widest_path" -> widestPathSql,
     "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_size_histogram" -> ccSizeHistogramSql,
