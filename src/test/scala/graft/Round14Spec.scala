@@ -143,6 +143,45 @@ class Round14Spec extends AnyFunSuite {
       censusAt(3) == goldCount(3), "replay changed a published version")
   }
 
+  // ------------------------------------------------------- hll mergeability
+  test("hll register-max fold == registers computed directly from the " +
+      "union set (the mergeability claim q_hll_algebra/q_hll_rollup make)") {
+    import org.apache.spark.sql.functions._
+    // gold: registers from scratch for arbitrary user sets
+    def regsOf(users: Seq[Long]): Map[Long, Long] = {
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      users.distinct.map { u =>
+        val h = md5hex(u.toString)
+        val j = java.lang.Long.parseLong(h.substring(0, 2), 16) % 64
+        val w = java.lang.Long.parseLong(h.substring(2, 12), 16)
+        val rho = if (w == 0) 41L
+          else 41L - java.lang.Long.toBinaryString(w).length
+        (j, rho)
+      }.groupBy(_._1).map { case (j, v) => j -> v.map(_._2).max }
+    }
+    val a = (1L to 400L)
+    val b = (250L to 700L)
+    val merged = (regsOf(a).toSeq ++ regsOf(b).toSeq)
+      .groupBy(_._1).map { case (j, v) => j -> v.map(_._2).max }
+    assert(merged == regsOf((a ++ b)),
+      "register-wise max is not the union set's register table")
+    // and the SPARK hash arithmetic matches this gold (the hex_slice
+    // slices are the same j/w the scala md5 computes)
+    val df = spark.range(1, 401).toDF("u")
+    val h = md5(col("u").cast("string"))
+    val got = df.select(
+        (graft.functions.VectorExprs.hexSlice(h, 1, 2) % 64).as("j"),
+        graft.functions.VectorExprs.hexSlice(h, 3, 10).as("w"))
+      .select(col("j"),
+        expr("CAST(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END" +
+          " AS BIGINT)").as("rho"))
+      .groupBy("j").agg(max("rho").as("mr")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == regsOf(a), "Spark register table != independent md5 gold")
+  }
+
   // ------------------------------------------------ st_degree_incremental
   test("st_degree_incremental: degrees at every version == brute gold; " +
       "delta rows == touched endpoints; compaction pre-aggregates; " +
