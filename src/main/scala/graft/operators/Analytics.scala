@@ -4090,20 +4090,36 @@ object Analytics {
     * NOT prewarmed — the ~14 s build lands on whichever runs first (the
     * Bench memo-attribution caveat; family sum is the stable number). */
   private val louvainHierCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String), (DataFrame, Seq[DataFrame])]
 
   def louvainHierarchy: Q = (s, dir) =>
     graft.model.SessionMemo.getOrBuild(louvainHierCache, (s, dir))(
-      louvainHierarchyBuild(s, dir))
+      louvainHierarchyBuild(s, dir))._1
 
-  private def louvainHierarchyBuild(s: SparkSession, dir: String): DataFrame = {
+  /** Per-level (id, comm) maps, levels 0..louvainMaxLevels — padded by
+    * repeating the converged partition (the oracle's hc_l past
+    * convergence are identity no-ops, so the padding IS what the
+    * unrolled chain computes). Pinned with the hierarchy memo: six
+    * node-count frames, the price of making the per-level curve a
+    * driver-checked table instead of a spec-internal replay. */
+  private def louvainLevelMaps(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val levels = graft.model.SessionMemo.getOrBuild(
+      louvainHierCache, (s, dir))(louvainHierarchyBuild(s, dir))._2
+    levels ++ Seq.fill(louvainMaxLevels + 1 - levels.size)(levels.last)
+  }
+
+  private def louvainHierarchyBuild(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val (nodes, und0) = numericGraph(s, dir)
     val n = nodes.count()
     val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // per-level maps survive the build (session-pinned with the memo —
+    // g_hierarchy_curve reads them); NOT added to interim
+    val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
       var comm = nodes.select(col("id"), col("id").as("comm"))
         .localCheckpoint(eager = true)
-      interim += comm
+      kept += comm
       var g = und0.select("a", "b", "w")
       var level = 0
       var moved = true
@@ -4121,7 +4137,7 @@ object Analytics {
             .join(gated(roots, n), comm("comm") === roots("cid"), "left_outer")
             .select(col("id"), coalesce(col("root"), col("comm")).as("comm"))
             .localCheckpoint(eager = true)
-          interim += commCp
+          kept += commCp
           comm = resetStats(commCp)
           // contract the ORIGINAL frame through the composed map (one
           // edge pass per level; self-loop rows keep internal weight in
@@ -4146,10 +4162,11 @@ object Analytics {
           s"louvainHierarchy: positive-gain moves remain after " +
             s"$louvainMaxLevels levels — raise the cap; refusing to " +
             "publish a silently-truncated hierarchy")
-      nodes.join(comm, Seq("id"))
+      (nodes.join(comm, Seq("id"))
         .select(col("label"), col("key"), col("comm"))
         .orderBy("label", "key")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = true),
+        kept.toSeq)
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
 
@@ -4469,6 +4486,71 @@ object Analytics {
        |  // (n_all * (n_all - 1)) AS BIGINT) AS performance_ppm,
        | CAST(worst_phi_ppm AS BIGINT) AS worst_phi_ppm
        |FROM cq""".stripMargin
+
+  // ------------------------------------------------- g_hierarchy_curve
+  /** HIERARCHY CONVERGENCE CURVE — per Louvain level 0..L: community
+    * count and WEIGHTED modularity q_ppm (the quantity the move phase
+    * optimizes — weighted, unlike g_modularity's row-count convention
+    * over LPA labels), promoted from Round13Spec's in-memory replay to
+    * a DRIVER-CHECKED table: the oracle recomputes every level's Q
+    * from the unrolled hierarchy CTE chain, so the
+    * modularity-monotone-per-level claim is now cross-engine-verified,
+    * not just spec-asserted. Reads the session-pinned per-level maps
+    * (louvainLevelMaps — six node-count frames, no recompute), one
+    * edge pass per level with community-bounded aggregates; exact
+    * integer Q in the two-level div convention. The curve is the
+    * table that says WHERE the hierarchy stopped paying (ΔQ per
+    * level) — the stopping-rule input for a resolution sweep. */
+  def hierarchyCurve: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val n = nodes.count()
+    val wtot = undW.agg(sum("w").cast("long").as("wt"))
+    louvainLevelMaps(s, dir).zipWithIndex.map { case (lv, i) =>
+      val per = undW
+        .join(gated(lv.toDF("a", "ca"), n), Seq("a"))
+        .join(gated(lv.toDF("b", "cb"), n), Seq("b"))
+        .groupBy("ca")
+        .agg(sum("w").as("d_sum"),
+          sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
+            .as("e2_in"))
+      per.crossJoin(broadcast(wtot))
+        .agg(sum("e2_in").as("e2s"),
+          sum(expr("d_sum * ((d_sum * 1000000) div wt)")).as("dmix"),
+          max("wt").as("wt2"))
+        .select(lit(i.toLong).as("level"),
+          expr("(e2s * 1000000) div wt2 - dmix div wt2").as("q_ppm"))
+        .crossJoin(broadcast(
+          lv.agg(countDistinct("comm").as("n_communities"))))
+        .select(col("level"), col("n_communities"), col("q_ppm"))
+    }.reduce(_ unionByName _).orderBy("level")
+  }
+
+  val hierarchyCurveSql: String = {
+    val b = new StringBuilder(louvainHierarchyCtes)
+    for (l <- 0 to louvainMaxLevels) {
+      b ++= s""", hst$l AS (
+               | SELECT ca, CAST(sum(w) AS BIGINT) AS d_sum,
+               |  CAST(sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS BIGINT)
+               |   AS e2_in
+               | FROM (
+               |  SELECT x.comm AS ca, y.comm AS cb, u.w
+               |  FROM undp u JOIN hc$l x ON x.id = u.a
+               |              JOIN hc$l y ON y.id = u.b
+               | ) GROUP BY 1
+               |)""".stripMargin
+    }
+    b ++= "\n" + (0 to louvainMaxLevels).map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS level,
+         | (SELECT CAST(count(DISTINCT comm) AS BIGINT) FROM hc$l)
+         |  AS n_communities,
+         | CAST((sum(e2_in) * 1000000) // (SELECT m2 FROM m2)
+         |  - sum(d_sum * ((d_sum * 1000000) // (SELECT m2 FROM m2)))
+         |    // (SELECT m2 FROM m2) AS BIGINT) AS q_ppm
+         |FROM hst$l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    b ++= "\nORDER BY level"
+    b.toString
+  }
 
   // ---------------------------------------------- g_partition_agreement
   /** PARTITION AGREEMENT (Rand index, exact pair counting) between the
@@ -5889,6 +5971,7 @@ object Analytics {
     "g_community_profile" -> communityProfile,
     "g_partition_quality" -> partitionQuality,
     "g_partition_agreement" -> partitionAgreement,
+    "g_hierarchy_curve" -> hierarchyCurve,
     "g_widest_path" -> widestPath,
     "g_radius_diameter" -> radiusDiameter,
     "g_cc_size_histogram" -> ccSizeHistogram,
@@ -5952,6 +6035,7 @@ object Analytics {
     "g_community_profile" -> communityProfileSql,
     "g_partition_quality" -> partitionQualitySql,
     "g_partition_agreement" -> partitionAgreementSql,
+    "g_hierarchy_curve" -> hierarchyCurveSql,
     "g_widest_path" -> widestPathSql,
     "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_size_histogram" -> ccSizeHistogramSql,
