@@ -172,6 +172,7 @@ object Bench {
     // sentinel samples
     case class Run(results: Map[String, Double], exts: Map[String, Double],
         cpus2: Map[String, Double], gcs: Map[String, Double],
+        memoBuilt: Set[String],
         sentStart: Double, sentEnd: Double) {
       def total: Double = results.values.filter(_ >= 0).sum
       // three contention signals, each observed in a graded artifact:
@@ -189,14 +190,21 @@ object Bench {
         math.min(sentStart, sentEnd) > 2.0 * refSentinelS
       def contended: Boolean = inflated || startLoaded || aboveFloor
     }
-    /** One sample of one query: (wall or -1 on failure, ext, cpu, gc). */
+    /** One sample of one query: wall is -1 on failure; `built` is true
+      * when the sample triggered ≥1 SessionMemo BUILD — i.e. this was
+      * a memo-family FIRST-TOUCHER sample whose wall includes a shared
+      * build no later warm-JVM re-sample of the same query can pay
+      * again (the r14 advisor re-measure finding). */
+    case class Samp(wall: Double, ext: Double, cpu: Double, gc: Double,
+        built: Boolean)
     def sample(name: String,
-        fn: (SparkSession, String) => DataFrame): (Double, Double, Double, Double) = {
+        fn: (SparkSession, String) => DataFrame): Samp = {
       // a failed query must NOT be recorded as a fast success: report
       // it as -1 in the queries map, list it under "errors", and keep
       // it out of the total — silently swallowing the error would let
       // a broken query IMPROVE the perf gate
       var ok = true
+      val b0 = graft.model.SessionMemo.buildCount.get()
       val (wall, ext, cpu, gc) = timedWithExt {
         try fn(spark, sfDir).count() catch {
           case e: Throwable =>
@@ -204,15 +212,18 @@ object Bench {
             ok = false
         }
       }
-      (if (ok) wall else -1.0, ext, cpu, gc)
+      val built = graft.model.SessionMemo.buildCount.get() > b0
+      Samp(if (ok) wall else -1.0, ext, cpu, gc, built)
     }
     def measure(): Run = {
       val sentStart = sentinel()
       val samples = selected.map { case (name, fn) => name -> sample(name, fn) }
-      Run(samples.map { case (n, (w, _, _, _)) => n -> w },
-        samples.map { case (n, (_, e, _, _)) => n -> e },
-        samples.map { case (n, (_, _, c, _)) => n -> c },
-        samples.map { case (n, (_, _, _, g)) => n -> g }, sentStart, sentinel())
+      Run(samples.map { case (n, s) => n -> s.wall },
+        samples.map { case (n, s) => n -> s.ext },
+        samples.map { case (n, s) => n -> s.cpu },
+        samples.map { case (n, s) => n -> s.gc },
+        samples.collect { case (n, s) if s.built => n }.toSet,
+        sentStart, sentinel())
     }
     // CLOSE THE LOOP on a contended run (three of the four graded
     // artifacts before r10 were contended-host numbers): if the
@@ -271,9 +282,14 @@ object Bench {
     // thrash signature is observable (a JIT recompilation storm leaves
     // no GC trace), so the top-K wall-time queries — exactly the ones
     // that can move the total — are re-sampled in the warm JVM whether
-    // or not any channel flagged them, min wall published. A second
-    // sample of an honest slow query reproduces its number (warm JVM),
-    // so the only thing this can remove from the artifact is noise.
+    // or not any channel flagged them. A second sample of an honest
+    // slow query reproduces its number (warm JVM) — EXCEPT for a
+    // memo-family first-toucher, whose first sample paid a shared
+    // build the re-sample reads back in milliseconds (r14 advisor):
+    // min-publishing those would erase the build cost from the family
+    // sum regression triage relies on. So: min wall is published only
+    // for samples measuring the same thing; a first-toucher keeps its
+    // first sample (both ship under "requeried", memo_build marks it).
     val topKRemeasure =
       sys.env.getOrElse("SPARK_GRAFT_TOPK_REMEASURE", "20").toInt
     val topK = best.results.toSeq.filter(_._2 >= 0)
@@ -283,26 +299,38 @@ object Bench {
       .sorted
     if (flagged.nonEmpty) System.err.println(
       s"[bench] ${flagged.size} queries re-sampled (ext>${extThreshold}: ${extFlagged.size}, cpu<${cpuFracMin}: ${cpuFlagged.size}, gc>${gcFracMax}: ${gcFlagged.size}, top-$topKRemeasure wall: ${topK.size}): ${flagged.mkString(",")}")
-    // the published number is the MIN wall across all samples:
+    // the published number is the MIN wall across COMPARABLE samples:
     // contention can only inflate wall, never deflate it, so the
-    // fastest sample is always the closest to the quiet-host truth.
-    // Both the original and final (wall, ext, cpu) ship under
-    // "requeried" — a burst can inflate a first sample but can no
-    // longer ship silently inside the total.
-    val requeried: Map[String, ((Double, Double, Double), (Double, Double, Double))] =
+    // fastest sample is the closest to the quiet-host truth — but a
+    // memo first-toucher's re-sample measures a memo READ, not the
+    // op + shared build the first sample measured, so it is NOT
+    // comparable and the first sample is kept (r14 advisor). Both the
+    // original and final (wall, ext, cpu, gc) ship under "requeried" —
+    // a burst can inflate a first sample but can no longer ship
+    // silently inside the total.
+    val requeried: Map[String, (Samp, Samp)] =
       flagged.map { n =>
         val tries = (1 to requeryAttempts).map(_ => sample(n, selected(n)))
-          .filter(_._1 >= 0).map(t => (t._1, t._2, t._3))
-        val orig = (best.results(n), best.exts(n),
-          best.cpus2.getOrElse(n, -1.0))
-        n -> (orig, (orig +: tries).minBy(_._1))
+          .filter(_.wall >= 0)
+        val orig = Samp(best.results(n), best.exts(n),
+          best.cpus2.getOrElse(n, -1.0), best.gcs.getOrElse(n, 0.0),
+          best.memoBuilt.contains(n))
+        val fin =
+          if (orig.built && tries.forall(!_.built)) orig
+          else (orig +: tries).minBy(_.wall)
+        n -> (orig, fin)
       }.toMap
     val results = best.results ++
-      requeried.map { case (n, (_, fin)) => n -> fin._1 }
+      requeried.map { case (n, (_, fin)) => n -> fin.wall }
     val exts = best.exts ++
-      requeried.map { case (n, (_, fin)) => n -> fin._2 }
+      requeried.map { case (n, (_, fin)) => n -> fin.ext }
     val cpuFracs = best.cpus2 ++
-      requeried.map { case (n, (_, fin)) => n -> fin._3 }
+      requeried.map { case (n, (_, fin)) => n -> fin.cpu }
+    // gc of the SELECTED sample — the r14 advisor's low item: the
+    // published gc_frac must describe the sample whose wall shipped,
+    // or a clean re-sample still looks GC-thrashed in the artifact.
+    val gcFracs = best.gcs ++
+      requeried.map { case (n, (_, fin)) => n -> fin.gc }
     val (sentStart, sentEnd) = (best.sentStart, best.sentEnd)
     // millisecond precision keeps the (one) JSON line short enough to
     // survive tail-truncating log captures at 80+ queries.
@@ -316,8 +344,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val contended = best.contended
     val requeriedJson = requeried.toSeq.sortBy(_._1).map {
-      case (n, ((ow, oe, oc), (fw, fe, fc))) =>
-        s""""$n":{"orig_s":${fmt(ow)},"orig_ext":${fmt(oe)},"orig_cpu":${fmt(oc)},"final_s":${fmt(fw)},"final_ext":${fmt(fe)},"final_cpu":${fmt(fc)}}"""
+      case (n, (o, f)) =>
+        s""""$n":{"orig_s":${fmt(o.wall)},"orig_ext":${fmt(o.ext)},"orig_cpu":${fmt(o.cpu)},"orig_gc":${fmt(o.gc)},"final_s":${fmt(f.wall)},"final_ext":${fmt(f.ext)},"final_cpu":${fmt(f.cpu)},"final_gc":${fmt(f.gc)},"memo_build":${o.built}}"""
     }.mkString("{", ",", "}")
     val extJson = exts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -325,7 +353,7 @@ object Bench {
     val cpuJson = cpuFracs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val gcJson = best.gcs.toSeq.sortBy(_._1)
+    val gcJson = gcFracs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sentJson = s""""sentinel_start_s":${fmt(sentStart)},"sentinel_end_s":${fmt(sentEnd)},"sentinel_ref_s":${fmt(refSentinelS)},"attempts":${runs.size},"contended":$contended,"ext_frac_max":${fmt(extThreshold)},"cpu_frac_min":${fmt(cpuFracMin)},"gc_frac_max":${fmt(gcFracMax)},"n_ext_flagged":${extFlagged.size},"n_cpu_flagged":${cpuFlagged.size},"n_gc_flagged":${gcFlagged.size},"n_requeried":${requeried.size}"""

@@ -22,10 +22,18 @@ import scala.collection.concurrent.TrieMap
   * forever.
   */
 object SessionMemo {
+  /** Count of memo BUILDS actually executed (reads don't count).
+    * Bench samples the delta around each query to tell a FIRST-TOUCHER
+    * sample (absorbs a shared family build) from a steady-state one:
+    * publishing the min wall across the two would erase the build cost
+    * from the per-query number AND from the family sum — the r14
+    * advisor finding on the unconditional top-K re-measure. */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def getOrBuild[V](cache: TrieMap[(SparkSession, String), V],
                     key: (SparkSession, String))(build: => V): V =
     cache.synchronized {
       cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      cache.getOrElseUpdate(key, build)
+      cache.getOrElseUpdate(key, { buildCount.incrementAndGet(); build })
     }
 }

@@ -4102,10 +4102,21 @@ object Relational {
         expr("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)"))),
         lit(0.0)).as(s"t$i"))
     val aggs = Seq(sum("ng").as("n"), sum("sg").as("s"),
-      sum("qg").as("q")) ++ terms
+      sum("qg").as("q"),
+      countDistinct(expr("substr(pri, 1, 1)")).as("kd")) ++ terms
     g.agg(count(lit(1)).as("k"), aggs: _*)
+      // CONTRACT assert (r14 advisor): the pivot is sound ONLY when
+      // each group has a unique leading digit in '1'..'5' — two groups
+      // sharing a digit (or a sixth priority) would keep one ratio and
+      // silently DROP the rest while k_groups still counts every
+      // group. A dataset outside the TPC-H priority domain must abort
+      // loudly, never publish a wrong F-statistic.
       .withColumn("sq_over_n",
-        expr("((((t1 + t2) + t3) + t4) + t5)"))
+        when(col("kd") === col("k") && col("k") <= 5,
+          expr("((((t1 + t2) + t3) + t4) + t5)"))
+        .otherwise(expr("raise_error('q_anova: o_orderpriority leading " +
+          "digits are not a distinct 1..5 domain - the determinism " +
+          "pivot would silently drop groups')").cast("double")))
       .select(col("k").cast("long").as("k_groups"),
         col("n").cast("long").as("n_rows"),
         expr("""round(((sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
