@@ -425,7 +425,7 @@ object Analytics {
         .repartition(col("a"))
         .cache())
 
-  private def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[graft] def numericGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.model.SessionMemo.getOrBuild(numericCache, (s, dir)) {
       val graph = g(s, dir)
       val sid = nodeIdCol(col("src_label"), col("src_key"))
@@ -4268,31 +4268,46 @@ object Analytics {
     * number). Oracle nests the SAME unrolled hierarchy CTE chain
     * (one definition, louvainHierarchyCtes) plus ccIters unrolled
     * min-label rounds over the induced edge set. */
+  /** (id, comm, rid) — final hierarchy community plus the node's
+    * INDUCED-subgraph connected component (min member id) within it:
+    * the split-phase labeling shared by g_community_connectivity (the
+    * audit) and g_leiden_refine (the refinement the audit guards).
+    * Session-pinned (one induced CC fixpoint serves both consumers —
+    * the Bench memo-attribution caveat applies: compare family sums). */
+  private val inducedRefineCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def inducedRefineMap(s: SparkSession, dir: String): DataFrame =
+    graft.model.SessionMemo.getOrBuild(inducedRefineCache, (s, dir)) {
+      val (nodes, undW) = numericGraph(s, dir)
+      val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      try {
+        val hl = louvainHierarchy(s, dir) // memoized final labels
+        val n = nodes.count()
+        val cid = nodes.join(hl, Seq("label", "key"))
+          .select(col("id"), col("comm"))
+          .localCheckpoint(eager = true)
+        interim += cid
+        val ind = undW
+          .join(gated(cid.toDF("a", "ca"), n), Seq("a"))
+          .join(gated(cid.toDF("b", "cb"), n), Seq("b"))
+          .filter(col("ca") === col("cb"))
+          .select("a", "b")
+        val comp = ccLabels(nodes.select("id"), ind, ccIters, interim)
+        cid.join(comp, Seq("id"))
+          .select(col("id"), col("comm"), col("comp").as("rid"))
+          .localCheckpoint(eager = true)
+      } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+    }
+
   def communityConnectivity: Q = (s, dir) => {
-    val (nodes, undW) = numericGraph(s, dir)
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    try {
-      val hl = louvainHierarchy(s, dir) // memoized final labels
-      val n = nodes.count()
-      val cid = nodes.join(hl, Seq("label", "key"))
-        .select(col("id"), col("comm"))
-        .localCheckpoint(eager = true)
-      interim += cid
-      val ind = undW
-        .join(gated(cid.toDF("a", "ca"), n), Seq("a"))
-        .join(gated(cid.toDF("b", "cb"), n), Seq("b"))
-        .filter(col("ca") === col("cb"))
-        .select("a", "b")
-      val comp = ccLabels(nodes.select("id"), ind, ccIters, interim)
-      cid.join(comp, Seq("id"))
-        .groupBy("comm")
-        .agg(count(lit(1)).as("n_nodes"),
-          countDistinct("comp").as("n_components"))
-        .select(col("comm"), col("n_nodes"), col("n_components"),
-          (col("n_components") === 1).cast("long").as("connected"))
-        .orderBy(col("n_components").desc, col("n_nodes").desc, col("comm"))
-        .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+    inducedRefineMap(s, dir)
+      .groupBy("comm")
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct("rid").as("n_components"))
+      .select(col("comm"), col("n_nodes"), col("n_components"),
+        (col("n_components") === 1).cast("long").as("connected"))
+      .orderBy(col("n_components").desc, col("n_nodes").desc, col("comm"))
   }
 
   val communityConnectivitySql: String = {
@@ -4493,9 +4508,12 @@ object Analytics {
     * optimizes — weighted, unlike g_modularity's row-count convention
     * over LPA labels), promoted from Round13Spec's in-memory replay to
     * a DRIVER-CHECKED table: the oracle recomputes every level's Q
-    * from the unrolled hierarchy CTE chain, so the
-    * modularity-monotone-per-level claim is now cross-engine-verified,
-    * not just spec-asserted. Reads the session-pinned per-level maps
+    * from the unrolled hierarchy CTE chain — and the cross-engine
+    * numbers DISPROVE per-level monotonicity: at sf0.01 level 3
+    * OVERSHOOTS (q_ppm 159848 → 140934), a real finding the sf0.001
+    * spec replay could not see (coarse greedy merges past the optimum
+    * are a known Louvain failure mode; Leiden-style refinement is the
+    * cure — g_leiden_refine). Reads the session-pinned per-level maps
     * (louvainLevelMaps — six node-count frames, no recompute), one
     * edge pass per level with community-bounded aggregates; exact
     * integer Q in the two-level div convention. The curve is the
@@ -4549,6 +4567,295 @@ object Analytics {
          |FROM hst$l""".stripMargin
     }.mkString("\nUNION ALL\n")
     b ++= "\nORDER BY level"
+    b.toString
+  }
+
+  // ------------------------------------------------ g_resolution_sweep
+  /** RESOLUTION SWEEP — the stopping-rule table g_hierarchy_curve's
+    * Scaladoc promises: a γ-ladder over the Reichardt–Bornholdt
+    * resolution-parameterized move gain (γ < 1 → coarser communities,
+    * γ > 1 → finer; Traag/Leiden's γ knob), reporting per γ the
+    * community count and the STANDARD (γ=1) weighted modularity of the
+    * resulting one-round partition — the table that picks a resolution
+    * BEFORE a 100 TB run commits to one. Per rung: one synchronous
+    * best-positive-gain move round from singletons (g_louvain_move's
+    * primitive) with the gain cross-multiplied by the rational
+    * γ = num/den — den·(2m·k_in) − num·(k_i·k_c), compared in
+    * DECIMAL(38,0) so the ×4 rung cannot overflow BIGINT and both
+    * engines order ties identically — then the hook + 2-cycle +
+    * pointer-jump resolution (louvainLevel, the mst machinery), then
+    * the hierarchyCurve q_ppm convention (two-level exact div). At
+    * γ=1 the move table IS g_louvain_move's (Round15Spec pins the
+    * partitions equal). Cost: the (kin ⋈ kdeg²) gain base is built
+    * ONCE and each rung adds one window + one bounded contraction —
+    * all shuffles keyed on node id. The ladder is a constant (5
+    * rungs), so output is 5 rows. */
+  val resolutionLadder: Seq[(Int, Int)] =
+    Seq((1, 4), (1, 2), (1, 1), (2, 1), (4, 1))
+
+  def resolutionSweep: Q = (s, dir) => {
+    val (nodes, und) = numericGraph(s, dir)
+    val n = nodes.count()
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val kdeg = und.groupBy(col("a").as("id")).agg(sum("w").as("k"))
+      val m2 = und.agg(sum("w").as("m2"))
+      val wtot = und.agg(sum("w").cast("long").as("wt"))
+      val kin = und.filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(sum("w").as("kin"))
+      val base = kin
+        .join(kdeg.toDF("a", "ka"), "a")
+        .join(kdeg.toDF("b", "kc"), "b")
+        .crossJoin(broadcast(m2))
+        .localCheckpoint(eager = true) // one gain base, five rungs read it
+      interim += base
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rows = resolutionLadder.map { case (num, den) =>
+        val cand = base
+          .select(col("a"), col("b").as("c"),
+            (lit(den).cast(dec38) * col("m2") * col("kin") -
+              lit(num).cast(dec38) * col("ka") * col("kc")).as("gain"))
+          .filter(col("gain") > 0)
+        val w = Window.partitionBy("a").orderBy(col("gain").desc, col("c"))
+        val best = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("a").as("id"), col("c"))
+        val comm = louvainLevel(nodes.select("id"), best, n, interim)
+          .toDF("id", "comm")
+        val per = und
+          .join(gated(comm.toDF("a", "ca"), n), Seq("a"))
+          .join(gated(comm.toDF("b", "cb"), n), Seq("b"))
+          .groupBy("ca")
+          .agg(sum("w").as("d_sum"),
+            sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
+              .as("e2_in"))
+        per.crossJoin(broadcast(wtot))
+          .agg(sum("e2_in").as("e2s"),
+            sum(expr("d_sum * ((d_sum * 1000000) div wt)")).as("dmix"),
+            max("wt").as("wt2"))
+          .select(lit(num * 1000000L / den).as("gamma_ppm"),
+            expr("(e2s * 1000000) div wt2 - dmix div wt2").as("q_ppm"))
+          .crossJoin(broadcast(
+            comm.agg(countDistinct("comm").as("n_communities"))))
+          .select(col("gamma_ppm"), col("n_communities"), col("q_ppm"))
+      }
+      rows.reduce(_ unionByName _).orderBy("gamma_ppm")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val resolutionSweepSql: String = {
+    def resolve(p: String): String = {
+      val b = new StringBuilder(
+        s""", ${p}hk AS (
+           | SELECT h.id, CASE WHEN h2.ptr = h.id THEN least(h.id, h.ptr)
+           |  ELSE h.ptr END AS ptr
+           | FROM ${p}hook h JOIN ${p}hook h2 ON h2.id = h.ptr
+           |), ${p}r0 AS (SELECT id, ptr FROM ${p}hk)""".stripMargin)
+      for (j <- 1 to louvainJumps)
+        b ++= s""", ${p}r$j AS (
+                 | SELECT a.id, b.ptr FROM ${p}r${j - 1} a
+                 | JOIN ${p}r${j - 1} b ON b.id = a.ptr
+                 |)""".stripMargin
+      b.toString
+    }
+    val b = new StringBuilder(cte)
+    b ++= s""", ids AS (
+             | SELECT label, key, $nodeIdSqlExpr AS id FROM nodes
+             |), undp AS (
+             | SELECT $undSqlPairW
+             |), kdeg AS (
+             | SELECT a AS id, CAST(sum(w) AS BIGINT) AS k FROM undp GROUP BY a
+             |), m2 AS (
+             | SELECT CAST(sum(w) AS BIGINT) AS m2 FROM undp
+             |), kin AS (
+             | SELECT a, b, CAST(sum(w) AS BIGINT) AS kin FROM undp
+             | WHERE a <> b GROUP BY a, b
+             |)""".stripMargin
+    for ((num, den) <- resolutionLadder) {
+      val p = s"rs${num}x$den"
+      val gain = s"CAST($den AS DECIMAL(38,0)) * m2.m2 * kin.kin" +
+        s" - CAST($num AS DECIMAL(38,0)) * ka.k * kc.k"
+      b ++= s""", ${p}best AS (
+               | SELECT a AS id, c FROM (
+               |  SELECT kin.a, kin.b AS c, row_number() OVER (
+               |    PARTITION BY kin.a ORDER BY $gain DESC, kin.b) AS rn
+               |  FROM kin
+               |  JOIN kdeg ka ON ka.id = kin.a
+               |  JOIN kdeg kc ON kc.id = kin.b
+               |  CROSS JOIN m2
+               |  WHERE $gain > 0
+               | ) WHERE rn = 1
+               |), ${p}hook AS (
+               | SELECT ids.id, COALESCE(${p}best.c, ids.id) AS ptr
+               | FROM ids LEFT JOIN ${p}best ON ${p}best.id = ids.id
+               |)""".stripMargin
+      b ++= resolve(p)
+      b ++= s""", ${p}c AS (
+               | SELECT id, ptr AS comm FROM ${p}r$louvainJumps
+               |), ${p}st AS (
+               | SELECT ca, CAST(sum(w) AS BIGINT) AS d_sum,
+               |  CAST(sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS BIGINT)
+               |   AS e2_in
+               | FROM (
+               |  SELECT x.comm AS ca, y.comm AS cb, u.w
+               |  FROM undp u JOIN ${p}c x ON x.id = u.a
+               |              JOIN ${p}c y ON y.id = u.b
+               | ) GROUP BY 1
+               |)""".stripMargin
+    }
+    b ++= "\n" + resolutionLadder.map { case (num, den) =>
+      val p = s"rs${num}x$den"
+      s"""SELECT CAST(${num * 1000000L / den} AS BIGINT) AS gamma_ppm,
+         | (SELECT CAST(count(DISTINCT comm) AS BIGINT) FROM ${p}c)
+         |  AS n_communities,
+         | CAST((sum(e2_in) * 1000000) // (SELECT m2 FROM m2)
+         |  - sum(d_sum * ((d_sum * 1000000) // (SELECT m2 FROM m2)))
+         |    // (SELECT m2 FROM m2) AS BIGINT) AS q_ppm
+         |FROM ${p}st""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    b ++= "\nORDER BY gamma_ppm"
+    b.toString
+  }
+
+  // --------------------------------------------------- g_leiden_refine
+  /** LEIDEN-STYLE REFINEMENT PASS (Traag, Waltman & van Eck 2019,
+    * "From Louvain to Leiden") over the final hierarchy partition —
+    * the refinement the g_community_connectivity audit is the
+    * precondition check for, and the known cure for the level-Q
+    * overshoot g_hierarchy_curve surfaced. Two phases, both with
+    * PROVABLE guarantees:
+    *  1. SPLIT — every community is split into its induced connected
+    *     components (the shared inducedRefineMap labeling). Splitting
+    *     disconnected parts can only RAISE Q: for parts P₁, P₂ with no
+    *     induced edge between them, ΔQ·(2m)² = +2·Σtot(P₁)·Σtot(P₂)
+    *     > 0, and Q is additive per community so splits compound.
+    *  2. MERGE — one synchronous merge round CONSTRAINED within the
+    *     original communities: refined piece r may merge into r' of
+    *     the SAME parent iff ΔQ·(2m)² = 2m·w(r,r') − 2·Σtot(r)·Σtot(r')
+    *     > 0 (cross-multiplied DECIMAL(38,0) — no float decides, both
+    *     engines order ties identically), argmax per r, and ONLY
+    *     MUTUAL best pairs merge (rooted at the lower id). Mutual
+    *     pairs are DISJOINT (best is a function), and Q's per-community
+    *     additivity makes simultaneous disjoint pair merges sum their
+    *     pairwise gains EXACTLY — so Q strictly increases again; no
+    *     louvain-style synchronous-swap degradation is possible.
+    * Every output community is CONNECTED: split pieces are components
+    * by construction, and a positive-gain merge requires w(r,r') > 0.
+    * Net: Q(refined) ≥ Q(input) with equality only when the input was
+    * already split-clean and merge-free — Round15Spec asserts both the
+    * Q inequality and output connectivity against independent golds.
+    * Output per node: (label, key, comm, rcomm). Cost: the split
+    * labeling is the session-shared induced CC fixpoint; the merge
+    * adds one refined-graph contraction (community-bounded) + one
+    * argmax window keyed on the refined id. Overflow: 2·Σtot² needs
+    * Σw < 2·10⁹ in BIGINT — DECIMAL(38,0) keeps it exact far beyond
+    * (the g_louvain_move contract, one notch stricter). */
+  def leidenRefine: Q = (s, dir) => {
+    val (nodes, undW) = numericGraph(s, dir)
+    val n = nodes.count()
+    val rmap = inducedRefineMap(s, dir)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val m2 = undW.agg(sum("w").as("m2"))
+      val kdeg = undW.groupBy(col("a").as("id")).agg(sum("w").as("k"))
+      val rtot = rmap.join(kdeg, Seq("id"))
+        .groupBy("rid").agg(sum("k").as("tot"))
+      val rw = undW
+        .join(gated(rmap.select(col("id").as("a"), col("comm").as("ca"),
+          col("rid").as("ra")), n), Seq("a"))
+        .join(gated(rmap.select(col("id").as("b"), col("comm").as("cb"),
+          col("rid").as("rb")), n), Seq("b"))
+        .filter(col("ca") === col("cb") && col("ra") =!= col("rb"))
+        .groupBy("ra", "rb").agg(sum("w").as("wb"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cand = rw
+        .join(rtot.toDF("ra", "ta"), "ra")
+        .join(rtot.toDF("rb", "tb"), "rb")
+        .crossJoin(broadcast(m2))
+        .select(col("ra"), col("rb"),
+          (col("m2").cast(dec38) * col("wb") -
+            lit(2).cast(dec38) * col("ta") * col("tb")).as("gain"))
+        .filter(col("gain") > 0)
+      val w = Window.partitionBy("ra").orderBy(col("gain").desc, col("rb"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("ra").as("rid"), col("rb").as("c"))
+        .localCheckpoint(eager = true)
+      interim += best
+      val root = rmap.select("rid").distinct()
+        .join(best, Seq("rid"), "left_outer")
+        .join(best.toDF("cid", "c2"), col("c") === col("cid"), "left_outer")
+        .select(col("rid"),
+          when(col("c").isNotNull && col("c2") === col("rid"),
+            least(col("rid"), col("c"))).otherwise(col("rid")).as("root"))
+      nodes.join(rmap, Seq("id"))
+        .join(gated(root, n), Seq("rid"))
+        .select(col("label"), col("key"), col("comm"),
+          col("root").as("rcomm"))
+        .orderBy("label", "key")
+        .localCheckpoint(eager = true)
+    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+  }
+
+  val leidenRefineSql: String = {
+    val hcL = s"hc$louvainMaxLevels"
+    val b = new StringBuilder(louvainHierarchyCtes)
+    // split phase: induced intra-community CC (the connectivity-audit
+    // recurrence — same unrolled rounds)
+    b ++= s""", iund AS (
+             | SELECT u.a, u.b FROM undp u
+             | JOIN $hcL x ON x.id = u.a
+             | JOIN $hcL y ON y.id = u.b
+             | WHERE x.comm = y.comm
+             |), ic0 AS (SELECT id, id AS comp FROM ids)""".stripMargin
+    for (i <- 1 to ccIters) {
+      b ++= s""", im$i AS (
+               | SELECT u.b AS id, min(ic${i - 1}.comp) AS m
+               | FROM iund u JOIN ic${i - 1} ON ic${i - 1}.id = u.a GROUP BY u.b
+               |), ic$i AS (
+               | SELECT c.id, least(c.comp, im$i.m) AS comp
+               | FROM ic${i - 1} c LEFT JOIN im$i ON im$i.id = c.id
+               |)""".stripMargin
+    }
+    val gain = "CAST(m2.m2 AS DECIMAL(38,0)) * lrw.wb" +
+      " - 2 * CAST(ta.tot AS DECIMAL(38,0)) * tb.tot"
+    b ++= s""", rmap AS (
+             | SELECT ids.id, h.comm, ic$ccIters.comp AS rid
+             | FROM ids JOIN $hcL h ON h.id = ids.id
+             |          JOIN ic$ccIters ON ic$ccIters.id = ids.id
+             |), lrk AS (
+             | SELECT a AS id, CAST(sum(w) AS BIGINT) AS k FROM undp GROUP BY a
+             |), lrtot AS (
+             | SELECT r.rid, CAST(sum(k.k) AS BIGINT) AS tot
+             | FROM rmap r JOIN lrk k ON k.id = r.id GROUP BY 1
+             |), lrw AS (
+             | SELECT x.rid AS ra, y.rid AS rb, CAST(sum(u.w) AS BIGINT) AS wb
+             | FROM undp u JOIN rmap x ON x.id = u.a JOIN rmap y ON y.id = u.b
+             | WHERE x.comm = y.comm AND x.rid <> y.rid
+             | GROUP BY 1, 2
+             |), lrbest AS (
+             | SELECT ra AS rid, rb AS c FROM (
+             |  SELECT lrw.ra, lrw.rb, row_number() OVER (
+             |    PARTITION BY lrw.ra ORDER BY $gain DESC, lrw.rb) AS rn
+             |  FROM lrw
+             |  JOIN lrtot ta ON ta.rid = lrw.ra
+             |  JOIN lrtot tb ON tb.rid = lrw.rb
+             |  CROSS JOIN m2
+             |  WHERE $gain > 0
+             | ) WHERE rn = 1
+             |), lrroot AS (
+             | SELECT r.rid,
+             |  CASE WHEN b.c IS NOT NULL AND b2.c = r.rid
+             |   THEN least(r.rid, b.c) ELSE r.rid END AS root
+             | FROM (SELECT DISTINCT rid FROM rmap) r
+             | LEFT JOIN lrbest b ON b.rid = r.rid
+             | LEFT JOIN lrbest b2 ON b2.rid = b.c
+             |)
+             |SELECT ids.label, ids.key, CAST(r.comm AS BIGINT) AS comm,
+             | CAST(t.root AS BIGINT) AS rcomm
+             |FROM ids JOIN rmap r ON r.id = ids.id
+             |JOIN lrroot t ON t.rid = r.rid
+             |ORDER BY label, key""".stripMargin
     b.toString
   }
 
@@ -5972,6 +6279,8 @@ object Analytics {
     "g_partition_quality" -> partitionQuality,
     "g_partition_agreement" -> partitionAgreement,
     "g_hierarchy_curve" -> hierarchyCurve,
+    "g_resolution_sweep" -> resolutionSweep,
+    "g_leiden_refine" -> leidenRefine,
     "g_widest_path" -> widestPath,
     "g_radius_diameter" -> radiusDiameter,
     "g_cc_size_histogram" -> ccSizeHistogram,
@@ -6036,6 +6345,8 @@ object Analytics {
     "g_partition_quality" -> partitionQualitySql,
     "g_partition_agreement" -> partitionAgreementSql,
     "g_hierarchy_curve" -> hierarchyCurveSql,
+    "g_resolution_sweep" -> resolutionSweepSql,
+    "g_leiden_refine" -> leidenRefineSql,
     "g_widest_path" -> widestPathSql,
     "g_radius_diameter" -> radiusDiameterSql,
     "g_cc_size_histogram" -> ccSizeHistogramSql,

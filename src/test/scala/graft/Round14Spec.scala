@@ -54,21 +54,28 @@ class Round14Spec extends AnyFunSuite {
       assert(labelsAt(i.toLong) == gold(i), s"version $i labels != gold")
       // the delta-boundedness contract: rows WRITTEN this version are
       // exactly the label diff (first-seen + component-changed nodes)
-      val written = spark.read.parquet(s"$dir/batch_id=$i/labels")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val prev = if (i == 0) Map.empty[Long, Long] else gold(i - 1)
       val diff = gold(i).filter { case (id, c) => prev.get(id) != Some(c) }
       if (i.toLong % Streams.ccIncCompactEvery == 0L && i > 0) {
-        // compaction version: the FULL snapshot, and the manifest's
-        // label section lists only this version's files
+        // compaction version: the FULL snapshot (bucket-partitioned
+        // under labsnap/), and the manifest's label store lists ONLY
+        // this version's snapshot — no pre-compaction delta files
+        val written = spark.read.parquet(s"$dir/batch_id=$i/labsnap")
+          .select("id", "comp")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(written == gold(i), s"compaction v$i snapshot != gold")
         val manifest = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(s"$dir/manifest-$i")), "UTF-8")
-        val labelLines = manifest.split("\n").filter(_.startsWith("labels|"))
+        val labelLines = manifest.split("\n")
+          .filter(l => l.startsWith("labels|") || l.startsWith("labsnap|"))
         assert(labelLines.nonEmpty &&
-          labelLines.forall(_.contains(s"batch_id=$i/")),
+          labelLines.forall(l => l.startsWith("labsnap|") &&
+            l.contains(s"batch_id=$i/")),
           s"compaction v$i manifest still references pre-compaction label files")
       } else {
+        val written = spark.read.parquet(s"$dir/batch_id=$i/labels")
+          .select("id", "comp")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(written == diff,
           s"v$i wrote ${written.size} label rows, expected the " +
             s"${diff.size}-row diff: written=$written diff=$diff")
