@@ -4603,42 +4603,82 @@ object Analytics {
       val wtot = und.agg(sum("w").cast("long").as("wt"))
       val kin = und.filter(col("a") =!= col("b"))
         .groupBy(col("a"), col("b")).agg(sum("w").as("kin"))
-      val base = kin
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      // ONE aggregate computes every rung's argmax: per (node, rung),
+      // max over lexicographic struct(gain, −target) ≡ the oracle's
+      // row_number over (gain DESC, target ASC) — five windows (five
+      // pair-frame shuffles) collapse into one map-side-combinable
+      // groupBy; a rung's move exists iff its best gain is positive
+      val bestAggs = resolutionLadder.zipWithIndex.map {
+        case ((num, den), i) =>
+          max(struct(
+            (lit(den).cast(dec38) * col("m2") * col("kin") -
+              lit(num).cast(dec38) * col("ka") * col("kc")).as("g"),
+            (-col("b")).as("nc"))).as(s"s$i")
+      }
+      val bests = kin
         .join(kdeg.toDF("a", "ka"), "a")
         .join(kdeg.toDF("b", "kc"), "b")
         .crossJoin(broadcast(m2))
-        .localCheckpoint(eager = true) // one gain base, five rungs read it
-      interim += base
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val rows = resolutionLadder.map { case (num, den) =>
-        val cand = base
-          .select(col("a"), col("b").as("c"),
-            (lit(den).cast(dec38) * col("m2") * col("kin") -
-              lit(num).cast(dec38) * col("ka") * col("kc")).as("gain"))
-          .filter(col("gain") > 0)
-        val w = Window.partitionBy("a").orderBy(col("gain").desc, col("c"))
-        val best = cand.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("a").as("id"), col("c"))
-        val comm = louvainLevel(nodes.select("id"), best, n, interim)
-          .toDF("id", "comm")
-        val per = und
-          .join(gated(comm.toDF("a", "ca"), n), Seq("a"))
-          .join(gated(comm.toDF("b", "cb"), n), Seq("b"))
-          .groupBy("ca")
-          .agg(sum("w").as("d_sum"),
-            sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
-              .as("e2_in"))
-        per.crossJoin(broadcast(wtot))
-          .agg(sum("e2_in").as("e2s"),
-            sum(expr("d_sum * ((d_sum * 1000000) div wt)")).as("dmix"),
-            max("wt").as("wt2"))
-          .select(lit(num * 1000000L / den).as("gamma_ppm"),
-            expr("(e2s * 1000000) div wt2 - dmix div wt2").as("q_ppm"))
-          .crossJoin(broadcast(
-            comm.agg(countDistinct("comm").as("n_communities"))))
-          .select(col("gamma_ppm"), col("n_communities"), col("q_ppm"))
+        .groupBy("a").agg(bestAggs.head, bestAggs.tail: _*)
+        .localCheckpoint(eager = true) // one argmax base, five rungs read it
+      interim += bests
+      // the hook + 2-cycle + jump resolution runs ONCE on a rung-keyed
+      // frame carrying all five ladders (5n rows) — one recurrence,
+      // six materializations total, instead of five sequential
+      // louvainLevel instances (30 driver-blocking jobs); every join
+      // adds `rung` to the key, so the recurrence per rung is
+      // IDENTICAL to louvainLevel's (and to the oracle's unrolled
+      // chain instance for that rung)
+      val hooks = resolutionLadder.indices.map { i =>
+        nodes.select("id")
+          .join(bests.select(col("a").as("id"),
+            when(col(s"s$i.g") > 0, -col(s"s$i.nc")).as("c")),
+            Seq("id"), "left_outer")
+          .select(lit(i.toLong).as("rung"), col("id"),
+            coalesce(col("c"), col("id")).as("ptr"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = true)
+      interim += hooks
+      val r1 = hooks
+        .join(hooks.toDF("rung", "ptr", "ptr2"), Seq("rung", "ptr"))
+        .select(col("rung"), col("id"),
+          when(col("ptr2") === col("id"), least(col("id"), col("ptr")))
+            .otherwise(col("ptr")).as("ptr"))
+        .localCheckpoint(eager = true)
+      interim += r1
+      var ptr = r1
+      for (_ <- 1 to louvainJumps) {
+        ptr = ptr.join(ptr.toDF("rung", "ptr", "ptrn"), Seq("rung", "ptr"))
+          .select(col("rung"), col("id"), col("ptrn").as("ptr"))
+          .localCheckpoint(eager = true)
+        interim += ptr
       }
-      rows.reduce(_ unionByName _).orderBy("gamma_ppm")
+      // ONE edge pass scores all five partitions (edges ×5 via the
+      // rung-keyed comm join — a single id-keyed shuffle, not five)
+      val comm = ptr.toDF("rung", "id", "comm")
+      val per = und
+        .join(comm.select(col("rung"), col("id").as("a"),
+          col("comm").as("ca")), Seq("a"))
+        .join(comm.select(col("rung"), col("id").as("b"),
+          col("comm").as("cb")), Seq("rung", "b"))
+        .groupBy("rung", "ca")
+        .agg(sum("w").as("d_sum"),
+          sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
+            .as("e2_in"))
+      val gammaExpr = "CASE rung " + resolutionLadder.zipWithIndex.map {
+        case ((num, den), i) => s"WHEN $i THEN ${num * 1000000L / den}"
+      }.mkString(" ") + " END"
+      per.crossJoin(broadcast(wtot))
+        .groupBy("rung")
+        .agg(sum("e2_in").as("e2s"),
+          sum(expr("d_sum * ((d_sum * 1000000) div wt)")).as("dmix"),
+          max("wt").as("wt2"))
+        .join(comm.groupBy("rung")
+          .agg(countDistinct("comm").as("n_communities")), Seq("rung"))
+        .select(expr(gammaExpr).cast("long").as("gamma_ppm"),
+          col("n_communities"),
+          expr("(e2s * 1000000) div wt2 - dmix div wt2").as("q_ppm"))
+        .orderBy("gamma_ppm")
         .localCheckpoint(eager = true)
     } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
   }
