@@ -1188,6 +1188,18 @@ object Streams {
       // components, matching the write path's contract)
       val (snap, dc0) = ccStore(s, outDir, batchId - 1)
       val dc = keep(dc0)
+      // delta-broadcast GATE: the composed deltas are delta-bounded by
+      // contract, but a BULK batch (initial load) makes the next few
+      // versions' deltas as large as the load itself until compaction
+      // absorbs them into the snapshot — broadcasting those would blow
+      // the build-side limit. Past the cap, fall back to a plain
+      // shuffle join: correctness identical, and the contract's
+      // "snapshot never enters an exchange" degrades exactly and only
+      // when the input violated the delta assumption (it restores
+      // itself at the next compaction).
+      val dcRows = dc.count()
+      def dcGate(df: DataFrame): DataFrame =
+        if (dcRows <= 5000000L) broadcast(df) else df
       val dcSlim = dc.select(col("id"), col("comp").as("dcomp"))
       val dE = keep(batch.select(col("a"), col("b")).distinct())
       // contract: endpoints not yet labeled are their own component (a
@@ -1268,7 +1280,7 @@ object Streams {
       // enter an exchange; only the ≤|touched-components| join image
       // continues downstream
       val overlay = snap
-        .join(broadcast(dcSlim), Seq("id"), "left_outer")
+        .join(dcGate(dcSlim), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("dcomp"), col("comp")).as("comp"))
         .unionByName(dc.filter(col("snap_absent")).select("id", "comp"))
       val relabeled = overlay.join(broadcast(rootMap), Seq("comp"), "inner")
@@ -1331,9 +1343,14 @@ object Streams {
     * verdict weak, closed; Round15Spec asserts the plan shape). */
   def ccLabelsRead(s: SparkSession, outDir: String, version: Long): DataFrame = {
     val (snap, dc) = ccStore(s, outDir, version)
+    // same bulk-batch broadcast gate as the sink (one bounded count per
+    // version read — recomputing the delta window for it beats leaking
+    // a cache from a read API; a post-bulk-load version's deltas may
+    // exceed the build-side limit until compaction absorbs them)
+    val overlayDc = dc.select(col("id"), col("comp").as("dcomp"))
+    val dcB = if (dc.count() <= 5000000L) broadcast(overlayDc) else overlayDc
     snap
-      .join(broadcast(dc.select(col("id"), col("comp").as("dcomp"))),
-        Seq("id"), "left_outer")
+      .join(dcB, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("dcomp"), col("comp")).as("comp"))
       .unionByName(dc.filter(col("snap_absent")).select("id", "comp"))
   }
