@@ -928,31 +928,19 @@ object Streams {
       val v1 = v0.unionByName(dV)
         .groupBy("o_orderpriority")
         .agg(sum("rev_cents").as("rev_cents"), sum("n_pairs").as("n_pairs"))
-      // base-side writes: bucket-partitioned on the join key; every
-      // ccIncCompactEvery-th version folds the accumulated files into
-      // one segment and resets the list (st_changelog_compact)
-      val compact = batchId > 0 && batchId % ccIncCompactEvery == 0
-      val priorO = ivmManifestFiles(outDir, batchId - 1, "o")
-      val priorL = ivmManifestFiles(outDir, batchId - 1, "l")
-      (if (compact && priorO.nonEmpty)
-         s.read.parquet(priorO: _*).unionByName(dA) else dA)
-        .withColumn("kbkt", keyBktCol("o_orderkey"))
-        .write.mode("overwrite").partitionBy("kbkt")
-        .parquet(s"$outDir/batch_id=$batchId/o")
-      (if (compact && priorL.nonEmpty)
-         s.read.parquet(priorL: _*).unionByName(dB) else dB)
-        .withColumn("kbkt", keyBktCol("l_orderkey"))
-        .write.mode("overwrite").partitionBy("kbkt")
-        .parquet(s"$outDir/batch_id=$batchId/l")
+      // base-side writes: bucket-partitioned on the join key and
+      // log-structured (non-collapsing base tables — every row stays
+      // live; st_changelog_compact's O(log batches) fold)
+      val oLines = appendLogStructured(s, outDir, batchId, "o",
+        dA, "kbkt", keyBktCol("o_orderkey"))
+      val lLines = appendLogStructured(s, outDir, batchId, "l",
+        dB, "kbkt", keyBktCol("l_orderkey"))
       v1.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/batch_id=$batchId/view")
       // o/l sections accumulate (they are the base for batch k+1); the
       // view section is REPLACED (v1 already folds v0)
       publishManifest(outDir, batchId,
-        (if (compact) Seq.empty else priorO.map(f => s"o|$f")) ++
-        (if (compact) Seq.empty else priorL.map(f => s"l|$f")) ++
-        freshRec(outDir, batchId, "o") ++ freshRec(outDir, batchId, "l") ++
-        freshRec(outDir, batchId, "view"))
+        oLines ++ lLines ++ freshRec(outDir, batchId, "view"))
     } finally cached.foreach(_.unpersist(false))
   }
 
@@ -1042,26 +1030,16 @@ object Streams {
         .groupBy("o_orderpriority")
         .agg(sum("rev_cents").as("rev_cents"), sum("n_pairs").as("n_pairs"))
         .filter(col("n_pairs") =!= 0L || col("rev_cents") =!= 0L)
-      val compact = batchId > 0 && batchId % ccIncCompactEvery == 0
-      val priorO = ivmManifestFiles(outDir, batchId - 1, "o")
-      val priorL = ivmManifestFiles(outDir, batchId - 1, "l")
-      (if (compact && priorO.nonEmpty)
-         s.read.parquet(priorO: _*).unionByName(dA) else dA)
-        .withColumn("kbkt", keyBktCol("o_orderkey"))
-        .write.mode("overwrite").partitionBy("kbkt")
-        .parquet(s"$outDir/batch_id=$batchId/o")
-      (if (compact && priorL.nonEmpty)
-         s.read.parquet(priorL: _*).unionByName(dB) else dB)
-        .withColumn("kbkt", keyBktCol("l_orderkey"))
-        .write.mode("overwrite").partitionBy("kbkt")
-        .parquet(s"$outDir/batch_id=$batchId/l")
+      // signed base sides are a BAG (± rows both live) and the union
+      // fold preserves bags — same log-structured discipline
+      val oLines = appendLogStructured(s, outDir, batchId, "o",
+        dA, "kbkt", keyBktCol("o_orderkey"))
+      val lLines = appendLogStructured(s, outDir, batchId, "l",
+        dB, "kbkt", keyBktCol("l_orderkey"))
       v1.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/batch_id=$batchId/view")
       publishManifest(outDir, batchId,
-        (if (compact) Seq.empty else priorO.map(f => s"o|$f")) ++
-        (if (compact) Seq.empty else priorL.map(f => s"l|$f")) ++
-        freshRec(outDir, batchId, "o") ++ freshRec(outDir, batchId, "l") ++
-        freshRec(outDir, batchId, "view"))
+        oLines ++ lLines ++ freshRec(outDir, batchId, "view"))
     } finally cached.foreach(_.unpersist(false))
   }
 
@@ -1289,15 +1267,11 @@ object Streams {
         .unionByName(relabeled.withColumn("fs", lit(false)))
         .withColumn("v", lit(batchId))
       val compact = batchId > 0 && batchId % ccIncCompactEvery == 0
-      // edges changelog: compaction versions fold the accumulated
-      // files + this batch into one segment and reset the manifest
-      // list (st_changelog_compact — bounded file count; the audit /
-      // recovery content is a set, so the fold is identity)
-      val priorEdges = ivmManifestFiles(outDir, batchId - 1, "edges")
-      (if (compact && priorEdges.nonEmpty)
-         s.read.parquet(priorEdges: _*).select("a", "b").unionByName(dE)
-       else dE)
-        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/edges")
+      // edges changelog (audit / recovery content, non-collapsing):
+      // log-structured segment fold — bounded file list, O(log
+      // batches) rewrites per row (st_changelog_compact)
+      val edgeLines = appendLogStructured(s, outDir, batchId, "edges",
+        dE, "ebkt", pairBktCol)
       if (compact) {
         // periodic compaction: full snapshot as a bucket-PARTITIONED
         // write (the amortized O(|V|) pass that keeps reads shallow
@@ -1321,8 +1295,7 @@ object Streams {
           .map(f => s"$section|${f.getPath}").sorted.toSeq
       }
       publishManifest(outDir, batchId,
-        (if (compact) Seq.empty else priorEdges.map(f => s"edges|$f")) ++
-        fresh("edges") ++
+        edgeLines ++
         (if (compact) Seq(s"labsnap|$outDir/batch_id=$batchId/labsnap")
          else ivmManifestFiles(outDir, batchId - 1, "labsnap")
              .map(d => s"labsnap|$d") ++
@@ -1434,30 +1407,25 @@ object Streams {
   }
 
   /** Write the genuinely-new edges bucket-partitioned, append the bloom
-    * positions they set, and publish the probe diagnostics row —
-    * compacting BOTH the changelog and the bloom on the
-    * ccIncCompactEvery schedule (st_changelog_compact): every
-    * compaction version folds the accumulated per-bucket files + this
-    * batch into ONE segment (partitionBy(ebkt) — partition layout and
-    * probe pruning preserved) and resets the manifest's file list, so
-    * listing cost and file count stay bounded instead of growing one
-    * file-set per batch forever. Single-tier (the src_compaction
-    * posture): each compaction reads the full accumulated set —
-    * amortized O(|E|/period) per batch; tiered (LSM-style) compaction
-    * is the documented upgrade when |E| itself is the bottleneck.
-    * Content is identical by set semantics: the changelog's edges are
-    * unique by construction, and bloom positions are a set. Returns
-    * the manifest lines for the edges + bloom + probe sections. */
+    * positions they set, and publish the probe diagnostics row
+    * (st_changelog_compact): the changelog — non-collapsing, every row
+    * lives forever — folds LOG-STRUCTURED via appendLogStructured
+    * (≤ log₂ batches segments, O(log batches) rewrites per row; see
+    * that helper's policy derivation), while the bloom — collapsing,
+    * bounded by the m-bit space — takes a cheap bounded-state
+    * checkpoint on the ccIncCompactEvery schedule. Content is
+    * identical by set semantics: the changelog's edges are unique by
+    * construction, and bloom positions are a set. Returns the
+    * manifest lines for the edges + bloom + probe sections. */
   private def writeEdgeChangelog(s: SparkSession, outDir: String,
       batchId: Long, dE: DataFrame, probe: DupProbe): Seq[String] = {
     val compact = batchId > 0 && batchId % ccIncCompactEvery == 0
-    val priorEdges = ivmManifestFiles(outDir, batchId - 1, "edges")
-    (if (compact && priorEdges.nonEmpty)
-       s.read.parquet(priorEdges: _*).select("a", "b").unionByName(dE)
-     else dE)
-      .withColumn("ebkt", pairBktCol)
-      .write.mode("overwrite").partitionBy("ebkt")
-      .parquet(s"$outDir/batch_id=$batchId/edges")
+    // edges: NON-collapsing (every row lives forever) → log-structured
+    // segment fold, O(log batches) rewrites per row
+    val edgeLines = appendLogStructured(s, outDir, batchId, "edges",
+      dE, "ebkt", pairBktCol)
+    // bloom: COLLAPSING (bounded by the m-bit space) → the periodic
+    // full fold is a bounded-state checkpoint, not history rewriting
     val newPos = dE.select(explode(pairPosArr).as("pos")).distinct()
     val bloomFiles = ivmManifestFiles(outDir, batchId - 1, "bloom")
     (if (compact && bloomFiles.nonEmpty)
@@ -1470,8 +1438,7 @@ object Streams {
         lit(probe.nMaybe).as("n_maybe_dup"),
         lit(probe.nScanned).as("n_log_rows_scanned"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId/probe")
-    (if (compact) Seq.empty else priorEdges.map(f => s"edges|$f")) ++
-      freshRec(outDir, batchId, "edges") ++
+    edgeLines ++
       (if (compact) Seq.empty else bloomFiles.map(f => s"bloom|$f")) ++
       freshRec(outDir, batchId, "bloom") ++ freshRec(outDir, batchId, "probe")
   }
@@ -1488,6 +1455,72 @@ object Streams {
     try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
       .map(p => s"$section|$p").toList.sorted
     finally st.close()
+  }
+
+  private def walkFiles(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(_.toString).toList.sorted
+    finally st.close()
+  }
+
+  /** LOG-STRUCTURED segment fold (Bentley–Saxe binary-counter merging)
+    * for a sink's NON-COLLAPSING append sections — edge changelogs and
+    * IVM base sides, where every row stays live forever. The three
+    * candidate policies and why this one:
+    *  - never fold: file list grows one set per batch FOREVER — at
+    *    streaming cadence the listing itself is the bottleneck;
+    *  - full fold every K batches (single-tier — what r15 briefly
+    *    shipped): bounded list, but each fold rewrites the ENTIRE
+    *    accumulated set — write amplification ∝ history per period,
+    *    which at 100 TB dominates everything;
+    *  - THIS: each batch lands as a 1-batch segment, and segments of
+    *    EQUAL batch-count merge on arrival (1+1→2, 2+2→4, …), so the
+    *    manifest lists ≤ ⌈log₂ batches⌉ + 1 segments and every row is
+    *    rewritten only O(log batches) times — the LSM amortization.
+    * Bucket partitioning (`bktName=hash` dirs) is re-applied on every
+    * merge, so manifest-level probe pruning works identically on
+    * merged segments. Segment bookkeeping rides the manifest as
+    * `<section>seg|<dir>|<batch-count>` meta lines (the prefix filter
+    * in ivmManifestFiles cannot confuse them with `<section>|` file
+    * lines); rows live in exactly ONE segment at any version, so
+    * readers just take the section's file lines as before. Returns
+    * the full manifest line set for the section. */
+  private def appendLogStructured(s: SparkSession, outDir: String,
+      batchId: Long, section: String, fresh: DataFrame,
+      bktName: String, bkt: org.apache.spark.sql.Column): Seq[String] = {
+    val metaTag = s"${section}seg"
+    val priorMeta = ivmManifestFiles(outDir, batchId - 1, metaTag)
+      .map { m =>
+        val i = m.lastIndexOf('|')
+        (m.substring(0, i), m.substring(i + 1).toLong)
+      }
+    val priorFiles = ivmManifestFiles(outDir, batchId - 1, section)
+    def filesOf(dir: String): Seq[String] =
+      priorFiles.filter(_.startsWith(dir + "/"))
+    val d0 = s"$outDir/batch_id=$batchId/$section"
+    fresh.withColumn(bktName, bkt).write.mode("overwrite")
+      .partitionBy(bktName).parquet(d0)
+    var stack: List[(String, Long, Seq[String])] =
+      priorMeta.map { case (d, c) => (d, c, filesOf(d)) }.toList :+
+        ((d0, 1L, walkFiles(d0)))
+    var k = 0
+    while (stack.size >= 2 &&
+        stack(stack.size - 1)._2 == stack(stack.size - 2)._2) {
+      k += 1
+      val (_, c2, f2) = stack(stack.size - 1)
+      val (_, c1, f1) = stack(stack.size - 2)
+      val md = s"$outDir/batch_id=$batchId/${section}_m$k"
+      val in = f1 ++ f2
+      (if (in.nonEmpty) s.read.parquet(in: _*)
+       else fresh.limit(0))
+        .withColumn(bktName, bkt)
+        .write.mode("overwrite").partitionBy(bktName).parquet(md)
+      stack = stack.dropRight(2) :+ ((md, c1 + c2, walkFiles(md)))
+    }
+    stack.map { case (d, c, _) => s"$metaTag|$d|$c" } ++
+      stack.flatMap { case (_, _, fs) => fs.map(f => s"$section|$f") }
   }
 
   /** The previous manifest's files for `section`, pruned to the listed

@@ -250,58 +250,64 @@ class Round15Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------ st_changelog_compact
-  test("st_changelog_compact: compaction versions fold the accumulated " +
-      "changelog into one segment and reset the manifest list (bounded " +
-      "file count); pinned pre-compaction versions still read; bloom " +
-      "and probe pruning survive compaction; census stays gold") {
+  test("st_changelog_compact: the changelog folds log-structured — " +
+      "segment count == popcount(batches), counts are merged powers of " +
+      "two, every version's files hold the accumulated set exactly once " +
+      "(multiset), pinned versions keep reading, bloom + probe pruning " +
+      "survive the merges; census stays gold") {
     val Streams = graft.streaming.Streams
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("clog15").toString
     def e(a: Long, b: Long) = Streams.CcEdge(a, b)
     val batches: Seq[Seq[Streams.CcEdge]] =
       (0 until 8).map(i => Seq(e(10 * i + 1, 10 * i + 2))) ++
-        Seq(Seq(e(1, 2), e(90, 91))) // v8 = COMPACTION version, with a DUP
+        Seq(Seq(e(1, 2), e(90, 91))) // v8: one DUP + one new
     def manifestLines(v: Long, section: String): Seq[String] = {
       val p = java.nio.file.Paths.get(s"$dir/manifest-$v")
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .split("\n").filter(_.startsWith(s"$section|")).toSeq
     }
+    def accumulated(upTo: Int): Seq[(Long, Long)] = batches.take(upTo + 1)
+      .flatten.map(ed => (math.min(ed.a, ed.b), math.max(ed.a, ed.b)))
+      .distinct
     batches.zipWithIndex.foreach { case (b, i) =>
       Streams.triIncSink(dir)(b.toDF(), i.toLong)
+      // Bentley–Saxe invariant: #segments == popcount(#batches), the
+      // per-segment batch-counts are the binary decomposition
+      val segs = manifestLines(i.toLong, "edgesseg")
+        .map(_.split("\\|").last.toLong)
+      assert(segs.size == java.lang.Long.bitCount(i + 1L),
+        s"v$i: ${segs.size} segments, expected popcount(${i + 1})")
+      assert(segs.sum == i + 1L && segs.forall(c => (c & (c - 1)) == 0),
+        s"v$i segment counts $segs are not the binary decomposition")
+      // content: the section's files hold the accumulated set EXACTLY
+      // once (multiset equality — a row duplicated across segments
+      // would double-count in any reader that unions the files)
+      val rows = spark.read
+        .parquet(manifestLines(i.toLong, "edges").map(_.substring(6)): _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(rows == accumulated(i).sorted,
+        s"v$i section files != accumulated set (as a multiset)")
     }
-    // v8 is a compaction version: its manifest's edges list references
-    // ONLY this version's segment, and the segment holds the FULL set
-    assert(manifestLines(8, "edges").forall(_.contains("batch_id=8/")),
-      "compaction manifest still references pre-compaction edge files")
-    val compacted = spark.read
-      .parquet(manifestLines(8, "edges").map(_.substring(6)): _*)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = batches.flatten
-      .map(ed => (math.min(ed.a, ed.b), math.max(ed.a, ed.b))).toSet
-    assert(compacted == want, "compacted segment != accumulated edge set")
-    // the file list is bounded by the bucket count, not the batch count
-    assert(manifestLines(8, "edges").size <= Streams.edgeChangelogBuckets,
-      "compaction did not bound the file list")
-    // v7 (pre-compaction) is pinned: its manifest still resolves
-    val v7Edges = spark.read
+    // pinned versions: merges write NEW dirs, so v7's file list (the
+    // 8-batch merged segment landed at v7) still resolves after v8
+    assert(spark.read
       .parquet(manifestLines(7, "edges").map(_.substring(6)): _*)
-      .count()
-    assert(v7Edges == 8, "a pinned pre-compaction version lost files")
-    // the v8 DUP was dropped (census unchanged by it) and the probe
-    // confirmed it against the pruned slice, bloom intact
-    val census = Streams.triCensusRead(spark, dir, 8L)
-      .collect().head.getLong(0)
-    assert(census == 0L, "a duplicate edge changed the census")
+      .count() == 8, "a pinned version lost files after later merges")
+    // the v8 DUP added zero (census still counts no triangles) and the
+    // probe confirmed it against a pruned slice of the merged segment
+    assert(Streams.triCensusRead(spark, dir, 8L).collect().head.getLong(0)
+      == 0L, "a duplicate edge changed the census")
     val probe8 = spark.read.parquet(s"$dir/batch_id=8/probe")
       .select("n_maybe_dup", "n_log_rows_scanned").collect().head
     assert(probe8.getLong(0) == 1 && probe8.getLong(1) < 8,
       s"v8 probe scanned ${probe8.getLong(1)} rows — pruning lost")
-    // post-compaction all-new batch still scans zero changelog rows
+    // an all-new batch after the merges still scans zero changelog rows
     Streams.triIncSink(dir)(Seq(e(95, 96)).toDF(), 9L)
     val probe9 = spark.read.parquet(s"$dir/batch_id=9/probe")
       .select("n_maybe_dup", "n_log_rows_scanned").collect().head
     assert(probe9.getLong(0) == 0 && probe9.getLong(1) == 0,
-      "bloom did not survive compaction")
+      "bloom did not survive the merges")
   }
 
   // ------------------------------------------------- g_resolution_sweep
