@@ -1184,6 +1184,12 @@ object Streams {
       // first-seen node is a singleton until this batch's edges say more)
       val nodesD = keep(dE.select(col("a").as("id"))
         .union(dE.select(col("b").as("id"))).distinct())
+      // batch-side frames (endpoints, root map) are micro-batch-bounded
+      // by source admission control, but an initial BULK batch breaks
+      // that too — same gate, same honest shuffle fallback
+      val ndRows = nodesD.count()
+      def ndGate(df: DataFrame): DataFrame =
+        if (ndRows <= 5000000L) broadcast(df) else df
       // partition-pruned snapshot probe: the distinct endpoint buckets
       // are ≤ ccIncSnapBuckets (a CONSTANT — this collect is bounded
       // metadata, not data), so the scan reads only touched bucket
@@ -1194,7 +1200,7 @@ object Streams {
           .cast("int").as("bkt"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val snapHit = snap.filter(col("bkt").isInCollection(bkts))
-        .join(broadcast(nodesD), Seq("id"))
+        .join(ndGate(nodesD), Seq("id"))
         .select(col("id"), col("comp").as("scomp"))
       // endpoint labels: post-snapshot delta wins over snapshot wins
       // over self (first seen); fs0 marks ids in NEITHER piece
@@ -1261,7 +1267,7 @@ object Streams {
         .join(dcGate(dcSlim), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("dcomp"), col("comp")).as("comp"))
         .unionByName(dc.filter(col("snap_absent")).select("id", "comp"))
-      val relabeled = overlay.join(broadcast(rootMap), Seq("comp"), "inner")
+      val relabeled = overlay.join(ndGate(rootMap), Seq("comp"), "inner")
         .select(col("id"), col("root").as("comp"))
       val delta = firstSeen.withColumn("fs", lit(true))
         .unionByName(relabeled.withColumn("fs", lit(false)))
@@ -1277,7 +1283,7 @@ object Streams {
         // write (the amortized O(|V|) pass that keeps reads shallow
         // and gives the next period's lookups their pruning dirs); the
         // manifest then lists ONLY the snapshot for the label store
-        overlay.join(broadcast(rootMap), Seq("comp"), "left_outer")
+        overlay.join(ndGate(rootMap), Seq("comp"), "left_outer")
           .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
           .unionByName(firstSeen)
           .withColumn("bkt",
