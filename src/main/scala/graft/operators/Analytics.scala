@@ -3907,20 +3907,25 @@ object Analytics {
       .select(col("id"), coalesce(col("c"), col("id")).as("ptr"))
       .localCheckpoint(eager = true)
     interim += hook
-    // 2-cycle resolution: mutual best pairs root at the lower id
+    // 2-cycle resolution: mutual best pairs root at the lower id.
+    // r15 opt: the resolve chain stays LAZY and checkpoints ONCE — the
+    // joins are gated broadcasts over node-bounded frames, so the whole
+    // hook→r1→jumps recurrence pipelines in a single job (the eager
+    // per-step variant paid 5 blocking checkpoint jobs per level; the
+    // prFamily no-checkpoint lesson applied to the pointer loop).
+    // Identical recurrence, identical results; the one materialization
+    // is what the callers read more than once.
     val r1 = hook.join(gated(hook.toDF("ptr", "ptr2"), n), "ptr")
       .select(col("id"), when(col("ptr2") === col("id"),
         least(col("id"), col("ptr"))).otherwise(col("ptr")).as("ptr"))
-      .localCheckpoint(eager = true)
-    interim += r1
     var ptr = r1
     for (_ <- 1 to louvainJumps) {
       ptr = ptr.join(gated(ptr.toDF("ptr", "ptrn"), n), "ptr")
         .select(col("id"), col("ptrn").as("ptr"))
-        .localCheckpoint(eager = true)
-      interim += ptr
     }
-    ptr
+    val out = ptr.localCheckpoint(eager = true)
+    interim += out
+    out
   }
 
   def louvain: Q = (s, dir) => {
@@ -4616,9 +4621,11 @@ object Analytics {
               lit(num).cast(dec38) * col("ka") * col("kc")).as("g"),
             (-col("b")).as("nc"))).as(s"s$i")
       }
+      // kdeg is node-bounded — gate-broadcast both sides so kin (edge-
+      // scale) is never re-shuffled for the gain lookups (§3.1)
       val bests = kin
-        .join(kdeg.toDF("a", "ka"), "a")
-        .join(kdeg.toDF("b", "kc"), "b")
+        .join(gated(kdeg.toDF("a", "ka"), n), "a")
+        .join(gated(kdeg.toDF("b", "kc"), n), "b")
         .crossJoin(broadcast(m2))
         .groupBy("a").agg(bestAggs.head, bestAggs.tail: _*)
         .localCheckpoint(eager = true) // one argmax base, five rungs read it
@@ -4630,37 +4637,70 @@ object Analytics {
       // adds `rung` to the key, so the recurrence per rung is
       // IDENTICAL to louvainLevel's (and to the oracle's unrolled
       // chain instance for that rung)
-      val hooks = resolutionLadder.indices.map { i =>
-        nodes.select("id")
-          .join(bests.select(col("a").as("id"),
-            when(col(s"s$i.g") > 0, -col(s"s$i.nc")).as("c")),
-            Seq("id"), "left_outer")
-          .select(lit(i.toLong).as("rung"), col("id"),
-            coalesce(col("c"), col("id")).as("ptr"))
-      }.reduce(_ unionByName _).localCheckpoint(eager = true)
-      interim += hooks
-      val r1 = hooks
-        .join(hooks.toDF("rung", "ptr", "ptr2"), Seq("rung", "ptr"))
-        .select(col("rung"), col("id"),
-          when(col("ptr2") === col("id"), least(col("id"), col("ptr")))
-            .otherwise(col("ptr")).as("ptr"))
+      // r15 opt (§2.3/§2.4): the five rungs' hook/2-cycle/jump
+      // recurrence is per-rung independent, so it runs WIDE — one
+      // node-bounded frame (id, p0..p4) instead of the rung-keyed 5n-row
+      // long frame. Each resolution step becomes five gated-broadcast
+      // lookups chained in one job (the long form shuffled ~5n rows
+      // through a (rung, ptr) sort-merge self-join per depth — the
+      // bench's dominant exchange); above the gate the lookups fall
+      // back to n-row shuffle joins, same bytes as the long form.
+      // Per-rung formulas are IDENTICAL — p_i evolves exactly as the
+      // rung-i long rows did, so the final partition is unchanged.
+      val idx = resolutionLadder.indices
+      val hooksW = nodes.select("id")
+        .join(gated(bests.withColumnRenamed("a", "id"), n),
+          Seq("id"), "left_outer")
+        .select(col("id") +: idx.map(i =>
+          coalesce(when(col(s"s$i.g") > 0, -col(s"s$i.nc")),
+            col("id")).as(s"p$i")): _*)
         .localCheckpoint(eager = true)
-      interim += r1
-      var ptr = r1
-      for (_ <- 1 to louvainJumps) {
-        ptr = ptr.join(ptr.toDF("rung", "ptr", "ptrn"), Seq("rung", "ptr"))
-          .select(col("rung"), col("id"), col("ptrn").as("ptr"))
-          .localCheckpoint(eager = true)
-        interim += ptr
+      interim += hooksW
+      // 2-cycle resolution: mutual best pairs root at the lower id
+      var w = hooksW
+      for (i <- idx) {
+        w = w.join(gated(hooksW.select(col("id").as("_j"),
+            col(s"p$i").as("_pp")), n), col(s"p$i") === col("_j"))
+          .withColumn(s"p$i", when(col("_pp") === col("id"),
+            least(col("id"), col(s"p$i"))).otherwise(col(s"p$i")))
+          .drop("_j", "_pp")
       }
-      // ONE edge pass scores all five partitions (edges ×5 via the
-      // rung-keyed comm join — a single id-keyed shuffle, not five)
-      val comm = ptr.toDF("rung", "id", "comm")
+      w = w.localCheckpoint(eager = true)
+      interim += w
+      for (_ <- 1 to louvainJumps) {
+        var w2 = w
+        for (i <- idx) {
+          w2 = w2.join(gated(w.select(col("id").as("_j"),
+              col(s"p$i").as("_pn")), n), col(s"p$i") === col("_j"))
+            .withColumn(s"p$i", col("_pn")).drop("_j", "_pn")
+        }
+        w = w2.localCheckpoint(eager = true)
+        interim += w
+      }
+      // long view only where the shape needs it (per-rung countDistinct)
+      val comm = w.select(col("id"), explode(array(
+          idx.map(i => struct(lit(i.toLong).as("rung"),
+            col(s"p$i").as("comm"))): _*)).as("rc"))
+        .select(col("rc.rung").as("rung"), col("id"),
+          col("rc.comm").as("comm"))
+      // ONE edge pass scores all five partitions: und joins the wide
+      // label frame once per endpoint (gated broadcast — no exchange),
+      // explodes to (rung, ca, cb) AFTER the joins (narrow), and the
+      // (rung, ca) aggregate is community-bounded so map-side partial
+      // aggregation collapses it before one small shuffle. The old long
+      // form exploded und ×5 BEFORE a (rung, b) exchange — ~5·|und|
+      // rows shuffled. Same (rung, ca, cb, w) multiset, same sums.
+      val caW = gated(w.toDF(("a" +: idx.map(i => s"ca$i")): _*), n)
+      val cbW = gated(w.toDF(("b" +: idx.map(i => s"cb$i")): _*), n)
       val per = und
-        .join(comm.select(col("rung"), col("id").as("a"),
-          col("comm").as("ca")), Seq("a"))
-        .join(comm.select(col("rung"), col("id").as("b"),
-          col("comm").as("cb")), Seq("rung", "b"))
+        .join(caW, Seq("a"))
+        .join(cbW, Seq("b"))
+        .select(col("w"), explode(array(
+          idx.map(i => struct(
+            lit(i.toLong).as("rung"), col(s"ca$i").as("ca"),
+            col(s"cb$i").as("cb"))): _*)).as("rc"))
+        .select(col("rc.rung").as("rung"), col("rc.ca").as("ca"),
+          col("rc.cb").as("cb"), col("w"))
         .groupBy("rung", "ca")
         .agg(sum("w").as("d_sum"),
           sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
