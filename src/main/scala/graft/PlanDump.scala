@@ -32,6 +32,8 @@ object PlanDump {
     @volatile var tasks = 0L
     @volatile var shufWrite = 0L
     @volatile var shufRead = 0L
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Double, Int, String)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs += 1
@@ -40,12 +42,18 @@ object PlanDump {
         tasks += sc.stageInfo.numTasks
         shufWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
         shufRead += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+        val dur = (for {
+          c <- sc.stageInfo.completionTime; s <- sc.stageInfo.submissionTime
+        } yield (c - s) / 1e3).getOrElse(-1.0)
+        stageLog.add((dur, sc.stageInfo.numTasks,
+          sc.stageInfo.name.takeWhile(_ != '\n').take(120)))
       }
     }
     spark.sparkContext.addSparkListener(listener)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       jobs = 0; stages = 0; tasks = 0; shufWrite = 0; shufRead = 0
+      stageLog.clear()
       spark.sparkContext.setJobDescription(s"plandump: $name")
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -55,11 +63,17 @@ object PlanDump {
       Thread.sleep(400)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      import scala.jdk.CollectionConverters._
+      val slow = stageLog.asScala.toSeq.sortBy(-_._1).take(15)
+        .map { case (d, t, nm) => f"  $d%7.3fs tasks=$t%-4d $nm" }
+        .mkString("\n")
       val profile =
         f"""== Execution profile ($name, $sfDir, local[$cpus]) ==
            |wall_s=$wall%.3f rows=$nRows
            |jobs=$jobs stages=$stages tasks=$tasks
            |shuffle_write_bytes=$shufWrite shuffle_read_bytes=$shufRead
+           |slowest stages:
+           |$slow
            |""".stripMargin
       java.nio.file.Files.write(outDir.resolve(s"${name}_$suffix.txt"),
         (profile + "\n" + plan).getBytes("UTF-8"))

@@ -3939,7 +3939,12 @@ object Analytics {
       val comm1 = louvainLevel(nodes.select("id"),
           louvainBestMoveL1(s, dir), n, interim)
         .toDF("id", "c1")
-      // contracted community graph, self-loops kept (see Scaladoc)
+      // contracted community graph, self-loops kept (see Scaladoc).
+      // Stays EAGER: louvainBestMove scans its input three times
+      // (kdeg / m2 / kin) and a lazy contraction re-executed its
+      // shuffle per scan — measured 5.3 → 8.2 s, 137 → 233 MB shuffled
+      // when tried lazy in r15 (AQE stage reuse does not dedupe the
+      // separately-built plans). The checkpoint is the cheaper triple.
       val und2 = und
         .join(gated(comm1.toDF("a", "ca"), n), "a")
         .join(gated(comm1.toDF("b", "cb"), n), "b")
@@ -4153,6 +4158,9 @@ object Analytics {
           // level's plan is comm, and comm IS reset. Skipping the
           // reset avoids a per-level Row conversion over the edge
           // frame (the node-frame conversion on comm is the cheap one).
+          // Stays EAGER: louvainBestMove scans g three times and a lazy
+          // g re-executed its shuffle per scan (measured 11.9 → 14.3 s,
+          // 149 → 417 MB when tried lazy in r15).
           g = und0
             .join(gated(comm.toDF("a", "ca"), n), "a")
             .join(gated(comm.toDF("b", "cb"), n), "b")
@@ -4293,11 +4301,19 @@ object Analytics {
           .select(col("id"), col("comm"))
           .localCheckpoint(eager = true)
         interim += cid
+        // r15 opt: materialize the induced edge frame ONCE — it feeds
+        // every ccLabels round, and lazily it re-ran its two broadcast
+        // joins + filter over the full edge cache per round (§2.4:
+        // pay the loop-invariant once). Partitioning by `a` is
+        // preserved from the cached und through the broadcast joins,
+        // so rounds keep their exchange-free edge side.
         val ind = undW
           .join(gated(cid.toDF("a", "ca"), n), Seq("a"))
           .join(gated(cid.toDF("b", "cb"), n), Seq("b"))
           .filter(col("ca") === col("cb"))
           .select("a", "b")
+          .localCheckpoint(eager = true)
+        interim += ind
         val comp = ccLabels(nodes.select("id"), ind, ccIters, interim)
         cid.join(comp, Seq("id"))
           .select(col("id"), col("comm"), col("comp").as("rid"))
@@ -4528,24 +4544,49 @@ object Analytics {
     val (nodes, undW) = numericGraph(s, dir)
     val n = nodes.count()
     val wtot = undW.agg(sum("w").cast("long").as("wt"))
-    louvainLevelMaps(s, dir).zipWithIndex.map { case (lv, i) =>
+    // r15 opt (§2.3/§2.4): ONE edge pass scores every level — the six
+    // session-pinned level maps join into a wide node-bounded frame
+    // (id, c0..cL), und joins it once per endpoint (gated broadcast, no
+    // exchange), and the per-(level, ca) aggregate comes off a narrow
+    // post-join explode with map-side partial aggregation. The per-level
+    // loop paid 6 separate edge passes (2 joins each) for the same
+    // sums. Same (level, ca, cb, w) multiset per level, same integers.
+    val maps = louvainLevelMaps(s, dir)
+    val idx = maps.indices
+    val levelsW = maps.zipWithIndex
+      .map { case (m, i) => m.toDF("id", s"c$i") }
+      .reduce((x, y) => x.join(gated(y, n), Seq("id")))
+      .localCheckpoint(eager = true) // read by the edge pass + counts
+    try {
+      val caW = gated(levelsW.toDF(("a" +: idx.map(i => s"ca$i")): _*), n)
+      val cbW = gated(levelsW.toDF(("b" +: idx.map(i => s"cb$i")): _*), n)
       val per = undW
-        .join(gated(lv.toDF("a", "ca"), n), Seq("a"))
-        .join(gated(lv.toDF("b", "cb"), n), Seq("b"))
-        .groupBy("ca")
+        .join(caW, Seq("a")).join(cbW, Seq("b"))
+        .select(col("w"), explode(array(idx.map(i => struct(
+          lit(i.toLong).as("level"), col(s"ca$i").as("ca"),
+          col(s"cb$i").as("cb"))): _*)).as("rc"))
+        .select(col("rc.level").as("level"), col("rc.ca").as("ca"),
+          col("rc.cb").as("cb"), col("w"))
+        .groupBy("level", "ca")
         .agg(sum("w").as("d_sum"),
           sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
             .as("e2_in"))
-      per.crossJoin(broadcast(wtot))
+      val q = per.crossJoin(broadcast(wtot))
+        .groupBy("level")
         .agg(sum("e2_in").as("e2s"),
           sum(expr("d_sum * ((d_sum * 1000000) div wt)")).as("dmix"),
           max("wt").as("wt2"))
-        .select(lit(i.toLong).as("level"),
+        .select(col("level"),
           expr("(e2s * 1000000) div wt2 - dmix div wt2").as("q_ppm"))
-        .crossJoin(broadcast(
-          lv.agg(countDistinct("comm").as("n_communities"))))
+      val ncomm = levelsW.select(explode(array(idx.map(i => struct(
+          lit(i.toLong).as("level"), col(s"c$i").as("comm"))): _*)).as("rc"))
+        .select(col("rc.level").as("level"), col("rc.comm").as("comm"))
+        .groupBy("level").agg(countDistinct("comm").as("n_communities"))
+      q.join(ncomm, Seq("level"))
         .select(col("level"), col("n_communities"), col("q_ppm"))
-    }.reduce(_ unionByName _).orderBy("level")
+        .orderBy("level")
+        .localCheckpoint(eager = true)
+    } finally graft.model.PropertyGraph.freeLocalCheckpoint(levelsW)
   }
 
   val hierarchyCurveSql: String = {
