@@ -5518,12 +5518,16 @@ object Analytics {
           .select(col("c"), coalesce(col("oc"), col("c")).as("ptr"))
           .localCheckpoint(eager = true)
         interim += hook
-        // 2-cycle resolution: mutual picks root at the lower comp id
-        val r1 = hook.join(hook.toDF("ptr", "ptr2"), "ptr")
+        // 2-cycle resolution: mutual picks root at the lower comp id.
+        // r15 opt: the resolve chain is LAZY and gated-broadcast (the
+        // louvainLevel discipline) — the whole r1→jump² recurrence
+        // pipelines into comp's one checkpoint job instead of paying a
+        // blocking checkpoint per jump (5 jobs/round), and the
+        // component-bounded self-joins ride broadcasts instead of
+        // sort-merge exchanges. Identical recurrence, identical rows.
+        val r1 = hook.join(gated(hook.toDF("ptr", "ptr2"), n), "ptr")
           .select(col("c"), when(col("ptr2") === col("c"),
             least(col("c"), col("ptr"))).otherwise(col("ptr")).as("ptr"))
-          .localCheckpoint(eager = true)
-        interim += r1
         // pointer-jump squarings on the COMPONENT-bounded pointer table
         // (r² → r⁴ → r⁸ → r¹⁶ — each a tiny self-join, the table only
         // shrinks with the component count), then ONE comp ⋈ r¹⁶ join;
@@ -5531,10 +5535,8 @@ object Analytics {
         // identity — identical to the oracle's unrolled jumps
         var ptr = r1
         for (_ <- 1 to mstJumps) {
-          ptr = ptr.join(ptr.toDF("ptr", "ptrn"), "ptr")
+          ptr = ptr.join(gated(ptr.toDF("ptr", "ptrn"), n), "ptr")
             .select(col("c"), col("ptrn").as("ptr"))
-            .localCheckpoint(eager = true)
-          interim += ptr
         }
         comp = comp.join(gated(ptr, n), "c")
           .select(col("id"), col("ptr").as("c"))
@@ -6176,18 +6178,34 @@ object Analytics {
       while (round < coreRounds && changed > 0) {
         round += 1
         val t0 = System.nanoTime()
+        // h-index per node — r15 opt: the h value is a function of the
+        // neighbor-value MULTISET (max_i min(i, i-th largest) — the
+        // b-tiebreak in the old row_number never changed the max), so
+        // the per-round WINDOW SORT over the full 2m-row frame is
+        // replaced by a hash aggregate (collect_list bounded by degree)
+        // + per-group array sort: same integers, no global sort, and
+        // the aggregate runs on the cached a-partitioned layout with
+        // zero exchanges (the window needed the same partitioning but
+        // paid a full per-partition sort every round).
         val h = und
           .join(gated(c.withColumnRenamed("id", "b")
             .withColumnRenamed("c", "cb"), nValues), Seq("b"))
-          .withColumn("rn", row_number().over(Window.partitionBy("a")
-            .orderBy(col("cb").desc, col("b"))))
           .groupBy(col("a").as("id"))
-          .agg(max(least(col("rn"), col("cb"))).as("c"))
+          .agg(collect_list(col("cb")).as("cbs"))
+          .select(col("id"), expr(
+            "array_max(zip_with(" +
+              "array_sort(cbs, (l, r) -> CASE WHEN l > r THEN -1" +
+              " WHEN l < r THEN 1 ELSE 0 END)," +
+              " sequence(1, size(cbs)), (v, i) -> least(v, CAST(i AS BIGINT))))")
+            .as("c"))
           .localCheckpoint(eager = true)
         interim += h
         // monotone ⇒ a no-change round is a provable fixpoint; the
-        // count also feeds the n_unstable audit column
-        changed = h.join(c.withColumnRenamed("c", "cp"), Seq("id"))
+        // count also feeds the n_unstable audit column (gated: both
+        // sides are node-bounded — the ungated join paid two exchanges
+        // per round)
+        changed = h.join(gated(c.withColumnRenamed("c", "cp"), nValues),
+            Seq("id"))
           .filter(col("c") =!= col("cp")).count()
         if (sys.env.contains("SPARK_GRAFT_DEBUG"))
           System.err.println(s"[core] round $round changed=$changed t=${(System.nanoTime() - t0) / 1e9}")
