@@ -1186,19 +1186,23 @@ object Streams {
         .union(dE.select(col("b").as("id"))).distinct())
       // batch-side frames (endpoints, root map) are micro-batch-bounded
       // by source admission control, but an initial BULK batch breaks
-      // that too — same gate, same honest shuffle fallback
-      val ndRows = nodesD.count()
+      // that too — same gate, same honest shuffle fallback.
+      // ONE action returns both the gate count and the distinct
+      // endpoint buckets (≤ ccIncSnapBuckets, a CONSTANT — bounded
+      // metadata, not data): the two separate jobs this fused were
+      // pure per-batch scheduling overhead (r15).
+      val ndStats = nodesD
+        .agg(count(lit(1)),
+          collect_set(pmod(xxhash64(col("id")),
+            lit(ccIncSnapBuckets.toLong)).cast("int")))
+        .head()
+      val ndRows = ndStats.getLong(0)
       def ndGate(df: DataFrame): DataFrame =
         if (ndRows <= 5000000L) broadcast(df) else df
-      // partition-pruned snapshot probe: the distinct endpoint buckets
-      // are ≤ ccIncSnapBuckets (a CONSTANT — this collect is bounded
-      // metadata, not data), so the scan reads only touched bucket
-      // dirs; the join broadcasts the delta-bounded endpoint set, so
-      // surviving snapshot rows (≤ |endpoints|) never shuffle
-      val bkts = nodesD
-        .select(pmod(xxhash64(col("id")), lit(ccIncSnapBuckets.toLong))
-          .cast("int").as("bkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      // partition-pruned snapshot probe: the scan reads only touched
+      // bucket dirs; the join broadcasts the delta-bounded endpoint
+      // set, so surviving snapshot rows (≤ |endpoints|) never shuffle
+      val bkts = ndStats.getSeq[Int](1)
       val snapHit = snap.filter(col("bkt").isInCollection(bkts))
         .join(ndGate(nodesD), Seq("id"))
         .select(col("id"), col("comp").as("scomp"))
@@ -1289,6 +1293,7 @@ object Streams {
           .withColumn("bkt",
             pmod(xxhash64(col("id")), lit(ccIncSnapBuckets.toLong))
               .cast("int"))
+          .repartition(col("bkt")) // cluster-by: one file per bucket
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(s"$outDir/batch_id=$batchId/labsnap")
       } else {
@@ -1391,16 +1396,22 @@ object Streams {
     val flagged = keep(posed.join(hits, Seq("a", "b"), "left_outer")
       .select(col("a"), col("b"),
         (coalesce(col("nhit"), lit(0L)) === edgeBloomK).as("maybe")))
+    // ONE action yields pair count, candidate count AND the candidates'
+    // bucket set (≤ edgeChangelogBuckets values — bounded metadata):
+    // the three separate jobs this fused were per-batch scheduling
+    // overhead (r15)
+    val fStats = flagged.agg(count(lit(1)),
+        coalesce(sum(when(col("maybe"), 1L).otherwise(0L)), lit(0L)),
+        collect_set(when(col("maybe"), pairBktCol))).head()
+    val nPairs = fStats.getLong(0)
+    val nMaybe = fStats.getLong(1)
     val maybeDup = keep(flagged.filter(col("maybe")).select("a", "b"))
-    val nMaybe = maybeDup.count()
     val (confirmNew, nScanned) =
       if (nMaybe == 0) (maybeDup, 0L)
       else {
-        // buckets of the candidates: ≤ edgeChangelogBuckets values — a
-        // bounded metadata collect, then MANIFEST-level pruning (only
-        // files under a candidate's ebkt= dir are read at all)
-        val bkts = maybeDup.select(pairBktCol.as("bkt"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        // MANIFEST-level pruning: only files under a candidate's
+        // ebkt= dir are read at all
+        val bkts = fStats.getSeq[Int](2)
         val files = prunedManifestFiles(outDir, batchId - 1, "edges", bkts)
         val e0p = keep(
           if (files.nonEmpty) s.read.parquet(files: _*).select("a", "b")
@@ -1409,7 +1420,7 @@ object Streams {
       }
     val dE = keep(flagged.filter(!col("maybe")).select("a", "b")
       .unionByName(confirmNew))
-    DupProbe(dE, dP.count(), nMaybe, nScanned)
+    DupProbe(dE, nPairs, nMaybe, nScanned)
   }
 
   /** Write the genuinely-new edges bucket-partitioned, append the bloom
@@ -1506,8 +1517,13 @@ object Streams {
     def filesOf(dir: String): Seq[String] =
       priorFiles.filter(_.startsWith(dir + "/"))
     val d0 = s"$outDir/batch_id=$batchId/$section"
-    fresh.withColumn(bktName, bkt).write.mode("overwrite")
-      .partitionBy(bktName).parquet(d0)
+    // repartition ON the bucket column before the partitioned write
+    // (r15 opt, guide §6 output sizing): an unclustered dynamic write
+    // emits up to tasks × buckets files per segment — the file-count
+    // explosion then taxes every later merge, probe and listing; with
+    // the cluster-by, each bucket lands as one file per segment
+    fresh.withColumn(bktName, bkt).repartition(col(bktName))
+      .write.mode("overwrite").partitionBy(bktName).parquet(d0)
     var stack: List[(String, Long, Seq[String])] =
       priorMeta.map { case (d, c) => (d, c, filesOf(d)) }.toList :+
         ((d0, 1L, walkFiles(d0)))
@@ -1521,7 +1537,7 @@ object Streams {
       val in = f1 ++ f2
       (if (in.nonEmpty) s.read.parquet(in: _*)
        else fresh.limit(0))
-        .withColumn(bktName, bkt)
+        .withColumn(bktName, bkt).repartition(col(bktName))
         .write.mode("overwrite").partitionBy(bktName).parquet(md)
       stack = stack.dropRight(2) :+ ((md, c1 + c2, walkFiles(md)))
     }
