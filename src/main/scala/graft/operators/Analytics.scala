@@ -4149,25 +4149,28 @@ object Analytics {
             .localCheckpoint(eager = true)
           kept += commCp
           comm = resetStats(commCp)
-          // contract the ORIGINAL frame through the composed map (one
-          // edge pass per level; self-loop rows keep internal weight in
-          // the super-degree — the Louvain k convention)
-          // g needs NO stats reset: its checkpoint stats derive from
-          // (und0, comm-reset²) — a constant-size product per level,
-          // because the only frame that feeds back into the next
-          // level's plan is comm, and comm IS reset. Skipping the
-          // reset avoids a per-level Row conversion over the edge
-          // frame (the node-frame conversion on comm is the cheap one).
-          // Stays EAGER: louvainBestMove scans g three times and a lazy
-          // g re-executed its shuffle per scan (measured 11.9 → 14.3 s,
-          // 149 → 417 MB when tried lazy in r15).
-          g = und0
-            .join(gated(comm.toDF("a", "ca"), n), "a")
-            .join(gated(comm.toDF("b", "cb"), n), "b")
-            .groupBy(col("ca").as("a"), col("cb").as("b"))
+          // contract the PREVIOUS contracted graph through this level's
+          // roots (r15 opt): contraction composes — sum(w) grouped by
+          // root(comm(·)) equals the already-contracted sums regrouped
+          // by root (sum-associativity), so levels ≥ 2 run on the
+          // COMMUNITY-scale frame instead of re-passing the original
+          // 2m-row edge frame every level (the oracle keeps the
+          // compose-then-contract-from-undp formulation; values are
+          // identical). Self-loop rows keep internal weight in the
+          // super-degree — the Louvain k convention. Stays EAGER:
+          // louvainBestMove scans g three times and a lazy g
+          // re-executed its shuffle per scan (measured 11.9 → 14.3 s,
+          // 149 → 417 MB when tried lazy in r15). resetStats because g
+          // now feeds back into the next level's checkpointed plan
+          // (the multiplicative-stats lesson at louvainMaxLevels).
+          val gCp = g
+            .join(gated(roots.toDF("a", "ra"), n), "a")
+            .join(gated(roots.toDF("b", "rb"), n), "b")
+            .groupBy(col("ra").as("a"), col("rb").as("b"))
             .agg(sum("w").as("w"))
             .localCheckpoint(eager = true)
-          interim += g
+          interim += gCp // free the CHECKPOINT, not the stats wrapper
+          g = resetStats(gCp)
         }
       }
       if (moved && louvainBestMove(g).limit(1).count() > 0)
