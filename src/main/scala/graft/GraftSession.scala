@@ -18,6 +18,19 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Deliberate join strategy (opt guide §3.1/§9): prefer the
+      // sort-free shuffled-hash join when the planner's size conditions
+      // hold, let AQE convert sort-merge to shuffled-hash at runtime
+      // when every post-shuffle partition's build side fits 64 MB, and
+      // raise the broadcast threshold to 32 MB (estimates after filters
+      // routinely undershoot; the gated() hints still pin the hot
+      // iterative paths explicitly). All three are size-conditioned by
+      // the planner itself, so they scale past local mode unchanged —
+      // overridable per-session like any conf.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
       // type for — read as BIGINT nanos and do integer time arithmetic.

@@ -3309,14 +3309,18 @@ object Analytics {
       val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       var round = 0
       var continue = true
+      // r15: carry the edge count across rounds (m_r = m2_{r-1} — e IS
+      // the previous round's e2) and let deg's count be its
+      // materializing action — 2 fewer driver round-trips per round
+      var m = -1L
       while (round < densestRounds && continue) {
         round += 1
         val deg = e.select(col("p1").as("p")).unionByName(
           e.select(col("p2").as("p")))
           .groupBy("p").agg(count(lit(1)).as("d"))
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         interim += deg
-        val m = e.count()
+        if (m < 0) m = e.count()
         val n = deg.count()
         if (n == 0) { continue = false }
         else {
@@ -3340,6 +3344,7 @@ object Analytics {
           // shrink) must change the oracle's dedup in lockstep.
           if (m2 == m && keep.count() == n) continue = false // fixpoint
           e = e2
+          m = m2
         }
       }
       import s.implicits._
