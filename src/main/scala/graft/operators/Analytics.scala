@@ -2061,25 +2061,23 @@ object Analytics {
     val (nodes, _) = numericGraph(s, dir)
     val n = nodes.count()
     val ed = directedNum(s, dir)
+    // NO per-round checkpoint (r15): each round's vector has exactly
+    // one consumer (the next round's gated broadcast), so the whole
+    // katzRounds-deep nested-broadcast lineage pipelines in a single
+    // pass — the prFamily no-checkpoint lesson applied to the same
+    // shape (pagerank measured 0.9 s lazy vs 12.7 s checkpointed).
     var x = nodes.select(col("id"), lit(katzBeta).as("x"))
-      .localCheckpoint(eager = true)
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](x)
-    try {
-      for (_ <- 1 to katzRounds) {
-        val sums = ed.join(gated(x.toDF("a", "xa"), n), Seq("a"))
-          .groupBy(col("b").as("id")).agg(sum("xa").as("sin"))
-        x = nodes.select("id").join(sums, Seq("id"), "left_outer")
-          .select(col("id"),
-            (lit(katzBeta) + expr("coalesce(sin, CAST(0 AS BIGINT)) div 8"))
-              .as("x"))
-          .localCheckpoint(eager = true)
-        interim += x
-      }
-      nodes.join(x, Seq("id"))
-        .select(col("label"), col("key"), col("x").as("katz"))
-        .orderBy("label", "key")
-        .localCheckpoint(eager = true)
-    } finally interim.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
+    for (_ <- 1 to katzRounds) {
+      val sums = ed.join(gated(x.toDF("a", "xa"), n), Seq("a"))
+        .groupBy(col("b").as("id")).agg(sum("xa").as("sin"))
+      x = nodes.select("id").join(sums, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(katzBeta) + expr("coalesce(sin, CAST(0 AS BIGINT)) div 8"))
+            .as("x"))
+    }
+    nodes.join(x, Seq("id"))
+      .select(col("label"), col("key"), col("x").as("katz"))
+      .orderBy("label", "key")
   }
 
   val katzSql: String = {
@@ -2133,12 +2131,17 @@ object Analytics {
 
   def influenceSpread: Q = (s, dir) => {
     val (nodes, undW) = numericGraph(s, dir)
+    // loop-invariant materialized ONCE (r15, guide §2.4): lazily this
+    // re-ran the per-edge md5 coin over the full cached edge frame at
+    // every hop — icHops string-concat+md5 passes for one surviving
+    // ~icP% subset
     val live = undW.select("a", "b")
       .filter(graft.functions.VectorExprs.hexSlice(
         md5(concat(lit(icSalt + ":"),
           least(col("a"), col("b")).cast("string"), lit(":"),
           greatest(col("a"), col("b")).cast("string"))), 1, 8)
         % 100 < icP)
+      .localCheckpoint(eager = true)
     val seeds = nodes.filter(col("label") === "nation" &&
         col("key") < icSeeds)
       .select(col("id").as("seed"), col("id").as("node"), lit(0).as("d"))
@@ -2168,6 +2171,7 @@ object Analytics {
     } finally {
       levels.foreach(graft.model.PropertyGraph.freeLocalCheckpoint)
       graft.model.PropertyGraph.freeLocalCheckpoint(seeds)
+      graft.model.PropertyGraph.freeLocalCheckpoint(live)
     }
   }
 
